@@ -1,0 +1,80 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's one hardwired dataflow, composed Spark-first
+  * (`reference/src/mq/kafka.rs:48-109`: R1 source → R2 parse → R6 counter →
+  * R3 filter → R4 route → R7 counter → R5 sink).
+  *
+  * Physical profile: a single narrow WholeStageCodegen stage — scan →
+  * `from_json` projection → blocklist filter → literal routing chain →
+  * null-drop → projection. No shuffle, no sort, no state. At 100 TB this
+  * pipeline is embarrassingly parallel: throughput scales linearly with
+  * input partitions (Kafka partitions / parquet splits), which is exactly
+  * how the single-node reference would be scaled out.
+  *
+  * The label-counter analogues (R6/R7) are `groupBy().count()` side
+  * aggregations — the only shuffles — kept OUT of the forwarding hot path
+  * (SURVEY.md §7.6.7), plus shuffle-free `observe()` totals on the main
+  * stream.
+  */
+object Pipeline {
+  import Routing.TransformRule
+
+  /** parse → drop deletes → route → silent-drop no-matches →
+    * (target_topic, key, value). The `value` column is the original input
+    * bytes, untouched (byte-passthrough, `kafka.rs:80-82`).
+    */
+  def route(raw: DataFrame,
+            rules: Seq[TransformRule] = Routing.DefaultRules): DataFrame = {
+    val parsed = Parse.parse(raw)
+    Filter.dropDeletes(parsed)
+      .withColumn("target_topic",
+        Routing.targetExpr(rules, col("topic"), col("db"), col("tbl")))
+      .filter(col("target_topic").isNotNull)
+      .select(col("target_topic"), col("key"), col("value"))
+  }
+
+  /** R6 analogue: consumed-event counts by (topic, db, tbl, op) — the
+    * `flink_cdc_event_count` family (`reference/src/mq/mod.rs:55-59,91-100`),
+    * incremented pre-filter (`kafka.rs:56-61`).
+    */
+  def eventCounts(raw: DataFrame): DataFrame =
+    Parse.parse(raw)
+      .groupBy(col("topic"), col("db"), col("tbl"), col("op"))
+      .agg(count(lit(1)).as("n"))
+
+  /** R7 analogue: forwarded-event counts by (target_topic, op) — the
+    * `flink_kafka_filter_transform_count` family (`mq/mod.rs:82-89`,
+    * incremented post-filter/route at `kafka.rs:75-78`).
+    */
+  def forwardedCounts(raw: DataFrame,
+                      rules: Seq[TransformRule] = Routing.DefaultRules): DataFrame = {
+    val parsed = Filter.dropDeletes(Parse.parse(raw))
+      .withColumn("target_topic",
+        Routing.targetExpr(rules, col("topic"), col("db"), col("tbl")))
+      .filter(col("target_topic").isNotNull)
+    parsed.groupBy(col("target_topic"), col("op")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Shuffle-free observed totals on the forwarding path (consumed /
+    * forwarded / parse errors), the `observe()` analogue of the reference's
+    * monotonic counters. Read the metrics from a `QueryExecutionListener`
+    * (batch) or `StreamingQueryListener` (streaming) after an action.
+    */
+  def routeObserved(raw: DataFrame,
+                    rules: Seq[TransformRule] = Routing.DefaultRules): DataFrame = {
+    val parsed = Parse.parse(raw).observe(
+      "cdc_consumed",
+      count(lit(1)).as("events_total"),
+      count(when(col("op").isNull && col("db").isNull && col("tbl").isNull, 1))
+        .as("parse_errors"))
+    val routed = Filter.dropDeletes(parsed)
+      .withColumn("target_topic",
+        Routing.targetExpr(rules, col("topic"), col("db"), col("tbl")))
+      .filter(col("target_topic").isNotNull)
+      .select(col("target_topic"), col("key"), col("value"))
+    routed.observe("cdc_forwarded", count(lit(1)).as("forwarded_total"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered first-match routing (reference R4 + R8,
+  * `reference/src/config/transform.rs:26-65`, call site `kafka.rs:70-74`).
+  *
+  * A rule matches when `source_topic` and `db` equal exactly and the
+  * pre-compiled `table` regex finds a match (unanchored, like Rust
+  * `Regex::is_match`). Rule order is significant — the reference uses
+  * `Iterator::find`, i.e. FIRST match wins — and a record matching no rule
+  * is silently dropped (`kafka.rs:70` has no else branch).
+  *
+  * Spark-native form: an ordered `when(...)` chain. For the typical
+  * hand-written rule list (a handful to a few hundred rules) this is the
+  * right physical plan at any data scale — the rules become *literals inside
+  * whole-stage codegen*, so there is no join, no shuffle, no broadcast, and
+  * Catalyst's `RLike` compiles each literal pattern once per task exactly
+  * like the reference pre-compiles regexes at config load
+  * (`transform.rs:26-38`). Conjunct order (cheap equalities before the
+  * regex) is preserved: codegen's `And` short-circuits, so the regex only
+  * runs on candidate rules, mirroring `transform.rs:60-62`.
+  *
+  * [[targetViaJoin]] is the escape hatch for *very* large or dynamic rule
+  * sets (broadcast join + first-match `row_number`), where a 10k-deep
+  * `when` chain would blow past JIT method limits.
+  */
+object Routing {
+
+  /** One YAML rule (`reference/config.yaml`, `transform.rs:89-95`). */
+  final case class TransformRule(
+      sourceTopic: String, db: String, tableRegex: String, targetTopic: String)
+
+  /** Fail-fast regex validation at config load, like `transform.rs:33`. */
+  def validate(rules: Seq[TransformRule]): Seq[TransformRule] = {
+    rules.foreach(r => java.util.regex.Pattern.compile(r.tableRegex))
+    rules
+  }
+
+  /** The fixture rule set used by the verification queries. Covers: rule
+    * overlap (r1 shadows r2 on tables 0-4 → first-match order observable),
+    * a rule that never matches (r4, regex from the reference's own test,
+    * `transform.rs:136-153`), and events matching no rule (silent drop).
+    */
+  val DefaultRules: Seq[TransformRule] = validate(Seq(
+    TransformRule("flink-1", "db_0", "table_[0-4]",                 "t1-low"),
+    TransformRule("flink-1", "db_0", "table_[0-9]+",                "t1-rest"),
+    TransformRule("flink-2", "db_1", "table_(1|3|5|7|9)",           "t2-odd"),
+    TransformRule("flink-2", "db_2", "gsms_msg_ticket_sms_[0-9]+",  "t-gsms")))
+
+  /** Ordered first-match target-topic expression; null when no rule matches. */
+  def targetExpr(rules: Seq[TransformRule],
+                 topic: Column, db: Column, table: Column): Column =
+    rules.foldRight(lit(null).cast("string")) { (r, noMatch) =>
+      when(topic === lit(r.sourceTopic) && db === lit(r.db) &&
+             table.rlike(r.tableRegex),
+           lit(r.targetTopic)).otherwise(noMatch)
+    }
+
+  /** Join formulation for huge/dynamic rule sets: broadcast the rules,
+    * theta-join on (topic, db, regex), keep the lowest-priority match per
+    * record. Same semantics as [[targetExpr]]; costs a broadcast nested-loop
+    * join plus a per-record top-1, so it only wins when the rule list is too
+    * large to inline.
+    */
+  def targetViaJoin(spark: SparkSession, parsed: DataFrame,
+                    rules: Seq[TransformRule]): DataFrame = {
+    import spark.implicits._
+    val ruleDf = rules.zipWithIndex
+      .map { case (r, i) => (i, r.sourceTopic, r.db, r.tableRegex, r.targetTopic) }
+      .toDF("rule_idx", "r_topic", "r_db", "r_regex", "r_target")
+    val joined = parsed.join(
+      broadcast(ruleDf),
+      parsed("topic") === ruleDf("r_topic") && parsed("db") === ruleDf("r_db") &&
+        regexp_like(parsed("tbl"), ruleDf("r_regex")),
+      "inner")
+    val w = Window.partitionBy(col("key"), col("topic")).orderBy(col("rule_idx"))
+    joined
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "rule_idx", "r_topic", "r_db", "r_regex")
+      .withColumnRenamed("r_target", "target_topic")
+  }
+
+  /** The [[targetExpr]] rule chain as a DuckDB CASE expression (oracle). */
+  def duckdbCase(rules: Seq[TransformRule],
+                 topic: String, db: String, table: String): String =
+    rules.map { r =>
+      s"WHEN $topic = '${r.sourceTopic}' AND $db = '${r.db}' AND " +
+        s"regexp_matches($table, '${r.tableRegex}') THEN '${r.targetTopic}'"
+    }.mkString("CASE ", " ", " END")
+}

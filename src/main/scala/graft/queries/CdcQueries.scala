@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cdc._
+
+/** Driver-contract queries for the reference-parity CDC pipeline
+  * (SURVEY.md §2 R1-R8), each with a DuckDB oracle over the same parquet.
+  *
+  * Every oracle starts from the shared envelope-synthesis CTE
+  * ([[Envelopes.duckdbCte]]) so both engines derive their input from
+  * `events.parquet` with identical expressions.
+  */
+object CdcQueries {
+
+  private val rules = Routing.DefaultRules
+
+  /** Malformed envelopes injected to exercise permissive-mode parsing
+    * (reference panics instead — deliberate divergence, SURVEY.md §7.6.5).
+    */
+  private val badRows = Seq(
+    ("flink-1", "bad-1", "{not json"),
+    ("flink-2", "bad-2", ""),
+    ("flink-1", "bad-3", "[1,2"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // R2: projection-only decode of op/source.db/source.table.
+    "cdc_parse" -> ((s, dir) =>
+      Parse.parse(Envelopes.fromEvents(s, dir))
+        .select("topic", "key", "op", "db", "tbl")),
+
+    // R3: blocklist delete filter (op != 'd'; unknown ops pass).
+    "cdc_filter_deletes" -> ((s, dir) =>
+      Filter.dropDeletes(Parse.parse(Envelopes.fromEvents(s, dir)))
+        .select("topic", "key", "op", "db", "tbl")),
+
+    // R2+R3+R4+R5: the full pipeline — parse, filter, ordered first-match
+    // regex routing, silent drop on no-match, byte-identical passthrough.
+    "cdc_route" -> ((s, dir) =>
+      Pipeline.route(Envelopes.fromEvents(s, dir), rules)),
+
+    // R4 (join formulation): same result via broadcast theta-join +
+    // first-match row_number — the large-rule-set physical strategy.
+    "cdc_route_join" -> ((s, dir) => {
+      val parsed = Filter.dropDeletes(Parse.parse(Envelopes.fromEvents(s, dir)))
+      Routing.targetViaJoin(s, parsed, rules)
+        .select("target_topic", "key", "value")
+    }),
+
+    // R6: consumed-event counter family by (topic, db, table, op).
+    "cdc_events_by_label" -> ((s, dir) =>
+      Pipeline.eventCounts(Envelopes.fromEvents(s, dir))),
+
+    // R7: forwarded-event counter family by (target_topic, op).
+    "cdc_forwarded_by_label" -> ((s, dir) =>
+      Pipeline.forwardedCounts(Envelopes.fromEvents(s, dir), rules)),
+
+    // Permissive-mode parse-error accounting (vs reference panic).
+    "cdc_parse_errors" -> ((s, dir) => {
+      import s.implicits._
+      val raw = Envelopes.fromEvents(s, dir)
+        .unionByName(badRows.toDF("topic", "key", "value"))
+      Parse.parse(raw)
+        .groupBy(col("topic"))
+        .agg(
+          count(when(col("op").isNotNull || col("db").isNotNull ||
+            col("tbl").isNotNull, 1)).as("n_valid"),
+          count(when(col("op").isNull && col("db").isNull &&
+            col("tbl").isNull, 1)).as("n_invalid"))
+    }))
+
+  private val cte = Envelopes.duckdbCte
+  private val parsedCte =
+    s"""WITH cdc AS ($cte),
+       |parsed AS (
+       |  SELECT topic, key, value,
+       |         json_extract_string(value, '$$.op') AS op,
+       |         json_extract_string(value, '$$.source.db') AS db,
+       |         json_extract_string(value, '$$.source.table') AS tbl
+       |  FROM cdc)""".stripMargin
+  private val routeCase = Routing.duckdbCase(rules, "topic", "db", "tbl")
+  private val badValues = badRows
+    .map { case (t, k, v) => s"('$t','$k','$v')" }.mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "cdc_parse" ->
+      s"$parsedCte SELECT topic, key, op, db, tbl FROM parsed",
+
+    "cdc_filter_deletes" ->
+      s"$parsedCte SELECT topic, key, op, db, tbl FROM parsed WHERE op <> 'd'",
+
+    "cdc_route" ->
+      s"""$parsedCte
+         |SELECT $routeCase AS target_topic, key, value
+         |FROM parsed WHERE op <> 'd' AND ($routeCase) IS NOT NULL""".stripMargin,
+
+    "cdc_route_join" ->
+      s"""$parsedCte
+         |SELECT $routeCase AS target_topic, key, value
+         |FROM parsed WHERE op <> 'd' AND ($routeCase) IS NOT NULL""".stripMargin,
+
+    "cdc_events_by_label" ->
+      s"""$parsedCte
+         |SELECT topic, db, tbl, op, count(*) AS n
+         |FROM parsed GROUP BY topic, db, tbl, op""".stripMargin,
+
+    "cdc_forwarded_by_label" ->
+      s"""$parsedCte
+         |SELECT $routeCase AS target_topic, op, count(*) AS n
+         |FROM parsed WHERE op <> 'd' AND ($routeCase) IS NOT NULL
+         |GROUP BY 1, op""".stripMargin,
+
+    "cdc_parse_errors" ->
+      s"""WITH cdc AS ($cte),
+         |all_rows AS (
+         |  SELECT topic, key, value FROM cdc
+         |  UNION ALL
+         |  SELECT * FROM (VALUES $badValues) t(topic, key, value))
+         |SELECT topic,
+         |       count(CASE WHEN json_valid(value) THEN 1 END) AS n_valid,
+         |       count(CASE WHEN NOT json_valid(value) THEN 1 END) AS n_invalid
+         |FROM all_rows GROUP BY topic""".stripMargin)
+}
