@@ -49,8 +49,12 @@ def main(sf_dir, out_dir):
         # driver sorts columns by name before hashing values
         gi = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
         ei = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
-        g = sorted(tuple(norm(r[i]) for i in gi) for r in got)
-        e = sorted(tuple(norm(r[i]) for i in ei) for r in exp)
+        # None-safe ordering: (is_none, type_name, value) per cell so rows
+        # mixing NULL and non-NULL values sort instead of raising TypeError.
+        def key(row):
+            return tuple((v is None, type(v).__name__, v) for v in row)
+        g = sorted((tuple(norm(r[i]) for i in gi) for r in got), key=key)
+        e = sorted((tuple(norm(r[i]) for i in ei) for r in exp), key=key)
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: cols spark={sorted(got_cols)} oracle={sorted(exp_cols)}")
             n_fail += 1

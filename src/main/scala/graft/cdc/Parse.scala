@@ -2,6 +2,7 @@ package graft.cdc
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
 
 /** Projection-only JSON decode of the CDC envelope (reference R2,
   * `reference/src/mq/kafka.rs:53-55,119-143`).
@@ -14,34 +15,49 @@ import org.apache.spark.sql.functions._
   *
   * Malformed-input divergence (deliberate, SURVEY.md §7.6.5): the reference
   * panics on bad JSON (`kafka.rs:54-55` `.unwrap()`); a 100 TB batch job must
-  * not die on one bad record, so the default here is permissive — `from_json`
-  * yields nulls, which [[parseErrors]] surfaces as a counted metric — and
-  * `strict = true` restores fail-fast semantics.
+  * not die on one bad record, so the default here is permissive — malformed
+  * envelopes are *flagged* (`_malformed`) and surfaced by [[parseErrors]] —
+  * and `strict = true` restores fail-fast semantics.
+  *
+  * "Malformed" means the value is not a JSON object: a corrupt-record column
+  * (`columnNameOfCorruptRecord`) distinguishes a genuine parse failure from a
+  * valid object that merely lacks `op`/`source` — `{"x":1}` is well-formed
+  * (serde would decode it to empty strings-absent, not panic the parser),
+  * while `[1,2]` or `{not json` is not. This matches the DuckDB oracle
+  * predicate `json_valid(value) AND json_type(value) = 'OBJECT'`.
   */
 object Parse {
 
-  /** Decode `value` → (`op`, `db`, `tbl`) columns, keeping `topic`, `key`,
-    * and the raw `value` intact. (`tbl` not `table`: avoids the SQL keyword
-    * in oracle queries.)
+  /** Decode schema + corrupt-record capture field. */
+  private val PARSE_SCHEMA =
+    CdcSchema.CDC_SCHEMA.add("_corrupt", StringType)
+
+  /** Decode `value` → (`op`, `db`, `tbl`, `_malformed`) columns, keeping
+    * `topic`, `key`, and the raw `value` intact. (`tbl` not `table`: avoids
+    * the SQL keyword in oracle queries.)
     */
   def parse(raw: DataFrame, strict: Boolean = false): DataFrame = {
     val parsed = raw
-      .withColumn("_cdc", from_json(col("value"), CdcSchema.CDC_SCHEMA))
+      .withColumn("_cdc",
+        from_json(col("value"), PARSE_SCHEMA,
+          Map("columnNameOfCorruptRecord" -> "_corrupt")))
       .select(
         col("topic"), col("key"), col("value"),
         col("_cdc.op").as("op"),
         col("_cdc.source.db").as("db"),
-        col("_cdc.source.table").as("tbl"))
+        col("_cdc.source.table").as("tbl"),
+        (col("_cdc").isNull || col("_cdc._corrupt").isNotNull)
+          .as("_malformed"))
     if (strict) {
       // Fail-fast like the reference: raise on the first undecodable record.
       parsed.withColumn("op",
-        when(col("op").isNull && col("db").isNull && col("tbl").isNull,
+        when(col("_malformed"),
           raise_error(concat(lit("malformed CDC envelope: "), col("value"))))
           .otherwise(col("op")))
     } else parsed
   }
 
-  /** Rows whose envelope failed to decode (all projected fields null). */
+  /** Rows whose envelope failed to decode (not a JSON object). */
   def parseErrors(parsed: DataFrame): DataFrame =
-    parsed.filter(col("op").isNull && col("db").isNull && col("tbl").isNull)
+    parsed.filter(col("_malformed"))
 }

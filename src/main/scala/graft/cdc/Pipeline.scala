@@ -58,23 +58,32 @@ object Pipeline {
     parsed.groupBy(col("target_topic"), col("op")).agg(count(lit(1)).as("n"))
   }
 
-  /** Shuffle-free observed totals on the forwarding path (consumed /
-    * forwarded / parse errors), the `observe()` analogue of the reference's
-    * monotonic counters. Read the metrics from a `QueryExecutionListener`
-    * (batch) or `StreamingQueryListener` (streaming) after an action.
+  /** Shuffle-free observed totals on the forwarding path — the `observe()`
+    * analogue of the reference's monotonic counters (`mq/mod.rs:55-101`) and
+    * its `/metrics` endpoint (`main.rs:44-55`). The counters are accumulated
+    * *inside* the forwarding pass (no second scan, no shuffle) and read back
+    * from the [[org.apache.spark.sql.Observation]] handles once the action
+    * completes — in streaming the same `observe` columns surface per-batch
+    * via `StreamingQueryListener`.
+    *
+    * @return ((events_total, parse_errors), forwarded_total)
     */
-  def routeObserved(raw: DataFrame,
-                    rules: Seq[TransformRule] = Routing.DefaultRules): DataFrame = {
-    val parsed = Parse.parse(raw).observe(
-      "cdc_consumed",
+  def routeObservedRun(raw: DataFrame,
+                       rules: Seq[TransformRule] = Routing.DefaultRules): ((Long, Long), Long) = {
+    val consumed = org.apache.spark.sql.Observation()
+    val forwarded = org.apache.spark.sql.Observation()
+    val parsed = Parse.parse(raw).observe(consumed,
       count(lit(1)).as("events_total"),
-      count(when(col("op").isNull && col("db").isNull && col("tbl").isNull, 1))
-        .as("parse_errors"))
+      count(when(col("_malformed"), 1)).as("parse_errors"))
     val routed = Filter.dropDeletes(parsed)
       .withColumn("target_topic",
         Routing.targetExpr(rules, col("topic"), col("db"), col("tbl")))
       .filter(col("target_topic").isNotNull)
       .select(col("target_topic"), col("key"), col("value"))
-    routed.observe("cdc_forwarded", count(lit(1)).as("forwarded_total"))
+      .observe(forwarded, count(lit(1)).as("forwarded_total"))
+    routed.write.format("noop").mode("overwrite").save()
+    val c = consumed.get
+    ((c("events_total").asInstanceOf[Long], c("parse_errors").asInstanceOf[Long]),
+      forwarded.get("forwarded_total").asInstanceOf[Long])
   }
 }

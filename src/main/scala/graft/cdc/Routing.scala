@@ -1,7 +1,6 @@
 package graft.cdc
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered first-match routing (reference R4 + R8,
@@ -59,11 +58,37 @@ object Routing {
            lit(r.targetTopic)).otherwise(noMatch)
     }
 
-  /** Join formulation for huge/dynamic rule sets: broadcast the rules,
-    * theta-join on (topic, db, regex), keep the lowest-priority match per
-    * record. Same semantics as [[targetExpr]]; costs a broadcast nested-loop
-    * join plus a per-record top-1, so it only wins when the rule list is too
-    * large to inline.
+  /** Per-executor compiled-pattern cache for rules-as-data regex matching.
+    * Catalyst's `RLike` only caches the compiled `Pattern` when the pattern
+    * side is foldable (a literal); a column-valued pattern recompiles per
+    * row — exactly the hand-optimization the reference keeps
+    * (`transform.rs:26-38` precompiles at config load). For the join
+    * formulation the pattern arrives as *data*, so a tiny scalar function
+    * with a shared compile cache is the honest fix (documented exception to
+    * the no-UDF rule; the rule count is small and bounded, so the cache is
+    * too).
+    */
+  private val patternCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+  private val rlikeCached = udf { (s: String, pattern: String) =>
+    if (s == null || pattern == null) false
+    else patternCache
+      .computeIfAbsent(pattern, java.util.regex.Pattern.compile(_))
+      .matcher(s).find()
+  }
+
+  /** Join formulation for huge/dynamic (rules-as-data) rule sets: broadcast
+    * the rules, theta-join on (topic, db, regex), keep the lowest-index match
+    * per record. Same semantics as [[targetExpr]].
+    *
+    * Scale notes (VERDICT r01 #1-2): first-match is resolved with
+    * `min_by` keyed by a `monotonically_increasing_id` record id — NOT a
+    * window over the Kafka key, which would (a) shuffle the whole stream into
+    * near-singleton partitions and (b) merge distinct records sharing a key
+    * (routine in CDC, where a row's key repeats on every update). The
+    * `groupBy(_rid)` shuffle only carries records that matched ≥1 rule, and
+    * `min_by` needs no sort. Regexes are matched via [[rlikeCached]], so each
+    * pattern compiles once per executor, not once per row.
     */
   def targetViaJoin(spark: SparkSession, parsed: DataFrame,
                     rules: Seq[TransformRule]): DataFrame = {
@@ -71,24 +96,29 @@ object Routing {
     val ruleDf = rules.zipWithIndex
       .map { case (r, i) => (i, r.sourceTopic, r.db, r.tableRegex, r.targetTopic) }
       .toDF("rule_idx", "r_topic", "r_db", "r_regex", "r_target")
-    val joined = parsed.join(
+    val withId = parsed.withColumn("_rid", monotonically_increasing_id())
+    val dataCols = parsed.columns.toSeq
+    val joined = withId.join(
       broadcast(ruleDf),
-      parsed("topic") === ruleDf("r_topic") && parsed("db") === ruleDf("r_db") &&
-        regexp_like(parsed("tbl"), ruleDf("r_regex")),
+      withId("topic") === ruleDf("r_topic") && withId("db") === ruleDf("r_db") &&
+        rlikeCached(withId("tbl"), ruleDf("r_regex")),
       "inner")
-    val w = Window.partitionBy(col("key"), col("topic")).orderBy(col("rule_idx"))
+    val picked = struct((dataCols.map(col) :+ col("r_target").as("target_topic")): _*)
     joined
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn", "rule_idx", "r_topic", "r_db", "r_regex")
-      .withColumnRenamed("r_target", "target_topic")
+      .groupBy(col("_rid"))
+      .agg(min_by(picked, col("rule_idx")).as("_m"))
+      .select("_m.*")
   }
 
-  /** The [[targetExpr]] rule chain as a DuckDB CASE expression (oracle). */
+  private def sq(s: String): String = s.replace("'", "''")
+
+  /** The [[targetExpr]] rule chain as a DuckDB CASE expression (oracle).
+    * Single quotes in rule strings are SQL-escaped (doubled).
+    */
   def duckdbCase(rules: Seq[TransformRule],
                  topic: String, db: String, table: String): String =
     rules.map { r =>
-      s"WHEN $topic = '${r.sourceTopic}' AND $db = '${r.db}' AND " +
-        s"regexp_matches($table, '${r.tableRegex}') THEN '${r.targetTopic}'"
+      s"WHEN $topic = '${sq(r.sourceTopic)}' AND $db = '${sq(r.db)}' AND " +
+        s"regexp_matches($table, '${sq(r.tableRegex)}') THEN '${sq(r.targetTopic)}'"
     }.mkString("CASE ", " ", " END")
 }

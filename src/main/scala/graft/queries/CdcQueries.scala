@@ -18,11 +18,18 @@ object CdcQueries {
 
   /** Malformed envelopes injected to exercise permissive-mode parsing
     * (reference panics instead — deliberate divergence, SURVEY.md §7.6.5).
+    * Includes valid-JSON-but-not-an-object rows (`[1,2]`, `42`) and a valid
+    * object lacking the declared fields (`{"x":1}`) so the Spark
+    * corrupt-record predicate and the oracle's
+    * `json_valid AND json_type = 'OBJECT'` are exercised on every branch.
     */
   private val badRows = Seq(
     ("flink-1", "bad-1", "{not json"),
     ("flink-2", "bad-2", ""),
-    ("flink-1", "bad-3", "[1,2"))
+    ("flink-1", "bad-3", "[1,2"),
+    ("flink-2", "bad-4", "[1,2]"),
+    ("flink-1", "bad-5", "42"),
+    ("flink-2", "bad-6", "{\"x\":1}"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R2: projection-only decode of op/source.db/source.table.
@@ -64,10 +71,20 @@ object CdcQueries {
       Parse.parse(raw)
         .groupBy(col("topic"))
         .agg(
-          count(when(col("op").isNotNull || col("db").isNotNull ||
-            col("tbl").isNotNull, 1)).as("n_valid"),
-          count(when(col("op").isNull && col("db").isNull &&
-            col("tbl").isNull, 1)).as("n_invalid"))
+          count(when(!col("_malformed"), 1)).as("n_valid"),
+          count(when(col("_malformed"), 1)).as("n_invalid"))
+    }),
+
+    // R6/R7/R9 observe() analogue of the reference's monotonic counters
+    // (`mq/mod.rs:55-101`): shuffle-free totals accumulated inside the
+    // forwarding pass itself, read back via `Observation` after the action —
+    // the batch stand-in for the `/metrics` endpoint (`main.rs:44-55`).
+    "cdc_observed_totals" -> ((s, dir) => {
+      import s.implicits._
+      val (consumed, forwarded) =
+        Pipeline.routeObservedRun(Envelopes.fromEvents(s, dir), rules)
+      Seq((consumed._1, consumed._2, forwarded))
+        .toDF("events_total", "parse_errors", "forwarded_total")
     }))
 
   private val cte = Envelopes.duckdbCte
@@ -116,9 +133,25 @@ object CdcQueries {
          |all_rows AS (
          |  SELECT topic, key, value FROM cdc
          |  UNION ALL
-         |  SELECT * FROM (VALUES $badValues) t(topic, key, value))
+         |  SELECT * FROM (VALUES $badValues) t(topic, key, value)),
+         |flagged AS (
+         |  SELECT topic,
+         |         (CASE WHEN json_valid(value)
+         |               THEN json_type(value) = 'OBJECT' ELSE false END) AS ok
+         |  FROM all_rows)
          |SELECT topic,
-         |       count(CASE WHEN json_valid(value) THEN 1 END) AS n_valid,
-         |       count(CASE WHEN NOT json_valid(value) THEN 1 END) AS n_invalid
-         |FROM all_rows GROUP BY topic""".stripMargin)
+         |       count(CASE WHEN ok THEN 1 END) AS n_valid,
+         |       count(CASE WHEN NOT ok THEN 1 END) AS n_invalid
+         |FROM flagged GROUP BY topic""".stripMargin,
+
+    "cdc_observed_totals" ->
+      s"""$parsedCte
+         |SELECT count(*) AS events_total,
+         |       count(CASE WHEN NOT (CASE WHEN json_valid(value)
+         |                            THEN json_type(value) = 'OBJECT'
+         |                            ELSE false END)
+         |                  THEN 1 END) AS parse_errors,
+         |       count(CASE WHEN op <> 'd' AND ($routeCase) IS NOT NULL
+         |                  THEN 1 END) AS forwarded_total
+         |FROM parsed""".stripMargin)
 }
