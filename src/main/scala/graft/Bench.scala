@@ -8,6 +8,11 @@ import org.apache.spark.sql.SparkSession
   * not pollute whichever query happens to run first), and failures are
   * reported explicitly in an `errors` map instead of masquerading as a
   * timing.
+  *
+  * Queries are forced through the `noop` sink, not `count()`: counting
+  * lets Catalyst prune every unused column, so a projection-heavy query
+  * would be "benchmarked" as a bare scan. The noop sink evaluates every
+  * output column and discards the rows — compute without sink I/O.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -21,10 +26,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    def run(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     // Warmup: one untimed pass per query (also surfaces failures early).
     val warmErrs = names.flatMap { n =>
-      try { SparkEntry.queries(n)(spark, sfDir).count(); None }
+      try { run(n); None }
       catch { case e: Throwable => Some(n -> e.toString.take(200)) }
     }.toMap
 
@@ -34,7 +43,7 @@ object Bench {
       else {
         val t0 = System.nanoTime()
         try {
-          SparkEntry.queries(n)(spark, sfDir).count()
+          run(n)
           Some(n -> (System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Throwable =>

@@ -21,8 +21,10 @@ object SparkEntry {
     Pipeline.route(Envelopes.fromEvents(spark, "/root/testdata/sf0.001"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CdcQueries.queries
+    CdcQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
+      TextQueries.queries ++ MultimodalQueries.queries ++ WindowQueries.queries
 
   def oracleSql: Map[String, String] =
-    CdcQueries.oracles
+    CdcQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
+      TextQueries.oracles ++ MultimodalQueries.oracles ++ WindowQueries.oracles
 }

@@ -1,0 +1,294 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora (north-star
+  * extension, SURVEY.md §7.4 — NOT from the reference, which has no
+  * dedup surface).
+  *
+  * Four families, all built from Catalyst built-ins (HOFs + `md5`) so the
+  * whole computation stays inside whole-stage codegen and is exactly
+  * reproducible by the DuckDB oracle (both engines agree on `md5` hex):
+  *
+  *  1. '''Exact''' — group by content hash, keep one representative.
+  *  2. '''MinHash + LSH''' — shingle → k minhashes → b bands of r →
+  *     band-bucket self-join for candidates → exact-Jaccard verify.
+  *     Never all-pairs: the only shuffle is the band-key join, which is
+  *     linear in corpus size × band count. At a planted-dup similarity
+  *     s ≥ 0.9 and (k=32, b=16, r=2) the miss probability per pair is
+  *     (1 − s²)¹⁶ ≤ 4e-12 — and candidates are verified with the true
+  *     Jaccard, so false positives are impossible.
+  *  3. '''SimHash''' — 60-bit sign-of-sum fingerprint over token hashes;
+  *     near-dup = Hamming distance ≤ t, found via 4×15-bit chunk banding
+  *     (pigeonhole: hd ≤ 3 ⇒ at least one of 4 chunks identical, so the
+  *     candidate set is provably complete, not probabilistic).
+  *  4. '''Embedding cosine''' — cluster-bucketed near-dup over a vector
+  *     column (see [[Similarity]] for the cosine kernel).
+  *
+  * Hash choices: LSH banding uses native `xxhash64` (candidates need
+  * determinism + recall, not oracle parity — the DuckDB oracle checks
+  * the *verified* exact-Jaccard output via independent all-pairs);
+  * SimHash fingerprints use `md5`, because the fingerprint itself is a
+  * query output the oracle must reproduce bit-for-bit.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles of a whitespace-tokenized text.
+    * Texts shorter than n words fall back to a single whole-text shingle
+    * (Spark `sequence(1, x)` with x < 1 would count *down*, so the guard
+    * is required, not cosmetic).
+    *
+    * Array-building HOFs evaluate interpreted; the production pipeline
+    * uses the row-generating twins ([[wordShingleRows]] /
+    * [[charShingleRows]]), which stay in whole-stage codegen.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val w = split(text, " ")
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n))))))
+      .otherwise(array(text))
+  }
+
+  /** Distinct character n-gram shingles. */
+  def charShingles(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      array_distinct(transform(sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n)))))
+      .otherwise(array(text))
+
+  /** (id, x) word n-gram shingle rows, flat codegen (possibly with
+    * duplicate shingles — [[nearDupPairsFromRows]] dedups once): explode
+    * a position sequence, assemble the n-gram with `element_at`. A doc
+    * with fewer than n words yields its whole text (position sequence
+    * clamps to [1,1] and `concat_ws` skips null words).
+    */
+  def wordShingleRows(df: DataFrame, idCol: Column, text: Column, n: Int): DataFrame = {
+    val w = split(text, " ")
+    val ex = df.select(idCol.as("id"), w.as("w"),
+      explode(sequence(lit(1), greatest(size(w) - (n - 1), lit(1)))).as("i"))
+    // get() is 0-based and yields null past the end (element_at would
+    // throw under Spark 4's default ANSI mode); concat_ws skips nulls.
+    ex.select(col("id"),
+      concat_ws(" ", (0 until n).map(o => get(col("w"), col("i") + o - 1)): _*).as("x"))
+  }
+
+  /** (id, x) character n-gram shingle rows, flat codegen. Texts shorter
+    * than n chars yield one truncated shingle (the whole text).
+    */
+  def charShingleRows(df: DataFrame, idCol: Column, text: Column, n: Int): DataFrame = {
+    val ex = df.select(idCol.as("id"), text.as("t"),
+      explode(sequence(lit(1), greatest(length(text) - (n - 1), lit(1)))).as("i"))
+    ex.select(col("id"), col("t").substr(col("i"), lit(n)).as("x"))
+  }
+
+  /** MinHash signature as a single HOF expression: element s is the
+    * lexicographic minimum of `md5("<s>:" ++ shingle)` over the shingle
+    * set (min over fixed-width lowercase hex = min over the 128-bit
+    * hash values — a faithful min-wise permutation per seed).
+    *
+    * NOTE: higher-order functions run *interpreted* (no whole-stage
+    * codegen, no common-subexpression elimination), so this form is for
+    * small inputs and tests; the production pipeline uses
+    * [[minhashBands]], which keeps every hash inside codegen.
+    */
+  def minhashSignature(shingles: Column, numPerm: Int): Column =
+    array((0 until numPerm).map { s =>
+      array_min(transform(shingles, x => md5(concat(lit(s + ":"), x))))
+    }: _*)
+
+  /** MinHash layout for [[minhashBands]]: 32 permutations = 8 seeded
+    * `xxhash64` streams × 4 sixteen-bit chunks each. Chunked mins are
+    * still valid LSH: ties in 16-bit space only ever *add* candidates
+    * (verified away later), never lose them. Band m (of 8) concatenates
+    * the 4 chunk-mins of stream m.
+    *
+    * Hash choice: `xxhash64`, NOT md5 — banding needs determinism and
+    * recall, not oracle parity (the correctness oracle recomputes exact
+    * all-pairs Jaccard and never sees the candidate hashes), and
+    * Spark's native long-typed xxhash64 measured ~60× faster than
+    * md5 + hex conv in this projection (md5 allocates a digest and hex
+    * string per call).
+    */
+  val HashStreams = 8
+  val ChunksPerHash = 4 // 64-bit xxhash64 → 4 chunks of 16 bits
+  val NumBands = HashStreams
+  val RowsPerBand = ChunksPerHash
+
+  /** (id, bands) with bands an 8-element string array, computed the
+    * scale-correct way from (id, x) shingle rows: hash in a *flat
+    * projection* (whole-stage codegen + subexpression elimination — one
+    * xxhash64 per stream per shingle; the HOF formulation measured ~30×
+    * slower because lambda bodies are interpreted), then
+    * `groupBy(id).agg(min…)` over 32 primitive int buffers — a
+    * HashAggregate with map-side partial aggregation (string buffers
+    * would silently degrade to SortAggregate), so the shuffle carries
+    * 32 ints per document, not the shingles. Duplicate shingle rows are
+    * harmless: min is idempotent.
+    */
+  def minhashBandsFromRows(rows: DataFrame): DataFrame = {
+    val chunkCols = for (m <- 0 until HashStreams; c <- 0 until ChunksPerHash)
+      yield shiftright(xxhash64(lit(m), col("x")), c * 16)
+        .bitwiseAND(lit(0xffffL)).cast("int").as(s"h_${m}_$c")
+    val hashed = rows.select(col("id") +: chunkCols: _*)
+    val aggs = for (m <- 0 until HashStreams; c <- 0 until ChunksPerHash)
+      yield min(col(s"h_${m}_$c")).as(s"m_${m}_$c")
+    val sig = hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val bands = array((0 until NumBands).map { m =>
+      concat_ws("|", (0 until ChunksPerHash).map(c => col(s"m_${m}_$c")): _*)
+    }: _*)
+    sig.select(col("id"), bands.as("bands"))
+  }
+
+  /** Array-column adapter for [[minhashBandsFromRows]]. */
+  def minhashBands(docs: DataFrame, idCol: String, shinglesCol: String): DataFrame =
+    minhashBandsFromRows(
+      docs.select(col(idCol).as("id"), explode(col(shinglesCol)).as("x")))
+
+  /** Candidate pairs from band buckets, in ONE pass over the signature:
+    * explode (band_idx, band_hash), group each bucket's member ids with
+    * `collect_list`, and emit every unordered in-bucket pair (id_a <
+    * id_b, via sorted ids). A self-join formulation would evaluate the
+    * whole minhash pipeline once per join branch (Spark does not share
+    * non-exchanged subplans); here the signature is computed exactly
+    * once and the only shuffle is the bucket groupBy. Bucket pair
+    * expansion is quadratic per bucket — which is the point of banding:
+    * buckets stay tiny (the HOF pair generator runs over a handful of
+    * ids). `distinct` collapses pairs that collide in several bands.
+    */
+  def lshCandidates(df: DataFrame, idCol: String, bandsCol: Column): DataFrame = {
+    val e = df.select(col(idCol).as("id"),
+      posexplode(bandsCol).as(Seq("band_idx", "band_hash")))
+    val buckets = e.groupBy(col("band_idx"), col("band_hash"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairs = flatten(transform(col("ids"), (a, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))),
+        b => struct(a.as("id_a"), b.as("id_b")))))
+    buckets
+      .select(explode(pairs).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity of two pre-distinct shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Full MinHash-LSH near-dup pipeline over (id, x) shingle rows:
+    * candidates via [[minhashBandsFromRows]] banding (8 bands × 4 rows:
+    * at planted-dup similarity s ≥ 0.9 the per-pair miss probability is
+    * (1 − s⁴)⁸ ≤ 3e-7; the r=4 rows keep background candidates at
+    * J < 0.25 rare), then exact-Jaccard verification at `threshold`.
+    *
+    * Verification is the distributed set-similarity join, not array
+    * intersection: dedup the shingle rows once, count each pair's
+    * common shingles with an equi-join on (partner id, shingle), and
+    * derive |A∪B| = |A| + |B| − |A∩B| from per-doc set sizes. Every
+    * step is a codegen'd shuffle join/aggregate — no arrays are ever
+    * materialized, so a 100 TB corpus never holds a document's shingle
+    * set in one row. Output: (id_a, id_b, jaccard), id_a < id_b.
+    */
+  def nearDupPairsFromRows(shingleRows: DataFrame, threshold: Double): DataFrame = {
+    val rows = shingleRows.select(col("id"), col("x")).distinct()
+    val sizes = rows.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    // min is idempotent → the signature runs on the raw (possibly
+    // duplicated) rows, skipping the distinct's shuffle on this path.
+    val cands = lshCandidates(minhashBandsFromRows(shingleRows), "id", col("bands"))
+    val inter = cands
+      .join(rows.select(col("id").as("id_a"), col("x")), "id_a")
+      .join(rows.select(col("id").as("id_b"), col("x")), Seq("id_b", "x"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Array-column adapter for [[nearDupPairsFromRows]]. */
+  def nearDupPairs(docs: DataFrame, idCol: String, shinglesCol: String,
+                   threshold: Double): DataFrame =
+    nearDupPairsFromRows(
+      docs.select(col(idCol).as("id"), explode(col(shinglesCol)).as("x")), threshold)
+
+  /** 60-bit SimHash: bit j of the fingerprint is the sign of
+    * Σ_tokens (2·bit_j(md5(token)) − 1), where bit_j reads bit (3−j%4)
+    * of hex nibble j/4 — i.e. ONE md5 per token supplies all 60 bits.
+    * Token multiplicity weights the sum (standard SimHash). 60 bits
+    * keeps the fingerprint inside a non-negative signed 64-bit value in
+    * both engines.
+    */
+  val SimhashBits = 60
+
+  /** ±1 contribution of bit j from a 32-hex md5 column. */
+  private def bitContrib(h: Column, j: Int): Column =
+    shiftright(conv(substring(h, j / 4 + 1, 1), 16, 10).cast("int"), 3 - j % 4)
+      .bitwiseAND(lit(1)) * 2 - 1
+
+  /** HOF formulation (interpreted — tests and small inputs only; the
+    * lambda body re-derives the md5 per bit).
+    */
+  def simhash(tokens: Column): Column =
+    (0 until SimhashBits).map { j =>
+      val s = aggregate(tokens, lit(0), (acc, w) => acc + bitContrib(md5(w), j))
+      when(s >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** (id, simhash) the scale-correct way (same explode/flat-projection/
+    * partial-agg shape as [[minhashBands]], same rationale): one
+    * codegen'd md5 per token (subexpression-eliminated across the 60
+    * bit extracts), 60 `sum` partial aggregates, fingerprint assembled
+    * post-agg. The shuffle carries 60 small ints per document.
+    */
+  def simhashAgg(docs: DataFrame, idCol: String, tokensCol: String): DataFrame = {
+    val ex = docs.select(col(idCol).as("id"), explode(col(tokensCol)).as("w"))
+    val h = md5(col("w"))
+    val contribs = (0 until SimhashBits).map(j => bitContrib(h, j).as(s"b_$j"))
+    val hashed = ex.select(col("id") +: contribs: _*)
+    val aggs = (0 until SimhashBits).map(j => sum(col(s"b_$j")).as(s"s_$j"))
+    val agg = hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val fp = (0 until SimhashBits)
+      .map(j => when(col(s"s_$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs at Hamming distance ≤ maxHamming (< 4), via
+    * 4 chunks of 15 bits: hd ≤ 3 guarantees an identical chunk
+    * (pigeonhole), so banding is exhaustive, and a random 15-bit chunk
+    * collision has probability 2⁻¹⁵ — the candidate join stays sparse.
+    * Input: (id, simhash). Output: (id_a, id_b, hamming).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, simhashCol: String,
+                   maxHamming: Int): DataFrame = {
+    require(maxHamming < 4, "4-chunk banding only guarantees hd <= 3")
+    val chunks = array((0 until 4).map { c =>
+      shiftright(col(simhashCol), c * 15).bitwiseAND(lit((1L << 15) - 1))
+    }: _*)
+    // One pass like lshCandidates: bucket by chunk, carry (id, simhash)
+    // structs into the bucket, emit in-bucket pairs with both
+    // fingerprints in hand — the upstream simhash aggregation is
+    // evaluated exactly once and no join-back is needed.
+    val e = df.select(
+      struct(col(idCol).as("id"), col(simhashCol).as("sh")).as("rec"),
+      posexplode(chunks).as(Seq("chunk_idx", "chunk_val")))
+    val buckets = e.groupBy(col("chunk_idx"), col("chunk_val"))
+      .agg(sort_array(collect_list(col("rec"))).as("recs"))
+      .filter(size(col("recs")) > 1)
+    val pairs = flatten(transform(col("recs"), (a, i) =>
+      transform(slice(col("recs"), i + 2, size(col("recs"))),
+        b => struct(a.getField("id").as("id_a"), b.getField("id").as("id_b"),
+          bit_count(a.getField("sh").bitwiseXOR(b.getField("sh"))).as("hamming")))))
+    buckets
+      .select(explode(pairs).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

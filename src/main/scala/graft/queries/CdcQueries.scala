@@ -85,7 +85,20 @@ object CdcQueries {
         Pipeline.routeObservedRun(Envelopes.fromEvents(s, dir), rules)
       Seq((consumed._1, consumed._2, forwarded))
         .toDF("events_total", "parse_errors", "forwarded_total")
-    }))
+    }),
+
+    // R8: YAML-configured routing — rules loaded from a config.yaml-shaped
+    // classpath fixture (Config.fromResource validates regexes fail-fast
+    // like transform.rs:33), then routed and counted per target.
+    "cdc_route_yaml" -> ((s, dir) =>
+      Pipeline.route(Envelopes.fromEvents(s, dir), yamlRules)
+        .groupBy("target_topic").agg(count(lit(1)).as("n"))))
+
+  /** Rules from the YAML fixture (R8). Loaded once; both the Spark query
+    * and its oracle derive from this single parse.
+    */
+  lazy val yamlRules: Seq[Routing.TransformRule] =
+    Config.fromResource("/graft/rules.yaml").rules
 
   private val cte = Envelopes.duckdbCte
   private val parsedCte =
@@ -153,5 +166,13 @@ object CdcQueries {
          |                  THEN 1 END) AS parse_errors,
          |       count(CASE WHEN op <> 'd' AND ($routeCase) IS NOT NULL
          |                  THEN 1 END) AS forwarded_total
-         |FROM parsed""".stripMargin)
+         |FROM parsed""".stripMargin,
+
+    "cdc_route_yaml" -> {
+      val yamlCase = Routing.duckdbCase(yamlRules, "topic", "db", "tbl")
+      s"""$parsedCte
+         |SELECT $yamlCase AS target_topic, count(*) AS n
+         |FROM parsed WHERE op <> 'd' AND ($yamlCase) IS NOT NULL
+         |GROUP BY 1""".stripMargin
+    })
 }

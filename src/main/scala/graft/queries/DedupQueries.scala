@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.Dedup
+
+/** Driver-contract queries + DuckDB oracles for the dedup family
+  * (SURVEY.md §7.4). The oracles are deliberately *independent* where
+  * possible: near-dup oracles compute exact all-pairs Jaccard /
+  * Hamming (feasible at sf0.01), so they check the LSH pipeline's
+  * end-to-end recall, not merely its arithmetic. The planted fixture
+  * dups sit at similarity ≥ 0.96 vs a background < 0.1, and the
+  * MinHash parameters put the per-pair miss probability below 1e-11
+  * (SimHash banding is pigeonhole-exhaustive, so it has none).
+  */
+object DedupQueries {
+
+  private val WordN = 3 // word shingle width
+  // Char shingle width 6, not the textbook 4: the fixture's small shared
+  // vocabulary pushes background char-4-gram Jaccard to 0.45 (vs the 0.5
+  // report threshold) — banding would drown in candidates and the oracle
+  // comparison would sit on a knife edge. 6-grams drop background max
+  // to 0.24 while planted dups stay ≥ 0.9.
+  private val CharN = 6
+  private val JaccardThreshold = 0.5
+  private val MaxHamming = 3
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: one representative (min doc_id) per content hash.
+    // Grouping by md5(text), not text, keeps shuffle rows narrow — the
+    // 100 TB form groups by (length, hash) and never moves the payload.
+    "docs_dedup_exact" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text")).as("text_md5"))
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_copies")
+    }),
+
+    // MinHash-LSH near-dup over word 3-gram shingles, exact-Jaccard
+    // verified at 0.5. Never all-pairs: candidates come from the band
+    // bucket join (Dedup.lshCandidates).
+    "docs_dedup_near" -> ((s, dir) =>
+      Dedup.nearDupPairsFromRows(
+        Dedup.wordShingleRows(Tables.documents(s, dir), col("doc_id"), col("text"), WordN),
+        JaccardThreshold)),
+
+    // Character 6-gram variant (robust to word-boundary edits).
+    "docs_ngram_jaccard" -> ((s, dir) =>
+      Dedup.nearDupPairsFromRows(
+        Dedup.charShingleRows(Tables.documents(s, dir), col("doc_id"), col("text"), CharN),
+        JaccardThreshold)),
+
+    // 60-bit SimHash fingerprint per document.
+    "docs_simhash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      Dedup.simhashAgg(docs, "doc_id", "toks")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // SimHash near-dup pairs at Hamming ≤ 3 via 4×15-bit chunk banding.
+    "docs_simhash_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val sh = Dedup.simhashAgg(docs, "doc_id", "toks")
+      Dedup.simhashPairs(sh, "id", "simhash", MaxHamming)
+    }))
+
+  // -------------------------------------------------------------------
+  // DuckDB oracles
+  // -------------------------------------------------------------------
+
+  /** Word 3-gram shingle CTE fragment (mirrors Dedup.wordShingles). */
+  private val wordShCte =
+    """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id,
+      |         CASE WHEN len(ws) >= 3
+      |              THEN list_distinct(list_transform(generate_series(1, len(ws)-2),
+      |                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+      |              ELSE [text] END AS s
+      |       FROM d)""".stripMargin
+
+  /** Char 6-gram shingle CTE fragment (mirrors Dedup.charShingles). */
+  private val charShCte =
+    s"""WITH sh AS (SELECT doc_id,
+       |         CASE WHEN len(text) >= $CharN
+       |              THEN list_distinct(list_transform(generate_series(1, len(text)-${CharN - 1}),
+       |                     i -> substr(text, CAST(i AS INTEGER), $CharN)))
+       |              ELSE [text] END AS s
+       |       FROM documents)""".stripMargin
+
+  private def jaccardPairsSql(shCte: String): String =
+    s"""$shCte
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       len(list_intersect(a.s, b.s))::DOUBLE /
+       |         len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+       |        len(list_distinct(list_concat(a.s, b.s))) >= $JaccardThreshold""".stripMargin
+
+  /** 60-bit SimHash as generated SQL (mirrors Dedup.simhash exactly:
+    * bit j = bit (3−j%4) of hex nibble j/4 of md5(token), nibble value
+    * via strpos into the hex alphabet — same integer as Spark's conv).
+    */
+  private val simhashExpr: String = {
+    def contrib(j: Int): String = {
+      val pos = j / 4 + 1; val sh = 3 - j % 4
+      s"((((strpos('0123456789abcdef', substr(md5(w), $pos, 1)) - 1) >> $sh) & 1) * 2 - 1)"
+    }
+    val terms = (0 until Dedup.SimhashBits).map { j =>
+      s"""CASE WHEN list_sum(list_transform(ws, w -> ${contrib(j)})) >= 0
+         |  THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END""".stripMargin
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
+  private val simhashCte =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sh AS (SELECT doc_id, CAST($simhashExpr AS BIGINT) AS simhash FROM d)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "docs_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    // Exact all-pairs Jaccard — independent of the LSH implementation.
+    "docs_dedup_near" -> jaccardPairsSql(wordShCte),
+    "docs_ngram_jaccard" -> jaccardPairsSql(charShCte),
+
+    "docs_simhash" -> s"$simhashCte SELECT doc_id, simhash FROM sh",
+
+    // Exact all-pairs Hamming — banding is pigeonhole-complete, so the
+    // LSH result must equal this exactly.
+    "docs_simhash_pairs" ->
+      s"""$simhashCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming""".stripMargin)
+}

@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.Multimodal
+
+/** Driver-contract queries + DuckDB oracles for the multimodal column
+  * model (SURVEY.md §7.4). The oracle-checkable surface is the metadata
+  * path (bytes, sniffing, checksums) — exactly the part that must be
+  * column-prunable at 100 TB. The decode path (Multimodal.decodeFeatures)
+  * is deterministic-stub-backed and covered by ScalaTest instead: DuckDB
+  * cannot replicate a JVM codec, and a rows-only check would be weaker
+  * than the unit test's exact expected vectors.
+  */
+object MultimodalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Metadata / magic-byte sniffing over the opaque content column.
+    "mm_metadata" -> ((s, dir) =>
+      Multimodal.metadata(Multimodal.fromDocuments(Tables.documents(s, dir)))),
+
+    // Content checksum + size: the dedup join key for binary assets
+    // (the multimodal analogue of docs_dedup_exact).
+    "mm_checksum_dedup" -> ((s, dir) => {
+      val mm = Multimodal.fromDocuments(Tables.documents(s, dir))
+      mm.groupBy(md5(col("content").cast("string")).as("checksum"),
+          col("meta.nBytes").as("n_bytes"))
+        .agg(min("id").as("id"), count(lit(1)).as("n_copies"))
+        .select("id", "n_bytes", "n_copies")
+    }))
+
+  /** Magic-prefix sniff as a CASE chain, generated from the same table
+    * Multimodal.metadata folds over (first matching prefix wins).
+    */
+  private val sniffSql: String =
+    Multimodal.MagicPrefixes
+      .map { case (p, f) => s"WHEN starts_with(m, '$p') THEN '$f'" }
+      .mkString("CASE ", " ", " ELSE 'unknown' END")
+
+  val oracles: Map[String, String] = Map(
+    "mm_metadata" ->
+      s"""WITH mm AS (
+         |  SELECT doc_id AS id,
+         |         octet_length(encode(text)) AS n_bytes,
+         |         substr(lower(hex(encode(substr(text, 1, 4)))), 1, 8) AS m,
+         |         source AS claimed
+         |  FROM documents)
+         |SELECT id, n_bytes, m AS magic_hex, $sniffSql AS sniffed, claimed
+         |FROM mm""".stripMargin,
+
+    "mm_checksum_dedup" ->
+      """SELECT min(doc_id) AS id, octet_length(encode(text)) AS n_bytes,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY md5(text), octet_length(encode(text))""".stripMargin)
+}

@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.TextOps
+
+/** Driver-contract queries + DuckDB oracles for text analysis
+  * (SURVEY.md §7.4): token statistics, quality scoring, language-ID,
+  * fingerprinting, regex (BPE-ish) tokenization, and typed JSON
+  * extraction over `events.props`. Every query is a single narrow
+  * projection or one small aggregation — no UDFs, codegen end to end.
+  */
+object TextQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-document token statistics + quality score.
+    "docs_text_stats" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        TextOps.meanTokenLen(toks).as("mean_token_len"),
+        TextOps.stopwordRatio(toks).as("stopword_ratio"),
+        TextOps.qualityScore(col("text")).as("quality"))
+    }),
+
+    // Heuristic language-ID vs the labeled `lang` column.
+    "docs_langid" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.langId(col("text")).as("pred_lang"),
+        (TextOps.langId(col("text")) === col("lang")).as("is_correct"))),
+
+    // Normalized-content fingerprint (cheap tier-0 dedup key).
+    "docs_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+
+    // Global term frequencies (explode + count — the one shuffle here,
+    // keyed by token: classic map-side-combinable aggregation).
+    "docs_term_freq" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))),
+
+    // BPE-ish regex tokenizer: per-doc token count.
+    "docs_token_bpe" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(TextOps.bpeTokens(col("text"))).as("n_bpe"))),
+
+    // Typed JSON extraction over events.props ($.k integer).
+    "events_props_extract" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      // explicit sum/count (not avg()): both engines then compute the
+      // identical exact-integer sum before one double division
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(k).cast("double") / count(lit(1)).cast("double"), 6).as("avg_k"),
+          max(k).as("max_k"))
+    }))
+
+  // -------------------------------------------------------------------
+  // DuckDB oracles
+  // -------------------------------------------------------------------
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'${w.replace("'", "''")}'").mkString("(", ", ", ")")
+
+  private val stopIn = inList(TextOps.Stopwords)
+
+  private val docsCte =
+    "WITH d AS (SELECT doc_id, text, lang, string_split(text, ' ') AS ws FROM documents)"
+
+  /** langId as a CASE over marker-hit scores (mirrors TextOps.langId:
+    * greatest, first-declared language wins ties). `greatest` is
+    * inlined into every WHEN — verbose, but avoids correlated-subquery
+    * semantics differences.
+    */
+  private val langIdSql: String = {
+    val scores = TextOps.LangMarkers.map { case (lang, m) =>
+      lang -> s"len(list_filter(ws, t -> t IN ${inList(m)}))"
+    }
+    val best = scores.map(_._2).mkString("greatest(", ", ", ")")
+    val cases = scores
+      .map { case (lang, s) => s"WHEN $s = $best THEN '$lang'" }
+      .mkString(" ")
+    s"(CASE $cases END)"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "docs_text_stats" ->
+      s"""$docsCte
+         |SELECT doc_id,
+         |       CAST(len(ws) AS INTEGER) AS n_tokens,
+         |       CAST(len(list_distinct(ws)) AS INTEGER) AS n_distinct,
+         |       CASE WHEN len(ws) > 0
+         |            THEN CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE)
+         |                   / CAST(len(ws) AS DOUBLE)
+         |            ELSE 0.0 END AS mean_token_len,
+         |       CASE WHEN len(ws) > 0
+         |            THEN CAST(len(list_filter(ws, t -> t IN $stopIn)) AS DOUBLE)
+         |                   / CAST(len(ws) AS DOUBLE)
+         |            ELSE 0.0 END AS stopword_ratio,
+         |       round(least(CAST(len(ws) AS DOUBLE) / 50.0, 1.0) *
+         |             (1.0 - abs((CASE WHEN len(ws) > 0
+         |                   THEN CAST(len(list_filter(ws, t -> t IN $stopIn)) AS DOUBLE)
+         |                        / CAST(len(ws) AS DOUBLE)
+         |                   ELSE 0.0 END) - 0.1)), 6) AS quality
+         |FROM d""".stripMargin,
+
+    "docs_langid" ->
+      s"""$docsCte
+         |SELECT doc_id, $langIdSql AS pred_lang,
+         |       ($langIdSql = lang) AS is_correct
+         |FROM d""".stripMargin,
+
+    "docs_fingerprint" ->
+      """SELECT doc_id,
+        |       substr(md5(trim(regexp_replace(regexp_replace(lower(text),
+        |         '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))), 1, 16) AS fp
+        |FROM documents""".stripMargin,
+
+    "docs_term_freq" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token""".stripMargin,
+
+    "docs_token_bpe" ->
+      s"""SELECT doc_id,
+         |       CAST(len(regexp_extract_all(text,
+         |         '${TextOps.BpeTokenPattern}')) AS INTEGER) AS n_bpe
+         |FROM documents""".stripMargin,
+
+    "events_props_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |       round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 6) AS avg_k,
+        |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin)
+}

@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Driver-contract queries + DuckDB oracles for event-time windowed
+  * aggregation over `events.ts` (streaming extension, SURVEY.md §7.4:
+  * the reference has no event time at all — §2.2).
+  *
+  * These run here as batch queries so the DuckDB oracle can check them;
+  * [[graft.streaming.StreamingPipeline]] applies the *same* logical
+  * windows under Structured Streaming with a watermark, and the
+  * MemoryStream parity suite asserts batch ≡ streaming on identical
+  * input. Spark window starts are epoch-aligned; so is DuckDB's
+  * `time_bucket` for minute-granularity buckets (its 2000-01-01 origin
+  * is a multiple of 15 minutes past the epoch), so the two agree
+  * exactly.
+  */
+object WindowQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 15-minute windows per event type.
+    "events_window_tumbling" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+          col("event_type"), col("n"))),
+
+    // Sliding 30-minute windows every 15 minutes (each event lands in
+    // exactly two windows).
+    "events_window_sliding" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "30 minutes", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w_start"), col("event_type"), col("n"))),
+
+    // Per-user session windows with a 5-minute inactivity gap.
+    "events_session" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"), col("user_id"), col("n"))))
+
+  val oracles: Map[String, String] = Map(
+    "events_window_tumbling" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) AS w_start,
+        |       time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+        |         + INTERVAL '15 minutes' AS w_end,
+        |       event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "events_window_sliding" ->
+      """WITH t AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |x AS (SELECT unnest([time_bucket(INTERVAL '15 minutes', ts),
+        |                     time_bucket(INTERVAL '15 minutes', ts)
+        |                       - INTERVAL '15 minutes']) AS w_start,
+        |             event_type
+        |      FROM t)
+        |SELECT w_start, event_type, count(*) AS n FROM x GROUP BY 1, 2""".stripMargin,
+
+    // Gaps-and-islands: a session breaks when the gap to the previous
+    // event is >= 5 minutes (Spark's session end is last_ts + gap,
+    // half-open, so an event exactly at the boundary starts a new one).
+    "events_session" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |m AS (SELECT user_id, ts,
+        |             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                       < INTERVAL '5 minutes'
+        |                  THEN 0 ELSE 1 END AS brk
+        |      FROM e),
+        |g AS (SELECT user_id, ts,
+        |             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                            ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT min(ts) AS s_start, max(ts) + INTERVAL '5 minutes' AS s_end,
+        |       user_id, count(*) AS n
+        |FROM g GROUP BY user_id, sid""".stripMargin)
+}

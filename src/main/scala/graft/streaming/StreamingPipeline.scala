@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.cdc.{Pipeline, Routing}
+
+/** Structured Streaming composition of the engine (SURVEY.md §7.3 step
+  * 5 + §7.4 streaming extensions).
+  *
+  * The CDC forwarding path is *stateless*, so the batch and streaming
+  * plans share every operator: [[route]] literally applies
+  * [[graft.cdc.Pipeline.route]] to a streaming DataFrame — the
+  * MemoryStream parity suite asserts the two produce identical rows on
+  * identical input. Windowed aggregations add watermarked event-time
+  * state; [[dedupStream]] shows keyed arbitrary state
+  * (`flatMapGroupsWithState`) doing streaming exact-dedup, the
+  * streaming tier of [[graft.ext.Dedup]].
+  */
+object StreamingPipeline {
+
+  /** The reference pipeline over a streaming (topic, key, value) frame:
+    * parse → drop deletes → first-match route → silent drop. Stateless ⇒
+    * append-mode, no watermark needed (SURVEY.md §2.2: the reference has
+    * no event time).
+    */
+  def route(stream: DataFrame,
+            rules: Seq[Routing.TransformRule] = Routing.DefaultRules): DataFrame =
+    Pipeline.route(stream, rules)
+
+  /** Tumbling event-time counts with a watermark bounding state: the
+    * streaming form of WindowQueries.events_window_tumbling. Late rows
+    * beyond `lateness` are dropped deterministically by the watermark.
+    */
+  def tumblingCounts(events: DataFrame, size: String, lateness: String): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), size), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"))
+
+  /** Sliding-window streaming counts (30m/15m shape in the batch twin). */
+  def slidingCounts(events: DataFrame, size: String, slide: String,
+                    lateness: String): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), size, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Session windows per user under a watermark — streaming twin of
+    * WindowQueries.events_session.
+    */
+  def sessionCounts(events: DataFrame, gap: String, lateness: String): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n"))
+
+  /** Streaming exact-dedup with keyed state: emit a key's record the
+    * first time the key is seen, suppress replays. State per key is one
+    * boolean — `flatMapGroupsWithState` with processing-time timeout
+    * bounds it. This is the streaming tier of exact dedup: at 100 TB/day
+    * the key is a content hash ([[graft.ext.TextOps.fingerprint]]) and
+    * state lives in the checkpointed state store, sharded by key.
+    */
+  def dedupStream(spark: SparkSession, keyed: Dataset[(String, String)]): Dataset[(String, String)] = {
+    import spark.implicits._
+    keyed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (String, String)](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (key: String, rows: Iterator[(String, String)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            state.setTimeoutDuration("1 hour")
+            rows.take(1)
+          }
+      }
+  }
+}

@@ -1,0 +1,19 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into Spark's `private[sql]` Column↔Expression
+  * converters — the one hop a library needs to expose a custom Catalyst
+  * `Expression` (e.g. [[graft.functions.DotProduct]]) as a `Column`
+  * without forcing every caller to register it through
+  * `SparkSessionExtensions` at session-build time. This sub-package of
+  * `org.apache.spark.sql` exists solely for that access; nothing else
+  * of Spark's internals is touched, and the converters themselves are
+  * stable across the 4.x line (they back every `functions.*` builder).
+  */
+object GraftBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
