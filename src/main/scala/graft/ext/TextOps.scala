@@ -83,11 +83,14 @@ object TextOps {
     }
   }
 
-  /** Canonical text normalization for fingerprinting: lowercase, strip
-    * non-alphanumerics (keeping spaces), collapse runs of spaces, trim.
+  /** Canonical text normalization for fingerprinting: lowercase, then
+    * collapse every run of non-alphanumerics to a single space, trim.
+    * Replacing (not deleting) punctuation keeps word boundaries:
+    * "hello...world" must normalize like "hello world", not
+    * "helloworld".
     */
   def normalize(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 
   /** Content fingerprint: 64-bit hex prefix of md5 over the normalized
     * text. Two docs that differ only in case/punct/whitespace collide —

@@ -121,8 +121,8 @@ object TextQueries {
 
     "docs_fingerprint" ->
       """SELECT doc_id,
-        |       substr(md5(trim(regexp_replace(regexp_replace(lower(text),
-        |         '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))), 1, 16) AS fp
+        |       substr(md5(trim(regexp_replace(lower(text),
+        |         '[^a-z0-9]+', ' ', 'g'))), 1, 16) AS fp
         |FROM documents""".stripMargin,
 
     "docs_term_freq" ->

@@ -63,22 +63,32 @@ object StreamingPipeline {
 
   /** Streaming exact-dedup with keyed state: emit a key's record the
     * first time the key is seen, suppress replays. State per key is one
-    * boolean — `flatMapGroupsWithState` with processing-time timeout
-    * bounds it. This is the streaming tier of exact dedup: at 100 TB/day
+    * boolean. This is the streaming tier of exact dedup: at 100 TB/day
     * the key is a content hash ([[graft.ext.TextOps.fingerprint]]) and
     * state lives in the checkpointed state store, sharded by key.
+    *
+    * `stateTtl` bounds state in production (keys expire after the TTL,
+    * so a replay beyond it re-emits — the usual dedup-horizon
+    * trade-off). The default is NoTimeout: a registered
+    * processing-time timer makes the engine schedule timer-check
+    * micro-batches forever, which is right for a 24/7 service but makes
+    * drain-and-assert tests (`processAllAvailable`) never settle.
     */
-  def dedupStream(spark: SparkSession, keyed: Dataset[(String, String)]): Dataset[(String, String)] = {
+  def dedupStream(spark: SparkSession, keyed: Dataset[(String, String)],
+                  stateTtl: Option[String] = None): Dataset[(String, String)] = {
     import spark.implicits._
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     keyed
       .groupByKey(_._1)
-      .flatMapGroupsWithState[Boolean, (String, String)](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+      .flatMapGroupsWithState[Boolean, (String, String)](OutputMode.Append, timeout) {
         (key: String, rows: Iterator[(String, String)], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) Iterator.empty
           else {
             state.update(true)
-            state.setTimeoutDuration("1 hour")
+            stateTtl.foreach(state.setTimeoutDuration)
             rows.take(1)
           }
       }

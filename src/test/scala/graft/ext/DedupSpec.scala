@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // A/B differ in ONE word of 36 → word-3gram Jaccard ≈ 0.92, firmly in
+  // the LSH parameters' guaranteed-recall regime (s ≥ 0.9). A mid-zone
+  // pair (e.g. J ≈ 0.55) would be a coin flip by design: banding at
+  // b=8/r=4 only promises recall for high-similarity pairs; the report
+  // threshold is enforced by exact verification, not by banding.
+  private val base =
+    "the quick brown fox jumps over the lazy dog while rain falls on the quiet town " +
+      "and every shop closes early because the annual festival starts tomorrow with music " +
+      "dancing fireworks and a parade through the old market square"
+  private val docA = base
+  private val docB = base.replace("fireworks", "lanterns") // 1-word edit
+  private val docC = "completely different content with zero overlap whatsoever here"
+
+  private def docs3 = Seq((0L, docA), (1L, docB), (2L, docC)).toDF("doc_id", "text")
+
+  test("wordShingleRows equals the HOF wordShingles set") {
+    val viaRows = Dedup.wordShingleRows(docs3, col("doc_id"), col("text"), 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaArr = docs3
+      .select(col("doc_id"), explode(Dedup.wordShingles(col("text"), 3)).as("x"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaRows == viaArr)
+  }
+
+  test("charShingleRows equals the HOF charShingles set") {
+    val viaRows = Dedup.charShingleRows(docs3, col("doc_id"), col("text"), 6)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaArr = docs3
+      .select(col("doc_id"), explode(Dedup.charShingles(col("text"), 6)).as("x"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaRows == viaArr)
+  }
+
+  test("jaccard column matches hand-computed set similarity") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(Dedup.jaccard(col("x"), col("y"))).as[Double].collect().head
+    assert(j == 2.0 / 4.0)
+  }
+
+  test("near-dup pipeline finds the 1-word edit and not the unrelated doc") {
+    val pairs = Dedup.nearDupPairsFromRows(
+      Dedup.wordShingleRows(docs3, col("doc_id"), col("text"), 3), 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("identical docs produce jaccard exactly 1.0") {
+    val df = Seq((0L, docA), (1L, docA)).toDF("doc_id", "text")
+    val out = Dedup.nearDupPairsFromRows(
+      Dedup.wordShingleRows(df, col("doc_id"), col("text"), 3), 0.9)
+      .collect().head
+    assert(out.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("simhashAgg equals the HOF simhash formula") {
+    val viaAgg = Dedup.simhashAgg(
+      docs3.select(col("doc_id"), split(col("text"), " ").as("toks")), "doc_id", "toks")
+      .as[(Long, Long)].collect().toMap
+    val viaHof = docs3
+      .select(col("doc_id"), Dedup.simhash(split(col("text"), " ")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaAgg == viaHof)
+  }
+
+  test("simhashPairs: near-identical docs within hamming 3, disjoint docs not paired") {
+    val sh = Dedup.simhashAgg(
+      docs3.select(col("doc_id"), split(col("text"), " ").as("toks")), "doc_id", "toks")
+    val all = Dedup.simhashPairs(sh, "id", "simhash", 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!all.contains((0L, 2L)) && !all.contains((1L, 2L)))
+    // A and B differ by 1 of 36 tokens — hamming must be small
+    val hd = sh.as[(Long, Long)].collect().toMap
+    assert(java.lang.Long.bitCount(hd(0L) ^ hd(1L)) <= 3)
+  }
+
+  test("simhash fingerprints stay within 60 bits (sign-safe in both engines)") {
+    val sh = Dedup.simhashAgg(
+      docs3.select(col("doc_id"), split(col("text"), " ").as("toks")), "doc_id", "toks")
+      .as[(Long, Long)].collect()
+    assert(sh.forall { case (_, v) => v >= 0 && v < (1L << 60) })
+  }
+}

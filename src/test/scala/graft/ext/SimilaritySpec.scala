@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ext.Similarity.{ScoredId, TopKAggregator, TopKBuf}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("DotProduct expression equals the HOF fold bit-for-bit") {
+    val rnd = new scala.util.Random(42)
+    val vecs = Seq.fill(50)((
+      Seq.fill(16)(rnd.nextDouble() * 2 - 1),
+      Seq.fill(16)(rnd.nextDouble() * 2 - 1)))
+    val df = vecs.toDF("a", "b")
+    val out = df.select(
+      Similarity.dot(col("a"), col("b")).as("native"),
+      Similarity.dotHof(col("a"), col("b")).as("hof"))
+      .as[(Double, Double)].collect()
+    assert(out.forall { case (n, h) => n == h }) // exact, not approx
+  }
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),
+      (Seq(1.0, 0.0), Seq(0.0, 5.0))).toDF("a", "b")
+    val out = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(out(0) - 1.0) < 1e-12 && out(1) == 0.0)
+  }
+
+  test("TopKAggregator caps buffers and breaks ties by id") {
+    val agg = new TopKAggregator(3)
+    val items = Seq(
+      ScoredId(0.5, 10), ScoredId(0.9, 4), ScoredId(0.9, 2),
+      ScoredId(0.1, 7), ScoredId(0.7, 1))
+    val buf = items.foldLeft(agg.zero)(agg.reduce)
+    assert(buf.items.length == 3)
+    val merged = agg.finish(agg.merge(buf, TopKBuf(Seq(ScoredId(0.8, 99)))))
+    assert(merged.items.map(_.id) == Seq(2L, 4L, 99L)) // 0.9/id2, 0.9/id4, 0.8
+  }
+
+  test("topK returns the true nearest neighbors of a small corpus") {
+    val corpus = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(-1.0, 0.0)), (4L, Seq(0.7, 0.7)))
+      .toDF("id", "vec")
+    val queries = Seq((0L, Seq(1.0, 0.0))).toDF("qid", "qvec")
+    val out = Similarity.topK(corpus, queries, 2)
+      .orderBy("rank")
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 4L)) // cos: 0.994, 0.707 -- not self, not orthogonal
+  }
+
+  test("topKWithinPartition never crosses the coarse cell") {
+    val corpus = Seq(
+      (0L, 0, Seq(1.0, 0.0)), (1L, 0, Seq(0.9, 0.1)),
+      (2L, 1, Seq(1.0, 0.05)), (3L, 1, Seq(0.0, 1.0)))
+      .toDF("id", "part", "vec")
+    val queries = corpus.select(col("id").as("qid"), col("part"), col("vec").as("qvec"))
+    val out = Similarity.topKWithinPartition(corpus, queries, 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(out(0L) == 1L && out(1L) == 0L) // cell 0 internal
+    assert(out(2L) == 3L && out(3L) == 2L) // cell 1 internal, despite 2~0 being closer
+  }
+
+  test("nearDupPairs honors the threshold inside buckets") {
+    val vecs = Seq(
+      (0L, 0, Seq(1.0, 0.0)), (1L, 0, Seq(0.999, 0.01)),
+      (2L, 0, Seq(0.0, 1.0)), (3L, 1, Seq(1.0, 0.0)))
+      .toDF("id", "part", "vec")
+    val pairs = Similarity.nearDupPairs(vecs, 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L))) // 2 below threshold; 3 in another bucket
+  }
+}

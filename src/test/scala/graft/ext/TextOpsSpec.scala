@@ -1,0 +1,61 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](df: org.apache.spark.sql.DataFrame): T =
+    df.collect().head.getAs[T](0)
+
+  test("stopword ratio and mean token length on a crafted sentence") {
+    val df = Seq("the cat sat on the mat").toDF("text")
+    val toks = TextOps.tokens(col("text"))
+    assert(one[Double](df.select(TextOps.stopwordRatio(toks))) == 2.0 / 6.0)
+    assert(one[Double](df.select(TextOps.meanTokenLen(toks))) == 17.0 / 6.0)
+  }
+
+  test("langId picks the language whose markers dominate; first wins ties") {
+    val df = Seq(
+      ("d1", "der hund und die katze ist hier"),
+      ("d2", "el perro y la casa que es"),
+      ("d3", "no markers at all xyz")).toDF("id", "text")
+    val out = df.select(col("id"), TextOps.langId(col("text")).as("l"))
+      .as[(String, String)].collect().toMap
+    assert(out("d1") == "de")
+    assert(out("d2") == "es")
+    assert(out("d3") == "en") // all scores 0 -> first declared language
+  }
+
+  test("fingerprint is invariant to case, punctuation, and whitespace runs") {
+    val df = Seq(
+      ("a", "Hello,   World! 42"),
+      ("b", "hello world 42"),
+      ("c", "HELLO...world   42"),
+      ("d", "different text")).toDF("id", "text")
+    val fps = df.select(col("id"), TextOps.fingerprint(col("text")).as("fp"))
+      .as[(String, String)].collect().toMap
+    assert(fps("a") == fps("b") && fps("b") == fps("c"))
+    assert(fps("a") != fps("d"))
+    assert(fps("a").length == 16)
+  }
+
+  test("BPE-ish tokenizer splits letter runs, digit runs, and symbols") {
+    val df = Seq("abc123 def-gh 4x").toDF("text")
+    val toks = df.select(TextOps.bpeTokens(col("text"))).as[Seq[String]].collect().head
+    assert(toks == Seq("abc", "123", "def", "-", "gh", "4", "x"))
+  }
+
+  test("quality score is bounded and rewards the target stopword rate") {
+    val good = ("w " * 49 + "the").trim                   // 50 tokens, 2% stopwords
+    val ideal = (Seq.fill(45)("w") ++ Seq.fill(5)("the")).mkString(" ") // 10%
+    val df = Seq(("g", good), ("i", ideal), ("tiny", "x")).toDF("id", "text")
+    val q = df.select(col("id"), TextOps.qualityScore(col("text")).as("q"))
+      .as[(String, Double)].collect().toMap
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q("i") == 1.0)      // full length score, exact 10% stopwords
+    assert(q("tiny") < 0.05)   // single token
+    assert(q("g") < q("i"))
+  }
+}

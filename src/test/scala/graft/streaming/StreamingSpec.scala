@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSpec
+import graft.cdc.{Envelopes, Pipeline}
+
+/** Structured Streaming parity (SURVEY.md §7.3 step 5): the stateless
+  * CDC pipeline must produce identical rows under MemoryStream and
+  * batch on identical input; windowed aggregations must agree with
+  * their batch twins once the stream is drained.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  private implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def runStream(df: org.apache.spark.sql.DataFrame, mode: OutputMode,
+                        name: String): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  test("MemoryStream route equals batch route on the fixture envelopes") {
+    val batchIn = Envelopes.fromEvents(spark, sfDir)
+    val rows = batchIn.as[(String, String, String)].collect().toSeq
+
+    val stream = MemoryStream[(String, String, String)]
+    stream.addData(rows)
+    val streamed = runStream(
+      StreamingPipeline.route(stream.toDF().toDF("topic", "key", "value")),
+      OutputMode.Append, "route_parity")
+
+    val expected = Pipeline.route(batchIn).as[(String, String, String)].collect()
+    val got = streamed.as[(String, String, String)].collect()
+    assert(got.sorted.toSeq == expected.sorted.toSeq)
+    assert(got.nonEmpty)
+  }
+
+  test("streaming tumbling window counts equal the batch window query") {
+    // 200 rows keep the state store small: the point is plan parity,
+    // not state-store throughput.
+    val ev = graft.Tables.events(spark, sfDir).select("ts", "event_type").limit(200)
+    val rows = ev.as[(java.sql.Timestamp, String)].collect().toSeq
+
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    stream.addData(rows)
+    val streamed = runStream(
+      StreamingPipeline.tumblingCounts(
+        stream.toDF().toDF("ts", "event_type"), "15 minutes", "10 minutes"),
+      OutputMode.Complete, "window_parity")
+
+    val batch = ev.groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"))
+
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("w_start").cast("string"), col("w_end").cast("string"),
+          col("event_type"), col("n"))
+        .as[(String, String, String, Long)].collect().sorted.toSeq
+    assert(norm(streamed) == norm(batch))
+    assert(norm(batch).nonEmpty)
+  }
+
+  test("dedupStream keeps only the first record per key across batches") {
+    val stream = MemoryStream[(String, String)]
+    val deduped = StreamingPipeline.dedupStream(spark, stream.toDS())
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(("k1", "v1"), ("k2", "v2"), ("k1", "v1-replay"))
+      q.processAllAvailable()
+      stream.addData(("k2", "v2-replay"), ("k3", "v3"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("dedup_stream").as[(String, String)].collect().toMap
+    assert(out == Map("k1" -> "v1", "k2" -> "v2", "k3" -> "v3"))
+  }
+
+  test("Kafka adapter reports connector availability honestly") {
+    // No spark-sql-kafka jar ships in this container (SURVEY.md §7.6.6):
+    // the adapter must say so rather than fail deep inside a query.
+    assert(!KafkaIO.kafkaAvailable)
+  }
+}
