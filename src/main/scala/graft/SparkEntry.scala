@@ -22,9 +22,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CdcQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
-      TextQueries.queries ++ MultimodalQueries.queries ++ WindowQueries.queries
+      TextQueries.queries ++ MultimodalQueries.queries ++ WindowQueries.queries ++
+      RelationalQueries.queries
 
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
-      TextQueries.oracles ++ MultimodalQueries.oracles ++ WindowQueries.oracles
+      TextQueries.oracles ++ MultimodalQueries.oracles ++ WindowQueries.oracles ++
+      RelationalQueries.oracles
 }

@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.Dedup
+import graft.operators.AsofJoin
+
+/** Relational + windowed analytics over the TPC-H-ish fixture tables:
+  * broadcast-vs-shuffle join strategy, map-side-combinable
+  * aggregation, ranking windows, as-of join, and dedup-as-a-filter.
+  * (Extensions beyond the reference surface — it has no general joins,
+  * aggregations, windows, or sorts at all, SURVEY.md §2.2.)
+  *
+  * Money math: all currency aggregates sum integer CENTS
+  * (`floor(x*100)` per row). Summing doubles would be
+  * accumulation-order-dependent and could never hash-match the oracle;
+  * floor-to-cents is bit-deterministic in both engines and is the
+  * correct idiom for money at 100 TB anyway.
+  */
+object RelationalQueries {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    floor(c * 100).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Pricing-summary aggregation (TPC-H Q1 shape): one wide scan, one
+    // shuffle on a 4-value grouping key, all partial-aggregatable.
+    "rel_pricing_summary" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").cast("long").as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_cents"),
+          count(lit(1)).as("n"))),
+
+    // Revenue by nation (TPC-H Q5 shape): big fact tables shuffle-join
+    // on their keys; customer->nation are broadcast (small dims) so the
+    // plan is two shuffle joins + two broadcasts, AQE-resizable.
+    "rel_revenue_by_nation" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+      val cust = Tables.customer(s, dir)
+      val nat = Tables.nation(s, dir)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // Ranking window: top-3 orders per customer by total price —
+    // partitioned ranking, deterministic tie-break on the key.
+    "rel_top_orders_per_cust" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("price_cents"))
+    }),
+
+    // As-of join: for every error event, the user's most recent
+    // purchase value at-or-before that moment (union + per-key window;
+    // right side pre-deduped per (user, ts) so ties are well-defined).
+    "rel_asof_purchase" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max(cents(col("value"))).as("purchase_cents"))
+      AsofJoin.asofJoin(errors, purchases, "user_id", "ts", Seq("purchase_cents"))
+        .select("event_id", "user_id", "ts", "asof_purchase_cents")
+    }),
+
+    // Dedup as a filter: the corpus with near-duplicates removed —
+    // every doc that appears as the higher id of a verified near-dup
+    // pair is dropped, keeping one representative per duplicate group.
+    "docs_near_dedup_survivors" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.nearDupPairsFromRows(
+        Dedup.wordShingleRows(docs, col("doc_id"), col("text"), 3), 0.5)
+      docs.join(pairs.select(col("id_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source")
+    }),
+
+    // Ranking window over text: top-3 most frequent tokens per
+    // language (explode -> two-level aggregation -> ranked window).
+    "docs_top_terms_per_lang" -> ((s, dir) => {
+      val tf = Tables.documents(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n").desc, col("token"))
+      tf.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("lang", "rk", "token", "n")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "rel_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |       sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+        |       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "rel_revenue_by_nation" ->
+      """SELECT n_name,
+        |       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "rel_top_orders_per_cust" ->
+      """SELECT o_custkey, CAST(rk AS INTEGER) AS rk, o_orderkey,
+        |       CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |                                   ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |      FROM orders)
+        |WHERE rk <= 3""".stripMargin,
+
+    "rel_asof_purchase" ->
+      """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'error'),
+        |r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             max(CAST(floor(value * 100) AS BIGINT)) AS purchase_cents
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.ts, r.purchase_cents AS asof_purchase_cents
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "docs_near_dedup_survivors" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(ws) >= 3
+        |              THEN list_distinct(list_transform(generate_series(1, len(ws)-2),
+        |                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+        |              ELSE [text] END AS s
+        |       FROM d),
+        |dups AS (SELECT DISTINCT b.doc_id
+        |         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |         WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+        |                 len(list_distinct(list_concat(a.s, b.s))) >= 0.5)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin,
+
+    "docs_top_terms_per_lang" ->
+      """WITH tf AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+        |            FROM documents),
+        |counts AS (SELECT lang, token, count(*) AS n FROM tf GROUP BY lang, token)
+        |SELECT lang, CAST(rk AS INTEGER) AS rk, token, n
+        |FROM (SELECT *, row_number() OVER (PARTITION BY lang
+        |                                   ORDER BY n DESC, token) AS rk
+        |      FROM counts)
+        |WHERE rk <= 3""".stripMargin)
+}
