@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftbridge.GraftBridge
+
+/** SQL-surface registration for the engine's native expressions, so
+  * `spark.sql("SELECT dot_product(a, b)")` works alongside the Column
+  * API ([[DotProduct.apply]]).
+  *
+  * Two entry points:
+  *  - [[GraftExtensions]]: the standard `SparkSessionExtensions` path —
+  *    `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  *    `spark.sql.extensions=graft.functions.GraftExtensions` in conf.
+  *  - [[GraftFunctions.register]]: runtime registration on an existing
+  *    session (tests, notebooks), via the session's function registry.
+  */
+object GraftFunctions {
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"dot_product expects 2 arguments, got ${args.length}")
+        DotProduct(args.head, args(1))
+      }))
+
+  /** Register on a live session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (ident, _, builder) =>
+      GraftBridge.registerFunction(spark, ident.funcName, builder)
+    }
+}
+
+/** Injectable extensions: function registrations (and the anchor point
+  * for any future custom rule/strategy — none are needed yet,
+  * SURVEY.md §7.5).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}

@@ -61,6 +61,28 @@ object StreamingPipeline {
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("user_id"), col("n"))
 
+  /** Stream-stream interval join: pair each left event with right
+    * events of the same key whose time falls in
+    * [left.ts − maxDelay, left.ts]. Both sides carry a watermark equal
+    * to the join bound, which lets the state store evict rows older
+    * than the watermark − maxDelay — without it a stream-stream join
+    * buffers forever. Batch twin: the same `join` call with the same
+    * condition (tested for parity in StreamingSpec).
+    *
+    * Column contract: `left` has (key, lts, ...), `right` has
+    * (key, rts, ...) with otherwise disjoint column names.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTs: String, rightTs: String, maxDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTs, maxDelay)
+    val r = right.withWatermark(rightTs, maxDelay).withColumnRenamed(keyCol, s"_r_$keyCol")
+    l.join(r,
+      col(keyCol) === col(s"_r_$keyCol") &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $maxDelay") &&
+        col(rightTs) <= col(leftTs))
+      .drop(s"_r_$keyCol")
+  }
+
   /** Streaming exact-dedup with keyed state: emit a key's record the
     * first time the key is seen, suppress replays. State per key is one
     * boolean. This is the streaming tier of exact dedup: at 100 TB/day

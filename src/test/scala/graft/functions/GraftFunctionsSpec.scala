@@ -1,0 +1,31 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class GraftFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot_product is callable from SQL after runtime registration") {
+    GraftFunctions.register(spark)
+    val out = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .as[Double].collect().head
+    assert(out == 32.0)
+  }
+
+  test("dot_product rejects wrong arity with a clear message") {
+    GraftFunctions.register(spark)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT dot_product(array(1.0d))").collect()
+    }
+    assert(ex.getMessage.contains("2 arguments"))
+  }
+
+  test("dot_product type-checks its inputs") {
+    GraftFunctions.register(spark)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT dot_product('a', 'b')").collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("array<double>"))
+  }
+}

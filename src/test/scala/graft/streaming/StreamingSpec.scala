@@ -79,6 +79,34 @@ class StreamingSpec extends SparkSpec {
     assert(out == Map("k1" -> "v1", "k2" -> "v2", "k3" -> "v3"))
   }
 
+  test("stream-stream interval join equals the batch join on drained input") {
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val leftRows = Seq((1L, "u1", t(10)), (2L, "u1", t(40)), (3L, "u2", t(20)))
+    val rightRows = Seq(("u1", t(5), 100L), ("u1", t(35), 200L), ("u2", t(50), 300L))
+
+    val ls = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val rs = MemoryStream[(String, java.sql.Timestamp, Long)]
+    ls.addData(leftRows)
+    rs.addData(rightRows)
+    val joined = StreamingPipeline.intervalJoin(
+      ls.toDF().toDF("event_id", "user_id", "lts"),
+      rs.toDF().toDF("user_id", "rts", "v"),
+      "user_id", "lts", "rts", "15 minutes")
+    val streamed = runStream(joined.select("event_id", "v"), OutputMode.Append, "ij_parity")
+      .as[(Long, Long)].collect().toSet
+
+    val batch = StreamingPipeline.intervalJoin(
+      leftRows.toDF("event_id", "user_id", "lts"),
+      rightRows.toDF("user_id", "rts", "v"),
+      "user_id", "lts", "rts", "15 minutes")
+      .select("event_id", "v").as[(Long, Long)].collect().toSet
+
+    assert(streamed == batch)
+    // ground truth: (1: u1@10 <- 100@05), (2: u1@40 <- 200@35); u2@20 has
+    // no purchase in [05,20]; 300@50 is after every left event.
+    assert(batch == Set((1L, 100L), (2L, 200L)))
+  }
+
   test("Kafka adapter reports connector availability honestly") {
     // No spark-sql-kafka jar ships in this container (SURVEY.md §7.6.6):
     // the adapter must say so rather than fail deep inside a query.
