@@ -92,6 +92,32 @@ object RelationalQueries {
         .select("doc_id", "lang", "source")
     }),
 
+    // Set operations: customers that placed orders AND hold a high
+    // balance, minus nation-0 residents (INTERSECT/EXCEPT both compile
+    // to aggregates/anti-joins — shuffle on the key, no sort).
+    "rel_set_ops" -> ((s, dir) => {
+      val withOrders = Tables.orders(s, dir)
+        .select(col("o_custkey").as("custkey")).distinct()
+      val rich = Tables.customer(s, dir)
+        .filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("custkey"))
+      val nationZero = Tables.customer(s, dir)
+        .filter(col("c_nationkey") === 0)
+        .select(col("c_custkey").as("custkey"))
+      withOrders.intersect(rich).except(nationZero)
+    }),
+
+    // Distinct aggregation (expand-based plan) + math functions with
+    // deterministic double results (sqrt/ln of exact integer sums).
+    "rel_distinct_math" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          round(sqrt(sum(cents(col("l_extendedprice"))).cast("double")), 6).as("sqrt_cents"),
+          round(log(sum(cents(col("l_extendedprice"))).cast("double")), 6).as("ln_cents"))),
+
     // Ranking window over text: top-3 most frequent tokens per
     // language (explode -> two-level aggregation -> ranked window).
     "docs_top_terms_per_lang" -> ((s, dir) => {
@@ -155,6 +181,21 @@ object RelationalQueries {
         |                 len(list_distinct(list_concat(a.s, b.s))) >= 0.5)
         |SELECT doc_id, lang, source FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin,
+
+    "rel_set_ops" ->
+      """SELECT DISTINCT o_custkey AS custkey FROM orders
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_nationkey = 0""".stripMargin,
+
+    "rel_distinct_math" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_orderkey) AS n_orders,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       round(sqrt(CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)), 6) AS sqrt_cents,
+        |       round(ln(CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)), 6) AS ln_cents
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "docs_top_terms_per_lang" ->
       """WITH tf AS (SELECT lang, unnest(string_split(text, ' ')) AS token
