@@ -61,6 +61,56 @@ object StreamingPipeline {
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("user_id"), col("n"))
 
+  /** The routed stream with `observe()` counters attached — the
+    * streaming analogue of the reference's Prometheus families and
+    * `/metrics` endpoint (`mq/mod.rs:55-101`, `main.rs:44-55`):
+    * `cdc_consumed.events_total` / `.parse_errors` accumulate
+    * pre-filter (like `flink_cdc_event_count`), and
+    * `cdc_forwarded.forwarded_total` post-route (like
+    * `flink_kafka_filter_transform_count`). Metrics surface per
+    * micro-batch via [[CounterListener]] — shuffle-free, computed
+    * inside the forwarding pass itself.
+    */
+  def routeObserved(stream: DataFrame,
+                    rules: Seq[Routing.TransformRule] = Routing.DefaultRules): DataFrame = {
+    val parsed = graft.cdc.Parse.parse(stream).observe("cdc_consumed",
+      count(lit(1)).as("events_total"),
+      count(when(col("_malformed"), 1)).as("parse_errors"))
+    graft.cdc.Filter.dropDeletes(parsed)
+      .withColumn("target_topic",
+        Routing.targetExpr(rules, col("topic"), col("db"), col("tbl")))
+      .filter(col("target_topic").isNotNull)
+      .select(col("target_topic"), col("key"), col("value"))
+      .observe("cdc_forwarded", count(lit(1)).as("forwarded_total"))
+  }
+
+  /** Accumulates every observed metric across micro-batches as
+    * monotonic totals keyed `<observation>.<column>` — the live
+    * counter registry a `/metrics` scrape would read. Register with
+    * `spark.streams.addListener`.
+    */
+  class CounterListener extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val counters = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    def totals: Map[String, Long] = {
+      val b = Map.newBuilder[String, Long]
+      counters.forEach((k, v) => b += (k -> v))
+      b.result()
+    }
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit =
+      e.progress.observedMetrics.forEach { (name, row) =>
+        row.schema.fieldNames.foreach { f =>
+          row.getAs[Any](f) match {
+            case n: Number =>
+              counters.merge(s"$name.$f", n.longValue(), (a, b) => a + b)
+            case _ => ()
+          }
+        }
+      }
+  }
+
   /** Stream-stream interval join: pair each left event with right
     * events of the same key whose time falls in
     * [left.ts − maxDelay, left.ts]. Both sides carry a watermark equal

@@ -107,6 +107,34 @@ class StreamingSpec extends SparkSpec {
     assert(batch == Set((1L, 100L), (2L, 200L)))
   }
 
+  test("observe() counters accumulate across micro-batches via the listener") {
+    val listener = new StreamingPipeline.CounterListener
+    spark.streams.addListener(listener)
+    val stream = MemoryStream[(String, String, String)]
+    val q = StreamingPipeline.routeObserved(stream.toDF().toDF("topic", "key", "value"))
+      .writeStream.format("memory").queryName("observed_route")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val ok = """{"op":"c","source":{"db":"db_0","table":"table_1"}}"""
+      val del = """{"op":"d","source":{"db":"db_0","table":"table_1"}}"""
+      stream.addData(("flink-1", "k1", ok), ("flink-1", "k2", del))
+      q.processAllAvailable()
+      stream.addData(("flink-1", "k3", ok), ("flink-1", "k4", "{bad"))
+      q.processAllAvailable()
+      // listener events are delivered asynchronously after progress
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (listener.totals.getOrElse("cdc_consumed.events_total", 0L) < 4L &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+    val t = listener.totals
+    assert(t("cdc_consumed.events_total") == 4L)   // pre-filter, like R6
+    assert(t("cdc_consumed.parse_errors") == 1L)
+    assert(t("cdc_forwarded.forwarded_total") == 2L) // ok rows routed to t1-low
+  }
+
   test("Kafka adapter reports connector availability honestly") {
     // No spark-sql-kafka jar ships in this container (SURVEY.md §7.6.6):
     // the adapter must say so rather than fail deep inside a query.
