@@ -192,15 +192,19 @@ object Dedup {
     * set in one row. Output: (id_a, id_b, jaccard), id_a < id_b.
     */
   def nearDupPairsFromRows(shingleRows: DataFrame, threshold: Double): DataFrame = {
-    val rows = shingleRows.select(col("id"), col("x")).distinct()
-    val sizes = rows.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    // min is idempotent → the signature runs on the raw (possibly
-    // duplicated) rows, skipping the distinct's shuffle on this path.
-    val cands = lshCandidates(minhashBandsFromRows(shingleRows), "id", col("bands"))
+    // No pre-distinct anywhere: a .distinct() on the shingle rows would
+    // cost a full shuffle per plan branch (three of them — Spark does
+    // not share un-exchanged subplans). Instead every consumer is
+    // duplicate-proof: minhash mins are idempotent, set sizes are
+    // count_distinct, and the per-pair intersection counts DISTINCT
+    // shingles (duplicate a×b join hits collapse).
+    val rows = shingleRows.select(col("id"), col("x"))
+    val sizes = rows.groupBy(col("id")).agg(count_distinct(col("x")).as("sz"))
+    val cands = lshCandidates(minhashBandsFromRows(rows), "id", col("bands"))
     val inter = cands
       .join(rows.select(col("id").as("id_a"), col("x")), "id_a")
       .join(rows.select(col("id").as("id_b"), col("x")), Seq("id_b", "x"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+      .groupBy(col("id_a"), col("id_b")).agg(count_distinct(col("x")).as("n_inter"))
     inter
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
