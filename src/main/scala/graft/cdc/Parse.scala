@@ -28,9 +28,17 @@ import org.apache.spark.sql.types.StringType
   */
 object Parse {
 
+  /** Corrupt-record capture field. The name is deliberately obscure: the
+    * capture column lives in the same namespace as the payload's own
+    * fields, so an envelope legitimately containing a top-level
+    * `"_corrupt"` key would have been falsely flagged malformed (and
+    * killed the job in strict mode).
+    */
+  private val CorruptField = "_graft_corrupt_x9q"
+
   /** Decode schema + corrupt-record capture field. */
   private val PARSE_SCHEMA =
-    CdcSchema.CDC_SCHEMA.add("_corrupt", StringType)
+    CdcSchema.CDC_SCHEMA.add(CorruptField, StringType)
 
   /** Decode `value` → (`op`, `db`, `tbl`, `_malformed`) columns, keeping
     * `topic`, `key`, and the raw `value` intact. (`tbl` not `table`: avoids
@@ -40,13 +48,13 @@ object Parse {
     val parsed = raw
       .withColumn("_cdc",
         from_json(col("value"), PARSE_SCHEMA,
-          Map("columnNameOfCorruptRecord" -> "_corrupt")))
+          Map("columnNameOfCorruptRecord" -> CorruptField)))
       .select(
         col("topic"), col("key"), col("value"),
         col("_cdc.op").as("op"),
         col("_cdc.source.db").as("db"),
         col("_cdc.source.table").as("tbl"),
-        (col("_cdc").isNull || col("_cdc._corrupt").isNotNull)
+        (col("_cdc").isNull || col(s"_cdc.$CorruptField").isNotNull)
           .as("_malformed"))
     if (strict) {
       // Fail-fast like the reference: raise on the first undecodable record.

@@ -58,6 +58,34 @@ object Pipeline {
     parsed.groupBy(col("target_topic"), col("op")).agg(count(lit(1)).as("n"))
   }
 
+  /** The R6-family consumed-side metric columns (pre-filter). */
+  def consumedMetrics: Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("events_total"),
+    count(when(col("_malformed"), 1)).as("parse_errors"))
+
+  /** The R7-family forwarded-side metric column (post-route). */
+  def forwardedMetrics: Seq[org.apache.spark.sql.Column] =
+    Seq(count(lit(1)).as("forwarded_total"))
+
+  /** The forwarding pipeline with caller-supplied observation hooks
+    * wrapped around the consumed (post-parse) and forwarded
+    * (post-route) points — the ONE definition both the batch
+    * Observation runner ([[routeObservedRun]]) and the streaming
+    * listener surface (`StreamingPipeline.routeObserved`) instrument,
+    * so their metrics can never drift apart.
+    */
+  def routeInstrumented(raw: DataFrame, rules: Seq[TransformRule])(
+      observeConsumed: DataFrame => DataFrame,
+      observeForwarded: DataFrame => DataFrame): DataFrame = {
+    val parsed = observeConsumed(Parse.parse(raw))
+    observeForwarded(
+      Filter.dropDeletes(parsed)
+        .withColumn("target_topic",
+          Routing.targetExpr(rules, col("topic"), col("db"), col("tbl")))
+        .filter(col("target_topic").isNotNull)
+        .select(col("target_topic"), col("key"), col("value")))
+  }
+
   /** Shuffle-free observed totals on the forwarding path — the `observe()`
     * analogue of the reference's monotonic counters (`mq/mod.rs:55-101`) and
     * its `/metrics` endpoint (`main.rs:44-55`). The counters are accumulated
@@ -72,15 +100,9 @@ object Pipeline {
                        rules: Seq[TransformRule] = Routing.DefaultRules): ((Long, Long), Long) = {
     val consumed = org.apache.spark.sql.Observation()
     val forwarded = org.apache.spark.sql.Observation()
-    val parsed = Parse.parse(raw).observe(consumed,
-      count(lit(1)).as("events_total"),
-      count(when(col("_malformed"), 1)).as("parse_errors"))
-    val routed = Filter.dropDeletes(parsed)
-      .withColumn("target_topic",
-        Routing.targetExpr(rules, col("topic"), col("db"), col("tbl")))
-      .filter(col("target_topic").isNotNull)
-      .select(col("target_topic"), col("key"), col("value"))
-      .observe(forwarded, count(lit(1)).as("forwarded_total"))
+    val routed = routeInstrumented(raw, rules)(
+      _.observe(consumed, consumedMetrics.head, consumedMetrics.tail: _*),
+      _.observe(forwarded, forwardedMetrics.head, forwardedMetrics.tail: _*))
     routed.write.format("noop").mode("overwrite").save()
     val c = consumed.get
     ((c("events_total").asInstanceOf[Long], c("parse_errors").asInstanceOf[Long]),

@@ -98,11 +98,14 @@ object Dedup {
       array_min(transform(shingles, x => md5(concat(lit(s + ":"), x))))
     }: _*)
 
-  /** MinHash layout for [[minhashBands]]: 32 permutations = 8 seeded
-    * `xxhash64` streams × 4 sixteen-bit chunks each. Chunked mins are
-    * still valid LSH: ties in 16-bit space only ever *add* candidates
-    * (verified away later), never lose them. Band m (of 8) concatenates
-    * the 4 chunk-mins of stream m.
+  /** MinHash layout for [[minhashBands]]: 32 permutations = 16 seeded
+    * `xxhash64` streams × 2 thirty-two-bit chunks each. Chunked mins
+    * are still valid LSH: ties only ever *add* candidates (verified
+    * away later), never lose them — and 32-bit chunks keep tie/
+    * saturation probability negligible even for documents with
+    * millions of distinct shingles (16-bit chunks would drive every
+    * huge document's min to 0, funneling them all into one bucket).
+    * Band b (of 8) concatenates the 4 chunk-mins of streams 2b, 2b+1.
     *
     * Hash choice: `xxhash64`, NOT md5 — banding needs determinism and
     * recall, not oracle parity (the correctness oracle recomputes exact
@@ -111,10 +114,10 @@ object Dedup {
     * md5 + hex conv in this projection (md5 allocates a digest and hex
     * string per call).
     */
-  val HashStreams = 8
-  val ChunksPerHash = 4 // 64-bit xxhash64 → 4 chunks of 16 bits
-  val NumBands = HashStreams
-  val RowsPerBand = ChunksPerHash
+  val HashStreams = 16
+  val ChunksPerHash = 2 // 64-bit xxhash64 → 2 chunks of 32 bits
+  val NumBands = 8
+  val RowsPerBand = 4
 
   /** (id, bands) with bands an 8-element string array, computed the
     * scale-correct way from (id, x) shingle rows: hash in a *flat
@@ -129,14 +132,16 @@ object Dedup {
     */
   def minhashBandsFromRows(rows: DataFrame): DataFrame = {
     val chunkCols = for (m <- 0 until HashStreams; c <- 0 until ChunksPerHash)
-      yield shiftright(xxhash64(lit(m), col("x")), c * 16)
-        .bitwiseAND(lit(0xffffL)).cast("int").as(s"h_${m}_$c")
+      yield shiftright(xxhash64(lit(m), col("x")), c * 32)
+        .bitwiseAND(lit(0xffffffffL)).as(s"h_${m}_$c")
     val hashed = rows.select(col("id") +: chunkCols: _*)
     val aggs = for (m <- 0 until HashStreams; c <- 0 until ChunksPerHash)
       yield min(col(s"h_${m}_$c")).as(s"m_${m}_$c")
     val sig = hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
-    val bands = array((0 until NumBands).map { m =>
-      concat_ws("|", (0 until ChunksPerHash).map(c => col(s"m_${m}_$c")): _*)
+    val bands = array((0 until NumBands).map { b =>
+      val streams = Seq(2 * b, 2 * b + 1)
+      concat_ws("|",
+        (for (m <- streams; c <- 0 until ChunksPerHash) yield col(s"m_${m}_$c")): _*)
     }: _*)
     sig.select(col("id"), bands.as("bands"))
   }
@@ -157,12 +162,25 @@ object Dedup {
     * buckets stay tiny (the HOF pair generator runs over a handful of
     * ids). `distinct` collapses pairs that collide in several bands.
     */
+  /** Pair expansion is quadratic per bucket, so a degenerate bucket (a
+    * giant cluster of identical content, or adversarial input) is
+    * capped at [[MaxBucketSize]] members: the overflow ids (beyond the
+    * sorted first 4096) do NOT generate pairs, and such buckets are
+    * not expanded. 4096² = 8.4M pairs is the largest per-bucket
+    * expansion one task will do (the grouped id array itself is still
+    * collected before slicing — a corpus whose single buckets exceed
+    * task memory needs a pre-pass exact dedup, which collapses
+    * near-identical mega-clusters for free, or bucket salting).
+    */
+  val MaxBucketSize = 4096
+
   def lshCandidates(df: DataFrame, idCol: String, bandsCol: Column): DataFrame = {
     val e = df.select(col(idCol).as("id"),
       posexplode(bandsCol).as(Seq("band_idx", "band_hash")))
     val buckets = e.groupBy(col("band_idx"), col("band_hash"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
+      .withColumn("ids", slice(col("ids"), 1, MaxBucketSize))
     val pairs = flatten(transform(col("ids"), (a, i) =>
       transform(slice(col("ids"), i + 2, size(col("ids"))),
         b => struct(a.as("id_a"), b.as("id_b")))))
@@ -292,6 +310,7 @@ object Dedup {
     val buckets = e.groupBy(col("chunk_idx"), col("chunk_val"))
       .agg(sort_array(collect_list(col("rec"))).as("recs"))
       .filter(size(col("recs")) > 1)
+      .withColumn("recs", slice(col("recs"), 1, MaxBucketSize))
     val pairs = flatten(transform(col("recs"), (a, i) =>
       transform(slice(col("recs"), i + 2, size(col("recs"))),
         b => struct(a.getField("id").as("id_a"), b.getField("id").as("id_b"),

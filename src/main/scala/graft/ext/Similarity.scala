@@ -48,9 +48,15 @@ object Similarity {
   def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  /** Cosine similarity: dot / (‖a‖·‖b‖), norms folded the same way. */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** Cosine similarity: dot / (‖a‖·‖b‖), norms folded the same way.
+    * A zero (or denormal-norm) vector is defined as similarity 0.0 to
+    * everything — without the guard 0/0 = NaN, whose ordering/filter
+    * behavior differs between Spark and the DuckDB oracles.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
+    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
+  }
 
   // ---------------------------------------------------------------------
   // Bounded top-k heap aggregate
@@ -69,7 +75,14 @@ object Similarity {
     private def cap(items: Seq[ScoredId]): Seq[ScoredId] =
       items.sorted(ord).take(k)
     def zero: TopKBuf = TopKBuf(Nil)
-    def reduce(b: TopKBuf, a: ScoredId): TopKBuf = TopKBuf(cap(b.items :+ a))
+    def reduce(b: TopKBuf, a: ScoredId): TopKBuf = {
+      // Hot path: once the buffer is warm, almost every corpus row
+      // scores worse than the current k-th — reject in O(1) instead of
+      // re-sorting k+1 elements per row. cap() keeps items sorted, so
+      // items.last is the worst retained entry.
+      if (b.items.lengthCompare(k) >= 0 && ord.gteq(a, b.items.last)) b
+      else TopKBuf(cap(b.items :+ a))
+    }
     def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf = TopKBuf(cap(b1.items ++ b2.items))
     def finish(b: TopKBuf): TopKBuf = TopKBuf(b.items.sorted(ord))
     def bufferEncoder = Encoders.product[TopKBuf]

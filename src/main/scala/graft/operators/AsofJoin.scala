@@ -36,23 +36,27 @@ object AsofJoin {
                keyCol: String, tsCol: String,
                payload: Seq[String]): DataFrame = {
     val sideTag = "_asof_side"
+    val rec = "_asof_rec"
     val carry = left.columns.filterNot(c => c == keyCol || c == tsCol).toSeq
+    // The whole right payload rides in ONE struct that is null exactly
+    // on left rows: last(rec, ignoreNulls) then picks the latest right
+    // ROW, so a right row whose payload value is legitimately NULL
+    // still wins over an older non-null one (encoding "no right row"
+    // as a null payload column would skip it and return stale data).
+    val recType = org.apache.spark.sql.types.StructType(payload.map(right.schema(_)))
     val lCols = Seq(col(keyCol), col(tsCol), lit(1).as(sideTag)) ++
-      carry.map(col) ++
-      payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"_r_$p"))
+      carry.map(col) :+ lit(null).cast(recType).as(rec)
     val rCols = Seq(col(keyCol), col(tsCol), lit(0).as(sideTag)) ++
-      carry.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-      payload.map(p => col(p).as(s"_r_$p"))
+      carry.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+      struct(payload.map(col): _*).as(rec)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col(sideTag))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val outCols = Seq(col(keyCol), col(tsCol), col(sideTag)) ++
-      carry.map(col) ++
-      payload.map(p => last(col(s"_r_$p"), ignoreNulls = true).over(w).as(s"asof_$p"))
     left.select(lCols: _*)
       .unionByName(right.select(rCols: _*))
-      .select(outCols: _*)
+      .withColumn(rec, last(col(rec), ignoreNulls = true).over(w))
       .filter(col(sideTag) === 1)
-      .drop(sideTag)
+      .select(Seq(col(keyCol), col(tsCol)) ++ carry.map(col) ++
+        payload.map(p => col(rec).getField(p).as(s"asof_$p")): _*)
   }
 }

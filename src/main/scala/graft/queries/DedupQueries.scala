@@ -17,14 +17,14 @@ import graft.ext.Dedup
   */
 object DedupQueries {
 
-  private val WordN = 3 // word shingle width
+  val WordN = 3 // word shingle width (shared with RelationalQueries' survivors query)
   // Char shingle width 6, not the textbook 4: the fixture's small shared
   // vocabulary pushes background char-4-gram Jaccard to 0.45 (vs the 0.5
   // report threshold) — banding would drown in candidates and the oracle
   // comparison would sit on a knife edge. 6-grams drop background max
   // to 0.24 while planted dups stay ≥ 0.9.
   private val CharN = 6
-  private val JaccardThreshold = 0.5
+  val JaccardThreshold = 0.5
   private val MaxHamming = 3
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -72,8 +72,10 @@ object DedupQueries {
   // DuckDB oracles
   // -------------------------------------------------------------------
 
-  /** Word 3-gram shingle CTE fragment (mirrors Dedup.wordShingles). */
-  private val wordShCte =
+  /** Word 3-gram shingle CTE fragment (mirrors Dedup.wordShingles;
+    * shared with the docs_near_dedup_survivors oracle).
+    */
+  val wordShCte =
     """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
       |sh AS (SELECT doc_id,
       |         CASE WHEN len(ws) >= 3
@@ -91,14 +93,19 @@ object DedupQueries {
        |              ELSE [text] END AS s
        |       FROM documents)""".stripMargin
 
-  private def jaccardPairsSql(shCte: String): String =
-    s"""$shCte
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  /** All-pairs verified-Jaccard SELECT over the `sh` CTE (shared with
+    * the docs_near_dedup_survivors oracle).
+    */
+  val jaccardPairsSelect: String =
+    s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |       len(list_intersect(a.s, b.s))::DOUBLE /
        |         len(list_distinct(list_concat(a.s, b.s))) AS jaccard
        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        |WHERE len(list_intersect(a.s, b.s))::DOUBLE /
        |        len(list_distinct(list_concat(a.s, b.s))) >= $JaccardThreshold""".stripMargin
+
+  def jaccardPairsSql(shCte: String): String =
+    s"$shCte\n$jaccardPairsSelect"
 
   /** 60-bit SimHash as generated SQL (mirrors Dedup.simhash exactly:
     * bit j = bit (3−j%4) of hex nibble j/4 of md5(token), nibble value

@@ -85,8 +85,10 @@ object RelationalQueries {
     // pair is dropped, keeping one representative per duplicate group.
     "docs_near_dedup_survivors" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // same shingle width + threshold as docs_dedup_near, by construction
       val pairs = Dedup.nearDupPairsFromRows(
-        Dedup.wordShingleRows(docs, col("doc_id"), col("text"), 3), 0.5)
+        Dedup.wordShingleRows(docs, col("doc_id"), col("text"), DedupQueries.WordN),
+        DedupQueries.JaccardThreshold)
       docs.join(pairs.select(col("id_b").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
         .select("doc_id", "lang", "source")
@@ -167,20 +169,14 @@ object RelationalQueries {
         |SELECT l.event_id, l.user_id, l.ts, r.purchase_cents AS asof_purchase_cents
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
 
+    // reuses the exact shingle CTE + Jaccard predicate of the
+    // docs_dedup_near oracle, so the two can never check different
+    // semantics
     "docs_near_dedup_survivors" ->
-      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
-        |sh AS (SELECT doc_id,
-        |         CASE WHEN len(ws) >= 3
-        |              THEN list_distinct(list_transform(generate_series(1, len(ws)-2),
-        |                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
-        |              ELSE [text] END AS s
-        |       FROM d),
-        |dups AS (SELECT DISTINCT b.doc_id
-        |         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |         WHERE len(list_intersect(a.s, b.s))::DOUBLE /
-        |                 len(list_distinct(list_concat(a.s, b.s))) >= 0.5)
-        |SELECT doc_id, lang, source FROM documents
-        |WHERE doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin,
+      s"""${DedupQueries.wordShCte},
+         |pairs AS (${DedupQueries.jaccardPairsSelect})
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM pairs)""".stripMargin,
 
     "rel_set_ops" ->
       """SELECT DISTINCT o_custkey AS custkey FROM orders

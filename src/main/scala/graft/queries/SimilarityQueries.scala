@@ -55,7 +55,8 @@ object SimilarityQueries {
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (p, q) -> p + q)"
 
   private def cosSql(a: String, b: String): String =
-    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+    s"""(CASE WHEN (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) = 0 THEN 0.0
+       |ELSE ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END)""".stripMargin
 
   private val embCte =
     "WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"

@@ -65,6 +65,11 @@ object KafkaIO {
       .format("kafka")
       .option("kafka.bootstrap.servers", conf.bootstrapServers)
       .option("kafka.batch.size", "10485760")
+      // Kafka requires delivery.timeout.ms >= linger.ms +
+      // request.timeout.ms at producer construction; rdkafka's single
+      // message.timeout.ms=5000 maps to BOTH knobs here or the
+      // producer throws ConfigException before the first record.
+      .option("kafka.request.timeout.ms", "4000")
       .option("kafka.delivery.timeout.ms", "5000")
       .option("checkpointLocation", checkpointDir)
 }

@@ -72,17 +72,12 @@ object StreamingPipeline {
     * inside the forwarding pass itself.
     */
   def routeObserved(stream: DataFrame,
-                    rules: Seq[Routing.TransformRule] = Routing.DefaultRules): DataFrame = {
-    val parsed = graft.cdc.Parse.parse(stream).observe("cdc_consumed",
-      count(lit(1)).as("events_total"),
-      count(when(col("_malformed"), 1)).as("parse_errors"))
-    graft.cdc.Filter.dropDeletes(parsed)
-      .withColumn("target_topic",
-        Routing.targetExpr(rules, col("topic"), col("db"), col("tbl")))
-      .filter(col("target_topic").isNotNull)
-      .select(col("target_topic"), col("key"), col("value"))
-      .observe("cdc_forwarded", count(lit(1)).as("forwarded_total"))
-  }
+                    rules: Seq[Routing.TransformRule] = Routing.DefaultRules): DataFrame =
+    Pipeline.routeInstrumented(stream, rules)(
+      _.observe("cdc_consumed",
+        Pipeline.consumedMetrics.head, Pipeline.consumedMetrics.tail: _*),
+      _.observe("cdc_forwarded",
+        Pipeline.forwardedMetrics.head, Pipeline.forwardedMetrics.tail: _*))
 
   /** Accumulates every observed metric across micro-batches as
     * monotonic totals keyed `<observation>.<column>` — the live
