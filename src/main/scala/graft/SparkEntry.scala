@@ -23,10 +23,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CdcQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
       TextQueries.queries ++ MultimodalQueries.queries ++ WindowQueries.queries ++
-      RelationalQueries.queries
+      RelationalQueries.queries ++ AdvancedQueries.queries
 
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
       TextQueries.oracles ++ MultimodalQueries.oracles ++ WindowQueries.oracles ++
-      RelationalQueries.oracles
+      RelationalQueries.oracles ++ AdvancedQueries.oracles
 }

@@ -98,24 +98,25 @@ object Dedup {
       array_min(transform(shingles, x => md5(concat(lit(s + ":"), x))))
     }: _*)
 
-  /** MinHash layout for [[minhashBands]]: 32 permutations = 16 seeded
-    * `xxhash64` streams × 2 thirty-two-bit chunks each. Chunked mins
-    * are still valid LSH: ties only ever *add* candidates (verified
-    * away later), never lose them — and 32-bit chunks keep tie/
-    * saturation probability negligible even for documents with
+  /** MinHash layout for [[minhashBands]]: ONE string `xxhash64` per
+    * shingle (hashing the string is the expensive step), then 32
+    * permutations as `xxhash64(p, base)` over the resulting 8-byte
+    * long — re-hashing a fixed-width long costs nanoseconds, so the
+    * per-shingle cost is ~1 string hash regardless of permutation
+    * count (multiplicative mixing would be marginally cheaper but
+    * Spark 4's ANSI mode throws on the deliberate 64-bit overflow).
+    * Each permutation keeps its top 32 bits: 32-bit chunk space keeps
+    * tie/saturation probability negligible even for documents with
     * millions of distinct shingles (16-bit chunks would drive every
-    * huge document's min to 0, funneling them all into one bucket).
-    * Band b (of 8) concatenates the 4 chunk-mins of streams 2b, 2b+1.
+    * huge document's min to 0, funneling them all into one bucket);
+    * ties only ever *add* candidates (verified away later), never
+    * lose them. Band b (of 8) concatenates 4 consecutive mins.
     *
-    * Hash choice: `xxhash64`, NOT md5 — banding needs determinism and
-    * recall, not oracle parity (the correctness oracle recomputes exact
-    * all-pairs Jaccard and never sees the candidate hashes), and
-    * Spark's native long-typed xxhash64 measured ~60× faster than
-    * md5 + hex conv in this projection (md5 allocates a digest and hex
-    * string per call).
+    * Oracle note: banding needs determinism and recall, not oracle
+    * parity — the correctness oracle recomputes exact all-pairs
+    * Jaccard and never sees the candidate hashes.
     */
-  val HashStreams = 16
-  val ChunksPerHash = 2 // 64-bit xxhash64 → 2 chunks of 32 bits
+  val NumPerms = 32
   val NumBands = 8
   val RowsPerBand = 4
 
@@ -131,17 +132,17 @@ object Dedup {
     * harmless: min is idempotent.
     */
   def minhashBandsFromRows(rows: DataFrame): DataFrame = {
-    val chunkCols = for (m <- 0 until HashStreams; c <- 0 until ChunksPerHash)
-      yield shiftright(xxhash64(lit(m), col("x")), c * 32)
-        .bitwiseAND(lit(0xffffffffL)).as(s"h_${m}_$c")
+    val base = xxhash64(col("x"))
+    val chunkCols = (0 until NumPerms).map { p =>
+      shiftright(xxhash64(lit(p), base), 32)
+        .bitwiseAND(lit(0xffffffffL)).as(s"h_$p")
+    }
     val hashed = rows.select(col("id") +: chunkCols: _*)
-    val aggs = for (m <- 0 until HashStreams; c <- 0 until ChunksPerHash)
-      yield min(col(s"h_${m}_$c")).as(s"m_${m}_$c")
+    val aggs = (0 until NumPerms).map(p => min(col(s"h_$p")).as(s"m_$p"))
     val sig = hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
     val bands = array((0 until NumBands).map { b =>
-      val streams = Seq(2 * b, 2 * b + 1)
       concat_ws("|",
-        (for (m <- streams; c <- 0 until ChunksPerHash) yield col(s"m_${m}_$c")): _*)
+        (0 until RowsPerBand).map(r => col(s"m_${b * RowsPerBand + r}")): _*)
     }: _*)
     sig.select(col("id"), bands.as("bands"))
   }

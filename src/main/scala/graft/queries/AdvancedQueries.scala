@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Advanced aggregation shapes: rollup (grouping sets), pivot, exact
+  * percentiles, skew-safe salted aggregation, and a bucketed range
+  * join — the remaining SURVEY.md §2.2 category rows, each expressed
+  * the way it survives 100 TB and verified against DuckDB.
+  */
+object AdvancedQueries {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    floor(c * 100).cast("long")
+
+  val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ROLLUP: subtotal rows per returnflag and a grand total — one
+    // expand + one shuffle, null-marked grouping levels.
+    "rel_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(cents(col("l_extendedprice"))).as("price_cents"),
+          count(lit(1)).as("n"))),
+
+    // PIVOT with an explicit value list (never let pivot scan for
+    // distinct values at scale — that is a hidden extra job).
+    "rel_pivot_events" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .pivot("event_type", EventTypes)
+        .agg(count(lit(1)))),
+
+    // Exact interpolated percentiles (the exact form is the oracle
+    // anchor; at 100 TB swap in approx_percentile and verify its error
+    // bound against this query on a sample).
+    "rel_percentiles" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(percentile(col("l_quantity"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("l_quantity"), lit(0.95)), 6).as("p95"),
+          round(percentile(col("l_quantity"), lit(0.99)), 6).as("p99"))),
+
+    // Salted two-phase aggregation: phase 1 fans each hot key across 8
+    // deterministic salts (map-side partial agg still applies), phase 2
+    // merges — the standard fix when a handful of keys would otherwise
+    // land on single reducers. Result must equal the plain groupBy.
+    "events_salted_counts" -> ((s, dir) => {
+      val salted = Tables.events(s, dir)
+        .withColumn("_salt", pmod(col("event_id"), lit(8)))
+        .groupBy(col("event_type"), col("_salt"))
+        .agg(count(lit(1)).as("c"), sum(cents(col("value"))).as("v"))
+      salted.groupBy("event_type")
+        .agg(sum("c").as("n"), sum("v").as("value_cents"))
+    }),
+
+    // Range join via time-bucketing: pairs of same-user events within
+    // 60 seconds. The probe side joins on (user, minute-bucket) with
+    // the build side replicated into its bucket and the next — an
+    // equi-join Catalyst can shuffle/broadcast, instead of the
+    // nested-loop theta join a raw interval predicate would plan.
+    "rel_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val a = ev.select(col("user_id"), col("event_id").as("id_a"),
+        col("ts").as("ts_a"),
+        floor(unix_timestamp(col("ts")) / 60).as("bucket"))
+      val b = ev.select(col("user_id"), col("event_id").as("id_b"),
+        col("ts").as("ts_b"),
+        explode(array(floor(unix_timestamp(col("ts")) / 60),
+          floor(unix_timestamp(col("ts")) / 60) - 1)).as("bucket"))
+      a.join(b, Seq("user_id", "bucket"))
+        .filter(col("ts_b") > col("ts_a") &&
+          col("ts_b") <= col("ts_a") + expr("INTERVAL 60 seconds"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "rel_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS price_cents,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "rel_pivot_events" -> {
+      val cols = EventTypes
+        .map(t => s"count(CASE WHEN event_type = '$t' THEN 1 END) AS \"$t\"")
+        .mkString(", ")
+      s"SELECT user_id % 10 AS cohort, $cols FROM events GROUP BY 1"
+    },
+
+    "rel_percentiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |       round(quantile_cont(l_quantity, 0.95), 6) AS p95,
+        |       round(quantile_cont(l_quantity, 0.99), 6) AS p99
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "events_salted_counts" ->
+      """SELECT event_type, count(*) AS n,
+        |       sum(CAST(floor(value * 100) AS BIGINT)) AS value_cents
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "rel_range_join" ->
+      """SELECT a.user_id, count(*) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND CAST(b.ts AS TIMESTAMP) > CAST(a.ts AS TIMESTAMP)
+        | AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 60 SECONDS
+        |GROUP BY a.user_id""".stripMargin)
+}
