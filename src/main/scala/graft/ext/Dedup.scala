@@ -212,24 +212,29 @@ object Dedup {
     */
   def nearDupPairsFromRows(shingleRows: DataFrame, threshold: Double): DataFrame = {
     // No pre-distinct anywhere: a .distinct() on the shingle rows would
-    // cost a full shuffle per plan branch (three of them — Spark does
-    // not share un-exchanged subplans). Instead every consumer is
-    // duplicate-proof: minhash mins are idempotent, set sizes are
-    // count_distinct, and the per-pair intersection counts DISTINCT
-    // shingles (duplicate a×b join hits collapse).
+    // cost a full shuffle per plan branch, and every consumer here is
+    // duplicate-proof (minhash mins are idempotent, collect_set dedups).
+    //
+    // Verification exploits candidate sparsity: only documents that
+    // appear in some candidate pair have their shingle SET materialized
+    // (left-semi against the candidate ids prunes the rest map-side),
+    // so the collect_set shuffle carries candidate docs only — banding
+    // keeps that a tiny fraction of the corpus. The exact Jaccard then
+    // runs per pair over the two arrays. If candidates ever stopped
+    // being sparse, the set-similarity join formulation (equi-join on
+    // (id, shingle) + count_distinct) trades this for three corpus-wide
+    // shuffles — sparse candidates are the point of LSH, so this path
+    // optimizes for them.
     val rows = shingleRows.select(col("id"), col("x"))
-    val sizes = rows.groupBy(col("id")).agg(count_distinct(col("x")).as("sz"))
     val cands = lshCandidates(minhashBandsFromRows(rows), "id", col("bands"))
-    val inter = cands
-      .join(rows.select(col("id").as("id_a"), col("x")), "id_a")
-      .join(rows.select(col("id").as("id_b"), col("x")), Seq("id_b", "x"))
-      .groupBy(col("id_a"), col("id_b")).agg(count_distinct(col("x")).as("n_inter"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("jaccard",
-        col("n_inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"))
+    val candDocs = cands.select(col("id_a").as("id"))
+      .union(cands.select(col("id_b").as("id"))).distinct()
+    val sets = rows.join(candDocs, Seq("id"), "left_semi")
+      .groupBy(col("id")).agg(collect_set(col("x")).as("sh"))
+    cands
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
