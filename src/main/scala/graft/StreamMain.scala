@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.cdc.Config
+import graft.streaming.{KafkaIO, StreamingPipeline}
+
+/** Production service entrypoint — the library's equivalent of the
+  * reference's `main` (`reference/src/main.rs:19-38`): load the YAML
+  * config, subscribe the bound topics, run parse→filter→route with
+  * observed counters, forward to per-rule target topics.
+  *
+  * Usage: `StreamMain <config.yaml> <checkpointDir>`
+  *
+  * Locally this exits with a clear message (no Kafka connector jar in
+  * this environment, SURVEY.md §7.6.6); on a cluster with
+  * `spark-sql-kafka` on the classpath the same binary runs the
+  * streaming service. The counter listener plays the `/metrics` role:
+  * totals are logged per progress event (a real deployment would
+  * export them from the listener to its metrics system).
+  */
+object StreamMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: StreamMain <config.yaml> <checkpointDir>")
+    val conf = Config.fromFile(args(0))
+
+    if (!KafkaIO.kafkaAvailable) {
+      System.err.println(
+        "StreamMain: spark-sql-kafka connector not on the classpath; " +
+          "config parsed and validated (" + conf.rules.length + " rules), exiting. " +
+          "Run on a cluster with the Kafka connector to start the service.")
+      return
+    }
+
+    val spark = SparkSession.builder()
+      .appName("graft-cdc-router")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    val listener = new StreamingPipeline.CounterListener
+    spark.streams.addListener(listener)
+
+    // key/value stay BINARY end to end — Parse decodes a casted copy,
+    // the sink forwards the original bytes (R5 byte passthrough)
+    val source = KafkaIO.source(spark, conf.kafka)
+      .select("topic", "key", "value")
+    val routed = StreamingPipeline.routeObserved(source, conf.rules)
+    val query = KafkaIO.sink(routed, conf.kafka, args(1)).start()
+    query.awaitTermination()
+  }
+}

@@ -46,8 +46,12 @@ object Parse {
     */
   def parse(raw: DataFrame, strict: Boolean = false): DataFrame = {
     val parsed = raw
+      // the cast feeds ONLY the decoder: the forwarded `value` column
+      // stays the original (possibly binary) payload, preserving the
+      // reference's byte-identical passthrough (kafka.rs:80-82) for
+      // non-UTF8 bytes too
       .withColumn("_cdc",
-        from_json(col("value"), PARSE_SCHEMA,
+        from_json(col("value").cast("string"), PARSE_SCHEMA,
           Map("columnNameOfCorruptRecord" -> CorruptField)))
       .select(
         col("topic"), col("key"), col("value"),
@@ -60,7 +64,8 @@ object Parse {
       // Fail-fast like the reference: raise on the first undecodable record.
       parsed.withColumn("op",
         when(col("_malformed"),
-          raise_error(concat(lit("malformed CDC envelope: "), col("value"))))
+          raise_error(concat(lit("malformed CDC envelope: "),
+            col("value").cast("string"))))
           .otherwise(col("op")))
     } else parsed
   }

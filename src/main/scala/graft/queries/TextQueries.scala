@@ -52,6 +52,27 @@ object TextQueries {
         col("doc_id"),
         size(TextOps.bpeTokens(col("text"))).as("n_bpe"))),
 
+    // The engine's headline composition: a training-data curation
+    // pass — language gate, quality gate, length gate, near-dup
+    // removal — producing the kept corpus with its scores. Everything
+    // fuses into scans + the dedup pipeline's joins; the gates are
+    // pushdown-able predicates.
+    "docs_curation_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val dupIds = graft.ext.Dedup.nearDupPairsFromRows(
+        graft.ext.Dedup.wordShingleRows(docs, col("doc_id"), col("text"),
+          DedupQueries.WordN),
+        DedupQueries.JaccardThreshold)
+        .select(col("id_b").as("doc_id")).distinct()
+      docs
+        .withColumn("quality", TextOps.qualityScore(col("text")))
+        .withColumn("n_tokens", size(TextOps.tokens(col("text"))))
+        .filter(col("lang") === "en" && col("n_tokens") >= 20 &&
+          col("quality") >= 0.3)
+        .join(dupIds, Seq("doc_id"), "left_anti")
+        .select("doc_id", "n_tokens", "quality")
+    }),
+
     // Typed JSON extraction over events.props ($.k integer).
     "events_props_extract" -> ((s, dir) => {
       val k = get_json_object(col("props"), "$.k").cast("long")
@@ -135,6 +156,25 @@ object TextQueries {
          |       CAST(len(regexp_extract_all(text,
          |         '${TextOps.BpeTokenPattern}')) AS INTEGER) AS n_bpe
          |FROM documents""".stripMargin,
+
+    // composed from the same fragments as docs_text_stats (quality) and
+    // docs_dedup_near (shingles + Jaccard pairs) so the gates cannot
+    // drift from their standalone oracles
+    "docs_curation_pipeline" ->
+      s"""${DedupQueries.wordShCte},
+         |pairs AS (${DedupQueries.jaccardPairsSelect}),
+         |scored AS (
+         |  SELECT doc_id, lang, ws,
+         |         CAST(len(ws) AS INTEGER) AS n_tokens,
+         |         round(least(CAST(len(ws) AS DOUBLE) / 50.0, 1.0) *
+         |               (1.0 - abs((CASE WHEN len(ws) > 0
+         |                     THEN CAST(len(list_filter(ws, t -> t IN $stopIn)) AS DOUBLE)
+         |                          / CAST(len(ws) AS DOUBLE)
+         |                     ELSE 0.0 END) - 0.1)), 6) AS quality
+         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents))
+         |SELECT doc_id, n_tokens, quality FROM scored
+         |WHERE lang = 'en' AND n_tokens >= 20 AND quality >= 0.3
+         |  AND doc_id NOT IN (SELECT DISTINCT id_b FROM pairs)""".stripMargin,
 
     "events_props_extract" ->
       """SELECT event_type, count(*) AS n,
