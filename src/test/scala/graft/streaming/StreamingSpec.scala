@@ -79,6 +79,36 @@ class StreamingSpec extends SparkSpec {
     assert(out == Map("k1" -> "v1", "k2" -> "v2", "k3" -> "v3"))
   }
 
+  test("watermark drops late rows whose window is already finalized") {
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val q = StreamingPipeline.tumblingCounts(
+      stream.toDF().toDF("ts", "event_type"), "15 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("late_data")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: window 10:00-10:15 gets one row; the 10:16 row pushes
+      // the watermark to 10:11 after this batch
+      stream.addData((t(10, 0), "click"), (t(10, 16), "click"))
+      q.processAllAvailable()
+      // batch 2: 09:00 is LATE — its window end (09:15) is behind the
+      // watermark, so the row must be discarded; 10:05 is late but its
+      // window (ends 10:15) is still open, so it is accepted
+      stream.addData((t(9, 0), "click"), (t(10, 5), "click"))
+      q.processAllAvailable()
+      // batch 3: advance the watermark past every open window so all
+      // finalized windows flush to the append sink
+      stream.addData((t(11, 0), "click"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("late_data")
+      .select(col("w_start").cast("string"), col("n"))
+      .as[(String, Long)].collect().toMap
+    assert(!out.contains("2024-01-01 09:00:00"))     // late row dropped
+    assert(out("2024-01-01 10:00:00") == 2L)         // on-time + in-window late
+    assert(out("2024-01-01 10:15:00") == 1L)
+  }
+
   test("stream-stream interval join equals the batch join on drained input") {
     def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
     val leftRows = Seq((1L, "u1", t(10)), (2L, "u1", t(40)), (3L, "u2", t(20)))
