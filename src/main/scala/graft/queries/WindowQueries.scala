@@ -62,14 +62,16 @@ object WindowQueries {
         |      FROM t)
         |SELECT w_start, event_type, count(*) AS n FROM x GROUP BY 1, 2""".stripMargin,
 
-    // Gaps-and-islands: a session breaks when the gap to the previous
-    // event is >= 5 minutes (Spark's session end is last_ts + gap,
-    // half-open, so an event exactly at the boundary starts a new one).
+    // Gaps-and-islands: a session breaks only when the gap to the
+    // previous event EXCEEDS the timeout — Spark merges an event at
+    // exactly prev + gap into the running session (verified by
+    // WindowSemanticsSpec; a strict < here would silently diverge the
+    // day two fixture timestamps land exactly one gap apart).
     "events_session" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |m AS (SELECT user_id, ts,
         |             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |                       < INTERVAL '5 minutes'
+        |                       <= INTERVAL '5 minutes'
         |                  THEN 0 ELSE 1 END AS brk
         |      FROM e),
         |g AS (SELECT user_id, ts,
