@@ -134,6 +134,39 @@ object Similarity {
     explodeTopK(agg, Seq("query_id"))
   }
 
+  /** Per-cell centroids — the IVF "training" step (here one averaging
+    * pass over pre-assigned cells; a full k-means iterates this with
+    * [[assignToNearest]]). Output is LONG form (part, dim, c): explode
+    * the vectors once, aggregate per (cell, dimension) with ordinary
+    * partial-agg sums — no array state in the aggregation, so the
+    * shuffle carries (cell × dim) doubles no matter the corpus size.
+    */
+  def centroids(vecs: DataFrame): DataFrame =
+    vecs.select(col("part"), posexplode(col("vec")).as(Seq("dim", "v")))
+      .groupBy(col("part"), col("dim"))
+      .agg(round(sum(col("v")) / count(lit(1)), 6).as("c"))
+
+  /** Nearest-centroid assignment (the k-means assignment step / IVF
+    * routing step): broadcast the centroid table (cells × dims — tiny
+    * by construction), score every vector against each centroid with
+    * the codegen'd cosine, keep the argmax. Output:
+    * (id, part, assigned, cos).
+    */
+  def assignToNearest(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    // long form -> one array per cell, dims ordered
+    val centVecs = cents.groupBy(col("part").as("cpart"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
+      .select(col("cpart"), transform(col("dc"), x => x.getField("c")).as("cvec"))
+    val scored = vecs.join(broadcast(centVecs))
+      .select(col("id"), col("part"), col("cpart"),
+        cosine(col("vec"), col("cvec")).as("score"))
+    val agg = scored.groupBy(col("id"), col("part"))
+      .agg(max_by(struct(col("score"), col("cpart")), struct(col("score"), -col("cpart")))
+        .as("best"))
+    agg.select(col("id"), col("part"),
+      col("best.cpart").as("assigned"), round(col("best.score"), 6).as("cos"))
+  }
+
   /** Cluster-bucketed cosine near-duplicate pairs: candidate pairs are
     * generated only within a coarse partition (IVF bucketing — the
     * embedding-space analogue of [[Dedup.lshCandidates]]), then verified

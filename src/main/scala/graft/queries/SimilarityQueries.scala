@@ -44,7 +44,19 @@ object SimilarityQueries {
 
     // Cluster-bucketed cosine near-duplicate pairs at ≥ 0.4.
     "emb_neardup" -> ((s, dir) =>
-      Similarity.nearDupPairs(corpus(s, dir), NearDupThreshold)))
+      Similarity.nearDupPairs(corpus(s, dir), NearDupThreshold)),
+
+    // IVF "training": per-cell centroids in long (cell, dim, value)
+    // form — the aggregation shuffles plain doubles, never arrays.
+    "emb_centroids" -> ((s, dir) =>
+      Similarity.centroids(corpus(s, dir))),
+
+    // k-means assignment step: nearest centroid per vector (broadcast
+    // centroids, codegen cosine, max_by argmax).
+    "emb_kmeans_assign" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      Similarity.assignToNearest(c, Similarity.centroids(c))
+    }))
 
   // -------------------------------------------------------------------
   // DuckDB oracles
@@ -94,5 +106,29 @@ object SimilarityQueries {
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |       round(${cosSql("a.v", "b.v")}, 6) AS cos
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE round(${cosSql("a.v", "b.v")}, 6) >= $NearDupThreshold""".stripMargin)
+         |WHERE round(${cosSql("a.v", "b.v")}, 6) >= $NearDupThreshold""".stripMargin,
+
+    // dim is 0-based on the Spark side (posexplode), hence i - 1
+    "emb_centroids" ->
+      s"""$embCte,
+         |x AS (SELECT label, CAST(i - 1 AS INTEGER) AS dim, v[CAST(i AS INTEGER)] AS val
+         |      FROM e, unnest(generate_series(1, len(v))) AS t(i))
+         |SELECT label AS part, dim, round(sum(val) / count(*), 6) AS c
+         |FROM x GROUP BY label, dim""".stripMargin,
+
+    "emb_kmeans_assign" ->
+      s"""$embCte,
+         |x AS (SELECT label, CAST(i - 1 AS INTEGER) AS dim, v[CAST(i AS INTEGER)] AS val
+         |      FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+         |cent AS (SELECT label AS cpart, dim, round(sum(val) / count(*), 6) AS c
+         |         FROM x GROUP BY label, dim),
+         |cvecs AS (SELECT cpart, list(c ORDER BY dim) AS cvec FROM cent GROUP BY cpart),
+         |s AS (SELECT e.vec_id AS id, e.label AS part, cv.cpart,
+         |             ${cosSql("e.v", "cv.cvec")} AS score
+         |      FROM e CROSS JOIN cvecs cv),
+         |r AS (SELECT id, part, cpart, score,
+         |             row_number() OVER (PARTITION BY id ORDER BY score DESC, cpart) AS rn
+         |      FROM s)
+         |SELECT id, part, cpart AS assigned, round(score, 6) AS cos
+         |FROM r WHERE rn = 1""".stripMargin)
 }
