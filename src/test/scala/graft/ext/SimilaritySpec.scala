@@ -63,6 +63,30 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2L) == 3L && out(3L) == 2L) // cell 1 internal, despite 2~0 being closer
   }
 
+  test("centroids average per cell and dimension") {
+    val vecs = Seq(
+      (0L, 0, Seq(1.0, 0.0)), (1L, 0, Seq(3.0, 2.0)),
+      (2L, 1, Seq(0.0, 8.0)))
+      .toDF("id", "part", "vec")
+    val out = Similarity.centroids(vecs)
+      .as[(Int, Int, Double)].collect().toSet
+    assert(out == Set((0, 0, 2.0), (0, 1, 1.0), (1, 0, 0.0), (1, 1, 8.0)))
+  }
+
+  test("assignToNearest routes each vector to its closest centroid") {
+    val vecs = Seq(
+      (0L, 0, Seq(1.0, 0.1)), (1L, 0, Seq(0.9, 0.0)),
+      (2L, 1, Seq(0.0, 1.0)), (3L, 1, Seq(0.1, 0.9)),
+      (4L, 0, Seq(0.05, 1.0))) // labeled 0 but points at cell 1's centroid
+      .toDF("id", "part", "vec")
+    val cents = Similarity.centroids(vecs)
+    val out = Similarity.assignToNearest(vecs, cents)
+      .select("id", "assigned").as[(Long, Int)].collect().toMap
+    assert(out(2L) == 1 && out(3L) == 1)
+    assert(out(0L) == 0 && out(1L) == 0)
+    assert(out(4L) == 1) // reassigned away from its labeled cell
+  }
+
   test("nearDupPairs honors the threshold inside buckets") {
     val vecs = Seq(
       (0L, 0, Seq(1.0, 0.0)), (1L, 0, Seq(0.999, 0.01)),
