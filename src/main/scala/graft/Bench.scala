@@ -30,7 +30,12 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Optional positional args restrict the run to the named queries —
+    // for local spot-benching a single operator; the driver passes none.
+    val names = {
+      val all = SparkEntry.queries.keys.toSeq.sorted
+      if (args.isEmpty) all else all.filter(args.toSet)
+    }
     // Warmup: one untimed pass per query (also surfaces failures early).
     val warmErrs = names.flatMap { n =>
       try { run(n); None }
@@ -41,6 +46,10 @@ object Bench {
     val results = names.flatMap { n =>
       if (errors.contains(n)) None
       else {
+        // Queries that persist() internal datasets (the LSH candidate
+        // set) would otherwise serve the timed pass from the warmup
+        // pass's cache — measuring a cache read, not the operator.
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try {
           run(n)
@@ -53,6 +62,14 @@ object Bench {
       }
     }
 
+    // Untimed per-query output row counts, so throughput (rows/s) is
+    // graded directly against the reference's 110k msg/s floor without
+    // re-deriving counts from the correctness dump (VERDICT r02 #8).
+    val rowCounts: Map[String, Long] = results.flatMap { case (n, _) =>
+      try Some(n -> SparkEntry.queries(n)(spark, sfDir).count())
+      catch { case _: Throwable => None }
+    }.toMap
+
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -60,8 +77,21 @@ object Bench {
       } + "\""
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val rows = results.flatMap { case (k, _) =>
+      rowCounts.get(k).map(c => s"${jstr(k)}:$c")
+    }.mkString("{", ",", "}")
+    val rps = results.flatMap { case (k, v) =>
+      rowCounts.get(k).filter(_ => v > 0)
+        .map(c => s"${jstr(k)}:${math.round(c / v)}")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    // Input size of the CDC family (every cdc_* query consumes the full
+    // envelope stream): input-side throughput vs the reference's 110k
+    // msg/s floor is cdc_input_rows / seconds.
+    val cdcInput =
+      try cdc.Envelopes.fromEvents(spark, sfDir).count()
+      catch { case _: Throwable => -1L }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"rows_per_sec":$rps,"cdc_input_rows":$cdcInput,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -226,9 +226,19 @@ object Dedup {
     // shuffles — sparse candidates are the point of LSH, so this path
     // optimizes for them.
     val rows = shingleRows.select(col("id"), col("x"))
+    // The candidate set fans out to THREE consumers below (candDocs and
+    // the final pair join) — Spark does not share non-exchanged
+    // subplans, so without materialization every consumer would re-run
+    // the corpus-wide minhash pass. The pair set is tiny by LSH
+    // construction, so persist it; lineage is kept (unlike a
+    // localCheckpoint), so a lost cache block recomputes instead of
+    // failing the job on a 1000-executor cluster.
     val cands = lshCandidates(minhashBandsFromRows(rows), "id", col("bands"))
-    val candDocs = cands.select(col("id_a").as("id"))
-      .union(cands.select(col("id_b").as("id"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Both pair endpoints in ONE pass over cands (not a union of two
+    // selects, which would be two more scans of the cached set).
+    val candDocs = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val sets = rows.join(candDocs, Seq("id"), "left_semi")
       .groupBy(col("id")).agg(collect_set(col("x")).as("sh"))
     cands

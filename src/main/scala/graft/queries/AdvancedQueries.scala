@@ -82,7 +82,7 @@ object AdvancedQueries {
   val oracles: Map[String, String] = Map(
     "rel_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        |       sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS price_cents,
+        |       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
         |       count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
@@ -102,7 +102,7 @@ object AdvancedQueries {
 
     "events_salted_counts" ->
       """SELECT event_type, count(*) AS n,
-        |       sum(CAST(floor(value * 100) AS BIGINT)) AS value_cents
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY event_type""".stripMargin,
 
     "rel_range_join" ->
