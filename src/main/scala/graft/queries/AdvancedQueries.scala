@@ -58,6 +58,33 @@ object AdvancedQueries {
         .agg(sum("c").as("n"), sum("v").as("value_cents"))
     }),
 
+    // Global top-k: ORDER BY + LIMIT with a deterministic tie-break.
+    // Physically this must be TakeOrderedAndProject (per-partition
+    // bounded heaps merged on the driver, O(k) memory) — never a full
+    // global sort, which at 100 TB is a corpus-wide range shuffle.
+    "rel_top_orders_global" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          cents(col("o_totalprice")).as("price_cents"))
+        .orderBy(col("price_cents").desc, col("o_orderkey"))
+        .limit(100)),
+
+    // CUBE with grouping_id(): all four grouping sets in one expand +
+    // shuffle. ls_n is null for 'F' rows, so the result contains BOTH
+    // data nulls and subtotal null markers — gid is what tells them
+    // apart (gid bit set = column aggregated away, not a data null).
+    "rel_cube" -> ((s, dir) => {
+      val lsn = when(col("l_linestatus") === "F", lit(null))
+        .otherwise(col("l_linestatus"))
+      Tables.lineitem(s, dir)
+        .withColumn("ls_n", lsn)
+        .cube("l_returnflag", "ls_n")
+        .agg(grouping_id().cast("long").as("gid"),
+          sum(cents(col("l_extendedprice"))).as("price_cents"),
+          count(lit(1)).as("n"))
+        .select("l_returnflag", "ls_n", "gid", "price_cents", "n")
+    }),
+
     // Range join via time-bucketing: pairs of same-user events within
     // 60 seconds. The probe side joins on (user, minute-bucket) with
     // the build side replicated into its bucket and the next — an
@@ -104,6 +131,21 @@ object AdvancedQueries {
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "rel_top_orders_global" ->
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM orders
+        |ORDER BY price_cents DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "rel_cube" ->
+      """SELECT l_returnflag, ls_n,
+        |       CAST(GROUPING(l_returnflag, ls_n) AS BIGINT) AS gid,
+        |       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+        |       count(*) AS n
+        |FROM (SELECT *, nullif(l_linestatus, 'F') AS ls_n FROM lineitem)
+        |GROUP BY CUBE (l_returnflag, ls_n)""".stripMargin,
 
     "rel_range_join" ->
       """SELECT a.user_id, count(*) AS n_pairs
