@@ -167,6 +167,54 @@ object Similarity {
       col("best.cpart").as("assigned"), round(col("best.score"), 6).as("cos"))
   }
 
+  /** Iterated Lloyd k-means over (id, part, vec), `iters` rounds of
+    * recompute-centroids → reassign, seeded by the `part` column (the
+    * IVF coarse cells). Output: the final assignment
+    * (id, assigned, cos).
+    *
+    * Each round aggregates centroids distributed (the only shuffle —
+    * long-form (cell, dim) partial sums, like [[centroids]]), then
+    * '''collects''' the centroid table to the driver: it is O(cells ×
+    * dims) doubles by construction, never corpus-sized, and folding the
+    * centroids back in as array literals makes the reassignment a pure
+    * narrow projection (argmax over a struct array) — the same
+    * broadcast-centers loop Spark MLlib's KMeans runs at scale. At
+    * 100 TB the input should be persisted by the caller so each round's
+    * centroid pass rereads cache instead of parquet; the assignment
+    * lineage itself stays narrow (one projection per round).
+    *
+    * Determinism across engines: centroids are rounded to 6 decimals
+    * every round (double summation fold-order noise is ~1e-13, far
+    * below the rounding grain), so a SQL oracle replaying the same
+    * rounds reproduces assignments exactly; argmax ties break toward
+    * the smaller cell id.
+    */
+  def kmeansIterated(vecs: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "need at least one round")
+    var cur = vecs.select(col("id"), col("part").as("cell"), col("vec"))
+    for (_ <- 1 to iters) {
+      val centRows = centroids(cur.select(col("cell").as("part"), col("vec"))).collect()
+      val cents: Seq[(Long, Array[Double])] = centRows
+        .groupBy(r => r.getAs[Number]("part").longValue)
+        .map { case (cid, rs) =>
+          cid -> rs.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("c"))
+        }
+        .toSeq.sortBy(_._1)
+      // struct ordering is lexicographic (score, then -cell), so
+      // array_max IS the deterministic argmax.
+      val cand = array(cents.map { case (cid, cv) =>
+        struct(cosine(col("vec"), typedLit(cv)).as("score"),
+          lit(-cid).as("neg"))
+      }: _*)
+      val best = array_max(cand)
+      cur = cur.select(col("id"),
+        (lit(0L) - best.getField("neg")).as("cell"),
+        col("vec"), best.getField("score").as("score"))
+    }
+    cur.select(col("id"), col("cell").as("assigned"),
+      round(col("score"), 6).as("cos"))
+  }
+
   /** Cluster-bucketed cosine near-duplicate pairs: candidate pairs are
     * generated only within a coarse partition (IVF bucketing — the
     * embedding-space analogue of [[Dedup.lshCandidates]]), then verified

@@ -18,6 +18,7 @@ object SimilarityQueries {
   private val K = 5           // brute-force top-k
   private val KIvf = 3        // per-cell top-k
   private val NearDupThreshold = 0.4
+  private val KmeansIters = 2 // Lloyd rounds for emb_kmeans_iter
 
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).select(
@@ -56,7 +57,13 @@ object SimilarityQueries {
     "emb_kmeans_assign" -> ((s, dir) => {
       val c = corpus(s, dir)
       Similarity.assignToNearest(c, Similarity.centroids(c))
-    }))
+    }),
+
+    // Iterated k-means (2 Lloyd rounds, label-seeded): real IVF
+    // training, not label bootstrapping — the oracle replays the same
+    // two rounds in SQL off the same 6-decimal-rounded centroids.
+    "emb_kmeans_iter" -> ((s, dir) =>
+      Similarity.kmeansIterated(corpus(s, dir), KmeansIters)))
 
   // -------------------------------------------------------------------
   // DuckDB oracles
@@ -73,7 +80,33 @@ object SimilarityQueries {
   private val embCte =
     "WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
 
+  /** N-round Lloyd oracle, generated so Spark and SQL can never drift
+    * on round count: c1 seeds from `label`; each round builds centroid
+    * vectors (6-decimal-rounded means, dims ordered), assigns every
+    * vector to its max-cosine centroid (ties to the smaller cell), and
+    * feeds the next round's centroid recompute.
+    */
+  private def kmeansIterSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"$embCte,\n"
+    sb ++= ("x AS (SELECT vec_id, label, CAST(i - 1 AS INTEGER) AS dim, " +
+      "v[CAST(i AS INTEGER)] AS val FROM e, unnest(generate_series(1, len(v))) AS t(i)),\n")
+    sb ++= "c1 AS (SELECT label AS cell, dim, round(sum(val) / count(*), 6) AS c FROM x GROUP BY label, dim)"
+    for (i <- 1 to iters) {
+      sb ++= s",\nv$i AS (SELECT cell, list(c ORDER BY dim) AS cvec FROM c$i GROUP BY cell)"
+      sb ++= s",\ns$i AS (SELECT e.vec_id AS id, v$i.cell, ${cosSql("e.v", s"v$i.cvec")} AS score FROM e CROSS JOIN v$i)"
+      sb ++= (s",\na$i AS (SELECT id, cell, score FROM (SELECT *, row_number() OVER " +
+        s"(PARTITION BY id ORDER BY score DESC, cell) AS rn FROM s$i) WHERE rn = 1)")
+      if (i < iters)
+        sb ++= (s",\nc${i + 1} AS (SELECT a$i.cell, x.dim, round(sum(x.val) / count(*), 6) AS c " +
+          s"FROM x JOIN a$i ON x.vec_id = a$i.id GROUP BY a$i.cell, x.dim)")
+    }
+    sb ++= s"\nSELECT id, CAST(cell AS BIGINT) AS assigned, round(score, 6) AS cos FROM a$iters"
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "emb_kmeans_iter" -> kmeansIterSql(KmeansIters),
     "emb_topk" ->
       s"""$embCte,
          |q AS (SELECT * FROM e WHERE vec_id < $NumQueries),

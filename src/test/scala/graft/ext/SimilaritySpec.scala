@@ -87,6 +87,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out(4L) == 1) // reassigned away from its labeled cell
   }
 
+  test("kmeansIterated migrates mis-seeded points and then stabilizes") {
+    val vecs = Seq(
+      (0L, 0, Seq(1.0, 0.05)), (1L, 0, Seq(0.95, 0.0)),
+      (2L, 1, Seq(0.0, 1.0)), (3L, 1, Seq(0.05, 0.95)),
+      (4L, 0, Seq(0.0, 0.98))) // seeded into cell 0, belongs with cell 1
+      .toDF("id", "part", "vec")
+    val one = Similarity.kmeansIterated(vecs, 1)
+      .select("id", "assigned").as[(Long, Long)].collect().toMap
+    assert(one(4L) == 1L) // first reassignment already moves it
+    // separable fixture: a second Lloyd round is a fixed point
+    val two = Similarity.kmeansIterated(vecs, 2)
+      .select("id", "assigned").as[(Long, Long)].collect().toMap
+    assert(two == one)
+    assert(two == Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("nearDupPairs honors the threshold inside buckets") {
     val vecs = Seq(
       (0L, 0, Seq(1.0, 0.0)), (1L, 0, Seq(0.999, 0.01)),
