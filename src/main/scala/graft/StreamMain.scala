@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 import graft.cdc.Config
-import graft.streaming.{KafkaIO, StreamingPipeline}
+import graft.streaming.{KafkaIO, MetricsServer, StreamingPipeline}
 
 /** Production service entrypoint — the library's equivalent of the
   * reference's `main` (`reference/src/main.rs:19-38`): load the YAML
@@ -15,9 +15,9 @@ import graft.streaming.{KafkaIO, StreamingPipeline}
   * Locally this exits with a clear message (no Kafka connector jar in
   * this environment, SURVEY.md §7.6.6); on a cluster with
   * `spark-sql-kafka` on the classpath the same binary runs the
-  * streaming service. The counter listener plays the `/metrics` role:
-  * totals are logged per progress event (a real deployment would
-  * export them from the listener to its metrics system).
+  * streaming service, with the counter registry scrapeable at
+  * `/metrics` and the version at `/version` on port 9266
+  * ([[graft.streaming.MetricsServer]], `main.rs:31-55` parity).
   */
 object StreamMain {
   def main(args: Array[String]): Unit = {
@@ -38,6 +38,8 @@ object StreamMain {
       .getOrCreate()
     val listener = new StreamingPipeline.CounterListener
     spark.streams.addListener(listener)
+    // /version + /metrics on the reference's port (main.rs:36)
+    val metrics = new MetricsServer(listener).start()
 
     // key/value stay BINARY end to end — Parse decodes a casted copy,
     // the sink forwards the original bytes (R5 byte passthrough)
@@ -45,6 +47,7 @@ object StreamMain {
       .select("topic", "key", "value")
     val routed = StreamingPipeline.routeObserved(source, conf.rules)
     val query = KafkaIO.sink(routed, conf.kafka, args(1)).start()
-    query.awaitTermination()
+    try query.awaitTermination()
+    finally metrics.stop()
   }
 }
