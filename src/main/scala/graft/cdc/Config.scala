@@ -5,7 +5,8 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
-import org.yaml.snakeyaml.Yaml
+import org.yaml.snakeyaml.{LoaderOptions, Yaml}
+import org.yaml.snakeyaml.constructor.SafeConstructor
 
 import graft.cdc.Routing.TransformRule
 
@@ -42,7 +43,11 @@ object Config {
   case class PipelineConf(kafka: KafkaConf, rules: Seq[TransformRule])
 
   def fromString(yamlText: String): PipelineConf = {
-    val root = new Yaml().load[java.util.Map[String, Object]](new StringReader(yamlText))
+    // SafeConstructor: plain maps/lists/scalars only — the default
+    // constructor instantiates arbitrary classes via `!!` tags, an RCE
+    // vector if a config file is ever attacker-influenced.
+    val yaml = new Yaml(new SafeConstructor(new LoaderOptions()))
+    val root = yaml.load[java.util.Map[String, Object]](new StringReader(yamlText))
     require(root != null, "empty YAML config")
 
     def section(name: String): java.util.Map[String, Object] =

@@ -89,6 +89,21 @@ object Routing {
     * `groupBy(_rid)` shuffle only carries records that matched ≥1 rule, and
     * `min_by` needs no sort. Regexes are matched via [[rlikeCached]], so each
     * pattern compiles once per executor, not once per row.
+    *
+    * '''Precondition — deterministic scan.''' `monotonically_increasing_id`
+    * is stable only when the upstream partition layout is: ids are
+    * (partition << 33) + offset, so a task retry that re-reads a
+    * *differently partitioned* input (mid-shuffle executor loss over a
+    * nondeterministic source, or a `repartition()` without a sort) can
+    * re-id rows and split/merge `min_by` groups. Call this on a stable
+    * scan (files, or Kafka where (partition, offset) IS the layout) or
+    * checkpoint first. A content hash of (topic, key, value) was
+    * considered and rejected as the group key: CDC streams legitimately
+    * carry byte-identical records (same key re-upserted with the same
+    * payload), and hashing would merge those distinct records into one
+    * forwarded row — silently dropping traffic. When rules fit a `when`
+    * chain (≲ a few hundred), [[targetExpr]] has no identity requirement
+    * at all and remains the default.
     */
   def targetViaJoin(spark: SparkSession, parsed: DataFrame,
                     rules: Seq[TransformRule]): DataFrame = {

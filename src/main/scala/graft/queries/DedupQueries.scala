@@ -23,7 +23,7 @@ object DedupQueries {
   // report threshold) — banding would drown in candidates and the oracle
   // comparison would sit on a knife edge. 6-grams drop background max
   // to 0.24 while planted dups stay ≥ 0.9.
-  private val CharN = 6
+  val CharN = 6 // shared with LshRecallInvariantSpec's gap check
   val JaccardThreshold = 0.5
   private val MaxHamming = 3
 
