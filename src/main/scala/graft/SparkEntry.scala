@@ -23,10 +23,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CdcQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
       TextQueries.queries ++ MultimodalQueries.queries ++ WindowQueries.queries ++
-      RelationalQueries.queries ++ AdvancedQueries.queries
+      RelationalQueries.queries ++ AdvancedQueries.queries ++
+      CurationQueries.queries
 
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
       TextQueries.oracles ++ MultimodalQueries.oracles ++ WindowQueries.oracles ++
-      RelationalQueries.oracles ++ AdvancedQueries.oracles
+      RelationalQueries.oracles ++ AdvancedQueries.oracles ++
+      CurationQueries.oracles
 }

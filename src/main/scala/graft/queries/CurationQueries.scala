@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{Curation, TextOps}
+
+/** Driver-contract queries + DuckDB oracles for corpus curation
+  * (SURVEY.md §7.4): deterministic sampling, train/val/test splitting,
+  * token-budget domain mixing, TF-IDF term scoring, and bigram
+  * statistics. The sampling family replays bit-identically in DuckDB
+  * because selection derives from md5 over the record key
+  * ([[Curation.hashBucket]]), not from engine RNG.
+  */
+object CurationQueries {
+
+  val SampleP = 0.25
+  val TestP = 0.1
+  val ValP = 0.1
+  val TfidfTopK = 3
+  val MinBigramCount = 5
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deterministic Bernoulli(0.25) sample — same rows on every run,
+    // every engine, every partitioning.
+    "docs_sample_hash" -> ((s, dir) =>
+      Curation.sampleBernoulli(
+        Tables.documents(s, dir), col("doc_id"), SampleP, "s1:")
+        .select("doc_id", "lang", "source")),
+
+    // Stable train/val/test assignment (10/10/80) — keys never migrate
+    // between splits across runs or corpus versions.
+    "docs_split_assign" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        Curation.assignSplit(col("doc_id"), TestP, ValP, "split:").as("split"))),
+
+    // Token-budget domain mixing: every source downsampled to the
+    // smallest source's token total.
+    "docs_domain_mix" -> ((s, dir) =>
+      Curation.weightBudgetMix(
+        Tables.documents(s, dir),
+        col("source"), size(TextOps.tokens(col("text"))).cast("long"),
+        col("doc_id"), "mix:")
+        .select("doc_id", "source")),
+
+    // Top-3 TF-IDF terms per document (smooth ln idf, rank on the
+    // 6-decimal-rounded score so both engines order identically).
+    "docs_tfidf_top" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val n = docs.count() // corpus size: one bounded scalar action
+      val tf = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        // tf feeds BOTH the document-frequency agg and the score join —
+        // persist, or the explode+agg subplan runs twice (the Dedup
+        // lesson, VERDICT r02 #2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfreq, "token")
+        .withColumn("tfidf",
+          round(col("tf") *
+            log(lit((n + 1).toDouble) / (col("df") + 1).cast("double")), 6))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("token"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= TfidfTopK)
+        .select("doc_id", "token", "tfidf")
+    }),
+
+    // Corpus bigram counts ≥ 5: per-doc adjacency via a partitioned
+    // lead() window (shuffle by doc, sort by position — the per-doc
+    // sequential shape), then one map-side-combinable count.
+    "docs_bigrams" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "token")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      toks.withColumn("next", lead("token", 1).over(w))
+        .filter(col("next").isNotNull)
+        .select(concat_ws(" ", col("token"), col("next")).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= MinBigramCount)
+    }))
+
+  // -------------------------------------------------------------------
+  // DuckDB oracles
+  // -------------------------------------------------------------------
+
+  /** [[Curation.hashBucket]] in DuckDB: 4 hex digits of md5(salt ‖ key)
+    * decoded positionally (DuckDB has no hex→int cast; strpos over the
+    * digit alphabet is dialect-safe). md5 appears once per digit — the
+    * oracle optimizes for clarity, not speed.
+    */
+  private def hexBucketSql(keyExpr: String, salt: String): String = {
+    val h = s"md5('$salt' || CAST($keyExpr AS VARCHAR))"
+    (0 until 4)
+      .map(i => s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) " +
+        s"* ${math.pow(16, 3 - i).toInt}")
+      .mkString("(", " + ", ")")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "docs_sample_hash" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${hexBucketSql("doc_id", "s1:")} <
+         |      ${math.floor(SampleP * Curation.HashBuckets).toLong}""".stripMargin,
+
+    "docs_split_assign" -> {
+      val t1 = math.floor(TestP * Curation.HashBuckets).toLong
+      val t2 = math.floor((TestP + ValP) * Curation.HashBuckets).toLong
+      s"""SELECT doc_id,
+         |       CASE WHEN ${hexBucketSql("doc_id", "split:")} < $t1 THEN 'test'
+         |            WHEN ${hexBucketSql("doc_id", "split:")} < $t2 THEN 'val'
+         |            ELSE 'train' END AS split
+         |FROM documents""".stripMargin
+    },
+
+    "docs_domain_mix" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS wt
+         |  FROM documents),
+         |tot AS (SELECT source, CAST(sum(wt) AS BIGINT) AS tw FROM w GROUP BY source),
+         |m AS (SELECT CAST(min(tw) AS DOUBLE) AS mt FROM tot)
+         |SELECT w.doc_id, w.source
+         |FROM w JOIN tot ON w.source = tot.source CROSS JOIN m
+         |WHERE ${hexBucketSql("w.doc_id", "mix:")} / 65536.0
+         |      < m.mt / CAST(tot.tw AS DOUBLE)""".stripMargin,
+
+    "docs_tfidf_top" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY doc_id, token),
+         |dfx AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |s AS (
+         |  SELECT tf.doc_id, tf.token,
+         |         round(tf.tf * ln((n.n + 1.0) / (dfx.df + 1.0)), 6) AS tfidf
+         |  FROM tf JOIN dfx ON tf.token = dfx.token CROSS JOIN n)
+         |SELECT doc_id, token, tfidf FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn FROM s)
+         |WHERE rn <= $TfidfTopK""".stripMargin,
+
+    "docs_bigrams" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |t AS (
+         |  SELECT doc_id, i AS pos, ws[CAST(i AS INTEGER)] AS token
+         |  FROM d, unnest(generate_series(1, len(ws))) AS u(i)),
+         |b AS (
+         |  SELECT token || ' ' || lead(token) OVER
+         |    (PARTITION BY doc_id ORDER BY pos) AS bigram
+         |  FROM t)
+         |SELECT bigram, count(*) AS n FROM b WHERE bigram IS NOT NULL
+         |GROUP BY bigram HAVING count(*) >= $MinBigramCount""".stripMargin)
+}

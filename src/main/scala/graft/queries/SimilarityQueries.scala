@@ -63,7 +63,19 @@ object SimilarityQueries {
     // training, not label bootstrapping — the oracle replays the same
     // two rounds in SQL off the same 6-decimal-rounded centroids.
     "emb_kmeans_iter" -> ((s, dir) =>
-      Similarity.kmeansIterated(corpus(s, dir), KmeansIters)))
+      Similarity.kmeansIterated(corpus(s, dir), KmeansIters)),
+
+    // Scalar int8 quantization in long (vec_id, dim, q) form: clamp to
+    // [-1, 1], scale by 127, round — the storage-shrink step before an
+    // ANN index build. A pure narrow projection (posexplode + arithmetic,
+    // all codegen); at 100 TB the long form shuffles nothing and
+    // re-packs to arrays only at the sink.
+    "emb_quantize" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("vec_id"), col("dim"),
+          round(greatest(least(col("x").cast("double"), lit(1.0)), lit(-1.0))
+            * 127, 0).cast("long").as("q"))))
 
   // -------------------------------------------------------------------
   // DuckDB oracles
@@ -107,6 +119,14 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "emb_kmeans_iter" -> kmeansIterSql(KmeansIters),
+    "emb_quantize" ->
+      s"""$embCte,
+         |x AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+         |             v[CAST(i AS INTEGER)] AS val
+         |      FROM e, unnest(generate_series(1, len(v))) AS t(i))
+         |SELECT vec_id, dim,
+         |       CAST(round(greatest(least(val, 1.0), -1.0) * 127) AS BIGINT) AS q
+         |FROM x""".stripMargin,
     "emb_topk" ->
       s"""$embCte,
          |q AS (SELECT * FROM e WHERE vec_id < $NumQueries),

@@ -1,0 +1,76 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ids = (0L until 2000L).toDF("id")
+
+  test("hashBucket is deterministic, in range, and roughly uniform") {
+    val b1 = Curation.hashBucket(col("id"), "s:")
+    val got = ids.select(b1.as("b")).as[Long].collect()
+    val again = ids.select(b1.as("b")).as[Long].collect()
+    assert(got.toSeq == again.toSeq)
+    assert(got.forall(b => b >= 0 && b < Curation.HashBuckets))
+    // 2000 draws over 65536 buckets: mean 32768 ± a few k
+    val mean = got.sum.toDouble / got.length
+    assert(mean > 28000 && mean < 38000, s"suspicious mean bucket $mean")
+  }
+
+  test("salts decorrelate draws over the same keys") {
+    val joint = ids.select(
+      (Curation.hashBucket(col("id"), "a:") < 16384).as("a"),
+      (Curation.hashBucket(col("id"), "b:") < 16384).as("b"))
+      .as[(Boolean, Boolean)].collect()
+    val both = joint.count(p => p._1 && p._2)
+    // independent 0.25 draws → ~6.25% joint; correlated would be ~25%
+    assert(both > 60 && both < 200, s"joint hits $both not ~125")
+  }
+
+  test("sampleBernoulli keeps ~p of rows; p=0 none; p=1 all") {
+    val n = Curation.sampleBernoulli(ids, col("id"), 0.25, "s1:").count()
+    assert(n > 400 && n < 600, s"0.25 sample of 2000 kept $n")
+    assert(Curation.sampleBernoulli(ids, col("id"), 0.0, "s1:").count() == 0)
+    assert(Curation.sampleBernoulli(ids, col("id"), 1.0, "s1:").count() == 2000)
+  }
+
+  test("assignSplit partitions completely with stable proportions") {
+    val byS = ids.select(Curation.assignSplit(col("id"), 0.1, 0.1, "sp:").as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(byS.keySet == Set("test", "val", "train"))
+    assert(byS.values.sum == 2000)
+    assert(byS("test") > 120 && byS("test") < 280)
+    assert(byS("val") > 120 && byS("val") < 280)
+  }
+
+  test("weightBudgetMix equalizes group token budgets approximately") {
+    // group g0 has 10x the weight of g1: expect ~10% of g0 kept
+    val rows = ((0L until 1000L).map(i => (i, "g0", 10L)) ++
+      (1000L until 2000L).map(i => (i, "g1", 1L)))
+      .toDF("id", "grp", "w")
+    val kept = Curation.weightBudgetMix(rows, col("grp"), col("w"),
+      col("id"), "m:")
+    val byGrp = kept.groupBy("grp").agg(sum("w").as("kw"))
+      .as[(String, Long)].collect().toMap
+    assert(byGrp("g1") == 1000L) // min group keeps everything
+    assert(byGrp("g0") > 400 && byGrp("g0") < 1600,
+      s"g0 kept weight ${byGrp("g0")}, want ~1000")
+  }
+
+  test("redactPii scrubs planted emails, phones, and digit runs") {
+    val df = Seq(
+      "contact alice.smith+spam@example.co.uk today",
+      "call +1 (555) 123-4567 or 555.123.4567",
+      "account 123456789 balance",
+      "clean text with no pii at all",
+      "short 12345 stays").toDF("t")
+    val out = df.select(Curation.redactPii(col("t")).as("t")).as[String].collect()
+    assert(out(0) == "contact <EMAIL> today")
+    assert(out(1) == "call <PHONE> or <PHONE>")
+    assert(out(2) == "account <NUM> balance")
+    assert(out(3) == "clean text with no pii at all")
+    assert(out(4) == "short 12345 stays") // under the 6-digit floor
+  }
+}
