@@ -41,8 +41,18 @@ object Clusters {
     */
   def connectedComponents(edges: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20): DataFrame = {
-    val adj = edges.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(edges.select(col(idB).as("src"), col(idA).as("dst")))
+    // Materialize the edge list ONCE before fanning out: the two
+    // direction branches below (and every propagation round) would
+    // otherwise each re-evaluate whatever pipeline produced the edges —
+    // here typically the full LSH near-dup pass. Eager localCheckpoint
+    // trades lineage for that guarantee; the edge set is tiny, and an
+    // executor-loss recompute at cluster scale would re-run the
+    // upstream job once, not fail silently. (At 100 TB with flaky
+    // fleets, swap for a reliable checkpoint dir.)
+    val e = edges.select(col(idA).as("src"), col(idB).as("dst"))
+      .localCheckpoint()
+    val adj = e
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist()
     var labels = adj.select(col("src").as("id")).distinct()

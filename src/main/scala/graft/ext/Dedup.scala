@@ -255,6 +255,78 @@ object Dedup {
     nearDupPairsFromRows(
       docs.select(col(idCol).as("id"), explode(col(shinglesCol)).as("x")), threshold)
 
+  /** [[nearDupPairsFromRows]] with the verify pass pruned BEFORE
+    * shingling: the corpus-wide shingle explosion runs exactly once
+    * (for the minhash signatures). The verification sets are built by
+    * re-shingling only the candidate documents — a broadcast left-semi
+    * of the raw docs against the (tiny, persisted) candidate-id set,
+    * then `shingler` over that sliver. [[nearDupPairsFromRows]] instead
+    * semi-joins the *exploded* rows, which must re-generate every
+    * shingle of every document just to discard the non-candidates: at
+    * 100 TB that is a second corpus-wide hash/substring pass for
+    * nothing. Cost here: one extra scan of the doc table's (id, text)
+    * columns — IO only, no compute, and column-pruned at the source.
+    *
+    * @param docs     raw documents (any schema containing `idColName`
+    *                 and whatever `shingler` reads)
+    * @param shingler maps a subset of `docs` to (id, x) shingle rows —
+    *                 pass the same producer used for the full corpus,
+    *                 e.g. `d => wordShingleRows(d, col("doc_id"),
+    *                 col("text"), n)`
+    */
+  def nearDupPairsPruned(docs: DataFrame, idColName: String,
+                         shingler: DataFrame => DataFrame,
+                         threshold: Double): DataFrame =
+    verifyCandidates(
+      lshCandidates(minhashBandsFromRows(shingler(docs)), "id", col("bands")),
+      docs, idColName, shingler, threshold)
+
+  /** [[nearDupPairsPruned]] with candidate generation via the native
+    * [[graft.functions.MinHashBands]] expression: the signature is a
+    * scan-side projection (one expression call per document), so the
+    * corpus-wide shingle explode AND the 32-min aggregate shuffle both
+    * vanish from the plan. Only candidate documents are ever shingled
+    * into rows (for exact-Jaccard verification). The expression's hash
+    * chain is bit-identical to [[minhashBandsFromRows]] (A/B-pinned by
+    * MinHashBandsSpec), so this is a pure plan improvement.
+    */
+  def nearDupPairsNative(docs: DataFrame, idColName: String, textColName: String,
+                         n: Int, word: Boolean, threshold: Double): DataFrame = {
+    val bands = docs.select(col(idColName).as("id"),
+      graft.functions.MinHashBands(col(textColName), n, word).as("bands"))
+    val shingler: DataFrame => DataFrame =
+      if (word) d => wordShingleRows(d, col(idColName), col(textColName), n)
+      else d => charShingleRows(d, col(idColName), col(textColName), n)
+    verifyCandidates(lshCandidates(bands, "id", col("bands")),
+      docs, idColName, shingler, threshold)
+  }
+
+  /** Exact-Jaccard verification of LSH candidate pairs, shingling ONLY
+    * candidate documents (broadcast semi-join prune before the shingle
+    * generator, so the verify pass never touches the rest of the
+    * corpus). The candidate set is persisted: it fans out to the id
+    * extraction and the final pair join, and Spark does not share
+    * non-exchanged subplans.
+    */
+  private def verifyCandidates(candidates: DataFrame, docs: DataFrame,
+                               idColName: String, shingler: DataFrame => DataFrame,
+                               threshold: Double): DataFrame = {
+    val cands = candidates
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candDocIds = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as("cand_id")).distinct()
+    val candRows = shingler(
+      docs.join(broadcast(candDocIds),
+        docs(idColName) === candDocIds("cand_id"), "left_semi"))
+    val sets = candRows.groupBy(col("id")).agg(collect_set(col("x")).as("sh"))
+    cands
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** 60-bit SimHash: bit j of the fingerprint is the sign of
     * Σ_tokens (2·bit_j(md5(token)) − 1), where bit_j reads bit (3−j%4)
     * of hex nibble j/4 — i.e. ONE md5 per token supplies all 60 bits.

@@ -117,9 +117,8 @@ object AnalyticsQueries {
     // Spark fixpoint is verified against an independent formulation.
     "docs_dup_clusters" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.nearDupPairsFromRows(
-        Dedup.wordShingleRows(docs, col("doc_id"), col("text"), DedupQueries.WordN),
-        DedupQueries.JaccardThreshold)
+      val pairs = Dedup.nearDupPairsNative(docs, "doc_id", "text",
+        DedupQueries.WordN, word = true, DedupQueries.JaccardThreshold)
       val comp = Clusters.connectedComponents(pairs.select("id_a", "id_b"))
         .withColumnRenamed("id", "doc_id")
       docs.join(comp, Seq("doc_id"), "left")

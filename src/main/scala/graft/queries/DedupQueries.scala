@@ -42,15 +42,13 @@ object DedupQueries {
     // verified at 0.5. Never all-pairs: candidates come from the band
     // bucket join (Dedup.lshCandidates).
     "docs_dedup_near" -> ((s, dir) =>
-      Dedup.nearDupPairsFromRows(
-        Dedup.wordShingleRows(Tables.documents(s, dir), col("doc_id"), col("text"), WordN),
-        JaccardThreshold)),
+      Dedup.nearDupPairsNative(Tables.documents(s, dir), "doc_id", "text",
+        WordN, word = true, JaccardThreshold)),
 
     // Character 6-gram variant (robust to word-boundary edits).
     "docs_ngram_jaccard" -> ((s, dir) =>
-      Dedup.nearDupPairsFromRows(
-        Dedup.charShingleRows(Tables.documents(s, dir), col("doc_id"), col("text"), CharN),
-        JaccardThreshold)),
+      Dedup.nearDupPairsNative(Tables.documents(s, dir), "doc_id", "text",
+        CharN, word = false, JaccardThreshold)),
 
     // 60-bit SimHash fingerprint per document.
     "docs_simhash" -> ((s, dir) => {

@@ -86,9 +86,8 @@ object RelationalQueries {
     "docs_near_dedup_survivors" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       // same shingle width + threshold as docs_dedup_near, by construction
-      val pairs = Dedup.nearDupPairsFromRows(
-        Dedup.wordShingleRows(docs, col("doc_id"), col("text"), DedupQueries.WordN),
-        DedupQueries.JaccardThreshold)
+      val pairs = Dedup.nearDupPairsNative(docs, "doc_id", "text",
+        DedupQueries.WordN, word = true, DedupQueries.JaccardThreshold)
       docs.join(pairs.select(col("id_b").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
         .select("doc_id", "lang", "source")

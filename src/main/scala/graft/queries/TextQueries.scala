@@ -59,10 +59,8 @@ object TextQueries {
     // pushdown-able predicates.
     "docs_curation_pipeline" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val dupIds = graft.ext.Dedup.nearDupPairsFromRows(
-        graft.ext.Dedup.wordShingleRows(docs, col("doc_id"), col("text"),
-          DedupQueries.WordN),
-        DedupQueries.JaccardThreshold)
+      val dupIds = graft.ext.Dedup.nearDupPairsNative(docs, "doc_id", "text",
+        DedupQueries.WordN, word = true, DedupQueries.JaccardThreshold)
         .select(col("id_b").as("doc_id")).distinct()
       docs
         .withColumn("quality", TextOps.qualityScore(col("text")))
