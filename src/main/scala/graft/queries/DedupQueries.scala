@@ -50,19 +50,19 @@ object DedupQueries {
       Dedup.nearDupPairsNative(Tables.documents(s, dir), "doc_id", "text",
         CharN, word = false, JaccardThreshold)),
 
-    // 60-bit SimHash fingerprint per document.
-    "docs_simhash" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      Dedup.simhashAgg(docs, "doc_id", "toks")
-        .withColumnRenamed("id", "doc_id")
-    }),
+    // 60-bit SimHash fingerprint per document — native scan-side
+    // expression (graft.functions.SimHash60; A/B-pinned against the
+    // explode+aggregate form, which remains for tests).
+    "docs_simhash" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.SimHash60(col("text")).as("simhash"))),
 
     // SimHash near-dup pairs at Hamming ≤ 3 via 4×15-bit chunk banding.
     "docs_simhash_pairs" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      val sh = Dedup.simhashAgg(docs, "doc_id", "toks")
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"),
+          graft.functions.SimHash60(col("text")).as("simhash"))
       Dedup.simhashPairs(sh, "id", "simhash", MaxHamming)
     }))
 
