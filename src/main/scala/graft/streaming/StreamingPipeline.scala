@@ -128,6 +128,29 @@ object StreamingPipeline {
       .drop(s"_r_$keyCol")
   }
 
+  /** Built-in streaming dedup: `dropDuplicatesWithinWatermark` keeps
+    * the first row per key and — unlike plain `dropDuplicates`, whose
+    * key state grows forever on a stream — evicts a key's state once
+    * the watermark passes its event time + lateness. This is the
+    * engine-managed tier of streaming dedup; [[dedupStream]] remains
+    * the arbitrary-state tier (custom values, TTL semantics, replay
+    * suppression beyond the watermark horizon).
+    */
+  def dedupWithinWatermark(df: DataFrame, keys: Seq[String], tsCol: String,
+                           lateness: String): DataFrame =
+    df.withWatermark(tsCol, lateness).dropDuplicatesWithinWatermark(keys)
+
+  /** Stream-static enrichment: per micro-batch join of the stream
+    * against a static dimension table. Stateless — no watermark, no
+    * state store; the static side is broadcast (small dims), so each
+    * micro-batch is a map-side hash join and the stream never
+    * shuffles. This is the streaming twin of the batch broadcast-dim
+    * joins in RelationalQueries and the join-form router (`cdc/Routing
+    * .targetViaJoin`).
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming exact-dedup with keyed state: emit a key's record the
     * first time the key is seen, suppress replays. State per key is one
     * boolean. This is the streaming tier of exact dedup: at 100 TB/day

@@ -79,6 +79,45 @@ class StreamingSpec extends SparkSpec {
     assert(out == Map("k1" -> "v1", "k2" -> "v2", "k3" -> "v3"))
   }
 
+  test("dropDuplicatesWithinWatermark dedups across batches inside the horizon") {
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val stream = MemoryStream[(String, java.sql.Timestamp)]
+    val q = StreamingPipeline.dedupWithinWatermark(
+        stream.toDF().toDF("k", "ts"), Seq("k"), "ts", "30 minutes")
+      .writeStream.format("memory").queryName("dedup_wm")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(("a", t(0)), ("a", t(1)), ("b", t(2)))
+      q.processAllAvailable()
+      // same batch-2 replay of a within the horizon: suppressed
+      stream.addData(("a", t(5)), ("c", t(6)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("dedup_wm")
+      .select("k").as[String].collect().sorted.toSeq
+    assert(out == Seq("a", "b", "c"))
+  }
+
+  test("stream-static enrich equals the batch join and stays stateless") {
+    val dim = Seq(("click", 1L), ("purchase", 10L)).toDF("event_type", "weight")
+    val rows = Seq((1L, "click"), (2L, "purchase"), (3L, "click"), (4L, "view"))
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(rows)
+    val q = StreamingPipeline.enrich(
+        stream.toDF().toDF("event_id", "event_type"), dim, "event_type")
+      .writeStream.format("memory").queryName("enrich_stream")
+      .outputMode(OutputMode.Append).start()
+    val progress = try { q.processAllAvailable(); q.lastProgress } finally q.stop()
+    val got = spark.table("enrich_stream")
+      .as[(String, Long, Option[Long])].collect().toSet
+    val expected = StreamingPipeline.enrich(
+        rows.toDF("event_id", "event_type"), dim, "event_type")
+      .as[(String, Long, Option[Long])].collect().toSet
+    assert(got == expected && got.size == 4)
+    // stateless: no state store operators engaged
+    assert(progress.stateOperators.isEmpty)
+  }
+
   test("watermark drops late rows whose window is already finalized") {
     def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
     val stream = MemoryStream[(java.sql.Timestamp, String)]
