@@ -24,11 +24,13 @@ object SparkEntry {
     CdcQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
       TextQueries.queries ++ MultimodalQueries.queries ++ WindowQueries.queries ++
       RelationalQueries.queries ++ AdvancedQueries.queries ++
-      CurationQueries.queries ++ AnalyticsQueries.queries
+      CurationQueries.queries ++ AnalyticsQueries.queries ++
+      SourceQueries.queries
 
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
       TextQueries.oracles ++ MultimodalQueries.oracles ++ WindowQueries.oracles ++
       RelationalQueries.oracles ++ AdvancedQueries.oracles ++
-      CurationQueries.oracles ++ AnalyticsQueries.oracles
+      CurationQueries.oracles ++ AnalyticsQueries.oracles ++
+      SourceQueries.oracles
 }

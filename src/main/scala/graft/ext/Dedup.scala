@@ -292,7 +292,16 @@ object Dedup {
     */
   def nearDupPairsNative(docs: DataFrame, idColName: String, textColName: String,
                          n: Int, word: Boolean, threshold: Double): DataFrame = {
-    val bands = docs.select(col(idColName).as("id"),
+    // Few-partition guard: the signature projection is the compute-heavy
+    // stage, and an unsplittable source (e.g. a single parquet row
+    // group) would serialize it on one task. Redistributing costs a
+    // shuffle of the *input* — only paid when the input is small enough
+    // to arrive under-partitioned; a 100 TB scan already carries ≥ cores
+    // tasks, so this branch never fires at scale.
+    val cores = docs.sparkSession.sparkContext.defaultParallelism
+    val src = if (docs.rdd.getNumPartitions < math.max(cores / 2, 2))
+      docs.repartition(cores) else docs
+    val bands = src.select(col(idColName).as("id"),
       graft.functions.MinHashBands(col(textColName), n, word).as("bands"))
     val shingler: DataFrame => DataFrame =
       if (word) d => wordShingleRows(d, col(idColName), col(textColName), n)

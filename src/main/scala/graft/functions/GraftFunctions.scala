@@ -24,6 +24,23 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, s"dot_product expects 2 arguments, got ${args.length}")
         DotProduct(args.head, args(1))
+      }),
+    (FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"simhash60 expects 1 argument, got ${args.length}")
+        SimHash60(args.head)
+      }),
+    (FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"minhash_bands expects (text, n, word) — got ${args.length} arguments")
+        require(args(1).foldable && args(2).foldable,
+          "minhash_bands n and word must be literals")
+        MinHashBands(args.head,
+          args(1).eval().asInstanceOf[Number].intValue(),
+          args(2).eval().asInstanceOf[Boolean])
       }))
 
   /** Register on a live session (idempotent). */

@@ -28,4 +28,28 @@ class GraftFunctionsSpec extends SparkSpec {
     }
     assert(ex.getMessage.toLowerCase.contains("array<double>"))
   }
+
+  test("simhash60 and minhash_bands are callable from SQL") {
+    GraftFunctions.register(spark)
+    val sh = spark.sql("SELECT simhash60('the quick brown fox') AS s")
+      .as[Long].collect().head
+    val shCol = Seq("the quick brown fox").toDF("t")
+      .select(SimHash60(org.apache.spark.sql.functions.col("t")))
+      .as[Long].collect().head
+    assert(sh == shCol && sh >= 0 && sh < (1L << 60))
+
+    val bands = spark.sql(
+      "SELECT minhash_bands('the quick brown fox jumps', 3, true) AS b")
+      .as[Seq[String]].collect().head
+    assert(bands.length == graft.ext.Dedup.NumBands)
+  }
+
+  test("minhash_bands requires literal parameters") {
+    GraftFunctions.register(spark)
+    val ex = intercept[Exception] {
+      spark.sql(
+        "SELECT minhash_bands('x', n, true) FROM (SELECT 3 AS n)").collect()
+    }
+    assert(ex.getMessage.contains("literal"))
+  }
 }
