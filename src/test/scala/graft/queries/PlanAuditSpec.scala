@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Plan audits: the physical properties the 100 TB design relies on,
+  * pinned as assertions so a refactor that silently loses them fails
+  * CI instead of shipping a 100× regression.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def scans(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+
+  test("filter pushdown reaches the parquet scan") {
+    val df = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") > 30)
+      .select("l_orderkey", "l_quantity")
+    val meta = scans(df).head.metadata
+    assert(meta("PushedFilters").contains("GreaterThan(l_quantity"),
+      s"no pushed filter: ${meta("PushedFilters")}")
+  }
+
+  test("column pruning: a two-column projection reads two columns") {
+    val df = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    val schema = scans(df).head.requiredSchema.fieldNames.toSet
+    assert(schema == Set("l_orderkey", "l_quantity"),
+      s"scan reads more than projected: $schema")
+  }
+
+  test("small dims broadcast in the revenue join (no dim shuffle)") {
+    val plan = RelationalQueries.queries("rel_revenue_by_nation")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+  }
+
+  test("bucketed co-located join plans without a shuffle exchange") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+    val conf = spark.conf
+    val prevThreshold = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    try {
+      // force the shuffle-join path so bucketing (not broadcast) is
+      // what must eliminate the exchanges; static plan for inspection
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+
+      Tables.orders(spark, sfDir)
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_custkey")
+        .option("path", s"$tmp/orders_b").saveAsTable("graft_orders_b")
+      Tables.customer(spark, sfDir)
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "c_custkey")
+        .option("path", s"$tmp/cust_b").saveAsTable("graft_cust_b")
+
+      val joined = spark.table("graft_orders_b")
+        .join(spark.table("graft_cust_b"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"))
+      val exchanges = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucketed join still shuffles:\n${joined.queryExecution.executedPlan}")
+
+      // and it computes the same rows as the plain join
+      val expected = Tables.orders(spark, sfDir)
+        .join(Tables.customer(spark, sfDir),
+          col("o_custkey") === col("c_custkey"))
+        .count()
+      assert(joined.count() == expected && expected > 0)
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS graft_orders_b")
+      spark.sql("DROP TABLE IF EXISTS graft_cust_b")
+    }
+  }
+}
