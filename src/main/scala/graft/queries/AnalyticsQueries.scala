@@ -46,6 +46,24 @@ object AnalyticsQueries {
             .cast("long").as("days_since_prev"))
     }),
 
+    // The full ranking-function set in one window pass: rank /
+    // dense_rank / percent_rank / cume_dist over acctbal (tie-stable
+    // by definition), ntile over a unique ordering (ntile splits tie
+    // groups by row position, so determinism requires a total order).
+    "rel_rank_metrics" -> ((s, dir) => {
+      val byBal = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc)
+      val unique = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, dir).select(
+        col("c_custkey"), col("c_nationkey"),
+        rank().over(byBal).cast("long").as("rnk"),
+        dense_rank().over(byBal).cast("long").as("drnk"),
+        round(percent_rank().over(byBal), 6).as("prank"),
+        round(cume_dist().over(byBal), 6).as("cdist"),
+        ntile(4).over(unique).cast("long").as("quartile"))
+    }),
+
     // EXISTS → left-semi join: customers with at least one >$400k
     // order. Semi joins carry only the probe side through the shuffle —
     // no row multiplication, no payload from the build side.
@@ -160,6 +178,17 @@ object AnalyticsQueries {
         |              ORDER BY o_orderdate, o_orderkey), o_orderdate) AS BIGINT)
         |         AS days_since_prev
         |FROM o""".stripMargin,
+
+    "rel_rank_metrics" ->
+      """SELECT c_custkey, c_nationkey,
+        |       rank()         OVER w AS rnk,
+        |       dense_rank()   OVER w AS drnk,
+        |       round(percent_rank() OVER w, 6) AS prank,
+        |       round(cume_dist()    OVER w, 6) AS cdist,
+        |       CAST(ntile(4) OVER (PARTITION BY c_nationkey
+        |              ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)""".stripMargin,
 
     "rel_cust_big_orders" ->
       """SELECT c_custkey, c_name, c_nationkey FROM customer

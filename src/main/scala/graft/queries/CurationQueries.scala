@@ -70,6 +70,23 @@ object CurationQueries {
         .select("doc_id", "token", "tfidf")
     }),
 
+    // Repetition signals (Gopher-style quality gates): per document,
+    // the top-token fraction (most frequent token / total tokens) and
+    // the type-token ratio (distinct / total). High top-fraction or
+    // low TTR ⇒ boilerplate/spam. Two chained aggregations, both
+    // map-side combinable; the doc's tokens never leave their
+    // partition as anything wider than (doc, token, count).
+    "docs_repetition" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .groupBy("doc_id")
+        .agg(sum("tf").as("total"), max("tf").as("maxf"),
+          count(lit(1)).as("ntypes"))
+        .select(col("doc_id"),
+          round(col("maxf") / col("total"), 6).as("top_token_ratio"),
+          round(col("ntypes") / col("total"), 6).as("type_token_ratio"))),
+
     // Corpus bigram counts ≥ 5: per-doc adjacency via a partitioned
     // lead() window (shuffle by doc, sort by position — the per-doc
     // sequential shape), then one map-side-combinable count.
@@ -144,6 +161,15 @@ object CurationQueries {
          |  SELECT *, row_number() OVER
          |    (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn FROM s)
          |WHERE rn <= $TfidfTopK""".stripMargin,
+
+    "docs_repetition" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |           FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY doc_id, token)
+        |SELECT doc_id,
+        |       round(CAST(max(tf) AS DOUBLE) / sum(tf), 6) AS top_token_ratio,
+        |       round(CAST(count(*) AS DOUBLE) / sum(tf), 6) AS type_token_ratio
+        |FROM tf GROUP BY doc_id""".stripMargin,
 
     "docs_bigrams" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
