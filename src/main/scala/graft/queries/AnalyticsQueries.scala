@@ -84,6 +84,24 @@ object AnalyticsQueries {
           cents(col("c_acctbal")).as("acctbal_cents"))
     }),
 
+    // Funnel analysis: per-user earliest event time per stage
+    // (conditional min — one shuffle), then ordered-stage counts. The
+    // classic product-analytics query; at 100 TB the per-user
+    // conditional aggregation is partial-agg friendly and the final
+    // count is a single-row reduce.
+    "events_funnel" -> ((s, dir) => {
+      def stageTs(t: String) =
+        min(when(col("event_type") === t, col("ts"))).as(s"t_$t")
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(stageTs("view"), stageTs("click"), stageTs("purchase"))
+        .agg(
+          count(col("t_view")).as("n_view"),
+          count(when(col("t_view") < col("t_click"), lit(1))).as("n_view_click"),
+          count(when(col("t_view") < col("t_click") &&
+            col("t_click") < col("t_purchase"), lit(1))).as("n_full_funnel"))
+    }),
+
     // Date/time functions: monthly order rollup with year/quarter
     // extraction. trunc() returns DATE (not Spark's date_trunc
     // TIMESTAMP), matching DuckDB's date_trunc('month', DATE) so the
@@ -200,6 +218,19 @@ object AnalyticsQueries {
         |       CAST(floor(c_acctbal * 100) AS BIGINT) AS acctbal_cents
         |FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "events_funnel" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+        |         min(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+        |         min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT count(t_view) AS n_view,
+        |       count(CASE WHEN t_view < t_click THEN 1 END) AS n_view_click,
+        |       count(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 END)
+        |         AS n_full_funnel
+        |FROM u""".stripMargin,
 
     "rel_orders_monthly" ->
       """WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,

@@ -100,7 +100,48 @@ object CurationQueries {
         .select(concat_ws(" ", col("token"), col("next")).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .filter(col("n") >= MinBigramCount)
-    }))
+    }),
+
+    "docs_pmi" -> ((s, dir) => pmiQuery(s, dir)))
+
+  // -------------------------------------------------------------------
+  // queries (continued): collocations
+  // -------------------------------------------------------------------
+
+  /** PMI collocation scoring over corpus bigrams: pointwise mutual
+    * information log(p(ab) / (p(a)·p(b))) for every bigram with count
+    * ≥ [[MinBigramCount]]. Token and pair totals are two bounded
+    * scalar actions over the persisted token table (the [[Curation]]
+    * driver-scalar pattern); the arithmetic shape is kept identical in
+    * the oracle so the rounded doubles agree bit-for-bit.
+    */
+  val pmiQuery: (SparkSession, String) => DataFrame = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "token")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val pairs = toks.withColumn("next", lead("token", 1).over(w))
+      .filter(col("next").isNotNull).select("token", "next")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totalTokens = toks.count().toDouble
+    val totalPairs = pairs.count().toDouble
+    val bi = pairs.groupBy("token", "next").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= MinBigramCount)
+    val uni = toks.groupBy("token").agg(count(lit(1)).as("n_u"))
+    bi
+      .join(uni.select(col("token").as("t1"), col("n_u").as("n_a")),
+        col("token") === col("t1"))
+      .join(uni.select(col("token").as("t2"), col("n_u").as("n_b")),
+        col("next") === col("t2"))
+      .select(
+        concat_ws(" ", col("token"), col("next")).as("bigram"),
+        col("n_ab"),
+        round(log(
+          (col("n_ab").cast("double") / totalPairs) /
+            ((col("n_a").cast("double") / totalTokens) *
+              (col("n_b").cast("double") / totalTokens))), 6).as("pmi"))
+  }
 
   // -------------------------------------------------------------------
   // DuckDB oracles
@@ -181,5 +222,31 @@ object CurationQueries {
          |    (PARTITION BY doc_id ORDER BY pos) AS bigram
          |  FROM t)
          |SELECT bigram, count(*) AS n FROM b WHERE bigram IS NOT NULL
-         |GROUP BY bigram HAVING count(*) >= $MinBigramCount""".stripMargin)
+         |GROUP BY bigram HAVING count(*) >= $MinBigramCount""".stripMargin,
+
+    // identical arithmetic shape to the Spark side: ln of a ratio of
+    // double divisions over exact integer counts, rounded to 6
+    "docs_pmi" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |t AS (
+         |  SELECT doc_id, i AS pos, ws[CAST(i AS INTEGER)] AS token
+         |  FROM d, unnest(generate_series(1, len(ws))) AS u(i)),
+         |p AS (
+         |  SELECT token, lead(token) OVER
+         |    (PARTITION BY doc_id ORDER BY pos) AS next
+         |  FROM t),
+         |pp AS (SELECT token, next FROM p WHERE next IS NOT NULL),
+         |bi AS (SELECT token, next, count(*) AS n_ab FROM pp
+         |       GROUP BY token, next HAVING count(*) >= $MinBigramCount),
+         |uni AS (SELECT token, count(*) AS n_u FROM t GROUP BY token),
+         |tot AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM t) AS tt,
+         |               (SELECT CAST(count(*) AS DOUBLE) FROM pp) AS tp)
+         |SELECT bi.token || ' ' || bi.next AS bigram, bi.n_ab,
+         |       round(ln((CAST(bi.n_ab AS DOUBLE) / tot.tp) /
+         |                ((CAST(ua.n_u AS DOUBLE) / tot.tt) *
+         |                 (CAST(ub.n_u AS DOUBLE) / tot.tt))), 6) AS pmi
+         |FROM bi
+         |JOIN uni ua ON bi.token = ua.token
+         |JOIN uni ub ON bi.next = ub.token
+         |CROSS JOIN tot""".stripMargin)
 }
