@@ -41,13 +41,16 @@ object StreamMain {
     // /version + /metrics on the reference's port (main.rs:36)
     val metrics = new MetricsServer(listener).start()
 
-    // key/value stay BINARY end to end — Parse decodes a casted copy,
-    // the sink forwards the original bytes (R5 byte passthrough)
-    val source = KafkaIO.source(spark, conf.kafka)
-      .select("topic", "key", "value")
-    val routed = StreamingPipeline.routeObserved(source, conf.rules)
-    val query = KafkaIO.sink(routed, conf.kafka, args(1)).start()
-    try query.awaitTermination()
-    finally metrics.stop()
+    // everything after the server starts runs under its try/finally:
+    // a sink-construction failure must still stop the server, or its
+    // non-daemon dispatcher thread pins the JVM (and port 9266) forever
+    try {
+      // key/value stay BINARY end to end — Parse decodes a casted copy,
+      // the sink forwards the original bytes (R5 byte passthrough)
+      val source = KafkaIO.source(spark, conf.kafka)
+        .select("topic", "key", "value")
+      val routed = StreamingPipeline.routeObserved(source, conf.rules)
+      KafkaIO.sink(routed, conf.kafka, args(1)).start().awaitTermination()
+    } finally metrics.stop()
   }
 }

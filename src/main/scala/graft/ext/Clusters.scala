@@ -76,6 +76,13 @@ object Clusters {
       iter += 1
     }
     adj.unpersist()
+    // a truncated propagation is WRONG (components still split), not
+    // merely slow — fail loudly instead of returning plausible labels.
+    // maxIter bounds the component diameter: raise it for pathological
+    // chains, or switch to large-star/small-star (O(log n) rounds).
+    require(converged,
+      s"connectedComponents did not converge within $maxIter rounds — " +
+        "component diameter exceeds maxIter")
     labels
   }
 }

@@ -89,8 +89,18 @@ object Curation {
     val totals = df.select(group.as("grp"), weight.as("w"))
       .groupBy("grp").agg(sum(col("w").cast("long")).as("tw"))
       .collect()
-      .map(r => (r.get(0), r.getLong(1)))
+      .map(r => (r.get(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
     require(totals.nonEmpty, "empty input: no groups to mix")
+    // degenerate groups fail fast rather than silently emptying the
+    // mix: a NULL group key can never match the when-chain below (its
+    // rows would be dropped while still setting the budget), and a
+    // zero/NULL-weight group would set minTotal = 0, filtering out
+    // every row of every group
+    require(totals.forall(_._1 != null),
+      "weightBudgetMix: NULL group key — filter or fill group values first")
+    require(totals.forall(_._2 > 0),
+      s"weightBudgetMix: group(s) with zero/NULL total weight: " +
+        totals.filter(_._2 <= 0).map(_._1).mkString(", "))
     val minTotal = totals.map(_._2).min.toDouble
     // ratio folds in as a literal per group: the keep test is a pure
     // narrow filter, no join at all

@@ -313,15 +313,20 @@ object Dedup {
   /** Exact-Jaccard verification of LSH candidate pairs, shingling ONLY
     * candidate documents (broadcast semi-join prune before the shingle
     * generator, so the verify pass never touches the rest of the
-    * corpus). The candidate set is persisted: it fans out to the id
-    * extraction and the final pair join, and Spark does not share
-    * non-exchanged subplans.
+    * corpus). The candidate set fans out to the id extraction and the
+    * final pair join, and Spark does not share non-exchanged subplans —
+    * it is materialized once via lazy `localCheckpoint` rather than
+    * `persist`: the blocks are reference-counted by the ContextCleaner
+    * and vanish when the query's plan is garbage-collected, where a
+    * `persist` with no reachable handle would pin cache for the session
+    * lifetime (one leaked entry per near-dup call). Cost of the trade:
+    * lineage truncation — an executor loss re-runs the (cheap,
+    * LSH-sparse) upstream job instead of recomputing partitions.
     */
   private def verifyCandidates(candidates: DataFrame, docs: DataFrame,
                                idColName: String, shingler: DataFrame => DataFrame,
                                threshold: Double): DataFrame = {
-    val cands = candidates
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = candidates.localCheckpoint(false)
     val candDocIds = cands
       .select(explode(array(col("id_a"), col("id_b"))).as("cand_id")).distinct()
     val candRows = shingler(

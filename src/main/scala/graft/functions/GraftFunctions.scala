@@ -38,9 +38,17 @@ object GraftFunctions {
           s"minhash_bands expects (text, n, word) — got ${args.length} arguments")
         require(args(1).foldable && args(2).foldable,
           "minhash_bands n and word must be literals")
-        MinHashBands(args.head,
-          args(1).eval().asInstanceOf[Number].intValue(),
-          args(2).eval().asInstanceOf[Boolean])
+        val n = args(1).eval() match {
+          case i: Number => i.intValue()
+          case other => throw new IllegalArgumentException(
+            s"minhash_bands n must be an integer literal, got $other")
+        }
+        val word = args(2).eval() match {
+          case b: java.lang.Boolean => b.booleanValue()
+          case other => throw new IllegalArgumentException(
+            s"minhash_bands word must be a boolean literal, got $other")
+        }
+        MinHashBands(args.head, n, word)
       }))
 
   /** Register on a live session (idempotent). */

@@ -167,9 +167,10 @@ object AnalyticsQueries {
     // PartitionedScanSpec) — the layout that turns a 100 TB corpus
     // scan into a per-language slice read.
     "docs_partitioned_scan" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_part_docs").toString
-      Tables.documents(s, dir)
-        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      val out = Materialize.once(s"part_docs:$dir") { p =>
+        Tables.documents(s, dir)
+          .write.mode("overwrite").partitionBy("lang").parquet(p)
+      }
       s.read.parquet(out)
         .filter(col("lang") === "en")
         .select("doc_id", "source", "lang")

@@ -20,8 +20,9 @@ object SourceQueries {
     // round-trips comment text containing delimiters.
     "rel_nation_csv" -> ((s, dir) => {
       val nat = Tables.nation(s, dir)
-      val out = java.nio.file.Files.createTempDirectory("graft_nation_csv").toString
-      nat.write.mode("overwrite").option("header", "true").csv(out)
+      val out = Materialize.once(s"nation_csv:$dir") { p =>
+        nat.write.mode("overwrite").option("header", "true").csv(p)
+      }
       s.read.schema(nat.schema).option("header", "true").csv(out)
         .join(broadcast(Tables.region(s, dir)),
           col("n_regionkey") === col("r_regionkey"))
@@ -34,9 +35,9 @@ object SourceQueries {
     // prunes parsing to those fields — same projection-only-decode
     // idea as the CDC envelope parse (R2).
     "docs_json_scan" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val out = java.nio.file.Files.createTempDirectory("graft_docs_json").toString
-      docs.write.mode("overwrite").json(out)
+      val out = Materialize.once(s"docs_json:$dir") { p =>
+        Tables.documents(s, dir).write.mode("overwrite").json(p)
+      }
       s.read.schema("doc_id LONG, lang STRING, text STRING").json(out)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),

@@ -31,9 +31,9 @@ class MetricsServer(listener: StreamingPipeline.CounterListener,
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.createContext("/version", (ex: HttpExchange) =>
-    respond(ex, "text/plain; charset=utf-8", version))
+    respond(ex, "/version", "text/plain; charset=utf-8", version))
   server.createContext("/metrics", (ex: HttpExchange) =>
-    respond(ex, MetricsServer.OpenMetricsContentType,
+    respond(ex, "/metrics", MetricsServer.OpenMetricsContentType,
       MetricsServer.render(listener.totals)))
   server.setExecutor(null) // serve scrapes on the accept thread
 
@@ -46,12 +46,30 @@ class MetricsServer(listener: StreamingPipeline.CounterListener,
 
   def stop(): Unit = server.stop(0)
 
-  private def respond(ex: HttpExchange, contentType: String, body: String): Unit = {
-    val bytes = body.getBytes(StandardCharsets.UTF_8)
-    val status = if (ex.getRequestMethod == "GET") 200 else 405
-    ex.getResponseHeaders.set("Content-Type", contentType)
-    ex.sendResponseHeaders(status, bytes.length.toLong)
-    try ex.getResponseBody.write(bytes) finally ex.close()
+  /** JDK context matching is prefix-based, so the handler re-checks the
+    * exact path (404 otherwise: /metricsfoo must not serve metrics).
+    * Non-GET → 405 with no body; HEAD → headers only (writing a body
+    * into a HEAD exchange raises per request and floods logs under
+    * load-balancer probes).
+    */
+  private def respond(ex: HttpExchange, path: String, contentType: String,
+                      body: String): Unit = {
+    try {
+      val method = ex.getRequestMethod
+      if (ex.getRequestURI.getPath != path) {
+        ex.sendResponseHeaders(404, -1)
+      } else if (method == "HEAD") {
+        ex.getResponseHeaders.set("Content-Type", contentType)
+        ex.sendResponseHeaders(200, -1)
+      } else if (method != "GET") {
+        ex.sendResponseHeaders(405, -1)
+      } else {
+        val bytes = body.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", contentType)
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+      }
+    } finally ex.close()
   }
 }
 

@@ -36,4 +36,14 @@ class ClustersSpec extends SparkSpec {
     assert(components(Seq((10L, 1L), (10L, 2L), (10L, 3L))) ==
       Map(10L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("refuses to return truncated labels when maxIter is too small") {
+    // a 6-hop chain cannot converge in 2 rounds — must throw, not
+    // silently return a split component
+    val chain = (0L until 7L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalArgumentException] {
+      Clusters.connectedComponents(chain, maxIter = 2)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
 }

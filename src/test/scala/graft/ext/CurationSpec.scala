@@ -59,6 +59,22 @@ class CurationSpec extends SparkSpec {
       s"g0 kept weight ${byGrp("g0")}, want ~1000")
   }
 
+  test("weightBudgetMix fails fast on zero-weight and NULL groups") {
+    val zeroGrp = ((0L until 10L).map(i => (i, "g0", 1L)) ++
+      (10L until 20L).map(i => (i, "g1", 0L))).toDF("id", "grp", "w")
+    val ex = intercept[IllegalArgumentException] {
+      Curation.weightBudgetMix(zeroGrp, col("grp"), col("w"), col("id"), "z:")
+    }
+    assert(ex.getMessage.contains("zero/NULL total weight"))
+
+    val nullGrp = Seq((1L, "g0", 1L), (2L, null.asInstanceOf[String], 1L))
+      .toDF("id", "grp", "w")
+    val ex2 = intercept[IllegalArgumentException] {
+      Curation.weightBudgetMix(nullGrp, col("grp"), col("w"), col("id"), "n:")
+    }
+    assert(ex2.getMessage.contains("NULL group key"))
+  }
+
   test("redactPii scrubs planted emails, phones, and digit runs") {
     val df = Seq(
       "contact alice.smith+spam@example.co.uk today",

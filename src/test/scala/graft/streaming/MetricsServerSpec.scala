@@ -65,4 +65,23 @@ class MetricsServerSpec extends SparkSpec {
     assert(a ==
       "# TYPE a_x counter\na_x_total 1\n# TYPE b_y counter\nb_y_total 2\n# EOF\n")
   }
+
+  test("non-exact paths 404, non-GET 405, HEAD gets headers only") {
+    val listener = new StreamingPipeline.CounterListener
+    val server = new MetricsServer(listener, port = 0).start()
+    try {
+      def status(path: String, method: String): Int = {
+        val conn = URI.create(s"http://127.0.0.1:${server.boundPort}$path").toURL
+          .openConnection().asInstanceOf[HttpURLConnection]
+        conn.setRequestMethod(method)
+        try conn.getResponseCode finally conn.disconnect()
+      }
+      assert(status("/metricsgarbage", "GET") == 404)
+      assert(status("/metrics/sub", "GET") == 404)
+      assert(status("/metrics", "POST") == 405)
+      assert(status("/metrics", "HEAD") == 200)
+      assert(status("/version", "HEAD") == 200)
+      assert(status("/metrics", "GET") == 200)
+    } finally server.stop()
+  }
 }
