@@ -21,6 +21,9 @@ object CurationQueries {
   val ValP = 0.1
   val TfidfTopK = 3
   val MinBigramCount = 5
+  val ChunkSize = 64
+  val ChunkStride = 32
+  val PackBudget = 1024L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Deterministic Bernoulli(0.25) sample — same rows on every run,
@@ -102,7 +105,40 @@ object CurationQueries {
         .filter(col("n") >= MinBigramCount)
     }),
 
-    "docs_pmi" -> ((s, dir) => pmiQuery(s, dir)))
+    "docs_pmi" -> ((s, dir) => pmiQuery(s, dir)),
+
+    // Context-window chunking: split each document into token windows
+    // of ChunkSize with stride ChunkStride (the training-prep step
+    // before tokenizer packing). Pure narrow generate + projection —
+    // the corpus is rewritten, never shuffled.
+    "docs_chunk" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+        .select(col("doc_id"), col("toks"), col("n"),
+          explode(sequence(lit(0), col("n") - 1, lit(ChunkStride))).as("start"))
+        .select(col("doc_id"), col("start").cast("long").as("start"),
+          least(col("n") - col("start"), lit(ChunkSize)).cast("long").as("chunk_len"),
+          concat_ws(" ",
+            slice(col("toks"), col("start") + 1, lit(ChunkSize))).as("chunk_text"))
+    }),
+
+    // Sequence packing: greedy fixed-budget binning of documents by
+    // cumulative token count, per language shard. The running sum is a
+    // per-shard window (shuffle by lang, sort by doc_id) — packing is
+    // inherently sequential, so production packs within shards exactly
+    // like this; a global ORDER BY would serialize the corpus.
+    "docs_pack" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("cum", sum("n_tokens").over(w))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          floor((col("cum") - col("n_tokens")) / lit(PackBudget.toDouble))
+            .cast("long").as("bin"))
+    }))
 
   // -------------------------------------------------------------------
   // queries (continued): collocations
@@ -248,5 +284,28 @@ object CurationQueries {
          |FROM bi
          |JOIN uni ua ON bi.token = ua.token
          |JOIN uni ub ON bi.next = ub.token
-         |CROSS JOIN tot""".stripMargin)
+         |CROSS JOIN tot""".stripMargin,
+
+    "docs_chunk" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+         |                  len(string_split(text, ' ')) AS n
+         |           FROM documents),
+         |s AS (SELECT doc_id, ws, n, CAST(i AS BIGINT) AS start
+         |      FROM d, unnest(generate_series(0, n - 1, $ChunkStride)) AS t(i))
+         |SELECT doc_id, start,
+         |       CAST(least(n - start, $ChunkSize) AS BIGINT) AS chunk_len,
+         |       array_to_string(
+         |         ws[CAST(start + 1 AS INTEGER):CAST(least(start + $ChunkSize, n) AS INTEGER)],
+         |         ' ') AS chunk_text
+         |FROM s""".stripMargin,
+
+    "docs_pack" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |           FROM documents)
+         |SELECT doc_id, lang, n_tokens,
+         |       CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |              - n_tokens) / ${PackBudget}.0) AS BIGINT) AS bin
+         |FROM t""".stripMargin)
 }
