@@ -52,6 +52,25 @@ object Curation {
     df.filter(hashBucket(key, salt) < math.floor(p * HashBuckets).toLong)
   }
 
+  /** Deterministic stratified sampling: per-group keep fractions (with
+    * a default for unlisted groups), same hash-bucket mechanism as
+    * [[sampleBernoulli]] — so the stratum thresholds fold into one
+    * codegen'd `when` chain and the selection stays engine- and
+    * run-reproducible. The standard rebalancing move when one stratum
+    * (language, source, domain) dwarfs the rest.
+    */
+  def sampleStratified(df: DataFrame, key: Column, group: Column,
+                       fractions: Map[String, Double], default: Double,
+                       salt: String): DataFrame = {
+    (fractions.values.toSeq :+ default).foreach(p =>
+      require(p >= 0 && p <= 1, s"fraction out of range: $p"))
+    val thr = fractions.foldLeft(lit(math.floor(default * HashBuckets).toLong)) {
+      case (acc, (g, p)) =>
+        when(group === lit(g), lit(math.floor(p * HashBuckets).toLong)).otherwise(acc)
+    }
+    df.filter(hashBucket(key, salt) < thr)
+  }
+
   /** Deterministic train/val/test assignment from disjoint bucket
     * ranges: [0, test) → "test", [test, test+val) → "val", rest →
     * "train". Keys are stable across runs, so examples never migrate

@@ -40,6 +40,13 @@ object CurationQueries {
         col("doc_id"),
         Curation.assignSplit(col("doc_id"), TestP, ValP, "split:").as("split"))),
 
+    // Stratified sampling: rebalance the en-heavy corpus — keep 10% of
+    // en, 50% of everything else, deterministically per doc_id.
+    "docs_stratified_sample" -> ((s, dir) =>
+      Curation.sampleStratified(Tables.documents(s, dir),
+        col("doc_id"), col("lang"), Map("en" -> 0.1), 0.5, "strat:")
+        .select("doc_id", "lang")),
+
     // Token-budget domain mixing: every source downsampled to the
     // smallest source's token total.
     "docs_domain_mix" -> ((s, dir) =>
@@ -210,6 +217,14 @@ object CurationQueries {
          |            WHEN ${hexBucketSql("doc_id", "split:")} < $t2 THEN 'val'
          |            ELSE 'train' END AS split
          |FROM documents""".stripMargin
+    },
+
+    "docs_stratified_sample" -> {
+      val enThr = math.floor(0.1 * Curation.HashBuckets).toLong
+      val defThr = math.floor(0.5 * Curation.HashBuckets).toLong
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${hexBucketSql("doc_id", "strat:")} <
+         |      CASE WHEN lang = 'en' THEN $enThr ELSE $defThr END""".stripMargin
     },
 
     "docs_domain_mix" ->
