@@ -25,9 +25,19 @@ object Envelopes {
       .when(eventType === "error", "d")
       .otherwise("u")
 
-  /** `(topic, key, value)` raw records synthesized from `events`. */
-  def fromEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = graft.Tables.events(spark, sfDir)
+  /** `(topic, key, value)` raw records synthesized from `events`.
+    *
+    * @param numPartitions spread the source rows before synthesis —
+    *   a real Kafka source arrives one partition per topic-partition,
+    *   but the fixture parquet is a single row group (one task); the
+    *   parallel-throughput bench entry passes the core count here so
+    *   synthesis + parse + route all scale, which is what a broker-fed
+    *   deployment sees. 0 = leave the scan's own partitioning.
+    */
+  def fromEvents(spark: SparkSession, sfDir: String,
+                 numPartitions: Int = 0): DataFrame = {
+    val raw = graft.Tables.events(spark, sfDir)
+    val ev = if (numPartitions > 0) raw.repartition(numPartitions) else raw
     ev.select(
       concat(lit("flink-"), ((col("event_id") % 2) + 1).cast("string")).as("topic"),
       col("event_id").cast("string").as("key"),

@@ -47,6 +47,19 @@ object CdcQueries {
     "cdc_route" -> ((s, dir) =>
       Pipeline.route(Envelopes.fromEvents(s, dir), rules)),
 
+    // R2-R5 under a multi-partition source — the shape a real Kafka
+    // source delivers (one task per topic-partition). Oracle-identical
+    // output proves routing is partition-invariant: no operator in the
+    // pipeline depends on row co-location or order. At this fixture
+    // size the repartition overhead ≈ the compute it parallelizes
+    // (cdc_route is already ~1.5× the reference's single-node msg/s on
+    // ONE task), so this entry is a correctness witness, not a speedup;
+    // at broker scale the same plan runs one task per Kafka partition
+    // with no repartition at all.
+    "cdc_route_par" -> ((s, dir) =>
+      Pipeline.route(
+        Envelopes.fromEvents(s, dir, s.sparkContext.defaultParallelism), rules)),
+
     // R4 (join formulation): same result via broadcast theta-join +
     // first-match row_number — the large-rule-set physical strategy.
     "cdc_route_join" -> ((s, dir) => {
@@ -121,6 +134,11 @@ object CdcQueries {
       s"$parsedCte SELECT topic, key, op, db, tbl FROM parsed WHERE op <> 'd'",
 
     "cdc_route" ->
+      s"""$parsedCte
+         |SELECT $routeCase AS target_topic, key, value
+         |FROM parsed WHERE op <> 'd' AND ($routeCase) IS NOT NULL""".stripMargin,
+
+    "cdc_route_par" ->
       s"""$parsedCte
          |SELECT $routeCase AS target_topic, key, value
          |FROM parsed WHERE op <> 'd' AND ($routeCase) IS NOT NULL""".stripMargin,
