@@ -59,6 +59,21 @@ class CurationSpec extends SparkSpec {
       s"g0 kept weight ${byGrp("g0")}, want ~1000")
   }
 
+  test("sampleStratified applies per-group fractions deterministically") {
+    val rows = ((0L until 1000L).map(i => (i, "en")) ++
+      (1000L until 2000L).map(i => (i, "de"))).toDF("id", "grp")
+    val kept = Curation.sampleStratified(rows, col("id"), col("grp"),
+      Map("en" -> 0.1), 0.5, "st:")
+    val byGrp = kept.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(byGrp("en") > 60 && byGrp("en") < 160, s"en kept ${byGrp("en")}")
+    assert(byGrp("de") > 420 && byGrp("de") < 580, s"de kept ${byGrp("de")}")
+    // deterministic: a second evaluation keeps the identical id set
+    val a = kept.select("id").as[Long].collect().sorted.toSeq
+    val b = Curation.sampleStratified(rows, col("id"), col("grp"),
+      Map("en" -> 0.1), 0.5, "st:").select("id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+
   test("weightBudgetMix fails fast on zero-weight and NULL groups") {
     val zeroGrp = ((0L until 10L).map(i => (i, "g0", 1L)) ++
       (10L until 20L).map(i => (i, "g1", 0L))).toDF("id", "grp", "w")
