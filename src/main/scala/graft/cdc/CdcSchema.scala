@@ -32,4 +32,9 @@ object CdcSchema {
     * fixture envelopes are JSON text; the pipeline never assumes more.)
     */
   final case class RawRecord(topic: String, key: String, value: String)
+
+  /** A routed record as it leaves the pipeline: resolved target topic,
+    * original key + value bytes (byte passthrough, R5).
+    */
+  final case class RoutedRecord(target_topic: String, key: String, value: String)
 }

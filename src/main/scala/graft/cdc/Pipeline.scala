@@ -36,6 +36,22 @@ object Pipeline {
       .select(col("target_topic"), col("key"), col("value"))
   }
 
+  /** Typed facade over [[route]]: `Dataset[RawRecord] →
+    * Dataset[RoutedRecord]` (SURVEY.md §1.5). The encoder boundary is
+    * free — `.as[T]` only re-tags the schema; the plan underneath is
+    * the same single codegen stage, so the typed API costs nothing at
+    * 100 TB. Use it where compile-time column safety matters (library
+    * consumers composing further typed transforms); the DataFrame form
+    * remains the engine-internal default.
+    */
+  def routeTyped(raw: org.apache.spark.sql.Dataset[CdcSchema.RawRecord],
+                 rules: Seq[TransformRule] = Routing.DefaultRules)
+      : org.apache.spark.sql.Dataset[CdcSchema.RoutedRecord] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    route(raw.toDF(), rules).as[CdcSchema.RoutedRecord]
+  }
+
   /** R6 analogue: consumed-event counts by (topic, db, tbl, op) — the
     * `flink_cdc_event_count` family (`reference/src/mq/mod.rs:55-59,91-100`),
     * incremented pre-filter (`kafka.rs:56-61`).

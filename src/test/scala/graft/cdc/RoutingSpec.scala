@@ -78,4 +78,13 @@ class RoutingSpec extends SparkSpec {
       Seq(TransformRule("o'brien", "d", "t.*", "out")), "topic", "db", "tbl")
     assert(sql.contains("'o''brien'"))
   }
+
+  test("typed facade routes identically to the DataFrame pipeline") {
+    val raw = graft.cdc.Envelopes.fromEvents(spark, sfDir)
+    val typed = Pipeline.routeTyped(raw.as[CdcSchema.RawRecord])
+      .collect().map(r => (r.target_topic, r.key, r.value)).toSet
+    val untyped = Pipeline.route(raw)
+      .as[(String, String, String)].collect().toSet
+    assert(typed == untyped && typed.nonEmpty)
+  }
 }
