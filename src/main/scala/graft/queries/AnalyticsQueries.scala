@@ -161,6 +161,18 @@ object AnalyticsQueries {
         .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"))
     }),
 
+    // HLL distinct-user sketch per event type (E28 as a query entry).
+    // No oracle: the estimate is not SQL-reproducible — the driver
+    // records the weaker rows-only check, and SketchesSpec pins the
+    // error against exact counts. 2 KiB of registers per group flow
+    // through a mergeable typed Aggregator: the 100 TB shape, where
+    // count(DISTINCT) would shuffle every user id.
+    "events_hll_users" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(graft.ext.Sketches.hllDistinct(xxhash64(col("user_id")))
+          .as("approx_users"))),
+
     // Partitioned write → partition-pruned read-back: documents laid
     // out by lang, then scanned with a partition-key predicate. The
     // read plan prunes to the lang=en directory (PartitionFilters, see
