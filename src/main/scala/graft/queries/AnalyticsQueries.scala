@@ -120,12 +120,14 @@ object AnalyticsQueries {
     // Array functions over a grouped collect: per-user sorted distinct
     // event-type array, then size / membership / join — the
     // collect_set is the only shuffle; everything after is a narrow
-    // codegen projection over the array.
+    // codegen projection over the array. The output carries the array
+    // only in joined (CSV) form: the driver's comparator hashes cell
+    // values, and raw arrays aren't hashable there.
     "events_type_arrays" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy("user_id")
         .agg(sort_array(collect_set(col("event_type"))).as("types"))
-        .select(col("user_id"), col("types"),
+        .select(col("user_id"),
           size(col("types")).cast("long").as("n_types"),
           array_contains(col("types"), "purchase").as("has_purchase"),
           array_join(col("types"), ",").as("types_csv"))),
@@ -136,13 +138,15 @@ object AnalyticsQueries {
     // in the final aggregate. At 100 TB posting lists for stopword-ish
     // tokens get large — production would cap or delta-encode them;
     // the df floor models the "don't index hapax noise" side.
+    // Posting lists ship as a comma-joined string of sorted doc ids —
+    // same information, but hashable by the driver's comparator.
     "docs_inverted_index" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
         .distinct()
         .groupBy("token")
         .agg(count(lit(1)).as("df"),
-          sort_array(collect_list(col("doc_id"))).as("postings"))
+          array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings"))
         .filter(col("df") >= MinDf)),
 
     // Duplicate-cluster resolution: near-dup pairs → connected
@@ -172,6 +176,21 @@ object AnalyticsQueries {
         .groupBy("event_type")
         .agg(graft.ext.Sketches.hllDistinct(xxhash64(col("user_id")))
           .as("approx_users"))),
+
+    // Machine-checked companion to the sketch above: the estimate
+    // itself is not SQL-reproducible, but its error bound is. Spark
+    // computes both exact and sketched distinct counts and emits the
+    // tolerance verdict; DuckDB reproduces the exact count and the
+    // literal `true` — a hash-matched row iff the sketch is within 5%
+    // on every group (p=11 gives ~2.3% expected error).
+    "events_hll_check" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          graft.ext.Sketches.hllDistinct(xxhash64(col("user_id"))).as("est"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("est") - col("exact_users")) / col("exact_users") < 0.05)
+            .as("within_tol"))),
 
     // Partitioned write → partition-pruned read-back: documents laid
     // out by lang, then scanned with a partition-key predicate. The
@@ -260,7 +279,7 @@ object AnalyticsQueries {
     "events_type_arrays" ->
       """WITH t AS (SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
         |           FROM events GROUP BY user_id)
-        |SELECT user_id, types,
+        |SELECT user_id,
         |       CAST(len(types) AS BIGINT) AS n_types,
         |       list_contains(types, 'purchase') AS has_purchase,
         |       array_to_string(types, ',') AS types_csv
@@ -270,7 +289,8 @@ object AnalyticsQueries {
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
          |             FROM documents),
          |t AS (SELECT DISTINCT doc_id, token FROM tok)
-         |SELECT token, count(*) AS df, list_sort(list(doc_id)) AS postings
+         |SELECT token, count(*) AS df,
+         |       array_to_string(list_sort(list(doc_id)), ',') AS postings
          |FROM t GROUP BY token HAVING count(*) >= $MinDf""".stripMargin,
 
     // True components via recursive reachability: min reachable id ==
@@ -288,6 +308,11 @@ object AnalyticsQueries {
          |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
          |SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin,
+
+    "events_hll_check" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |       true AS within_tol
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "docs_partitioned_scan" ->
       """SELECT doc_id, source, lang FROM documents WHERE lang = 'en'""")
