@@ -53,6 +53,45 @@ object Multimodal {
         octet_length(encode(col("text"), "UTF-8")).cast("long").as("nBytes"),
         lit(0).as("width"), lit(0).as("height")).as("meta"))
 
+  /** Deterministic media fixtures with REAL container headers: each doc
+    * becomes a PNG / JPEG / GIF (by `doc_id % 3`) whose header encodes
+    * pixel dimensions derived from `n_chars`, followed by the text bytes
+    * as opaque payload. The headers are byte-exact per spec — PNG IHDR
+    * (big-endian u32 dims), JPEG JFIF APP0 + SOF0 segments (big-endian
+    * u16, found only by walking the segment list), GIF89a logical screen
+    * descriptor (little-endian u16) — so a real parser must get offsets,
+    * endianness, and segment traversal right to recover them. Byte
+    * packing is done with hex-string slicing (`lpad(hex(..))`/`unhex`),
+    * an independent formulation from the shift-based reads in
+    * [[graft.functions.MediaDimsImpl]], so a mirrored endianness bug
+    * cannot cancel out.
+    */
+  def fixtureMedia(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    val w = (col("n_chars") % 317 + 16).cast("int")
+    val h = (col("n_chars") % 211 + 16).cast("int")
+    def be4(c: Column) = unhex(lpad(hex(c), 8, "0"))
+    def be2(c: Column) = unhex(lpad(hex(c), 4, "0"))
+    def le2(c: Column) = {
+      val hx = lpad(hex(c), 4, "0")
+      unhex(concat(substring(hx, 3, 2), substring(hx, 1, 2)))
+    }
+    val payload = encode(col("text"), "UTF-8")
+    val png = concat( // signature + IHDR(len=13): w, h, depth/color/trailer
+      unhex(lit("89504E470D0A1A0A0000000D49484452")),
+      be4(w), be4(h), unhex(lit("0806000000")), payload)
+    val jpeg = concat( // SOI + APP0/JFIF(len=16) + SOF0(len=17): 8-bit, h, w, 3 components
+      unhex(lit("FFD8FFE000104A46494600010100000100010000FFC0001108")),
+      be2(h), be2(w), unhex(lit("03012200021101031101")), payload)
+    val gif = concat( // GIF89a + logical screen descriptor (LE w, h)
+      unhex(lit("474946383961")), le2(w), le2(h), unhex(lit("F70000")), payload)
+    docs.select(
+      col("doc_id").as("id"),
+      when(col("doc_id") % 3 === 0, png)
+        .when(col("doc_id") % 3 === 1, jpeg)
+        .otherwise(gif).as("content"))
+  }
+
   /** Metadata/sniffing projection — never touches more than the first 4
     * content bytes plus the metadata struct (columnar pruning does the
     * rest). Output: (id, n_bytes, magic_hex, sniffed, claimed).

@@ -21,6 +21,20 @@ object MultimodalQueries {
     "mm_metadata" -> ((s, dir) =>
       Multimodal.metadata(Multimodal.fromDocuments(Tables.documents(s, dir)))),
 
+    // Header-parse decode: real PNG/JPEG/GIF headers synthesized with
+    // dims derived from doc columns, then parsed back by the native
+    // media_dims expression (graft.functions.MediaDims — IHDR read,
+    // JPEG segment walk to SOF, GIF screen descriptor). The oracle
+    // reproduces the expected dimensions from the source columns, so a
+    // wrong offset, endianness, or segment skip breaks the hash match.
+    "mm_dims" -> ((s, dir) => {
+      val mm = Multimodal.fixtureMedia(Tables.documents(s, dir))
+      mm.select(col("id"), graft.functions.MediaDims(col("content")).as("d"))
+        .select(col("id"), col("d.format").as("format"),
+          col("d.width").cast("long").as("width"),
+          col("d.height").cast("long").as("height"))
+    }),
+
     // Content checksum + size: the dedup join key for binary assets
     // (the multimodal analogue of docs_dedup_exact).
     "mm_checksum_dedup" -> ((s, dir) => {
@@ -53,5 +67,13 @@ object MultimodalQueries {
     "mm_checksum_dedup" ->
       """SELECT min(doc_id) AS id, octet_length(encode(text)) AS n_bytes,
         |       count(*) AS n_copies
-        |FROM documents GROUP BY md5(text), octet_length(encode(text))""".stripMargin)
+        |FROM documents GROUP BY md5(text), octet_length(encode(text))""".stripMargin,
+
+    "mm_dims" ->
+      """SELECT doc_id AS id,
+        |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+        |            WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+        |       CAST(16 + n_chars % 317 AS BIGINT) AS width,
+        |       CAST(16 + n_chars % 211 AS BIGINT) AS height
+        |FROM documents""".stripMargin)
 }
