@@ -43,7 +43,17 @@ object WindowQueries {
         .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n"))
         .select(col("session_window.start").as("s_start"),
-          col("session_window.end").as("s_end"), col("user_id"), col("n"))))
+          col("session_window.end").as("s_end"), col("user_id"), col("n"))),
+
+    // Finalized-horizon dedup — the deterministic batch twin of the
+    // streaming dropDuplicatesWithinWatermark tier (E52): earliest
+    // event per (user, type) within each 15-minute horizon bucket,
+    // ties broken by event_id. StreamingSpec pins stream ≡ twin on
+    // bucket-local duplicates; this row hash-checks the twin itself.
+    "events_dedup_horizon" -> ((s, dir) =>
+      graft.streaming.StreamingPipeline.horizonDedupBatch(
+          Tables.events(s, dir).select("event_id", "ts", "user_id", "event_type"),
+          Seq("user_id", "event_type"), "ts", "15 minutes", "event_id")))
 
   val oracles: Map[String, String] = Map(
     "events_window_tumbling" ->
@@ -80,5 +90,15 @@ object WindowQueries {
         |      FROM m)
         |SELECT min(ts) AS s_start, max(ts) + INTERVAL '5 minutes' AS s_end,
         |       user_id, count(*) AS n
-        |FROM g GROUP BY user_id, sid""".stripMargin)
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+
+    "events_dedup_horizon" ->
+      """WITH r AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+        |         row_number() OVER (
+        |           PARTITION BY user_id, event_type,
+        |             time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+        |           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events)
+        |SELECT event_id, ts, user_id, event_type FROM r WHERE rn = 1""".stripMargin)
 }

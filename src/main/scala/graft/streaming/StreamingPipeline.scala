@@ -140,6 +140,32 @@ object StreamingPipeline {
                            lateness: String): DataFrame =
     df.withWatermark(tsCol, lateness).dropDuplicatesWithinWatermark(keys)
 
+  /** Deterministic batch twin of [[dedupWithinWatermark]]: finalized-
+    * horizon dedup — the earliest row (ties broken by `tieCol`) per key
+    * within each epoch-aligned tumbling `horizon` bucket survives.
+    *
+    * The streaming operator's contract is arrival-order-dependent at
+    * the margins (duplicates farther apart than the lateness may both
+    * survive, depending on watermark progress); a batch twin needs a
+    * canonical, input-determined rule, and horizon bucketing is the
+    * finalized outcome: every kept pair of same-key rows is in distinct
+    * buckets. StreamingSpec asserts stream ≡ twin on inputs whose
+    * duplicates don't straddle a bucket boundary; the oracle checks the
+    * twin exactly. Shape: `min_by` aggregation on (keys, bucket), not a
+    * `row_number` window — the aggregate combines map-side, so only one
+    * candidate row per group per task crosses the shuffle; a window
+    * formulation would shuffle and sort every input row. At 100 TB this
+    * is the standard "first event per user per window" reduction.
+    */
+  def horizonDedupBatch(df: DataFrame, keys: Seq[String], tsCol: String,
+                        horizon: String, tieCol: String): DataFrame = {
+    val bucket = window(col(tsCol), horizon).getField("start")
+    val payload = struct(df.columns.map(col): _*)
+    df.groupBy(keys.map(col) :+ bucket.as("__bucket"): _*)
+      .agg(min_by(payload, struct(col(tsCol), col(tieCol))).as("__first"))
+      .select(df.columns.map(c => col(s"__first.$c")): _*)
+  }
+
   /** Stream-static enrichment: per micro-batch join of the stream
     * against a static dimension table. Stateless — no watermark, no
     * state store; the static side is broadcast (small dims), so each

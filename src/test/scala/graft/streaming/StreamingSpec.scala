@@ -98,6 +98,40 @@ class StreamingSpec extends SparkSpec {
     assert(out == Seq("a", "b", "c"))
   }
 
+  test("horizonDedupBatch twin equals the streaming dedup when state finalizes") {
+    // The twin and dropDuplicatesWithinWatermark provably agree when
+    // (a) a key's duplicates are bucket-local and (b) cross-bucket
+    // repeats arrive after the watermark evicted the earlier state.
+    // Batch 2's lone late-hour event exists to advance the watermark
+    // past every batch-1 key's expiry before batch 3 replays them.
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val rows = Seq(
+      (1L, "a", t(10, 0)), (2L, "a", t(10, 1)), (3L, "b", t(10, 2)),
+      (4L, "a", t(10, 5)), (5L, "c", t(10, 6)), // batch 1: dups inside 10:00 bucket
+      (6L, "d", t(11, 30)),                     // batch 2: watermark → 11:00
+      (7L, "a", t(11, 10)), (8L, "c", t(11, 40))) // batch 3: state evicted, kept
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingPipeline.dedupWithinWatermark(
+        stream.toDF().toDF("id", "k", "ts"), Seq("k"), "ts", "30 minutes")
+      .writeStream.format("memory").queryName("dedup_wm_twin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(rows.take(5))
+      q.processAllAvailable()
+      stream.addData(rows(5))
+      q.processAllAvailable()
+      stream.addData(rows.drop(6))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("dedup_wm_twin")
+      .as[(Long, String, java.sql.Timestamp)].collect().toSet
+    val twin = StreamingPipeline.horizonDedupBatch(
+        rows.toDF("id", "k", "ts"), Seq("k"), "ts", "30 minutes", "id")
+      .as[(Long, String, java.sql.Timestamp)].collect().toSet
+    assert(twin == streamed)
+    assert(twin.map(_._1) == Set(1L, 3L, 5L, 6L, 7L, 8L))
+  }
+
   test("stream-static enrich equals the batch join and stays stateless") {
     val dim = Seq(("click", 1L), ("purchase", 10L)).toDF("event_type", "weight")
     val rows = Seq((1L, "click"), (2L, "purchase"), (3L, "click"), (4L, "view"))
