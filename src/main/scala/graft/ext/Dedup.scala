@@ -152,6 +152,39 @@ object Dedup {
     minhashBandsFromRows(
       docs.select(col(idCol).as("id"), explode(col(shinglesCol)).as("x")))
 
+  /** One-permutation-hashing twin of [[minhashBandsFromRows]] (the
+    * composable form of the native kernel's `oph = true` mode, kept for
+    * A/B pinning — MinHashOphSpec): ONE `xxhash64` per shingle, whose
+    * top 5 bits pick the signature bin and low 32 bits compete for that
+    * bin's minimum — 32 conditional-min primitive buffers instead of 32
+    * re-hashes per shingle. Empty bins densify by borrowing the next
+    * non-empty bin cyclically (the coalesce chain), matching the kernel
+    * exactly.
+    */
+  def minhashSigOphFromRows(rows: DataFrame): DataFrame = {
+    val base = xxhash64(col("x"))
+    val hashed = rows.select(col("id"),
+      shiftrightunsigned(base, 59).cast("int").as("bin"),
+      base.bitwiseAND(lit(0xffffffffL)).as("chunk"))
+    val aggs = (0 until NumPerms).map(p =>
+      min(when(col("bin") === p, col("chunk"))).as(s"m_$p"))
+    val sig = hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val dense = (0 until NumPerms).map { p =>
+      coalesce((0 until NumPerms).map(q => col(s"m_${(p + q) % NumPerms}")): _*)
+    }
+    sig.select(col("id"), array(dense: _*).as("sig"))
+  }
+
+  /** Band strings derived from [[minhashSigOphFromRows]]'s signature. */
+  def minhashBandsOphFromRows(rows: DataFrame): DataFrame = {
+    val s = minhashSigOphFromRows(rows)
+    val bands = array((0 until NumBands).map { b =>
+      concat_ws("|",
+        (0 until RowsPerBand).map(r => col("sig").getItem(b * RowsPerBand + r)): _*)
+    }: _*)
+    s.select(col("id"), bands.as("bands"))
+  }
+
   /** Candidate pairs from band buckets, in ONE pass over the signature:
     * explode (band_idx, band_hash), group each bucket's member ids with
     * `collect_list`, and emit every unordered in-bucket pair (id_a <
@@ -189,6 +222,53 @@ object Dedup {
       .select(explode(pairs).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
+  }
+
+  /** [[lshCandidates]] over a raw 32-bin OPH signature column
+    * (array<long>, from [[graft.functions.MinHashSig]]), with an
+    * agreement prefilter: band keys are derived from the signature
+    * in-plan, buckets carry (id, sig) structs, and an in-bucket pair is
+    * emitted only when ≥ `minAgree` of the 32 bins agree. Per-bin
+    * collision probability ≈ the pair's true Jaccard, so
+    * `minAgree = threshold × 32` is the sketch-side estimate of the
+    * verify threshold: it discards the (dominant, by construction)
+    * false candidates before the expensive exact-Jaccard verification
+    * ever shingles their documents. Probabilistic-recall caveat: a pair
+    * NEAR the threshold can be prefiltered despite true J ≥ threshold —
+    * the same caveat 8×4 banding itself already carries (miss
+    * probability 0.6 at J = 0.5!); both rest on the corpus similarity
+    * gap that LshRecallInvariantSpec asserts (pairs ≥ 0.9 or < 0.3,
+    * where both filters are ~lossless). Verification stays exact, so
+    * false positives remain impossible.
+    */
+  def lshCandidatesSig(df: DataFrame, idCol: String, sigCol: Column,
+                       minAgree: Int): DataFrame = {
+    val bands = array((0 until NumBands).map { b =>
+      concat_ws("|",
+        (0 until RowsPerBand).map(r => sigCol.getItem(b * RowsPerBand + r)): _*)
+    }: _*)
+    val e = df.select(
+      struct(col(idCol).as("id"), sigCol.as("sig")).as("rec"),
+      posexplode(bands).as(Seq("band_idx", "band_hash")))
+    val buckets = e.groupBy(col("band_idx"), col("band_hash"))
+      .agg(sort_array(collect_list(col("rec"))).as("recs"))
+      .filter(size(col("recs")) > 1)
+      .withColumn("recs", slice(col("recs"), 1, MaxBucketSize))
+    // agreement = Σ 1[sig_a(i) == sig_b(i)] — HOF-interpreted, but only
+    // over in-bucket pairs (LSH-sparse), never the corpus.
+    def agree(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v)
+    val pairs = flatten(transform(col("recs"), (a, i) =>
+      transform(slice(col("recs"), i + 2, size(col("recs"))),
+        b => struct(a.getField("id").as("id_a"), b.getField("id").as("id_b"),
+          agree(a.getField("sig"), b.getField("sig")).as("agree")))))
+    buckets
+      .select(explode(pairs).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.agree"))
+      .distinct()
+      .filter(col("agree") >= minAgree)
+      .select(col("id_a"), col("id_b"))
   }
 
   /** Exact Jaccard similarity of two pre-distinct shingle arrays. */
@@ -301,12 +381,18 @@ object Dedup {
     val cores = docs.sparkSession.sparkContext.defaultParallelism
     val src = if (docs.rdd.getNumPartitions < math.max(cores / 2, 2))
       docs.repartition(cores) else docs
-    val bands = src.select(col(idColName).as("id"),
-      graft.functions.MinHashBands(col(textColName), n, word).as("bands"))
+    // OPH signature: one hash + one compare per shingle window (vs 32
+    // hashLong folds), and the raw bins feed the agreement prefilter in
+    // lshCandidatesSig — candidates remain exact-Jaccard verified, so
+    // the scheme only affects recall, which the fixture's similarity
+    // gap + MinHashOphSpec keep guarded.
+    val sigs = src.select(col(idColName).as("id"),
+      graft.functions.MinHashSig(col(textColName), n, word).as("sig"))
     val shingler: DataFrame => DataFrame =
       if (word) d => wordShingleRows(d, col(idColName), col(textColName), n)
       else d => charShingleRows(d, col(idColName), col(textColName), n)
-    verifyCandidates(lshCandidates(bands, "id", col("bands")),
+    val minAgree = math.ceil(threshold * NumPerms).toInt
+    verifyCandidates(lshCandidatesSig(sigs, "id", col("sig"), minAgree),
       docs, idColName, shingler, threshold)
   }
 

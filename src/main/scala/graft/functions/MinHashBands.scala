@@ -45,7 +45,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *    joins reproduce the original bytes. Fewer than n tokens yields
   *    the whole text.
   */
-case class MinHashBands(child: Expression, n: Int, word: Boolean)
+case class MinHashBands(child: Expression, n: Int, word: Boolean,
+                        oph: Boolean = false)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -59,20 +60,58 @@ case class MinHashBands(child: Expression, n: Int, word: Boolean)
   override def prettyName: String = "minhash_bands"
 
   override def nullSafeEval(s: Any): Any =
-    MinHashImpl.bands(s.asInstanceOf[UTF8String], n, word)
+    MinHashImpl.bands(s.asInstanceOf[UTF8String], n, word, oph)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.MinHashImpl.bands($c, $n, $word);")
+      s"${ev.value} = graft.functions.MinHashImpl.bands($c, $n, $word, $oph);")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashBands =
     copy(child = newChild)
 }
 
 object MinHashBands {
+  /** Column-level entry points. */
+  def apply(text: Column, n: Int, word: Boolean): Column =
+    apply(text, n, word, oph = false)
+  def apply(text: Column, n: Int, word: Boolean, oph: Boolean): Column =
+    GraftBridge.column(MinHashBands(GraftBridge.expression(text), n, word, oph))
+}
+
+/** The raw densified OPH signature (32 longs) instead of band strings:
+  * lets consumers derive band keys AND compare per-bin values — the
+  * agreement prefilter in [[graft.ext.Dedup.lshCandidatesSig]] needs
+  * both from one scan-side projection.
+  */
+case class MinHashSig(child: Expression, n: Int, word: Boolean)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires a string input, got ${t.sql}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(s: Any): Any =
+    MinHashImpl.sigArray(s.asInstanceOf[UTF8String], n, word)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashImpl.sigArray($c, $n, $word);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
   /** Column-level entry point. */
   def apply(text: Column, n: Int, word: Boolean): Column =
-    GraftBridge.column(MinHashBands(GraftBridge.expression(text), n, word))
+    GraftBridge.column(MinHashSig(GraftBridge.expression(text), n, word))
 }
 
 /** Static kernel (separate object so generated Java gets a static
@@ -89,7 +128,47 @@ object MinHashImpl {
   private val PermSeeds: Array[Long] =
     Array.tabulate(NumPerms)(p => XXH64.hashInt(p, 42L))
 
-  def bands(text: UTF8String, n: Int, word: Boolean): ArrayData = {
+  def bands(text: UTF8String, n: Int, word: Boolean): ArrayData =
+    bands(text, n, word, oph = false)
+
+  /** `oph = true` selects one-permutation hashing: instead of folding
+    * all 32 permutation minima per shingle (32 `hashLong` calls), the
+    * single shingle hash's top 5 bits pick ONE of the 32 signature bins
+    * and its low 32 bits compete for that bin's minimum — one hash and
+    * one compare per shingle, a 32× cut in fold work. Empty bins are
+    * densified by borrowing the next non-empty bin's value (cyclic,
+    * ascending — Shrivastava & Li's densified OPH), so every band key
+    * is always defined. Per-bin collision probability for two J-similar
+    * shingle sets is ≈ J, so the 8×4 banding recall analysis is
+    * unchanged. This is the 100 TB default for candidate generation;
+    * the 32-permutation chain remains for A/B pinning
+    * ([[graft.ext.Dedup.minhashBandsFromRows]] vs
+    * [[graft.ext.Dedup.minhashBandsOphFromRows]]).
+    */
+  def bands(text: UTF8String, n: Int, word: Boolean, oph: Boolean): ArrayData = {
+    val mins = signature(text, n, word, oph)
+    val out = new Array[UTF8String](NumBands)
+    val sb = new java.lang.StringBuilder(48)
+    var bIdx = 0
+    while (bIdx < NumBands) {
+      sb.setLength(0)
+      var r = 0
+      while (r < RowsPerBand) {
+        if (r > 0) sb.append('|')
+        sb.append(mins(bIdx * RowsPerBand + r))
+        r += 1
+      }
+      out(bIdx) = UTF8String.fromString(sb.toString)
+      bIdx += 1
+    }
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+
+  /** The raw 32-element signature (densified when `oph`): exposed for
+    * [[MinHashSig]], whose consumers need per-bin values (band derivation
+    * AND pair-agreement prefiltering) rather than opaque band strings.
+    */
+  def signature(text: UTF8String, n: Int, word: Boolean, oph: Boolean): Array[Long] = {
     val base = text.getBaseObject
     val off = text.getBaseOffset
     val len = text.numBytes
@@ -118,11 +197,11 @@ object MinHashImpl {
         i += 1
       }
       if (nTok < n) {
-        foldWindow(base, off, 0, len, mins); windows = 1
+        foldWindow(base, off, 0, len, mins, oph); windows = 1
       } else {
         var w = 0
         while (w <= nTok - n) {
-          foldWindow(base, off, starts(w), ends(w + n - 1), mins)
+          foldWindow(base, off, starts(w), ends(w + n - 1), mins, oph)
           w += 1
         }
         windows = nTok - n + 1
@@ -132,7 +211,7 @@ object MinHashImpl {
       // of char i, with a trailing sentinel at len
       val nChars = text.numChars()
       if (nChars < n) {
-        foldWindow(base, off, 0, len, mins); windows = 1
+        foldWindow(base, off, 0, len, mins, oph); windows = 1
       } else {
         val charOff = new Array[Int](nChars + 1)
         var i = 0
@@ -145,7 +224,7 @@ object MinHashImpl {
         charOff(nChars) = len
         var w = 0
         while (w <= nChars - n) {
-          foldWindow(base, off, charOff(w), charOff(w + n), mins)
+          foldWindow(base, off, charOff(w), charOff(w + n), mins, oph)
           w += 1
         }
         windows = nChars - n + 1
@@ -153,34 +232,52 @@ object MinHashImpl {
     }
     require(windows > 0)
 
-    val out = new Array[UTF8String](NumBands)
-    val sb = new java.lang.StringBuilder(48)
-    var bIdx = 0
-    while (bIdx < NumBands) {
-      sb.setLength(0)
-      var r = 0
-      while (r < RowsPerBand) {
-        if (r > 0) sb.append('|')
-        sb.append(mins(bIdx * RowsPerBand + r))
-        r += 1
+    if (oph) {
+      // Densification: an empty bin borrows the value of the next
+      // non-empty bin (cyclic ascending scan). At least one bin is
+      // non-empty (windows > 0), so the scan always terminates. Must
+      // stay in lockstep with Dedup.minhashBandsOphFromRows' coalesce
+      // chain — pinned by MinHashOphSpec.
+      val dense = new Array[Long](NumPerms)
+      var p = 0
+      while (p < NumPerms) {
+        var v = mins(p)
+        var q = 1
+        while (v == Long.MaxValue) {
+          v = mins((p + q) & (NumPerms - 1))
+          q += 1
+        }
+        dense(p) = v
+        p += 1
       }
-      out(bIdx) = UTF8String.fromString(sb.toString)
-      bIdx += 1
+      System.arraycopy(dense, 0, mins, 0, NumPerms)
     }
-    new GenericArrayData(out.asInstanceOf[Array[Any]])
+    mins
   }
 
-  /** Hash bytes [start, end) once, fold its 32 permutation chunks into
-    * the running minima.
+  /** Boxed-array adapter for the [[MinHashSig]] expression. */
+  def sigArray(text: UTF8String, n: Int, word: Boolean): ArrayData =
+    new GenericArrayData(signature(text, n, word, oph = true))
+
+  /** Hash bytes [start, end) once; then either fold all 32 permutation
+    * chunks into the running minima (classic), or — OPH — route the one
+    * hash to the bin its top 5 bits select and update only that bin's
+    * minimum from its low 32 bits.
     */
   private def foldWindow(base: AnyRef, off: Long, start: Int, end: Int,
-                         mins: Array[Long]): Unit = {
+                         mins: Array[Long], oph: Boolean): Unit = {
     val h0 = XXH64.hashUnsafeBytes(base, off + start, end - start, 42L)
-    var p = 0
-    while (p < NumPerms) {
-      val chunk = (XXH64.hashLong(h0, PermSeeds(p)) >>> 32) & 0xffffffffL
-      if (chunk < mins(p)) mins(p) = chunk
-      p += 1
+    if (oph) {
+      val bin = (h0 >>> 59).toInt
+      val chunk = h0 & 0xffffffffL
+      if (chunk < mins(bin)) mins(bin) = chunk
+    } else {
+      var p = 0
+      while (p < NumPerms) {
+        val chunk = (XXH64.hashLong(h0, PermSeeds(p)) >>> 32) & 0xffffffffL
+        if (chunk < mins(p)) mins(p) = chunk
+        p += 1
+      }
     }
   }
 }
