@@ -45,10 +45,12 @@ object Clusters {
     // direction branches below (and every propagation round) would
     // otherwise each re-evaluate whatever pipeline produced the edges —
     // here typically the full LSH near-dup pass. Eager localCheckpoint
-    // trades lineage for that guarantee; the edge set is tiny, and an
-    // executor-loss recompute at cluster scale would re-run the
-    // upstream job once, not fail silently. (At 100 TB with flaky
-    // fleets, swap for a reliable checkpoint dir.)
+    // trades lineage for that guarantee; the edge set is tiny. The
+    // trade's cost: checkpoint blocks have no lineage, so losing an
+    // executor that holds them FAILS the query loudly (it does not
+    // silently recompute) — retry at the application level, or at
+    // 100 TB with flaky fleets use a reliable checkpoint dir on
+    // fault-tolerant storage instead.
     val e = edges.select(col(idA).as("src"), col(idB).as("dst"))
       .localCheckpoint()
     val adj = e

@@ -310,11 +310,12 @@ object Dedup {
     // the final pair join) — Spark does not share non-exchanged
     // subplans, so without materialization every consumer would re-run
     // the corpus-wide minhash pass. The pair set is tiny by LSH
-    // construction, so persist it; lineage is kept (unlike a
-    // localCheckpoint), so a lost cache block recomputes instead of
-    // failing the job on a 1000-executor cluster.
+    // construction; lazy localCheckpoint (not persist) materializes it
+    // once while letting the ContextCleaner reclaim the blocks when the
+    // plan is garbage-collected — a bare persist with no unpersist call
+    // leaks one cache entry per invocation for the session's lifetime.
     val cands = lshCandidates(minhashBandsFromRows(rows), "id", col("bands"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     // Both pair endpoints in ONE pass over cands (not a union of two
     // selects, which would be two more scans of the cached set).
     val candDocs = cands
@@ -406,8 +407,10 @@ object Dedup {
     * and vanish when the query's plan is garbage-collected, where a
     * `persist` with no reachable handle would pin cache for the session
     * lifetime (one leaked entry per near-dup call). Cost of the trade:
-    * lineage truncation — an executor loss re-runs the (cheap,
-    * LSH-sparse) upstream job instead of recomputing partitions.
+    * lineage truncation — losing an executor that holds checkpoint
+    * blocks FAILS the query (no lineage to recompute from); the retry
+    * belongs at the application level. On a flaky large cluster, swap
+    * for a reliable `checkpoint()` against fault-tolerant storage.
     */
   private def verifyCandidates(candidates: DataFrame, docs: DataFrame,
                                idColName: String, shingler: DataFrame => DataFrame,

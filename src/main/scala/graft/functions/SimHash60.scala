@@ -26,6 +26,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * lets the kernel read the 16 raw bytes instead of formatting hex.
   * The DuckDB oracle reproduces the same fingerprint from `md5()`
   * hex, so this value is oracle-checked end to end.
+  *
+  * NULL contract (pinned by SimHash60Spec): NULL text evaluates to a
+  * NULL fingerprint — the document row SURVIVES with a NULL value.
+  * The aggregate form instead drops the document entirely (exploding a
+  * NULL token array emits no rows), so callers on nullable text must
+  * filter NULLs before choosing either formulation, or the two produce
+  * different row counts.
   */
 case class SimHash60(child: Expression) extends UnaryExpression {
 

@@ -198,7 +198,7 @@ object AnalyticsQueries {
     // PartitionedScanSpec) — the layout that turns a 100 TB corpus
     // scan into a per-language slice read.
     "docs_partitioned_scan" -> ((s, dir) => {
-      val out = Materialize.once(s"part_docs:$dir") { p =>
+      val out = Materialize.once(s"part_docs:$dir", dir) { p =>
         Tables.documents(s, dir)
           .write.mode("overwrite").partitionBy("lang").parquet(p)
       }

@@ -65,9 +65,11 @@ object CurationQueries {
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
         // tf feeds BOTH the document-frequency agg and the score join —
-        // persist, or the explode+agg subplan runs twice (the Dedup
-        // lesson, VERDICT r02 #2)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // materialize, or the explode+agg subplan runs twice (the Dedup
+        // lesson, VERDICT r02 #2). Lazy localCheckpoint, not persist:
+        // ContextCleaner reclaims the blocks when the plan is GC'd,
+        // where an unpersist-less persist leaks one cache entry per call.
+        .localCheckpoint(false)
       val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val scored = tf.join(dfreq, "token")
         .withColumn("tfidf",
@@ -154,7 +156,7 @@ object CurationQueries {
   /** PMI collocation scoring over corpus bigrams: pointwise mutual
     * information log(p(ab) / (p(a)·p(b))) for every bigram with count
     * ≥ [[MinBigramCount]]. Token and pair totals are two bounded
-    * scalar actions over the persisted token table (the [[Curation]]
+    * scalar actions over the materialized token table (the [[Curation]]
     * driver-scalar pattern); the arithmetic shape is kept identical in
     * the oracle so the rounded doubles agree bit-for-bit.
     */
@@ -162,11 +164,12 @@ object CurationQueries {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"),
         posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "token")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // lazy localCheckpoint (see docs_tfidf_top): reclaimable, no leak
+      .localCheckpoint(false)
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val pairs = toks.withColumn("next", lead("token", 1).over(w))
       .filter(col("next").isNotNull).select("token", "next")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val totalTokens = toks.count().toDouble
     val totalPairs = pairs.count().toDouble
     val bi = pairs.groupBy("token", "next").agg(count(lit(1)).as("n_ab"))

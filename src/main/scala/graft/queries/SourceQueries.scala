@@ -20,7 +20,7 @@ object SourceQueries {
     // round-trips comment text containing delimiters.
     "rel_nation_csv" -> ((s, dir) => {
       val nat = Tables.nation(s, dir)
-      val out = Materialize.once(s"nation_csv:$dir") { p =>
+      val out = Materialize.once(s"nation_csv:$dir", dir) { p =>
         nat.write.mode("overwrite").option("header", "true").csv(p)
       }
       s.read.schema(nat.schema).option("header", "true").csv(out)
@@ -35,7 +35,7 @@ object SourceQueries {
     // prunes parsing to those fields — same projection-only-decode
     // idea as the CDC envelope parse (R2).
     "docs_json_scan" -> ((s, dir) => {
-      val out = Materialize.once(s"docs_json:$dir") { p =>
+      val out = Materialize.once(s"docs_json:$dir", dir) { p =>
         Tables.documents(s, dir).write.mode("overwrite").json(p)
       }
       s.read.schema("doc_id LONG, lang STRING, text STRING").json(out)

@@ -44,6 +44,21 @@ class SimHash60Spec extends SparkSpec {
     abCheck(texts)
   }
 
+  test("NULL text: expression keeps the row with a NULL fingerprint, " +
+      "aggregate drops it — the documented divergence") {
+    val df = Seq((0L, Some("real text")), (1L, None))
+      .toDF("id", "text")
+    val native = df.select(col("id"), SimHash60(col("text")).as("sh"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(native.keySet == Set(0L, 1L) && native(1L).isEmpty
+      && native(0L).nonEmpty)
+    val viaAgg = Dedup.simhashAgg(
+        df.select(col("id"), split(col("text"), " ").as("toks")), "id", "toks")
+      .as[(Long, Long)].collect().toMap
+    assert(viaAgg.keySet == Set(0L), "aggregate form must drop NULL-text docs")
+    assert(native(0L).contains(viaAgg(0L)))
+  }
+
   test("fingerprints sit in the non-negative 60-bit range") {
     val sh = Tables.documents(spark, sfDir)
       .select(SimHash60(col("text")).as("sh")).as[Long].collect()
