@@ -30,8 +30,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cast a float array column to double for stable arithmetic. */
-  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  /** Cast a float array column to double for stable arithmetic. Native
+    * `Cast` (codegen'd element loop), not `transform(_, cast)`: the HOF
+    * evaluates interpreted per row, and float→double widening is exact,
+    * so the two produce identical doubles — this is a pure plan win.
+    */
+  def toDouble(v: Column): Column = v.cast("array<double>")
 
   /** Dot product via the native codegen'd [[graft.functions.DotProduct]]
     * expression — left-to-right summation, bit-identical to the HOF
@@ -102,14 +106,31 @@ object Similarity {
         col("item.id").as("neighbor_id") :+
         round(col("item.score"), 6).as("cos"): _*)
 
+  /** Bucket fan-out of the brute-force join's equi-key reformulation. */
+  val BruteForceBuckets = 16
+
   /** Brute-force cosine top-k: every query (id, vec) against the whole
     * corpus (id, vec), self-matches excluded. Queries are broadcast;
     * scoring happens map-side in the corpus scan; the heap UDAF reduces
     * to k rows per query. Output: (query_id, rank, neighbor_id, cos).
+    *
+    * Join shape: a pure theta join (`c.id =!= q.qid`) plans as a
+    * BroadcastNestedLoopJoin, which whole-stage codegen cannot fuse.
+    * Instead each (tiny) query row is replicated into all
+    * [[BruteForceBuckets]] buckets and joined on the corpus row's
+    * id-derived bucket — the same all-pairs product row for row, but
+    * the equi key makes it a codegen BroadcastHashJoin (pinned by
+    * PlanAuditSpec): scan → join → cosine → partial heap-agg fuse into
+    * one codegen pass, and the broadcast grows only B × |queries|.
     */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.alias("c")
-      .join(broadcast(queries.alias("q")), col("c.id") =!= col("q.qid"))
+    val c = corpus
+      .withColumn("bk", pmod(col("id"), lit(BruteForceBuckets.toLong)))
+    val q = queries.select(col("qid"), col("qvec"),
+      explode(sequence(lit(0L), lit((BruteForceBuckets - 1).toLong))).as("qbk"))
+    val scored = c.alias("c")
+      .join(broadcast(q.alias("q")),
+        col("c.bk") === col("q.qbk") && col("c.id") =!= col("q.qid"))
       .select(col("q.qid").as("query_id"), col("c.id").as("id"),
         cosine(col("q.qvec"), col("c.vec")).as("score"))
     val agg = scored.groupBy("query_id")

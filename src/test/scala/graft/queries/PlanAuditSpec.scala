@@ -37,6 +37,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
   }
 
+  test("emb_topk scores through a BroadcastHashJoin, not a nested loop") {
+    val plan = SimilarityQueries.queries("emb_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"brute-force scoring lost its equi-bucket BHJ:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"brute-force scoring regressed to a nested loop:\n$plan")
+  }
+
+  test("docs_chunk plans with zero exchanges (one narrow codegen pass)") {
+    val chunk = CurationQueries.queries("docs_chunk")(spark, sfDir)
+    val exchanges = chunk.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty,
+      s"docs_chunk gained a shuffle:\n${chunk.queryExecution.executedPlan}")
+  }
+
+  test("similarity scoring carries no interpreted HOF cast " +
+      "(native array cast, codegen'd)") {
+    val plan = SimilarityQueries.queries("emb_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("lambdafunction"),
+      s"interpreted HOF found in the scoring plan:\n$plan")
+  }
+
   test("bucketed co-located join plans without a shuffle exchange") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
     val conf = spark.conf
