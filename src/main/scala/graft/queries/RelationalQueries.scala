@@ -54,6 +54,28 @@ object RelationalQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // Shipping-priority (TPC-H Q3 shape): a join-reorder stressor —
+    // 3-way fact join where each input carries its own selective
+    // filter. Deliberately NO broadcast hint: the filters must reach
+    // the parquet scans (PushedFilters) and the optimizer + AQE must
+    // pick the broadcast side from size estimates on their own —
+    // PlanAuditSpec pins both properties, so an optimizer regression
+    // fails CI rather than shipping a shuffle-everything plan.
+    "rel_shipping_priority" -> ((s, dir) => {
+      val cutoff = lit("1998-06-01").cast("timestamp")
+      val cust = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
+      val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
     // Ranking window: top-3 orders per customer by total price —
     // partitioned ranking, deterministic tie-break on the key.
     "rel_top_orders_per_cust" -> ((s, dir) => {
@@ -150,6 +172,19 @@ object RelationalQueries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation   ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+
+    "rel_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate  > TIMESTAMP '1998-06-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_cents DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
 
     "rel_top_orders_per_cust" ->
       """SELECT o_custkey, CAST(rk AS INTEGER) AS rk, o_orderkey,

@@ -37,6 +37,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
   }
 
+  test("Q3-shape stressor: filters reach every scan and the optimizer " +
+      "picks broadcast joins with no hints") {
+    val df = RelationalQueries.queries("rel_shipping_priority")(spark, sfDir)
+    // (a) each table's selective filter is pushed below the joins, all
+    // the way into its parquet scan. sparkPlan, not executedPlan: this
+    // query has exchanges, so AQE wraps the executed plan in an opaque
+    // AdaptiveSparkPlanExec that a collect() does not traverse.
+    val pushed = df.queryExecution.sparkPlan
+      .collect { case s: FileSourceScanExec => s }
+      .map(_.metadata("PushedFilters"))
+    assert(pushed.exists(_.contains("EqualTo(c_mktsegment,BUILDING)")),
+      s"customer filter not pushed: $pushed")
+    assert(pushed.exists(_.contains("LessThan(o_orderdate")),
+      s"orders filter not pushed: $pushed")
+    assert(pushed.exists(_.contains("GreaterThan(l_shipdate")),
+      s"lineitem filter not pushed: $pushed")
+    // (b) run it so AQE finalizes, then assert the joins became
+    // broadcast-hash (size estimates alone must get there — the query
+    // carries no hints)
+    assert(df.collect().nonEmpty)
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"no broadcast join in the finalized plan:\n$finalPlan")
+    assert(!finalPlan.contains("SortMergeJoin"),
+      s"dim join stayed sort-merge despite broadcastable sides:\n$finalPlan")
+  }
+
   test("emb_topk scores through a BroadcastHashJoin, not a nested loop") {
     val plan = SimilarityQueries.queries("emb_topk")(spark, sfDir)
       .queryExecution.executedPlan.toString
