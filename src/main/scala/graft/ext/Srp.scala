@@ -1,0 +1,89 @@
+package graft.ext
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Signed random projections (SRP / random-hyperplane LSH, Charikar
+  * 2002) over an embedding column — the bucketed scale path for cosine
+  * near-duplicate detection, complementing [[Similarity.nearDupPairs]]
+  * (which buckets by a pre-assigned cluster column).
+  *
+  * Bit i of the signature is `sign(v · r_i)` for a fixed Rademacher
+  * hyperplane r_i ∈ {+1, −1}^dim; two vectors at angle θ agree on a
+  * bit with probability 1 − θ/π, so banding the bits gives the classic
+  * LSH recall curve over cosine similarity. The hyperplanes are a pure
+  * function of (plane, dim) via md5, so the DuckDB oracle regenerates
+  * the identical matrix and the signature is hash-checkable end to end.
+  *
+  * Scale notes: the dot products run through the codegen'd
+  * [[graft.functions.DotProduct]] against literal arrays — scan-side,
+  * no shuffle; candidate generation shuffles (band, key) rows only.
+  * 16 planes / 4-bit bands suit the fixture's corpus; at 100 TB widen
+  * to 64–128 planes and 8–16-bit bands so expected bucket size stays
+  * bounded (band width ~ log2(corpus size)), and cap buckets like
+  * [[Dedup.MaxBucketSize]] if the embedding space has dense hubs.
+  */
+object Srp {
+
+  val NumPlanes = 16
+  val BitsPerBand = 4
+  val NumBands: Int = NumPlanes / BitsPerBand
+
+  /** Rademacher component: +1 when the first hex nibble of
+    * md5("<plane>_<dim>") is even — reproduced in the oracle as
+    * `strpos('02468ace', substr(md5(i || '_' || j), 1, 1)) > 0`.
+    */
+  private def component(i: Int, j: Int): Double = {
+    val d = MessageDigest.getInstance("MD5")
+      .digest(s"${i}_${j}".getBytes("UTF-8"))
+    if ((((d(0) >> 4) & 0xf) & 1) == 0) 1.0 else -1.0
+  }
+
+  /** The NumPlanes × dim hyperplane matrix (driver-side constant —
+    * O(planes·dim) doubles, broadcast into codegen as literals).
+    */
+  def planes(dim: Int): IndexedSeq[IndexedSeq[Double]] =
+    IndexedSeq.tabulate(NumPlanes, dim)(component)
+
+  /** 16-bit SRP signature of an `array<double>` column. */
+  def sig(vec: Column, dim: Int): Column = {
+    val r = planes(dim)
+    (0 until NumPlanes).map { i =>
+      when(Similarity.dot(vec, typedLit(r(i))) >= 0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Band key b of a signature: bits [b·BitsPerBand, (b+1)·BitsPerBand). */
+  def bandKey(sigCol: Column, b: Int): Column =
+    shiftrightunsigned(sigCol, b * BitsPerBand)
+      .bitwiseAND(lit((1L << BitsPerBand) - 1))
+
+  /** SRP-bucketed cosine near-dup pairs: vectors sharing any band key
+    * become candidates; candidates are verified with the exact cosine
+    * (6-decimal-rounded, matching [[Similarity.nearDupPairs]]) — false
+    * positives are impossible, recall follows the banding curve.
+    * Input: (id, vec); output: (id_a, id_b, cos), id_a < id_b.
+    */
+  def nearDupPairs(vecs: DataFrame, dim: Int, threshold: Double): DataFrame = {
+    val sigs = vecs.select(col("id"), sig(col("vec"), dim).as("sig"))
+    val bands = sigs.select(col("id"),
+      posexplode(array((0 until NumBands).map(b => bandKey(col("sig"), b)): _*))
+        .as(Seq("band_idx", "band_key")))
+    val cands = bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cands
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Curation, TextOps}
+import graft.ext.{Curation, Decontam, TextOps}
 
 /** Driver-contract queries + DuckDB oracles for corpus curation
   * (SURVEY.md §7.4): deterministic sampling, train/val/test splitting,
@@ -24,8 +24,16 @@ object CurationQueries {
   val ChunkSize = 64
   val ChunkStride = 32
   val PackBudget = 1024L
+  val DecontamMod = 11 // doc_id % 11 == 0 stands in for the eval set
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Benchmark decontamination: distinct word-3-gram overlap of every
+    // corpus document against the held-out eval subset (doc_id % 11).
+    // The eval n-gram set broadcasts; only matched rows shuffle.
+    "docs_decontam" -> ((s, dir) =>
+      Decontam.hits(Tables.documents(s, dir), "doc_id", "text", 3,
+        col("doc_id") % DecontamMod === 0)),
+
     // Deterministic Bernoulli(0.25) sample — same rows on every run,
     // every engine, every partitioning.
     "docs_sample_hash" -> ((s, dir) =>
@@ -207,6 +215,16 @@ object CurationQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // mirrors DedupQueries.wordShCte's 3-gram construction; the CTE's
+    // per-doc list_distinct plus count(DISTINCT g) matches the Spark
+    // side's non-deduped shingle rows + countDistinct.
+    "docs_decontam" ->
+      s"""${DedupQueries.wordShCte},
+         |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % $DecontamMod = 0),
+         |cg AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % $DecontamMod <> 0),
+         |h AS (SELECT cg.doc_id, cg.g FROM cg JOIN ev USING (g))
+         |SELECT doc_id, count(DISTINCT g) AS n_hits FROM h GROUP BY doc_id""".stripMargin,
+
     "docs_sample_hash" ->
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${hexBucketSql("doc_id", "s1:")} <

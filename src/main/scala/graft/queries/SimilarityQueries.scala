@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.Similarity
+import graft.ext.{Similarity, Srp}
 
 /** Driver-contract queries + DuckDB oracles for similarity search
   * (SURVEY.md §7.4). Oracle arithmetic mirrors the Spark HOF kernel
@@ -15,6 +15,7 @@ import graft.ext.Similarity
 object SimilarityQueries {
 
   private val NumQueries = 10 // vec_id < 10 are the query set
+  private val EmbDim = 64     // fixture embedding dimensionality
   private val K = 5           // brute-force top-k
   private val KIvf = 3        // per-cell top-k
   private val NearDupThreshold = 0.4
@@ -75,7 +76,23 @@ object SimilarityQueries {
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .select(col("vec_id"), col("dim"),
           round(greatest(least(col("x").cast("double"), lit(1.0)), lit(-1.0))
-            * 127, 0).cast("long").as("q"))))
+            * 127, 0).cast("long").as("q"))),
+
+    // Signed-random-projection signature (random-hyperplane LSH for
+    // cosine space): 16 md5-derived Rademacher hyperplanes, all dot
+    // products codegen'd against literal arrays, scan-side only.
+    "emb_srp_sig" -> ((s, dir) =>
+      corpus(s, dir).select(col("id"),
+        Srp.sig(col("vec"), EmbDim).as("srp_sig"))),
+
+    // SRP-bucketed near-dup pairs, exact-cosine verified: the bucketed
+    // scale path beside emb_neardup's cluster-column bucketing. The
+    // oracle replays the identical SRP pipeline (same hyperplanes, same
+    // bands), so the row is deterministic — no recall coin-flip in the
+    // comparison.
+    "emb_srp_pairs" -> ((s, dir) =>
+      Srp.nearDupPairs(
+        corpus(s, dir).select(col("id"), col("vec")), EmbDim, NearDupThreshold)))
 
   // -------------------------------------------------------------------
   // DuckDB oracles
@@ -91,6 +108,23 @@ object SimilarityQueries {
 
   private val embCte =
     "WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+
+  /** SRP signature CTE: regenerates Srp.planes' md5 Rademacher matrix
+    * (+1 when the first md5 hex nibble of "<plane>_<dim>" is even) and
+    * folds each dot product in the same left-to-right order as the
+    * codegen'd DotProduct, so the sign bits — and therefore the whole
+    * signature — are bit-identical across engines.
+    */
+  private val srpSigCte =
+    s"""$embCte,
+       |r AS (SELECT i, list_transform(generate_series(0, ${EmbDim - 1}), j ->
+       |        CASE WHEN strpos('02468ace', substr(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1)) > 0
+       |             THEN 1.0 ELSE -1.0 END) AS rv
+       |      FROM generate_series(0, ${Srp.NumPlanes - 1}) t(i)),
+       |dp AS (SELECT e.vec_id AS id, r.i, ${dotSql("e.v", "r.rv")} AS d
+       |       FROM e CROSS JOIN r),
+       |sg AS (SELECT id, CAST(sum(CASE WHEN d >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS srp_sig
+       |       FROM dp GROUP BY id)""".stripMargin
 
   /** N-round Lloyd oracle, generated so Spark and SQL can never drift
     * on round count: c1 seeds from `label`; each round builds centroid
@@ -183,5 +217,21 @@ object SimilarityQueries {
          |             row_number() OVER (PARTITION BY id ORDER BY score DESC, cpart) AS rn
          |      FROM s)
          |SELECT id, part, cpart AS assigned, round(score, 6) AS cos
-         |FROM r WHERE rn = 1""".stripMargin)
+         |FROM r WHERE rn = 1""".stripMargin,
+
+    "emb_srp_sig" ->
+      s"""$srpSigCte
+         |SELECT id, srp_sig FROM sg""".stripMargin,
+
+    "emb_srp_pairs" ->
+      s"""$srpSigCte,
+         |bands AS (SELECT id, b, (srp_sig >> (b * ${Srp.BitsPerBand})) & ${(1 << Srp.BitsPerBand) - 1} AS key
+         |          FROM sg CROSS JOIN generate_series(0, ${Srp.NumBands - 1}) t(b)),
+         |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+         |         FROM bands x JOIN bands y
+         |           ON x.b = y.b AND x.key = y.key AND x.id < y.id)
+         |SELECT c.id_a, c.id_b, round(${cosSql("ea.v", "eb.v")}, 6) AS cos
+         |FROM cand c JOIN e ea ON c.id_a = ea.vec_id
+         |            JOIN e eb ON c.id_b = eb.vec_id
+         |WHERE round(${cosSql("ea.v", "eb.v")}, 6) >= $NearDupThreshold""".stripMargin)
 }

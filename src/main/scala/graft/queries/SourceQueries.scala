@@ -42,6 +42,41 @@ object SourceQueries {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text")).cast("long")).as("total_chars"))
+    }),
+
+    // Plain-text scan: documents written as tab-separated lines, read
+    // back with the line-oriented text source and parsed with a
+    // 3-way bounded split (the fixture text contains no tabs or
+    // newlines — asserted by the oracle's full-content hash match).
+    // Row-for-row identity is the strongest round-trip check: every
+    // byte of every document survives write → read → parse.
+    "docs_text_scan" -> ((s, dir) => {
+      val out = Materialize.once(s"docs_text:$dir", dir) { p =>
+        Tables.documents(s, dir)
+          .select(concat_ws("\t",
+            col("doc_id"), col("lang"), col("text")).as("value"))
+          .write.mode("overwrite").text(p)
+      }
+      s.read.text(out)
+        .select(split(col("value"), "\t", 3).as("f"))
+        .select(element_at(col("f"), 1).cast("long").as("doc_id"),
+          element_at(col("f"), 2).as("lang"),
+          element_at(col("f"), 3).as("text"))
+    }),
+
+    // ORC scan: documents round-tripped through Spark's native ORC
+    // format (predicate pushdown + column pruning apply as in parquet),
+    // aggregated per source with a pushed-down id filter.
+    "docs_orc_scan" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val out = Materialize.once(s"docs_orc:$dir", dir) { p =>
+        docs.write.mode("overwrite").orc(p)
+      }
+      s.read.schema(docs.schema).orc(out)
+        .filter(col("doc_id") % 2 === 0)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("total_chars"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -52,5 +87,13 @@ object SourceQueries {
     "docs_json_scan" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(sum(length(text)) AS BIGINT) AS total_chars
-        |FROM documents GROUP BY lang""".stripMargin)
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "docs_text_scan" ->
+      "SELECT doc_id, lang, text FROM documents",
+
+    "docs_orc_scan" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE doc_id % 2 = 0 GROUP BY source""".stripMargin)
 }
