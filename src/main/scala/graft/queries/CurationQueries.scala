@@ -107,20 +107,16 @@ object CurationQueries {
           round(col("maxf") / col("total"), 6).as("top_token_ratio"),
           round(col("ntypes") / col("total"), 6).as("type_token_ratio"))),
 
-    // Corpus bigram counts ≥ 5: per-doc adjacency via a partitioned
-    // lead() window (shuffle by doc, sort by position — the per-doc
-    // sequential shape), then one map-side-combinable count.
-    "docs_bigrams" -> ((s, dir) => {
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "token")))
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      toks.withColumn("next", lead("token", 1).over(w))
-        .filter(col("next").isNotNull)
+    // Corpus bigram counts ≥ 5: adjacency via the flat positional pair
+    // projection (zero shuffle before the count — a lead() window
+    // would shuffle every token row by doc and sort by position to
+    // recover adjacency the token array already encodes), then one
+    // map-side-combinable count.
+    "docs_bigrams" -> ((s, dir) =>
+      tokenPairs(Tables.documents(s, dir))
         .select(concat_ws(" ", col("token"), col("next")).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("n"))
-        .filter(col("n") >= MinBigramCount)
-    }),
+        .filter(col("n") >= MinBigramCount)),
 
     "docs_pmi" -> ((s, dir) => pmiQuery(s, dir)),
 
@@ -164,25 +160,29 @@ object CurationQueries {
   /** PMI collocation scoring over corpus bigrams: pointwise mutual
     * information log(p(ab) / (p(a)·p(b))) for every bigram with count
     * ≥ [[MinBigramCount]]. Token and pair totals are two bounded
-    * scalar actions over the materialized token table (the [[Curation]]
-    * driver-scalar pattern); the arithmetic shape is kept identical in
-    * the oracle so the rounded doubles agree bit-for-bit.
+    * scalar actions folded into one scan-side size aggregate (the
+    * [[Curation]] driver-scalar pattern); the arithmetic shape is kept
+    * identical in the oracle so the rounded doubles agree bit-for-bit.
     */
   val pmiQuery: (SparkSession, String) => DataFrame = (s, dir) => {
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "token")))
-      // lazy localCheckpoint (see docs_tfidf_top): reclaimable, no leak
-      .localCheckpoint(false)
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val pairs = toks.withColumn("next", lead("token", 1).over(w))
-      .filter(col("next").isNotNull).select("token", "next")
-      .localCheckpoint(false)
-    val totalTokens = toks.count().toDouble
-    val totalPairs = pairs.count().toDouble
-    val bi = pairs.groupBy("token", "next").agg(count(lit(1)).as("n_ab"))
+    val docs = Tables.documents(s, dir)
+    // Corpus totals WITHOUT exploding: token and pair counts are pure
+    // functions of each doc's token-array size, so one scan-side
+    // aggregate (no generate, no shuffle rows) yields both scalars —
+    // the exploded-and-materialized formulation this replaces paid a
+    // 10M-row localCheckpoint just to count.
+    val sizes = docs.select(size(TextOps.tokens(col("text"))).as("n"))
+      .agg(sum(col("n").cast("long")).as("t"),
+        sum(greatest(col("n") - 1, lit(0)).cast("long")).as("p"))
+      .head()
+    val totalTokens = sizes.getLong(0).toDouble
+    val totalPairs = sizes.getLong(1).toDouble
+    val bi = tokenPairs(docs)
+      .groupBy("token", "next").agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= MinBigramCount)
-    val uni = toks.groupBy("token").agg(count(lit(1)).as("n_u"))
+    val uni = docs
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_u"))
     bi
       .join(uni.select(col("token").as("t1"), col("n_u").as("n_a")),
         col("token") === col("t1"))
@@ -195,6 +195,21 @@ object CurationQueries {
           (col("n_ab").cast("double") / totalPairs) /
             ((col("n_a").cast("double") / totalTokens) *
               (col("n_b").cast("double") / totalTokens))), 6).as("pmi"))
+  }
+
+  /** Adjacent token pairs as a flat codegen projection: position i of
+    * each doc's token array pairs with i+1 — no explode-then-window,
+    * no shuffle, no per-doc sort; adjacency is positional indexing
+    * over the array the scan already produced (same zero-shuffle
+    * discipline as [[graft.ext.Dedup.wordShingleRows]]).
+    */
+  private def tokenPairs(docs: DataFrame): DataFrame = {
+    val ws = TextOps.tokens(col("text"))
+    docs.select(ws.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("ws"), explode(sequence(lit(1), size(col("ws")) - 1)).as("i"))
+      .select(get(col("ws"), col("i") - 1).as("token"),
+        get(col("ws"), col("i")).as("next"))
   }
 
   // -------------------------------------------------------------------
