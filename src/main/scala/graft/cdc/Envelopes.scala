@@ -18,8 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object Envelopes {
 
-  /** op := signup→c, purchase→u, error→d, else u (covers README.md:13 ops). */
-  private def opExpr(eventType: Column): Column =
+  /** op := signup→c, purchase→u, error→d, else u (covers README.md:13 ops).
+    * Public: the latest-state compaction query labels events with the
+    * same mapping, and the two must never drift.
+    */
+  def opExpr(eventType: Column): Column =
     when(eventType === "signup", "c")
       .when(eventType === "purchase", "u")
       .when(eventType === "error", "d")

@@ -28,9 +28,9 @@ import org.apache.spark.sql.functions._
   *  - at trillion-edge scale the published upgrade is alternating
   *    large-star/small-star rounds (Kiveris et al., "Connected
   *    Components in MapReduce"), which converges in O(log n) rounds
-  *    independent of diameter; the operator contract here (edges in,
-  *    (id, cluster=min id) out) is identical, so it slots in without
-  *    touching callers.
+  *    independent of diameter — implemented as
+  *    [[connectedComponentsStar]] with the identical contract and
+  *    pinned label-equal to this method by ClustersSpec.
   */
 object Clusters {
 
@@ -86,5 +86,91 @@ object Clusters {
       s"connectedComponents did not converge within $maxIter rounds — " +
         "component diameter exceeds maxIter")
     labels
+  }
+
+  /** [[connectedComponents]] via alternating large-star/small-star
+    * contractions (Kiveris et al. 2014) — the trillion-edge upgrade
+    * path: round count is O(log n) regardless of component DIAMETER,
+    * where label propagation pays one round per hop. Same contract:
+    * (id, cluster = min component id) for every vertex in an edge.
+    *
+    * Per round both operations need only each vertex's MIN neighbor —
+    * a partial-aggregatable `groupBy(min)` plus one join; no neighbor
+    * lists are ever collected, so hub vertices (the adversarial case
+    * for naive contraction) cost O(degree) streamed rows, not O(degree)
+    * memory.
+    *
+    *  - large-star: every neighbor v > u re-links to m(u) = min(Γ(u) ∪
+    *    {u}); processed symmetrically, every edge survives through its
+    *    smaller endpoint's star.
+    *  - small-star: every neighbor v ≤ u (plus u itself) links to
+    *    m⁻(u) = min of that set.
+    *
+    * Fixpoint = edge set unchanged (set equality via count + except —
+    * both cheap: the star-contracted edge set is ≤ one row per
+    * non-root vertex). At the fixpoint edges are exactly (vertex,
+    * component root).
+    */
+  def connectedComponentsStar(edges: DataFrame, idA: String = "id_a",
+                              idB: String = "id_b",
+                              maxIter: Int = 25): DataFrame = {
+    var e = edges
+      .select(col(idA).as("u"), col(idB).as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("v"),
+        greatest(col("u"), col("v")).as("u")) // (v < u) orientation
+      .distinct()
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // symmetrize with one explode instead of a self-union (narrower
+      // plan, and Union's constraint rewrite mishandles branches that
+      // share a subtree)
+      def sym(d: DataFrame): DataFrame = d
+        .select(explode(array(
+          struct(col("u").as("a"), col("v").as("b")),
+          struct(col("v").as("a"), col("u").as("b")))).as("p"))
+        .select(col("p.a").as("u"), col("p.b").as("v"))
+      val symE = sym(e)
+      // large-star over the symmetric adjacency: m(u) folds the min
+      // neighbor with u itself; only larger neighbors re-link.
+      val mins = symE.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = symE.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star over the large-star output: smaller neighbors (and
+      // u itself) all link to the min of that closed set. The (u, m)
+      // self-link is emitted once per neighbor row; the trailing
+      // distinct collapses them.
+      val smaller = sym(ls).filter(col("v") < col("u"))
+      val minsS = smaller.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val ss = smaller.join(minsS, "u")
+        .select(explode(array(
+          struct(col("v").as("a"), col("m").as("b")),
+          struct(col("u").as("a"), col("m").as("b")))).as("p"))
+        .select(col("p.a").as("u"), col("p.b").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      converged = ss.count() == e.count() && ss.except(e).isEmpty
+      e = ss
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponentsStar did not converge within $maxIter rounds")
+    // fixpoint edges are (vertex, root). Every input vertex also
+    // contributes (id, id) so roots and self-loop-only vertices keep
+    // their own label (matching connectedComponents); the final min
+    // collapses the two sources.
+    val verts = edges.select(col(idA).as("id"))
+      .union(edges.select(col(idB).as("id"))).distinct()
+    e.groupBy(col("u").as("id")).agg(min(col("v")).as("label"))
+      .union(verts.select(col("id"), col("id").as("label")))
+      .groupBy("id").agg(min("label").as("label"))
   }
 }

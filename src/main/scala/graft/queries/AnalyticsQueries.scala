@@ -165,6 +165,20 @@ object AnalyticsQueries {
         .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"))
     }),
 
+    // Same components via alternating large-star/small-star contraction
+    // (O(log n) rounds independent of diameter — the trillion-edge
+    // path). Identical oracle: both formulations must produce the same
+    // labels or one of them is wrong.
+    "docs_dup_clusters_star" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.nearDupPairsNative(docs, "doc_id", "text",
+        DedupQueries.WordN, word = true, DedupQueries.JaccardThreshold)
+      val comp = Clusters.connectedComponentsStar(pairs.select("id_a", "id_b"))
+        .withColumnRenamed("id", "doc_id")
+      docs.join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"))
+    }),
+
     // HLL distinct-user sketch per event type (E28 as a query entry).
     // No oracle: the estimate is not SQL-reproducible — the driver
     // records the weaker rows-only check, and SketchesSpec pins the
@@ -191,6 +205,26 @@ object AnalyticsQueries {
         .select(col("event_type"), col("exact_users"),
           (abs(col("est") - col("exact_users")) / col("exact_users") < 0.05)
             .as("within_tol"))),
+
+    // Approximate-quantile sketch with a machine-checked tolerance row
+    // (the events_hll_check pattern): the KLL-style percentile_approx
+    // at accuracy 100 guarantees rank error ≤ 1/100, so its p90 must
+    // land inside the exact [p88, p92] value band — Spark computes the
+    // band AND the containment check; the oracle reproduces the exact
+    // p90 and asserts the check can only be true.
+    "events_quantiles_check" -> ((s, dir) => {
+      val v = col("value").cast("double")
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(CAST(value AS DOUBLE), 0.9)"), 6).as("p90"),
+          expr("percentile(CAST(value AS DOUBLE), 0.88)").as("lo"),
+          expr("percentile(CAST(value AS DOUBLE), 0.92)").as("hi"),
+          percentile_approx(v, lit(0.9), lit(100)).as("apx"))
+        .select(col("event_type"), col("p90"),
+          (col("apx") >= col("lo") && col("apx") <= col("hi"))
+            .as("within_tol"))
+    }),
 
     // Partitioned write → partition-pruned read-back: documents laid
     // out by lang, then scanned with a partition-key predicate. The
@@ -309,8 +343,27 @@ object AnalyticsQueries {
          |SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin,
 
+    "docs_dup_clusters_star" ->
+      s"""${DedupQueries.wordShCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (${DedupQueries.jaccardPairsSelect}),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, x.r FROM reach x JOIN edges e ON e.dst = x.id),
+         |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+         |SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin,
+
     "events_hll_check" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |       true AS within_tol
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "events_quantiles_check" ->
+      """SELECT event_type,
+        |       round(quantile_cont(CAST(value AS DOUBLE), 0.9), 6) AS p90,
         |       true AS within_tol
         |FROM events GROUP BY event_type""".stripMargin,
 

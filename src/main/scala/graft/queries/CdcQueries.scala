@@ -105,7 +105,30 @@ object CdcQueries {
     // like transform.rs:33), then routed and counted per target.
     "cdc_route_yaml" -> ((s, dir) =>
       Pipeline.route(Envelopes.fromEvents(s, dir), yamlRules)
-        .groupBy("target_topic").agg(count(lit(1)).as("n"))))
+        .groupBy("target_topic").agg(count(lit(1)).as("n"))),
+
+    // Latest-state compaction — the materialization a CDC consumer
+    // keeps (SCD-1 snapshot): one surviving row per entity = argmax
+    // over (ts, event_id), computed as a single partial-aggregatable
+    // struct-max (no window, no per-key sort — map-side combine means
+    // the shuffle carries one candidate row per entity per partition);
+    // an entity whose LATEST op is a delete tombstone leaves the
+    // snapshot entirely.
+    "cdc_compact" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir).select(
+        col("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("event_id"),
+        Envelopes.opExpr(col("event_type")).as("op"),
+        floor(col("value") * 100).cast("long").as("value_cents"))
+      ev.groupBy("user_id")
+        .agg(max(struct(col("ts"), col("event_id"), col("op"),
+          col("value_cents"))).as("last"))
+        .select(col("user_id"), col("last.ts").as("ts"),
+          col("last.event_id").as("event_id"), col("last.op").as("op"),
+          col("last.value_cents").as("value_cents"))
+        .filter(col("op") =!= "d")
+    }))
 
   /** Rules from the YAML fixture (R8). Loaded once; both the Spark query
     * and its oracle derive from this single parse.
@@ -192,5 +215,18 @@ object CdcQueries {
          |SELECT $yamlCase AS target_topic, count(*) AS n
          |FROM parsed WHERE op <> 'd' AND ($yamlCase) IS NOT NULL
          |GROUP BY 1""".stripMargin
-    })
+    },
+
+    "cdc_compact" ->
+      """WITH labeled AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |         CASE event_type WHEN 'signup' THEN 'c' WHEN 'purchase' THEN 'u'
+        |                         WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+        |         CAST(floor(value * 100) AS BIGINT) AS value_cents
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                   ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM labeled)
+        |SELECT user_id, ts, event_id, op, value_cents
+        |FROM r WHERE rn = 1 AND op <> 'd'""".stripMargin)
 }
