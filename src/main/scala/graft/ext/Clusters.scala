@@ -106,10 +106,15 @@ object Clusters {
     *  - small-star: every neighbor v ≤ u (plus u itself) links to
     *    m⁻(u) = min of that set.
     *
-    * Fixpoint = edge set unchanged (set equality via count + except —
-    * both cheap: the star-contracted edge set is ≤ one row per
-    * non-root vertex). At the fixpoint edges are exactly (vertex,
-    * component root).
+    * Fixpoint = edge set unchanged (one full-outer-join action per
+    * round over the star-contracted set — ≤ one row per non-root
+    * vertex). At the fixpoint edges are exactly (vertex, root).
+    *
+    * Trade vs [[connectedComponents]]: star contraction pays ~2× the
+    * per-round constants (two aggregate+join phases per round), buying
+    * round-count independence from component diameter. On shallow
+    * near-dup graphs propagation is the cheaper production path; this
+    * is the escape hatch for deep/chained components at corpus scale.
     */
   def connectedComponentsStar(edges: DataFrame, idA: String = "id_a",
                               idB: String = "id_b",
@@ -156,8 +161,16 @@ object Clusters {
         .select(col("p.a").as("u"), col("p.b").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint()
-      converged = ss.count() == e.count() && ss.except(e).isEmpty
+        .localCheckpoint(false) // lazy: the convergence action below
+                                // materializes it — one job per round,
+                                // not three
+      // set equality of two distinct sets in ONE action: a full-outer
+      // join surfaces both directions of the symmetric difference
+      // under one plan (no Union of subplans that share subtrees)
+      converged = ss.withColumn("l", lit(1))
+        .join(e.withColumn("r", lit(1)), Seq("u", "v"), "full_outer")
+        .filter(col("l").isNull || col("r").isNull)
+        .isEmpty
       e = ss
       iter += 1
     }
