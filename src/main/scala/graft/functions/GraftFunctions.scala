@@ -49,6 +49,31 @@ object GraftFunctions {
             s"minhash_bands word must be a boolean literal, got $other")
         }
         MinHashBands(args.head, n, word)
+      }),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"minhash_sig expects (text, n, word) — got ${args.length} arguments")
+        require(args(1).foldable && args(2).foldable,
+          "minhash_sig n and word must be literals")
+        val n = args(1).eval() match {
+          case i: Number => i.intValue()
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig n must be an integer literal, got $other")
+        }
+        val word = args(2).eval() match {
+          case b: java.lang.Boolean => b.booleanValue()
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig word must be a boolean literal, got $other")
+        }
+        MinHashSig(args.head, n, word)
+      }),
+    (FunctionIdentifier("media_dims"),
+      new ExpressionInfo(classOf[MediaDims].getName, "media_dims"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"media_dims expects 1 argument, got ${args.length}")
+        MediaDims(args.head)
       }))
 
   /** Register on a live session (idempotent). */

@@ -76,6 +76,21 @@ object RelationalQueries {
         .limit(10)
     }),
 
+    // FULL OUTER join with unmatched keys on BOTH sides (each side
+    // pre-filtered differently), completing the join-type coverage row
+    // alongside inner/semi/anti/asof/range. Null-safe key coalesce and
+    // null aggregate columns survive the hash compare.
+    "rel_outer_join" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val ords = Tables.orders(s, dir).filter(col("o_totalprice") > 300000)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big"))
+      cust.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          cents(col("c_acctbal")).as("acctbal_cents"),
+          col("n_big"))
+    }),
+
     // Ranking window: top-3 orders per customer by total price —
     // partitioned ranking, deterministic tie-break on the key.
     "rel_top_orders_per_cust" -> ((s, dir) => {
@@ -172,6 +187,15 @@ object RelationalQueries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation   ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+
+    "rel_outer_join" ->
+      """SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        |       CAST(floor(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+        |       n_big
+        |FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000) c
+        |FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_big FROM orders
+        |                 WHERE o_totalprice > 300000 GROUP BY o_custkey) o
+        |ON c_custkey = o_custkey""".stripMargin,
 
     "rel_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,

@@ -44,6 +44,24 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(bands.length == graft.ext.Dedup.NumBands)
   }
 
+  test("minhash_sig and media_dims are callable from SQL") {
+    GraftFunctions.register(spark)
+    val sig = spark.sql(
+      "SELECT minhash_sig('the quick brown fox jumps', 3, true) AS s")
+      .as[Seq[Long]].collect().head
+    val sigCol = Seq("the quick brown fox jumps").toDF("t")
+      .select(MinHashSig(org.apache.spark.sql.functions.col("t"), 3, word = true))
+      .as[Seq[Long]].collect().head
+    assert(sig == sigCol && sig.length == graft.ext.Dedup.NumPerms)
+
+    // 1×1 transparent-pixel PNG header: width/height parse to (1, 1)
+    val dims = spark.sql(
+      "SELECT media_dims(unhex('89504E470D0A1A0A0000000D49484452" +
+        "000000010000000108060000001F15C489')) AS d")
+      .select("d.width", "d.height").as[(Int, Int)].collect().head
+    assert(dims == ((1, 1)))
+  }
+
   test("minhash_bands requires literal parameters") {
     GraftFunctions.register(spark)
     val ex = intercept[Exception] {
