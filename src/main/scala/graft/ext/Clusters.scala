@@ -149,10 +149,13 @@ object Clusters {
         .filter(col("u") =!= col("v"))
         .distinct()
       // small-star over the large-star output: smaller neighbors (and
-      // u itself) all link to the min of that closed set. The (u, m)
-      // self-link is emitted once per neighbor row; the trailing
-      // distinct collapses them.
-      val smaller = sym(ls).filter(col("v") < col("u"))
+      // u itself) all link to the min of that closed set. Every ls row
+      // already has u > v (u is the re-linked larger endpoint, v a
+      // component min), so ls IS the per-larger-endpoint smaller-
+      // neighbor list — symmetrize-and-refilter would round-trip to
+      // the same set. The (u, m) self-link is emitted once per
+      // neighbor row; the trailing distinct collapses them.
+      val smaller = ls
       val minsS = smaller.groupBy(col("u")).agg(min(col("v")).as("m"))
       val ss = smaller.join(minsS, "u")
         .select(explode(array(

@@ -66,18 +66,29 @@ object Srp {
     * (6-decimal-rounded, matching [[Similarity.nearDupPairs]]) — false
     * positives are impossible, recall follows the banding curve.
     * Input: (id, vec); output: (id_a, id_b, cos), id_a < id_b.
+    *
+    * Candidate generation follows [[Dedup.lshCandidates]]'s one-pass
+    * bucket-group shape (not a band self-join): the signature is
+    * computed ONCE, buckets carry sorted id lists capped at
+    * [[Dedup.MaxBucketSize]] (a dense hub bucket degrades recall past
+    * the cap instead of going quadratic — the oracle assumes the cap
+    * never binds, which LSH bucket statistics give at sane band
+    * widths), and in-bucket pairs come from a bucket-sparse HOF.
     */
   def nearDupPairs(vecs: DataFrame, dim: Int, threshold: Double): DataFrame = {
     val sigs = vecs.select(col("id"), sig(col("vec"), dim).as("sig"))
     val bands = sigs.select(col("id"),
       posexplode(array((0 until NumBands).map(b => bandKey(col("sig"), b)): _*))
         .as(Seq("band_idx", "band_key")))
-    val cands = bands.alias("a")
-      .join(bands.alias("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val buckets = bands.groupBy(col("band_idx"), col("band_key"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .withColumn("ids", slice(col("ids"), 1, Dedup.MaxBucketSize))
+    val pairs = flatten(transform(col("ids"), (a, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))),
+        b => struct(a.as("id_a"), b.as("id_b")))))
+    val cands = buckets.select(explode(pairs).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
     cands
       .join(vecs.select(col("id").as("id_a"), col("vec").as("va")), "id_a")

@@ -217,12 +217,20 @@ object AnalyticsQueries {
       Tables.events(s, dir)
         .groupBy("event_type")
         .agg(
+          count(lit(1)).as("n"),
           round(expr("percentile(CAST(value AS DOUBLE), 0.9)"), 6).as("p90"),
           expr("percentile(CAST(value AS DOUBLE), 0.88)").as("lo"),
           expr("percentile(CAST(value AS DOUBLE), 0.92)").as("hi"),
           percentile_approx(v, lit(0.9), lit(100)).as("apx"))
         .select(col("event_type"), col("p90"),
-          (col("apx") >= col("lo") && col("apx") <= col("hi"))
+          // the 1/accuracy rank-error bound only implies VALUE
+          // containment in the [p88, p92] bracket once a group has
+          // ~accuracy rows (below that, interpolation brackets and the
+          // sketch's returned data value can legitimately diverge) —
+          // small groups short-circuit true rather than encode a
+          // guarantee the sketch never made
+          (col("n") < 100 ||
+            (col("apx") >= col("lo") && col("apx") <= col("hi")))
             .as("within_tol"))
     }),
 

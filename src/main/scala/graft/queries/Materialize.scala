@@ -27,13 +27,19 @@ object Materialize {
     }
   }, "graft-materialize-cleanup"))
 
-  /** name/size/mtime digest of the (flat) fixture files under `dir`. */
+  /** name/size/mtime digest of the (flat) fixture files under `dir`.
+    * The directory stream must be closed explicitly — NIO directory
+    * streams hold an fd with no finalizer, and this runs on every
+    * once() call.
+    */
   private def fingerprint(dir: String): String = {
     val p = Paths.get(dir)
     if (!Files.isDirectory(p)) return "absent"
-    val parts = Files.list(p).sorted().toArray.toSeq.collect {
-      case f: Path if Files.isRegularFile(f) =>
-        s"${f.getFileName}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}"
+    val parts = scala.util.Using.resource(Files.list(p)) { s =>
+      s.sorted().toArray.toSeq.collect {
+        case f: Path if Files.isRegularFile(f) =>
+          s"${f.getFileName}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}"
+      }
     }
     Integer.toHexString(parts.mkString("\n").hashCode)
   }

@@ -57,11 +57,14 @@ object SourceQueries {
             col("doc_id"), col("lang"), col("text")).as("value"))
           .write.mode("overwrite").text(p)
       }
+      // get() (0-based, null past the end), not element_at: ANSI mode
+      // throws on out-of-bounds, and a row with NULL text would
+      // serialize to 2 fields (concat_ws skips NULLs)
       s.read.text(out)
         .select(split(col("value"), "\t", 3).as("f"))
-        .select(element_at(col("f"), 1).cast("long").as("doc_id"),
-          element_at(col("f"), 2).as("lang"),
-          element_at(col("f"), 3).as("text"))
+        .select(get(col("f"), lit(0)).cast("long").as("doc_id"),
+          get(col("f"), lit(1)).as("lang"),
+          get(col("f"), lit(2)).as("text"))
     }),
 
     // ORC scan: documents round-tripped through Spark's native ORC

@@ -57,7 +57,12 @@ class PlanAuditSpec extends SparkSpec {
     // broadcast-hash (size estimates alone must get there — the query
     // carries no hints)
     assert(df.collect().nonEmpty)
-    val finalPlan = df.queryExecution.executedPlan.toString
+    // when AQE re-plans, toString prints BOTH "Final Plan" and
+    // "Initial Plan" sections — judge only the final section, or a
+    // correct runtime SMJ→BHJ conversion would false-fail on the
+    // initial plan's text
+    val planText = df.queryExecution.executedPlan.toString
+    val finalPlan = planText.split("== Initial Plan ==").head
     assert(finalPlan.contains("BroadcastHashJoin"),
       s"no broadcast join in the finalized plan:\n$finalPlan")
     assert(!finalPlan.contains("SortMergeJoin"),
@@ -74,12 +79,16 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("docs_chunk plans with zero exchanges (one narrow codegen pass)") {
+    // sparkPlan, not executedPlan: if a regression ever ADDS a shuffle,
+    // AQE would wrap the executed plan in an opaque leaf and the
+    // executedPlan collect would vacuously stay empty — the pre-AQE
+    // physical plan always exposes the exchange
     val chunk = CurationQueries.queries("docs_chunk")(spark, sfDir)
-    val exchanges = chunk.queryExecution.executedPlan.collect {
+    val exchanges = chunk.queryExecution.sparkPlan.collect {
       case e: ShuffleExchangeExec => e
     }
     assert(exchanges.isEmpty,
-      s"docs_chunk gained a shuffle:\n${chunk.queryExecution.executedPlan}")
+      s"docs_chunk gained a shuffle:\n${chunk.queryExecution.sparkPlan}")
   }
 
   test("similarity scoring carries no interpreted HOF cast " +
