@@ -102,6 +102,32 @@ object AnalyticsQueries {
             col("t_click") < col("t_purchase"), lit(1))).as("n_full_funnel"))
     }),
 
+    // Time-series gap filling: an hourly calendar spine (generated,
+    // not scanned), zero-filled counts, and last-observation forward
+    // fill over the sparse signup series. The global-order window is
+    // bounded by the SPINE length (one row per hour), never the event
+    // count — the standard trick that keeps gap-filling viable when
+    // the underlying table is 100 TB but the calendar is thousands of
+    // rows.
+    "events_gapfill" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val hourly = ev.filter(col("event_type") === "signup")
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n_signups"),
+          sum(cents(col("value"))).as("sc"))
+      val spine = ev
+        .agg(min(date_trunc("hour", col("ts"))).as("lo"),
+          max(date_trunc("hour", col("ts"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 hour"))).as("hr"))
+      val w = Window.orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("hr"), "left")
+        .select(col("hr"),
+          coalesce(col("n_signups"), lit(0L)).as("n_signups"),
+          last(col("sc"), ignoreNulls = true).over(w).as("last_signup_cents"))
+    }),
+
     // Date/time functions: monthly order rollup with year/quarter
     // extraction. trunc() returns DATE (not Spark's date_trunc
     // TIMESTAMP), matching DuckDB's date_trunc('month', DATE) so the
@@ -368,6 +394,18 @@ object AnalyticsQueries {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |       true AS within_tol
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "events_gapfill" ->
+      """WITH b AS (SELECT min(date_trunc('hour', ts)) AS lo,
+        |                  max(date_trunc('hour', ts)) AS hi FROM events),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b),
+        |s AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS n_signups,
+        |             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sc
+        |      FROM events WHERE event_type = 'signup' GROUP BY 1)
+        |SELECT spine.hr, coalesce(s.n_signups, 0) AS n_signups,
+        |       last_value(s.sc IGNORE NULLS) OVER (ORDER BY spine.hr
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_cents
+        |FROM spine LEFT JOIN s USING (hr)""".stripMargin,
 
     "events_quantiles_check" ->
       """SELECT event_type,

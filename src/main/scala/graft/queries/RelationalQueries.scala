@@ -76,6 +76,34 @@ object RelationalQueries {
         .limit(10)
     }),
 
+    // Correlation / regression statistics from EXACT integer moment
+    // sums: builtin corr()/regr_slope() accumulate doubles in
+    // partition order (never hash-reproducible across engines), so the
+    // five moments are summed as decimal(38,0) — exact, order-free,
+    // partial-aggregatable — and the double arithmetic happens once,
+    // on scalars, in an operand order the oracle mirrors token for
+    // token.
+    "rel_corr_stats" -> ((s, dir) => {
+      val q = col("l_quantity").cast("decimal(19,0)") // integer-valued
+      val p = floor(col("l_extendedprice") * 100).cast("decimal(19,0)")
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(q).cast("double").as("sx"),
+          sum(p).cast("double").as("sy"),
+          sum(q * p).cast("double").as("sxy"),
+          sum(q * q).cast("double").as("sxx"),
+          sum(p * p).cast("double").as("syy"))
+        .select(col("l_returnflag"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("corr_qty_price"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("slope_cents_per_qty"))
+    }),
+
     // FULL OUTER join with unmatched keys on BOTH sides (each side
     // pre-filtered differently), completing the join-type coverage row
     // alongside inner/semi/anti/asof/range. Null-safe key coalesce and
@@ -187,6 +215,22 @@ object RelationalQueries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation   ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+
+    "rel_corr_stats" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |         CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(CAST(l_quantity AS HUGEINT)) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(floor(l_extendedprice * 100) AS HUGEINT)) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(l_quantity AS HUGEINT) * CAST(floor(l_extendedprice * 100) AS HUGEINT)) AS DOUBLE) AS sxy,
+        |         CAST(sum(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)) AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(floor(l_extendedprice * 100) AS HUGEINT) * CAST(floor(l_extendedprice * 100) AS HUGEINT)) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |       round((n * sxy - sx * sy) /
+        |             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price,
+        |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_cents_per_qty
+        |FROM a""".stripMargin,
 
     "rel_outer_join" ->
       """SELECT coalesce(c_custkey, o_custkey) AS custkey,
