@@ -76,6 +76,22 @@ object RelationalQueries {
         .limit(10)
     }),
 
+    // RANGE-frame window (value-based, not row-based): per-customer
+    // trailing-30-day revenue. The order key is an integer day offset
+    // so the frame bound is a plain numeric range — peers on the same
+    // day aggregate together regardless of row order, which is what
+    // makes a RANGE frame deterministic where a ROWS frame over a tied
+    // sort would not be.
+    "rel_trailing_revenue" -> ((s, dir) => {
+      val days = datediff(col("o_orderdate"),
+        lit("1995-01-01").cast("timestamp")).cast("long")
+      val w = Window.partitionBy(col("o_custkey")).orderBy(days)
+        .rangeBetween(-29, 0)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          sum(cents(col("o_totalprice"))).over(w).as("rev_30d_cents"))
+    }),
+
     // Correlation / regression statistics from EXACT integer moment
     // sums: builtin corr()/regr_slope() accumulate doubles in
     // partition order (never hash-reproducible across engines), so the
@@ -215,6 +231,14 @@ object RelationalQueries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation   ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+
+    "rel_trailing_revenue" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER (
+        |         PARTITION BY o_custkey
+        |         ORDER BY date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
+        |         RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT) AS rev_30d_cents
+        |FROM orders""".stripMargin,
 
     "rel_corr_stats" ->
       """WITH a AS (
