@@ -81,7 +81,21 @@ object TextQueries {
         .agg(count(lit(1)).as("n"),
           round(sum(k).cast("double") / count(lit(1)).cast("double"), 6).as("avg_k"),
           max(k).as("max_k"))
-    }))
+    }),
+
+    // MAP-typed column surface: props parsed to map<string,long>, then
+    // map_keys / size / null-safe value access — the map-functions
+    // checklist row beside the array coverage in events_type_arrays.
+    "events_props_map" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType)).as("m"))
+        .select(col("event_id"),
+          array_join(sort_array(map_keys(col("m"))), ",").as("keys_csv"),
+          try_element_at(col("m"), lit("k")).as("k_val"),
+          size(col("m")).cast("long").as("n_keys"))))
 
   // -------------------------------------------------------------------
   // DuckDB oracles
@@ -179,5 +193,12 @@ object TextQueries {
         |       round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
         |             / CAST(count(*) AS DOUBLE), 6) AS avg_k,
         |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-        |FROM events GROUP BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "events_props_map" ->
+      """SELECT event_id,
+        |       array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |       CAST(len(json_keys(props)) AS BIGINT) AS n_keys
+        |FROM events""".stripMargin)
 }
