@@ -99,6 +99,23 @@ class PlanAuditSpec extends SparkSpec {
       s"interpreted HOF found in the scoring plan:\n$plan")
   }
 
+  test("docs_bigrams derives adjacency without a window sort") {
+    // the positional pair projection replaced a lead() window; a
+    // regression back would reintroduce Window + Sort before the count
+    val plan = CurationQueries.queries("docs_bigrams")(spark, sfDir)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Sort"),
+      s"bigram adjacency regressed to a sorted window:\n$plan")
+  }
+
+  test("docs_decontam broadcasts the eval-gram set (corpus never " +
+      "shuffles before the match)") {
+    val plan = CurationQueries.queries("docs_decontam")(spark, sfDir)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"decontamination lost its broadcast join:\n$plan")
+  }
+
   test("bucketed co-located join plans without a shuffle exchange") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
     val conf = spark.conf
