@@ -271,6 +271,25 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** Incremental ingestion dedup: rows matching `isNew` (today's
+    * batch) that do NOT share an exact content hash with the
+    * historical rest of `docs`. Both sides project to the md5 digest
+    * BEFORE the anti join, so the corpus-scale shuffle carries 16-byte
+    * hashes, never document payloads — the shape that lets a daily
+    * batch dedup against a 100 TB history. (The fixture has no exact
+    * duplicates at sf0.01, so the oracle row checks engine parity of
+    * the join; DedupSpec proves the drop behavior on planted
+    * cross-boundary copies.)
+    */
+  def incrementalSurvivors(docs: DataFrame, isNew: Column): DataFrame = {
+    val oldHashes = docs.filter(!isNew)
+      .select(md5(col("text")).as("h")).distinct()
+    docs.filter(isNew)
+      .withColumn("nh", md5(col("text")))
+      .join(oldHashes, col("nh") === col("h"), "left_anti")
+      .drop("nh")
+  }
+
   /** Exact Jaccard similarity of two pre-distinct shingle arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

@@ -38,6 +38,18 @@ object DedupQueries {
         .select("doc_id", "n_copies")
     }),
 
+    // Incremental ingestion dedup: a "new batch" (doc_id % 5 == 4
+    // stands in for today's crawl) anti-joined against the historical
+    // corpus on content hash. Both sides project to the hash BEFORE
+    // the join, so the shuffle carries 16-byte digests — never
+    // document payloads — and the anti join is the only corpus-scale
+    // exchange: the shape that lets daily ingestion run against a
+    // 100 TB history.
+    "docs_incremental_dedup" -> ((s, dir) =>
+      Dedup.incrementalSurvivors(Tables.documents(s, dir),
+        col("doc_id") % 5 === 4)
+        .select("doc_id", "lang")),
+
     // MinHash-LSH near-dup over word 3-gram shingles, exact-Jaccard
     // verified at 0.5. Never all-pairs: candidates come from the band
     // bucket join (Dedup.lshCandidates).
@@ -129,6 +141,13 @@ object DedupQueries {
     "docs_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "docs_incremental_dedup" ->
+      """SELECT d.doc_id, d.lang FROM documents d
+        |WHERE d.doc_id % 5 = 4
+        |  AND NOT EXISTS (SELECT 1 FROM documents o
+        |                  WHERE o.doc_id % 5 <> 4
+        |                    AND md5(o.text) = md5(d.text))""".stripMargin,
 
     // Exact all-pairs Jaccard — independent of the LSH implementation.
     "docs_dedup_near" -> jaccardPairsSql(wordShCte),

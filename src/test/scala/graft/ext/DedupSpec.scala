@@ -87,4 +87,20 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(sh.forall { case (_, v) => v >= 0 && v < (1L << 60) })
   }
+
+  test("incremental dedup drops cross-boundary exact copies, keeps " +
+      "fresh content and intra-batch duplicates") {
+    val docs = Seq(
+      (0L, "history doc one", "en"),
+      (1L, "history doc two", "en"),
+      (10L, "history doc one", "en"),  // new, copies history doc 0 → drop
+      (11L, "genuinely fresh text", "de"),  // new, unique → keep
+      (12L, "also fresh content", "en"),    // new, dup of 13 only → keep
+      (13L, "also fresh content", "en"))    // intra-batch dup → keep (both)
+      .toDF("doc_id", "text", "lang")
+    val survivors = Dedup.incrementalSurvivors(docs, col("doc_id") >= 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(11L, 12L, 13L),
+      s"wrong survivors: $survivors")
+  }
 }
