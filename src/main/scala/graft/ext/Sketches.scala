@@ -86,4 +86,70 @@ object Sketches {
     */
   def hllDistinct(hashed: Column, p: Int = DefaultP): Column =
     udaf(new HllAggregator(p), Encoders.scalaLong)(hashed)
+
+  case class MgBuf(counts: Map[String, Long])
+
+  /** Misra-Gries heavy-hitters summary as a typed [[Aggregator]] (north-star
+    * extension; no reference counterpart — the reference has no aggregation
+    * surface, SURVEY.md §2.2).
+    *
+    * The buffer holds at most `capacity` counters, so the shuffle carries
+    * O(capacity) state per group regardless of input size — the property
+    * that makes frequent-item mining feasible at 100 TB where an exact
+    * per-key groupBy of a high-cardinality column would shuffle every key.
+    * Partial buffers merge with the Agarwal et al. (TODS '13) mergeable
+    * rule: sum counters pairwise, then subtract the (capacity+1)-largest
+    * count from all and drop non-positives, preserving the deterministic
+    * guarantee that every item with true frequency > n/(capacity+1)
+    * SURVIVES in the summary (the returned set is a superset of the true
+    * heavy hitters; exact membership depends on merge order, which is why
+    * the driver-checked query asserts the guarantee, not the raw set —
+    * same pattern as `events_hll_check`).
+    */
+  class MisraGriesAggregator(capacity: Int)
+      extends Aggregator[String, MgBuf, Array[String]] {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+
+    def zero: MgBuf = MgBuf(Map.empty)
+
+    def reduce(b: MgBuf, item: String): MgBuf = {
+      if (item == null) return b // null key carries no frequency mass
+      val c = b.counts
+      if (c.contains(item)) MgBuf(c.updated(item, c(item) + 1L))
+      else if (c.size < capacity) MgBuf(c.updated(item, 1L))
+      else {
+        // Decrement-all step: every tracked counter pays one unit for the
+        // untracked arrival; zeroed counters free their slot.
+        MgBuf(c.flatMap { case (k, v) =>
+          if (v > 1L) Some(k -> (v - 1L)) else None
+        })
+      }
+    }
+
+    def merge(b1: MgBuf, b2: MgBuf): MgBuf = {
+      val summed = b2.counts.foldLeft(b1.counts) { case (acc, (k, v)) =>
+        acc.updated(k, acc.getOrElse(k, 0L) + v)
+      }
+      if (summed.size <= capacity) MgBuf(summed)
+      else {
+        val kth = summed.values.toArray.sortBy(-_).apply(capacity)
+        MgBuf(summed.flatMap { case (k, v) =>
+          if (v > kth) Some(k -> (v - kth)) else None
+        })
+      }
+    }
+
+    def finish(b: MgBuf): Array[String] = b.counts.keys.toArray.sorted
+
+    def bufferEncoder = Encoders.product[MgBuf]
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
+  }
+
+  /** Untyped UDAF: `df.agg(Sketches.heavyHitters(col("lang"), 4))` returns
+    * the (sorted) candidate set containing every item with frequency
+    * > n/(capacity+1).
+    */
+  def heavyHitters(item: Column, capacity: Int): Column =
+    udaf(new MisraGriesAggregator(capacity), Encoders.STRING)(item)
 }

@@ -273,6 +273,76 @@ object AnalyticsQueries {
       s.read.parquet(out)
         .filter(col("lang") === "en")
         .select("doc_id", "source", "lang")
+    }),
+
+    // Misra-Gries heavy hitters with a machine-checked guarantee row
+    // (the events_hll_check pattern): the capacity-4 summary must
+    // contain EVERY item with true frequency > n/5 — that superset
+    // guarantee is deterministic even though the raw candidate set
+    // depends on merge order, so the query emits the exact heavy
+    // hitters (computed in the same pass) plus the membership check,
+    // and the oracle reproduces the exact side + literal true. One
+    // scan, O(capacity) shuffle bytes for the sketch — the shape that
+    // mines frequent items from a 100 TB column without shuffling
+    // every distinct key.
+    "docs_heavy_hitters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val summary = docs.agg(
+        graft.ext.Sketches.heavyHitters(col("lang"), 4).as("sketch"),
+        count(lit(1)).as("n"))
+      docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .join(broadcast(summary)) // 1-row cross: carries (sketch, n) to every group
+        .filter(col("cnt") * 5 > col("n"))
+        .select(col("lang"), col("cnt"),
+          array_contains(col("sketch"), col("lang")).as("in_sketch"))
+    }),
+
+    // Per-group z-score outliers: one window partition on
+    // o_orderpriority computes mean and sample stddev, every order
+    // scores against its group, |z| > 1.7 survives (o_totalprice is
+    // uniform, so max |z| is the uniform bound sqrt(3) ~ 1.73 — a 2.0
+    // cut would be vacuously empty). Single shuffle on
+    // the group key; both moments share the partition+sort. Rounded to
+    // 6 so double summation order can't flip the hash.
+    "rel_price_outliers" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+      val z = (col("o_totalprice") - avg(col("o_totalprice")).over(w)) /
+        stddev_samp(col("o_totalprice")).over(w)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          cents(col("o_totalprice")).as("price_cents"), z.as("z"))
+        .filter(abs(col("z")) > 1.7)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("price_cents"), round(col("z"), 6).as("z"))
+    }),
+
+    // TPC-H Q10 shape: returned-item revenue per customer with nation
+    // decode — a selective fact-side filter (l_returnflag = 'R') under
+    // a 3-way join, then a top-20. The filter reaches the lineitem
+    // scan (PushedFilters), customer and nation broadcast, and the
+    // only shuffle is the final per-customer aggregate. Companion
+    // optimizer audit: RuntimeFilterSpec pins Spark's runtime Bloom
+    // pre-filter on this join shape when broadcast is off — the
+    // mechanism that keeps the fact scan sparse at 100 TB.
+    "rel_returned_revenue" -> ((s, dir) => {
+      val returned = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("rev"))
+      val joined = returned
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)
+          .select("c_custkey", "c_name", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)
+          .select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+      joined.groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(round(sum(col("rev")), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
     }))
 
   // -------------------------------------------------------------------
@@ -414,5 +484,36 @@ object AnalyticsQueries {
         |FROM events GROUP BY event_type""".stripMargin,
 
     "docs_partitioned_scan" ->
-      """SELECT doc_id, source, lang FROM documents WHERE lang = 'en'""")
+      """SELECT doc_id, source, lang FROM documents WHERE lang = 'en'""",
+
+    "docs_heavy_hitters" ->
+      """WITH t AS (SELECT count(*) AS n FROM documents)
+        |SELECT lang, count(*) AS cnt, true AS in_sketch
+        |FROM documents, t
+        |GROUP BY lang, n
+        |HAVING count(*) * 5 > n""".stripMargin,
+
+    "rel_price_outliers" ->
+      """WITH z AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |         (o_totalprice
+        |            - avg(o_totalprice) OVER (PARTITION BY o_orderpriority))
+        |         / stddev_samp(o_totalprice) OVER (PARTITION BY o_orderpriority)
+        |           AS z
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderpriority, price_cents, round(z, 6) AS z
+        |FROM z WHERE abs(z) > 1.7""".stripMargin,
+
+    "rel_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin)
 }

@@ -128,6 +128,31 @@ object CdcQueries {
           col("last.event_id").as("event_id"), col("last.op").as("op"),
           col("last.value_cents").as("value_cents"))
         .filter(col("op") =!= "d")
+    }),
+
+    // SCD2 history build (extension E86): the change stream per key
+    // becomes validity intervals — each non-delete version is effective
+    // from its own timestamp until the NEXT change of any kind (a
+    // delete closes the open interval without opening a new one), and
+    // the last open interval is current. One shuffle on the key serves
+    // the lead() window; (ts, event_id) tie-break keeps interval edges
+    // deterministic. This is the warehouse-side complement of
+    // cdc_compact's latest-state view: same input, full history.
+    "cdc_scd2" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.Tables.events(s, dir).select(
+        col("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("event_id"),
+        Envelopes.opExpr(col("event_type")).as("op"),
+        floor(col("value") * 100).cast("long").as("value_cents"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ev.withColumn("effective_to", lead(col("ts"), 1).over(w))
+        .filter(col("op") =!= "d")
+        .select(col("user_id"), col("event_id"), col("op"),
+          col("value_cents"), col("ts").as("effective_from"),
+          col("effective_to"),
+          col("effective_to").isNull.as("is_current"))
     }))
 
   /** Rules from the YAML fixture (R8). Loaded once; both the Spark query
@@ -228,5 +253,21 @@ object CdcQueries {
         |                                   ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM labeled)
         |SELECT user_id, ts, event_id, op, value_cents
-        |FROM r WHERE rn = 1 AND op <> 'd'""".stripMargin)
+        |FROM r WHERE rn = 1 AND op <> 'd'""".stripMargin,
+
+    "cdc_scd2" ->
+      """WITH labeled AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |         CASE event_type WHEN 'signup' THEN 'c' WHEN 'purchase' THEN 'u'
+        |                         WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+        |         CAST(floor(value * 100) AS BIGINT) AS value_cents
+        |  FROM events),
+        |iv AS (
+        |  SELECT *, lead(ts, 1) OVER (PARTITION BY user_id
+        |                              ORDER BY ts, event_id) AS effective_to
+        |  FROM labeled)
+        |SELECT user_id, event_id, op, value_cents,
+        |       ts AS effective_from, effective_to,
+        |       effective_to IS NULL AS is_current
+        |FROM iv WHERE op <> 'd'""".stripMargin)
 }

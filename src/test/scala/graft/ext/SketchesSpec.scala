@@ -40,4 +40,72 @@ class SketchesSpec extends SparkSpec {
       (1L to 40L).map(x => x * 0x9E3779B97F4A7C15L).foldLeft(agg.zero)(agg.reduce))
     assert(math.abs(est - 40L) <= 2)
   }
+
+  // ---- Misra-Gries ----
+
+  /** Skewed stream: "hot" is 40% of 1000 items; the rest spread over
+    * 60 cold keys. With capacity 4, the guarantee covers freq > 200.
+    */
+  private val mgStream: Seq[String] = {
+    val rng = new scala.util.Random(42)
+    rng.shuffle(
+      (Seq.fill(400)("hot") ++ (0 until 600).map(i => s"cold${i % 60}")).toList)
+  }
+
+  test("Misra-Gries keeps every true heavy hitter under arbitrary merge splits") {
+    val agg = new Sketches.MisraGriesAggregator(4)
+    val n = mgStream.size
+    val threshold = n / 5 // capacity+1
+    val trueHeavy = mgStream.groupBy(identity).collect {
+      case (k, v) if v.size > threshold => k
+    }.toSet
+    assert(trueHeavy == Set("hot"))
+    for (splits <- Seq(Seq(n), Seq(1, n - 1), Seq(250, 250, 250, 250),
+        Seq(7, 13, 480, 500))) {
+      val chunks = splits.scanLeft(0)(_ + _).sliding(2).map {
+        case Seq(a, b) => mgStream.slice(a, b)
+      }.toSeq
+      val merged = chunks.map(_.foldLeft(agg.zero)(agg.reduce))
+        .reduce(agg.merge)
+      val kept = agg.finish(merged).toSet
+      assert(trueHeavy.subsetOf(kept), s"splits=$splits kept=$kept")
+    }
+  }
+
+  test("Misra-Gries buffer never exceeds capacity and ignores nulls") {
+    val agg = new Sketches.MisraGriesAggregator(3)
+    var b = agg.zero
+    mgStream.foreach { x =>
+      b = agg.reduce(b, x)
+      assert(b.counts.size <= 3)
+    }
+    val withNulls = agg.reduce(agg.reduce(b, null), null)
+    assert(withNulls.counts == b.counts)
+    // merge of two full buffers also respects the bound
+    val b2 = mgStream.reverse.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.merge(b, b2).counts.size <= 3)
+  }
+
+  test("Misra-Gries counter lower-bounds true frequency") {
+    // MG counters only ever under-count (each decrement is shared),
+    // so count(k) <= true_freq(k) — the property the estimate
+    // interpretation relies on.
+    val agg = new Sketches.MisraGriesAggregator(4)
+    val b = mgStream.foldLeft(agg.zero)(agg.reduce)
+    val exact = mgStream.groupBy(identity).map { case (k, v) => k -> v.size }
+    b.counts.foreach { case (k, c) =>
+      assert(c <= exact(k), s"$k: counter $c exceeds true ${exact(k)}")
+    }
+  }
+
+  test("heavyHitters UDAF surfaces the dominant language from documents") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val sketch = docs
+      .agg(Sketches.heavyHitters(col("lang"), 4).as("s"))
+      .as[Array[String]].head()
+    // 'en' is ~44% of the fixture — far above the n/5 guarantee line.
+    assert(sketch.contains("en"))
+    assert(sketch.length <= 4)
+    assert(sketch.sorted.sameElements(sketch)) // deterministic order
+  }
 }
