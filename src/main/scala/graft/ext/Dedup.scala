@@ -431,6 +431,57 @@ object Dedup {
     * belongs at the application level. On a flaky large cluster, swap
     * for a reliable `checkpoint()` against fault-tolerant storage.
     */
+  /** Containment near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|) over
+    * word n-gram shingles — the asymmetric complement of Jaccard that
+    * catches a short document EMBEDDED in a longer one (quote
+    * inclusion, boilerplate wrapping), where the union term dilutes
+    * Jaccard below any usable threshold. MinHash banding is the WRONG
+    * candidate tier here — its recall tracks Jaccard, which is exactly
+    * the measure containment pairs evade — so candidates come from a
+    * PREFIX-FILTER join (the PPJoin family): rank each document's
+    * shingles by global document frequency ascending, keep the
+    * ⌊(1−t)·m⌋+1 rarest as its prefix, and join prefixes against the
+    * full shingle-row table. If the smaller set S has containment ≥ t,
+    * at most ⌊(1−t)·|S|⌋ of its shingles fall outside the
+    * intersection, so its prefix must hit a shared shingle — EXACT
+    * recall at any size asymmetry (a 3-word quote inside a book is
+    * found), no LSH coin-flip. Join keys are each doc's RAREST
+    * shingles, so per-key fan-out stays small on natural corpora; the
+    * adversarial worst case (many identical docs) has candidate count
+    * of the same order as the true output, so the join never exceeds
+    * the answer's own scale. Reported pairs are exact-verified.
+    */
+  def containmentPairs(docs: DataFrame, idColName: String, textColName: String,
+                       n: Int, threshold: Double): DataFrame = {
+    val rows = wordShingleRows(docs, col(idColName), col(textColName), n)
+      .distinct()
+    val dfCounts = rows.groupBy(col("x")).agg(count(lit(1)).as("df"))
+    val ranked = rows.join(dfCounts, "x")
+      .withColumn("m", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("df"), col("x"))))
+    val prefix = ranked
+      .filter(col("rn") <= floor((lit(1.0) - threshold) * col("m")) + 1)
+      .select(col("id").as("pa"), col("x"))
+    val cands = prefix
+      .join(rows.select(col("id").as("pb"), col("x")), "x")
+      .filter(col("pa") =!= col("pb"))
+      .select(least(col("pa"), col("pb")).as("id_a"),
+        greatest(col("pa"), col("pb")).as("id_b"))
+      .distinct()
+    val sets = rows.groupBy(col("id")).agg(collect_set(col("x")).as("sh"))
+    cands
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   private def verifyCandidates(candidates: DataFrame, docs: DataFrame,
                                idColName: String, shingler: DataFrame => DataFrame,
                                threshold: Double): DataFrame = {

@@ -275,6 +275,24 @@ object AnalyticsQueries {
         .select("doc_id", "source", "lang")
     }),
 
+    // Cohort retention: users bucketed by the week of their FIRST
+    // event, then distinct-active counts per (cohort, week offset) —
+    // the standard growth-analytics triangle. Two shuffles: the
+    // per-user min (partial-agg friendly) and the cohort-grid distinct
+    // count; the user->cohort map joins back on the already-shuffled
+    // user key. Both engines truncate weeks to Monday and the offsets
+    // divide exactly, so the grid is bit-stable.
+    "events_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      val cohorts = ev.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+      ev.join(cohorts, "user_id")
+        .groupBy(col("cohort"),
+          (datediff(col("wk").cast("date"), col("cohort").cast("date")) / 7)
+            .cast("long").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+    }),
+
     // Misra-Gries heavy hitters with a machine-checked guarantee row
     // (the events_hll_check pattern): the capacity-4 summary must
     // contain EVERY item with true frequency > n/5 — that superset
@@ -485,6 +503,18 @@ object AnalyticsQueries {
 
     "docs_partitioned_scan" ->
       """SELECT doc_id, source, lang FROM documents WHERE lang = 'en'""",
+
+    "events_retention" ->
+      """WITH ev AS (SELECT user_id,
+        |                   date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+        |            FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id)
+        |SELECT CAST(cohort AS TIMESTAMP) AS cohort,
+        |       date_diff('day', CAST(cohort AS DATE), CAST(wk AS DATE)) // 7
+        |         AS week_offset,
+        |       count(DISTINCT ev.user_id) AS n_active
+        |FROM ev JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "docs_heavy_hitters" ->
       """WITH t AS (SELECT count(*) AS n FROM documents)

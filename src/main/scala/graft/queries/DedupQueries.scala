@@ -25,6 +25,10 @@ object DedupQueries {
   // to 0.24 while planted dups stay ≥ 0.9.
   val CharN = 6 // shared with LshRecallInvariantSpec's gap check
   val JaccardThreshold = 0.5
+  // Containment cut 0.9: fixture background containment maxes at 0.27
+  // (measured), so the report threshold sits in a wide gap — and the
+  // prefix-filter candidate tier is exact-recall regardless.
+  val ContainmentThreshold = 0.9
   private val MaxHamming = 3
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -61,6 +65,15 @@ object DedupQueries {
     "docs_ngram_jaccard" -> ((s, dir) =>
       Dedup.nearDupPairsNative(Tables.documents(s, dir), "doc_id", "text",
         CharN, word = false, JaccardThreshold)),
+
+    // Containment near-dup (asymmetric): |A∩B| / min(|A|,|B|) ≥ 0.9
+    // over word 3-gram shingles — catches short-doc-inside-long-doc
+    // inclusion that Jaccard's union term hides. Candidates via
+    // prefix-filter join (exact recall, no banding coin-flip), then
+    // exact verification (E87).
+    "docs_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+        WordN, ContainmentThreshold)),
 
     // 60-bit SimHash fingerprint per document — native scan-side
     // expression (graft.functions.SimHash60; A/B-pinned against the
@@ -152,6 +165,16 @@ object DedupQueries {
     // Exact all-pairs Jaccard — independent of the LSH implementation.
     "docs_dedup_near" -> jaccardPairsSql(wordShCte),
     "docs_ngram_jaccard" -> jaccardPairsSql(charShCte),
+
+    // Exact all-pairs containment — same independence property.
+    "docs_containment" ->
+      s"""$wordShCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       len(list_intersect(a.s, b.s))::DOUBLE /
+         |         least(len(a.s), len(b.s)) AS containment
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+         |        least(len(a.s), len(b.s)) >= $ContainmentThreshold""".stripMargin,
 
     "docs_simhash" -> s"$simhashCte SELECT doc_id, simhash FROM sh",
 

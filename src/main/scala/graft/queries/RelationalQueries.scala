@@ -76,6 +76,28 @@ object RelationalQueries {
         .limit(10)
     }),
 
+    // TPC-H Q18 shape (E89): orders qualified by an aggregated HAVING
+    // subquery — the "IN (SELECT ... GROUP BY ... HAVING)" pattern
+    // becomes an inner join against the aggregated key set. The
+    // aggregate runs on lineitem's grain FIRST (partial-agg friendly,
+    // carries only (orderkey, sum) through the shuffle); orders then
+    // joins the shrunken set, and the customer decode broadcasts.
+    // Quantity sums are whole-valued doubles well inside 2^53, so the
+    // long cast is exact in both engines.
+    "rel_big_qty_orders" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+      Tables.orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), cents(col("o_totalprice")).as("price_cents"),
+          col("sum_qty"))
+    }),
+
     // RANGE-frame window (value-based, not row-based): per-customer
     // trailing-30-day revenue. The order key is an integer day offset
     // so the frame bound is a plain numeric range — peers on the same
@@ -232,6 +254,15 @@ object RelationalQueries {
         |JOIN nation   ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
 
+    "rel_big_qty_orders" ->
+      """WITH big AS (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |             FROM lineitem GROUP BY l_orderkey
+        |             HAVING CAST(sum(l_quantity) AS BIGINT) > 150)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+        |       CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents, sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "rel_trailing_revenue" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER (

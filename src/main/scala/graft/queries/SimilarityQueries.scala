@@ -78,6 +78,22 @@ object SimilarityQueries {
           round(greatest(least(col("x").cast("double"), lit(1.0)), lit(-1.0))
             * 127, 0).cast("long").as("q"))),
 
+    // Per-cluster L2-norm statistics — the vector-health profile a
+    // similarity index needs before choosing a metric (unnormalized
+    // vectors make cosine and dot diverge). The squared norm is the
+    // codegen'd DotProduct of a vector with itself; everything after
+    // is scalar aggregation. avg is order-sensitive in the last bits,
+    // hence round(6); min/max compare bit-identical doubles.
+    "emb_norm_stats" -> ((s, dir) =>
+      corpus(s, dir)
+        .select(col("part"),
+          sqrt(graft.functions.DotProduct(col("vec"), col("vec"))).as("nrm"))
+        .groupBy("part")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("nrm")), 6).as("avg_norm"),
+          round(min(col("nrm")), 6).as("min_norm"),
+          round(max(col("nrm")), 6).as("max_norm"))),
+
     // Signed-random-projection signature (random-hyperplane LSH for
     // cosine space): 16 md5-derived Rademacher hyperplanes, all dot
     // products codegen'd against literal arrays, scan-side only.
@@ -218,6 +234,15 @@ object SimilarityQueries {
          |      FROM s)
          |SELECT id, part, cpart AS assigned, round(score, 6) AS cos
          |FROM r WHERE rn = 1""".stripMargin,
+
+    "emb_norm_stats" ->
+      s"""$embCte,
+         |nr AS (SELECT label AS part, sqrt(${dotSql("v", "v")}) AS nrm FROM e)
+         |SELECT part, count(*) AS n,
+         |       round(avg(nrm), 6) AS avg_norm,
+         |       round(min(nrm), 6) AS min_norm,
+         |       round(max(nrm), 6) AS max_norm
+         |FROM nr GROUP BY part""".stripMargin,
 
     "emb_srp_sig" ->
       s"""$srpSigCte

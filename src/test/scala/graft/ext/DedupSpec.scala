@@ -103,4 +103,35 @@ class DedupSpec extends SparkSpec {
     assert(survivors == Set(11L, 12L, 13L),
       s"wrong survivors: $survivors")
   }
+
+  test("containment finds an embedded passage Jaccard would score low") {
+    // 24 distinct-token host (22 shingles); the quote is 8 consecutive
+    // tokens of it (6 shingles, all ⊂ host) → containment 1.0 but
+    // Jaccard 6/22 ≈ 0.27 — below any banding threshold that keeps
+    // background noise out.
+    val host = (0 until 24).map(i => s"t$i").mkString(" ")
+    val quote = (5 until 13).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (0L, host), (1L, quote),
+      (2L, "totally unrelated words about completely different things here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L)))
+    assert(pairs.head._3 == 1.0)
+  }
+
+  test("containment prefix filter has exact recall at extreme asymmetry") {
+    // A 1-shingle quote inside a 60-token host: Jaccard ~1/58, far
+    // below anything MinHash banding could surface — the prefix-filter
+    // candidate tier must still find it (the smaller side's prefix IS
+    // its only shingle, which the host contains).
+    val words = (0 until 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq((0L, words), (1L, "w10 w11 w12"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L)))
+    assert(pairs.head._3 == 1.0)
+  }
 }

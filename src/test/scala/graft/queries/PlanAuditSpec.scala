@@ -159,4 +159,40 @@ class PlanAuditSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_cust_b")
     }
   }
+
+  test("Q10-shape: returnflag filter reaches the lineitem scan and " +
+      "dims broadcast") {
+    val df = AnalyticsQueries.queries("rel_returned_revenue")(spark, sfDir)
+    val pushed = df.queryExecution.sparkPlan
+      .collect { case s: FileSourceScanExec => s }
+      .map(_.metadata("PushedFilters"))
+    assert(pushed.exists(_.contains("EqualTo(l_returnflag,R)")),
+      s"returnflag filter not pushed: $pushed")
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("Q18-shape: the quantity aggregate runs on lineitem grain " +
+      "below the orders join") {
+    val df = RelationalQueries.queries("rel_big_qty_orders")(spark, sfDir)
+    val plan = df.queryExecution.sparkPlan.toString
+    // the HAVING-subquery aggregate must appear under the join (shrink
+    // first, join second), and the customer decode must broadcast
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(aggIdx >= 0, s"no hash aggregate:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    // tree renders root-first, so "join above aggregate" in the plan
+    // text means the aggregate feeds the join, not vice versa
+    val joinIdx = plan.indexOf("Join")
+    assert(joinIdx >= 0 && joinIdx < aggIdx,
+      s"quantity aggregate is not below the join:\n$plan")
+  }
+
+  test("containment prefix-filter join is equi-keyed (no nested loop)") {
+    val df = DedupQueries.queries("docs_containment")(spark, sfDir)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"containment join degenerated to a product:\n$plan")
+  }
 }
