@@ -453,8 +453,20 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, idColName: String, textColName: String,
                        n: Int, threshold: Double): DataFrame = {
+    // The shingle-row table fans out to FOUR consumers (df counts, the
+    // ranked prefix, the probe side of the candidate join, the verify
+    // sets) and Spark does not share non-exchanged subplans — without a
+    // materialization the shingle+distinct shuffle re-runs per consumer.
+    // Same lazy-localCheckpoint trade as verifyCandidates (see scaladoc
+    // there for the executor-loss caveat). Shingles are collapsed to
+    // their xxhash64 scan-side: every downstream exchange, window sort,
+    // join key, and collect_set then carries 8 bytes instead of an
+    // n-word string. Set sizes and intersections are preserved modulo
+    // 64-bit collisions (~p=10^-8 even at 10^9 distinct shingles per
+    // pair-neighborhood), the standard shingle-fingerprint trade.
     val rows = wordShingleRows(docs, col(idColName), col(textColName), n)
-      .distinct()
+      .select(col("id"), xxhash64(col("x")).as("x"))
+      .distinct().localCheckpoint(false)
     val dfCounts = rows.groupBy(col("x")).agg(count(lit(1)).as("df"))
     val ranked = rows.join(dfCounts, "x")
       .withColumn("m", count(lit(1)).over(
@@ -470,8 +482,15 @@ object Dedup {
       .filter(col("pa") =!= col("pb"))
       .select(least(col("pa"), col("pb")).as("id_a"),
         greatest(col("pa"), col("pb")).as("id_b"))
-      .distinct()
-    val sets = rows.groupBy(col("id")).agg(collect_set(col("x")).as("sh"))
+      .distinct().localCheckpoint(false)
+    // Verify sets only for docs that appear in a candidate pair — at
+    // corpus scale the candidates touch a sliver of the documents, so
+    // the collect_set aggregate must not shuffle every doc's shingles.
+    val candIds = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as("cand_id")).distinct()
+    val sets = rows
+      .join(broadcast(candIds), col("id") === col("cand_id"), "left_semi")
+      .groupBy(col("id")).agg(collect_set(col("x")).as("sh"))
     cands
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
