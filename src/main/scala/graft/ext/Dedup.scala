@@ -501,6 +501,34 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("containment"))
   }
 
+  /** Blocked edit-distance near-dup pairs — the character-level fuzzy
+    * tier of the dedup family (entity-resolution shape): docs sharing a
+    * `prefixLen`-char blocking key are compared by Levenshtein distance
+    * over their first `window` chars; pairs at distance ≤ `maxDist`
+    * survive. Blocking turns the quadratic all-pairs comparison into an
+    * equi-join: per-block work is |block|², so the operator scales with
+    * the blocking key's selectivity, never the corpus (the standard
+    * multi-pass-blocking trade — a pair whose very first chars diverge
+    * needs a different key, e.g. a suffix or sorted-token block).
+    * The DP comparison itself runs on a fixed `window`, bounding each
+    * comparison at O(window²) regardless of document length. Uses
+    * Spark's thresholded `levenshtein` (early-exits DP rows above
+    * `maxDist`, returning -1 — strictly faster, same surviving pairs).
+    */
+  def editDistancePairs(docs: DataFrame, idColName: String, textColName: String,
+                        prefixLen: Int, window: Int, maxDist: Int): DataFrame = {
+    val keyed = docs.select(col(idColName).as("id"),
+      substring(col(textColName), 1, prefixLen).as("blk"),
+      substring(col(textColName), 1, window).as("head"))
+    val a = keyed.select(col("id").as("id_a"), col("head").as("head_a"), col("blk"))
+    val b = keyed.select(col("id").as("id_b"), col("head").as("head_b"), col("blk"))
+    a.join(b, "blk")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("head_a"), col("head_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   private def verifyCandidates(candidates: DataFrame, docs: DataFrame,
                                idColName: String, shingler: DataFrame => DataFrame,
                                threshold: Double): DataFrame = {

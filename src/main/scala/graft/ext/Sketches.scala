@@ -152,4 +152,77 @@ object Sketches {
     */
   def heavyHitters(item: Column, capacity: Int): Column =
     udaf(new MisraGriesAggregator(capacity), Encoders.STRING)(item)
+
+  val CmsDepth = 5    // P(overshoot > e·n/width) ≤ e^-depth < 1%
+  val CmsWidth = 2048 // 5×2048 longs = 80 KiB per sketch
+
+  case class CmsBuf(table: Array[Long])
+
+  /** Count-Min frequency sketch (Cormode & Muthukrishnan '05) as a typed
+    * [[Aggregator]] — the point-frequency member of the sketch trio next
+    * to [[HllAggregator]] (distinct) and [[MisraGriesAggregator]] (top
+    * items). The buffer is a fixed depth×width counter matrix: partial
+    * aggregation merges cell-wise (counter addition is commutative and
+    * associative, so the merged sketch is EXACTLY the sketch of the
+    * union — no merge-order dependence at all), and the shuffle carries
+    * O(depth·width) longs per group regardless of item cardinality.
+    * Guarantee: estimate ≥ true count always (counters only overcount
+    * on hash collision), and ≤ true + e·n/width with probability
+    * 1 − e^-depth. Row hashes are seeded MurmurHash3 over the item —
+    * deterministic across JVMs, so the same data always yields the
+    * same sketch.
+    */
+  class CountMinAggregator(depth: Int = CmsDepth, width: Int = CmsWidth)
+      extends Aggregator[String, CmsBuf, Array[Long]] {
+    require(depth > 0 && width > 0, s"bad CMS shape ${depth}x$width")
+
+    def zero: CmsBuf = CmsBuf(new Array[Long](depth * width))
+
+    def reduce(b: CmsBuf, item: String): CmsBuf = {
+      if (item != null) {
+        var r = 0
+        while (r < depth) {
+          b.table(r * width + Sketches.cmsIndex(item, r, width)) += 1L
+          r += 1
+        }
+      }
+      b
+    }
+
+    def merge(b1: CmsBuf, b2: CmsBuf): CmsBuf = {
+      var i = 0
+      while (i < b1.table.length) { b1.table(i) += b2.table(i); i += 1 }
+      b1
+    }
+
+    def finish(b: CmsBuf): Array[Long] = b.table
+
+    def bufferEncoder = Encoders.product[CmsBuf]
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Untyped UDAF: `df.agg(Sketches.countMin(col("k")))` yields the raw
+    * depth×width counter table (row-major) for [[cmsEstimate]] probes.
+    */
+  def countMin(item: Column, depth: Int = CmsDepth, width: Int = CmsWidth): Column =
+    udaf(new CountMinAggregator(depth, width), Encoders.STRING)(item)
+
+  private[graft] def cmsIndex(item: String, row: Int, width: Int): Int = {
+    val h = scala.util.hashing.MurmurHash3.stringHash(item, 0x9e3779b9 * (row + 1))
+    java.lang.Math.floorMod(h, width)
+  }
+
+  /** Point-frequency estimate: min over the item's cell in each row. */
+  def cmsEstimate(table: Seq[Long], item: String,
+                  depth: Int = CmsDepth, width: Int = CmsWidth): Long = {
+    var est = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      val v = table(r * width + cmsIndex(item, r, width))
+      if (v < est) est = v
+      r += 1
+    }
+    est
+  }
 }

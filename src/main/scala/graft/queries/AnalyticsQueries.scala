@@ -232,6 +232,31 @@ object AnalyticsQueries {
           (abs(col("est") - col("exact_users")) / col("exact_users") < 0.05)
             .as("within_tol"))),
 
+    // Count-Min frequency sketch with a machine-checked tolerance row
+    // (the events_hll_check pattern, completing the sketch trio:
+    // HLL = distinct, Misra-Gries = top items, CMS = point frequency).
+    // One global 5×2048 sketch is built distributedly (cell-wise
+    // mergeable partials, 80 KiB on the shuffle), broadcast back, and
+    // probed per key: CMS guarantees estimate ≥ exact always and
+    // ≤ exact + ⌈e·n/width⌉ w.h.p. — both bounds computed in Spark,
+    // the oracle reproduces the exact counts and asserts `true`.
+    "events_cms_check" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val sketch = ev.agg(
+        graft.ext.Sketches.countMin(col("event_type")).as("cms"),
+        count(lit(1)).as("total"))
+      val probe = udf((table: Seq[Long], item: String) =>
+        graft.ext.Sketches.cmsEstimate(table, item))
+      ev.groupBy("event_type").agg(count(lit(1)).as("exact_n"))
+        .join(broadcast(sketch))
+        .withColumn("est", probe(col("cms"), col("event_type")))
+        .select(col("event_type"), col("exact_n"),
+          (col("est") >= col("exact_n") &&
+            col("est") <= col("exact_n") +
+              ceil(lit(math.E) * col("total") / graft.ext.Sketches.CmsWidth))
+            .as("within_tol"))
+    }),
+
     // Approximate-quantile sketch with a machine-checked tolerance row
     // (the events_hll_check pattern): the KLL-style percentile_approx
     // at accuracy 100 guarantees rank error ≤ 1/100, so its p90 must
@@ -494,6 +519,10 @@ object AnalyticsQueries {
         |       last_value(s.sc IGNORE NULLS) OVER (ORDER BY spine.hr
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_cents
         |FROM spine LEFT JOIN s USING (hr)""".stripMargin,
+
+    "events_cms_check" ->
+      """SELECT event_type, count(*) AS exact_n, true AS within_tol
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "events_quantiles_check" ->
       """SELECT event_type,

@@ -75,6 +75,14 @@ object DedupQueries {
       Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
         WordN, ContainmentThreshold)),
 
+    // Blocked edit-distance pairs (E91): Levenshtein ≤ 8 over the first
+    // 64 chars, candidates restricted to docs sharing an 8-char prefix
+    // block — the character-level fuzzy member of the dedup family,
+    // complementing shingle Jaccard (word-level) and SimHash (bitwise).
+    "docs_editdist_pairs" -> ((s, dir) =>
+      Dedup.editDistancePairs(Tables.documents(s, dir), "doc_id", "text",
+        prefixLen = 8, window = 64, maxDist = 8)),
+
     // 60-bit SimHash fingerprint per document — native scan-side
     // expression (graft.functions.SimHash60; A/B-pinned against the
     // explode+aggregate form, which remains for tests).
@@ -175,6 +183,17 @@ object DedupQueries {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.s, b.s))::DOUBLE /
          |        least(len(a.s), len(b.s)) >= $ContainmentThreshold""".stripMargin,
+
+    // Same blocking + windowed Levenshtein; DuckDB's levenshtein is the
+    // same unit-cost edit distance (Spark's thresholded form returns the
+    // exact distance whenever it is ≤ the threshold).
+    "docs_editdist_pairs" ->
+      """WITH k AS (SELECT doc_id, substr(text, 1, 8) AS blk,
+        |                  substr(text, 1, 64) AS head FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(levenshtein(a.head, b.head) AS INTEGER) AS dist
+        |FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.head, b.head) <= 8""".stripMargin,
 
     "docs_simhash" -> s"$simhashCte SELECT doc_id, simhash FROM sh",
 

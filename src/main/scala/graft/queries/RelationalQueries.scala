@@ -222,6 +222,45 @@ object RelationalQueries {
           round(sqrt(sum(cents(col("l_extendedprice"))).cast("double")), 6).as("sqrt_cents"),
           round(log(sum(cents(col("l_extendedprice"))).cast("double")), 6).as("ln_cents"))),
 
+    // Correlated aggregate subquery (TPC-H Q17 shape): line items of a
+    // few brands gated by HALF their part's average quantity. Written
+    // as the correlated form on purpose — Catalyst must DECORRELATE it
+    // (RewriteCorrelatedScalarSubquery) into a per-part aggregate
+    // joined back on l_partkey; a per-row re-executed subquery would be
+    // O(rows × scan) and could never run at 100 TB. Quantity sums are
+    // whole-valued doubles, so avg = exact_sum/count is bit-identical
+    // in both engines and the `<` gate is deterministic.
+    "rel_small_qty_revenue" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("g_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("g_part")
+      s.sql("""
+        SELECT p_brand,
+               sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS small_qty_cents,
+               count(*) AS n_items
+        FROM g_lineitem l JOIN g_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+          AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                              FROM g_lineitem l2
+                              WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY p_brand""")
+    }),
+
+    // LATERAL correlated derived table: top-3 customers by balance per
+    // nation. The per-nation ORDER BY + LIMIT inside the lateral body
+    // decorrelates to a ranking window over one shuffle — the SQL
+    // surface twin of the DataFrame row_number pattern below.
+    "rel_lateral_topk" -> ((s, dir) => {
+      Tables.nation(s, dir).createOrReplaceTempView("g_nation")
+      Tables.customer(s, dir).createOrReplaceTempView("g_customer")
+      s.sql("""
+        SELECT n.n_name, c.c_custkey,
+               CAST(floor(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents
+        FROM g_nation n,
+        LATERAL (SELECT c_custkey, c_acctbal FROM g_customer
+                 WHERE c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 3) c""")
+    }),
+
     // Ranking window over text: top-3 most frequent tokens per
     // language (explode -> two-level aggregation -> ranked window).
     "docs_top_terms_per_lang" -> ((s, dir) => {
@@ -349,6 +388,26 @@ object RelationalQueries {
         |       round(sqrt(CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)), 6) AS sqrt_cents,
         |       round(ln(CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)), 6) AS ln_cents
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "rel_small_qty_revenue" ->
+      """SELECT p_brand,
+        |       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS small_qty_cents,
+        |       count(*) AS n_items
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        |  AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+        |                      FROM lineitem l2
+        |                      WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY p_brand""".stripMargin,
+
+    "rel_lateral_topk" ->
+      """SELECT n.n_name, c.c_custkey,
+        |       CAST(floor(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer
+        |         WHERE c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 3) c""".stripMargin,
 
     "docs_top_terms_per_lang" ->
       """WITH tf AS (SELECT lang, unnest(string_split(text, ' ')) AS token

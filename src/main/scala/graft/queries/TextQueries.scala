@@ -46,6 +46,23 @@ object TextQueries {
         .select(explode(TextOps.tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("n"))),
 
+    // Shannon word-entropy per document (nats) — the information-
+    // theoretic quality signal next to the ratio heuristics of
+    // docs_text_stats: spammy low-entropy repetition scores near 0,
+    // diverse text near ln(n_tokens). Two map-side-combinable
+    // aggregations (token counts, then the entropy fold as
+    // H = ln(N) − Σc·ln(c)/N); rounded to 6 so the double fold order
+    // can never break the oracle hash.
+    "docs_entropy" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg(
+          sum("cnt").as("n"),
+          sum(col("cnt") * log(col("cnt"))).as("s"))
+        .select(col("doc_id"),
+          round(log(col("n")) - col("s") / col("n"), 6).as("entropy"))),
+
     // BPE-ish regex tokenizer: per-doc token count.
     "docs_token_bpe" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -162,6 +179,15 @@ object TextQueries {
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token""".stripMargin,
+
+    "docs_entropy" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |c AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1, 2),
+        |t AS (SELECT doc_id, CAST(sum(cnt) AS DOUBLE) AS n,
+        |             sum(cnt * ln(cnt)) AS s
+        |      FROM c GROUP BY 1)
+        |SELECT doc_id, round(ln(n) - s / n, 6) AS entropy FROM t""".stripMargin,
 
     "docs_token_bpe" ->
       s"""SELECT doc_id,

@@ -134,4 +134,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L)))
     assert(pairs.head._3 == 1.0)
   }
+
+  test("edit-distance pairs: in-block typo found at true distance, " +
+    "cross-block and far pairs dropped") {
+    val base = "shared prefix block with a body that continues on"
+    val docs = Seq(
+      (0L, base),
+      (1L, base.replace("body", "bodi")),          // same block, dist 1
+      (2L, "different start so another block entirely " + base),
+      (3L, base.reverse))                          // same chars, far
+      .toDF("doc_id", "text")
+    val pairs = Dedup.editDistancePairs(docs, "doc_id", "text",
+      prefixLen = 8, window = 64, maxDist = 8)
+      .as[(Long, Long, Int)].collect()
+    // (0,3) shares the block only if the reverse kept the prefix — it
+    // does not; (0,2)/(1,2) differ in block; only (0,1) survives.
+    assert(pairs.toSet == Set((0L, 1L, 1)))
+  }
+
+  test("edit-distance pairs: thresholded distance equals the exact DP value") {
+    val a = "aaaa bbbb cccc dddd"
+    val b = "aaaa bbXb cccc dYdd" // two substitutions
+    val docs = Seq((0L, a), (1L, b)).toDF("doc_id", "text")
+    val pairs = Dedup.editDistancePairs(docs, "doc_id", "text", 4, 64, 8)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.toSet == Set((0L, 1L, 2)))
+  }
 }

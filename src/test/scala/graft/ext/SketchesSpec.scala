@@ -98,6 +98,49 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  // ---- Count-Min ----
+
+  test("CMS estimate is >= exact always and within the e*n/width bound") {
+    val agg = new Sketches.CountMinAggregator()
+    val stream = (1 to 2000).map(i => s"k${i % 37}")
+    val table = agg.finish(stream.foldLeft(agg.zero)(agg.reduce))
+    val exact = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val slack = math.ceil(math.E * stream.size / Sketches.CmsWidth).toLong
+    exact.foreach { case (k, n) =>
+      val est = Sketches.cmsEstimate(table, k)
+      assert(est >= n, s"$k: CMS under-counted ($est < $n)")
+      assert(est <= n + slack, s"$k: est=$est exceeds $n + $slack")
+    }
+  }
+
+  test("CMS merge is exactly the sketch of the concatenated stream") {
+    // Cell-wise counter addition means split+merge == sequential, bit
+    // for bit — stronger than HLL/MG's order-insensitivity.
+    val agg = new Sketches.CountMinAggregator()
+    val stream = (1 to 999).map(i => s"v${i % 53}")
+    val (s1, s2) = stream.splitAt(400)
+    val merged = agg.merge(
+      s1.foldLeft(agg.zero)(agg.reduce), s2.foldLeft(agg.zero)(agg.reduce))
+    val sequential = stream.foldLeft(agg.zero)(agg.reduce)
+    assert(merged.table.sameElements(sequential.table))
+  }
+
+  test("CMS null items carry no frequency mass") {
+    val agg = new Sketches.CountMinAggregator()
+    val b = agg.reduce(agg.reduce(agg.zero, null), "x")
+    assert(agg.finish(b).sum == Sketches.CmsDepth) // one increment per row
+  }
+
+  test("countMin UDAF over partitioned data matches a local sequential sketch") {
+    val agg = new Sketches.CountMinAggregator()
+    val items = (1 to 500).map(i => s"t${i % 11}")
+    val distributed = items.toDF("x").repartition(8)
+      .agg(Sketches.countMin(col("x")).as("cms"))
+      .as[Array[Long]].head()
+    val local = agg.finish(items.foldLeft(agg.zero)(agg.reduce))
+    assert(distributed.sameElements(local))
+  }
+
   test("heavyHitters UDAF surfaces the dominant language from documents") {
     val docs = graft.Tables.documents(spark, sfDir)
     val sketch = docs

@@ -195,4 +195,32 @@ class PlanAuditSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"containment join degenerated to a product:\n$plan")
   }
+
+  test("Q17-shape: the correlated avg subquery decorrelates to one " +
+    "per-part aggregate joined back (no per-row re-execution)") {
+    val df = RelationalQueries.queries("rel_small_qty_revenue")(spark, sfDir)
+    val plan = df.queryExecution.sparkPlan.toString
+    // A surviving correlated subquery shows up as a (Broadcast)NestedLoop
+    // or an InSubquery/scalar-subquery node per row; the decorrelated
+    // shape is equi-joins only, with an avg aggregate keyed on l_partkey.
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"correlated subquery did not decorrelate:\n$plan")
+    assert(plan.contains("avg("), s"no decorrelated avg aggregate:\n$plan")
+  }
+
+  test("LATERAL top-k decorrelates to a ranking window, not a " +
+    "per-nation re-scan") {
+    val df = RelationalQueries.queries("rel_lateral_topk")(spark, sfDir)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"lateral join executed as a product:\n$plan")
+    // One customer scan total — per-outer-row re-execution would need
+    // the subquery's scan under a nested-loop driver. The window
+    // rewrite shows up as the rank filter over one scan.
+    val customerScans = "customer\\.parquet".r.findAllIn(plan).length
+    assert(customerScans == 1, s"customer scanned $customerScans times:\n$plan")
+    assert(plan.contains("rn") || plan.contains("row_number"),
+      s"no ranking-window rewrite visible:\n$plan")
+  }
 }
