@@ -118,7 +118,29 @@ object AdvancedQueries {
           col("ts_b") <= col("ts_a") + expr("INTERVAL 60 seconds"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_pairs"))
-    }))
+    }),
+
+    // Data-profiling summary (the pipeline health check a real ingest
+    // runs before anything else): row count, per-column null/distinct
+    // counts, value bounds, and the money total — one full scan, one
+    // 1-row aggregate, every term partial-aggregatable.
+    "rel_profile_orders" -> ((s, dir) =>
+      Tables.orders(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_custkey")).as("custkey_nonnull"),
+        countDistinct(col("o_custkey")).as("custkey_distinct"),
+        countDistinct(col("o_orderstatus")).as("status_distinct"),
+        min(col("o_orderdate")).as("first_order"),
+        max(col("o_orderdate")).as("last_order"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("total_cents"))),
+
+    // Equi-width histogram by plain floor arithmetic (identical IEEE
+    // division+floor in both engines); the overflow bucket is clamped.
+    "rel_price_histogram" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(least(floor(col("o_totalprice") / 5000), lit(11))
+          .cast("int").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))))
 
   val oracles: Map[String, String] = Map(
     "rel_rollup" ->
@@ -175,5 +197,21 @@ object AdvancedQueries {
         |  ON a.user_id = b.user_id
         | AND CAST(b.ts AS TIMESTAMP) > CAST(a.ts AS TIMESTAMP)
         | AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 60 SECONDS
-        |GROUP BY a.user_id""".stripMargin)
+        |GROUP BY a.user_id""".stripMargin,
+
+    "rel_profile_orders" ->
+      """SELECT count(*) AS n_rows,
+        |       count(o_custkey) AS custkey_nonnull,
+        |       count(DISTINCT o_custkey) AS custkey_distinct,
+        |       count(DISTINCT o_orderstatus) AS status_distinct,
+        |       min(o_orderdate) AS first_order,
+        |       max(o_orderdate) AS last_order,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS total_cents
+        |FROM orders""".stripMargin,
+
+    "rel_price_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 5000), 11) AS INTEGER) AS bucket,
+        |       count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin)
 }

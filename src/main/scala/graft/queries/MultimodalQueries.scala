@@ -35,6 +35,26 @@ object MultimodalQueries {
           col("d.height").cast("long").as("height"))
     }),
 
+    // Deterministic frame sampling over opaque "video" bytes: every
+    // 4th 64-byte block becomes one output row (id, frame_idx,
+    // frame_md5). This is the demux plumbing a real pipeline needs —
+    // pure byte arithmetic (offset explode + binary substring), narrow
+    // except the explode, parallelism = the scan's. A real demuxer
+    // replaces the block slicer; schema, partitioning, and row shape
+    // stay put. The fixture text is ASCII, so the oracle's VARCHAR
+    // offsets are byte-exact against Spark's binary ones.
+    "mm_frame_sample" -> ((s, dir) => {
+      val mm = Multimodal.fromDocuments(Tables.documents(s, dir))
+      val frame = lit(64)
+      mm.select(col("id"), col("content"),
+          explode(sequence(lit(0),
+            floor((greatest(col("meta.nBytes"), lit(1L)) - 1) / 64).cast("int"),
+            lit(4))).as("frame_idx"))
+        .select(col("id"), col("frame_idx"),
+          md5(col("content").substr(col("frame_idx") * frame + 1, frame))
+            .as("frame_md5"))
+    }),
+
     // Content checksum + size: the dedup join key for binary assets
     // (the multimodal analogue of docs_dedup_exact).
     "mm_checksum_dedup" -> ((s, dir) => {
@@ -68,6 +88,18 @@ object MultimodalQueries {
       """SELECT min(doc_id) AS id, octet_length(encode(text)) AS n_bytes,
         |       count(*) AS n_copies
         |FROM documents GROUP BY md5(text), octet_length(encode(text))""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id AS id, text,
+        |         unnest(generate_series(0,
+        |           CAST(floor((greatest(length(text), 1) - 1) / 64) AS BIGINT),
+        |           4)) AS frame_idx
+        |  FROM documents)
+        |SELECT id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |       md5(substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64))
+        |         AS frame_md5
+        |FROM f""".stripMargin,
 
     "mm_dims" ->
       """SELECT doc_id AS id,
