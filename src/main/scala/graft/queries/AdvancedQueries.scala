@@ -120,6 +120,28 @@ object AdvancedQueries {
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
+    // Manual join salting — the STATIC skew mitigation next to E63's
+    // runtime AQE repair and E26's salted aggregation: the probe side
+    // carries a deterministic salt in [0,S), the build side is
+    // replicated S ways, and the join keys on (key, salt) so one hot
+    // key spreads over S shuffle partitions. The merge hint pins a
+    // shuffle join — a broadcast would (correctly) make salting moot,
+    // but this row exists for the build-side-too-big-to-broadcast
+    // regime. Result is identical to the unsalted join, which is
+    // exactly what the oracle checks.
+    "events_salted_join" -> ((s, dir) => {
+      val S = 8
+      val ev = Tables.events(s, dir)
+        .withColumn("salt", pmod(col("event_id"), lit(S)))
+      val dim = Tables.events(s, dir)
+        .groupBy("event_type").agg(count(lit(1)).as("type_total"))
+        .withColumn("salt",
+          explode(sequence(lit(0L), lit(S - 1L))))
+      ev.join(dim.hint("merge"), Seq("event_type", "salt"))
+        .groupBy("event_type")
+        .agg(max("type_total").as("type_total"), count(lit(1)).as("n_joined"))
+    }),
+
     // Data-profiling summary (the pipeline health check a real ingest
     // runs before anything else): row count, per-column null/distinct
     // counts, value bounds, and the money total — one full scan, one
@@ -198,6 +220,10 @@ object AdvancedQueries {
         | AND CAST(b.ts AS TIMESTAMP) > CAST(a.ts AS TIMESTAMP)
         | AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 60 SECONDS
         |GROUP BY a.user_id""".stripMargin,
+
+    "events_salted_join" ->
+      """SELECT event_type, count(*) AS type_total, count(*) AS n_joined
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "rel_profile_orders" ->
       """SELECT count(*) AS n_rows,

@@ -222,6 +222,19 @@ object RelationalQueries {
           round(sqrt(sum(cents(col("l_extendedprice"))).cast("double")), 6).as("sqrt_cents"),
           round(log(sum(cents(col("l_extendedprice"))).cast("double")), 6).as("ln_cents"))),
 
+    // Null-safe equality join (`<=>`): NULL keys match each other
+    // instead of vanishing — the join-semantics row a plain `=` join
+    // cannot express. The NULL bucket hashes to one value like any
+    // other key, so the physical plan is an ordinary equi-join.
+    "rel_nullsafe_join" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .select(when(col("c_mktsegment") === "BUILDING", lit(null))
+          .otherwise(col("c_mktsegment")).as("seg"))
+      val dim = cust.distinct().withColumnRenamed("seg", "d_seg")
+      cust.join(dim, col("seg") <=> col("d_seg"))
+        .groupBy(col("d_seg")).agg(count(lit(1)).as("n"))
+    }),
+
     // Correlated aggregate subquery (TPC-H Q17 shape): line items of a
     // few brands gated by HALF their part's average quantity. Written
     // as the correlated form on purpose — Catalyst must DECORRELATE it
@@ -388,6 +401,14 @@ object RelationalQueries {
         |       round(sqrt(CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)), 6) AS sqrt_cents,
         |       round(ln(CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)), 6) AS ln_cents
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "rel_nullsafe_join" ->
+      """WITH c AS (SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN NULL
+        |                       ELSE c_mktsegment END AS seg FROM customer),
+        |d AS (SELECT DISTINCT seg AS d_seg FROM c)
+        |SELECT d_seg, count(*) AS n
+        |FROM c JOIN d ON c.seg IS NOT DISTINCT FROM d.d_seg
+        |GROUP BY d_seg""".stripMargin,
 
     "rel_small_qty_revenue" ->
       """SELECT p_brand,

@@ -196,6 +196,16 @@ class PlanAuditSpec extends SparkSpec {
       s"containment join degenerated to a product:\n$plan")
   }
 
+  test("salted join shuffles on (key, salt), spreading hot keys") {
+    val df = AdvancedQueries.queries("events_salted_join")(spark, sfDir)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      s"salted join is not the pinned shuffle join:\n$plan")
+    val keysLine = plan.linesIterator.find(_.contains("SortMergeJoin")).get
+    assert(keysLine.contains("salt"),
+      s"salt is not a join key — skew would concentrate again:\n$keysLine")
+  }
+
   test("Q17-shape: the correlated avg subquery decorrelates to one " +
     "per-part aggregate joined back (no per-row re-execution)") {
     val df = RelationalQueries.queries("rel_small_qty_revenue")(spark, sfDir)
