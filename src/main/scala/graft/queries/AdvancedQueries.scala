@@ -34,6 +34,20 @@ object AdvancedQueries {
         .pivot("event_type", EventTypes)
         .agg(count(lit(1)))),
 
+    // UNPIVOT (melt): the wide per-cohort counts back to long form —
+    // the inverse surface of `pivot`, one narrow Expand, no shuffle
+    // beyond the pivot's own. Zero cells are dropped so the long form
+    // equals the direct group-by (which is exactly what the oracle
+    // computes).
+    "rel_unpivot_events" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .pivot("event_type", EventTypes)
+        .agg(count(lit(1)))
+        .unpivot(Array(col("cohort")),
+          EventTypes.map(col).toArray, "event_type", "n")
+        .filter(col("n") > 0)),
+
     // Exact interpolated percentiles (the exact form is the oracle
     // anchor; at 100 TB swap in approx_percentile and verify its error
     // bound against this query on a sample).
@@ -224,6 +238,10 @@ object AdvancedQueries {
     "events_salted_join" ->
       """SELECT event_type, count(*) AS type_total, count(*) AS n_joined
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "rel_unpivot_events" ->
+      """SELECT user_id % 10 AS cohort, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "rel_profile_orders" ->
       """SELECT count(*) AS n_rows,

@@ -232,6 +232,16 @@ object AnalyticsQueries {
           (abs(col("est") - col("exact_users")) / col("exact_users") < 0.05)
             .as("within_tol"))),
 
+    // Scalable global row numbering: identical output to
+    // row_number() OVER (ORDER BY doc_id) but with NO SinglePartition
+    // exchange — range partition + local sort + zipWithIndex offsets
+    // (graft.operators.GlobalIndex; the windowed cliff is pinned as a
+    // test in GlobalIndexSpec).
+    "docs_global_rownum" -> ((s, dir) =>
+      graft.operators.GlobalIndex.globalRowNumbers(
+        Tables.documents(s, dir).select("doc_id"), "doc_id",
+        s.sparkContext.defaultParallelism)),
+
     // Count-Min frequency sketch with a machine-checked tolerance row
     // (the events_hll_check pattern, completing the sketch trio:
     // HLL = distinct, Misra-Gries = top items, CMS = point frequency).
@@ -523,6 +533,11 @@ object AnalyticsQueries {
     "events_cms_check" ->
       """SELECT event_type, count(*) AS exact_n, true AS within_tol
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "docs_global_rownum" ->
+      """SELECT doc_id,
+        |       CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS row_num
+        |FROM documents""".stripMargin,
 
     "events_quantiles_check" ->
       """SELECT event_type,
