@@ -169,6 +169,18 @@ object RelationalQueries {
           cents(col("o_totalprice")).as("price_cents"))
     }),
 
+    // The same top-3-per-customer via the CUSTOM PHYSICAL OPERATOR
+    // (graft.plans.TopKPerKey — logical node + planner strategy +
+    // partial/final exec pair): the exchange carries at most k rows per
+    // key per map partition, where the window formulation above
+    // shuffles and sorts every order row. Same answer, hash-checked
+    // against the same windowed oracle.
+    "rel_top_orders_native" -> ((s, dir) =>
+      graft.plans.TopKPerKey(Tables.orders(s, dir), Seq("o_custkey"),
+        Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("price_cents"))),
+
     // As-of join: for every error event, the user's most recent
     // purchase value at-or-before that moment (union + per-key window;
     // right side pre-deduped per (user, ts) so ties are well-defined).
@@ -401,6 +413,13 @@ object RelationalQueries {
         |       round(sqrt(CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)), 6) AS sqrt_cents,
         |       round(ln(CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)), 6) AS ln_cents
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "rel_top_orders_native" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders)
+        |WHERE rk <= 3""".stripMargin,
 
     "rel_nullsafe_join" ->
       """WITH c AS (SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN NULL

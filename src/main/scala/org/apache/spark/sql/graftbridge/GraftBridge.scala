@@ -24,4 +24,15 @@ object GraftBridge {
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Wrap a (possibly custom) logical plan as a DataFrame —
+    * `Dataset.ofRows` is `private[sql]`; this is the one hop a custom
+    * `LogicalPlan` node (e.g. [[graft.plans.TopKPerKeyNode]]) needs to
+    * enter the public Dataset API.
+    */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -1,0 +1,63 @@
+package graft.plans
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class TopKPerKeySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def windowTop3 = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3).drop("rk")
+  }
+
+  test("top-k set equals the window formulation on the orders fixture") {
+    val got = TopKPerKey(Tables.orders(spark, sfDir),
+      Seq("o_custkey"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
+    assert(got.count() == windowTop3.count())
+    assert(got.except(windowTop3).isEmpty && windowTop3.except(got).isEmpty)
+  }
+
+  test("plans as partial -> exchange -> final (the map-side-pruning shape)") {
+    val got = TopKPerKey(Tables.orders(spark, sfDir),
+      Seq("o_custkey"), Seq("o_totalprice" -> false), 3)
+    val plan = got.queryExecution.executedPlan.toString
+    val execs = "TopKPerKey \\[".r.findAllIn(plan).length
+    assert(execs == 2, s"expected partial+final TopKPerKey nodes:\n$plan")
+    assert(plan.contains("hashpartitioning(o_custkey"),
+      s"no key-clustered exchange between the passes:\n$plan")
+    // The exchange must sit between the two passes: partial below it.
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    val firstExec = plan.indexOf("TopKPerKey [")
+    assert(firstExec < exchangeIdx && exchangeIdx < plan.lastIndexOf("TopKPerKey ["),
+      s"exchange is not between final and partial:\n$plan")
+  }
+
+  test("k larger than every group returns the whole input") {
+    val df = Seq((1, 10), (1, 20), (2, 5)).toDF("k", "v")
+    val got = TopKPerKey(df, Seq("k"), Seq("v" -> false), 100)
+    assert(got.count() == 3)
+  }
+
+  test("ties break by the secondary sort key, matching the window exactly") {
+    val df = Seq((1, 50, "a"), (1, 50, "b"), (1, 50, "c"), (1, 40, "d"))
+      .toDF("k", "v", "id")
+    val got = TopKPerKey(df, Seq("k"), Seq("v" -> false, "id" -> true), 2)
+      .select("id").as[String].collect().sorted
+    assert(got.sameElements(Array("a", "b")))
+  }
+
+  test("many skewed input partitions still produce the exact set") {
+    // One hot key spread over 16 input partitions: each partial keeps
+    // its local top-2, the final merges to the global top-2.
+    val df = (1 to 1000).map(i => (1, i)).toDF("k", "v").repartition(16)
+    val got = TopKPerKey(df, Seq("k"), Seq("v" -> false), 2)
+      .select("v").as[Int].collect().sorted
+    assert(got.sameElements(Array(999, 1000)))
+  }
+}
