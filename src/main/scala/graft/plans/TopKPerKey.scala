@@ -97,6 +97,56 @@ case class TopKPerKeyExec(keys: Seq[Expression], ordering: Seq[SortOrder],
     copy(child = newChild)
 }
 
+/** Optimizer rewrite — the `Rule[LogicalPlan]` rung: users write the
+  * declarative pattern
+  *
+  *   df.withColumn("rk", row_number().over(W)).filter($"rk" <= k).drop("rk")
+  *
+  * and this rule swaps in [[TopKPerKeyNode]] whenever the rank column
+  * itself is discarded, turning the full shuffle-and-sort window into
+  * the bounded-heap partial/final pair. Guards (all required for
+  * set-equivalence):
+  *  - exactly one window expression, and it is `row_number()` — rank/
+  *    dense_rank admit >k rows on ties, a different answer;
+  *  - the filter is `rn <= k` / `rn < k` (k a positive int literal)
+  *    and nothing else;
+  *  - the projection above drops `rn` — if the rank value survives,
+  *    the operator (which never materializes ranks) cannot replace it;
+  *  - the window has a PARTITION BY — the unpartitioned form needs the
+  *    global-numbering treatment ([[graft.operators.GlobalIndex]]),
+  *    not a clustered exchange.
+  */
+object RewriteRowNumberTopK
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, LessThan, LessThanOrEqual, Literal, RowNumber, WindowExpression}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(projectList, Filter(cond, w: Window))
+        if w.partitionSpec.nonEmpty && w.orderSpec.nonEmpty =>
+      (w.windowExpressions, cond) match {
+        case (Seq(a @ Alias(WindowExpression(RowNumber(), _), _)), _) =>
+          val rn = a.toAttribute
+          val kOpt = cond match {
+            case LessThanOrEqual(r: AttributeReference, Literal(k: Int, _))
+                if r.exprId == rn.exprId && k > 0 => Some(k)
+            case LessThan(r: AttributeReference, Literal(k: Int, _))
+                if r.exprId == rn.exprId && k > 1 => Some(k - 1)
+            case _ => None
+          }
+          val rnSurvives =
+            projectList.exists(_.references.exists(_.exprId == rn.exprId))
+          kOpt match {
+            case Some(k) if !rnSurvives =>
+              Project(projectList,
+                TopKPerKeyNode(w.partitionSpec, w.orderSpec, k, w.child))
+            case _ => p
+          }
+        case _ => p
+      }
+  }
+}
+
 object TopKPerKey {
 
   /** Sort spec: column name + ascending? (false = largest first). */
@@ -117,13 +167,25 @@ object TopKPerKey {
     * [[graft.functions.GraftExtensions]] also injects it for sessions
     * built with the extensions path.
     */
-  def apply(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Order],
-            k: Int): DataFrame = {
-    val spark = df.sparkSession
+  /** Idempotent runtime registration of the planner strategy and the
+    * window-rewrite rule on a live session (the extensions path in
+    * [[graft.functions.GraftExtensions]] does the same at build time).
+    */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy
     }
+    if (!spark.experimental.extraOptimizations.contains(RewriteRowNumberTopK)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteRowNumberTopK
+    }
+  }
+
+  def apply(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Order],
+            k: Int): DataFrame = {
+    val spark = df.sparkSession
+    install(spark)
     val child = df.queryExecution.analyzed
     def attr(name: String): Attribute =
       child.output.find(_.name.equalsIgnoreCase(name)).getOrElse(

@@ -181,6 +181,23 @@ object RelationalQueries {
         .select(col("o_custkey"), col("o_orderkey"),
           cents(col("o_totalprice")).as("price_cents"))),
 
+    // The DECLARATIVE windowed form of the same top-3, with the
+    // RewriteRowNumberTopK optimizer rule installed: the user writes
+    // row_number-filter-drop, the Rule[LogicalPlan] swaps in the
+    // TopKPerKey operator (the rank column is discarded, so the
+    // rewrite is set-equivalent). PlanAuditSpec pins that the rewrite
+    // actually fires.
+    "rel_top_orders_rewrite" -> ((s, dir) => {
+      graft.plans.TopKPerKey.install(s)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("price_cents"))
+    }),
+
     // As-of join: for every error event, the user's most recent
     // purchase value at-or-before that moment (union + per-key window;
     // right side pre-deduped per (user, ts) so ties are well-defined).
@@ -413,6 +430,13 @@ object RelationalQueries {
         |       round(sqrt(CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)), 6) AS sqrt_cents,
         |       round(ln(CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)), 6) AS ln_cents
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "rel_top_orders_rewrite" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders)
+        |WHERE rk <= 3""".stripMargin,
 
     "rel_top_orders_native" ->
       """SELECT o_custkey, o_orderkey,

@@ -52,6 +52,42 @@ class TopKPerKeySpec extends SparkSpec {
     assert(got.sameElements(Array("a", "b")))
   }
 
+  test("optimizer rule rewrites row_number-filter-drop to the operator") {
+    TopKPerKey.install(spark)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val declarative = Tables.orders(spark, sfDir)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select("o_custkey", "o_orderkey")
+    val optimized = declarative.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("TopKPerKeyNode") ||
+      optimized.contains("TopKPerKey"), s"rewrite did not fire:\n$optimized")
+    // Answer unchanged: the windowed oracle keeps rk (rewrite guard
+    // blocks it there), giving an independent comparator.
+    val keepRk = Tables.orders(spark, sfDir)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select("o_custkey", "o_orderkey", "rk")
+    assert(declarative.count() == keepRk.count())
+    assert(declarative.except(keepRk.drop("rk")).isEmpty)
+  }
+
+  test("rewrite guards: rank survival, rank() semantics, and rn = 1 " +
+    "all block the rewrite") {
+    TopKPerKey.install(spark)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    // rk kept in the output → must stay a Window (ranks are demanded)
+    val kept = Tables.orders(spark, sfDir)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select("o_custkey", "rk")
+    assert(!kept.queryExecution.optimizedPlan.toString.contains("TopKPerKey"))
+    // rank() admits >k rows on ties → different answer, no rewrite
+    val rk = Tables.orders(spark, sfDir)
+      .withColumn("rk", rank().over(w)).filter(col("rk") <= 3)
+      .select("o_custkey", "o_orderkey")
+    assert(!rk.queryExecution.optimizedPlan.toString.contains("TopKPerKey"))
+  }
+
   test("many skewed input partitions still produce the exact set") {
     // One hot key spread over 16 input partitions: each partial keeps
     // its local top-2, the final merges to the global top-2.
