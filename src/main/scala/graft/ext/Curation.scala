@@ -77,6 +77,27 @@ object Curation {
     * between splits as the corpus grows — the property that prevents
     * train/test contamination across dataset versions.
     */
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis '06): each row gets key u^(1/w) with u derived from the
+    * same md5 bucket as [[sampleBernoulli]] (shifted to (0,1] so zero
+    * weight-independence cannot occur), and the k largest keys win —
+    * heavier rows proportionally more often, same sample on any
+    * engine/partitioning/retry. Selection is a global top-k
+    * (TakeOrderedAndProject: per-partition heaps, never a full sort).
+    * Ties (same bucket AND same weight) break on the key column, which
+    * both engines order identically.
+    */
+  def sampleWeighted(df: DataFrame, key: Column, weight: Column, k: Int,
+                     salt: String): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val u = (hashBucket(key, salt) + 1).cast("double") / lit(HashBuckets.toDouble)
+    val esKey = pow(u, lit(1.0) / greatest(weight.cast("double"), lit(1.0)))
+    df.withColumn("es_key", esKey)
+      .orderBy(col("es_key").desc, key)
+      .limit(k)
+      .drop("es_key")
+  }
+
   def assignSplit(key: Column, testP: Double, valP: Double, salt: String): Column = {
     require(testP >= 0 && valP >= 0 && testP + valP <= 1, "split fractions invalid")
     val b = hashBucket(key, salt)

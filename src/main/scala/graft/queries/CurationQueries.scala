@@ -19,6 +19,7 @@ object CurationQueries {
   val SampleP = 0.25
   val TestP = 0.1
   val ValP = 0.1
+  val WeightedK = 100
   val TfidfTopK = 3
   val MinBigramCount = 5
   val ChunkSize = 64
@@ -54,6 +55,14 @@ object CurationQueries {
       Curation.sampleStratified(Tables.documents(s, dir),
         col("doc_id"), col("lang"), Map("en" -> 0.1), 0.5, "strat:")
         .select("doc_id", "lang")),
+
+    // Weighted sampling without replacement (Efraimidis-Spirakis):
+    // 100 docs drawn with probability proportional to length, the
+    // md5-deterministic u making the draw reproducible cross-engine.
+    "docs_weighted_sample" -> ((s, dir) =>
+      Curation.sampleWeighted(Tables.documents(s, dir),
+        col("doc_id"), col("n_chars"), WeightedK, "ws:")
+        .select("doc_id", "lang", "n_chars")),
 
     // Token-budget domain mixing: every source downsampled to the
     // smallest source's token total.
@@ -244,6 +253,17 @@ object CurationQueries {
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${hexBucketSql("doc_id", "s1:")} <
          |      ${math.floor(SampleP * Curation.HashBuckets).toLong}""".stripMargin,
+
+    "docs_weighted_sample" ->
+      s"""SELECT doc_id, lang, n_chars FROM (
+         |  SELECT doc_id, lang, n_chars,
+         |         row_number() OVER (ORDER BY
+         |           pow((${hexBucketSql("doc_id", "ws:")} + 1)
+         |                 / ${Curation.HashBuckets}.0,
+         |               1.0 / greatest(CAST(n_chars AS DOUBLE), 1.0)) DESC,
+         |           doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= $WeightedK""".stripMargin,
 
     "docs_split_assign" -> {
       val t1 = math.floor(TestP * Curation.HashBuckets).toLong

@@ -80,6 +80,39 @@ object SourceQueries {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars").cast("long")).as("total_chars"))
+    }),
+
+    // Schema evolution on read: two parquet batches written with
+    // DIFFERENT schemas (the second adds `source`) merge into one
+    // unified scan via mergeSchema — the on-read contract a long-lived
+    // ingest layout depends on (old files never rewritten when a
+    // column is added). Missing columns surface as NULLs, exactly what
+    // the oracle reproduces.
+    "docs_schema_evolution" -> ((s, dir) => {
+      val out = Materialize.once(s"schema_evo:$dir", dir) { p =>
+        val d = Tables.documents(s, dir)
+        d.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
+          .write.mode("overwrite").parquet(s"$p/v1")
+        d.filter(col("doc_id") % 2 === 1).select("doc_id", "lang", "source")
+          .write.mode("overwrite").parquet(s"$p/v2")
+      }
+      s.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
+        .select("doc_id", "lang", "source")
+    }),
+
+    // Small-file compaction round trip: a deliberately fragmented
+    // 64-file layout rewritten to 4 files (CompactionSpec asserts the
+    // physical counts); this row hash-checks that compaction moved
+    // every row unchanged — the correctness half of the operation.
+    "docs_compaction" -> ((s, dir) => {
+      val out = Materialize.once(s"compact:$dir", dir) { p =>
+        Tables.documents(s, dir).select("doc_id", "lang", "source")
+          .repartition(64)
+          .write.mode("overwrite").parquet(s"$p/small")
+        s.read.parquet(s"$p/small").repartition(4)
+          .write.mode("overwrite").parquet(s"$p/compact")
+      }
+      s.read.parquet(s"$out/compact")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -98,5 +131,15 @@ object SourceQueries {
     "docs_orc_scan" ->
       """SELECT source, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |FROM documents WHERE doc_id % 2 = 0 GROUP BY source""".stripMargin)
+        |FROM documents WHERE doc_id % 2 = 0 GROUP BY source""".stripMargin,
+
+    "docs_schema_evolution" ->
+      """SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id % 2 = 1""".stripMargin,
+
+    "docs_compaction" ->
+      """SELECT doc_id, lang, source FROM documents""")
 }
