@@ -55,30 +55,36 @@ object Sketches {
       b1
     }
 
-    def finish(b: HllBuf): Long = {
-      val alpha = m match {
-        case 16 => 0.673
-        case 32 => 0.697
-        case 64 => 0.709
-        case _ => 0.7213 / (1 + 1.079 / m)
-      }
-      var invSum = 0.0
-      var zeros = 0
-      var i = 0
-      while (i < m) {
-        invSum += 1.0 / (1L << b.registers(i))
-        if (b.registers(i) == 0) zeros += 1
-        i += 1
-      }
-      val raw = alpha * m * m / invSum
-      val est =
-        if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) // linear counting
-        else raw
-      math.round(est)
-    }
+    def finish(b: HllBuf): Long = Sketches.hllEstimate(b.registers)
 
     def bufferEncoder = Encoders.product[HllBuf]
     def outputEncoder = Encoders.scalaLong
+  }
+
+  /** Flajolet estimator over a raw register array (factored out so the
+    * one-level aggregator and the re-aggregation path share arithmetic).
+    */
+  def hllEstimate(registers: Array[Byte]): Long = {
+    val m = registers.length
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1 + 1.079 / m)
+    }
+    var invSum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      invSum += 1.0 / (1L << registers(i))
+      if (registers(i) == 0) zeros += 1
+      i += 1
+    }
+    val raw = alpha * m * m / invSum
+    val est =
+      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) // linear counting
+      else raw
+    math.round(est)
   }
 
   /** Untyped UDAF over a pre-hashed long column:
@@ -86,6 +92,70 @@ object Sketches {
     */
   def hllDistinct(hashed: Column, p: Int = DefaultP): Column =
     udaf(new HllAggregator(p), Encoders.scalaLong)(hashed)
+
+  /** Same accumulation as [[HllAggregator]] but the OUTPUT is the raw
+    * register array, not the estimate — the mergeable-sketch half of the
+    * pre-aggregation-cube pattern: materialize one 2^p-byte sketch per
+    * fine-grained cell (day, partition, tenant), and any coarser rollup
+    * is a register-wise max over cell sketches, never a re-scan of the
+    * 100 TB base table. This is exactly the capability the scaladoc
+    * above names as the reason to own the sketch rather than use
+    * `approx_count_distinct` (whose sketch never escapes the plan).
+    */
+  class HllSketchAggregator(p: Int = DefaultP)
+      extends Aggregator[Long, HllBuf, Array[Byte]] {
+    private val delegate = new HllAggregator(p)
+    def zero: HllBuf = delegate.zero
+    def reduce(b: HllBuf, hash: Long): HllBuf = delegate.reduce(b, hash)
+    def merge(b1: HllBuf, b2: HllBuf): HllBuf = delegate.merge(b1, b2)
+    def finish(b: HllBuf): Array[Byte] = b.registers
+    def bufferEncoder = Encoders.product[HllBuf]
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Byte]]()
+  }
+
+  /** Re-aggregation: fold previously materialized register arrays into
+    * one estimate. Register-wise max is associative, commutative, and
+    * idempotent, so merging per-cell sketches yields the IDENTICAL
+    * register state (hence identical estimate) a single pass over the
+    * union would have produced — SketchesSpec pins that equality, not
+    * just a tolerance.
+    */
+  class HllMergeAggregator(p: Int = DefaultP)
+      extends Aggregator[Array[Byte], HllBuf, Long] {
+    private val m = 1 << p
+    def zero: HllBuf = HllBuf(new Array[Byte](m))
+    def reduce(b: HllBuf, sketch: Array[Byte]): HllBuf = {
+      require(sketch.length == m,
+        s"sketch register count ${sketch.length} != 2^p = $m")
+      var i = 0
+      while (i < m) {
+        if (sketch(i) > b.registers(i)) b.registers(i) = sketch(i)
+        i += 1
+      }
+      b
+    }
+    def merge(b1: HllBuf, b2: HllBuf): HllBuf = {
+      var i = 0
+      while (i < m) {
+        if (b2.registers(i) > b1.registers(i)) b1.registers(i) = b2.registers(i)
+        i += 1
+      }
+      b1
+    }
+    def finish(b: HllBuf): Long = Sketches.hllEstimate(b.registers)
+    def bufferEncoder = Encoders.product[HllBuf]
+    def outputEncoder = Encoders.scalaLong
+  }
+
+  /** Untyped UDAF: materialize the sketch itself as a binary column. */
+  def hllSketch(hashed: Column, p: Int = DefaultP): Column =
+    udaf(new HllSketchAggregator(p), Encoders.scalaLong)(hashed)
+
+  /** Untyped UDAF: estimate from a column of materialized sketches. */
+  def hllMergeEstimate(sketch: Column, p: Int = DefaultP): Column =
+    udaf(new HllMergeAggregator(p),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Byte]]())(sketch)
 
   case class MgBuf(counts: Map[String, Long])
 

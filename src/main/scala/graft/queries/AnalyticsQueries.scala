@@ -232,6 +232,31 @@ object AnalyticsQueries {
           (abs(col("est") - col("exact_users")) / col("exact_users") < 0.05)
             .as("within_tol"))),
 
+    // Sketch RE-AGGREGATION — the property that justifies owning the
+    // HLL rather than calling approx_count_distinct (whose sketch never
+    // escapes the plan): one register array is materialized per day,
+    // then a COARSER rollup merges the per-day sketches register-wise
+    // instead of re-scanning events. At 100 TB this is the
+    // pre-aggregation-cube pattern — daily sketch cells are tiny (2 KiB
+    // each), and any ad-hoc rollup (weekly, all-time, per-tenant-union)
+    // is an aggregation over cells, not over raw events. Merge-of-parts
+    // == sketch-of-whole exactly (register max is associative +
+    // idempotent; SketchesSpec pins the equality), so the tolerance
+    // verdict is the same machine-checked row as events_hll_check.
+    "events_hll_merge" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val daily = ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(graft.ext.Sketches.hllSketch(xxhash64(col("user_id"))).as("sk"))
+      val rolled = daily.agg(
+        count(lit(1)).as("n_days"),
+        graft.ext.Sketches.hllMergeEstimate(col("sk")).as("est"))
+      val exact = ev.agg(countDistinct(col("user_id")).as("exact_users"))
+      rolled.crossJoin(exact)
+        .select(col("n_days"), col("exact_users"),
+          (abs(col("est") - col("exact_users")) / col("exact_users") < 0.05)
+            .as("within_tol"))
+    }),
+
     // Scalable global row numbering: identical output to
     // row_number() OVER (ORDER BY doc_id) but with NO SinglePartition
     // exchange — range partition + local sort + zipWithIndex offsets
@@ -517,6 +542,12 @@ object AnalyticsQueries {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |       true AS within_tol
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "events_hll_merge" ->
+      """SELECT count(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |       count(DISTINCT user_id) AS exact_users,
+        |       true AS within_tol
+        |FROM events""".stripMargin,
 
     "events_gapfill" ->
       """WITH b AS (SELECT min(date_trunc('hour', ts)) AS lo,

@@ -34,6 +34,30 @@ class SketchesSpec extends SparkSpec {
     assert(agg.finish(agg.merge(b3, b3)) == sequential)
   }
 
+  test("re-aggregating per-day sketches equals one sketch over the union") {
+    // The events_hll_merge contract: materialized per-cell sketches
+    // merged register-wise give the IDENTICAL estimate a single global
+    // sketch would — register max is associative + idempotent, so the
+    // cube rollup loses nothing vs re-scanning the base table.
+    val ev = graft.Tables.events(spark, sfDir)
+    val merged = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(Sketches.hllSketch(xxhash64(col("user_id"))).as("sk"))
+      .agg(Sketches.hllMergeEstimate(col("sk")).as("est"))
+      .as[Long].head()
+    val direct = ev
+      .agg(Sketches.hllDistinct(xxhash64(col("user_id"))).as("est"))
+      .as[Long].head()
+    assert(merged == direct,
+      s"merge-of-parts $merged != sketch-of-whole $direct")
+  }
+
+  test("HllMergeAggregator rejects sketches of the wrong register width") {
+    val agg = new Sketches.HllMergeAggregator(8)
+    intercept[IllegalArgumentException] {
+      agg.reduce(agg.zero, new Array[Byte](1 << 9))
+    }
+  }
+
   test("small cardinalities use linear counting and are near-exact") {
     val agg = new Sketches.HllAggregator(11)
     val est = agg.finish(
