@@ -92,6 +92,48 @@ object Multimodal {
         .otherwise(gif).as("content"))
   }
 
+  /** Deterministic WAV fixtures with REAL RIFF structure: each doc
+    * becomes a PCM WAVE file whose `fmt ` chunk fields derive from doc
+    * columns — channels `1 + doc_id % 2`, sample rate
+    * `8000 * (1 + n_chars % 3)`, bits `8 * (1 + n_chars % 2)` — with
+    * the UTF-8 text bytes as the `data` payload. A junk `LIST` chunk
+    * sits between `WAVE` and `fmt `, so a parser that assumes fixed
+    * offsets (instead of walking chunks by declared size) reads
+    * garbage. Byte packing is little-endian via hex-string slicing —
+    * an independent formulation from the shift-based reads in
+    * [[graft.functions.AudioMetaImpl]], so a mirrored endianness bug
+    * cannot cancel out.
+    */
+  def fixtureAudio(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    def le2(c: Column) = {
+      val hx = lpad(hex(c), 4, "0")
+      unhex(concat(substring(hx, 3, 2), substring(hx, 1, 2)))
+    }
+    def le4(c: Column) = {
+      val hx = lpad(hex(c), 8, "0")
+      unhex(concat(substring(hx, 7, 2), substring(hx, 5, 2),
+        substring(hx, 3, 2), substring(hx, 1, 2)))
+    }
+    val channels = (col("doc_id") % 2 + 1).cast("int")
+    val rate = ((col("n_chars") % 3 + 1) * 8000).cast("int")
+    val bits = ((col("n_chars") % 2 + 1) * 8).cast("int")
+    val blockAlign = (channels * bits / 8).cast("int")
+    val byteRate = (rate * blockAlign).cast("int")
+    val payload = encode(col("text"), "UTF-8")
+    val dataSize = octet_length(payload)
+    // riffSize = 4 ("WAVE") + LIST(8+6) + fmt(8+16) + data(8+size)
+    val riffSize = (dataSize + 50).cast("int")
+    val wav = concat(
+      unhex(lit("52494646")), le4(riffSize), unhex(lit("57415645")), // RIFF..WAVE
+      unhex(lit("4C495354")), le4(lit(6)), unhex(lit("494E464F7879")), // LIST junk
+      unhex(lit("666D7420")), le4(lit(16)), // "fmt " + size
+      le2(lit(1)), le2(channels), le4(rate), le4(byteRate),
+      le2(blockAlign), le2(bits),
+      unhex(lit("64617461")), le4(dataSize), payload) // "data" + size + bytes
+    docs.select(col("doc_id").as("id"), wav.as("content"))
+  }
+
   /** Metadata/sniffing projection — never touches more than the first 4
     * content bytes plus the metadata struct (columnar pruning does the
     * rest). Output: (id, n_bytes, magic_hex, sniffed, claimed).

@@ -74,6 +74,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, s"media_dims expects 1 argument, got ${args.length}")
         MediaDims(args.head)
+      }),
+    (FunctionIdentifier("audio_meta"),
+      new ExpressionInfo(classOf[AudioMeta].getName, "audio_meta"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"audio_meta expects 1 argument, got ${args.length}")
+        AudioMeta(args.head)
       }))
 
   /** Register on a live session (idempotent). */

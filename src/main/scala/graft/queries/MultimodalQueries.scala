@@ -35,6 +35,23 @@ object MultimodalQueries {
           col("d.height").cast("long").as("height"))
     }),
 
+    // Audio header parse: real RIFF/WAVE fixtures (PCM fmt chunk behind
+    // a junk LIST chunk, so fixed-offset parsers fail) parsed back by
+    // the native audio_meta expression (graft.functions.AudioMeta —
+    // little-endian chunk walk, duration from data bytes / byte rate in
+    // exact long arithmetic). The oracle reproduces every field from
+    // the source columns, so a wrong offset, endianness, alignment, or
+    // rounding step breaks the hash match.
+    "mm_audio_meta" -> ((s, dir) => {
+      val mm = Multimodal.fixtureAudio(Tables.documents(s, dir))
+      mm.select(col("id"), graft.functions.AudioMeta(col("content")).as("a"))
+        .select(col("id"), col("a.codec").as("codec"),
+          col("a.channels").cast("long").as("channels"),
+          col("a.sample_rate").cast("long").as("sample_rate"),
+          col("a.bits").cast("long").as("bits"),
+          col("a.duration_ms").as("duration_ms"))
+    }),
+
     // Deterministic frame sampling over opaque "video" bytes: every
     // 4th 64-byte block becomes one output row (id, frame_idx,
     // frame_md5). This is the demux plumbing a real pipeline needs —
@@ -100,6 +117,16 @@ object MultimodalQueries {
         |       md5(substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64))
         |         AS frame_md5
         |FROM f""".stripMargin,
+
+    "mm_audio_meta" ->
+      """SELECT doc_id AS id, 'pcm' AS codec,
+        |       CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |       CAST(8000 * (1 + n_chars % 3) AS BIGINT) AS sample_rate,
+        |       CAST(8 * (1 + n_chars % 2) AS BIGINT) AS bits,
+        |       CAST((octet_length(encode(text)) * 1000)
+        |            // (8000 * (1 + n_chars % 3) * (1 + doc_id % 2)
+        |               * (1 + n_chars % 2)) AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin,
 
     "mm_dims" ->
       """SELECT doc_id AS id,
