@@ -98,6 +98,41 @@ object RelationalQueries {
           col("sum_qty"))
     }),
 
+    // TPC-H Q21 shape (E110): suppliers who were the SOLE flagged
+    // supplier on a multi-supplier finished order — the canonical
+    // EXISTS + NOT EXISTS self-join topology on the fact table. (The
+    // fixture lacks commit/receipt dates, so "late" is stood in by
+    // l_returnflag = 'R'; the join topology is the point.) Both
+    // correlated subqueries become fact-side self-joins on the order
+    // key with a supplier-inequality residual: a LEFT SEMI (some other
+    // supplier exists) then a LEFT ANTI (no other flagged supplier) —
+    // each carries only (orderkey, suppkey) pairs through its shuffle,
+    // never payload columns, and the supplier decode broadcasts.
+    // PlanAuditSpec pins the semi/anti/broadcast shape.
+    "rel_waiting_supplier" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val flagged = li.filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("okey"), col("l_suppkey").as("skey"))
+        .distinct()
+      val others = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val flaggedOthers = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      flagged
+        .join(others, col("okey") === col("o2") && col("skey") =!= col("s2"),
+          "left_semi")
+        .join(flaggedOthers,
+          col("okey") === col("o3") && col("skey") =!= col("s3"), "left_anti")
+        .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+          col("skey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
     // RANGE-frame window (value-based, not row-based): per-customer
     // trailing-30-day revenue. The order key is an integer day offset
     // so the frame bound is a plain numeric range — peers on the same
@@ -389,6 +424,23 @@ object RelationalQueries {
         |GROUP BY 1, 2, 3
         |ORDER BY revenue_cents DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    "rel_waiting_supplier" ->
+      """WITH l1 AS (
+        |  SELECT DISTINCT l.l_orderkey AS okey, l.l_suppkey AS skey
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_returnflag = 'R' AND o.o_orderstatus = 'F')
+        |SELECT s.s_name, count(*) AS numwait
+        |FROM l1 JOIN supplier s ON l1.skey = s.s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.okey AND l2.l_suppkey <> l1.skey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.okey
+        |                    AND l3.l_suppkey <> l1.skey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name
+        |LIMIT 20""".stripMargin,
 
     "rel_top_orders_per_cust" ->
       """SELECT o_custkey, CAST(rk AS INTEGER) AS rk, o_orderkey,

@@ -206,6 +206,27 @@ class PlanAuditSpec extends SparkSpec {
       s"salt is not a join key — skew would concentrate again:\n$keysLine")
   }
 
+  test("Q21-shape: EXISTS/NOT EXISTS plan as semi and anti joins with " +
+      "a broadcast supplier decode") {
+    val df = RelationalQueries.queries("rel_waiting_supplier")(spark, sfDir)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("LeftSemi"), s"no semi join in:\n$plan")
+    assert(plan.contains("LeftAnti"), s"no anti join in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"supplier decode not broadcast in:\n$plan")
+    // The semi/anti self-joins must carry only (orderkey, suppkey)
+    // pairs: every lineitem scan reads at most those plus the flag.
+    val liScans = df.queryExecution.sparkPlan
+      .collect { case s: FileSourceScanExec => s }
+      .filter(_.requiredSchema.fieldNames.exists(_.startsWith("l_")))
+    assert(liScans.nonEmpty)
+    liScans.foreach { s =>
+      val cols = s.requiredSchema.fieldNames.toSet
+      assert(cols.subsetOf(Set("l_orderkey", "l_suppkey", "l_returnflag")),
+        s"self-join scan reads payload columns: $cols")
+    }
+  }
+
   test("Q17-shape: the correlated avg subquery decorrelates to one " +
     "per-part aggregate joined back (no per-row re-execution)") {
     val df = RelationalQueries.queries("rel_small_qty_revenue")(spark, sfDir)
