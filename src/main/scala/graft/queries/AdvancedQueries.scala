@@ -176,7 +176,23 @@ object AdvancedQueries {
       Tables.orders(s, dir)
         .select(least(floor(col("o_totalprice") / 5000), lit(11))
           .cast("int").as("bucket"))
-        .groupBy("bucket").agg(count(lit(1)).as("n"))))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))),
+
+    // Z-order (Morton) clustering key (E111): bit-interleave of
+    // (l_partkey, l_suppkey) as pure shift/and/or Column arithmetic —
+    // stays in whole-stage codegen, and the oracle reproduces the
+    // identical magic-number spread in DuckDB SQL, so any lane, mask,
+    // or interleave-order bug breaks the hash match. The z_bucket is
+    // the write-side range-partition key (graft.operators.ZOrder
+    // .clusterWrite); ZOrderSpec pins the actual file-skipping win —
+    // per-file min/max overlap against a 2-D box — for this layout vs
+    // a linear sort of the same rows.
+    "rel_zorder_cluster" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.operators.ZOrder.zValue(col("l_partkey"), col("l_suppkey"))
+            .as("zval"))
+        .withColumn("z_bucket", shiftrightunsigned(col("zval"), 20))))
 
   val oracles: Map[String, String] = Map(
     "rel_rollup" ->
@@ -257,5 +273,27 @@ object AdvancedQueries {
     "rel_price_histogram" ->
       """SELECT CAST(least(floor(o_totalprice / 5000), 11) AS INTEGER) AS bucket,
         |       count(*) AS n
-        |FROM orders GROUP BY 1""".stripMargin)
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "rel_zorder_cluster" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         l_partkey & 65535 AS x, l_suppkey & 65535 AS y
+        |  FROM lineitem),
+        |s1 AS (SELECT l_orderkey, l_linenumber,
+        |              (x | (x << 8)) & 16711935 AS x,
+        |              (y | (y << 8)) & 16711935 AS y FROM base),
+        |s2 AS (SELECT l_orderkey, l_linenumber,
+        |              (x | (x << 4)) & 252645135 AS x,
+        |              (y | (y << 4)) & 252645135 AS y FROM s1),
+        |s3 AS (SELECT l_orderkey, l_linenumber,
+        |              (x | (x << 2)) & 858993459 AS x,
+        |              (y | (y << 2)) & 858993459 AS y FROM s2),
+        |s4 AS (SELECT l_orderkey, l_linenumber,
+        |              (x | (x << 1)) & 1431655765 AS x,
+        |              (y | (y << 1)) & 1431655765 AS y FROM s3)
+        |SELECT l_orderkey, l_linenumber,
+        |       x | (y << 1) AS zval,
+        |       (x | (y << 1)) >> 20 AS z_bucket
+        |FROM s4""".stripMargin)
 }
