@@ -34,6 +34,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Fan narrow-input plans out to the session's parallelism when the
+    * scan is badly under-partitioned (e.g. a single small parquet file
+    * feeding 32 cores): every downstream map stage — shingle explode,
+    * hashing, checkpoint block writes — otherwise runs serial on one
+    * task. The repartition is CONDITIONAL: on a real multi-file corpus
+    * the scan already has ≥ parallelism splits and this is a no-op, so
+    * the full corpus is never shuffled at 100 TB just to rebalance.
+    */
+  private[graft] def ensureParallel(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+  }
+
   /** Distinct word n-gram shingles of a whitespace-tokenized text.
     * Texts shorter than n words fall back to a single whole-text shingle
     * (Spark `sequence(1, x)` with x < 1 would count *down*, so the guard
@@ -464,16 +477,31 @@ object Dedup {
     // n-word string. Set sizes and intersections are preserved modulo
     // 64-bit collisions (~p=10^-8 even at 10^9 distinct shingles per
     // pair-neighborhood), the standard shingle-fingerprint trade.
-    val rows = wordShingleRows(docs, col(idColName), col(textColName), n)
+    // Per-doc distinct shingles are produced MAP-SIDE (array_distinct
+    // inside wordShingles, then explode) instead of a global
+    // `.distinct()`: the pipeline only needs (id, x) unique within each
+    // document, and in-doc dedup costs O(shingles) per row where the
+    // global distinct costs a full exchange of the shingle table — the
+    // one shuffle here that carries no information. The HOF array build
+    // is interpreted (2-3× the codegen row generator map-side), a
+    // deliberate trade against removing a whole shuffle of the widest
+    // intermediate.
+    val rows = ensureParallel(docs)
+      .select(col(idColName).as("id"),
+        explode(wordShingles(col(textColName), n)).as("x"))
       .select(col("id"), xxhash64(col("x")).as("x"))
-      .distinct().localCheckpoint(false)
-    val dfCounts = rows.groupBy(col("x")).agg(count(lit(1)).as("df"))
-    val ranked = rows.join(dfCounts, "x")
-      .withColumn("m", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-          .orderBy(col("df"), col("x"))))
+      .localCheckpoint(false)
+    // Document frequency via a COUNT window over the shingle partition
+    // rather than groupBy + join-back: one exchange by x instead of an
+    // aggregate exchange plus a second full exchange of rows for the
+    // join. The two id-partition windows (unordered m, ordered rn)
+    // share a single exchange — the planner adds only the sort.
+    val wById = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    val ranked = rows
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("x"))))
+      .withColumn("m", count(lit(1)).over(wById))
+      .withColumn("rn", row_number().over(wById.orderBy(col("df"), col("x"))))
     val prefix = ranked
       .filter(col("rn") <= floor((lit(1.0) - threshold) * col("m")) + 1)
       .select(col("id").as("pa"), col("x"))
