@@ -236,6 +236,65 @@ object Similarity {
       round(col("score"), 6).as("cos"))
   }
 
+  // ---------------------------------------------------------------------
+  // Product quantization
+  // ---------------------------------------------------------------------
+
+  /** Per-subspace PQ codebooks: split each vector into `numSub` blocks
+    * of `subDim` dims and average each block per coarse cell (`part`) —
+    * one long-form aggregation, shuffling (cells × dims) doubles
+    * regardless of corpus size (the [[centroids]] discipline applied
+    * per subspace). Codeword id = the cell id, so the codebook is
+    * seeded exactly like the IVF tier; iterate with the k-means loop
+    * for a trained codebook, plumbing unchanged.
+    * Output: (cl, m, sd, c) with centroids rounded to 6 decimals so a
+    * SQL oracle reproduces codes bit-for-bit.
+    */
+  def pqCodebooks(vecs: DataFrame, subDim: Int): DataFrame =
+    vecs.select(col("part"), posexplode(col("vec")).as(Seq("dim", "v")))
+      .select(col("part").cast("long").as("cl"),
+        (col("dim") / subDim).cast("int").as("m"),
+        pmod(col("dim"), lit(subDim)).cast("int").as("sd"), col("v"))
+      .groupBy(col("cl"), col("m"), col("sd"))
+      .agg(round(avg(col("v")), 6).as("c"))
+
+  /** Codebooks re-packed to one array per (codeword, subspace). */
+  def pqCodewordVecs(cb: DataFrame): DataFrame =
+    cb.groupBy(col("cl"), col("m"))
+      .agg(array_sort(collect_list(struct(col("sd"), col("c")))).as("sc"))
+      .select(col("cl"), col("m"),
+        transform(col("sc"), x => x.getField("c")).as("cvec"))
+
+  /** PQ encoding: each vector becomes `numSub` small integer codes —
+    * the argmin-L2 codeword per subspace. This is the 64× storage
+    * shrink that makes billion-vector ANN memory-resident: downstream
+    * search scans codes and a per-query lookup table (ADC), never raw
+    * vectors. The codebook is tiny by construction and broadcast; the
+    * subvector explode is narrow (numSub rows per vector); squared
+    * distances fold left-to-right over dims (`zip_with`+`aggregate` —
+    * interpreted, but over numSub × cells tiny arrays per row), so the
+    * DuckDB oracle reproduces every distance bit-for-bit and ties
+    * break to the smaller codeword. Output: (id, c0..c{numSub-1}).
+    */
+  def pqEncode(vecs: DataFrame, numSub: Int, subDim: Int): DataFrame = {
+    val cw = pqCodewordVecs(pqCodebooks(vecs, subDim))
+    val sub = vecs.select(col("id"),
+        explode(sequence(lit(0), lit(numSub - 1))).as("m"), col("vec"))
+      .select(col("id"), col("m"),
+        slice(col("vec"), col("m") * subDim + 1, lit(subDim)).as("sv"))
+    val d = aggregate(
+      zip_with(col("sv"), col("cvec"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val best = sub.join(broadcast(cw), "m")
+      .select(col("id"), col("m"), struct(d.as("d"), col("cl")).as("s"))
+      .groupBy(col("id"), col("m"))
+      .agg(min(col("s")).as("best")) // struct min = (distance, codeword) argmin
+      .select(col("id"), col("m"), col("best.cl").as("code"))
+    val codeCols = (0 until numSub)
+      .map(m => max(when(col("m") === m, col("code"))).as(s"c$m"))
+    best.groupBy(col("id")).agg(codeCols.head, codeCols.tail: _*)
+  }
+
   /** Cluster-bucketed cosine near-duplicate pairs: candidate pairs are
     * generated only within a coarse partition (IVF bucketing — the
     * embedding-space analogue of [[Dedup.lshCandidates]]), then verified

@@ -20,6 +20,8 @@ object SimilarityQueries {
   private val KIvf = 3        // per-cell top-k
   private val NearDupThreshold = 0.4
   private val KmeansIters = 2 // Lloyd rounds for emb_kmeans_iter
+  private val PqSubspaces = 4 // PQ: M subspaces ...
+  private val PqSubDim = EmbDim / PqSubspaces // ... of 16 dims each
 
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).select(
@@ -100,6 +102,17 @@ object SimilarityQueries {
     "emb_srp_sig" -> ((s, dir) =>
       corpus(s, dir).select(col("id"),
         Srp.sig(col("vec"), EmbDim).as("srp_sig"))),
+
+    // Product-quantization encoding (E112): 4 subspaces × 16 dims,
+    // cell-seeded codebooks, argmin-L2 codes — the 64-float vector
+    // becomes 4 small ints, the storage shrink that makes
+    // billion-vector ANN memory-resident (completes the ladder:
+    // brute force → IVF cells → PQ codes). Codebook averaging, the
+    // left-fold squared distance, and the (distance, codeword)
+    // tie-break are all replayed identically by the oracle, so every
+    // code is hash-matched, not spot-checked.
+    "emb_pq_codes" -> ((s, dir) =>
+      Similarity.pqEncode(corpus(s, dir), PqSubspaces, PqSubDim)),
 
     // SRP-bucketed near-dup pairs, exact-cosine verified: the bucketed
     // scale path beside emb_neardup's cluster-column bucketing. The
@@ -243,6 +256,34 @@ object SimilarityQueries {
          |       round(min(nrm), 6) AS min_norm,
          |       round(max(nrm), 6) AS max_norm
          |FROM nr GROUP BY part""".stripMargin,
+
+    "emb_pq_codes" -> {
+      val codeSelects = (0 until PqSubspaces)
+        .map(m => s"max(CASE WHEN m = $m THEN cl END) AS c$m").mkString(",\n|       ")
+      s"""$embCte,
+         |x AS (SELECT vec_id, label, CAST(i - 1 AS INTEGER) AS dim,
+         |             v[CAST(i AS INTEGER)] AS val
+         |      FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+         |sub0 AS (SELECT vec_id, CAST(label AS BIGINT) AS cl,
+         |                dim // $PqSubDim AS m, dim % $PqSubDim AS sd, val
+         |         FROM x),
+         |cb AS (SELECT cl, m, sd, round(sum(val) / count(*), 6) AS c
+         |       FROM sub0 GROUP BY 1, 2, 3),
+         |cw AS (SELECT cl, m, list(c ORDER BY sd) AS cvec FROM cb GROUP BY cl, m),
+         |sv AS (SELECT vec_id AS id, m, list(val ORDER BY sd) AS sv
+         |       FROM sub0 GROUP BY vec_id, m),
+         |d AS (SELECT sv.id, sv.m, cw.cl,
+         |             list_reduce(list_transform(generate_series(1, $PqSubDim),
+         |               i -> (sv.sv[i] - cw.cvec[i]) * (sv.sv[i] - cw.cvec[i])),
+         |               (p, q) -> p + q) AS d
+         |      FROM sv JOIN cw ON sv.m = cw.m),
+         |b AS (SELECT id, m, cl,
+         |             row_number() OVER (PARTITION BY id, m ORDER BY d, cl) AS rn
+         |      FROM d)
+         |SELECT id,
+         |       $codeSelects
+         |FROM b WHERE rn = 1 GROUP BY id""".stripMargin
+    },
 
     "emb_srp_sig" ->
       s"""$srpSigCte

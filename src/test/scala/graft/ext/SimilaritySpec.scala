@@ -112,4 +112,61 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L))) // 2 below threshold; 3 in another bucket
   }
+
+  test("pqEncode picks each subspace's true argmin codeword on a known layout") {
+    // 4-dim vectors, 2 subspaces of 2 dims. Cell 0 sits at (0,0|0,0),
+    // cell 1 at (10,10|10,10). A vector near cell 0 in the first block
+    // and near cell 1 in the second must MIX codes — the property that
+    // separates PQ (independent per-subspace choice) from plain
+    // nearest-centroid assignment.
+    val vecs = Seq(
+      (0L, 0, Seq(0.0, 0.0, 0.0, 0.0)),
+      (1L, 0, Seq(0.2, 0.0, 0.1, 0.0)),
+      (2L, 1, Seq(10.0, 10.0, 10.0, 10.0)),
+      (3L, 1, Seq(9.8, 10.0, 10.2, 10.0)),
+      (4L, 0, Seq(0.1, 0.1, 9.9, 10.1))) // mixed: block0→cell0, block1→cell1
+      .toDF("id", "part", "vec")
+    val codes = Similarity.pqEncode(vecs, 2, 2)
+      .select("id", "c0", "c1").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(codes(0L) == ((0L, 0L)) && codes(2L) == ((1L, 1L)))
+    assert(codes(4L) == ((0L, 1L)), s"mixed vector got ${codes(4L)}")
+  }
+
+  test("pq codes pointwise-dominate the own-cell codeword and shrink " +
+      "reconstruction error vs a single global codeword") {
+    val vecs = graft.Tables.embeddings(spark, sfDir).select(
+      col("vec_id").as("id"), col("label").as("part"),
+      Similarity.toDouble(col("embedding")).as("vec"))
+    val numSub = 4
+    val subDim = 16
+    val cw = Similarity.pqCodewordVecs(Similarity.pqCodebooks(vecs, subDim))
+    val sub = vecs.select(col("id"), col("part").cast("long").as("own"),
+        explode(sequence(lit(0), lit(numSub - 1))).as("m"), col("vec"))
+      .select(col("id"), col("own"), col("m"),
+        slice(col("vec"), col("m") * subDim + 1, lit(subDim)).as("sv"))
+    def l2sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val d = sub.join(broadcast(cw), "m")
+      .select(col("id"), col("own"), col("m"), col("cl"),
+        l2sq(col("sv"), col("cvec")).as("d"))
+    val perSub = d.groupBy("id", "own", "m")
+      .agg(min(col("d")).as("best"),
+        min(when(col("cl") === col("own"), col("d"))).as("ownD"))
+    // argmin is pointwise at least as good as the vector's own cell
+    assert(perSub.filter(col("best") > col("ownD")).count() == 0)
+    // and the 10-codeword quantizer beats collapsing to one global mean
+    val globalMean = vecs
+      .select(posexplode(col("vec")).as(Seq("dim", "v")))
+      .groupBy("dim").agg(avg(col("v")).as("c"))
+      .orderBy("dim").select("c").as[Double].collect()
+    val gm = typedLit(globalMean.toSeq)
+    val mseGlobal = vecs.select(l2sq(col("vec"), gm).as("e"))
+      .agg(avg("e")).as[Double].head()
+    val msePq = perSub.agg((sum("best") / countDistinct("id")).as("e"))
+      .as[Double].head()
+    assert(msePq < mseGlobal,
+      s"PQ mse $msePq not better than single-codeword mse $mseGlobal")
+  }
 }
