@@ -130,6 +130,44 @@ object CdcQueries {
         .filter(col("op") =!= "d")
     }),
 
+    // Snapshot diff / reconciliation (E113): the same change stream
+    // compacted to latest-state views at two cutoffs, FULL OUTER joined
+    // on the entity key → added / removed / changed rows; identical
+    // rows (the overwhelming majority on a real lakehouse table) drop
+    // out, so the diff's output — and everything downstream of it —
+    // scales with the CHANGE VOLUME, not the table. Each snapshot is
+    // the cdc_compact aggregate (partial-aggregatable struct-max, one
+    // candidate row per entity per partition on the shuffle); "removed"
+    // means a delete tombstone became the entity's latest event between
+    // the cutoffs. This is the table-diff primitive behind incremental
+    // reconciliation and audit between snapshot versions.
+    "cdc_snapshot_diff" -> ((s, dir) => {
+      def snap(cutoff: String, prefix: String) = {
+        val ev = graft.Tables.events(s, dir).select(
+          col("user_id"),
+          col("ts").cast("timestamp").as("ts"),
+          col("event_id"),
+          Envelopes.opExpr(col("event_type")).as("op"),
+          floor(col("value") * 100).cast("long").as("value_cents"))
+        ev.filter(col("ts") < lit(cutoff).cast("timestamp"))
+          .groupBy("user_id")
+          .agg(max(struct(col("ts"), col("event_id"), col("op"),
+            col("value_cents"))).as("last"))
+          .filter(col("last.op") =!= "d")
+          .select(col("user_id"),
+            col("last.event_id").as(s"${prefix}_event_id"),
+            col("last.value_cents").as(s"${prefix}_value_cents"))
+      }
+      snap("2024-01-15", "old")
+        .join(snap("2024-01-30", "new"), Seq("user_id"), "full_outer")
+        .withColumn("change",
+          when(col("old_event_id").isNull, "added")
+            .when(col("new_event_id").isNull, "removed")
+            .otherwise("changed"))
+        .filter(col("old_event_id").isNull || col("new_event_id").isNull ||
+          col("old_event_id") =!= col("new_event_id"))
+    }),
+
     // SCD2 history build (extension E86): the change stream per key
     // becomes validity intervals — each non-delete version is effective
     // from its own timestamp until the NEXT change of any kind (a
@@ -254,6 +292,33 @@ object CdcQueries {
         |      FROM labeled)
         |SELECT user_id, ts, event_id, op, value_cents
         |FROM r WHERE rn = 1 AND op <> 'd'""".stripMargin,
+
+    "cdc_snapshot_diff" ->
+      """WITH labeled AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |         CASE event_type WHEN 'signup' THEN 'c' WHEN 'purchase' THEN 'u'
+        |                         WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+        |         CAST(floor(value * 100) AS BIGINT) AS value_cents
+        |  FROM events),
+        |s1 AS (SELECT user_id, event_id, value_cents FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                      ORDER BY ts DESC, event_id DESC) AS rn
+        |         FROM labeled WHERE ts < TIMESTAMP '2024-01-15')
+        |       WHERE rn = 1 AND op <> 'd'),
+        |s2 AS (SELECT user_id, event_id, value_cents FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                      ORDER BY ts DESC, event_id DESC) AS rn
+        |         FROM labeled WHERE ts < TIMESTAMP '2024-01-30')
+        |       WHERE rn = 1 AND op <> 'd')
+        |SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+        |       CASE WHEN s1.user_id IS NULL THEN 'added'
+        |            WHEN s2.user_id IS NULL THEN 'removed'
+        |            ELSE 'changed' END AS change,
+        |       s1.event_id AS old_event_id, s2.event_id AS new_event_id,
+        |       s1.value_cents AS old_value_cents, s2.value_cents AS new_value_cents
+        |FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+        |WHERE s1.user_id IS NULL OR s2.user_id IS NULL
+        |   OR s1.event_id <> s2.event_id""".stripMargin,
 
     "cdc_scd2" ->
       """WITH labeled AS (
