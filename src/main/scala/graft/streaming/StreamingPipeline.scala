@@ -177,6 +177,30 @@ object StreamingPipeline {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Idempotent `foreachBatch` parquet sink: each micro-batch writes a
+    * `batch_id=<id>` partition with DYNAMIC partition overwrite, so a
+    * replayed batch (restart from checkpoint after a failure between
+    * sink write and offset commit) REWRITES its own partition instead
+    * of appending duplicates — Structured Streaming's at-least-once
+    * batch delivery becomes exactly-once table state, keyed by the
+    * engine's deterministic batch ids. This is the file-sink analogue
+    * of the transactional Kafka producer the gated R5 adapter would
+    * pair with; StreamingSpec replays a batch and pins that the table
+    * is byte-identical. Only the replayed batch's partition is
+    * touched — other partitions are never rewritten, so the pattern
+    * costs one directory swap per batch at any table size.
+    */
+  def idempotentBatchWriter(path: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try batch.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(path)
+      finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+
   /** Streaming exact-dedup with keyed state: emit a key's record the
     * first time the key is seen, suppress replays. State per key is one
     * boolean. This is the streaming tier of exact dedup: at 100 TB/day
