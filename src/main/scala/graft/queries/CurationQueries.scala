@@ -35,6 +35,28 @@ object CurationQueries {
       Decontam.hits(Tables.documents(s, dir), "doc_id", "text", 3,
         col("doc_id") % DecontamMod === 0)),
 
+    // PII redaction as an oracle-checked row (upgrades E42 from
+    // test-only): PII-shaped strings are PLANTED deterministically from
+    // doc columns (the fixture corpus itself has none), then the
+    // sequential regexp_replace passes run — all codegen, no UDF. The
+    // oracle applies the IDENTICAL patterns (generated from the same
+    // Curation.PiiPatterns list, so the two can never drift) with
+    // DuckDB's RE2 engine: the patterns deliberately use only the
+    // Java∩RE2 dialect subset, and a hash match here proves it.
+    "docs_pii_redact" -> ((s, dir) => {
+      val planted = concat_ws(" ",
+        substring(col("text"), 1, 40),
+        lit("contact"),
+        concat(lit("user"), col("doc_id"), lit("@example.com")),
+        lit("call"),
+        concat(lit("+1 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")),
+        lit("acct"),
+        lpad((col("doc_id") * 37 % 100000000).cast("string"), 8, "0"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Curation.redactPii(planted).as("redacted"))
+    }),
+
     // Deterministic Bernoulli(0.25) sample — same rows on every run,
     // every engine, every partitioning.
     "docs_sample_hash" -> ((s, dir) =>
@@ -238,7 +260,28 @@ object CurationQueries {
       .mkString("(", " + ", ")")
   }
 
+  /** The redaction pipeline as nested DuckDB regexp_replace calls,
+    * generated from the SAME pattern list the Spark column folds over.
+    */
+  private val redactSql: String =
+    Curation.PiiPatterns.foldLeft("planted") { case (inner, (pat, repl)) =>
+      s"regexp_replace($inner, '$pat', '$repl', 'g')"
+    }
+
   val oracles: Map[String, String] = Map(
+    "docs_pii_redact" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |         concat_ws(' ', substr(text, 1, 40), 'contact',
+         |           'user' || CAST(doc_id AS VARCHAR) || '@example.com',
+         |           'call',
+         |           '+1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+         |           'acct',
+         |           lpad(CAST(doc_id * 37 % 100000000 AS VARCHAR), 8, '0'))
+         |           AS planted
+         |  FROM documents)
+         |SELECT doc_id, $redactSql AS redacted FROM p""".stripMargin,
+
     // mirrors DedupQueries.wordShCte's 3-gram construction; the CTE's
     // per-doc list_distinct plus count(DISTINCT g) matches the Spark
     // side's non-deduped shingle rows + countDistinct.

@@ -206,6 +206,35 @@ class PlanAuditSpec extends SparkSpec {
       s"salt is not a join key — skew would concentrate again:\n$keysLine")
   }
 
+  test("SHUFFLE_HASH hint overrides the sort-merge default") {
+    // The skew/bucketing toolkit assumes hints are honored; a Spark
+    // upgrade that silently drops them would invalidate E99's salted
+    // join design. Sanity-pin both directions on the same join.
+    val o = Tables.orders(spark, sfDir)
+    val l = Tables.lineitem(spark, sfDir)
+    val merged = l.join(o.hint("MERGE"), col("l_orderkey") === col("o_orderkey"))
+    assert(merged.queryExecution.sparkPlan.toString.contains("SortMergeJoin"))
+    val hashed = l.join(o.hint("SHUFFLE_HASH"),
+      col("l_orderkey") === col("o_orderkey"))
+    val plan = hashed.queryExecution.sparkPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"hint ignored:\n$plan")
+  }
+
+  test("AQE coalesces an over-partitioned aggregate at runtime") {
+    // 32 shuffle partitions for 25 rows is the static mistake AQE's
+    // coalescing repairs: after execution the shuffle read must have
+    // been merged below the static partition count — the runtime
+    // repartition knob the 100 TB configs rely on instead of
+    // per-query hand tuning.
+    val df = Tables.nation(spark, sfDir)
+      .groupBy("n_regionkey").agg(count(lit(1)).as("n"))
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("AQEShuffleRead") &&
+        finalPlan.contains("coalesced"),
+      s"AQE coalescing did not engage:\n$finalPlan")
+  }
+
   test("Q21-shape: EXISTS/NOT EXISTS plan as semi and anti joins with " +
       "a broadcast supplier decode") {
     val df = RelationalQueries.queries("rel_waiting_supplier")(spark, sfDir)
