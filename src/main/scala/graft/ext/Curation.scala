@@ -174,4 +174,38 @@ object Curation {
     PiiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
       regexp_replace(c, pat, repl)
     }
+
+  /** URL canonicalization — the first step of crawl dedup (two fetches
+    * of one page must collapse BEFORE content dedup ever runs):
+    * lowercase scheme+host, strip default ports (:80/:443), drop the
+    * fragment, drop `utm_*` tracking params (other params kept in
+    * order), collapse trailing path slashes (bare host → "/"). Pure
+    * regex/array built-ins — codegen, no UDF — restricted to the
+    * Java∩RE2 dialect subset so the DuckDB oracle replays it verbatim.
+    * Path case is preserved (paths are case-sensitive per RFC 3986;
+    * only scheme and authority fold).
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport =
+      lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = regexp_replace(regexp_replace(hostport, ":443$", ""), ":80$", "")
+    val rawPath =
+      regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val stripped = regexp_replace(rawPath, "/+$", "")
+    val path = when(stripped === "", lit("/")).otherwise(stripped)
+    val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val keptQ = array_join(
+      filter(split(query, "&"), p => !p.startsWith("utm_")), "&")
+    concat(scheme, lit("://"), host, path,
+      when(keptQ === "", lit("")).otherwise(concat(lit("?"), keptQ)))
+  }
+
+  /** Registered-domain-ish suffix of a canonical URL's host (last two
+    * labels) — the grouping key for per-site crawl budgets and
+    * domain-mix curation.
+    */
+  def urlDomain(canonical: Column): Column =
+    regexp_extract(canonical, "://(?:[^/?#]*\\.)?([^./?#]+\\.[^./?#]+)(?:[/?#]|$)", 1)
 }

@@ -57,6 +57,27 @@ object CurationQueries {
         .select(col("doc_id"), Curation.redactPii(planted).as("redacted"))
     }),
 
+    // URL canonicalization (E116): deterministic messy URLs planted
+    // from doc columns (uppercase host, default port, trailing slash,
+    // utm params, fragment — the variation crawl frontiers actually
+    // see), then canonicalized scheme://host/path?query — the collapse
+    // step that must run before any content dedup, since two fetches
+    // of one page otherwise survive as distinct rows. The oracle
+    // replays the identical regex/array pipeline in DuckDB.
+    "docs_url_canonical" -> ((s, dir) => {
+      val url = concat(
+        lit("https://WWW.Site"), (col("doc_id") % 40).cast("string"), lit(".COM"),
+        when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+        lit("/Path/p"), (col("doc_id") % 7).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=x&id="), (col("doc_id") % 5).cast("string"),
+        lit("#sec"), (col("doc_id") % 9).cast("string"))
+      val canon = Curation.canonicalUrl(url)
+      Tables.documents(s, dir).select(
+        col("doc_id"), url.as("url"), canon.as("canonical"),
+        Curation.urlDomain(canon).as("domain"))
+    }),
+
     // Deterministic Bernoulli(0.25) sample — same rows on every run,
     // every engine, every partitioning.
     "docs_sample_hash" -> ((s, dir) =>
@@ -269,6 +290,42 @@ object CurationQueries {
     }
 
   val oracles: Map[String, String] = Map(
+    "docs_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         'https://WWW.Site' || CAST(doc_id % 40 AS VARCHAR) || '.COM'
+        |         || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+        |         || '/Path/p' || CAST(doc_id % 7 AS VARCHAR)
+        |         || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+        |         || '?utm_source=x&id=' || CAST(doc_id % 5 AS VARCHAR)
+        |         || '#sec' || CAST(doc_id % 9 AS VARCHAR) AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf FROM u),
+        |parts AS (
+        |  SELECT doc_id, url,
+        |         lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |         regexp_replace(regexp_replace(
+        |           lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+        |           ':443$', ''), ':80$', '') AS host,
+        |         regexp_replace(
+        |           regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+        |           '/+$', '') AS sp,
+        |         array_to_string(list_filter(
+        |           string_split(regexp_extract(nf, '\?([^#]*)', 1), '&'),
+        |           q -> NOT starts_with(q, 'utm_')), '&') AS kq
+        |  FROM p),
+        |c AS (
+        |  SELECT doc_id, url,
+        |         scheme || '://' || host
+        |         || CASE WHEN sp = '' THEN '/' ELSE sp END
+        |         || CASE WHEN kq = '' THEN '' ELSE '?' || kq END AS canonical
+        |  FROM parts)
+        |SELECT doc_id, url, canonical,
+        |       regexp_extract(canonical,
+        |         '://(?:[^/?#]*\.)?([^./?#]+\.[^./?#]+)(?:[/?#]|$)', 1) AS domain
+        |FROM c""".stripMargin,
+
     "docs_pii_redact" ->
       s"""WITH p AS (
          |  SELECT doc_id,

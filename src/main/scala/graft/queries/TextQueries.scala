@@ -63,6 +63,33 @@ object TextQueries {
         .select(col("doc_id"),
           round(log(col("n")) - col("s") / col("n"), 6).as("entropy"))),
 
+    // Unigram log-probability quality score (E115) — the statistical-LM
+    // tier of quality filtering (the CCNet/perplexity-filter shape, with
+    // a unigram model standing in for the KenLM): corpus-wide token
+    // frequencies become -ln p(token), and a document's score is the
+    // mean surprise of its tokens — boilerplate scores low, lexically
+    // odd or OOV-heavy text scores high. The vocabulary aggregate is
+    // corpus-wide but vocabulary-sized (shuffle carries one row per
+    // DISTINCT token); the per-doc pass joins tokens to it on the token
+    // key; the 1-row corpus total folds in via a broadcast cross join,
+    // never a driver collect. ln(cnt)-ln(total) keeps both operands
+    // exactly representable, and the 6-decimal round swallows avg()
+    // accumulation-order noise in both engines.
+    "docs_unigram_logprob" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      val total = vocab.agg(sum(col("c")).as("total"))
+      tok.join(vocab, "w")
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"),
+          (log(col("total").cast("double")) - log(col("c").cast("double")))
+            .as("nlp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(col("nlp")), 6).as("avg_neg_logprob"))
+    }),
+
     // BPE-ish regex tokenizer: per-doc token count.
     "docs_token_bpe" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -188,6 +215,19 @@ object TextQueries {
         |             sum(cnt * ln(cnt)) AS s
         |      FROM c GROUP BY 1)
         |SELECT doc_id, round(ln(n) - s / n, 6) AS entropy FROM t""".stripMargin,
+
+    "docs_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |             FROM documents),
+        |v AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |t AS (SELECT sum(c) AS total FROM v),
+        |s AS (SELECT tok.doc_id,
+        |             ln(CAST((SELECT total FROM t) AS DOUBLE))
+        |               - ln(CAST(v.c AS DOUBLE)) AS nlp
+        |      FROM tok JOIN v USING (w))
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       round(avg(nlp), 6) AS avg_neg_logprob
+        |FROM s GROUP BY doc_id""".stripMargin,
 
     "docs_token_bpe" ->
       s"""SELECT doc_id,
