@@ -178,6 +178,33 @@ object AdvancedQueries {
           .cast("int").as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("n"))),
 
+    // Data-quality assertion suite (E119): the expectations pass an
+    // ingest pipeline runs before anything trusts a batch — null keys,
+    // domain violations, duplicate primary keys, and referential
+    // orphans in both directions, each a bounded 1-row aggregate (the
+    // anti-joins shuffle keys only) unioned into one (check, violations)
+    // report. All checks pass on the fixture by construction, which is
+    // itself the assertion: a fixture regression or a broken check both
+    // flip a row away from zero and fail the hash match.
+    "rel_dq_checks" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      val c = Tables.customer(s, dir)
+      def chk(name: String, viol: org.apache.spark.sql.DataFrame) =
+        viol.agg(count(lit(1)).as("violations"))
+          .select(lit(name).as("check"), col("violations"))
+      chk("orders_null_custkey", o.filter(col("o_custkey").isNull))
+        .unionByName(chk("orders_nonpositive_price",
+          o.filter(col("o_totalprice") <= 0)))
+        .unionByName(chk("orders_dup_pk",
+          o.groupBy("o_orderkey").agg(count(lit(1)).as("cnt"))
+            .filter(col("cnt") > 1)))
+        .unionByName(chk("lineitem_orphans",
+          l.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")))
+        .unionByName(chk("orders_unknown_cust",
+          o.join(c, col("o_custkey") === col("c_custkey"), "left_anti")))
+    }),
+
     // Z-order (Morton) clustering key (E111): bit-interleave of
     // (l_partkey, l_suppkey) as pure shift/and/or Column arithmetic —
     // stays in whole-stage codegen, and the oracle reproduces the
@@ -274,6 +301,23 @@ object AdvancedQueries {
       """SELECT CAST(least(floor(o_totalprice / 5000), 11) AS INTEGER) AS bucket,
         |       count(*) AS n
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "rel_dq_checks" ->
+      """SELECT 'orders_null_custkey' AS "check",
+        |       count(CASE WHEN o_custkey IS NULL THEN 1 END) AS violations
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders_nonpositive_price',
+        |       count(CASE WHEN o_totalprice <= 0 THEN 1 END) FROM orders
+        |UNION ALL
+        |SELECT 'orders_dup_pk', count(*) FROM (
+        |  SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+        |UNION ALL
+        |SELECT 'lineitem_orphans', count(*) FROM lineitem
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |UNION ALL
+        |SELECT 'orders_unknown_cust', count(*) FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)""".stripMargin,
 
     "rel_zorder_cluster" ->
       """WITH base AS (

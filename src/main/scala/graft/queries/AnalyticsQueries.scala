@@ -232,6 +232,26 @@ object AnalyticsQueries {
           (abs(col("est") - col("exact_users")) / col("exact_users") < 0.05)
             .as("within_tol"))),
 
+    // Event-sequence transition matrix (E118): per-user next-event via
+    // lead() (one shuffle on the user key serves the window), then a
+    // (from, to) count with the per-from normalization as a window over
+    // the TINY aggregated matrix — sequence mining whose only
+    // full-data pass is the lead(), the Markov-chain view of a
+    // clickstream. Division happens on exact integer counts, so the
+    // probabilities are engine-reproducible.
+    "events_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val tr = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+      val counts = tr
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      counts.withColumn("p",
+        round(col("n") / sum(col("n")).over(Window.partitionBy("from_type")), 6))
+    }),
+
     // Sketch RE-AGGREGATION — the property that justifies owning the
     // HLL rather than calling approx_count_distinct (whose sketch never
     // escapes the plan): one register array is materialized per day,
@@ -542,6 +562,18 @@ object AnalyticsQueries {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |       true AS within_tol
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "events_transitions" ->
+      """WITH tr AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type, 1) OVER (PARTITION BY user_id
+        |                                   ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n
+        |      FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM c""".stripMargin,
 
     "events_hll_merge" ->
       """SELECT count(DISTINCT CAST(ts AS DATE)) AS n_days,

@@ -191,6 +191,46 @@ object CdcQueries {
           col("value_cents"), col("ts").as("effective_from"),
           col("effective_to"),
           col("effective_to").isNull.as("is_current"))
+    }),
+
+    // Point-in-time temporal join (E117): each probe event is joined to
+    // the ENTITY VERSION that was in effect at its timestamp — the
+    // feature-store correctness join (training features must reflect
+    // state as-of the label's time, never a later version: the standard
+    // leakage bug). Versions come from the same stream's SCD2 build;
+    // the join is an equi-join on the entity key with the interval
+    // containment as a residual (from ≤ ts < to, open interval closed
+    // by the next change), so per-key fan-out is the entity's version
+    // count, never the corpus — a high-churn key would move to E27's
+    // time-bucket replication, plumbing unchanged. Probes that land in
+    // a tombstone gap (entity deleted, not yet recreated) match no
+    // version and drop out.
+    "cdc_temporal_join" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.Tables.events(s, dir).select(
+        col("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("event_id"),
+        Envelopes.opExpr(col("event_type")).as("op"),
+        floor(col("value") * 100).cast("long").as("value_cents"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val versions = ev
+        .withColumn("effective_to", lead(col("ts"), 1).over(w))
+        .filter(col("op") =!= "d")
+        .select(col("user_id").as("v_user"),
+          col("event_id").as("version_event"),
+          col("value_cents").as("version_value_cents"),
+          col("ts").as("effective_from"), col("effective_to"))
+      val probes = graft.Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("timestamp").as("ts"))
+      probes.join(versions,
+          col("user_id") === col("v_user") &&
+            col("ts") >= col("effective_from") &&
+            (col("effective_to").isNull || col("ts") < col("effective_to")))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("version_event"), col("version_value_cents"))
     }))
 
   /** Rules from the YAML fixture (R8). Loaded once; both the Spark query
@@ -334,5 +374,28 @@ object CdcQueries {
         |SELECT user_id, event_id, op, value_cents,
         |       ts AS effective_from, effective_to,
         |       effective_to IS NULL AS is_current
-        |FROM iv WHERE op <> 'd'""".stripMargin)
+        |FROM iv WHERE op <> 'd'""".stripMargin,
+
+    "cdc_temporal_join" ->
+      """WITH labeled AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |         CASE event_type WHEN 'signup' THEN 'c' WHEN 'purchase' THEN 'u'
+        |                         WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+        |         CAST(floor(value * 100) AS BIGINT) AS value_cents
+        |  FROM events),
+        |iv AS (
+        |  SELECT *, lead(ts, 1) OVER (PARTITION BY user_id
+        |                              ORDER BY ts, event_id) AS effective_to
+        |  FROM labeled),
+        |v AS (SELECT user_id, event_id AS version_event,
+        |             value_cents AS version_value_cents,
+        |             ts AS effective_from, effective_to
+        |      FROM iv WHERE op <> 'd'),
+        |p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.event_id, p.ts,
+        |       v.version_event, v.version_value_cents
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |             AND p.ts >= v.effective_from
+        |             AND (v.effective_to IS NULL OR p.ts < v.effective_to)""".stripMargin)
 }
