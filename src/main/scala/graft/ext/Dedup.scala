@@ -42,9 +42,10 @@ object Dedup {
     * the scan already has ≥ parallelism splits and this is a no-op, so
     * the full corpus is never shuffled at 100 TB just to rebalance.
     */
-  private[graft] def ensureParallel(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+  private[graft] def ensureParallel(df: DataFrame, target: Int = 0): DataFrame = {
+    val t =
+      if (target > 0) target else df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < t) df.repartition(t) else df
   }
 
   /** Distinct word n-gram shingles of a whitespace-tokenized text.

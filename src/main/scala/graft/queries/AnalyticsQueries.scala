@@ -232,6 +232,22 @@ object AnalyticsQueries {
           (abs(col("est") - col("exact_users")) / col("exact_users") < 0.05)
             .as("within_tol"))),
 
+    // Trending items per time bucket (E120): hourly event-type counts,
+    // then top-2 types per hour THROUGH THE CUSTOM PHYSICAL OPERATOR
+    // (graft.plans.TopKPerKey) — the operator composing with an
+    // upstream aggregation rather than a raw scan, which is the shape
+    // a "trending now" pipeline actually runs. The count aggregate is
+    // the only full-data shuffle; the top-k exchange carries at most
+    // k rows per hour per map partition. Hash-checked against the
+    // windowed oracle.
+    "events_trending" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      graft.plans.TopKPerKey(hourly, Seq("hr"),
+        Seq("n" -> false, "event_type" -> true), 2)
+    }),
+
     // Event-sequence transition matrix (E118): per-user next-event via
     // lead() (one shuffle on the user key serves the window), then a
     // (from, to) count with the per-from normalization as a window over
@@ -562,6 +578,15 @@ object AnalyticsQueries {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |       true AS within_tol
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "events_trending" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hr, event_type,
+        |                  count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY hr
+        |                                   ORDER BY n DESC, event_type) AS rk
+        |      FROM h)
+        |SELECT hr, event_type, n FROM r WHERE rk <= 2""".stripMargin,
 
     "events_transitions" ->
       """WITH tr AS (

@@ -160,4 +160,19 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect()
     assert(pairs.toSet == Set((0L, 1L, 2)))
   }
+
+  test("ensureParallel fans out under-partitioned plans and leaves parallel ones alone") {
+    val narrow = Seq.tabulate(100)(i => (i.toLong, s"doc $i"))
+      .toDF("doc_id", "text").coalesce(1)
+    assert(Dedup.ensureParallel(narrow, target = 8).rdd.getNumPartitions == 8)
+    // an already-parallel plan must NOT be repartitioned (at scale this
+    // guard is what keeps the corpus from being shuffled just to
+    // rebalance)
+    val wide = spark.range(1000).repartition(8)
+      .select(col("id").as("doc_id"), col("id").cast("string").as("text"))
+    val kept = Dedup.ensureParallel(wide, target = 8)
+    assert(kept.rdd.getNumPartitions == 8)
+    assert(kept.queryExecution.logical eq wide.queryExecution.logical,
+      "plan was rewritten despite sufficient parallelism")
+  }
 }
