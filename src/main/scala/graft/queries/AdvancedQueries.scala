@@ -178,6 +178,68 @@ object AdvancedQueries {
           .cast("int").as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("n"))),
 
+    // Incremental aggregate maintenance (E121): a base aggregate (days
+    // before the cutoff) and a delta aggregate (the new days) merge by
+    // re-aggregating the PARTIAL RESULTS — count and sum are
+    // re-aggregatable, so the merge touches aggregate-sized data, never
+    // the base table, and equals the full recompute exactly (the oracle
+    // IS the full recompute). This is the incremental-ETL contract:
+    // at 100 TB the base aggregate is yesterday's materialized table
+    // and only the delta's raw rows are ever scanned again.
+    "events_incremental_counts" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        col("ts").cast("timestamp").as("ts"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      val cutoff = lit("2024-01-25").cast("timestamp")
+      def part(f: org.apache.spark.sql.Column) = ev.filter(f)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("value_cents"))
+      part(col("ts") < cutoff)
+        .unionByName(part(col("ts") >= cutoff))
+        .groupBy("event_type")
+        .agg(sum(col("n")).as("n"), sum(col("value_cents")).as("value_cents"))
+    }),
+
+    // Key-skew profiler (E122): the distribution of per-key group sizes
+    // — the diagnostic that decides WHEN the salting/AQE tiers (E26,
+    // E63, E99) are needed, shipped as an operator instead of folklore.
+    // The full-data pass is one count per key; the distribution summary
+    // runs on key-cardinality-sized data.
+    "events_key_skew" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id").agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_keys"),
+          max(col("sz")).as("max_sz"),
+          round(percentile(col("sz"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("sz"), lit(0.99)), 6).as("p99"),
+          round(max(col("sz")) / avg(col("sz")), 6).as("skew_ratio"))),
+
+    // Equi-depth histogram (E123): quartile cutoffs from the exact
+    // interpolated percentile (a 1-row aggregate folded back in via a
+    // broadcast cross join — the same shape as E121's total), then a
+    // when-chain bucket assignment. Complements E98's equi-width
+    // buckets; cutoffs are rounded to 6 decimals in both engines before
+    // comparison, far below the 2-decimal price granularity, so bucket
+    // edges cannot flip between engines.
+    "rel_price_eqdepth" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val cuts = o.agg(
+        round(percentile(col("o_totalprice"), lit(0.25)), 6).as("c1"),
+        round(percentile(col("o_totalprice"), lit(0.5)), 6).as("c2"),
+        round(percentile(col("o_totalprice"), lit(0.75)), 6).as("c3"))
+      o.crossJoin(broadcast(cuts))
+        .select(
+          when(col("o_totalprice") < col("c1"), 0)
+            .when(col("o_totalprice") < col("c2"), 1)
+            .when(col("o_totalprice") < col("c3"), 2)
+            .otherwise(3).as("bucket"),
+          cents(col("o_totalprice")).as("price_cents"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min(col("price_cents")).as("lo_cents"),
+          max(col("price_cents")).as("hi_cents"))
+    }),
+
     // Data-quality assertion suite (E119): the expectations pass an
     // ingest pipeline runs before anything trusts a batch — null keys,
     // domain violations, duplicate primary keys, and referential
@@ -301,6 +363,34 @@ object AdvancedQueries {
       """SELECT CAST(least(floor(o_totalprice / 5000), 11) AS INTEGER) AS bucket,
         |       count(*) AS n
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "events_incremental_counts" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS value_cents
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "events_key_skew" ->
+      """WITH s AS (SELECT user_id, count(*) AS sz FROM events GROUP BY 1)
+        |SELECT count(*) AS n_keys, max(sz) AS max_sz,
+        |       round(quantile_cont(sz, 0.5), 6) AS p50,
+        |       round(quantile_cont(sz, 0.99), 6) AS p99,
+        |       round(max(sz) / avg(sz), 6) AS skew_ratio
+        |FROM s""".stripMargin,
+
+    "rel_price_eqdepth" ->
+      """WITH c AS (SELECT round(quantile_cont(o_totalprice, 0.25), 6) AS c1,
+        |                  round(quantile_cont(o_totalprice, 0.5), 6) AS c2,
+        |                  round(quantile_cont(o_totalprice, 0.75), 6) AS c3
+        |           FROM orders)
+        |SELECT CASE WHEN o_totalprice < c1 THEN 0
+        |            WHEN o_totalprice < c2 THEN 1
+        |            WHEN o_totalprice < c3 THEN 2 ELSE 3 END AS bucket,
+        |       count(*) AS n,
+        |       min(CAST(floor(o_totalprice * 100) AS BIGINT)) AS lo_cents,
+        |       max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS hi_cents
+        |FROM orders CROSS JOIN c
+        |GROUP BY 1""".stripMargin,
 
     "rel_dq_checks" ->
       """SELECT 'orders_null_custkey' AS "check",
