@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import graft.cdc.{Pipeline, Routing}
 
@@ -232,5 +233,48 @@ object StreamingPipeline {
             rows.take(1)
           }
       }
+  }
+
+  /** Per-key running totals on Spark 4's `transformWithState` — the
+    * modern arbitrary-state API succeeding `flatMapGroupsWithState`
+    * (which [[dedupStream]] keeps as the legacy tier): named, typed
+    * state variables (two `ValueState[Long]`s here) instead of one
+    * opaque state object, per-variable TTL, and a timer surface. Each
+    * micro-batch emits the key's updated lifetime (count, cents total).
+    * Requires the RocksDB state store provider (Spark's own constraint
+    * on this operator — `StreamingSpec` sets it for the test query);
+    * state per key is two longs regardless of traffic, the
+    * 100 TB/day-proof shape.
+    */
+  class RunningTotalProcessor
+      extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+    @transient private var count: ValueState[Long] = _
+    @transient private var cents: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+      cents = getHandle.getValueState[Long]("cents", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                                 timers: TimerValues): Iterator[(Long, Long, Long)] = {
+      var c = if (count.exists()) count.get() else 0L
+      var t = if (cents.exists()) cents.get() else 0L
+      rows.foreach { case (_, v) => c += 1; t += v }
+      count.update(c)
+      cents.update(t)
+      Iterator((key, c, t))
+    }
+  }
+
+  /** `transformWithState` wiring for [[RunningTotalProcessor]] over a
+    * streaming (key, cents) Dataset.
+    */
+  def runningTotals(spark: SparkSession,
+                    keyed: Dataset[(Long, Long)]): Dataset[(Long, Long, Long)] = {
+    import spark.implicits._
+    keyed.groupByKey(_._1)
+      .transformWithState(new RunningTotalProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 }

@@ -322,6 +322,34 @@ class StreamingSpec extends SparkSpec {
     assert(after.size == 4 && before.toSet.subsetOf(after.toSet))
   }
 
+  test("transformWithState running totals accumulate across micro-batches") {
+    // Spark requires RocksDB state store for transformWithState; scope
+    // the provider to this query and restore after.
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[(Long, Long)]
+      val out = StreamingPipeline.runningTotals(spark, stream.toDS())
+      val q = out.writeStream.format("memory")
+        .queryName("twstotals").outputMode("update").start()
+      try {
+        stream.addData((1L, 100L), (1L, 50L), (2L, 10L))
+        q.processAllAvailable()
+        stream.addData((1L, 25L), (3L, 7L))
+        q.processAllAvailable()
+      } finally q.stop()
+      // last emission per key wins (update mode re-emits on change)
+      val last = spark.table("twstotals")
+        .as[(Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2) }
+      assert(last(1L) == ((1L, 3L, 175L)), s"key 1: ${last(1L)}")
+      assert(last(2L) == ((2L, 1L, 10L)))
+      assert(last(3L) == ((3L, 1L, 7L)))
+    } finally prev.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
+  }
+
   test("Kafka adapter reports connector availability honestly") {
     // No spark-sql-kafka jar ships in this container (SURVEY.md §7.6.6):
     // the adapter must say so rather than fail deep inside a query.
