@@ -190,7 +190,12 @@ object Curation {
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostport =
       lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-    val host = regexp_replace(regexp_replace(hostport, ":443$", ""), ":80$", "")
+    // Default-port stripping is SCHEME-AWARE: https-on-:80 (or
+    // http-on-:443) is a genuinely different origin and must survive —
+    // only the scheme's own default port is redundant.
+    val host = when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .otherwise(hostport)
     val rawPath =
       regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     val stripped = regexp_replace(rawPath, "/+$", "")

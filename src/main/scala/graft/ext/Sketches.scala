@@ -126,6 +126,7 @@ object Sketches {
     private val m = 1 << p
     def zero: HllBuf = HllBuf(new Array[Byte](m))
     def reduce(b: HllBuf, sketch: Array[Byte]): HllBuf = {
+      if (sketch == null) return b // null cell carries no observations
       require(sketch.length == m,
         s"sketch register count ${sketch.length} != 2^p = $m")
       var i = 0

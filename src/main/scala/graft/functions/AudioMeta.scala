@@ -107,7 +107,6 @@ object AudioMetaImpl {
     var i = 12
     while (i + 8 <= n && (fmtCode < 0 || dataBytes < 0)) {
       val size = le32(b, i + 4)
-      if (size < 0 || size > Int.MaxValue) return Unknown
       if (tag(b, i, 'f', 'm', 't', ' ')) {
         // PCM fmt payload: format(2) channels(2) rate(4) byteRate(4)
         // blockAlign(2) bits(2).
@@ -122,7 +121,12 @@ object AudioMetaImpl {
         // the file (streaming writers truncate); clamp to what exists.
         dataBytes = math.min(size, (n - i - 8).toLong)
       }
-      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      // Word-aligned advance in LONG arithmetic: a corrupt declared
+      // size near 2^31 must run the index off the end (loop exit), not
+      // overflow Int into a negative index and crash the total-function
+      // contract.
+      val next = i.toLong + 8L + size + (size & 1L)
+      i = if (next > n) n else next.toInt
     }
     if (fmtCode < 0 || dataBytes < 0 || byteRate <= 0) return Unknown
     val codec = if (fmtCode == 1) "pcm" else s"wav-$fmtCode"

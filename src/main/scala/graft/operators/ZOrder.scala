@@ -54,10 +54,15 @@ object ZOrder {
     * parquet footer pruning — no special reader needed.
     */
   def clusterWrite(df: DataFrame, x: Column, y: Column, numFiles: Int,
-                   path: String): Unit =
+                   path: String): Unit = {
+    // Fail fast rather than silently replace-and-drop a user column
+    // that happens to share the helper's name.
+    require(!df.columns.contains("__z"),
+      "clusterWrite: input already has a __z column; rename it first")
     df.withColumn("__z", zValue(x, y))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+  }
 }

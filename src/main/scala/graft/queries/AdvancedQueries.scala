@@ -255,9 +255,16 @@ object AdvancedQueries {
       def chk(name: String, viol: org.apache.spark.sql.DataFrame) =
         viol.agg(count(lit(1)).as("violations"))
           .select(lit(name).as("check"), col("violations"))
-      chk("orders_null_custkey", o.filter(col("o_custkey").isNull))
-        .unionByName(chk("orders_nonpositive_price",
-          o.filter(col("o_totalprice") <= 0)))
+      // All row-level predicates share ONE orders scan (conditional
+      // aggregates unpivoted via stack); only the structural checks
+      // (dup PKs, the two orphan anti-joins) need their own passes.
+      val rowLevel = o.agg(
+          count(when(col("o_custkey").isNull, 1)).as("nullkey"),
+          count(when(col("o_totalprice") <= 0, 1)).as("badprice"))
+        .select(expr(
+          "stack(2, 'orders_null_custkey', nullkey, " +
+            "'orders_nonpositive_price', badprice) AS (check, violations)"))
+      rowLevel
         .unionByName(chk("orders_dup_pk",
           o.groupBy("o_orderkey").agg(count(lit(1)).as("cnt"))
             .filter(col("cnt") > 1)))

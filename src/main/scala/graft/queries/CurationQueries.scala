@@ -305,9 +305,15 @@ object CurationQueries {
         |parts AS (
         |  SELECT doc_id, url,
         |         lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-        |         regexp_replace(regexp_replace(
-        |           lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
-        |           ':443$', ''), ':80$', '') AS host,
+        |         CASE lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |           WHEN 'https' THEN regexp_replace(
+        |             lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+        |             ':443$', '')
+        |           WHEN 'http' THEN regexp_replace(
+        |             lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+        |             ':80$', '')
+        |           ELSE lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+        |         END AS host,
         |         regexp_replace(
         |           regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
         |           '/+$', '') AS sp,

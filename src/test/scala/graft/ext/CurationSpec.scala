@@ -104,4 +104,32 @@ class CurationSpec extends SparkSpec {
     assert(out(3) == "clean text with no pii at all")
     assert(out(4) == "short 12345 stays") // under the 6-digit floor
   }
+
+  test("canonicalUrl strips only the scheme's own default port") {
+    val df = Seq(
+      "https://A.com:443/x",  // https default → stripped
+      "https://A.com:80/x",   // https on 80 is a DIFFERENT origin → kept
+      "http://A.com:80/x",    // http default → stripped
+      "http://A.com:443/x",   // http on 443 → kept
+      "ftp://A.com:80/x")     // unknown scheme → never stripped
+      .toDF("u")
+    val out = df.select(Curation.canonicalUrl(col("u")).as("c")).as[String].collect()
+    assert(out(0) == "https://a.com/x")
+    assert(out(1) == "https://a.com:80/x")
+    assert(out(2) == "http://a.com/x")
+    assert(out(3) == "http://a.com:443/x")
+    assert(out(4) == "ftp://a.com:80/x")
+  }
+
+  test("canonicalUrl folds case, drops fragments and utm params, keeps others in order") {
+    val df = Seq(
+      "HTTPS://Example.COM/Deep/Path/?utm_source=a&keep=1&utm_medium=b&z=2#frag",
+      "https://example.com",
+      "https://example.com/?utm_source=only")
+      .toDF("u")
+    val out = df.select(Curation.canonicalUrl(col("u")).as("c")).as[String].collect()
+    assert(out(0) == "https://example.com/Deep/Path?keep=1&z=2")
+    assert(out(1) == "https://example.com/")
+    assert(out(2) == "https://example.com/")
+  }
 }

@@ -58,6 +58,15 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("HllMergeAggregator skips null sketch cells like other aggregates") {
+    val agg = new Sketches.HllMergeAggregator(8)
+    val one = new Sketches.HllSketchAggregator(8)
+    val sk = one.finish(
+      (1L to 100L).map(_ * 0x9E3779B97F4A7C15L).foldLeft(one.zero)(one.reduce))
+    val withNull = agg.reduce(agg.reduce(agg.zero, sk), null)
+    assert(agg.finish(withNull) == agg.finish(agg.reduce(agg.zero, sk)))
+  }
+
   test("small cardinalities use linear counting and are near-exact") {
     val agg = new Sketches.HllAggregator(11)
     val est = agg.finish(

@@ -60,6 +60,18 @@ class AudioMetaSpec extends SparkSpec {
     assert(parse(wav) == ("wav-3", 2, 48000, 32, 0L))
   }
 
+  test("a near-2^31 declared chunk size exits the walk instead of overflowing") {
+    // 8 + 0x7FFFFFFF + align would wrap Int negative and crash the
+    // scan; the Long-arithmetic advance must yield unknown instead.
+    val wav = hex("52494646 00000000 57415645" + "4C495354 FFFFFF7F 0000")
+    assert(parse(wav)._1 == "unknown")
+    // and with fmt already parsed, the same corrupt tail still returns
+    // a total row (no data chunk found → unknown, no exception)
+    val wav2 = hex("52494646 00000000 57415645" + fmtPcmMono8k16 +
+      "4C495354 FFFFFF7F 0000")
+    assert(parse(wav2)._1 == "unknown")
+  }
+
   test("garbage, truncation, and missing chunks are total (unknown, zeros)") {
     assert(parse(Array.emptyByteArray)._1 == "unknown")
     assert(parse(hex("52494646 00000000 57415645"))._1 == "unknown") // no chunks

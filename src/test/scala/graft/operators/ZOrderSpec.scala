@@ -105,6 +105,15 @@ class ZOrderSpec extends SparkSpec {
     z.unpersist(); lin.unpersist()
   }
 
+  test("clusterWrite refuses an input that already has a __z column") {
+    val df = spark.range(10).select(col("id").cast("int").as("x"),
+      col("id").cast("int").as("y"), col("id").as("__z"))
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.clusterWrite(df, col("x"), col("y"), 2, "/tmp/never-written")
+    }
+    assert(e.getMessage.contains("__z"))
+  }
+
   test("clusterWrite round-trips the rows unchanged") {
     val grid = spark.range(1000)
       .select((col("id") % 40).cast("int").as("x"),
