@@ -191,6 +191,33 @@ object AnalyticsQueries {
         .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"))
     }),
 
+    // Quality-aware duplicate-cluster representative selection (E125):
+    // pairwise dedup keeps min-id arbitrarily; a real pipeline keeps
+    // the BEST member of each duplicate cluster. Composes the
+    // connected-components resolution with a quality key (here
+    // n_chars — longest member wins, doc_id breaks ties): one struct
+    // max_by per cluster, partial-aggregatable, so the shuffle carries
+    // one candidate per cluster per partition. Output is one row per
+    // cluster with its representative and size — the survivor list a
+    // curation pass would keep.
+    "docs_cluster_reps" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.nearDupPairsNative(docs, "doc_id", "text",
+        DedupQueries.WordN, word = true, DedupQueries.JaccardThreshold)
+      val comp = Clusters.connectedComponents(pairs.select("id_a", "id_b"))
+        .withColumnRenamed("id", "doc_id")
+      docs.join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chars"),
+          coalesce(col("label"), col("doc_id")).as("cluster"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"),
+          max_by(struct(col("doc_id"), col("n_chars")),
+            struct(col("n_chars"), -col("doc_id"))).as("rep"))
+        .select(col("cluster"), col("n_members"),
+          col("rep.doc_id").as("rep_doc_id"),
+          col("rep.n_chars").as("rep_chars"))
+    }),
+
     // Same components via alternating large-star/small-star contraction
     // (O(log n) rounds independent of diameter — the trillion-edge
     // path). Identical oracle: both formulations must produce the same
@@ -246,6 +273,31 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n"))
       graft.plans.TopKPerKey(hourly, Seq("hr"),
         Seq("n" -> false, "event_type" -> true), 2)
+    }),
+
+    // Time-weighted average over IRREGULAR samples (E126): each
+    // observation holds until the next one, so its weight is the
+    // interval length — the correct mean for sampled gauges (a plain
+    // avg over-weights bursts). One lead() pass (the same one-shuffle
+    // shape as the SCD2 build) yields interval durations in EXACT
+    // microsecond longs; weighted sums are exact integer aggregates,
+    // so the final double division is bit-identical across engines.
+    "events_twap" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          cents(col("value")).as("cents"))
+        .withColumn("nxt", lead(col("ts"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .withColumn("dur_s",
+          expr("(unix_micros(nxt) - unix_micros(ts)) div 1000000"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("cents") * col("dur_s")).as("wv"),
+          sum(col("dur_s")).as("sd"))
+        .filter(col("sd") > 0)
+        .select(col("user_id"), col("n_intervals"),
+          round(col("wv").cast("double") / col("sd"), 6).as("twap_cents"))
     }),
 
     // Event-sequence transition matrix (E118): per-user next-event via
@@ -545,6 +597,27 @@ object AnalyticsQueries {
          |       array_to_string(list_sort(list(doc_id)), ',') AS postings
          |FROM t GROUP BY token HAVING count(*) >= $MinDf""".stripMargin,
 
+    "docs_cluster_reps" ->
+      s"""${DedupQueries.wordShCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (${DedupQueries.jaccardPairsSelect}),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, x.r FROM reach x JOIN edges e ON e.dst = x.id),
+         |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         |m AS (SELECT coalesce(c.cluster, d.doc_id) AS cluster, d.doc_id,
+         |             d.n_chars
+         |      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         |r2 AS (SELECT *, row_number() OVER (PARTITION BY cluster
+         |         ORDER BY n_chars DESC, doc_id) AS rk,
+         |             count(*) OVER (PARTITION BY cluster) AS n_members
+         |       FROM m)
+         |SELECT cluster, n_members, doc_id AS rep_doc_id,
+         |       n_chars AS rep_chars
+         |FROM r2 WHERE rk = 1""".stripMargin,
+
     // True components via recursive reachability: min reachable id ==
     // component min. Reuses the exact shingle CTE + Jaccard predicate
     // of the docs_dedup_near oracle so pair semantics can never drift.
@@ -587,6 +660,23 @@ object AnalyticsQueries {
         |                                   ORDER BY n DESC, event_type) AS rk
         |      FROM h)
         |SELECT hr, event_type, n FROM r WHERE rk <= 2""".stripMargin,
+
+    "events_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(floor(value * 100) AS BIGINT) AS cents,
+        |         lead(ts, 1) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |d AS (SELECT user_id, cents,
+        |             (epoch_us(nxt) - epoch_us(ts)) // 1000000 AS dur_s
+        |      FROM e WHERE nxt IS NOT NULL),
+        |a AS (SELECT user_id, count(*) AS n_intervals,
+        |             sum(cents * dur_s) AS wv, sum(dur_s) AS sd
+        |      FROM d GROUP BY 1)
+        |SELECT user_id, n_intervals,
+        |       round(CAST(wv AS DOUBLE) / sd, 6) AS twap_cents
+        |FROM a WHERE sd > 0""".stripMargin,
 
     "events_transitions" ->
       """WITH tr AS (
