@@ -482,6 +482,31 @@ object AnalyticsQueries {
           col("price_cents"), round(col("z"), 6).as("z"))
     }),
 
+    // Robust (MAD) outliers (E128) — the non-parametric sibling of the
+    // z-score pass above: median and median-absolute-deviation are
+    // immune to the outliers they hunt (one wild value drags a mean and
+    // explodes a stddev; it moves a median by at most one rank). Exact
+    // nested medians force two passes over the group — the documented
+    // trade; at 100 TB swap in approx_percentile and verify its error
+    // on a sample, as with rel_percentiles. Group medians are tiny
+    // per-group scalars (broadcast back); the 1.9·MAD cut sits inside
+    // the uniform-distribution bound (max dev/MAD = 2) so the fixture
+    // yields survivors where the textbook 3·MAD cut would be vacuous.
+    "rel_price_outliers_mad" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val med = o.groupBy("o_orderpriority")
+        .agg(round(percentile(col("o_totalprice"), lit(0.5)), 6).as("med"))
+      val dev = o.join(broadcast(med), "o_orderpriority")
+        .withColumn("dev", abs(col("o_totalprice") - col("med")))
+      val mad = dev.groupBy(col("o_orderpriority").as("mp"))
+        .agg(round(percentile(col("dev"), lit(0.5)), 6).as("mad"))
+      dev.join(broadcast(mad), col("o_orderpriority") === col("mp"))
+        .filter(col("dev") > lit(1.9) * col("mad"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          cents(col("o_totalprice")).as("price_cents"),
+          round(col("dev") / col("mad"), 6).as("mad_score"))
+    }),
+
     // TPC-H Q10 shape: returned-item revenue per customer with nation
     // decode — a selective fact-side filter (l_returnflag = 'R') under
     // a 3-way join, then a top-20. The filter reaches the lineitem
@@ -660,6 +685,22 @@ object AnalyticsQueries {
         |                                   ORDER BY n DESC, event_type) AS rk
         |      FROM h)
         |SELECT hr, event_type, n FROM r WHERE rk <= 2""".stripMargin,
+
+    "rel_price_outliers_mad" ->
+      """WITH med AS (SELECT o_orderpriority,
+        |                    round(quantile_cont(o_totalprice, 0.5), 6) AS med
+        |             FROM orders GROUP BY 1),
+        |d AS (SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+        |             abs(o.o_totalprice - med.med) AS dev
+        |      FROM orders o JOIN med USING (o_orderpriority)),
+        |mad AS (SELECT o_orderpriority,
+        |               round(quantile_cont(dev, 0.5), 6) AS mad
+        |        FROM d GROUP BY 1)
+        |SELECT d.o_orderkey, d.o_orderpriority,
+        |       CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |       round(dev / mad.mad, 6) AS mad_score
+        |FROM d JOIN mad USING (o_orderpriority)
+        |WHERE dev > 1.9 * mad.mad""".stripMargin,
 
     "events_twap" ->
       """WITH e AS (

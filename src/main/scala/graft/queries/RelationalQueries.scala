@@ -98,6 +98,30 @@ object RelationalQueries {
           col("sum_qty"))
     }),
 
+    // TPC-H Q5 shape (E127), deliberately phrased as PURE SQL through
+    // spark.sql over direct parquet.`path` table references — the SQL
+    // entry path a reference user migrating their queries would take,
+    // with zero DataFrame code. Six-way join with the local-supplier
+    // twist (supplier nation must equal customer nation — a second
+    // equality on the supplier join), a selective region filter and a
+    // date range that must push to the scans; Catalyst plans it from
+    // the SQL exactly as it would from the DataFrame form.
+    "rel_local_supplier_volume" -> ((s, dir) => s.sql(
+      s"""SELECT n_name,
+         |       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+         |                AS BIGINT)) AS revenue_cents
+         |FROM parquet.`$dir/customer.parquet` c
+         |JOIN parquet.`$dir/orders.parquet`   o  ON c_custkey = o_custkey
+         |JOIN parquet.`$dir/lineitem.parquet` l  ON l_orderkey = o_orderkey
+         |JOIN parquet.`$dir/supplier.parquet` su ON l_suppkey = s_suppkey
+         |                                       AND s_nationkey = c_nationkey
+         |JOIN parquet.`$dir/nation.parquet`   n  ON c_nationkey = n_nationkey
+         |JOIN parquet.`$dir/region.parquet`   r  ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+         |GROUP BY n_name""".stripMargin)),
+
     // TPC-H Q21 shape (E110): suppliers who were the SOLE flagged
     // supplier on a multi-supplier finished order — the canonical
     // EXISTS + NOT EXISTS self-join topology on the fact table. (The
@@ -424,6 +448,21 @@ object RelationalQueries {
         |GROUP BY 1, 2, 3
         |ORDER BY revenue_cents DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    "rel_local_supplier_volume" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+        |                     AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
 
     "rel_waiting_supplier" ->
       """WITH l1 AS (
