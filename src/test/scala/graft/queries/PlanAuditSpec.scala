@@ -206,6 +206,21 @@ class PlanAuditSpec extends SparkSpec {
       s"salt is not a join key — skew would concentrate again:\n$keysLine")
   }
 
+  test("Q5-shape SQL entry: filters push to the scans exactly as in " +
+      "DataFrame form") {
+    // rel_local_supplier_volume is authored as pure SQL over
+    // parquet.`path` refs — the migration path must lose nothing:
+    // the region literal and the date range both reach their scans.
+    val df = RelationalQueries.queries("rel_local_supplier_volume")(spark, sfDir)
+    val pushed = df.queryExecution.sparkPlan
+      .collect { case s: FileSourceScanExec => s }
+      .map(_.metadata("PushedFilters"))
+    assert(pushed.exists(_.contains("EqualTo(r_name,ASIA)")),
+      s"region filter not pushed: $pushed")
+    assert(pushed.exists(_.contains("GreaterThanOrEqual(o_orderdate")),
+      s"date filter not pushed: $pushed")
+  }
+
   test("SHUFFLE_HASH hint overrides the sort-merge default") {
     // The skew/bucketing toolkit assumes hints are honored; a Spark
     // upgrade that silently drops them would invalidate E99's salted
