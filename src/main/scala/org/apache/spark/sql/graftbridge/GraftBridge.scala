@@ -25,6 +25,16 @@ object GraftBridge {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
 
+  /** `TaskContext.taskMemoryManager()` is `private[spark]`; custom
+    * physical operators (e.g. [[graft.plans.TopKPerKeyExec]]) need it to
+    * account their build-side state against task execution memory the
+    * way `HashAggregateExec`'s map does, instead of holding untracked
+    * JVM heap.
+    */
+  def taskMemoryManager(ctx: org.apache.spark.TaskContext)
+      : org.apache.spark.memory.TaskMemoryManager =
+    ctx.taskMemoryManager()
+
   /** Wrap a (possibly custom) logical plan as a DataFrame —
     * `Dataset.ofRows` is `private[sql]`; this is the one hop a custom
     * `LogicalPlan` node (e.g. [[graft.plans.TopKPerKeyNode]]) needs to

@@ -108,4 +108,59 @@ class TopKPerKeySpec extends SparkSpec {
       .select("v").as[Int].collect().sorted
     assert(got.sameElements(Array(999, 1000)))
   }
+
+  test("final pass requires a sort, so Spark plans its SPILLABLE SortExec " +
+    "between the exchange and the final (no unbounded final-side map)") {
+    val got = TopKPerKey(Tables.orders(spark, sfDir),
+      Seq("o_custkey"), Seq("o_totalprice" -> false), 3)
+    val plan = got.queryExecution.executedPlan.toString
+    val sortIdx = plan.indexOf("Sort [")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    val finalIdx = plan.indexOf("TopKPerKey [")
+    assert(sortIdx >= 0, s"no SortExec in the final pass's input:\n$plan")
+    assert(finalIdx < sortIdx && sortIdx < exchangeIdx,
+      s"sort is not between the final pass and the exchange:\n$plan")
+  }
+
+  test("memory-pressure flush epochs in the partial pass do not change " +
+    "the answer (graceful degradation toward pass-through)") {
+    // A tiny byte budget forces the partial map to flush every few rows,
+    // exercising the exact path a denied TaskMemoryManager acquisition
+    // takes at extreme key cardinality. The final pass re-prunes each
+    // epoch's survivors, so the result must stay exactly the window
+    // formulation's.
+    val before = TopKPerKey.partialFlushes.get()
+    TopKPerKey.testMaxPartialBytes = Some(512L)
+    try {
+      val df = (1 to 500).map(i => (i % 40, i, i)).toDF("k", "v", "tie")
+        .repartition(4)
+      val got = TopKPerKey(df, Seq("k"), Seq("v" -> false, "tie" -> true), 3)
+        .as[(Int, Int, Int)].collect().toSeq.sorted
+      val expect = (1 to 500).map(i => (i % 40, i, i))
+        .groupBy(_._1).values.flatMap(g =>
+          g.sortBy { case (_, v, tie) => (-v, tie) }.take(3))
+        .toSeq.sorted
+      assert(got == expect)
+      assert(TopKPerKey.partialFlushes.get() > before,
+        "budget was never hit — the flush path did not run")
+    } finally {
+      TopKPerKey.testMaxPartialBytes = None
+    }
+  }
+
+  test("partial pass accounts its map against task execution memory " +
+    "(reservation visible during the scan, released by completion)") {
+    // The accounting path (MemoryConsumer.acquireMemory) only triggers
+    // once estimated bytes exceed the first ReserveChunk; a wide value
+    // column gets there quickly. We can't observe the TaskMemoryManager
+    // from the driver after the fact, so this pins the contract
+    // indirectly: a run under default budgets with per-key state far
+    // past ReserveChunk completes, stays exact, and frees what it took
+    // (a leaked reservation would fail Spark's task-completion leak
+    // check, which throws on unreleased managed memory in local mode).
+    val wide = (1 to 3000).map(i => (i, "x" * 2048, i)).toDF("k", "pad", "tie")
+      .repartition(2)
+    val got = TopKPerKey(wide, Seq("k"), Seq("tie" -> true), 1).count()
+    assert(got == 3000)
+  }
 }
