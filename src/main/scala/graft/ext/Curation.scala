@@ -209,8 +209,13 @@ object Curation {
 
   /** Registered-domain-ish suffix of a canonical URL's host (last two
     * labels) — the grouping key for per-site crawl budgets and
-    * domain-mix curation.
+    * domain-mix curation. A non-default `:port` (which canonicalUrl
+    * deliberately preserves — it is a distinct origin) is NOT part of
+    * the site: `https://a.com:8080` and `https://a.com` must land in
+    * the same per-site budget group, so the port is excluded here
+    * (ADVICE r04).
     */
   def urlDomain(canonical: Column): Column =
-    regexp_extract(canonical, "://(?:[^/?#]*\\.)?([^./?#]+\\.[^./?#]+)(?:[/?#]|$)", 1)
+    regexp_extract(canonical,
+      "://(?:[^/?#:]*\\.)?([^./?#:]+\\.[^./?#:]+)(?::[0-9]+)?(?:[/?#]|$)", 1)
 }

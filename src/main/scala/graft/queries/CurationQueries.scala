@@ -329,7 +329,7 @@ object CurationQueries {
         |  FROM parts)
         |SELECT doc_id, url, canonical,
         |       regexp_extract(canonical,
-        |         '://(?:[^/?#]*\.)?([^./?#]+\.[^./?#]+)(?:[/?#]|$)', 1) AS domain
+        |         '://(?:[^/?#:]*\.)?([^./?#:]+\.[^./?#:]+)(?::[0-9]+)?(?:[/?#]|$)', 1) AS domain
         |FROM c""".stripMargin,
 
     "docs_pii_redact" ->

@@ -193,13 +193,15 @@ object StreamingPipeline {
     */
   def idempotentBatchWriter(path: String): (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
-      val spark = batch.sparkSession
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "dynamic")
-      try batch.withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite").partitionBy("batch_id").parquet(path)
-      finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      // Overwrite mode is scoped to THIS write via the per-writer option
+      // (not a session-conf swap): two concurrent writers on one session
+      // must not observe each other's overwrite semantics — a swapped
+      // global conf could silently run a concurrent static-mode
+      // overwrite in dynamic mode or clobber a concurrent change on
+      // restore (ADVICE r04).
+      batch.withColumn("batch_id", lit(batchId))
+        .write.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").partitionBy("batch_id").parquet(path)
     }
 
   /** Streaming exact-dedup with keyed state: emit a key's record the

@@ -121,6 +121,23 @@ class CurationSpec extends SparkSpec {
     assert(out(4) == "ftp://a.com:80/x")
   }
 
+  test("urlDomain excludes a preserved non-default port from the site key") {
+    // canonicalUrl keeps :8080 (a distinct origin), but the per-site
+    // crawl-budget key must still group it with the portless origin —
+    // and subdomains collapse to the registered-domain-ish suffix.
+    val df = Seq(
+      "https://a.com:8080/x",
+      "https://a.com/x",
+      "https://sub.a.com:8080/x",
+      "https://a.com:8080",
+      "https://a.com")
+      .toDF("u")
+    val out = df
+      .select(Curation.urlDomain(Curation.canonicalUrl(col("u"))).as("d"))
+      .as[String].collect()
+    assert(out.forall(_ == "a.com"), out.mkString(", "))
+  }
+
   test("canonicalUrl folds case, drops fragments and utm params, keeps others in order") {
     val df = Seq(
       "HTTPS://Example.COM/Deep/Path/?utm_source=a&keep=1&utm_medium=b&z=2#frag",

@@ -72,6 +72,28 @@ class AudioMetaSpec extends SparkSpec {
     assert(parse(wav2)._1 == "unknown")
   }
 
+  test("out-of-range fmt fields route to unknown, not a plausible row") {
+    // sample rate 0x90000000 (u32 past Int.MaxValue) would wrap
+    // negative through .toInt; zero channels with a positive byteRate
+    // would yield an impossible-but-plausible row. Both must take the
+    // unparseable → Unknown route (ADVICE r04).
+    val hugeRate = hex(
+      "52494646 00000000 57415645" +
+      "666D7420 10000000 0100 0100 00000090 803E0000 0200 1000" +
+      "64617461 40000000") ++ new Array[Byte](64)
+    assert(parse(hugeRate)._1 == "unknown")
+    val zeroCh = hex(
+      "52494646 00000000 57415645" +
+      "666D7420 10000000 0100 0000 401F0000 803E0000 0200 1000" +
+      "64617461 40000000") ++ new Array[Byte](64)
+    assert(parse(zeroCh)._1 == "unknown")
+    val zeroRate = hex(
+      "52494646 00000000 57415645" +
+      "666D7420 10000000 0100 0100 00000000 803E0000 0200 1000" +
+      "64617461 40000000") ++ new Array[Byte](64)
+    assert(parse(zeroRate)._1 == "unknown")
+  }
+
   test("garbage, truncation, and missing chunks are total (unknown, zeros)") {
     assert(parse(Array.emptyByteArray)._1 == "unknown")
     assert(parse(hex("52494646 00000000 57415645"))._1 == "unknown") // no chunks
