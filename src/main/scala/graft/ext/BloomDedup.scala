@@ -1,0 +1,99 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.GraftBridge
+
+/** Bloom-filter PREFILTER for incremental ingestion dedup — the sketch
+  * tier in front of [[Dedup.incrementalSurvivors]]'s exact anti-join.
+  *
+  * At 100 TB/day the exact anti-join against the full historical corpus
+  * shuffles every incoming fingerprint against the accumulated key set.
+  * The standard fix is a Bloom filter over the corpus: a few GiB of
+  * bits answers "definitely new" for the overwhelming majority of
+  * incoming documents with NO shuffle at all (broadcast bits, scan-side
+  * probe), and only the "maybe seen" remainder — true dups plus the
+  * filter's false-positive sliver — pays the exact join. Correctness is
+  * preserved because a Bloom filter has NO false negatives: nothing
+  * truly seen can slip through the prefilter unverified.
+  *
+  * Built Spark-first on Catalyst's own machinery rather than a
+  * driver-side sketch: [[BloomFilterAggregate]] assembles the bits as a
+  * distributed aggregate (partial bit-ORs merge associatively, the same
+  * expression Spark's runtime row-level join filters use), and
+  * [[BloomFilterMightContain]] probes it as a codegen scalar against
+  * the broadcast 1-row bloom — the sketch never touches the driver.
+  */
+object BloomDedup {
+
+  /** Bits per expected item for the corpus filter; 10 bits/item with
+    * the implementation's optimal hash count gives ~1% expected false
+    * positives — the prefilter pass-through sliver.
+    */
+  val BitsPerItem = 10L
+
+  /** The corpus bloom as a 1-row DataFrame `(bf: binary)` over
+    * `xxhash64(keyCol)` of `seen`.
+    */
+  def corpusBloom(seen: DataFrame, keyCol: Column, nItems: Long): DataFrame = {
+    val items = math.max(nItems, 1L)
+    val agg = new BloomFilterAggregate(
+      GraftBridge.expression(xxhash64(keyCol)),
+      GraftBridge.expression(lit(items)),
+      GraftBridge.expression(lit(math.max(items * BitsPerItem, 64L))))
+    seen.agg(GraftBridge.column(agg.toAggregateExpression()).as("bf"))
+  }
+
+  /** Probe column: true iff `keyCol`'s hash may be in the bloom
+    * (false ⇒ definitely new). `bfCol` must be constant-per-query —
+    * pass the bloom DataFrame's `.scalar()` subquery column, which
+    * executes the build once and feeds every probe task the same bits
+    * (the shape of Spark's own injected runtime join filters).
+    */
+  def mightContain(bfCol: Column, keyCol: Column): Column =
+    GraftBridge.column(BloomFilterMightContain(
+      GraftBridge.expression(bfCol),
+      GraftBridge.expression(xxhash64(keyCol))))
+
+  /** Machine-checked verdict row for the prefilter over a corpus split:
+    * `seen` = rows failing `incomingPred`, `incoming` = rows passing
+    * it (the [[Dedup.incrementalSurvivors]] split). Output 1 row:
+    *
+    *   - `n_incoming`, `n_true_dups` — exact, oracle-reproducible via
+    *     an md5 membership join;
+    *   - `no_false_negatives` — EVERY true dup was flagged by the
+    *     bloom (the property the prefilter's correctness rests on;
+    *     structurally guaranteed, here machine-checked);
+    *   - `fp_rate_ok` — false positives among the truly-new rows stay
+    *     under 5% (5× headroom over the ~1% design point; the bloom's
+    *     hash seed is fixed, so this is deterministic per dataset).
+    *
+    * Dup truth uses an md5 TEXT-equality join (engine-reproducible);
+    * the bloom probes xxhash64. Same text ⇒ both agree, so a true dup
+    * can never be "unflagged" by hash disagreement.
+    */
+  def prefilterVerdict(docs: DataFrame, textCol: Column,
+                       incomingPred: Column): DataFrame = {
+    val seen = docs.filter(!incomingPred)
+    val incoming = docs.filter(incomingPred)
+    // Corpus size for sizing the filter: at production scale this is
+    // table-metadata (row count) — here one cheap count aggregate.
+    val bloom = corpusBloom(seen, textCol, seen.count())
+    val seenKeys = seen.select(md5(textCol).as("k")).distinct()
+      .withColumn("in_seen", lit(true))
+    val probed = incoming
+      .select(md5(textCol).as("k"),
+        mightContain(bloom.select("bf").scalar(), textCol).as("flagged"))
+      .join(seenKeys, Seq("k"), "left")
+      .select(col("flagged"), coalesce(col("in_seen"), lit(false)).as("is_dup"))
+    probed.agg(
+      count(lit(1)).as("n_incoming"),
+      sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_true_dups"),
+      bool_and(!col("is_dup") || col("flagged")).as("no_false_negatives"),
+      (sum(when(!col("is_dup") && col("flagged"), 1L).otherwise(0L)) * lit(100L)
+        <= sum(when(!col("is_dup"), 1L).otherwise(0L)) * lit(5L))
+        .as("fp_rate_ok"))
+  }
+}

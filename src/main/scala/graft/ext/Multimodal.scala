@@ -134,6 +134,59 @@ object Multimodal {
     docs.select(col("doc_id").as("id"), wav.as("content"))
   }
 
+  /** Deterministic MP4 fixtures with REAL ISO-BMFF box structure: each
+    * doc becomes an `ftyp` + junk `free` box + `moov` (with an `mvhd`
+    * movie header and 1-2 `trak` boxes) + `mdat` file whose fields
+    * derive from doc columns — brand by `doc_id % 3`, timescale
+    * `600 * (1 + n_chars % 3)`, duration `50 * n_chars` units, track
+    * count `1 + doc_id % 2`. Every other doc gets a version-1 mvhd
+    * (64-bit times), the rest version 0, so BOTH header layouts are
+    * exercised by oracle-checked data; every fifth doc's trailing
+    * `mdat` uses the spec's `size == 0` to-end-of-file escape. The
+    * junk `free` box before `moov` breaks fixed-offset parsers. Byte
+    * packing is big-endian via hex-string slicing — an independent
+    * formulation from the shift-based reads in
+    * [[graft.functions.VideoMetaImpl]], so a mirrored endianness bug
+    * cannot cancel out.
+    */
+  def fixtureVideo(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    def be4(c: Column) = unhex(lpad(hex(c), 8, "0"))
+    def be8(c: Column) = unhex(lpad(hex(c), 16, "0"))
+    val brand = when(col("doc_id") % 3 === 0, "isom")
+      .when(col("doc_id") % 3 === 1, "mp41")
+      .otherwise("mp42")
+    val timescale = ((col("n_chars") % 3 + 1) * 600).cast("long")
+    val duration = (col("n_chars") * 50).cast("long")
+    val nTraks = (col("doc_id") % 2 + 1).cast("int")
+    val ftyp = concat(be4(lit(16)), encode(lit("ftyp"), "UTF-8"),
+      encode(brand, "UTF-8"), be4(lit(0)))
+    val free = concat(be4(lit(11)), encode(lit("free"), "UTF-8"),
+      encode(lit("xyz"), "UTF-8")) // odd size: no alignment in BMFF
+    val zeros80 = unhex(lit("00" * 80))
+    val mvhdV0 = concat(be4(lit(108)), encode(lit("mvhd"), "UTF-8"),
+      be4(lit(0)), // version 0 + flags
+      be4(lit(0)), be4(lit(0)), // creation, modification (u32)
+      be4(timescale), be4(duration), zeros80)
+    val mvhdV1 = concat(be4(lit(120)), encode(lit("mvhd"), "UTF-8"),
+      unhex(lit("01000000")), // version 1 + flags
+      be8(lit(0)), be8(lit(0)), // creation, modification (u64)
+      be4(timescale), be8(duration), zeros80)
+    val mvhd = when(col("doc_id") % 2 === 0, mvhdV0).otherwise(mvhdV1)
+    val trak = concat(be4(lit(16)), encode(lit("trak"), "UTF-8"),
+      unhex(lit("00" * 8)))
+    val traks = when(nTraks === 1, trak).otherwise(concat(trak, trak))
+    val mvhdSize = when(col("doc_id") % 2 === 0, lit(108)).otherwise(lit(120))
+    val moovSize = lit(8) + mvhdSize + nTraks * 16
+    val moov = concat(be4(moovSize), encode(lit("moov"), "UTF-8"), mvhd, traks)
+    val payload = encode(col("text"), "UTF-8")
+    val mdatSize = when(col("doc_id") % 5 === 0, lit(0)) // size-0: to EOF
+      .otherwise(octet_length(payload) + 8)
+    val mdat = concat(be4(mdatSize), encode(lit("mdat"), "UTF-8"), payload)
+    docs.select(col("doc_id").as("id"),
+      concat(ftyp, free, moov, mdat).as("content"))
+  }
+
   /** Metadata/sniffing projection — never touches more than the first 4
     * content bytes plus the metadata struct (columnar pruning does the
     * rest). Output: (id, n_bytes, magic_hex, sniffed, claimed).

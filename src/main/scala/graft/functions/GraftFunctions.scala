@@ -80,6 +80,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, s"audio_meta expects 1 argument, got ${args.length}")
         AudioMeta(args.head)
+      }),
+    (FunctionIdentifier("video_meta"),
+      new ExpressionInfo(classOf[VideoMeta].getName, "video_meta"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"video_meta expects 1 argument, got ${args.length}")
+        VideoMeta(args.head)
       }))
 
   /** Register on a live session (idempotent). */

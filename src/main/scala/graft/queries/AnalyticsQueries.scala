@@ -353,6 +353,83 @@ object AnalyticsQueries {
             .as("within_tol"))
     }),
 
+    // Rolling 7-day distinct users from DAILY SKETCH CELLS (E130): the
+    // sliding-window extension of events_hll_merge. Raw events are
+    // scanned ONCE into per-day sketches; every day's trailing-7-day
+    // estimate is then a register-wise merge of ≤7 tiny cells via a
+    // broadcast range join on the day spine — at 100 TB the rolling
+    // series costs one events pass plus cell algebra, where the exact
+    // form re-counts every window. The exact rolling count is computed
+    // alongside (both engines agree on it) and the estimate is emitted
+    // as a machine-checked tolerance verdict.
+    "events_rolling_distinct" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val daily = ev.groupBy("day")
+        .agg(graft.ext.Sketches.hllSketch(xxhash64(col("user_id"))).as("sk"))
+      val spine = daily.select(col("day").as("d"))
+      val rolled = daily
+        .join(broadcast(spine),
+          col("day").between(date_sub(col("d"), 6), col("d")))
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("n_days_in_window"),
+          graft.ext.Sketches.hllMergeEstimate(col("sk")).as("est"))
+      val exact = ev
+        .join(broadcast(spine),
+          col("day").between(date_sub(col("d"), 6), col("d")))
+        .groupBy(col("d"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      rolled.join(exact, Seq("d"))
+        .select(col("d").as("day"), col("n_days_in_window"),
+          col("exact_users"),
+          (abs(col("est") - col("exact_users")) / col("exact_users") < 0.05)
+            .as("within_tol"))
+    }),
+
+    // Audience-overlap matrix via SKETCH SET ALGEBRA (E131): pairwise
+    // |A∩B| for every event-type pair by inclusion-exclusion over HLL
+    // sketches — est(A) + est(B) − est(A∪B), where the union is a
+    // register-wise merge of the two per-type cells. At 100 TB the
+    // whole matrix costs one events pass (5 sketch cells) + cell
+    // algebra; the exact overlap (a distinct-pair self-join both
+    // engines reproduce) anchors the machine-checked tolerance, which
+    // is ABSOLUTE against the union size: intersection error
+    // compounds three estimates, each ~2.3% of its set.
+    "events_hll_overlap" -> ((s, dir) => {
+      val ut = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id")).distinct()
+      val perType = ut.groupBy("event_type")
+        .agg(graft.ext.Sketches.hllSketch(xxhash64(col("user_id"))).as("sk"),
+          countDistinct(col("user_id")).as("exact_n"),
+          graft.ext.Sketches.hllDistinct(xxhash64(col("user_id"))).as("est_n"))
+      val a = perType.select(col("event_type").as("type_a"),
+        col("sk").as("sk_a"), col("exact_n").as("exact_a"),
+        col("est_n").as("est_a"))
+      val b = perType.select(col("event_type").as("type_b"),
+        col("sk").as("sk_b"), col("exact_n").as("exact_b"),
+        col("est_n").as("est_b"))
+      val pairs = a.join(b, col("type_a") < col("type_b"))
+      val unions = pairs
+        .select(col("type_a"), col("type_b"),
+          explode(array(col("sk_a"), col("sk_b"))).as("sk"))
+        .groupBy("type_a", "type_b")
+        .agg(graft.ext.Sketches.hllMergeEstimate(col("sk")).as("est_union"))
+      val exactOverlap = ut.select(col("event_type").as("type_a"), col("user_id"))
+        .join(ut.select(col("event_type").as("type_b"), col("user_id")),
+          Seq("user_id"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("exact_overlap"))
+      pairs.join(unions, Seq("type_a", "type_b"))
+        .join(exactOverlap, Seq("type_a", "type_b"))
+        .select(col("type_a"), col("type_b"), col("exact_overlap"),
+          (abs((col("est_a") + col("est_b") - col("est_union"))
+            - col("exact_overlap"))
+            <= greatest(lit(1.0),
+              (col("exact_a") + col("exact_b") - col("exact_overlap")) * 0.1))
+            .as("within_tol"))
+    }),
+
     // Scalable global row numbering: identical output to
     // row_number() OVER (ORDER BY doc_id) but with NO SinglePartition
     // exchange — range partition + local sort + zipWithIndex offsets
@@ -689,6 +766,27 @@ object AnalyticsQueries {
       """SELECT count(DISTINCT event_type) AS n_types,
         |       true AS all_within_tol
         |FROM events""".stripMargin,
+
+    "events_rolling_distinct" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+        |spine AS (SELECT DISTINCT day AS d FROM ev)
+        |SELECT d AS day,
+        |       CAST((SELECT count(DISTINCT e.day) FROM ev e
+        |             WHERE e.day BETWEEN d - 6 AND d) AS BIGINT)
+        |         AS n_days_in_window,
+        |       CAST((SELECT count(DISTINCT e.user_id) FROM ev e
+        |             WHERE e.day BETWEEN d - 6 AND d) AS BIGINT)
+        |         AS exact_users,
+        |       true AS within_tol
+        |FROM spine""".stripMargin,
+
+    "events_hll_overlap" ->
+      """WITH ut AS (SELECT DISTINCT event_type, user_id FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |       count(*) AS exact_overlap, true AS within_tol
+        |FROM ut a JOIN ut b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2""".stripMargin,
 
     "events_trending" ->
       """WITH h AS (SELECT date_trunc('hour', ts) AS hr, event_type,

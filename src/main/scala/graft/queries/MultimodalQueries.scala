@@ -72,6 +72,23 @@ object MultimodalQueries {
             .as("frame_md5"))
     }),
 
+    // Video header parse: real ISO-BMFF (MP4) fixtures — ftyp brand,
+    // junk free box, moov with BOTH mvhd layouts (v0 32-bit / v1
+    // 64-bit times) and 1-2 trak boxes, mdat sometimes using the
+    // size-0 to-EOF escape — parsed back by the native video_meta
+    // expression (graft.functions.VideoMeta — big-endian box walk).
+    // The oracle reproduces every field from the source columns, so a
+    // wrong offset, a missed version branch, or a broken size escape
+    // breaks the hash match.
+    "mm_video_meta" -> ((s, dir) => {
+      val mm = Multimodal.fixtureVideo(Tables.documents(s, dir))
+      mm.select(col("id"), graft.functions.VideoMeta(col("content")).as("v"))
+        .select(col("id"), col("v.brand").as("brand"),
+          col("v.timescale").as("timescale"),
+          col("v.duration_ms").as("duration_ms"),
+          col("v.n_tracks").cast("long").as("n_tracks"))
+    }),
+
     // Content checksum + size: the dedup join key for binary assets
     // (the multimodal analogue of docs_dedup_exact).
     "mm_checksum_dedup" -> ((s, dir) => {
@@ -134,5 +151,15 @@ object MultimodalQueries {
         |            WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
         |       CAST(16 + n_chars % 317 AS BIGINT) AS width,
         |       CAST(16 + n_chars % 211 AS BIGINT) AS height
+        |FROM documents""".stripMargin,
+
+    "mm_video_meta" ->
+      """SELECT doc_id AS id,
+        |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'isom'
+        |            WHEN 1 THEN 'mp41' ELSE 'mp42' END AS brand,
+        |       CAST(600 * (1 + n_chars % 3) AS BIGINT) AS timescale,
+        |       CAST((n_chars * 50 * 1000)
+        |            // (600 * (1 + n_chars % 3)) AS BIGINT) AS duration_ms,
+        |       CAST(1 + doc_id % 2 AS BIGINT) AS n_tracks
         |FROM documents""".stripMargin)
 }

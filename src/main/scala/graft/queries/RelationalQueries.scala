@@ -362,6 +362,71 @@ object RelationalQueries {
                  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) c""")
     }),
 
+    // Shipping-priority distribution (TPC-H Q12 shape): fact-fact join
+    // with the date filter pushed to the lineitem scan, then a
+    // CONDITIONAL aggregation — counts split by a predicate on the
+    // joined side's column (`sum(CASE WHEN …)`), the canonical
+    // one-pass alternative to two filtered joins. Map-side combinable:
+    // the shuffle carries one partial row per (linestatus, flag)
+    // group per task.
+    "rel_priority_by_status" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+      val ord = Tables.orders(s, dir)
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_linestatus", "l_returnflag")
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+    }),
+
+    // Promotion revenue share (TPC-H Q14 shape): a broadcast dim join
+    // feeding TWO conditional sums whose RATIO is the answer — the
+    // numerator is gated by a predicate on the dim side. Both sums are
+    // exact integer cents, so the final percentage (rounded once) is
+    // engine-reproducible; the fact scan keeps its month filter pushed
+    // down.
+    "rel_promo_revenue" -> ((s, dir) => {
+      val lo = lit("1998-03-01").cast("timestamp")
+      val hi = lit("1998-04-01").cast("timestamp")
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      val part = Tables.part(s, dir)
+      val rev = cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev).otherwise(0L))
+            .as("promo_cents"),
+          sum(rev).as("total_cents"))
+        .select(col("promo_cents"), col("total_cents"),
+          round(col("promo_cents") * lit(100.0) / col("total_cents"), 6)
+            .as("promo_pct"))
+    }),
+
+    // Lapsed-customer prospecting (TPC-H Q22 shape): a scalar aggregate
+    // subquery (broadcast 1-row join) gates the filter, and an ANTI
+    // join removes customers with any RECENT order — the
+    // above-average-balance-but-lapsed cohort grouped by market
+    // segment. The anti join's build side is the distinct o_custkey
+    // column of the date-filtered orders; nothing else of orders is
+    // read (filter + column pruning reach the scan), and the build is
+    // small enough to broadcast at any scale where "recent" is
+    // selective.
+    "rel_idle_customers" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg(avg(col("c_acctbal")).as("avg_bal"))
+      val recent = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey").distinct()
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(cents(col("c_acctbal"))).as("bal_cents"))
+    }),
+
     // Ranking window over text: top-3 most frequent tokens per
     // language (explode -> two-level aggregation -> ranked window).
     "docs_top_terms_per_lang" -> ((s, dir) => {
@@ -572,5 +637,42 @@ object RelationalQueries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY lang
         |                                   ORDER BY n DESC, token) AS rk
         |      FROM counts)
-        |WHERE rk <= 3""".stripMargin)
+        |WHERE rk <= 3""".stripMargin,
+
+    "rel_priority_by_status" ->
+      """SELECT l_linestatus, l_returnflag,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus, l_returnflag""".stripMargin,
+
+    "rel_promo_revenue" ->
+      """WITH j AS (
+        |  SELECT CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |           AS rev, p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1998-03-01'
+        |    AND l_shipdate <  TIMESTAMP '1998-04-01')
+        |SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT)
+        |         AS promo_cents,
+        |       CAST(sum(rev) AS BIGINT) AS total_cents,
+        |       round(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+        |             * 100.0 / sum(rev), 6) AS promo_pct
+        |FROM j""".stripMargin,
+
+    "rel_idle_customers" ->
+      """WITH ab AS (SELECT avg(c_acctbal) AS avg_bal FROM customer
+        |            WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, count(*) AS n_cust,
+        |       CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |         AS bal_cents
+        |FROM customer, ab
+        |WHERE c_acctbal > ab.avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_mktsegment""".stripMargin)
 }
