@@ -127,6 +127,27 @@ object TextQueries {
           max(k).as("max_k"))
     }),
 
+    // VARIANT-typed semi-structured lane (E136): Spark 4's modern
+    // storage type for heterogeneous JSON — parse_json materializes
+    // the binary-encoded variant ONCE, then typed path extraction
+    // (variant_get) replaces per-access string re-parsing. At 100 TB
+    // this is the difference between parsing the JSON blob once per
+    // row and once per referenced field; schemaless columns also skip
+    // the rigid from_json schema contract the map lane needs. Output
+    // reproduces the schema'd aggregate, so the oracle pins variant
+    // semantics (typed get + missing-path null) exactly.
+    "events_props_variant" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"), parse_json(col("props")).as("v"))
+        .select(col("event_type"),
+          variant_get(col("v"), "$.k", "long").as("k"),
+          variant_get(col("v"), "$.missing", "long").as("absent"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          sum(when(col("absent").isNull, 1L).otherwise(0L))
+            .as("n_missing_null"))),
+
     // MAP-typed column surface: props parsed to map<string,long>, then
     // map_keys / size / null-safe value access — the map-functions
     // checklist row beside the array coverage in events_type_arrays.
@@ -266,5 +287,14 @@ object TextQueries {
         |       array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
         |       CAST(len(json_keys(props)) AS BIGINT) AS n_keys
-        |FROM events""".stripMargin)
+        |FROM events""".stripMargin,
+
+    "events_props_variant" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |            AS BIGINT) AS sum_k,
+        |       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |            AS BIGINT) AS min_k,
+        |       count(*) AS n_missing_null
+        |FROM events GROUP BY event_type""".stripMargin)
 }

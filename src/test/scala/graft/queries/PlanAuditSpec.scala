@@ -298,4 +298,50 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("rn") || plan.contains("row_number"),
       s"no ranking-window rewrite visible:\n$plan")
   }
+
+  test("Q14-shape: the month filter reaches the lineitem scan and the " +
+    "part dim broadcasts") {
+    val df = RelationalQueries.queries("rel_promo_revenue")(spark, sfDir)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"part dim not broadcast:\n$plan")
+    val liScans = df.queryExecution.sparkPlan
+      .collect { case s: FileSourceScanExec => s }
+      .filter(_.requiredSchema.fieldNames.exists(_.startsWith("l_")))
+    assert(liScans.nonEmpty, s"no lineitem scan found:\n$plan")
+    assert(liScans.exists(
+      _.metadata("PushedFilters").contains("GreaterThanOrEqual(l_shipdate")),
+      s"month filter not pushed: ${liScans.map(_.metadata("PushedFilters"))}")
+  }
+
+  test("Q22-shape: the anti join's build side reads ONE orders column " +
+    "with the date filter pushed") {
+    val df = RelationalQueries.queries("rel_idle_customers")(spark, sfDir)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("LeftAnti"), s"no anti join:\n$plan")
+    val ord = df.queryExecution.sparkPlan
+      .collect { case s: FileSourceScanExec => s }
+      .filter(_.requiredSchema.fieldNames.exists(_.startsWith("o_")))
+    assert(ord.nonEmpty, s"no orders scan found:\n$plan")
+    assert(ord.exists(_.requiredSchema.fieldNames.toSet ==
+      Set("o_custkey", "o_orderdate")),
+      s"orders scan reads more than the key+filter columns: " +
+        s"${ord.map(_.requiredSchema.fieldNames.mkString("/"))}")
+    assert(ord.exists(
+      _.metadata("PushedFilters").contains("GreaterThanOrEqual(o_orderdate")),
+      s"recency filter not pushed: ${ord.map(_.metadata("PushedFilters"))}")
+  }
+
+  test("rolling-distinct sketch series scans events ONCE per branch " +
+    "and the day spine broadcasts into the range join") {
+    val df = AnalyticsQueries.queries("events_rolling_distinct")(spark, sfDir)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"day spine not broadcast into the window join:\n$plan")
+    // Branches: sketch cells, exact anchor, and each branch's tiny day
+    // spine — the rolling window itself must NOT re-scan events per
+    // day (30 days would mean ~30 scans).
+    val eventsScans = "events\\.parquet".r.findAllIn(plan).length
+    assert(eventsScans <= 4, s"events scanned $eventsScans times:\n$plan")
+  }
 }

@@ -64,6 +64,30 @@ class StreamingSpec extends SparkSpec {
     assert(norm(batch).nonEmpty)
   }
 
+  test("streaming session windows equal the batch session_window query") {
+    val ev = graft.Tables.events(spark, sfDir).select("ts", "user_id").limit(200)
+    val rows = ev.as[(java.sql.Timestamp, Long)].collect().toSeq
+
+    val stream = MemoryStream[(java.sql.Timestamp, Long)]
+    stream.addData(rows)
+    val streamed = runStream(
+      StreamingPipeline.sessionCounts(
+        stream.toDF().toDF("ts", "user_id"), "5 minutes", "10 minutes"),
+      OutputMode.Complete, "session_parity")
+
+    val batch = ev.groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n"))
+
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("s_start").cast("string"), col("s_end").cast("string"),
+          col("user_id"), col("n"))
+        .as[(String, String, Long, Long)].collect().sorted.toSeq
+    assert(norm(streamed) == norm(batch))
+    assert(norm(batch).nonEmpty)
+  }
+
   test("dedupStream keeps only the first record per key across batches") {
     val stream = MemoryStream[(String, String)]
     val deduped = StreamingPipeline.dedupStream(spark, stream.toDS())
