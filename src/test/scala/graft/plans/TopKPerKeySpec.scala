@@ -148,6 +148,62 @@ class TopKPerKeySpec extends SparkSpec {
     }
   }
 
+  test("PartialTopKIterator direct: flush epochs at extreme key " +
+    "cardinality emit every unique-key row exactly once") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+    import org.apache.spark.sql.types.IntegerType
+    // The OOM scenario the hardening targets: every row a distinct key
+    // (the map can never prune), driven straight through the iterator
+    // with a tiny byte budget — hundreds of flush epochs. k=1 per
+    // distinct key ⇒ the union of all epochs must be the input, with
+    // no row lost or duplicated across epoch boundaries.
+    val attrs = Seq(AttributeReference("k", IntegerType)(),
+      AttributeReference("v", IntegerType)())
+    val toUnsafe = UnsafeProjection.create(attrs.map(a => a: Expression), attrs)
+    val keyProj = UnsafeProjection.create(Seq(attrs.head: Expression), attrs)
+    val cmp = RowOrdering.create(
+        Seq(SortOrder(attrs(1), Descending)), attrs)
+      .asInstanceOf[Ordering[UnsafeRow]]
+    TopKPerKey.testMaxPartialBytes = Some(1024L)
+    try {
+      val n = 20000
+      val input = (1 to n).iterator.map(i => InternalRow(i, i): InternalRow)
+      val out = new PartialTopKIterator(input, toUnsafe, keyProj, cmp, 1)
+        .map(_.getInt(0)).toVector
+      assert(out.size == n, s"lost/duplicated rows across flushes: ${out.size}")
+      assert(out.sorted == (1 to n).toVector)
+    } finally TopKPerKey.testMaxPartialBytes = None
+  }
+
+  test("PartialTopKIterator direct: a hot key under flushes still " +
+    "never emits more than k rows per epoch and keeps the true top-k") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+    import org.apache.spark.sql.types.IntegerType
+    val attrs = Seq(AttributeReference("k", IntegerType)(),
+      AttributeReference("v", IntegerType)())
+    val toUnsafe = UnsafeProjection.create(attrs.map(a => a: Expression), attrs)
+    val keyProj = UnsafeProjection.create(Seq(attrs.head: Expression), attrs)
+    val cmp = RowOrdering.create(
+        Seq(SortOrder(attrs(1), Descending)), attrs)
+      .asInstanceOf[Ordering[UnsafeRow]]
+    TopKPerKey.testMaxPartialBytes = Some(1024L)
+    try {
+      val n = 5000
+      val input = (1 to n).iterator.map(i => InternalRow(7, i): InternalRow)
+      val out = new PartialTopKIterator(input, toUnsafe, keyProj, cmp, 3)
+        .map(_.getInt(1)).toVector
+      // Superset contract: the global top-3 must survive SOME epoch
+      // (the final pass re-prunes the rest).
+      assert(Set(n, n - 1, n - 2).subsetOf(out.toSet),
+        s"true top-k lost across flushes: ${out.sorted.takeRight(5)}")
+      // And the pruning still bites: far fewer than n rows forwarded.
+      assert(out.size < n / 2, s"flush degenerated to full pass-through " +
+        s"even though epochs hold 3 rows: ${out.size}")
+    } finally TopKPerKey.testMaxPartialBytes = None
+  }
+
   test("partial pass accounts its map against task execution memory " +
     "(reservation visible during the scan, released by completion)") {
     // The accounting path (MemoryConsumer.acquireMemory) only triggers
