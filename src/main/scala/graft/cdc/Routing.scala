@@ -23,8 +23,8 @@ import org.apache.spark.sql.functions._
   * runs on candidate rules, mirroring `transform.rs:60-62`.
   *
   * [[targetViaJoin]] is the escape hatch for *very* large or dynamic rule
-  * sets (broadcast join + first-match `row_number`), where a 10k-deep
-  * `when` chain would blow past JIT method limits.
+  * sets (broadcast equi-join against per-(topic, db) candidate arrays),
+  * where a 10k-deep `when` chain would blow past JIT method limits.
   */
 object Routing {
 
@@ -70,40 +70,55 @@ object Routing {
     */
   private val patternCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
-  private val rlikeCached = udf { (s: String, pattern: String) =>
-    if (s == null || pattern == null) false
-    else patternCache
-      .computeIfAbsent(pattern, java.util.regex.Pattern.compile(_))
-      .matcher(s).find()
-  }
 
-  /** Join formulation for huge/dynamic (rules-as-data) rule sets: broadcast
-    * the rules, theta-join on (topic, db, regex), keep the lowest-index match
-    * per record. Same semantics as [[targetExpr]].
+  /** Ordered first-match over an index-sorted candidate array in ONE
+    * scalar call: the per-row fold for [[targetViaJoin]]. A higher-order
+    * `filter` + a per-element regex UDF does the same thing but pays
+    * the interpreted-HOF machinery plus one UDF invocation per
+    * candidate; folding inside a single function keeps the early-exit
+    * loop in plain JVM code. Candidates are (rule_idx, regex, target)
+    * structs, already sorted by rule_idx.
+    */
+  private val firstMatchCached =
+    udf { (tbl: String, cands: Seq[org.apache.spark.sql.Row]) =>
+      if (tbl == null || cands == null) null
+      else cands.iterator
+        .find { c =>
+          val p = c.getString(1)
+          p != null && patternCache
+            .computeIfAbsent(p, java.util.regex.Pattern.compile(_))
+            .matcher(tbl).find()
+        }
+        .map(_.getString(2)).orNull
+    }
+
+  /** Join formulation for huge/dynamic (rules-as-data) rule sets: the
+    * rules collapse to ONE candidate array per (topic, db) — tiny, even
+    * for 10k rules — which a broadcast EQUI-join attaches to each
+    * record; the ordered first-match is then a per-row `filter` fold
+    * over that array. Same semantics as [[targetExpr]] (lowest-index
+    * match wins, non-matches silently dropped).
     *
-    * Scale notes (VERDICT r01 #1-2): first-match is resolved with
-    * `min_by` keyed by a `monotonically_increasing_id` record id — NOT a
-    * window over the Kafka key, which would (a) shuffle the whole stream into
-    * near-singleton partitions and (b) merge distinct records sharing a key
-    * (routine in CDC, where a row's key repeats on every update). The
-    * `groupBy(_rid)` shuffle only carries records that matched ≥1 rule, and
-    * `min_by` needs no sort. Regexes are matched via [[rlikeCached]], so each
-    * pattern compiles once per executor, not once per row.
-    *
-    * '''Precondition — deterministic scan.''' `monotonically_increasing_id`
-    * is stable only when the upstream partition layout is: ids are
-    * (partition << 33) + offset, so a task retry that re-reads a
-    * *differently partitioned* input (mid-shuffle executor loss over a
-    * nondeterministic source, or a `repartition()` without a sort) can
-    * re-id rows and split/merge `min_by` groups. Call this on a stable
-    * scan (files, or Kafka where (partition, offset) IS the layout) or
-    * checkpoint first. A content hash of (topic, key, value) was
-    * considered and rejected as the group key: CDC streams legitimately
-    * carry byte-identical records (same key re-upserted with the same
-    * payload), and hashing would merge those distinct records into one
-    * forwarded row — silently dropping traffic. When rules fit a `when`
-    * chain (≲ a few hundred), [[targetExpr]] has no identity requirement
-    * at all and remains the default.
+    * Scale notes (r5 rework of the r1 `min_by` design): the previous
+    * formulation theta-joined row×rules (multiplying multi-match
+    * records) and resolved first-match with a `groupBy(record id)`
+    * `min_by` — a full-stream shuffle CARRYING THE PAYLOAD BYTES, plus
+    * a `monotonically_increasing_id` stability precondition on the
+    * scan. Pre-aggregating the rule side instead means: no row
+    * multiplication (the equi-join is 1:≤1), no shuffle anywhere in
+    * the route (the plan stays scan → broadcast-join → project), and
+    * no record-identity requirement at all — task retries are safe on
+    * any input layout. The candidate array is ordered by rule index
+    * (struct sort on the leading field), so `filter(...)[0]` IS the
+    * reference's ordered first-match; regexes evaluate against the
+    * per-executor compiled-pattern cache (one compile per pattern) and
+    * only against the handful of candidates sharing the record's
+    * (topic, db) — typically 1-3, vs. ALL rules for the `when`-chain
+    * default. The fold happens in ONE scalar call per record
+    * ([[firstMatchCached]] — a higher-order `filter` would pay the
+    * interpreted-HOF machinery plus a UDF invocation per candidate);
+    * [[targetExpr]] remains the default for small rule sets because
+    * its `when` chain stays inside whole-stage codegen.
     */
   def targetViaJoin(spark: SparkSession, parsed: DataFrame,
                     rules: Seq[TransformRule]): DataFrame = {
@@ -111,18 +126,20 @@ object Routing {
     val ruleDf = rules.zipWithIndex
       .map { case (r, i) => (i, r.sourceTopic, r.db, r.tableRegex, r.targetTopic) }
       .toDF("rule_idx", "r_topic", "r_db", "r_regex", "r_target")
-    val withId = parsed.withColumn("_rid", monotonically_increasing_id())
+    // struct sort orders by the leading field: candidate arrays come
+    // out in rule-index order, making element 0 of the filtered array
+    // the FIRST match by declaration order.
+    val ruleAgg = ruleDf.groupBy("r_topic", "r_db")
+      .agg(array_sort(collect_list(
+        struct(col("rule_idx"), col("r_regex"), col("r_target")))).as("cands"))
     val dataCols = parsed.columns.toSeq
-    val joined = withId.join(
-      broadcast(ruleDf),
-      withId("topic") === ruleDf("r_topic") && withId("db") === ruleDf("r_db") &&
-        rlikeCached(withId("tbl"), ruleDf("r_regex")),
+    val joined = parsed.join(broadcast(ruleAgg),
+      parsed("topic") === ruleAgg("r_topic") && parsed("db") === ruleAgg("r_db"),
       "inner")
-    val picked = struct((dataCols.map(col) :+ col("r_target").as("target_topic")): _*)
     joined
-      .groupBy(col("_rid"))
-      .agg(min_by(picked, col("rule_idx")).as("_m"))
-      .select("_m.*")
+      .withColumn("target_topic", firstMatchCached(col("tbl"), col("cands")))
+      .filter(col("target_topic").isNotNull)
+      .select((dataCols :+ "target_topic").map(col): _*)
   }
 
   private def sq(s: String): String = s.replace("'", "''")

@@ -60,8 +60,9 @@ object CdcQueries {
       Pipeline.route(
         Envelopes.fromEvents(s, dir, s.sparkContext.defaultParallelism), rules)),
 
-    // R4 (join formulation): same result via broadcast theta-join +
-    // first-match row_number — the large-rule-set physical strategy.
+    // R4 (join formulation): same result via a broadcast equi-join on
+    // per-(topic, db) candidate arrays + an ordered first-match fold —
+    // the large-rule-set physical strategy (no shuffle, no row id).
     "cdc_route_join" -> ((s, dir) => {
       val parsed = Filter.dropDeletes(Parse.parse(Envelopes.fromEvents(s, dir)))
       Routing.targetViaJoin(s, parsed, rules)
