@@ -406,6 +406,23 @@ object Dedup {
     */
   def nearDupPairsNative(docs: DataFrame, idColName: String, textColName: String,
                          n: Int, word: Boolean, threshold: Double): DataFrame = {
+    val shingler: DataFrame => DataFrame =
+      if (word) d => wordShingleRows(d, col(idColName), col(textColName), n)
+      else d => charShingleRows(d, col(idColName), col(textColName), n)
+    verifyCandidates(
+      nearDupCandidatesNative(docs, idColName, textColName, n, word, threshold),
+      docs, idColName, shingler, threshold)
+  }
+
+  /** Candidate stage of [[nearDupPairsNative]], exposed so PlanAuditSpec
+    * can pin its physical shape: the signature projection must stay
+    * scan-side (no shingle `Generate`, no `groupBy(id)` signature
+    * exchange) — the property that makes this the 100 TB candidate
+    * generator.
+    */
+  def nearDupCandidatesNative(docs: DataFrame, idColName: String,
+                              textColName: String, n: Int, word: Boolean,
+                              threshold: Double): DataFrame = {
     // Few-partition guard: the signature projection is the compute-heavy
     // stage, and an unsplittable source (e.g. a single parquet row
     // group) would serialize it on one task. Redistributing costs a
@@ -422,12 +439,8 @@ object Dedup {
     // gap + MinHashOphSpec keep guarded.
     val sigs = src.select(col(idColName).as("id"),
       graft.functions.MinHashSig(col(textColName), n, word).as("sig"))
-    val shingler: DataFrame => DataFrame =
-      if (word) d => wordShingleRows(d, col(idColName), col(textColName), n)
-      else d => charShingleRows(d, col(idColName), col(textColName), n)
     val minAgree = math.ceil(threshold * NumPerms).toInt
-    verifyCandidates(lshCandidatesSig(sigs, "id", col("sig"), minAgree),
-      docs, idColName, shingler, threshold)
+    lshCandidatesSig(sigs, "id", col("sig"), minAgree)
   }
 
   /** Exact-Jaccard verification of LSH candidate pairs, shingling ONLY

@@ -344,4 +344,77 @@ class PlanAuditSpec extends SparkSpec {
     val eventsScans = "events\\.parquet".r.findAllIn(plan).length
     assert(eventsScans <= 4, s"events scanned $eventsScans times:\n$plan")
   }
+
+  test("production MinHash candidates: signature stays scan-side (no " +
+    "shingle Generate, no groupBy(id) signature exchange)") {
+    // The r3/r4 win this pins: MinHashSig computes the whole 32-bin
+    // signature inside the scan projection, so the plan must carry
+    // exactly two hash exchanges — band buckets and the pair distinct —
+    // and the only Generates are the 8-wide band posexplode and the
+    // pair explode. A regression to the explode pipeline would add a
+    // corpus-wide shingle Generate plus a hashpartitioning(id) exchange
+    // to rebuild signatures — the two shapes asserted away here.
+    // executedPlan (AQE off for traversability): EnsureRequirements is
+    // what inserts the aggregate exchanges, so the pre-execution
+    // sparkPlan cannot witness them.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val plan = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      graft.ext.Dedup.nearDupCandidatesNative(
+        Tables.documents(spark, sfDir), "doc_id", "text",
+        n = 3, word = true, threshold = 0.5)
+        .queryExecution.executedPlan
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val hashEx = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("hashpartitioning") => e
+    }
+    assert(hashEx.size == 2,
+      s"expected band-bucket + distinct exchanges only, got:\n$plan")
+    assert(hashEx.exists { e =>
+      val p = e.outputPartitioning.toString
+      p.contains("band_idx") && p.contains("band_hash")
+    }, s"no band-keyed exchange: ${hashEx.map(_.outputPartitioning)}")
+    assert(!hashEx.exists(_.outputPartitioning.toString.matches(
+      ".*hashpartitioning\\(id#\\d+L?(, \\d+)?\\).*")),
+      "signature-wide groupBy(id) exchange reappeared: " +
+        s"${hashEx.map(_.outputPartitioning)}")
+    val gens = plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gens.size == 2,
+      s"expected band posexplode + pair explode only, got " +
+        s"${gens.size} Generates:\n$plan")
+    assert(!gens.exists(_.generator.references.exists(_.name == "text")),
+      s"a Generate consumes raw text (shingle explode is back):\n$plan")
+  }
+
+  test("cdc_route is one narrow stage: zero exchanges, no wide " +
+    "operator, rules inside codegen") {
+    // SURVEY §4's "single narrow stage" claim, pinned: parse → filter →
+    // route → passthrough must plan as a scan→filter→project chain with
+    // no exchange and no wide operator anywhere — the shape that runs
+    // one task per Kafka partition with zero data movement. The chain
+    // spans several WholeStageCodegen blocks (JsonToStructs is
+    // CodegenFallback, a Spark limitation that splits the span without
+    // breaking the task pipeline), so the audit pins narrowness, not
+    // the span count. executedPlan: with zero exchanges AQE never wraps
+    // the plan, and codegen stages only exist post-CollapseCodegenStages.
+    val df = CdcQueries.queries("cdc_route")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.isEmpty, s"cdc_route gained a shuffle:\n$plan")
+    val narrow = Set("WholeStageCodegen", "InputAdapter", "Project",
+      "Filter", "ColumnarToRow", "Scan parquet", "FileScan")
+    val wide = plan.collect {
+      case n if !narrow.exists(n.nodeName.contains(_)) => n.nodeName
+    }
+    assert(wide.isEmpty, s"non-narrow operator(s) $wide in:\n$plan")
+    // the route when-chain itself must live inside a codegen span
+    val wsc = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wsc.exists(_.toString.contains("target_topic")),
+      s"route projection fell out of codegen:\n$plan")
+  }
 }
