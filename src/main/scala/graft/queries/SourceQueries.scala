@@ -113,6 +113,31 @@ object SourceQueries {
           .write.mode("overwrite").parquet(s"$p/compact")
       }
       s.read.parquet(s"$out/compact")
+    }),
+
+    // Batch twin of E114's idempotent foreachBatch sink
+    // (StreamingPipeline.idempotentBatchWriter): three batches land,
+    // then batch 1 REPLAYS — the restart-after-commit failure mode
+    // exactly-once sinks must absorb. The converged table must hold
+    // ONE copy of every batch (the dynamic partition overwrite swaps
+    // batch 1's directory instead of appending), so the read-back
+    // hash-matches an oracle computed from the raw events alone; an
+    // append-mode regression would double batch 1's rows and fail the
+    // row/hash check.
+    "events_idempotent_replay" -> ((s, dir) => {
+      val out = Materialize.once(s"idemreplay:$dir", dir) { p =>
+        val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          floor(col("value") * 100).cast("long").as("cents"),
+          (col("event_id") % 3).as("bid"))
+        val writer =
+          graft.streaming.StreamingPipeline.idempotentBatchWriter(s"$p/table")
+        Seq(0L, 1L, 2L, 1L).foreach { b =>
+          writer(ev.filter(col("bid") === b).drop("bid"), b)
+        }
+      }
+      s.read.parquet(s"$out/table")
+        .select(col("event_id"), col("user_id"), col("cents"),
+          col("batch_id").cast("long").as("batch_id"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -141,5 +166,11 @@ object SourceQueries {
         |WHERE doc_id % 2 = 1""".stripMargin,
 
     "docs_compaction" ->
-      """SELECT doc_id, lang, source FROM documents""")
+      """SELECT doc_id, lang, source FROM documents""",
+
+    "events_idempotent_replay" ->
+      """SELECT event_id, user_id,
+        |       CAST(floor(value * 100) AS BIGINT) AS cents,
+        |       CAST(event_id % 3 AS BIGINT) AS batch_id
+        |FROM events""".stripMargin)
 }

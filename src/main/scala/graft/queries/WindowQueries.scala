@@ -53,7 +53,27 @@ object WindowQueries {
     "events_dedup_horizon" -> ((s, dir) =>
       graft.streaming.StreamingPipeline.horizonDedupBatch(
           Tables.events(s, dir).select("event_id", "ts", "user_id", "event_type"),
-          Seq("user_id", "event_type"), "ts", "15 minutes", "event_id")))
+          Seq("user_id", "event_type"), "ts", "15 minutes", "event_id")),
+
+    // Batch twin of E124's transformWithState running totals
+    // (StreamingPipeline.RunningTotalProcessor): the processor's state
+    // after each input row IS the cumulative (count, cents) over the
+    // key's event-time history, so the per-event state trajectory is
+    // SQL-expressible as unbounded-preceding window aggregates —
+    // one row per event, ties broken by event_id exactly like the
+    // single-threaded per-key iterator order the stream guarantees.
+    // StreamingSpec pins the streaming operator's cross-batch state;
+    // this row hash-checks the same arithmetic against DuckDB.
+    "events_running_totals" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("running_count"),
+        sum(floor(col("value") * 100).cast("long")).over(w)
+          .as("running_cents"))
+    }))
 
   val oracles: Map[String, String] = Map(
     "events_window_tumbling" ->
@@ -100,5 +120,15 @@ object WindowQueries {
         |             time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
         |           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
         |  FROM events)
-        |SELECT event_id, ts, user_id, event_type FROM r WHERE rn = 1""".stripMargin)
+        |SELECT event_id, ts, user_id, event_type FROM r WHERE rn = 1""".stripMargin,
+
+    "events_running_totals" ->
+      """SELECT user_id, event_id,
+        |       count(*) OVER w AS running_count,
+        |       sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS running_cents
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+        .stripMargin)
 }
