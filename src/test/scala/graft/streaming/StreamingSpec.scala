@@ -374,6 +374,49 @@ class StreamingSpec extends SparkSpec {
     } finally prev.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
   }
 
+  test("transformWithState final state equals the batch twin's last " +
+    "row per key on fixture events") {
+    // the cross-proof behind the events_running_totals oracle row: the
+    // streaming operator's converged per-key state must equal the
+    // batch twin's final (max running_count) row per user on the SAME
+    // input. Count/sum state is order-insensitive, so the two-batch
+    // split needs no per-key ordering guarantee from MemoryStream.
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ev = graft.Tables.events(spark, sfDir)
+        .select(col("user_id"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .as[(Long, Long)].collect()
+      val stream = MemoryStream[(Long, Long)]
+      val out = StreamingPipeline.runningTotals(spark, stream.toDS())
+      val q = out.writeStream.format("memory")
+        .queryName("twstwin").outputMode("update").start()
+      try {
+        val (a, b) = ev.splitAt(ev.length / 2)
+        stream.addData(a.toIndexedSeq)
+        q.processAllAvailable()
+        stream.addData(b.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table("twstwin").as[(Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2) }
+      val twin = graft.queries.WindowQueries
+        .queries("events_running_totals")(spark, sfDir)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("running_count"), col("running_cents"))).as("m"))
+        .select(col("user_id"), col("m.running_count"), col("m.running_cents"))
+        .as[(Long, Long, Long)].collect()
+      assert(twin.nonEmpty)
+      twin.foreach { case (k, n, c) =>
+        assert(streamed(k) == ((k, n, c)),
+          s"user $k: stream ${streamed(k)} != twin ($k, $n, $c)")
+      }
+    } finally prev.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
+  }
+
   test("Kafka adapter reports connector availability honestly") {
     // No spark-sql-kafka jar ships in this container (SURVEY.md §7.6.6):
     // the adapter must say so rather than fail deep inside a query.
