@@ -308,4 +308,40 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(cosine(col("a.vec"), col("b.vec")), 6).as("cos"))
       .filter(col("cos") >= threshold)
+
+  /** Semantic dedup over LEARNED clusters (the SemDeDup shape,
+    * Abbas et al. 2023, arXiv:2303.09540): train nearest-centroid
+    * clusters ([[centroids]] + [[assignToNearest]]), compare cosine
+    * only WITHIN a cluster, and drop every vector that has a
+    * lower-id member within `threshold` in its cluster. Survivors =
+    * the rest, with their cluster id.
+    *
+    * Retention semantics: "any lower-id near-dup drops you" is a
+    * deterministic, order-insensitive relaxation of the paper's
+    * sequential greedy scan — along a similarity chain a–b–c (a~b,
+    * b~c, a≁c) it drops c where the sequential scan would keep it.
+    * The relaxation is what makes the operator a pure self-join (no
+    * per-cluster sequential pass), and it only ever drops MORE — it
+    * never keeps both sides of a near-dup pair.
+    *
+    * Scale shape: pair work is bounded by cluster population (the
+    * trained partitioner is the blocker, exactly as in the paper —
+    * at 100 TB, k grows with the corpus so clusters stay bounded),
+    * never corpus²; the drop set is bounded by true duplication and
+    * anti-joins back on bare ids.
+    */
+  def semDedupSurvivors(vecs: DataFrame, threshold: Double): DataFrame = {
+    val assigned = assignToNearest(vecs, centroids(vecs))
+      .select(col("id").as("aid"), col("assigned"))
+    val clustered = vecs.join(assigned, col("id") === col("aid"))
+      .select(col("id"), col("assigned"), col("vec"))
+    val dropped = clustered.alias("a")
+      .join(clustered.alias("b"),
+        col("a.assigned") === col("b.assigned") && col("a.id") < col("b.id"))
+      .filter(round(cosine(col("a.vec"), col("b.vec")), 6) >= threshold)
+      .select(col("b.id").as("did")).distinct()
+    clustered
+      .join(dropped, col("id") === col("did"), "left_anti")
+      .select(col("id"), col("assigned"))
+  }
 }

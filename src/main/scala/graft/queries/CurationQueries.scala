@@ -188,6 +188,37 @@ object CurationQueries {
             slice(col("toks"), col("start") + 1, lit(ChunkSize))).as("chunk_text"))
     }),
 
+    // Sub-document exact dedup over the E58 chunk grid — the
+    // CCNet/RefinedWeb line-dedup shape at chunk granularity: a
+    // chunk's FIRST occurrence (lowest (doc_id, start)) is canonical
+    // and every later exact copy is reported with its canonical
+    // pointer. The groupBy shuffles 32-char digests + two longs (never
+    // chunk text), only digests occurring >1× survive to the join
+    // back, and that survivor table is bounded by TRUE duplication —
+    // not corpus size — so the join side stays broadcastable at
+    // 100 TB for any realistically deduplicated corpus.
+    "docs_chunk_dedup" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val chunks = Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), col("n") - 1, lit(ChunkStride))).as("i"))
+        .select(col("doc_id"), col("i").cast("long").as("start"),
+          md5(concat_ws(" ", slice(col("toks"), col("i") + 1, lit(ChunkSize))))
+            .as("h"))
+      val firsts = chunks.groupBy(col("h"))
+        .agg(min(struct(col("doc_id"), col("start"))).as("f"),
+          count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1)
+        .select(col("h"), col("f"))
+      chunks.join(firsts, "h")
+        .filter(col("doc_id") =!= col("f.doc_id") ||
+          col("start") =!= col("f.start"))
+        .select(col("doc_id"), col("start"),
+          col("f.doc_id").as("first_doc_id"),
+          col("f.start").as("first_start"))
+    }),
+
     // Sequence packing: greedy fixed-budget binning of documents by
     // cumulative token count, per language shard. The running sum is a
     // per-shard window (shuffle by lang, sort by doc_id) — packing is
@@ -475,6 +506,25 @@ object CurationQueries {
          |         ws[CAST(start + 1 AS INTEGER):CAST(least(start + $ChunkSize, n) AS INTEGER)],
          |         ' ') AS chunk_text
          |FROM s""".stripMargin,
+
+    "docs_chunk_dedup" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+         |                  len(string_split(text, ' ')) AS n
+         |           FROM documents),
+         |s AS (SELECT doc_id, CAST(i AS BIGINT) AS start,
+         |             md5(array_to_string(
+         |               ws[CAST(i + 1 AS INTEGER):CAST(least(i + $ChunkSize, n) AS INTEGER)],
+         |               ' ')) AS h
+         |      FROM d, unnest(generate_series(0, n - 1, $ChunkStride)) AS t(i)),
+         |r AS (SELECT doc_id, start, h,
+         |             row_number() OVER w AS rn,
+         |             first_value(doc_id) OVER w AS first_doc_id,
+         |             first_value(start) OVER w AS first_start,
+         |             count(*) OVER (PARTITION BY h) AS cnt
+         |      FROM s
+         |      WINDOW w AS (PARTITION BY h ORDER BY doc_id, start))
+         |SELECT doc_id, start, first_doc_id, first_start
+         |FROM r WHERE cnt > 1 AND rn > 1""".stripMargin,
 
     "docs_pack" ->
       s"""WITH t AS (SELECT doc_id, lang,

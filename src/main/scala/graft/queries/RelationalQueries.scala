@@ -427,6 +427,44 @@ object RelationalQueries {
           sum(cents(col("c_acctbal"))).as("bal_cents"))
     }),
 
+    // Bracketed-discount revenue (TPC-H Q19 shape): an OR of three
+    // brand/size/quantity AND-brackets spanning BOTH join sides. The
+    // optimizer's CNF extraction must derive each side's disjunctive
+    // envelope and push it into the scans (part: brand/size OR-chain;
+    // lineitem: quantity OR-chain) so neither table is read in full
+    // before the join — the property PlanAuditSpec pins. Revenue in
+    // exact integer cents.
+    "rel_bracket_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val part = Tables.part(s, dir)
+      val bracket =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1, 15)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(11, 25) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(26, 50) &&
+          col("l_quantity").between(20, 45))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .filter(bracket)
+        .agg(count(lit(1)).as("n_lines"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue_cents"))
+    }),
+
+    // Customer order-count distribution (TPC-H Q13 shape): LEFT OUTER
+    // join so zero-order customers keep a row, count the non-null side
+    // per customer, then aggregate the aggregate into a histogram.
+    // Both aggregations shuffle only keys+counts; the distribution is
+    // the classic skew diagnostic for the orders->customer join.
+    "rel_cust_order_distribution" -> ((s, dir) =>
+      Tables.customer(s, dir).select("c_custkey")
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy(col("n_orders"))
+        .agg(count(lit(1)).as("n_cust"))),
+
     // Ranking window over text: top-3 most frequent tokens per
     // language (explode -> two-level aggregation -> ranked window).
     "docs_top_terms_per_lang" -> ((s, dir) => {
@@ -674,5 +712,24 @@ object RelationalQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
-        |GROUP BY c_mktsegment""".stripMargin)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "rel_bracket_revenue" ->
+      """SELECT count(*) AS n_lines,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+        |                     AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50
+        |       AND l_quantity BETWEEN 20 AND 45)""".stripMargin,
+
+    "rel_cust_order_distribution" ->
+      """WITH pc AS (SELECT c_custkey, count(o_orderkey) AS n_orders
+        |            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |            GROUP BY c_custkey)
+        |SELECT n_orders, count(*) AS n_cust FROM pc GROUP BY n_orders"""
+        .stripMargin)
 }

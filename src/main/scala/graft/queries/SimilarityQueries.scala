@@ -50,6 +50,13 @@ object SimilarityQueries {
     "emb_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(corpus(s, dir), NearDupThreshold)),
 
+    // SemDeDup: semantic dedup within LEARNED k-means clusters —
+    // survivors after dropping every vector with a lower-id
+    // cosine-near-dup in its trained cluster (see
+    // Similarity.semDedupSurvivors for the retention relaxation).
+    "emb_semdedup" -> ((s, dir) =>
+      Similarity.semDedupSurvivors(corpus(s, dir), NearDupThreshold)),
+
     // IVF "training": per-cell centroids in long (cell, dim, value)
     // form — the aggregation shuffles plain doubles, never arrays.
     "emb_centroids" -> ((s, dir) =>
@@ -247,6 +254,27 @@ object SimilarityQueries {
          |      FROM s)
          |SELECT id, part, cpart AS assigned, round(score, 6) AS cos
          |FROM r WHERE rn = 1""".stripMargin,
+
+    "emb_semdedup" ->
+      s"""$embCte,
+         |x AS (SELECT label, CAST(i - 1 AS INTEGER) AS dim, v[CAST(i AS INTEGER)] AS val
+         |      FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+         |cent AS (SELECT label AS cpart, dim, round(sum(val) / count(*), 6) AS c
+         |         FROM x GROUP BY label, dim),
+         |cvecs AS (SELECT cpart, list(c ORDER BY dim) AS cvec FROM cent GROUP BY cpart),
+         |s AS (SELECT e.vec_id AS id, cv.cpart, ${cosSql("e.v", "cv.cvec")} AS score
+         |      FROM e CROSS JOIN cvecs cv),
+         |asg AS (SELECT id, cpart AS assigned FROM (
+         |          SELECT id, cpart, row_number() OVER (
+         |            PARTITION BY id ORDER BY score DESC, cpart) AS rn FROM s)
+         |        WHERE rn = 1),
+         |j AS (SELECT e.vec_id AS id, a.assigned, e.v
+         |      FROM e JOIN asg a ON e.vec_id = a.id),
+         |drp AS (SELECT DISTINCT b.id AS did
+         |        FROM j a JOIN j b ON a.assigned = b.assigned AND a.id < b.id
+         |        WHERE round(${cosSql("a.v", "b.v")}, 6) >= $NearDupThreshold)
+         |SELECT id, assigned FROM j
+         |WHERE id NOT IN (SELECT did FROM drp)""".stripMargin,
 
     "emb_norm_stats" ->
       s"""$embCte,

@@ -345,6 +345,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(eventsScans <= 4, s"events scanned $eventsScans times:\n$plan")
   }
 
+  test("Q19-shape: each side's disjunctive envelope is extracted from " +
+    "the OR-of-brackets and pushed to its scan") {
+    // the brackets constrain (p_brand, p_size) and l_quantity jointly;
+    // without CNF extraction neither scan could skip anything and the
+    // full tables would flow into the join.
+    val pushed = RelationalQueries.queries("rel_bracket_revenue")(spark, sfDir)
+      .queryExecution.sparkPlan
+      .collect { case s: FileSourceScanExec => s.metadata("PushedFilters") }
+    assert(pushed.exists(p => p.contains("Or(") &&
+      p.contains("EqualTo(p_brand,Brand#1)") && p.contains("p_size")),
+      s"part-side OR envelope not pushed: $pushed")
+    assert(pushed.exists(p => p.contains("Or(") &&
+      p.contains("GreaterThanOrEqual(l_quantity,1.0)")),
+      s"lineitem-side quantity OR envelope not pushed: $pushed")
+  }
+
   test("production MinHash candidates: signature stays scan-side (no " +
     "shingle Generate, no groupBy(id) signature exchange)") {
     // The r3/r4 win this pins: MinHashSig computes the whole 32-bin
