@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -58,6 +59,33 @@ object AdvancedQueries {
           round(percentile(col("l_quantity"), lit(0.5)), 6).as("p50"),
           round(percentile(col("l_quantity"), lit(0.95)), 6).as("p95"),
           round(percentile(col("l_quantity"), lit(0.99)), 6).as("p99"))),
+
+    // Distribution-rank window family (ntile / percent_rank /
+    // cume_dist) per market segment: the window partitions on the
+    // broadcast-joined segment so no single-partition global sort
+    // exists (the scale hazard of an unpartitioned ntile — at 100 TB
+    // a GLOBAL decile cut should come from equi-depth cutoffs
+    // [rel_price_eqdepth] + the scalable row numbering
+    // [docs_global_rownum] instead). Ties broken on o_orderkey so all
+    // three rank functions are engine-deterministic; per-decile
+    // aggregate output keeps the row count bounded.
+    "rel_segment_deciles" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)
+          .select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_totalprice"), col("o_orderkey"))
+        .withColumn("decile", ntile(10).over(w))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .groupBy("c_mktsegment", "decile")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("price_cents"),
+          round(max(col("pr")), 6).as("max_pct_rank"),
+          round(max(col("cd")), 6).as("max_cume_dist"))
+    }),
 
     // Salted two-phase aggregation: phase 1 fans each hot key across 8
     // deterministic salts (map-side partial agg still applies), phase 2
@@ -310,6 +338,22 @@ object AdvancedQueries {
         |       round(quantile_cont(l_quantity, 0.95), 6) AS p95,
         |       round(quantile_cont(l_quantity, 0.99), 6) AS p99
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "rel_segment_deciles" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment, o_totalprice,
+        |         CAST(ntile(10) OVER w AS INTEGER) AS decile,
+        |         percent_rank() OVER w AS pr,
+        |         cume_dist() OVER w AS cd
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WINDOW w AS (PARTITION BY c_mktsegment
+        |               ORDER BY o_totalprice, o_orderkey))
+        |SELECT c_mktsegment, decile, count(*) AS n_orders,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS price_cents,
+        |       round(max(pr), 6) AS max_pct_rank,
+        |       round(max(cd), 6) AS max_cume_dist
+        |FROM j GROUP BY 1, 2""".stripMargin,
 
     "events_salted_counts" ->
       """SELECT event_type, count(*) AS n,

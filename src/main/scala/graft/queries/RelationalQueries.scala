@@ -465,6 +465,210 @@ object RelationalQueries {
         .groupBy(col("n_orders"))
         .agg(count(lit(1)).as("n_cust"))),
 
+    // Forecast-revenue (TPC-H Q6 shape): the pure scan microbenchmark —
+    // no join, no groupBy, every predicate (date range, discount band,
+    // quantity cap) eligible for parquet pushdown, one partial-agg
+    // pass. At 100 TB this is the query whose cost IS the scan; the
+    // plan must be scan -> partial agg -> single-row final (no
+    // exchange wider than 1 row).
+    "rel_forecast_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(cents(col("l_extendedprice") * col("l_discount")))
+          .as("forecast_cents"),
+          count(lit(1)).as("n_lines"))),
+
+    // Two-nation shipping volume (TPC-H Q7 shape): the fact table joins
+    // BOTH role-played dimension chains (supplier->nation and
+    // orders->customer->nation), and the nation-pair disjunction can
+    // only be applied after both chains attach. All four dims
+    // broadcast; the only shuffles are the lineitem<->orders fact join
+    // and the final 3-key aggregation.
+    "rel_nation_volume" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+      val supp = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      li.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("volume_cents"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // Market-share (TPC-H Q8 shape): national share of a product
+    // type's revenue inside one region, per year — a five-dim star
+    // where the NUMERATOR condition (supplier nation) differs from the
+    // FILTER condition (customer region). Share is a ratio of exact
+    // integer-cent sums, rounded once.
+    "rel_market_share" -> ((s, dir) => {
+      val asiaNations = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("asia_nationkey"))
+      val custAsia = Tables.customer(s, dir)
+        .join(broadcast(asiaNations), col("c_nationkey") === col("asia_nationkey"))
+        .select("c_custkey")
+      val suppNation = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val stdParts = Tables.part(s, dir).filter(col("p_type") === "STANDARD")
+        .select("p_partkey")
+      val rev = cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(stdParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(custAsia), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_3", rev).otherwise(0L))
+          .as("nation_cents"),
+          sum(rev).as("total_cents"))
+        .select(col("o_year"), col("nation_cents"), col("total_cents"),
+          round(col("nation_cents") * lit(100.0) / col("total_cents"), 6)
+            .as("share_pct"))
+    }),
+
+    // Product-profit (TPC-H Q9 shape): profit by supplier nation and
+    // order year over a part-name LIKE filter. The fixture set has no
+    // partsupp table, so supply cost is adapted to
+    // p_retailprice * l_quantity (documented divergence; the JOIN
+    // TOPOLOGY — fact to part + supplier->nation + orders, grouped on
+    // a dim attribute and a derived year — is the Q9 shape under
+    // test). Profit in exact integer cents, floor per term.
+    "rel_product_profit" -> ((s, dir) => {
+      val parts = Tables.part(s, dir)
+        .filter(col("p_name").contains("widget"))
+        .select("p_partkey", "p_retailprice")
+      val suppNation = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val profit = cents(col("l_extendedprice") * (lit(1) - col("l_discount"))) -
+        cents(col("p_retailprice") * col("l_quantity"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(profit).as("profit_cents"), count(lit(1)).as("n_lines"))
+    }),
+
+    // Important-parts (TPC-H Q11 shape): per-key value sums kept only
+    // when they exceed a threshold derived from the GLOBAL total — the
+    // scalar-aggregate-subquery HAVING. The cut is "share > 1.2x the
+    // average part's share", expressed as pure integer math
+    // (value * n_parts * 10 > total * 12) so it is bit-deterministic
+    // in both engines AND scale-invariant (a fixed fraction of total,
+    // TPC-H's literal form, silently empties as part cardinality
+    // grows). The global (total, n_parts) pair is a 1-row broadcast.
+    "rel_important_parts" -> ((s, dir) => {
+      val perPart = Tables.lineitem(s, dir)
+        .groupBy("l_partkey")
+        .agg(sum(cents(col("l_extendedprice"))).as("value_cents"))
+      val total = perPart.agg(sum(col("value_cents")).as("total_cents"),
+        count(lit(1)).as("n_parts"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("value_cents") * col("n_parts") * 10 >
+          col("total_cents") * 12)
+        .select("l_partkey", "value_cents")
+    }),
+
+    // Top-supplier (TPC-H Q15 shape): an aggregate feeding a
+    // max-scalar-subquery filter over ITSELF — revenue per supplier
+    // for one quarter, keep the max. Exact integer cents make the
+    // equality safe; ties would all be kept, same as the spec. The
+    // explicit isNotNull below is load-bearing for SCALE, not
+    // semantics: the downstream supplier join pushes
+    // isnotnull(l_suppkey) into the MAIN branch's scan only, which
+    // de-canonicalizes the two otherwise-identical aggregate subtrees
+    // and defeats ReusedExchange — doubling the fact scan. Stating the
+    // predicate on the shared subtree re-unifies them (PlanAuditSpec
+    // pins the single-scan property).
+    "rel_top_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp") &&
+          col("l_suppkey").isNotNull)
+        .groupBy("l_suppkey")
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"))
+      val best = rev.agg(max(col("revenue_cents")).as("max_cents"))
+      rev.crossJoin(broadcast(best))
+        .filter(col("revenue_cents") === col("max_cents"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("revenue_cents"))
+    }),
+
+    // Part/supplier counts (TPC-H Q16 shape): DISTINCT-count of
+    // suppliers per part attribute triple, EXCLUDING a blacklist via
+    // anti join (the NOT IN shape; s_suppkey is non-nullable so the
+    // null-aware variant degenerates to a plain anti join — the
+    // one-column build side broadcasts at any scale). The distinct
+    // aggregation is the only wide shuffle.
+    "rel_part_supplier_counts" -> ((s, dir) => {
+      val bad = Tables.supplier(s, dir).filter(col("s_acctbal") < 0)
+        .select("s_suppkey")
+      Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(Tables.part(s, dir)
+          .select("p_partkey", "p_brand", "p_type", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // Promotion-capable suppliers (TPC-H Q20 shape): nested
+    // aggregate-vs-aggregate comparison — suppliers who shipped MORE
+    // THAN HALF of a promo part's 1997 volume. The part-level total is
+    // a WINDOW over the pair-level aggregate, NOT a self-join of the
+    // aggregate against its own rollup: the self-join formulation
+    // recomputes the whole pair subtree (Catalyst's exchange reuse is
+    // defeated by join-generated isnotnull predicates differing
+    // between the branches), i.e. TWO full fact scans at 100 TB. The
+    // window costs one extra partkey shuffle of the already-aggregated
+    // pairs — rows bounded by suppliers-per-part. Halving test is
+    // integer math; supplier dim attaches by broadcast.
+    "rel_promo_suppliers" -> ((s, dir) => {
+      val pairs = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_type") === "PROMO").select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity").cast("long")).as("pair_qty"))
+      pairs
+        .withColumn("part_qty",
+          sum(col("pair_qty")).over(Window.partitionBy(col("l_partkey"))))
+        .filter(col("pair_qty") * 2 > col("part_qty"))
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_dominated_parts"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_dominated_parts"))
+    }),
+
     // Ranking window over text: top-3 most frequent tokens per
     // language (explode -> two-level aggregation -> ranked window).
     "docs_top_terms_per_lang" -> ((s, dir) => {
@@ -731,5 +935,125 @@ object RelationalQueries {
         |            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |            GROUP BY c_custkey)
         |SELECT n_orders, count(*) AS n_cust FROM pc GROUP BY n_orders"""
-        .stripMargin)
+        .stripMargin,
+
+    "rel_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100)
+        |                     AS BIGINT)) AS BIGINT) AS forecast_cents,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "rel_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+        |                     AS BIGINT)) AS BIGINT) AS volume_cents,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey  = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN customer ON o_custkey  = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1999-01-01'
+        |  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "rel_market_share" ->
+      """WITH j AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |         CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+        |              AS BIGINT) AS rev,
+        |         sn.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN part     ON l_partkey  = p_partkey
+        |  JOIN customer ON o_custkey  = c_custkey
+        |  JOIN nation canat ON c_nationkey = canat.n_nationkey
+        |  JOIN region   ON canat.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey  = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate <  TIMESTAMP '1998-01-01')
+        |SELECT CAST(o_year AS INTEGER) AS o_year,
+        |       CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END)
+        |            AS BIGINT) AS nation_cents,
+        |       CAST(sum(rev) AS BIGINT) AS total_cents,
+        |       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END)
+        |             * 100.0 / sum(rev), 6) AS share_pct
+        |FROM j GROUP BY 1""".stripMargin,
+
+    "rel_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+        |                     AS BIGINT)
+        |                - CAST(floor(p_retailprice * l_quantity * 100)
+        |                       AS BIGINT)) AS BIGINT) AS profit_cents,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part     ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "rel_important_parts" ->
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |         CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |              AS BIGINT) AS value_cents
+        |  FROM lineitem GROUP BY l_partkey),
+        |t AS (SELECT sum(value_cents) AS total_cents, count(*) AS n_parts
+        |      FROM pp)
+        |SELECT l_partkey, value_cents FROM pp, t
+        |WHERE value_cents * n_parts * 10 > total_cents * 12""".stripMargin,
+
+    "rel_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+        |                       AS BIGINT)) AS BIGINT) AS revenue_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, revenue_cents
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE revenue_cents = (SELECT max(revenue_cents) FROM rev)"""
+        .stripMargin,
+
+    "rel_part_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_suppkey NOT IN
+        |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
+
+    "rel_promo_suppliers" ->
+      """WITH pairs AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS pair_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'PROMO'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  GROUP BY l_partkey, l_suppkey),
+        |per_part AS (
+        |  SELECT l_partkey, sum(pair_qty) AS part_qty
+        |  FROM pairs GROUP BY l_partkey)
+        |SELECT s_suppkey, s_name, count(*) AS n_dominated_parts
+        |FROM pairs
+        |JOIN per_part USING (l_partkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE pair_qty * 2 > part_qty
+        |GROUP BY 1, 2""".stripMargin)
 }

@@ -433,4 +433,55 @@ class PlanAuditSpec extends SparkSpec {
     assert(wsc.exists(_.toString.contains("target_topic")),
       s"route projection fell out of codegen:\n$plan")
   }
+
+  test("Q6 shape: every predicate pushed to the scan, four-column read") {
+    // rel_forecast_revenue's cost at 100 TB IS the scan — pin that the
+    // date range, discount band, and quantity cap all reach
+    // PushedFilters and the read schema holds exactly the 4 referenced
+    // columns.
+    val df = RelationalQueries.queries("rel_forecast_revenue")(spark, sfDir)
+    val scan = df.queryExecution.sparkPlan
+      .collect { case s: FileSourceScanExec => s }.head
+    val pushed = scan.metadata("PushedFilters")
+    for (p <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity"))
+      assert(pushed.contains(p), s"missing pushed filter $p in: $pushed")
+    assert(scan.requiredSchema.fieldNames.toSet ==
+      Set("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"),
+      s"scan reads more than needed: ${scan.requiredSchema.fieldNames.toSet}")
+  }
+
+  test("Q16 shape: supplier blacklist applies as a broadcast anti join") {
+    // Assert on the STATIC plan: at this fixture scale the blacklist
+    // is empty, so AQE's empty-relation propagation (correctly)
+    // eliminates the runtime join — the property to pin is that the
+    // NOT IN shape compiles to a broadcast anti join, never a
+    // sort-merge or nested-loop.
+    val df = RelationalQueries.queries("rel_part_supplier_counts")(spark, sfDir)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"NOT IN shape lost its anti join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"one-column blacklist should broadcast, not sort-merge:\n$plan")
+  }
+
+  test("self-referencing aggregates scan the fact table ONCE " +
+    "(Q15/Q20 shapes)") {
+    // An aggregate compared against an aggregate of itself (max-scalar
+    // filter, window total) must not recompute its subtree: Q15 relies
+    // on ReusedExchange (explicit isNotNull keeps the branches
+    // canonically equal), Q20 on the window-over-aggregate formulation.
+    // A second lineitem scan here silently doubles the dominant cost
+    // at 100 TB.
+    for (q <- Seq("rel_top_supplier", "rel_promo_suppliers")) {
+      val df = RelationalQueries.queries(q)(spark, sfDir)
+      assert(df.collect().nonEmpty)
+      val finalPlan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val liScans = "lineitem\\.parquet".r.findAllIn(finalPlan).length
+      assert(liScans == 1,
+        s"$q scans lineitem $liScans times:\n$finalPlan")
+    }
+  }
 }
