@@ -669,6 +669,49 @@ object RelationalQueries {
         .select(col("s_suppkey"), col("s_name"), col("n_dominated_parts"))
     }),
 
+    // Min-cost supplier (TPC-H Q2 shape): for each part of one size,
+    // the supplier(s) with the MINIMUM account balance among suppliers
+    // that actually shipped it — the correlated-min-subquery shape.
+    // The DataFrame form is a min-window over the (part, supplier)
+    // bridge; the oracle states the same thing as a correlated scalar
+    // subquery, proving the decorrelated formulation equivalent. The
+    // p_size filter lands BEFORE the bridge distinct, so the distinct
+    // (the only wide shuffle) processes just the qualifying sliver;
+    // balance equality is a raw-value compare, no arithmetic.
+    "rel_min_cost_supplier" -> ((s, dir) => {
+      val pairs = Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+        .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_size") === 15).select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .select("p_partkey", "l_suppkey").distinct()
+      val w = Window.partitionBy(col("p_partkey"))
+      pairs
+        .join(broadcast(Tables.supplier(s, dir)
+          .select("s_suppkey", "s_name", "s_acctbal")),
+          col("l_suppkey") === col("s_suppkey"))
+        .withColumn("min_bal", min(col("s_acctbal")).over(w))
+        .filter(col("s_acctbal") === col("min_bal"))
+        .select("p_partkey", "s_suppkey", "s_name", "s_acctbal")
+    }),
+
+    // Late-order priority check (TPC-H Q4 shape): EXISTS with a
+    // CORRELATED INEQUALITY — orders in one quarter having at least
+    // one line shipped more than 60 days after the order date. Plans
+    // as a left-semi join whose condition carries both the key
+    // equality and the cross-table date comparison; the quarter filter
+    // is pushed to the orders scan, and the semi join keeps the output
+    // bounded by orders, never multiplying by lines.
+    "rel_late_orders" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .join(Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))),
+
     // Ranking window over text: top-3 most frequent tokens per
     // language (explode -> two-level aggregation -> ranked window).
     "docs_top_terms_per_lang" -> ((s, dir) => {
@@ -1055,5 +1098,27 @@ object RelationalQueries {
         |JOIN per_part USING (l_partkey)
         |JOIN supplier ON l_suppkey = s_suppkey
         |WHERE pair_qty * 2 > part_qty
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "rel_min_cost_supplier" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT p_partkey, l_suppkey
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size = 15),
+        |j AS (
+        |  SELECT p_partkey, s_suppkey, s_name, s_acctbal
+        |  FROM pairs JOIN supplier ON l_suppkey = s_suppkey)
+        |SELECT p_partkey, s_suppkey, s_name, s_acctbal FROM j
+        |WHERE s_acctbal = (SELECT min(s_acctbal) FROM j j2
+        |                   WHERE j2.p_partkey = j.p_partkey)""".stripMargin,
+
+    "rel_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin)
 }
