@@ -285,6 +285,74 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** [[lshCandidatesSig]] restricted to CROSS-BOUNDARY pairs: each
+    * record carries an `isNew` flag and a bucket emits only
+    * (historical, new) pairs — never new×new or old×old. This is the
+    * incremental-ingestion candidate tier: at 100 TB the historical
+    * side's signatures are computed once at ingest and stored, so a
+    * daily batch pays signature cost only for itself and the band join
+    * touches only buckets the delta actually lands in; pair fan-out is
+    * bounded by delta×bucket occupancy, not corpus bucket occupancy.
+    */
+  def lshCandidatesSigCross(df: DataFrame, idCol: String, sigCol: Column,
+                            minAgree: Int, isNew: Column): DataFrame = {
+    val bands = array((0 until NumBands).map { b =>
+      concat_ws("|",
+        (0 until RowsPerBand).map(r => sigCol.getItem(b * RowsPerBand + r)): _*)
+    }: _*)
+    val e = df.select(
+      struct(col(idCol).as("id"), sigCol.as("sig"), isNew.as("nw")).as("rec"),
+      posexplode(bands).as(Seq("band_idx", "band_hash")))
+    val buckets = e.groupBy(col("band_idx"), col("band_hash"))
+      .agg(sort_array(collect_list(col("rec"))).as("recs"))
+      .filter(size(col("recs")) > 1)
+      .withColumn("recs", slice(col("recs"), 1, MaxBucketSize))
+    def agree(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v)
+    val pairs = flatten(transform(col("recs"), (a, i) =>
+      transform(slice(col("recs"), i + 2, size(col("recs"))),
+        b => struct(a.getField("id").as("id_a"), b.getField("id").as("id_b"),
+          (a.getField("nw") =!= b.getField("nw")).as("cross"),
+          agree(a.getField("sig"), b.getField("sig")).as("agree")))))
+    buckets
+      .select(explode(pairs).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.cross"), col("p.agree"))
+      .filter(col("cross"))
+      .select(col("id_a"), col("id_b"), col("agree"))
+      .distinct()
+      .filter(col("agree") >= minAgree)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Incremental NEAR-dup ingestion: today's batch (`isNew`) checked
+    * for near-duplicates against the historical corpus — the LSH
+    * analogue of [[incrementalSurvivors]]'s exact-hash anti join, and
+    * the shape a crawl pipeline actually runs daily: scan-side OPH
+    * signatures, cross-boundary-only band candidates
+    * ([[lshCandidatesSigCross]]), exact-Jaccard verification on the
+    * candidate sliver. Output: (id_a, id_b, jaccard) with id_a < id_b
+    * and exactly one side new — callers normalize new-vs-historical
+    * roles from the ids.
+    */
+  def incrementalNearDups(docs: DataFrame, idColName: String,
+                          textColName: String, n: Int, word: Boolean,
+                          threshold: Double, isNew: Column): DataFrame = {
+    val cores = docs.sparkSession.sparkContext.defaultParallelism
+    val src = if (docs.rdd.getNumPartitions < math.max(cores / 2, 2))
+      docs.repartition(cores) else docs
+    val sigs = src.select(col(idColName).as("id"),
+      graft.functions.MinHashSig(col(textColName), n, word).as("sig"),
+      isNew.as("nw"))
+    val minAgree = math.ceil(threshold * NumPerms).toInt
+    val cands = lshCandidatesSigCross(sigs, "id", col("sig"), minAgree,
+      col("nw"))
+    val shingler: DataFrame => DataFrame =
+      if (word) d => wordShingleRows(d, col(idColName), col(textColName), n)
+      else d => charShingleRows(d, col(idColName), col(textColName), n)
+    verifyCandidates(cands, docs, idColName, shingler, threshold)
+  }
+
   /** Incremental ingestion dedup: rows matching `isNew` (today's
     * batch) that do NOT share an exact content hash with the
     * historical rest of `docs`. Both sides project to the md5 digest

@@ -138,6 +138,30 @@ object Similarity {
     explodeTopK(agg, Seq("query_id"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-k most cosine-similar corpus vectors with a
+    * DIFFERENT label — "close but wrong" examples, the standard
+    * negative-sampling op for embedding-model training data. Same
+    * bucketed-broadcast scoring shape as [[topK]] (map-side cosine,
+    * bounded-heap partial per bucket, O(k) rows per query on the
+    * shuffle); the label-mismatch predicate rides the join condition
+    * so same-label pairs are never scored, not post-filtered.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus
+      .withColumn("bk", pmod(col("id"), lit(BruteForceBuckets.toLong)))
+    val q = queries.select(col("qid"), col("qvec"), col("qlabel"),
+      explode(sequence(lit(0L), lit((BruteForceBuckets - 1).toLong))).as("qbk"))
+    val scored = c.alias("c")
+      .join(broadcast(q.alias("q")),
+        col("c.bk") === col("q.qbk") && col("c.part") =!= col("q.qlabel"))
+      .select(col("q.qid").as("query_id"), col("c.id").as("id"),
+        cosine(col("q.qvec"), col("c.vec")).as("score"))
+    val agg = scored.groupBy("query_id")
+      .agg(topkUdaf(k)(col("score"), col("id")).as("topk"))
+    explodeTopK(agg, Seq("query_id"))
+  }
+
   /** IVF-style top-k: score only within the query's coarse partition
     * (`part` column on both sides). The join key carries the partition
     * id, so Catalyst shuffles corpus and queries by cell instead of

@@ -66,6 +66,23 @@ object DedupQueries {
       graft.ext.BloomDedup.prefilterVerdict(Tables.documents(s, dir),
         col("text"), col("doc_id") % 5 === 4)),
 
+    // Incremental NEAR-dup ingestion (E153): today's batch
+    // (doc_id % 5 == 4) LSH-checked against the historical corpus —
+    // the near-dup analogue of docs_incremental_dedup's exact anti
+    // join. Candidates are CROSS-BOUNDARY ONLY at the band-bucket
+    // stage (never new×new or old×old), so daily pair work is bounded
+    // by the delta's bucket occupancy; matches normalized to
+    // (new_doc, dup_of) with the exact verified Jaccard.
+    "docs_incremental_neardup" -> ((s, dir) => {
+      val isNewA = col("id_a") % 5 === 4
+      Dedup.incrementalNearDups(Tables.documents(s, dir), "doc_id", "text",
+        WordN, word = true, JaccardThreshold, col("doc_id") % 5 === 4)
+        .select(
+          when(isNewA, col("id_a")).otherwise(col("id_b")).as("new_doc"),
+          when(isNewA, col("id_b")).otherwise(col("id_a")).as("dup_of"),
+          col("jaccard"))
+    }),
+
     // MinHash-LSH near-dup over word 3-gram shingles, exact-Jaccard
     // verified at 0.5. Never all-pairs: candidates come from the band
     // bucket join (Dedup.lshCandidates).
@@ -195,6 +212,20 @@ object DedupQueries {
 
     // Exact all-pairs Jaccard — independent of the LSH implementation.
     "docs_dedup_near" -> jaccardPairsSql(wordShCte),
+
+    "docs_incremental_neardup" ->
+      s"""$wordShCte
+         |SELECT CASE WHEN a.doc_id % 5 = 4 THEN a.doc_id ELSE b.doc_id END
+         |         AS new_doc,
+         |       CASE WHEN a.doc_id % 5 = 4 THEN b.doc_id ELSE a.doc_id END
+         |         AS dup_of,
+         |       len(list_intersect(a.s, b.s))::DOUBLE /
+         |         len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE (a.doc_id % 5 = 4) <> (b.doc_id % 5 = 4)
+         |  AND len(list_intersect(a.s, b.s))::DOUBLE /
+         |        len(list_distinct(list_concat(a.s, b.s))) >= $JaccardThreshold"""
+        .stripMargin,
     "docs_ngram_jaccard" -> jaccardPairsSql(charShCte),
 
     // Exact all-pairs containment — same independence property.

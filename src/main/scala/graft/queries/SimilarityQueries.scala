@@ -38,6 +38,17 @@ object SimilarityQueries {
       Similarity.topK(c, q, K)
     }),
 
+    // Hard-negative mining: top-5 most-similar DIFFERENT-label
+    // vectors per query — the contrastive-training negative-sampling
+    // op (close-but-wrong examples carry the training signal).
+    "emb_hard_negatives" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val q = c.filter(col("id") < NumQueries)
+        .select(col("id").as("qid"), col("vec").as("qvec"),
+          col("part").as("qlabel"))
+      Similarity.hardNegatives(c, q, K)
+    }),
+
     // IVF-style top-3: every vector queries only its own coarse cell
     // (label = the fixture's stand-in for a k-means cell id).
     "emb_topk_ivf" -> ((s, dir) => {
@@ -203,6 +214,20 @@ object SimilarityQueries {
          |s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
          |             ${cosSql("q.v", "e.v")} AS score
          |      FROM q JOIN e ON e.vec_id <> q.vec_id),
+         |r AS (SELECT query_id, neighbor_id, score,
+         |             row_number() OVER (PARTITION BY query_id
+         |                                ORDER BY score DESC, neighbor_id) AS rank
+         |      FROM s)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+         |       round(score, 6) AS cos
+         |FROM r WHERE rank <= $K""".stripMargin,
+
+    "emb_hard_negatives" ->
+      s"""$embCte,
+         |q AS (SELECT * FROM e WHERE vec_id < $NumQueries),
+         |s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |             ${cosSql("q.v", "e.v")} AS score
+         |      FROM q JOIN e ON e.label <> q.label),
          |r AS (SELECT query_id, neighbor_id, score,
          |             row_number() OVER (PARTITION BY query_id
          |                                ORDER BY score DESC, neighbor_id) AS rank

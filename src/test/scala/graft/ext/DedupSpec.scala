@@ -104,6 +104,28 @@ class DedupSpec extends SparkSpec {
       s"wrong survivors: $survivors")
   }
 
+  test("incremental NEAR-dup pairs only across the boundary: " +
+      "new-vs-history found, new-vs-new and history-vs-history ignored") {
+    // docA/docB are a guaranteed-recall near-dup pair (J ≈ 0.92). Plant
+    // the pair across the boundary (0 hist, 10 new) AND inside each
+    // side (1,2 hist; 11,12 new): only the cross pair may emit — the
+    // same-side copies land in the same LSH buckets but the
+    // cross-boundary filter must drop them at the candidate stage.
+    val docs = Seq(
+      (0L, docA), (1L, docA), (2L, docB), // history (1,2 near-dup pair)
+      (10L, docB), (11L, docA), (12L, docB), // new (11,12 near-dup pair)
+      (13L, docC)) // new, unique
+      .toDF("doc_id", "text")
+    val pairs = Dedup.incrementalNearDups(docs, "doc_id", "text",
+      n = 3, word = true, threshold = 0.5, col("doc_id") >= 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.forall { case (a, b) => a < 10 && b >= 10 },
+      s"same-side pair leaked: $pairs")
+    assert(pairs == Set((0L, 10L), (0L, 11L), (1L, 10L), (1L, 11L),
+      (2L, 10L), (2L, 11L), (0L, 12L), (1L, 12L), (2L, 12L)),
+      s"wrong cross pairs: $pairs")
+  }
+
   test("containment finds an embedded passage Jaccard would score low") {
     // 24 distinct-token host (22 shingles); the quote is 8 consecutive
     // tokens of it (6 shingles, all ⊂ host) → containment 1.0 but
