@@ -255,28 +255,37 @@ object Dedup {
     * where both filters are ~lossless). Verification stays exact, so
     * false positives remain impossible.
     */
-  def lshCandidatesSig(df: DataFrame, idCol: String, sigCol: Column,
-                       minAgree: Int): DataFrame = {
-    val bands = array((0 until NumBands).map { b =>
+  /** Per-band bucket keys derived from a 32-bin signature column —
+    * shared by the batch and incremental candidate tiers so a banding
+    * parameter change cannot de-sync them.
+    */
+  private def bandKeys(sigCol: Column): Column =
+    array((0 until NumBands).map { b =>
       concat_ws("|",
         (0 until RowsPerBand).map(r => sigCol.getItem(b * RowsPerBand + r)): _*)
     }: _*)
+
+  /** Signature agreement = Σ 1[sig_a(i) == sig_b(i)] — HOF-interpreted,
+    * but only ever evaluated over in-bucket candidate pairs
+    * (LSH-sparse), never the corpus.
+    */
+  private def sigAgree(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+
+  def lshCandidatesSig(df: DataFrame, idCol: String, sigCol: Column,
+                       minAgree: Int): DataFrame = {
     val e = df.select(
       struct(col(idCol).as("id"), sigCol.as("sig")).as("rec"),
-      posexplode(bands).as(Seq("band_idx", "band_hash")))
+      posexplode(bandKeys(sigCol)).as(Seq("band_idx", "band_hash")))
     val buckets = e.groupBy(col("band_idx"), col("band_hash"))
       .agg(sort_array(collect_list(col("rec"))).as("recs"))
       .filter(size(col("recs")) > 1)
       .withColumn("recs", slice(col("recs"), 1, MaxBucketSize))
-    // agreement = Σ 1[sig_a(i) == sig_b(i)] — HOF-interpreted, but only
-    // over in-bucket pairs (LSH-sparse), never the corpus.
-    def agree(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), (acc, v) => acc + v)
     val pairs = flatten(transform(col("recs"), (a, i) =>
       transform(slice(col("recs"), i + 2, size(col("recs"))),
         b => struct(a.getField("id").as("id_a"), b.getField("id").as("id_b"),
-          agree(a.getField("sig"), b.getField("sig")).as("agree")))))
+          sigAgree(a.getField("sig"), b.getField("sig")).as("agree")))))
     buckets
       .select(explode(pairs).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.agree"))
@@ -286,40 +295,39 @@ object Dedup {
   }
 
   /** [[lshCandidatesSig]] restricted to CROSS-BOUNDARY pairs: each
-    * record carries an `isNew` flag and a bucket emits only
-    * (historical, new) pairs — never new×new or old×old. This is the
+    * record carries an `isNew` flag, a bucket splits into its
+    * historical and new sides, and ONLY historical×new pairs are
+    * generated — new×new and old×old combinations are never
+    * materialized and never pay the signature-agreement fold, so a
+    * bucket with H historical and D new members costs H·D structs (not
+    * (H+D)²/2): daily pair work is bounded by the delta's bucket
+    * occupancy. The [[MaxBucketSize]] cap applies PER SIDE — a hot
+    * historical bucket can never evict the delta records the check
+    * exists for (ids are typically time-monotone, so a shared cap
+    * sorted by id would cut exactly the new side). This is the
     * incremental-ingestion candidate tier: at 100 TB the historical
-    * side's signatures are computed once at ingest and stored, so a
-    * daily batch pays signature cost only for itself and the band join
-    * touches only buckets the delta actually lands in; pair fan-out is
-    * bounded by delta×bucket occupancy, not corpus bucket occupancy.
+    * side's signatures are computed once at ingest and stored.
     */
   def lshCandidatesSigCross(df: DataFrame, idCol: String, sigCol: Column,
                             minAgree: Int, isNew: Column): DataFrame = {
-    val bands = array((0 until NumBands).map { b =>
-      concat_ws("|",
-        (0 until RowsPerBand).map(r => sigCol.getItem(b * RowsPerBand + r)): _*)
-    }: _*)
     val e = df.select(
       struct(col(idCol).as("id"), sigCol.as("sig"), isNew.as("nw")).as("rec"),
-      posexplode(bands).as(Seq("band_idx", "band_hash")))
+      posexplode(bandKeys(sigCol)).as(Seq("band_idx", "band_hash")))
     val buckets = e.groupBy(col("band_idx"), col("band_hash"))
       .agg(sort_array(collect_list(col("rec"))).as("recs"))
-      .filter(size(col("recs")) > 1)
-      .withColumn("recs", slice(col("recs"), 1, MaxBucketSize))
-    def agree(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), (acc, v) => acc + v)
-    val pairs = flatten(transform(col("recs"), (a, i) =>
-      transform(slice(col("recs"), i + 2, size(col("recs"))),
-        b => struct(a.getField("id").as("id_a"), b.getField("id").as("id_b"),
-          (a.getField("nw") =!= b.getField("nw")).as("cross"),
-          agree(a.getField("sig"), b.getField("sig")).as("agree")))))
+      .withColumn("olds",
+        slice(filter(col("recs"), r => not(r.getField("nw"))), 1, MaxBucketSize))
+      .withColumn("news",
+        slice(filter(col("recs"), r => r.getField("nw")), 1, MaxBucketSize))
+      .filter(size(col("olds")) > 0 && size(col("news")) > 0)
+    val pairs = flatten(transform(col("olds"), o =>
+      transform(col("news"), n => struct(
+        least(o.getField("id"), n.getField("id")).as("id_a"),
+        greatest(o.getField("id"), n.getField("id")).as("id_b"),
+        sigAgree(o.getField("sig"), n.getField("sig")).as("agree")))))
     buckets
       .select(explode(pairs).as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.cross"), col("p.agree"))
-      .filter(col("cross"))
-      .select(col("id_a"), col("id_b"), col("agree"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.agree"))
       .distinct()
       .filter(col("agree") >= minAgree)
       .select(col("id_a"), col("id_b"))
@@ -338,19 +346,13 @@ object Dedup {
   def incrementalNearDups(docs: DataFrame, idColName: String,
                           textColName: String, n: Int, word: Boolean,
                           threshold: Double, isNew: Column): DataFrame = {
-    val cores = docs.sparkSession.sparkContext.defaultParallelism
-    val src = if (docs.rdd.getNumPartitions < math.max(cores / 2, 2))
-      docs.repartition(cores) else docs
-    val sigs = src.select(col(idColName).as("id"),
-      graft.functions.MinHashSig(col(textColName), n, word).as("sig"),
+    val sigs = ophSignatures(docs, idColName, textColName, n, word,
       isNew.as("nw"))
     val minAgree = math.ceil(threshold * NumPerms).toInt
     val cands = lshCandidatesSigCross(sigs, "id", col("sig"), minAgree,
       col("nw"))
-    val shingler: DataFrame => DataFrame =
-      if (word) d => wordShingleRows(d, col(idColName), col(textColName), n)
-      else d => charShingleRows(d, col(idColName), col(textColName), n)
-    verifyCandidates(cands, docs, idColName, shingler, threshold)
+    verifyCandidates(cands, docs, idColName,
+      shinglerFor(idColName, textColName, n, word), threshold)
   }
 
   /** Incremental ingestion dedup: rows matching `isNew` (today's
@@ -473,14 +475,10 @@ object Dedup {
     * MinHashBandsSpec), so this is a pure plan improvement.
     */
   def nearDupPairsNative(docs: DataFrame, idColName: String, textColName: String,
-                         n: Int, word: Boolean, threshold: Double): DataFrame = {
-    val shingler: DataFrame => DataFrame =
-      if (word) d => wordShingleRows(d, col(idColName), col(textColName), n)
-      else d => charShingleRows(d, col(idColName), col(textColName), n)
+                         n: Int, word: Boolean, threshold: Double): DataFrame =
     verifyCandidates(
       nearDupCandidatesNative(docs, idColName, textColName, n, word, threshold),
-      docs, idColName, shingler, threshold)
-  }
+      docs, idColName, shinglerFor(idColName, textColName, n, word), threshold)
 
   /** Candidate stage of [[nearDupPairsNative]], exposed so PlanAuditSpec
     * can pin its physical shape: the signature projection must stay
@@ -488,25 +486,43 @@ object Dedup {
     * exchange) — the property that makes this the 100 TB candidate
     * generator.
     */
-  def nearDupCandidatesNative(docs: DataFrame, idColName: String,
-                              textColName: String, n: Int, word: Boolean,
-                              threshold: Double): DataFrame = {
-    // Few-partition guard: the signature projection is the compute-heavy
-    // stage, and an unsplittable source (e.g. a single parquet row
-    // group) would serialize it on one task. Redistributing costs a
-    // shuffle of the *input* — only paid when the input is small enough
-    // to arrive under-partitioned; a 100 TB scan already carries ≥ cores
-    // tasks, so this branch never fires at scale.
+  /** Shared signature preamble for the batch and incremental candidate
+    * tiers — one implementation of the guard and projection so a
+    * tuning change reaches both paths.
+    *
+    * Few-partition guard: the signature projection is the compute-heavy
+    * stage, and an unsplittable source (e.g. a single parquet row
+    * group) would serialize it on one task. Redistributing costs a
+    * shuffle of the *input* — only paid when the input is small enough
+    * to arrive under-partitioned; a 100 TB scan already carries ≥ cores
+    * tasks, so this branch never fires at scale.
+    *
+    * OPH signature: one hash + one compare per shingle window (vs 32
+    * hashLong folds), and the raw bins feed the agreement prefilter in
+    * lshCandidatesSig — candidates remain exact-Jaccard verified, so
+    * the scheme only affects recall, which the fixture's similarity
+    * gap + MinHashOphSpec keep guarded.
+    */
+  private def ophSignatures(docs: DataFrame, idColName: String,
+                            textColName: String, n: Int, word: Boolean,
+                            extra: Column*): DataFrame = {
     val cores = docs.sparkSession.sparkContext.defaultParallelism
     val src = if (docs.rdd.getNumPartitions < math.max(cores / 2, 2))
       docs.repartition(cores) else docs
-    // OPH signature: one hash + one compare per shingle window (vs 32
-    // hashLong folds), and the raw bins feed the agreement prefilter in
-    // lshCandidatesSig — candidates remain exact-Jaccard verified, so
-    // the scheme only affects recall, which the fixture's similarity
-    // gap + MinHashOphSpec keep guarded.
-    val sigs = src.select(col(idColName).as("id"),
-      graft.functions.MinHashSig(col(textColName), n, word).as("sig"))
+    src.select(Seq(col(idColName).as("id"),
+      graft.functions.MinHashSig(col(textColName), n, word).as("sig")) ++
+      extra: _*)
+  }
+
+  private def shinglerFor(idColName: String, textColName: String, n: Int,
+                          word: Boolean): DataFrame => DataFrame =
+    if (word) d => wordShingleRows(d, col(idColName), col(textColName), n)
+    else d => charShingleRows(d, col(idColName), col(textColName), n)
+
+  def nearDupCandidatesNative(docs: DataFrame, idColName: String,
+                              textColName: String, n: Int, word: Boolean,
+                              threshold: Double): DataFrame = {
+    val sigs = ophSignatures(docs, idColName, textColName, n, word)
     val minAgree = math.ceil(threshold * NumPerms).toInt
     lshCandidatesSig(sigs, "id", col("sig"), minAgree)
   }

@@ -123,14 +123,19 @@ object Similarity {
     * PlanAuditSpec): scan → join → cosine → partial heap-agg fuse into
     * one codegen pass, and the broadcast grows only B × |queries|.
     */
-  def topK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  /** One bucketed-broadcast top-k scoring pass, shared by [[topK]] and
+    * [[hardNegatives]]: corpus rows keep their hash bucket, every
+    * query fans out to all buckets via broadcast, pairs admitted by
+    * `admit` are cosine-scored map-side, and the bounded-heap UDAF
+    * caps the shuffle at O(k) rows per query. The exclusion predicate
+    * rides the join condition, so excluded pairs are never scored.
+    */
+  private def bucketedTopK(corpus: DataFrame, q: DataFrame, k: Int,
+                           admit: Column): DataFrame = {
     val c = corpus
       .withColumn("bk", pmod(col("id"), lit(BruteForceBuckets.toLong)))
-    val q = queries.select(col("qid"), col("qvec"),
-      explode(sequence(lit(0L), lit((BruteForceBuckets - 1).toLong))).as("qbk"))
     val scored = c.alias("c")
-      .join(broadcast(q.alias("q")),
-        col("c.bk") === col("q.qbk") && col("c.id") =!= col("q.qid"))
+      .join(broadcast(q.alias("q")), col("c.bk") === col("q.qbk") && admit)
       .select(col("q.qid").as("query_id"), col("c.id").as("id"),
         cosine(col("q.qvec"), col("c.vec")).as("score"))
     val agg = scored.groupBy("query_id")
@@ -138,29 +143,27 @@ object Similarity {
     explodeTopK(agg, Seq("query_id"))
   }
 
+  private def bucketFanout: Column =
+    explode(sequence(lit(0L), lit((BruteForceBuckets - 1).toLong)))
+
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    bucketedTopK(corpus,
+      queries.select(col("qid"), col("qvec"), bucketFanout.as("qbk")),
+      k, col("c.id") =!= col("q.qid"))
+
   /** Hard-negative mining for contrastive training: for each query
     * vector, the top-k most cosine-similar corpus vectors with a
     * DIFFERENT label — "close but wrong" examples, the standard
     * negative-sampling op for embedding-model training data. Same
-    * bucketed-broadcast scoring shape as [[topK]] (map-side cosine,
-    * bounded-heap partial per bucket, O(k) rows per query on the
-    * shuffle); the label-mismatch predicate rides the join condition
-    * so same-label pairs are never scored, not post-filtered.
+    * bucketed-broadcast scoring shape as [[topK]]; the label-mismatch
+    * predicate rides the join condition so same-label pairs are never
+    * scored, not post-filtered.
     */
-  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = corpus
-      .withColumn("bk", pmod(col("id"), lit(BruteForceBuckets.toLong)))
-    val q = queries.select(col("qid"), col("qvec"), col("qlabel"),
-      explode(sequence(lit(0L), lit((BruteForceBuckets - 1).toLong))).as("qbk"))
-    val scored = c.alias("c")
-      .join(broadcast(q.alias("q")),
-        col("c.bk") === col("q.qbk") && col("c.part") =!= col("q.qlabel"))
-      .select(col("q.qid").as("query_id"), col("c.id").as("id"),
-        cosine(col("q.qvec"), col("c.vec")).as("score"))
-    val agg = scored.groupBy("query_id")
-      .agg(topkUdaf(k)(col("score"), col("id")).as("topk"))
-    explodeTopK(agg, Seq("query_id"))
-  }
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    bucketedTopK(corpus,
+      queries.select(col("qid"), col("qvec"), col("qlabel"),
+        bucketFanout.as("qbk")),
+      k, col("c.part") =!= col("q.qlabel"))
 
   /** IVF-style top-k: score only within the query's coarse partition
     * (`part` column on both sides). The join key carries the partition

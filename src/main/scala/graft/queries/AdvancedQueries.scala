@@ -87,6 +87,34 @@ object AdvancedQueries {
           round(max(col("cd")), 6).as("max_cume_dist"))
     }),
 
+    // Recursive CTE hierarchy rollup (Spark 4's WITH RECURSIVE): a
+    // deterministic binary "referral tree" over customer ids
+    // (parent = (id-1) DIV 2) walked to the root, then a subtree
+    // aggregate per ancestor — the org-chart/category-tree rollup
+    // that needed iterative DataFrame loops before Spark 4. Each
+    // recursion step is one join; depth is log2(n) (~11 here, bounded
+    // by spark.sql.cteRecursionLevelLimit's default 100), so the plan
+    // stays shallow even at 100 TB customer counts. For CYCLIC graphs
+    // (duplicate clusters) this surface is the wrong tool — UNION ALL
+    // recursion would not terminate — which is why connected
+    // components stay on the iterative operators (E48/E75).
+    "rel_subtree_rollup" -> ((s, dir) => s.sql(
+      s"""WITH RECURSIVE anc(ck, anc_key, depth) AS (
+         |  SELECT c_custkey, c_custkey, 0 FROM parquet.`$dir/customer.parquet`
+         |  UNION ALL
+         |  SELECT a.ck, (a.anc_key - 1) DIV 2, a.depth + 1
+         |  FROM anc a WHERE a.anc_key > 0
+         |)
+         |SELECT anc_key AS ancestor, count(*) AS subtree_size,
+         |       CAST(max(depth) AS INTEGER) AS max_rel_depth,
+         |       CAST(sum(bal_cents) AS BIGINT) AS subtree_bal_cents
+         |FROM anc
+         |JOIN (SELECT c_custkey,
+         |             CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+         |      FROM parquet.`$dir/customer.parquet`) c
+         |  ON anc.ck = c.c_custkey
+         |GROUP BY anc_key""".stripMargin)),
+
     // Salted two-phase aggregation: phase 1 fans each hot key across 8
     // deterministic salts (map-side partial agg still applies), phase 2
     // merges — the standard fix when a handful of keys would otherwise
@@ -338,6 +366,23 @@ object AdvancedQueries {
         |       round(quantile_cont(l_quantity, 0.95), 6) AS p95,
         |       round(quantile_cont(l_quantity, 0.99), 6) AS p99
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "rel_subtree_rollup" ->
+      """WITH RECURSIVE anc(ck, anc_key, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer
+        |  UNION ALL
+        |  SELECT a.ck, (a.anc_key - 1) // 2, a.depth + 1
+        |  FROM anc a WHERE a.anc_key > 0
+        |)
+        |SELECT anc_key AS ancestor, count(*) AS subtree_size,
+        |       CAST(max(depth) AS INTEGER) AS max_rel_depth,
+        |       CAST(sum(bal_cents) AS BIGINT) AS subtree_bal_cents
+        |FROM anc
+        |JOIN (SELECT c_custkey,
+        |             CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |      FROM customer) c
+        |  ON anc.ck = c.c_custkey
+        |GROUP BY anc_key""".stripMargin,
 
     "rel_segment_deciles" ->
       """WITH j AS (

@@ -299,6 +299,21 @@ object RelationalQueries {
       withOrders.intersect(rich).except(nationZero)
     }),
 
+    // Multiset set-ops (INTERSECT ALL / EXCEPT ALL): duplicate
+    // multiplicity is the semantics under test — min(m_A, m_B) copies
+    // survive the intersect, max(0, m−m_C) the except. Spark plans
+    // these as count-aggregate + generate replication, not a distinct
+    // — the multiset output hash-matching DuckDB pins exactly that
+    // per-key counting arithmetic.
+    "rel_set_ops_all" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val bigQty = li.filter(col("l_quantity") > 45).select("l_suppkey")
+      val returned = li.filter(col("l_returnflag") === "R").select("l_suppkey")
+      val finStatus = li.filter(col("l_linestatus") === "F" &&
+        col("l_discount") > 0.08).select("l_suppkey")
+      bigQty.intersectAll(returned).exceptAll(finStatus)
+    }),
+
     // Distinct aggregation (expand-based plan) + math functions with
     // deterministic double results (sqrt/ln of exact integer sums).
     "rel_distinct_math" -> ((s, dir) =>
@@ -501,8 +516,8 @@ object RelationalQueries {
       li.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_8") ||
+          (col("supp_nation") === "NATION_8" && col("cust_nation") === "NATION_3"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("l_year"))
         .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
@@ -864,6 +879,14 @@ object RelationalQueries {
         |EXCEPT
         |SELECT c_custkey FROM customer WHERE c_nationkey = 0""".stripMargin,
 
+    "rel_set_ops_all" ->
+      """SELECT l_suppkey FROM lineitem WHERE l_quantity > 45
+        |INTERSECT ALL
+        |SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+        |EXCEPT ALL
+        |SELECT l_suppkey FROM lineitem
+        |WHERE l_linestatus = 'F' AND l_discount > 0.08""".stripMargin,
+
     "rel_distinct_math" ->
       """SELECT l_returnflag,
         |       count(DISTINCT l_orderkey) AS n_orders,
@@ -1004,8 +1027,8 @@ object RelationalQueries {
         |JOIN nation cn ON c_nationkey = cn.n_nationkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate <  TIMESTAMP '1999-01-01'
-        |  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-        |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        |  AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_8')
+        |    OR (sn.n_name = 'NATION_8' AND cn.n_name = 'NATION_3'))
         |GROUP BY 1, 2, 3""".stripMargin,
 
     "rel_market_share" ->

@@ -126,6 +126,20 @@ class DedupSpec extends SparkSpec {
       s"wrong cross pairs: $pairs")
   }
 
+  test("incremental near-dup: a hot historical bucket cannot evict " +
+      "the delta (per-side cap)") {
+    // MaxBucketSize + 4 identical history docs overflow the bucket cap;
+    // the single new near-dup (highest id — ids are time-monotone in
+    // real ingest) must still surface. Under a shared id-sorted cap it
+    // would be sliced out of every band bucket and silently ingested.
+    val hist = (0L until (Dedup.MaxBucketSize + 4L)).map(i => (i, docA))
+    val docs = (hist :+ ((90000L, docB))).toDF("doc_id", "text")
+    val pairs = Dedup.incrementalNearDups(docs, "doc_id", "text",
+      n = 3, word = true, threshold = 0.5, col("doc_id") >= 90000L)
+    assert(pairs.filter(col("id_b") === 90000L).limit(1).count() == 1,
+      "new doc evicted from hot bucket")
+  }
+
   test("containment finds an embedded passage Jaccard would score low") {
     // 24 distinct-token host (22 shingles); the quote is 8 consecutive
     // tokens of it (6 shingles, all ⊂ host) → containment 1.0 but

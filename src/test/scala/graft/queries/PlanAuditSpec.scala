@@ -469,12 +469,13 @@ class PlanAuditSpec extends SparkSpec {
   test("self-referencing aggregates scan the fact table ONCE " +
     "(Q15/Q20 shapes)") {
     // An aggregate compared against an aggregate of itself (max-scalar
-    // filter, window total) must not recompute its subtree: Q15 relies
-    // on ReusedExchange (explicit isNotNull keeps the branches
-    // canonically equal), Q20 on the window-over-aggregate formulation.
-    // A second lineitem scan here silently doubles the dominant cost
-    // at 100 TB.
-    for (q <- Seq("rel_top_supplier", "rel_promo_suppliers")) {
+    // filter, window total, fraction-of-total HAVING) must not
+    // recompute its subtree: Q15 and Q11 rely on ReusedExchange (Q15's
+    // explicit isNotNull keeps the branches canonically equal), Q20 on
+    // the window-over-aggregate formulation. A second lineitem scan
+    // here silently doubles the dominant cost at 100 TB.
+    for (q <- Seq("rel_top_supplier", "rel_promo_suppliers",
+        "rel_important_parts")) {
       val df = RelationalQueries.queries(q)(spark, sfDir)
       assert(df.collect().nonEmpty)
       val finalPlan = df.queryExecution.executedPlan.toString
