@@ -36,13 +36,31 @@ object BloomDedup {
 
   /** The corpus bloom as a 1-row DataFrame `(bf: binary)` over
     * `xxhash64(keyCol)` of `seen`.
+    *
+    * BloomFilterAggregate silently clamps its arguments to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
+    * `.maxNumBits` (defaults 4M items / 64M bits) — sized for runtime
+    * JOIN filters, not corpus-scale dedup. Without intervention a
+    * billion-item request would quietly build an 8 MiB filter whose
+    * false-positive rate saturates toward 100%, turning the prefilter
+    * into a no-op exactly at the scale it exists for. So the helper
+    * RAISES both caps (monotonically — never lowers a user's higher
+    * setting) to cover the requested size before building.
     */
   def corpusBloom(seen: DataFrame, keyCol: Column, nItems: Long): DataFrame = {
     val items = math.max(nItems, 1L)
+    val bits = math.max(items * BitsPerItem, 64L)
+    val conf = seen.sparkSession.conf
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    if (conf.get(itemsKey, "4000000").toLong < items)
+      conf.set(itemsKey, items.toString)
+    if (conf.get(bitsKey, "67108864").toLong < bits)
+      conf.set(bitsKey, bits.toString)
     val agg = new BloomFilterAggregate(
       GraftBridge.expression(xxhash64(keyCol)),
       GraftBridge.expression(lit(items)),
-      GraftBridge.expression(lit(math.max(items * BitsPerItem, 64L))))
+      GraftBridge.expression(lit(bits)))
     seen.agg(GraftBridge.column(agg.toAggregateExpression()).as("bf"))
   }
 
@@ -88,12 +106,19 @@ object BloomDedup {
         mightContain(bloom.select("bf").scalar(), textCol).as("flagged"))
       .join(seenKeys, Seq("k"), "left")
       .select(col("flagged"), coalesce(col("in_seen"), lit(false)).as("is_dup"))
+    // coalesce to TRUE: an empty incoming split (no new documents this
+    // window) must yield vacuously-true verdicts, not NULLs — the
+    // zero-row aggregate would otherwise emit NULL bool_and/sums and
+    // break both the oracle hash and any consumer's getBoolean.
     probed.agg(
       count(lit(1)).as("n_incoming"),
-      sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_true_dups"),
-      bool_and(!col("is_dup") || col("flagged")).as("no_false_negatives"),
-      (sum(when(!col("is_dup") && col("flagged"), 1L).otherwise(0L)) * lit(100L)
-        <= sum(when(!col("is_dup"), 1L).otherwise(0L)) * lit(5L))
+      coalesce(sum(when(col("is_dup"), 1L).otherwise(0L)), lit(0L))
+        .as("n_true_dups"),
+      coalesce(bool_and(!col("is_dup") || col("flagged")), lit(true))
+        .as("no_false_negatives"),
+      coalesce(
+        sum(when(!col("is_dup") && col("flagged"), 1L).otherwise(0L)) * lit(100L)
+          <= sum(when(!col("is_dup"), 1L).otherwise(0L)) * lit(5L), lit(true))
         .as("fp_rate_ok"))
   }
 }

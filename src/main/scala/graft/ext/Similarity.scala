@@ -360,8 +360,15 @@ object Similarity {
   def semDedupSurvivors(vecs: DataFrame, threshold: Double): DataFrame = {
     val assigned = assignToNearest(vecs, centroids(vecs))
       .select(col("id").as("aid"), col("assigned"))
+    // `clustered` feeds THREE consumers (self-join sides a and b, and
+    // the final anti-join probe); Spark does not share non-exchanged
+    // subplans, so without materialization the centroid-training +
+    // nearest-assignment pipeline — the expensive stage — would
+    // execute three times. Lazy localCheckpoint materializes it once
+    // (the Dedup lesson, VERDICT r02 #2).
     val clustered = vecs.join(assigned, col("id") === col("aid"))
       .select(col("id"), col("assigned"), col("vec"))
+      .localCheckpoint(false)
     val dropped = clustered.alias("a")
       .join(clustered.alias("b"),
         col("a.assigned") === col("b.assigned") && col("a.id") < col("b.id"))

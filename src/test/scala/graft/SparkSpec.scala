@@ -14,6 +14,11 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", 2)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Escalate task-memory leaks from a log warning to a thrown
+      // error: custom operators that acquire execution memory
+      // (TopKPerKey's accounted partial) must provably release it, and
+      // without this flag a leaked reservation ships green.
+      .config("spark.unsafe.exceptionOnMemoryLeak", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
