@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -16,6 +17,28 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-document token statistics + quality score.
+    // Per-source quality-percentile filter (E156): keep each source's
+    // top 30% of documents by quality score — the "filter each crawl
+    // dump by its own quality distribution" curation tier (a global
+    // threshold would let a high-quality source's rejects outrank a
+    // noisy source's best). percent_rank over (quality, doc_id) is
+    // engine-deterministic; the window partitions by source, so no
+    // global sort exists, and output aggregates are order-free
+    // (count/min/max — never avg over doubles).
+    "docs_quality_topfrac" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir).select(
+        col("doc_id"), col("source"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality"), col("doc_id"))
+      scored.withColumn("pr", percent_rank().over(w))
+        .filter(col("pr") >= 0.7)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("quality")).as("min_quality"),
+          max(col("quality")).as("max_quality"))
+    }),
+
     "docs_text_stats" -> ((s, dir) => {
       val toks = TextOps.tokens(col("text"))
       Tables.documents(s, dir).select(
@@ -191,6 +214,24 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "docs_quality_topfrac" ->
+      s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+         |           FROM documents),
+         |q AS (SELECT doc_id, source,
+         |             round(least(CAST(len(ws) AS DOUBLE) / 50.0, 1.0) *
+         |                   (1.0 - abs((CASE WHEN len(ws) > 0
+         |                     THEN CAST(len(list_filter(ws, t -> t IN $stopIn))
+         |                            AS DOUBLE) / CAST(len(ws) AS DOUBLE)
+         |                     ELSE 0.0 END) - 0.1)), 6) AS quality
+         |      FROM d),
+         |r AS (SELECT source, quality,
+         |             percent_rank() OVER (PARTITION BY source
+         |                                  ORDER BY quality, doc_id) AS pr
+         |      FROM q)
+         |SELECT source, count(*) AS n_kept,
+         |       min(quality) AS min_quality, max(quality) AS max_quality
+         |FROM r WHERE pr >= 0.7 GROUP BY source""".stripMargin,
+
     "docs_text_stats" ->
       s"""$docsCte
          |SELECT doc_id,
