@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Clusters, Dedup, TextOps}
+import graft.ext.{Clusters, Dedup, LinkGraph, TextOps}
 
 /** Analytic-SQL coverage beyond the ranking windows of
   * [[RelationalQueries]]: window FRAMES (running/moving aggregates),
@@ -627,13 +627,67 @@ object AnalyticsQueries {
         .agg(round(sum(col("rev")), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
+    }),
+
+    // PageRank over the deterministic document link graph (E157) — the
+    // crawl-quality centrality signal a curation pipeline feeds into
+    // source weighting. Fixed 5 power-iteration rounds keep the result
+    // engine-reproducible (the oracle unrolls the SAME rounds as
+    // chained CTEs — decorrelated power iteration in pure SQL).
+    // rank_rel = rank·n (rank relative to uniform) so 6-dp rounding
+    // stays meaningful at any corpus size — raw ranks shrink as 1/n.
+    // Scale shape: one partial-aggregatable shuffle per round over
+    // (id, rank) pairs; see LinkGraph's 100 TB notes.
+    "docs_pagerank" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val n = ids.count() // O(1) driver scalar (parquet footer counts)
+      val edges = LinkGraph.syntheticEdges(ids, n)
+      LinkGraph.pageRank(ids, edges, n)
+        .join(edges.groupBy(col("src").as("doc_id"))
+          .agg(count(lit(1)).as("out_deg")), col("id") === col("doc_id"))
+        .select(col("doc_id"), col("out_deg"),
+          round(col("rank") * n, 6).as("rank_rel"))
     }))
 
   // -------------------------------------------------------------------
   // DuckDB oracles
   // -------------------------------------------------------------------
 
+  /** One unrolled power-iteration round for the docs_pagerank oracle:
+    * `cur` ranks from `prev` — teleport + damped in-link contribution
+    * sum, the same arithmetic LinkGraph.pageRank runs per round.
+    */
+  private def prRound(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT v.id, 0.15 / nn.n + 0.85 * coalesce(s.c, 0) AS pr
+       |  FROM v CROSS JOIN nn LEFT JOIN (
+       |    SELECT e.dst, sum(r.pr / e.outdeg) AS c
+       |    FROM ew e JOIN $prev r ON e.src = r.id
+       |    GROUP BY e.dst) s ON v.id = s.dst)"""
+
   val oracles: Map[String, String] = Map(
+    "docs_pagerank" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |v AS (SELECT doc_id AS id FROM documents),
+         |cand AS (
+         |  SELECT id AS src, (id * 7 + 1) % nn.n AS dst FROM v CROSS JOIN nn
+         |  UNION ALL SELECT id, (id * 13 + 5) % nn.n FROM v CROSS JOIN nn
+         |  UNION ALL SELECT id, (id * 31 + 11) % nn.n FROM v CROSS JOIN nn
+         |  UNION ALL SELECT id, (id + 1) % nn.n FROM v CROSS JOIN nn),
+         |edges AS (SELECT DISTINCT src, dst FROM cand WHERE src <> dst),
+         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |ew AS (SELECT e.src, e.dst, d.outdeg
+         |       FROM edges e JOIN deg d ON e.src = d.src),
+         |r0 AS (SELECT v.id, 1.0 / nn.n AS pr FROM v CROSS JOIN nn),
+         |${prRound("r0", "r1")},
+         |${prRound("r1", "r2")},
+         |${prRound("r2", "r3")},
+         |${prRound("r3", "r4")},
+         |${prRound("r4", "r5")}
+         |SELECT r.id AS doc_id, d.outdeg AS out_deg,
+         |       round(r.pr * nn.n, 6) AS rank_rel
+         |FROM r5 r JOIN deg d ON r.id = d.src CROSS JOIN nn""".stripMargin,
+
     "rel_running_spend" ->
       """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
         |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS pc

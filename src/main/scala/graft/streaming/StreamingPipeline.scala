@@ -279,4 +279,26 @@ object StreamingPipeline {
       .transformWithState(new RunningTotalProcessor,
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** A stopped (or live) streaming checkpoint's state store as a BATCH
+    * DataFrame — Spark 4's `statestore` data source (SPARK-45511). The
+    * operational escape hatch for stateful streaming at scale: query
+    * which keys hold state, how state distributes over partitions
+    * (skew hunting), or join state against a reference table — all
+    * without touching the running query or writing RocksDB tooling.
+    * Options pass through (`batchId` for time travel to an earlier
+    * micro-batch, `operatorId`/`storeName` when a query has several
+    * stateful operators, `joinSide` for stream-stream join state).
+    */
+  def stateSnapshot(spark: SparkSession, checkpoint: String,
+                    options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format("statestore").options(options).load(checkpoint)
+
+  /** Companion discovery surface: which stateful operators and stores a
+    * checkpoint contains, with their batch-id range — what you read
+    * FIRST to know the valid `operatorId`/`storeName`/`batchId` values
+    * for [[stateSnapshot]].
+    */
+  def stateMetadata(spark: SparkSession, checkpoint: String): DataFrame =
+    spark.read.format("state-metadata").load(checkpoint)
 }

@@ -293,6 +293,47 @@ class StreamingSpec extends SparkSpec {
       s"state lost across restart: $run2Out")
   }
 
+  test("statestore reader: checkpoint state queryable as a batch DataFrame") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_read").toString
+    val stream = MemoryStream[(String, String)]
+    val q = StreamingPipeline.dedupStream(spark, stream.toDS())
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(String, String)], _: Long) =>
+        // must consume every partition or the state commit validator
+        // (rightly) fails the batch
+        batch.foreach(_ => ())
+      }
+      .start()
+    try {
+      stream.addData(("k1", "v1"), ("k2", "v2"))
+      q.processAllAvailable()
+      stream.addData(("k1", "dup"), ("k3", "v3"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // discovery first: the metadata source names the stateful operator
+    // and pins the batch range the store covers
+    val meta = StreamingPipeline.stateMetadata(spark, ckpt)
+    val op = meta.select("operatorName").as[String].collect().toSet
+    assert(op.exists(_.toLowerCase.contains("flatmapgroupswithstate")),
+      s"unexpected stateful operators: $op")
+
+    // one state row per dedup key, plain DataFrame ops from here on —
+    // this is the skew/size audit surface for production checkpoints
+    val state = StreamingPipeline.stateSnapshot(spark, ckpt)
+    val keys = state.select("key.*").collect().map(_.getString(0)).toSet
+    assert(keys == Set("k1", "k2", "k3"), s"state keys: $keys")
+    assert(state.count() == 3)
+
+    // time travel: after batch 0 only the first two keys held state
+    val b0 = StreamingPipeline.stateSnapshot(spark, ckpt,
+      Map("batchId" -> "0"))
+    assert(b0.select("key.*").collect().map(_.getString(0)).toSet ==
+      Set("k1", "k2"))
+  }
+
   test("foreachBatch sink writes partitioned parquet per micro-batch") {
     val out = java.nio.file.Files.createTempDirectory("graft_fb_sink").toString
     val stream = MemoryStream[(String, Long)]
