@@ -138,9 +138,36 @@ object SourceQueries {
       s.read.parquet(s"$out/table")
         .select(col("event_id"), col("user_id"), col("cents"),
           col("batch_id").cast("long").as("batch_id"))
+    }),
+
+    // Row-level provenance via Spark's hidden `_metadata` scan columns
+    // (E159): which FILE a row came from and its position IN that file
+    // — the lineage key a training pipeline carries so any example in
+    // a trained model traces back to its source shard ("filter doc X
+    // out and retrain" starts here). Metadata columns come from the
+    // reader itself — no window function, no shuffle, no extra pass —
+    // so the provenance key is free even at 100 TB (a global-unique
+    // alternative to E101's ordering-based ids). Oracle: the fixture
+    // writes documents in doc_id order as a single file, so row_index
+    // must equal doc_id and file_name is the fixture's basename —
+    // asserting BOTH pins that _metadata reports physical positions,
+    // not post-shuffle ones.
+    "docs_provenance" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          col("_metadata.file_name").as("file_name"),
+          col("_metadata.row_index").as("row_idx"),
+          concat(col("_metadata.file_name"), lit(":"),
+            col("_metadata.row_index")).as("prov_key"))
     }))
 
   val oracles: Map[String, String] = Map(
+    "docs_provenance" ->
+      """SELECT doc_id, lang, 'documents.parquet' AS file_name,
+        |       doc_id AS row_idx,
+        |       'documents.parquet:' || doc_id AS prov_key
+        |FROM documents""".stripMargin,
+
     "rel_nation_csv" ->
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,

@@ -485,4 +485,22 @@ class PlanAuditSpec extends SparkSpec {
         s"$q scans lineitem $liScans times:\n$finalPlan")
     }
   }
+
+  test("_metadata provenance columns keep pruning and pushdown intact") {
+    // E159: projecting file_name/row_index must stay a reader-local
+    // decoration — same two data columns read, a data filter still
+    // pushed. If _metadata ever forced a full-schema read (or blocked
+    // pushdown), the "free provenance" claim would quietly cost a
+    // full-width 100 TB scan.
+    val df = Tables.documents(spark, sfDir)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("lang"),
+        col("_metadata.file_name"), col("_metadata.row_index"))
+    val scan = scans(df).head
+    val dataCols = scan.requiredSchema.fieldNames.filterNot(_ == "_metadata").toSet
+    assert(dataCols == Set("doc_id", "lang"),
+      s"provenance projection widened the read: $dataCols")
+    assert(scan.metadata("PushedFilters").contains("EqualTo(lang,en)"),
+      s"filter lost under _metadata: ${scan.metadata("PushedFilters")}")
+  }
 }
