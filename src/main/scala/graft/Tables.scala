@@ -11,17 +11,25 @@ import org.apache.spark.sql.types._
   * pruning and predicate pushdown into the scan — on a real cluster these
   * would be partitioned/bucketed table reads; the API is identical.
   *
-  * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's reader
-  * rejects by default; [[events]] reads it as epoch-nanos LONG via an
-  * explicit schema (works in any session, no legacy flag needed) and
-  * converts to a microsecond `TimestampType` with integer division —
-  * truncation identical to DuckDB's `CAST(ts AS TIMESTAMP)`, keeping the
-  * oracle comparison exact. Double-based division would lose precision at
-  * 1.7e18 nanos (53-bit mantissa), hence `div`.
+  * `events.ts` has been written by the generator both as parquet
+  * TIMESTAMP(MICROS) (current fixtures) and TIMESTAMP(NANOS) (older ones).
+  * [[events]] detects which encoding is on disk instead of hardcoding one:
+  * plain `spark.read.parquet` succeeds and infers `TimestampType` for
+  * MICROS; for NANOS (which Spark's vectorized reader rejects, and which
+  * schema-merge surfaces as a non-timestamp `ts`) it falls back to reading
+  * epoch-nanos as LONG via an explicit schema and converting with integer
+  * division (`ts div 1000` — double division would lose precision at
+  * 1.7e18 nanos, 53-bit mantissa). Either way the result column is a
+  * microsecond `TimestampType` matching DuckDB's `CAST(ts AS TIMESTAMP)`.
+  *
+  * [[assertEventsTsSane]] is a fixture-contract tripwire: a silent decode
+  * mismatch (e.g. micros misread as nanos) shifts every timestamp ~1000×,
+  * which this turns into one loud error instead of hundreds of subtly wrong
+  * query results. Verify's preamble calls it before running any query.
   */
 object Tables {
 
-  private val EVENTS_SCHEMA = StructType(Seq(
+  private val EVENTS_NANOS_SCHEMA = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
     StructField("user_id", LongType),
@@ -35,9 +43,37 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame      = spark.read.parquet(s"$sfDir/part.parquet")
   def orders(spark: SparkSession, sfDir: String): DataFrame    = spark.read.parquet(s"$sfDir/orders.parquet")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame  = spark.read.parquet(s"$sfDir/lineitem.parquet")
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.schema(EVENTS_SCHEMA).parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    // The generator writes naive (not UTC-adjusted) micros, which Spark
+    // infers as TIMESTAMP_NTZ; sessions here run in UTC, so casting to the
+    // session-zoned TimestampType is an identity mapping that keeps every
+    // downstream window/watermark/oracle comparison unchanged.
+    val native = scala.util.Try(spark.read.parquet(path))
+      .filter(df => df.schema.fieldNames.contains("ts") && (
+        df.schema("ts").dataType == TimestampType ||
+          df.schema("ts").dataType == TimestampNTZType))
+      .map(_.withColumn("ts", col("ts").cast(TimestampType)))
+    native.getOrElse {
+      spark.read.schema(EVENTS_NANOS_SCHEMA).parquet(path)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
+  }
+
+  /** Fixture-contract tripwire: decoded `events.ts` must land in the
+    * century the generator writes (2000–2100). A wrong unit (nanos read as
+    * micros or vice versa) lands ~1970 or ~year 52000 and fails loudly here.
+    */
+  def assertEventsTsSane(spark: SparkSession, sfDir: String): Unit = {
+    val Array(row) = events(spark, sfDir)
+      .agg(min(year(col("ts"))).as("lo"), max(year(col("ts"))).as("hi"))
+      .collect()
+    val (lo, hi) = (row.getInt(0), row.getInt(1))
+    require(lo >= 2000 && hi <= 2100,
+      s"events.ts decode sanity failed for $sfDir: year range [$lo, $hi] " +
+        "outside [2000, 2100] — parquet timestamp encoding does not match " +
+        "the loader's decode path (see Tables.events)")
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = spark.read.parquet(s"$sfDir/documents.parquet")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = spark.read.parquet(s"$sfDir/embeddings.parquet")
 }

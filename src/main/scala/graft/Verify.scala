@@ -18,6 +18,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fixture-contract tripwire: fail the whole run loudly if the events.ts
+    // decode doesn't match what's on disk (see Tables.assertEventsTsSane).
+    Tables.assertEventsTsSane(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

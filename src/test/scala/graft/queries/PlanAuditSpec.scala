@@ -497,7 +497,13 @@ class PlanAuditSpec extends SparkSpec {
       .select(col("doc_id"), col("lang"),
         col("_metadata.file_name"), col("_metadata.row_index"))
     val scan = scans(df).head
-    val dataCols = scan.requiredSchema.fieldNames.filterNot(_ == "_metadata").toSet
+    // Spark materializes row_index through a reader-internal
+    // `_tmp_metadata_row_index` column (constant-footprint bookkeeping,
+    // not a data column) — only real data columns count as "the read".
+    val dataCols = scan.requiredSchema.fieldNames
+      .filterNot(_ == "_metadata")
+      .filterNot(_.startsWith("_tmp_metadata_"))
+      .toSet
     assert(dataCols == Set("doc_id", "lang"),
       s"provenance projection widened the read: $dataCols")
     assert(scan.metadata("PushedFilters").contains("EqualTo(lang,en)"),
