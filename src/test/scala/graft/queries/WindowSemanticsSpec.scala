@@ -39,4 +39,31 @@ class WindowSemanticsSpec extends SparkSpec {
       .as[String].collect().head
     assert(w == "2024-03-07 23:45:00")
   }
+
+  test("running totals: identical-ts ties resolve by event_id, not input order") {
+    // events_running_totals was hash-red in round 5: with nano fixtures
+    // Spark ordered by micro-truncated ts while DuckDB kept full
+    // precision, so sub-microsecond near-ties reordered rows within a
+    // user and shifted every subsequent running sum. With both engines
+    // on microsecond timestamps the ORDER BY (ts, event_id) tiebreak is
+    // total and deterministic — this plants an exact tie (and a
+    // reversed-input near-tie) to pin that the tiebreak, not input
+    // order, decides the trajectory.
+    val t0 = ts("2024-01-01 10:00:00")
+    val ev = Seq( // deliberately out of event_id order
+      (7L, 30L, t0, 3.0),               // exact tie with event_id 10
+      (7L, 10L, t0, 1.0),
+      (7L, 20L, new Timestamp(t0.getTime + 1), 2.0)) // 1ms later
+      .toDF("user_id", "event_id", "ts", "value")
+      .repartition(2) // shuffle away any residual input ordering
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val out = ev.select(col("event_id"),
+        count(lit(1)).over(w).as("rc"),
+        sum(floor(col("value") * 100).cast("long")).over(w).as("cents"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((10L, 1L, 100L), (30L, 2L, 400L), (20L, 3L, 600L)))
+  }
 }

@@ -387,6 +387,61 @@ class StreamingSpec extends SparkSpec {
     assert(after.size == 4 && before.toSet.subsetOf(after.toSet))
   }
 
+  test("kill-and-restart: engine replays the uncommitted batch; idempotent " +
+      "sink keeps the table exactly-once") {
+    // The delivery-semantics claim end-to-end: Structured Streaming
+    // commits the sink BEFORE the offset log, so a crash between the
+    // two leaves a batch written-but-uncommitted. On restart the engine
+    // itself re-runs that batch (same id, same rows) — with the
+    // dynamic-overwrite sink the replay must rewrite its own partition,
+    // not append a duplicate. The manual-replay test above exercises
+    // the writer; this one lets the ENGINE drive the replay from a
+    // checkpoint whose commit marker was destroyed, i.e. a real kill.
+    val out = java.nio.file.Files.createTempDirectory("graft_kill_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_kill_ckpt").toString
+    val writer = StreamingPipeline.idempotentBatchWriter(out)
+    val stream = MemoryStream[(String, Long)]
+    def start() = stream.toDF().toDF("event_type", "n")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(writer).start()
+
+    val q1 = start()
+    try {
+      stream.addData(("click", 1L), ("view", 2L))
+      q1.processAllAvailable()
+      stream.addData(("click", 3L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    def snapshot() = spark.read.parquet(out)
+      .select("event_type", "n", "batch_id")
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    val before = snapshot()
+    assert(before.size == 3 && before.map(_._3).toSet == Set(0L, 1L))
+
+    // Kill after sink write, before offset commit: batch 1's data is on
+    // disk but its commit marker is gone — exactly the torn state a
+    // SIGKILL there leaves behind. Delete through the Hadoop FS (not
+    // java.io.File): the local FS is checksummed, and an orphaned
+    // .1.crc would make the replay's atomic re-commit rename collide.
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val commit1 = new org.apache.hadoop.fs.Path(s"$ckpt/commits/1")
+    assert(fs.exists(commit1), "checkpoint layout changed: no commits/1")
+    assert(fs.delete(commit1, false))
+
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // recovery replays batch 1 by itself
+      assert(snapshot() == before,
+        "engine replay duplicated or altered the table")
+      stream.addData(("view", 4L)) // and the stream keeps going
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val after = snapshot()
+    assert(after.size == 4 && before.toSet.subsetOf(after.toSet) &&
+      after.map(_._3).toSet == Set(0L, 1L, 2L))
+  }
+
   test("transformWithState running totals accumulate across micro-batches") {
     // Spark requires RocksDB state store for transformWithState; scope
     // the provider to this query and restore after.
