@@ -46,14 +46,21 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val path = s"$sfDir/events.parquet"
     // The generator writes naive (not UTC-adjusted) micros, which Spark
-    // infers as TIMESTAMP_NTZ; sessions here run in UTC, so casting to the
-    // session-zoned TimestampType is an identity mapping that keeps every
-    // downstream window/watermark/oracle comparison unchanged.
-    val native = scala.util.Try(spark.read.parquet(path))
-      .filter(df => df.schema.fieldNames.contains("ts") && (
-        df.schema("ts").dataType == TimestampType ||
-          df.schema("ts").dataType == TimestampNTZType))
-      .map(_.withColumn("ts", col("ts").cast(TimestampType)))
+    // infers as TIMESTAMP_NTZ; sessions here run in UTC, so reading the
+    // column as the session-zoned TimestampType is value-identical. Doing
+    // it via an explicit read schema (not a cast on top of the NTZ read)
+    // keeps ts a plain scan column, so time predicates still push down to
+    // the parquet reader — a cast wrapper would turn every event-time
+    // range filter into a full scan at 100 TB.
+    val native = scala.util.Try(spark.read.parquet(path).schema)
+      .filter(sch => sch.fieldNames.contains("ts") && (
+        sch("ts").dataType == TimestampType ||
+          sch("ts").dataType == TimestampNTZType))
+      .map { sch =>
+        val pushable = StructType(sch.map(f =>
+          if (f.name == "ts") f.copy(dataType = TimestampType) else f))
+        spark.read.schema(pushable).parquet(path)
+      }
     native.getOrElse {
       spark.read.schema(EVENTS_NANOS_SCHEMA).parquet(path)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
