@@ -43,23 +43,22 @@ object Parse {
   /** Decode `value` → (`op`, `db`, `tbl`, `_malformed`) columns, keeping
     * `topic`, `key`, and the raw `value` intact. (`tbl` not `table`: avoids
     * the SQL keyword in oracle queries.)
+    *
+    * Decoding runs through the native single-pass
+    * [[graft.functions.CdcEnvelopeParse]] kernel (codegen-resident, no
+    * Jackson, no cast-to-string copy — binary Kafka payloads parse
+    * directly); [[parseJackson]] keeps the `from_json` formulation as the
+    * differential-test reference implementation.
     */
   def parse(raw: DataFrame, strict: Boolean = false): DataFrame = {
     val parsed = raw
-      // the cast feeds ONLY the decoder: the forwarded `value` column
-      // stays the original (possibly binary) payload, preserving the
-      // reference's byte-identical passthrough (kafka.rs:80-82) for
-      // non-UTF8 bytes too
-      .withColumn("_cdc",
-        from_json(col("value").cast("string"), PARSE_SCHEMA,
-          Map("columnNameOfCorruptRecord" -> CorruptField)))
+      .withColumn("_cdc", graft.functions.CdcEnvelopeParse.column(col("value")))
       .select(
         col("topic"), col("key"), col("value"),
         col("_cdc.op").as("op"),
-        col("_cdc.source.db").as("db"),
-        col("_cdc.source.table").as("tbl"),
-        (col("_cdc").isNull || col(s"_cdc.$CorruptField").isNotNull)
-          .as("_malformed"))
+        col("_cdc.db").as("db"),
+        col("_cdc.tbl").as("tbl"),
+        (col("_cdc").isNull || col("_cdc.malformed")).as("_malformed"))
     if (strict) {
       // Fail-fast like the reference: raise on the first undecodable record.
       parsed.withColumn("op",
@@ -73,4 +72,23 @@ object Parse {
   /** Rows whose envelope failed to decode (not a JSON object). */
   def parseErrors(parsed: DataFrame): DataFrame =
     parsed.filter(col("_malformed"))
+
+  /** The original `from_json` decode, kept as the reference implementation
+    * for CdcEnvelopeSpec's differential tests. Known, spec-pinned
+    * divergences vs [[parse]]: a schema-mismatched nested `source` (e.g.
+    * `{"source":5}`) corrupt-flags the whole row here but yields NULL
+    * fields with `_malformed=false` in the native path (DuckDB semantics).
+    */
+  private[graft] def parseJackson(raw: DataFrame): DataFrame =
+    raw
+      .withColumn("_cdc",
+        from_json(col("value").cast("string"), PARSE_SCHEMA,
+          Map("columnNameOfCorruptRecord" -> CorruptField)))
+      .select(
+        col("topic"), col("key"), col("value"),
+        col("_cdc.op").as("op"),
+        col("_cdc.source.db").as("db"),
+        col("_cdc.source.table").as("tbl"),
+        (col("_cdc").isNull || col(s"_cdc.$CorruptField").isNotNull)
+          .as("_malformed"))
 }

@@ -22,19 +22,40 @@ import org.apache.spark.sql.functions._
 object Pipeline {
   import Routing.TransformRule
 
+  /** The forwarding core: drop deletes → route → silent-drop no-matches,
+    * emitting `target_topic` plus `keep`, expressed as a 0-or-1 `explode`
+    * generator instead of Filters over the derived column.
+    *
+    * Semantically identical to `filter(op =!= "d").withColumn(target)
+    * .filter(target.isNotNull)`; physically crucial: Catalyst pushes each
+    * Filter through the parse projection by INLINING the aliased
+    * expressions into the predicate, so the filter formulation re-runs the
+    * envelope decode (and the whole routing CASE chain) once per predicate
+    * occurrence — ten decode sites in the optimized plan, measured 3×
+    * slower on the forwarding hot path. A generator's condition is
+    * evaluated once per row, emits 0 or 1 rows in place, and leaves no
+    * Filter node for the optimizer to relocate; the stage stays a single
+    * WholeStageCodegen pass. (`array_compact` would read nicer but is
+    * RuntimeReplaceable into an interpreted higher-order filter, which
+    * drops the projection out of codegen — measured right back at 3×.)
+    */
+  private def forward(parsed: DataFrame, rules: Seq[TransformRule],
+                      keep: Seq[String]): DataFrame = {
+    val target = Routing.targetExpr(rules, col("topic"), col("db"), col("tbl"))
+    parsed
+      .select(keep.map(col) :+
+        explode(when(col("op") =!= lit("d") && target.isNotNull, array(target))
+          .otherwise(array().cast("array<string>"))).as("target_topic"): _*)
+      .select(("target_topic" +: keep).map(col): _*)
+  }
+
   /** parse → drop deletes → route → silent-drop no-matches →
     * (target_topic, key, value). The `value` column is the original input
     * bytes, untouched (byte-passthrough, `kafka.rs:80-82`).
     */
   def route(raw: DataFrame,
-            rules: Seq[TransformRule] = Routing.DefaultRules): DataFrame = {
-    val parsed = Parse.parse(raw)
-    Filter.dropDeletes(parsed)
-      .withColumn("target_topic",
-        Routing.targetExpr(rules, col("topic"), col("db"), col("tbl")))
-      .filter(col("target_topic").isNotNull)
-      .select(col("target_topic"), col("key"), col("value"))
-  }
+            rules: Seq[TransformRule] = Routing.DefaultRules): DataFrame =
+    forward(Parse.parse(raw), rules, Seq("key", "value"))
 
   /** Typed facade over [[route]]: `Dataset[RawRecord] →
     * Dataset[RoutedRecord]` (SURVEY.md §1.5). The encoder boundary is
@@ -66,13 +87,9 @@ object Pipeline {
     * incremented post-filter/route at `kafka.rs:75-78`).
     */
   def forwardedCounts(raw: DataFrame,
-                      rules: Seq[TransformRule] = Routing.DefaultRules): DataFrame = {
-    val parsed = Filter.dropDeletes(Parse.parse(raw))
-      .withColumn("target_topic",
-        Routing.targetExpr(rules, col("topic"), col("db"), col("tbl")))
-      .filter(col("target_topic").isNotNull)
-    parsed.groupBy(col("target_topic"), col("op")).agg(count(lit(1)).as("n"))
-  }
+                      rules: Seq[TransformRule] = Routing.DefaultRules): DataFrame =
+    forward(Parse.parse(raw), rules, Seq("op"))
+      .groupBy(col("target_topic"), col("op")).agg(count(lit(1)).as("n"))
 
   /** The R6-family consumed-side metric columns (pre-filter). */
   def consumedMetrics: Seq[org.apache.spark.sql.Column] = Seq(
@@ -94,12 +111,7 @@ object Pipeline {
       observeConsumed: DataFrame => DataFrame,
       observeForwarded: DataFrame => DataFrame): DataFrame = {
     val parsed = observeConsumed(Parse.parse(raw))
-    observeForwarded(
-      Filter.dropDeletes(parsed)
-        .withColumn("target_topic",
-          Routing.targetExpr(rules, col("topic"), col("db"), col("tbl")))
-        .filter(col("target_topic").isNotNull)
-        .select(col("target_topic"), col("key"), col("value")))
+    observeForwarded(forward(parsed, rules, Seq("key", "value")))
   }
 
   /** Shuffle-free observed totals on the forwarding path — the `observe()`

@@ -136,9 +136,15 @@ object Routing {
     val joined = parsed.join(broadcast(ruleAgg),
       parsed("topic") === ruleAgg("r_topic") && parsed("db") === ruleAgg("r_db"),
       "inner")
+    // 0-or-1 explode rather than filter-on-derived-column: a Filter here
+    // would be pushed into the join output and re-run the first-match UDF
+    // once per occurrence (see Pipeline.forward for the measured cost of
+    // that shape on the when-chain path).
+    val target = firstMatchCached(col("tbl"), col("cands"))
     joined
-      .withColumn("target_topic", firstMatchCached(col("tbl"), col("cands")))
-      .filter(col("target_topic").isNotNull)
+      .select(dataCols.map(col) :+
+        explode(when(target.isNotNull, array(target))
+          .otherwise(array().cast("array<string>"))).as("target_topic"): _*)
       .select((dataCols :+ "target_topic").map(col): _*)
   }
 

@@ -1,0 +1,303 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.graftbridge.GraftBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native single-pass decode of the CDC envelope hot path:
+  * `cdc_envelope(value) → struct<op, db, tbl, malformed>`.
+  *
+  * This is the reference's per-message critical loop (R2,
+  * `reference/src/mq/kafka.rs:53-55,119-143`): every envelope is decoded,
+  * three fields are inspected, and the raw bytes are forwarded. The
+  * general-purpose `from_json` carries Jackson's tokenizer, a corrupt-record
+  * string capture, and a non-codegen expression boundary — none of which the
+  * three-field probe needs. This expression walks the UTF-8 bytes once,
+  * validating JSON structure and capturing exactly `$.op`, `$.source.db`,
+  * `$.source.table`; `doGenCode` emits a static kernel call so the decode
+  * stays inside the scan's whole-stage-codegen projection (same escalation
+  * tier as [[AudioMeta]]/[[MediaDims]]: an imperative per-row loop no
+  * built-in chain expresses without interpretation overhead).
+  *
+  * Semantics (pinned by CdcEnvelopeSpec, differential vs `from_json`, and
+  * the DuckDB oracle gate):
+  *  - `malformed` ⇔ the input is NOT one complete, valid JSON object
+  *    (leading/trailing whitespace allowed; trailing garbage is malformed)
+  *    — exactly DuckDB's `json_valid(v) AND json_type(v) = 'OBJECT'`.
+  *  - Captured fields are top-level only; absent or JSON-`null` fields are
+  *    SQL NULL. String values are unescaped (incl. \uXXXX surrogate pairs);
+  *    non-string scalars are captured as their raw text (`5`, `true`) like
+  *    both reference engines.
+  *  - A non-object `source` value yields NULL db/tbl with `malformed=false`
+  *    (DuckDB path semantics; `from_json` would corrupt-flag the whole row
+  *    on the schema mismatch — deliberate divergence, spec-pinned).
+  *  - Number/object-valued fields keep their raw spelling (`1e3`, inner
+  *    whitespace); engines that re-serialize may normalize. Fixture
+  *    envelopes only carry string fields, so the gate is unaffected.
+  *
+  * Accepts `string` or `binary` input — Kafka `value` bytes parse directly,
+  * no cast-to-string copy on the hot path.
+  */
+case class CdcEnvelopeParse(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"cdc_envelope requires a string or binary input, got ${t.sql}")
+  }
+
+  override def dataType: DataType = CdcEnvelopeImpl.Schema
+
+  override def prettyName: String = "cdc_envelope"
+
+  override def nullSafeEval(v: Any): Any = v match {
+    case s: UTF8String => CdcEnvelopeImpl.parse(s)
+    case b: Array[Byte] => CdcEnvelopeImpl.parseBytes(b)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    child.dataType match {
+      case StringType => nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.CdcEnvelopeImpl.parse($c);")
+      case _ => nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.CdcEnvelopeImpl.parseBytes($c);")
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): CdcEnvelopeParse =
+    copy(child = newChild)
+}
+
+object CdcEnvelopeParse {
+  /** Column-level entry point. */
+  def apply(value: Column): CdcEnvelopeParse =
+    CdcEnvelopeParse(GraftBridge.expression(value))
+
+  def column(value: Column): Column = GraftBridge.column(apply(value))
+}
+
+/** Static kernel (separate object for a clean static forwarder in generated
+  * code). Strict JSON: RFC 8259 number grammar, mandatory escaping of
+  * control characters, exact `true`/`false`/`null` literals.
+  */
+object CdcEnvelopeImpl {
+
+  val Schema: StructType = StructType(Seq(
+    StructField("op", StringType),
+    StructField("db", StringType),
+    StructField("tbl", StringType),
+    StructField("malformed", BooleanType, nullable = false)))
+
+  /** Shared immutable verdict row (downstream projections copy values out,
+    * same pattern as AudioMetaImpl.Unknown). */
+  private val Malformed =
+    new GenericInternalRow(Array[Any](null, null, null, java.lang.Boolean.TRUE))
+
+  /** Control-flow signal for any structural violation; stackless and
+    * preallocated — the malformed path costs one branch, not a stack walk. */
+  private object Bad extends Exception with scala.util.control.NoStackTrace
+
+  private val OpKey = UTF8String.fromString("op")
+  private val SourceKey = UTF8String.fromString("source")
+  private val DbKey = UTF8String.fromString("db")
+  private val TableKey = UTF8String.fromString("table")
+
+  def parse(s: UTF8String): InternalRow = parseBytes(s.getBytes)
+
+  def parseBytes(b: Array[Byte]): InternalRow =
+    try {
+      val w = new Walk(b)
+      w.ws()
+      if (w.i >= b.length || b(w.i) != '{') return Malformed
+      w.rootObject()
+      w.ws()
+      if (w.i < b.length) return Malformed
+      new GenericInternalRow(Array[Any](w.op, w.db, w.tbl, java.lang.Boolean.FALSE))
+    } catch { case Bad => Malformed }
+
+  // One mutable cursor per input; field captures land in op/db/tbl.
+  private final class Walk(b: Array[Byte]) {
+    var i = 0
+    private val n = b.length
+    var op: UTF8String = null
+    var db: UTF8String = null
+    var tbl: UTF8String = null
+
+    def ws(): Unit = {
+      while (i < n && (b(i) == ' ' || b(i) == '\t' || b(i) == '\n' || b(i) == '\r'))
+        i += 1
+    }
+
+    private def expect(c: Char): Unit = {
+      if (i >= n || b(i) != c) throw Bad
+      i += 1
+    }
+
+    /** Object member loop shared by the two capture depths.
+      * capture: 0 = root ("op", "source"), 1 = source ("db", "table"),
+      * -1 = validate only. */
+    private def obj(capture: Int): Unit = {
+      expect('{'); ws()
+      if (i < n && b(i) == '}') { i += 1; return }
+      while (true) {
+        val key = str(build = true) // keys are short; decode handles escaped keys
+        ws(); expect(':'); ws()
+        if (capture == 0 && key.equals(OpKey)) op = fieldValue()
+        else if (capture == 0 && key.equals(SourceKey)) {
+          if (i < n && b(i) == '{') obj(capture = 1)
+          else skipValue() // non-object source: NULL fields, not malformed
+        }
+        else if (capture == 1 && key.equals(DbKey)) db = fieldValue()
+        else if (capture == 1 && key.equals(TableKey)) tbl = fieldValue()
+        else skipValue()
+        ws()
+        if (i < n && b(i) == ',') { i += 1; ws() }
+        else { expect('}'); return }
+      }
+    }
+
+    def rootObject(): Unit = obj(capture = 0)
+
+    /** Captured member value as the engines render it to string: JSON
+      * string → unescaped text, null → SQL NULL, anything else → raw span. */
+    private def fieldValue(): UTF8String = {
+      if (i >= n) throw Bad
+      b(i) match {
+        case '"' => str(build = true)
+        case 'n' => literal("null"); null
+        case _ =>
+          val start = i
+          skipValue()
+          UTF8String.fromBytes(b, start, i - start)
+      }
+    }
+
+    def skipValue(): Unit = {
+      if (i >= n) throw Bad
+      b(i) match {
+        case '"' => str(build = false)
+        case '{' => obj(capture = -1)
+        case '[' =>
+          i += 1; ws()
+          if (i < n && b(i) == ']') { i += 1; return }
+          while (true) {
+            skipValue(); ws()
+            if (i < n && b(i) == ',') { i += 1; ws() }
+            else { expect(']'); return }
+          }
+        case 't' => literal("true")
+        case 'f' => literal("false")
+        case 'n' => literal("null")
+        case c if c == '-' || (c >= '0' && c <= '9') => number()
+        case _ => throw Bad
+      }
+    }
+
+    private def literal(s: String): Unit = {
+      var k = 0
+      while (k < s.length) {
+        if (i >= n || b(i) != s.charAt(k)) throw Bad
+        i += 1; k += 1
+      }
+    }
+
+    /** RFC 8259: -?(0|[1-9][0-9]*)(\.[0-9]+)?([eE][+-]?[0-9]+)? */
+    private def number(): Unit = {
+      if (b(i) == '-') i += 1
+      if (i >= n) throw Bad
+      if (b(i) == '0') i += 1
+      else if (b(i) >= '1' && b(i) <= '9') { while (i < n && b(i) >= '0' && b(i) <= '9') i += 1 }
+      else throw Bad
+      if (i < n && b(i) == '.') {
+        i += 1
+        if (i >= n || b(i) < '0' || b(i) > '9') throw Bad
+        while (i < n && b(i) >= '0' && b(i) <= '9') i += 1
+      }
+      if (i < n && (b(i) == 'e' || b(i) == 'E')) {
+        i += 1
+        if (i < n && (b(i) == '+' || b(i) == '-')) i += 1
+        if (i >= n || b(i) < '0' || b(i) > '9') throw Bad
+        while (i < n && b(i) >= '0' && b(i) <= '9') i += 1
+      }
+    }
+
+    /** Validate a JSON string; when `build`, return its unescaped content.
+      * Fast path: no escapes → zero-copy slice over the input bytes. Slow
+      * path (escapes present): decode through a Java String so unicode
+      * escapes — including surrogate pairs and unpaired surrogates — take
+      * the exact same UTF-16 → UTF-8 route Jackson-fed rows take. */
+    private def str(build: Boolean): UTF8String = {
+      expect('"')
+      val start = i
+      var c: Int = 0
+      while (i < n && { c = b(i) & 0xff; c != '"' && c != '\\' }) {
+        if (c < 0x20) throw Bad
+        i += 1
+      }
+      if (i >= n) throw Bad
+      if (b(i) == '"') { // fast path
+        val out = if (build) UTF8String.fromBytes(b, start, i - start) else null
+        i += 1
+        return out
+      }
+      // slow path: saw a backslash; re-walk from `start` building chars
+      val sb = if (build) new java.lang.StringBuilder(32) else null
+      i = start
+      var runStart = i
+      def flushRun(): Unit =
+        if (build && i > runStart)
+          sb.append(new String(b, runStart, i - runStart, java.nio.charset.StandardCharsets.UTF_8))
+      while (true) {
+        if (i >= n) throw Bad
+        val ch = b(i) & 0xff
+        if (ch == '"') {
+          flushRun(); i += 1
+          return if (build) UTF8String.fromString(sb.toString) else null
+        } else if (ch == '\\') {
+          flushRun()
+          i += 1
+          if (i >= n) throw Bad
+          (b(i): @annotation.switch) match {
+            case '"' => if (build) sb.append('"'); i += 1
+            case '\\' => if (build) sb.append('\\'); i += 1
+            case '/' => if (build) sb.append('/'); i += 1
+            case 'b' => if (build) sb.append('\b'); i += 1
+            case 'f' => if (build) sb.append('\f'); i += 1
+            case 'n' => if (build) sb.append('\n'); i += 1
+            case 'r' => if (build) sb.append('\r'); i += 1
+            case 't' => if (build) sb.append('\t'); i += 1
+            case 'u' =>
+              i += 1
+              if (build) sb.append(hex4().toChar) else hex4()
+            case _ => throw Bad
+          }
+          runStart = i
+        } else if (ch < 0x20) throw Bad
+        else i += 1
+      }
+      null // unreachable
+    }
+
+    private def hex4(): Int = {
+      if (i + 4 > n) throw Bad
+      var v = 0
+      var k = 0
+      while (k < 4) {
+        val c = b(i)
+        val d =
+          if (c >= '0' && c <= '9') c - '0'
+          else if (c >= 'a' && c <= 'f') c - 'a' + 10
+          else if (c >= 'A' && c <= 'F') c - 'A' + 10
+          else throw Bad
+        v = (v << 4) | d
+        i += 1; k += 1
+      }
+      v
+    }
+  }
+}

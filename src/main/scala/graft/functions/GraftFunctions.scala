@@ -86,6 +86,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, s"video_meta expects 1 argument, got ${args.length}")
         VideoMeta(args.head)
+      }),
+    (FunctionIdentifier("cdc_envelope"),
+      new ExpressionInfo(classOf[CdcEnvelopeParse].getName, "cdc_envelope"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"cdc_envelope expects 1 argument, got ${args.length}")
+        CdcEnvelopeParse(args.head)
       }))
 
   /** Register on a live session (idempotent). */
