@@ -408,20 +408,22 @@ class PlanAuditSpec extends SparkSpec {
   test("cdc_route is one narrow stage: zero exchanges, no wide " +
     "operator, rules inside codegen") {
     // SURVEY §4's "single narrow stage" claim, pinned: parse → filter →
-    // route → passthrough must plan as a scan→filter→project chain with
-    // no exchange and no wide operator anywhere — the shape that runs
-    // one task per Kafka partition with zero data movement. The chain
-    // spans several WholeStageCodegen blocks (JsonToStructs is
-    // CodegenFallback, a Spark limitation that splits the span without
-    // breaking the task pipeline), so the audit pins narrowness, not
-    // the span count. executedPlan: with zero exchanges AQE never wraps
-    // the plan, and codegen stages only exist post-CollapseCodegenStages.
+    // route → passthrough must plan as a scan→project→generate chain
+    // with no exchange and no wide operator anywhere — the shape that
+    // runs one task per Kafka partition with zero data movement. The
+    // native cdc_envelope decode is codegen-resident (unlike the old
+    // JsonToStructs CodegenFallback) and the silent-drop is a 0-or-1
+    // Generate (per-row, narrow — a Filter here would be pushed through
+    // the parse projection and re-inline the decode per predicate; see
+    // Pipeline.forward). executedPlan: with zero exchanges AQE never
+    // wraps the plan, and codegen stages only exist
+    // post-CollapseCodegenStages.
     val df = CdcQueries.queries("cdc_route")(spark, sfDir)
     val plan = df.queryExecution.executedPlan
     val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
     assert(exchanges.isEmpty, s"cdc_route gained a shuffle:\n$plan")
     val narrow = Set("WholeStageCodegen", "InputAdapter", "Project",
-      "Filter", "ColumnarToRow", "Scan parquet", "FileScan")
+      "Filter", "Generate", "ColumnarToRow", "Scan parquet", "FileScan")
     val wide = plan.collect {
       case n if !narrow.exists(n.nodeName.contains(_)) => n.nodeName
     }
