@@ -42,6 +42,19 @@ object CdcQueries {
       Filter.dropDeletes(Parse.parse(Envelopes.fromEvents(s, dir)))
         .select("topic", "key", "op", "db", "tbl")),
 
+    // R2 through the SQL surface: the same decode expressed in pure
+    // spark.sql over the registered native cdc_envelope function
+    // (upgrades the E77 function-registry claim from test-only to
+    // oracle-checked — registry, SQL parsing, and the native kernel all
+    // sit on the compared path; the oracle is cdc_parse's own).
+    "cdc_parse_sql" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Envelopes.fromEvents(s, dir).createOrReplaceTempView("cdc_raw_sql")
+      s.sql("""SELECT topic, key, e.op AS op, e.db AS db, e.tbl AS tbl
+              |FROM (SELECT topic, key, cdc_envelope(value) AS e
+              |      FROM cdc_raw_sql)""".stripMargin)
+    }),
+
     // R2+R3+R4+R5: the full pipeline — parse, filter, ordered first-match
     // regex routing, silent drop on no-match, byte-identical passthrough.
     "cdc_route" -> ((s, dir) =>
@@ -259,6 +272,9 @@ object CdcQueries {
 
     "cdc_filter_deletes" ->
       s"$parsedCte SELECT topic, key, op, db, tbl FROM parsed WHERE op <> 'd'",
+
+    "cdc_parse_sql" ->
+      s"$parsedCte SELECT topic, key, op, db, tbl FROM parsed",
 
     "cdc_route" ->
       s"""$parsedCte
