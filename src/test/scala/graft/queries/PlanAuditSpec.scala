@@ -511,4 +511,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(scan.metadata("PushedFilters").contains("EqualTo(lang,en)"),
       s"filter lost under _metadata: ${scan.metadata("PushedFilters")}")
   }
+
+  test("no query's optimizer run multiplies an expensive expression " +
+      "(corpus-wide duplication audit)") {
+    // The pathology this pins: Catalyst pushes a Filter through a Project
+    // by INLINING the aliased expression into the predicate, so a filter
+    // over a derived column can re-materialize an expensive decode once
+    // per predicate occurrence — the route lane carried TEN copies of the
+    // envelope parse in its optimized plan (3× measured) until
+    // Pipeline.forward switched to a generator. This audit counts
+    // expensive-expression markers in every query's analyzed vs optimized
+    // plan and fails on any ≥2× multiplication, so the next
+    // filter-over-expensive-projection can't land silently anywhere in
+    // the 169-query surface. Plans only — nothing executes.
+    val markers = Seq("regexp_extract", "regexp_replace", "xxhash64",
+      "cdc_envelope", "from_json", "transform(", "aggregate(", "md5(",
+      "RLIKE", "split(", "sha2(")
+    def count(h: String, n: String): Int = {
+      var c = 0; var i = h.indexOf(n)
+      while (i >= 0) { c += 1; i = h.indexOf(n, i + 1) }
+      c
+    }
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val qe = fn(spark, sfDir).queryExecution
+        val an = qe.analyzed.toString
+        val op = qe.optimizedPlan.toString
+        markers.flatMap { m =>
+          val a = count(an, m); val o = count(op, m)
+          // ≥2× AND ≥3 extra sites: constant-folding can legitimately
+          // clone a marker once or twice (e.g. a literal split shared
+          // into two branches); systematic inlining shows up far above
+          // that.
+          if (o >= 2 * a.max(1) && o - a >= 3) Some(s"$name $m:$a->$o")
+          else None
+        }
+    }
+    assert(offenders.isEmpty,
+      s"optimizer multiplied expensive expressions:\n${offenders.mkString("\n")}")
+  }
 }
