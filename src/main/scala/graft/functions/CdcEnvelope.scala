@@ -40,6 +40,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - Number/object-valued fields keep their raw spelling (`1e3`, inner
   *    whitespace); engines that re-serialize may normalize. Fixture
   *    envelopes only carry string fields, so the gate is unaffected.
+  *  - One deliberate laxness beyond RFC 8259, copied from the oracle
+  *    engine: case-insensitive `nan`/`inf`/`infinity` literals with an
+  *    optional `-`, captured in DuckDB's canonical spelling (see
+  *    `numberish`). Everything else — `true`/`false`/`null` casing,
+  *    number grammar, escapes — stays strict.
   *
   * Accepts `string` or `binary` input — Kafka `value` bytes parse directly,
   * no cast-to-string copy on the hot path.
@@ -106,6 +111,9 @@ object CdcEnvelopeImpl {
   private val SourceKey = UTF8String.fromString("source")
   private val DbKey = UTF8String.fromString("db")
   private val TableKey = UTF8String.fromString("table")
+  private val NanStr = UTF8String.fromString("NaN")
+  private val InfStr = UTF8String.fromString("Infinity")
+  private val NegInfStr = UTF8String.fromString("-Infinity")
 
   def parse(s: UTF8String): InternalRow = parseBytes(s.getBytes)
 
@@ -164,16 +172,27 @@ object CdcEnvelopeImpl {
     def rootObject(): Unit = obj(capture = 0)
 
     /** Captured member value as the engines render it to string: JSON
-      * string → unescaped text, null → SQL NULL, anything else → raw span. */
+      * string → unescaped text, null → SQL NULL, non-standard nan/inf
+      * literals → DuckDB's canonical spelling, anything else → raw span. */
     private def fieldValue(): UTF8String = {
       if (i >= n) throw Bad
       b(i) match {
         case '"' => str(build = true)
-        case 'n' => literal("null"); null
-        case _ =>
+        // tryExact consumes "null" when (and only when) it matches; a
+        // bare 'n' that is NOT null falls through to the nan literal.
+        case 'n' if tryExact("null") => null
+        case '{' | '[' | 't' | 'f' =>
           val start = i
           skipValue()
           UTF8String.fromBytes(b, start, i - start)
+        case _ =>
+          val start = i
+          numberish() match {
+            case 0 => UTF8String.fromBytes(b, start, i - start)
+            case 1 => NanStr
+            case 2 => InfStr
+            case _ => NegInfStr
+          }
       }
     }
 
@@ -192,9 +211,8 @@ object CdcEnvelopeImpl {
           }
         case 't' => literal("true")
         case 'f' => literal("false")
-        case 'n' => literal("null")
-        case c if c == '-' || (c >= '0' && c <= '9') => number()
-        case _ => throw Bad
+        case 'n' if tryExact("null") => ()
+        case _ => numberish()
       }
     }
 
@@ -206,9 +224,55 @@ object CdcEnvelopeImpl {
       }
     }
 
-    /** RFC 8259: -?(0|[1-9][0-9]*)(\.[0-9]+)?([eE][+-]?[0-9]+)? */
-    private def number(): Unit = {
-      if (b(i) == '-') i += 1
+    /** Case-sensitive lookahead; consumes only on a full match. */
+    private def tryExact(s: String): Boolean = {
+      if (i + s.length > n) return false
+      var k = 0
+      while (k < s.length) {
+        if (b(i + k) != s.charAt(k)) return false
+        k += 1
+      }
+      i += s.length
+      true
+    }
+
+    /** Case-insensitive lookahead (ASCII letters only, `s` lowercase);
+      * consumes only on a full match. */
+    private def ciLiteral(s: String): Boolean = {
+      if (i + s.length > n) return false
+      var k = 0
+      while (k < s.length) {
+        if ((b(i + k) | 0x20) != s.charAt(k)) return false
+        k += 1
+      }
+      i += s.length
+      true
+    }
+
+    /** A number or a non-standard nan/inf literal. The gate's oracle
+      * engine (DuckDB's yyjson with inf-and-nan allowed) accepts
+      * case-insensitive `nan` / `inf` / `infinity` with an optional `-`
+      * (never `+`), extracting them as `NaN` / `Infinity` / `-Infinity`
+      * (`-nan` collapses to `NaN`) — adjudicated row-by-row in the
+      * cdc_parse_errors fixture. Spark's Jackson accepts the exact-case
+      * spellings too, so matching DuckDB keeps the native kernel no laxer
+      * than either engine anywhere the two overlap.
+      *
+      * @return 0 = standard number, 1 = NaN, 2 = Infinity, 3 = -Infinity
+      */
+    private def numberish(): Int = {
+      val neg = b(i) == '-'
+      if (neg) { i += 1; if (i >= n) throw Bad }
+      val c = b(i)
+      if (c == 'n' || c == 'N') { if (!ciLiteral("nan")) throw Bad; 1 }
+      else if (c == 'i' || c == 'I') {
+        if (!ciLiteral("infinity") && !ciLiteral("inf")) throw Bad
+        if (neg) 3 else 2
+      } else { numberBody(); 0 }
+    }
+
+    /** RFC 8259 after the optional sign: (0|[1-9][0-9]*)(\.[0-9]+)?([eE][+-]?[0-9]+)? */
+    private def numberBody(): Unit = {
       if (i >= n) throw Bad
       if (b(i) == '0') i += 1
       else if (b(i) >= '1' && b(i) <= '9') { while (i < n && b(i) >= '0' && b(i) <= '9') i += 1 }

@@ -22,6 +22,13 @@ object CdcQueries {
     * object lacking the declared fields (`{"x":1}`) so the Spark
     * corrupt-record predicate and the oracle's
     * `json_valid AND json_type = 'OBJECT'` are exercised on every branch.
+    *
+    * The second block stresses the native decoder's RFC 8259 strictness
+    * with DuckDB as the adjudicator (the oracle rebuilds these same rows,
+    * so `json_valid`'s verdict gates each one every round): leading-zero
+    * and bare-NaN numbers, trailing garbage, single-quoted strings —
+    * all invalid — against whitespace-padded, escape-bearing, non-object-
+    * `source`, and empty-object rows that must stay VALID.
     */
   private val badRows = Seq(
     ("flink-1", "bad-1", "{not json"),
@@ -29,7 +36,16 @@ object CdcQueries {
     ("flink-1", "bad-3", "[1,2"),
     ("flink-2", "bad-4", "[1,2]"),
     ("flink-1", "bad-5", "42"),
-    ("flink-2", "bad-6", "{\"x\":1}"))
+    ("flink-2", "bad-6", "{\"x\":1}"),
+    ("flink-1", "bad-7", "{\"op\":01}"),          // leading zero: invalid
+    ("flink-2", "bad-8", "{\"op\":NaN}"),         // non-standard literal: invalid
+    ("flink-1", "bad-9", "{\"op\":\"x\"}junk"),   // trailing garbage: invalid
+    ("flink-2", "bad-10", "{'op':'x'}"),          // single quotes: invalid
+    ("flink-1", "bad-11", "{\"op\":1.}"),         // bare fraction dot: invalid
+    ("flink-2", "bad-12", "  {\"a\":1}  "),       // padded object: VALID
+    ("flink-1", "bad-13", "{\"op\":\"\\u0041\"}"), // unicode escape: VALID
+    ("flink-2", "bad-14", "{\"source\":5}"),      // non-object source: VALID object
+    ("flink-1", "bad-15", "{}"))                  // empty object: VALID
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R2: projection-only decode of op/source.db/source.table.
@@ -263,8 +279,12 @@ object CdcQueries {
        |         json_extract_string(value, '$$.source.table') AS tbl
        |  FROM cdc)""".stripMargin
   private val routeCase = Routing.duckdbCase(rules, "topic", "db", "tbl")
+  // SQL-quote the planted values (single quotes doubled): rows like
+  // {'op':'x'} carry quotes that would otherwise break the VALUES list.
+  private def sqq(s: String) = s.replace("'", "''")
   private val badValues = badRows
-    .map { case (t, k, v) => s"('$t','$k','$v')" }.mkString(", ")
+    .map { case (t, k, v) => s"('${sqq(t)}','${sqq(k)}','${sqq(v)}')" }
+    .mkString(", ")
 
   val oracles: Map[String, String] = Map(
     "cdc_parse" ->
