@@ -81,6 +81,63 @@ object Tables {
         "outside [2000, 2100] — parquet timestamp encoding does not match " +
         "the loader's decode path (see Tables.events)")
   }
+
+  /** Full fixture-contract tripwire, run from Verify's preamble before any
+    * query: every silent assumption the query corpus makes about the
+    * driver-generated fixtures, asserted as a handful of cheap aggregates.
+    * The round-6 regression (17 queries red from a regenerated `events.ts`
+    * encoding, zero code change) is the failure class this converts into
+    * one loud, named error. Checked beyond the events decode:
+    *  - `orders.o_orderdate` years in [1990, 2010] (date-bracket queries
+    *    like Q4/Q6/Q14 silently go empty if the generator shifts eras);
+    *  - `documents.doc_id` unique, `text` non-null (dedup/fingerprint
+    *    oracles key on both);
+    *  - `documents` physical row order ≡ doc_id order — `_metadata
+    *    .row_index == doc_id - min(doc_id)` — the E159 provenance
+    *    oracle's load-bearing assumption (a regenerated fixture written
+    *    shuffled, or split into multiple files, must fail HERE, not as a
+    *    subtle provenance hash drift);
+    *  - `embeddings.embedding` one constant dimension (every similarity
+    *    kernel assumes aligned vectors).
+    */
+  def assertFixtureContract(spark: SparkSession, sfDir: String): Unit = {
+    assertEventsTsSane(spark, sfDir)
+
+    val Array(o) = orders(spark, sfDir)
+      .agg(min(year(col("o_orderdate"))).as("lo"),
+        max(year(col("o_orderdate"))).as("hi")).collect()
+    require(o.getInt(0) >= 1990 && o.getInt(1) <= 2010,
+      s"orders.o_orderdate sanity failed for $sfDir: year range " +
+        s"[${o.getInt(0)}, ${o.getInt(1)}] outside [1990, 2010]")
+
+    val docsBase = documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("_metadata.row_index").as("ri"))
+    val Array(d) = docsBase
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("doc_id")).as("nd"),
+        sum(when(col("text").isNull, 1).otherwise(0)).as("null_text"),
+        min(col("doc_id")).as("lo"))
+      .collect()
+    require(d.getLong(0) > 0 && d.getLong(0) == d.getLong(1),
+      s"documents.doc_id sanity failed for $sfDir: ${d.getLong(0)} rows, " +
+        s"${d.getLong(1)} distinct ids")
+    require(d.getLong(2) == 0,
+      s"documents.text sanity failed for $sfDir: ${d.getLong(2)} null texts")
+    val drift = docsBase
+      .agg(max(abs(col("ri") - (col("doc_id") - lit(d.getLong(3))))))
+      .head.getLong(0)
+    require(drift == 0,
+      s"documents physical-order sanity failed for $sfDir: row_index " +
+        s"drifts from doc_id order by up to $drift — the E159 " +
+        "provenance contract (row_index ≡ doc_id rank) no longer holds")
+
+    val Array(e) = embeddings(spark, sfDir)
+      .agg(countDistinct(size(col("embedding"))).as("dims"),
+        count(lit(1)).as("n")).collect()
+    require(e.getLong(1) > 0 && e.getLong(0) == 1,
+      s"embeddings dimension sanity failed for $sfDir: ${e.getLong(0)} " +
+        "distinct vector lengths (similarity kernels assume one)")
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = spark.read.parquet(s"$sfDir/documents.parquet")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = spark.read.parquet(s"$sfDir/embeddings.parquet")
 }

@@ -18,9 +18,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Fixture-contract tripwire: fail the whole run loudly if the events.ts
-    // decode doesn't match what's on disk (see Tables.assertEventsTsSane).
-    Tables.assertEventsTsSane(spark, sfDir)
+    // Fixture-contract tripwire: fail the whole run loudly if any silent
+    // fixture assumption broke — timestamp encoding, date era, doc-id
+    // density, physical row order, embedding dims (see
+    // Tables.assertFixtureContract; the round-6 regeneration regression
+    // is the failure class this catches).
+    Tables.assertFixtureContract(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

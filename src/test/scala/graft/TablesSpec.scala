@@ -54,4 +54,69 @@ class TablesSpec extends SparkSpec {
     for (sf <- Seq("sf0.001", "sf0.01"))
       Tables.assertEventsTsSane(spark, s"/root/testdata/$sf")
   }
+
+  test("full fixture contract passes on the driver fixtures") {
+    Tables.assertFixtureContract(spark, "/root/testdata/sf0.001")
+  }
+
+  /** A minimal valid fixture dir the contract accepts; each corruption
+    * test mutates one table and expects the matching named failure. */
+  private def miniFixture(): String = {
+    val dir = Files.createTempDirectory("graft-contract").toString
+    Seq((1L, Timestamp.valueOf("2024-02-01 10:00:00"), 7L, "click", 1.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Seq((10L, Timestamp.valueOf("1996-04-01 00:00:00")))
+      .toDF("o_orderkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma"))
+      .toDF("doc_id", "text")
+      .coalesce(1).sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((0L, Array(0.1f, 0.2f)), (1L, Array(0.3f, 0.4f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("contract trips on each planted fixture violation, by name") {
+    Tables.assertFixtureContract(spark, miniFixture()) // baseline valid
+
+    val shifted = miniFixture()
+    Seq((10L, Timestamp.valueOf("2024-04-01 00:00:00")))
+      .toDF("o_orderkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$shifted/orders.parquet")
+    val e1 = intercept[IllegalArgumentException] {
+      Tables.assertFixtureContract(spark, shifted)
+    }
+    assert(e1.getMessage.contains("o_orderdate sanity"))
+
+    val shuffled = miniFixture()
+    Seq((2L, "gamma"), (0L, "alpha"), (1L, "beta"))
+      .toDF("doc_id", "text")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$shuffled/documents.parquet")
+    val e2 = intercept[IllegalArgumentException] {
+      Tables.assertFixtureContract(spark, shuffled)
+    }
+    assert(e2.getMessage.contains("physical-order sanity"))
+
+    val dupIds = miniFixture()
+    Seq((0L, "alpha"), (0L, "beta"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dupIds/documents.parquet")
+    val e3 = intercept[IllegalArgumentException] {
+      Tables.assertFixtureContract(spark, dupIds)
+    }
+    assert(e3.getMessage.contains("doc_id sanity"))
+
+    val raggedDims = miniFixture()
+    Seq((0L, Array(0.1f, 0.2f)), (1L, Array(0.3f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$raggedDims/embeddings.parquet")
+    val e4 = intercept[IllegalArgumentException] {
+      Tables.assertFixtureContract(spark, raggedDims)
+    }
+    assert(e4.getMessage.contains("dimension sanity"))
+  }
 }
