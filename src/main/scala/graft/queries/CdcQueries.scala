@@ -76,6 +76,17 @@ object CdcQueries {
     "cdc_route" -> ((s, dir) =>
       Pipeline.route(Envelopes.fromEvents(s, dir), rules)),
 
+    // The typed Dataset facade over the same pipeline (upgrades the E64
+    // typed-API claim from test-only to oracle-checked): RawRecord →
+    // RoutedRecord encoders bracket the identical logical plan, and the
+    // cdc_route oracle pins that the encoder boundary costs nothing
+    // semantically.
+    "cdc_route_typed" -> ((s, dir) => {
+      import s.implicits._
+      Pipeline.routeTyped(
+        Envelopes.fromEvents(s, dir).as[CdcSchema.RawRecord]).toDF()
+    }),
+
     // R2-R5 under a multi-partition source — the shape a real Kafka
     // source delivers (one task per topic-partition). Oracle-identical
     // output proves routing is partition-invariant: no operator in the
@@ -302,6 +313,11 @@ object CdcQueries {
          |FROM parsed WHERE op <> 'd' AND ($routeCase) IS NOT NULL""".stripMargin,
 
     "cdc_route_par" ->
+      s"""$parsedCte
+         |SELECT $routeCase AS target_topic, key, value
+         |FROM parsed WHERE op <> 'd' AND ($routeCase) IS NOT NULL""".stripMargin,
+
+    "cdc_route_typed" ->
       s"""$parsedCte
          |SELECT $routeCase AS target_topic, key, value
          |FROM parsed WHERE op <> 'd' AND ($routeCase) IS NOT NULL""".stripMargin,

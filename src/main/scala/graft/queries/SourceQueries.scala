@@ -115,6 +115,32 @@ object SourceQueries {
       s.read.parquet(s"$out/compact")
     }),
 
+    // Bucketed co-located join through the real write path (upgrades the
+    // E54 bucketing claim from plan-audit-only to oracle-checked): both
+    // sides land as 8-bucket tables via saveAsTable, the join reads them
+    // back through the catalog, and the DuckDB oracle re-derives the same
+    // aggregate from the raw parquet — so bucket layout, catalog metadata,
+    // and the shuffle-free read path all sit on the compared hash.
+    // PlanAuditSpec separately pins that this physical shape has zero
+    // exchanges; this row pins that it computes the right answer.
+    "rel_bucketed_join" -> ((s, dir) => {
+      Materialize.once(s"bucketjoin:$dir", dir) { p =>
+        s.sql("DROP TABLE IF EXISTS graft_rbj_orders")
+        s.sql("DROP TABLE IF EXISTS graft_rbj_cust")
+        Tables.orders(s, dir).write.mode("overwrite").format("parquet")
+          .bucketBy(8, "o_custkey").option("path", s"$p/orders_b")
+          .saveAsTable("graft_rbj_orders")
+        Tables.customer(s, dir).write.mode("overwrite").format("parquet")
+          .bucketBy(8, "c_custkey").option("path", s"$p/cust_b")
+          .saveAsTable("graft_rbj_cust")
+      }
+      s.table("graft_rbj_orders")
+        .join(s.table("graft_rbj_cust"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+    }),
+
     // Batch twin of E114's idempotent foreachBatch sink
     // (StreamingPipeline.idempotentBatchWriter): three batches land,
     // then batch 1 REPLAYS — the restart-after-commit failure mode
@@ -162,6 +188,13 @@ object SourceQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "rel_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS total_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
     "docs_provenance" ->
       """SELECT doc_id, lang, 'documents.parquet' AS file_name,
         |       doc_id AS row_idx,
