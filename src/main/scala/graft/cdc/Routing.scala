@@ -58,39 +58,20 @@ object Routing {
            lit(r.targetTopic)).otherwise(noMatch)
     }
 
-  /** Per-executor compiled-pattern cache for rules-as-data regex matching.
-    * Catalyst's `RLike` only caches the compiled `Pattern` when the pattern
-    * side is foldable (a literal); a column-valued pattern recompiles per
-    * row — exactly the hand-optimization the reference keeps
-    * (`transform.rs:26-38` precompiles at config load). For the join
-    * formulation the pattern arrives as *data*, so a tiny scalar function
-    * with a shared compile cache is the honest fix (documented exception to
-    * the no-UDF rule; the rule count is small and bounded, so the cache is
-    * too).
-    */
-  private val patternCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
-
   /** Ordered first-match over an index-sorted candidate array in ONE
-    * scalar call: the per-row fold for [[targetViaJoin]]. A higher-order
-    * `filter` + a per-element regex UDF does the same thing but pays
-    * the interpreted-HOF machinery plus one UDF invocation per
-    * candidate; folding inside a single function keeps the early-exit
-    * loop in plain JVM code. Candidates are (rule_idx, regex, target)
-    * structs, already sorted by rule_idx.
+    * native expression call: the per-row fold for [[targetViaJoin]].
+    * Catalyst's `RLike` only caches the compiled `Pattern` when the
+    * pattern side is foldable (a literal); here the patterns arrive as
+    * *data*, so [[graft.functions.FirstMatch]] folds over the unsafe
+    * candidate array inside whole-stage codegen with a per-executor
+    * compiled-pattern cache — exactly the reference's
+    * compile-at-config-load discipline (`transform.rs:26-38`). This
+    * replaced the round-5 Scala-UDF formulation (the then-documented
+    * exception to the no-UDF rule): same semantics, no per-row `Seq[Row]`
+    * materialization, no codegen split.
     */
-  private val firstMatchCached =
-    udf { (tbl: String, cands: Seq[org.apache.spark.sql.Row]) =>
-      if (tbl == null || cands == null) null
-      else cands.iterator
-        .find { c =>
-          val p = c.getString(1)
-          p != null && patternCache
-            .computeIfAbsent(p, java.util.regex.Pattern.compile(_))
-            .matcher(tbl).find()
-        }
-        .map(_.getString(2)).orNull
-    }
+  private def firstMatchCached(tbl: Column, cands: Column): Column =
+    graft.functions.FirstMatch(tbl, cands)
 
   /** Join formulation for huge/dynamic (rules-as-data) rule sets: the
     * rules collapse to ONE candidate array per (topic, db) — tiny, even
@@ -114,9 +95,9 @@ object Routing {
     * per-executor compiled-pattern cache (one compile per pattern) and
     * only against the handful of candidates sharing the record's
     * (topic, db) — typically 1-3, vs. ALL rules for the `when`-chain
-    * default. The fold happens in ONE scalar call per record
-    * ([[firstMatchCached]] — a higher-order `filter` would pay the
-    * interpreted-HOF machinery plus a UDF invocation per candidate);
+    * default. The fold happens in ONE native-expression call per record
+    * ([[graft.functions.FirstMatch]], codegen-resident — a higher-order
+    * `filter` would pay the interpreted-HOF machinery per candidate);
     * [[targetExpr]] remains the default for small rule sets because
     * its `when` chain stays inside whole-stage codegen.
     */

@@ -92,6 +92,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, s"cdc_envelope expects 1 argument, got ${args.length}")
         CdcEnvelopeParse(args.head)
+      }),
+    (FunctionIdentifier("first_match"),
+      new ExpressionInfo(classOf[FirstMatch].getName, "first_match"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"first_match expects 2 arguments, got ${args.length}")
+        FirstMatch(args.head, args(1))
       }))
 
   /** Register on a live session (idempotent). */
