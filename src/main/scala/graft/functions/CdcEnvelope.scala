@@ -45,6 +45,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    optional `-`, captured in DuckDB's canonical spelling (see
   *    `numberish`). Everything else — `true`/`false`/`null` casing,
   *    number grammar, escapes — stays strict.
+  *  - String bytes pass through verbatim on the no-escape fast path:
+  *    the kernel does not re-validate UTF-8 (envelope payloads are the
+  *    forwarder's bytes, not ours to normalize), so an invalid-UTF-8
+  *    string that a re-decoding engine would reject or replace is
+  *    accepted here byte-for-byte. Nesting is capped at Jackson's
+  *    default 1000 levels so a crafted `[[[[…` bomb takes the malformed
+  *    route instead of a task-killing StackOverflowError.
   *
   * Accepts `string` or `binary` input — Kafka `value` bytes parse directly,
   * no cast-to-string copy on the hot path.
@@ -128,13 +135,30 @@ object CdcEnvelopeImpl {
       new GenericInternalRow(Array[Any](w.op, w.db, w.tbl, java.lang.Boolean.FALSE))
     } catch { case Bad => Malformed }
 
+  /** Nesting ceiling, matching Jackson's default StreamReadConstraints:
+    * the walker recurses per level, so without a cap a pathological
+    * `[[[[…` envelope would kill the task with a StackOverflowError
+    * instead of taking the malformed route — a total-function violation
+    * corrupt data at scale will eventually find. Spark's `from_json`
+    * corrupt-flags past the same depth; DuckDB (iterative yyjson) would
+    * accept deeper documents — a divergence that starts at nesting
+    * level 1001, far past anything an envelope legitimately contains.
+    */
+  private val MaxDepth = 1000
+
   // One mutable cursor per input; field captures land in op/db/tbl.
   private final class Walk(b: Array[Byte]) {
     var i = 0
     private val n = b.length
+    private var depth = 0
     var op: UTF8String = null
     var db: UTF8String = null
     var tbl: UTF8String = null
+
+    private def enter(): Unit = {
+      depth += 1
+      if (depth > MaxDepth) throw Bad
+    }
 
     def ws(): Unit = {
       while (i < n && (b(i) == ' ' || b(i) == '\t' || b(i) == '\n' || b(i) == '\r'))
@@ -150,8 +174,9 @@ object CdcEnvelopeImpl {
       * capture: 0 = root ("op", "source"), 1 = source ("db", "table"),
       * -1 = validate only. */
     private def obj(capture: Int): Unit = {
+      enter()
       expect('{'); ws()
-      if (i < n && b(i) == '}') { i += 1; return }
+      if (i < n && b(i) == '}') { i += 1; depth -= 1; return }
       while (true) {
         val key = str(build = true) // keys are short; decode handles escaped keys
         ws(); expect(':'); ws()
@@ -165,7 +190,7 @@ object CdcEnvelopeImpl {
         else skipValue()
         ws()
         if (i < n && b(i) == ',') { i += 1; ws() }
-        else { expect('}'); return }
+        else { expect('}'); depth -= 1; return }
       }
     }
 
@@ -202,12 +227,13 @@ object CdcEnvelopeImpl {
         case '"' => str(build = false)
         case '{' => obj(capture = -1)
         case '[' =>
+          enter()
           i += 1; ws()
-          if (i < n && b(i) == ']') { i += 1; return }
+          if (i < n && b(i) == ']') { i += 1; depth -= 1; return }
           while (true) {
             skipValue(); ws()
             if (i < n && b(i) == ',') { i += 1; ws() }
-            else { expect(']'); return }
+            else { expect(']'); depth -= 1; return }
           }
         case 't' => literal("true")
         case 'f' => literal("false")

@@ -91,6 +91,16 @@ class CdcEnvelopeSpec extends SparkSpec {
     assert(one("""{"x":1}""") == (null, null, null, false)) // valid object, no fields
   }
 
+  test("pathological nesting takes the malformed route, never a stack overflow") {
+    // The walker recurses per nesting level; past Jackson's default
+    // 1000-depth constraint the input is flagged malformed (the
+    // total-function contract: corrupt data must never kill a task).
+    def nested(depth: Int) = "{\"x\":" + ("[" * depth) + "1" + ("]" * depth) + "}"
+    assert(one(nested(900)) == (null, null, null, false))   // deep but legal
+    assert(one(nested(5000)) == (null, null, null, true))   // over the cap
+    assert(one("[" * 2000000) == (null, null, null, true))  // truncated bomb
+  }
+
   private val jsonStr: Gen[String] = for {
     n <- Gen.choose(0, 12)
     cs <- Gen.listOfN(n, Gen.frequency(
