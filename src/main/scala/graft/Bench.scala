@@ -100,7 +100,7 @@ object Bench {
     // micro-batch scheduling overhead and the driver-side feed, so it is
     // the conservative end of sustained throughput. -1 on any failure
     // (never fails the bench line).
-    val streamRps: Long = try {
+    val (streamRps, streamRpsMin): (Long, Long) = try {
       import spark.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       val rows = cdc.Envelopes.fromEvents(spark, sfDir)
@@ -121,6 +121,8 @@ object Bench {
         // harness. Best-of-two: a GC pause or background load in one
         // span must not understate sustained throughput (the route is
         // stateless, so re-feeding the same rows is a valid workload).
+        // BOTH spans are reported — best as the headline, min alongside
+        // it — so the quoted number always carries its variance.
         val (warm, timed) = rows.splitAt(math.max(1, rows.length / 10))
         stream.addData(warm)
         q.processAllAvailable()
@@ -131,10 +133,11 @@ object Bench {
           q.processAllAvailable()
           math.round(timed.length / ((System.nanoTime() - t0) / 1e9))
         }
-        math.max(span(), span())
+        val (a, b) = (span(), span())
+        (math.max(a, b), math.min(a, b))
       } finally q.stop()
-    } catch { case _: Throwable => -1L }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"rows_per_sec":$rps,"cdc_input_rows":$cdcInput,"streaming_route_rows_per_sec":$streamRps,"errors":$es,"sf":"$sfDir"}""")
+    } catch { case _: Throwable => (-1L, -1L) }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"rows_per_sec":$rps,"cdc_input_rows":$cdcInput,"streaming_route_rows_per_sec":$streamRps,"streaming_route_rows_per_sec_min":$streamRpsMin,"errors":$es,"sf":"$sfDir"}""")
     // Compact trailer: the driver keeps only the tail of stdout, and the
     // full line above can exceed that window. Repeat the headline totals
     // last so they always survive truncation (VERDICT r03 #3).

@@ -88,8 +88,14 @@ object Tables {
     * The round-6 regression (17 queries red from a regenerated `events.ts`
     * encoding, zero code change) is the failure class this converts into
     * one loud, named error. Checked beyond the events decode:
+    *  - session timezone is UTC (the events decode + oracle timestamp
+    *    compares assume it; an hours-level shift stays inside the year
+    *    brackets, so it gets its own assertion);
     *  - `orders.o_orderdate` years in [1990, 2010] (date-bracket queries
     *    like Q4/Q6/Q14 silently go empty if the generator shifts eras);
+    *  - `lineitem.l_shipdate` years in [1990, 2010] and `part.p_size` in
+    *    the generator's small-int range (same silent-empty hazard for
+    *    ship-date and size-bracket queries);
     *  - `documents.doc_id` unique, `text` non-null (dedup/fingerprint
     *    oracles key on both);
     *  - `documents` physical row order ≡ doc_id order — `_metadata
@@ -101,7 +107,34 @@ object Tables {
     *    kernel assumes aligned vectors).
     */
   def assertFixtureContract(spark: SparkSession, sfDir: String): Unit = {
+    // The events ts decode (and every DuckDB-oracle timestamp compare) is
+    // value-identical only under a UTC session; a non-UTC zone shifts all
+    // timestamps by hours — inside the century bracket below, so it must
+    // be asserted directly, not left as a builder-config convention.
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"session timeZone is '$tz', not UTC — Tables.events reads the " +
+        "fixture's naive parquet micros as session-zoned TimestampType, " +
+        "which is only correct under UTC (set it in the SparkSession builder)")
+
     assertEventsTsSane(spark, sfDir)
+
+    val Array(li) = lineitem(spark, sfDir)
+      .agg(min(year(col("l_shipdate"))).as("lo"),
+        max(year(col("l_shipdate"))).as("hi")).collect()
+    require(li.getInt(0) >= 1990 && li.getInt(1) <= 2010,
+      s"lineitem.l_shipdate sanity failed for $sfDir: year range " +
+        s"[${li.getInt(0)}, ${li.getInt(1)}] outside [1990, 2010] — " +
+        "date-bracket queries (Q6/Q14/Q20 shapes) would silently empty")
+
+    val Array(ps) = part(spark, sfDir)
+      .agg(min(col("p_size")).as("lo"), max(col("p_size")).as("hi")).collect()
+    require(ps.getInt(0) >= 0 && ps.getInt(0) <= 10 &&
+        ps.getInt(1) >= 20 && ps.getInt(1) <= 200,
+      s"part.p_size sanity failed for $sfDir: range " +
+        s"[${ps.getInt(0)}, ${ps.getInt(1)}] outside the generator's " +
+        "small-int contract (size-bracket queries like Q19/Q2 assume " +
+        "sizes populate [1, ~50])")
 
     val Array(o) = orders(spark, sfDir)
       .agg(min(year(col("o_orderdate"))).as("lo"),

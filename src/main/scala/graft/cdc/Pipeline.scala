@@ -38,13 +38,29 @@ object Pipeline {
     * WholeStageCodegen pass. (`array_compact` would read nicer but is
     * RuntimeReplaceable into an interpreted higher-order filter, which
     * drops the projection out of codegen — measured right back at 3×.)
+    *
+    * The routing expression is computed ONCE, in its own projection the
+    * generator consumes as a plain attribute. The naive
+    * `when(cond && target.isNotNull, array(target))` duplicates the
+    * whole regex CASE chain inside the generator (condition + value),
+    * and GenerateExec codegen has no subexpression elimination — plan
+    * inspection showed every RLIKE twice, i.e. forwarded rows paid the
+    * fold 2×. The delete check folds INTO the projected target
+    * (`WHEN op <> 'd' THEN <chain>`), so deletes short-circuit to NULL
+    * without touching a regex and the generator's only predicate is one
+    * null probe. CollapseProject leaves the alias alone (multi-referenced,
+    * non-cheap), and Project + Generate fuse into the same
+    * WholeStageCodegen span, so the extra projection is free.
     */
   private def forward(parsed: DataFrame, rules: Seq[TransformRule],
                       keep: Seq[String]): DataFrame = {
-    val target = Routing.targetExpr(rules, col("topic"), col("db"), col("tbl"))
+    val target = when(col("op") =!= lit("d"),
+      Routing.targetExpr(rules, col("topic"), col("db"), col("tbl")))
     parsed
+      .select(keep.map(col) :+ target.as("_route_target"): _*)
       .select(keep.map(col) :+
-        explode(when(col("op") =!= lit("d") && target.isNotNull, array(target))
+        explode(when(col("_route_target").isNotNull,
+          array(col("_route_target")))
           .otherwise(array().cast("array<string>"))).as("target_topic"): _*)
       .select(("target_topic" +: keep).map(col): _*)
   }

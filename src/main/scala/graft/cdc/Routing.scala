@@ -118,13 +118,19 @@ object Routing {
       parsed("topic") === ruleAgg("r_topic") && parsed("db") === ruleAgg("r_db"),
       "inner")
     // 0-or-1 explode rather than filter-on-derived-column: a Filter here
-    // would be pushed into the join output and re-run the first-match UDF
-    // once per occurrence (see Pipeline.forward for the measured cost of
-    // that shape on the when-chain path).
+    // would be pushed into the join output and re-run the first-match
+    // fold once per occurrence (see Pipeline.forward for the measured
+    // cost of that shape on the when-chain path). As in forward, the
+    // fold is projected ONCE and the generator consumes the attribute —
+    // GenerateExec has no subexpression elimination, so putting the
+    // first_match call in both the condition and the value would run it
+    // twice per row.
     val target = firstMatchCached(col("tbl"), col("cands"))
     joined
+      .select(dataCols.map(col) :+ target.as("_route_target"): _*)
       .select(dataCols.map(col) :+
-        explode(when(target.isNotNull, array(target))
+        explode(when(col("_route_target").isNotNull,
+          array(col("_route_target")))
           .otherwise(array().cast("array<string>"))).as("target_topic"): _*)
       .select((dataCols :+ "target_topic").map(col): _*)
   }

@@ -68,13 +68,40 @@ object FirstMatch {
       GraftBridge.expression(table), GraftBridge.expression(candidates)))
 }
 
-/** Static kernel. The pattern cache is bounded by the number of DISTINCT
-  * rule regexes (config-sized, not data-sized) per executor JVM.
+/** Static kernel. On the rules-as-config path the pattern cache holds one
+  * entry per DISTINCT rule regex (config-sized, validated fail-fast at
+  * load). But `first_match` is also SQL-registered, so candidates can be
+  * data-borne: the cache is therefore hard-capped, and a regex that fails
+  * to compile is DEFINED as matching nothing (the rule is skipped, the
+  * fold continues) rather than letting `PatternSyntaxException` kill the
+  * task row-by-row. Config-load validation still surfaces bad rule
+  * regexes eagerly; this only governs the raw SQL surface.
   */
 object FirstMatchImpl {
 
+  /** Cap on cached compiled patterns per executor JVM. Rule sets are
+    * orders of magnitude smaller; the cap only bites when adversarial
+    * data-borne regexes would otherwise grow the map without bound. Past
+    * the cap, unseen patterns compile per call (correct, slower) instead
+    * of evicting hot entries.
+    */
+  private val MaxCached = 4096
+
+  /** Cached verdict for a regex that does not compile. */
+  private val Invalid: AnyRef = new Object
+
   private val patterns =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  private def compiled(regex: String): AnyRef = {
+    val hit = patterns.get(regex)
+    if (hit != null) return hit
+    val v: AnyRef =
+      try java.util.regex.Pattern.compile(regex)
+      catch { case _: java.util.regex.PatternSyntaxException => Invalid }
+    if (patterns.size < MaxCached) patterns.putIfAbsent(regex, v)
+    v
+  }
 
   def eval(tbl: UTF8String, cands: ArrayData): UTF8String = {
     if (tbl == null || cands == null) return null
@@ -85,10 +112,12 @@ object FirstMatchImpl {
       if (!cands.isNullAt(i)) {
         val c = cands.getStruct(i, 3)
         val p = if (c.isNullAt(1)) null else c.getUTF8String(1)
-        if (p != null &&
-            patterns.computeIfAbsent(p.toString,
-              java.util.regex.Pattern.compile(_)).matcher(t).find()) {
-          return if (c.isNullAt(2)) null else c.getUTF8String(2)
+        if (p != null) {
+          compiled(p.toString) match {
+            case pat: java.util.regex.Pattern if pat.matcher(t).find() =>
+              return if (c.isNullAt(2)) null else c.getUTF8String(2)
+            case _ => () // no match, or uncompilable regex: skip this rule
+          }
         }
       }
       i += 1

@@ -26,8 +26,9 @@ object CdcQueries {
     * The second block stresses the native decoder's RFC 8259 strictness
     * with DuckDB as the adjudicator (the oracle rebuilds these same rows,
     * so `json_valid`'s verdict gates each one every round): leading-zero
-    * and bare-NaN numbers, trailing garbage, single-quoted strings —
-    * all invalid — against whitespace-padded, escape-bearing, non-object-
+    * numbers, trailing garbage, single-quoted strings — all invalid —
+    * against whitespace-padded, escape-bearing, bare-NaN (a non-standard
+    * literal both DuckDB and the native kernel accept), non-object-
     * `source`, and empty-object rows that must stay VALID.
     */
   private val badRows = Seq(
@@ -38,7 +39,7 @@ object CdcQueries {
     ("flink-1", "bad-5", "42"),
     ("flink-2", "bad-6", "{\"x\":1}"),
     ("flink-1", "bad-7", "{\"op\":01}"),          // leading zero: invalid
-    ("flink-2", "bad-8", "{\"op\":NaN}"),         // non-standard literal: invalid
+    ("flink-2", "bad-8", "{\"op\":NaN}"),         // non-standard literal: VALID (DuckDB/Jackson laxness)
     ("flink-1", "bad-9", "{\"op\":\"x\"}junk"),   // trailing garbage: invalid
     ("flink-2", "bad-10", "{'op':'x'}"),          // single quotes: invalid
     ("flink-1", "bad-11", "{\"op\":1.}"),         // bare fraction dot: invalid

@@ -123,19 +123,26 @@ object SourceQueries {
     // and the shuffle-free read path all sit on the compared hash.
     // PlanAuditSpec separately pins that this physical shape has zero
     // exchanges; this row pins that it computes the right answer.
+    // The catalog names carry a fingerprint of the fixture dir: the
+    // Materialize.once cache is keyed per dir, so dir-less global names
+    // would let a second fixture dir in the same JVM repoint the tables
+    // out from under the first dir's cached (skipped) build.
     "rel_bucketed_join" -> ((s, dir) => {
+      val tag = Integer.toHexString(dir.hashCode)
+      val ordersTbl = s"graft_rbj_orders_$tag"
+      val custTbl = s"graft_rbj_cust_$tag"
       Materialize.once(s"bucketjoin:$dir", dir) { p =>
-        s.sql("DROP TABLE IF EXISTS graft_rbj_orders")
-        s.sql("DROP TABLE IF EXISTS graft_rbj_cust")
+        s.sql(s"DROP TABLE IF EXISTS $ordersTbl")
+        s.sql(s"DROP TABLE IF EXISTS $custTbl")
         Tables.orders(s, dir).write.mode("overwrite").format("parquet")
           .bucketBy(8, "o_custkey").option("path", s"$p/orders_b")
-          .saveAsTable("graft_rbj_orders")
+          .saveAsTable(ordersTbl)
         Tables.customer(s, dir).write.mode("overwrite").format("parquet")
           .bucketBy(8, "c_custkey").option("path", s"$p/cust_b")
-          .saveAsTable("graft_rbj_cust")
+          .saveAsTable(custTbl)
       }
-      s.table("graft_rbj_orders")
-        .join(s.table("graft_rbj_cust"), col("o_custkey") === col("c_custkey"))
+      s.table(ordersTbl)
+        .join(s.table(custTbl), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"),
           sum(floor(col("o_totalprice") * 100).cast("long")).as("total_cents"))

@@ -125,7 +125,7 @@ object WindowQueries {
     "events_running_totals" ->
       """SELECT user_id, event_id,
         |       count(*) OVER w AS running_count,
-        |       sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS running_cents
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT) AS running_cents
         |FROM events
         |WINDOW w AS (PARTITION BY user_id
         |             ORDER BY CAST(ts AS TIMESTAMP), event_id

@@ -20,6 +20,7 @@ import graft.cdc.Config.KafkaConf
   * Option mapping from the reference:
   *  - `auto.offset.reset=earliest` (`kafka.rs:33`) → `startingOffsets=earliest`
   *  - consumer group (`kafka.rs:31`) → `kafka.group.id`
+  *  - `session.timeout.ms=6000` (`kafka.rs:34`) → `kafka.session.timeout.ms`
   *  - multi-topic subscribe (`kafka.rs:37-39`) → comma-joined `subscribe`
   *    (Spark's Kafka source UNION ALLs topics exactly like rdkafka)
   *  - producer `batch.size=10485760` / `message.timeout.ms=5000`
@@ -40,6 +41,33 @@ object KafkaIO {
       true
     } catch { case _: ClassNotFoundException => false }
 
+  /** The consumer-side option set, one entry per reference consumer
+    * config knob (`kafka.rs:30-39`). A pure map so the contract is
+    * assertable (KafkaIOSpec pins it byte-for-byte) even though the
+    * sandbox cannot construct a live Kafka relation; [[source]] applies
+    * it verbatim.
+    */
+  def sourceOptions(conf: KafkaConf): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> conf.bootstrapServers,          // kafka.rs:31
+    "kafka.group.id" -> conf.group,                              // kafka.rs:32
+    "kafka.session.timeout.ms" -> "6000",                        // kafka.rs:34
+    "subscribe" -> conf.bindings.mkString(","),                  // kafka.rs:37-39
+    "startingOffsets" -> "earliest")                             // kafka.rs:33
+
+  /** The producer-side option set (`kafka.rs:42-46`), pure for the same
+    * reason. rdkafka's single `message.timeout.ms=5000` bounds total
+    * delivery time; Kafka's Java producer expresses that as
+    * `delivery.timeout.ms` but REQUIRES delivery.timeout.ms >=
+    * linger.ms + request.timeout.ms at construction, so the 5000 ms
+    * budget maps to BOTH knobs here or the producer throws
+    * ConfigException before the first record.
+    */
+  def sinkOptions(conf: KafkaConf): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> conf.bootstrapServers,          // kafka.rs:42
+    "kafka.batch.size" -> "10485760",                            // kafka.rs:44
+    "kafka.request.timeout.ms" -> "4000",
+    "kafka.delivery.timeout.ms" -> "5000")                       // kafka.rs:43
+
   /** Streaming source over the configured topic bindings. Yields the
     * standard Kafka schema; [[graft.cdc.Parse.parse]] consumes
     * (topic, key, value) after a cast to string value.
@@ -47,10 +75,7 @@ object KafkaIO {
   def source(spark: SparkSession, conf: KafkaConf): DataFrame =
     spark.readStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", conf.bootstrapServers)
-      .option("kafka.group.id", conf.group)
-      .option("subscribe", conf.bindings.mkString(","))
-      .option("startingOffsets", "earliest")
+      .options(sourceOptions(conf))
       .load()
 
   /** Kafka sink writer for a routed stream carrying (target_topic, key,
@@ -63,13 +88,6 @@ object KafkaIO {
       .withColumnRenamed("target_topic", "topic")
       .writeStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", conf.bootstrapServers)
-      .option("kafka.batch.size", "10485760")
-      // Kafka requires delivery.timeout.ms >= linger.ms +
-      // request.timeout.ms at producer construction; rdkafka's single
-      // message.timeout.ms=5000 maps to BOTH knobs here or the
-      // producer throws ConfigException before the first record.
-      .option("kafka.request.timeout.ms", "4000")
-      .option("kafka.delivery.timeout.ms", "5000")
+      .options(sinkOptions(conf))
       .option("checkpointLocation", checkpointDir)
 }

@@ -69,6 +69,12 @@ class TablesSpec extends SparkSpec {
     Seq((10L, Timestamp.valueOf("1996-04-01 00:00:00")))
       .toDF("o_orderkey", "o_orderdate")
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((100L, Timestamp.valueOf("1996-06-01 00:00:00")))
+      .toDF("l_orderkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 5), (2L, 50))
+      .toDF("p_partkey", "p_size")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
     Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma"))
       .toDF("doc_id", "text")
       .coalesce(1).sortWithinPartitions("doc_id")
@@ -90,6 +96,24 @@ class TablesSpec extends SparkSpec {
       Tables.assertFixtureContract(spark, shifted)
     }
     assert(e1.getMessage.contains("o_orderdate sanity"))
+
+    val shipShifted = miniFixture()
+    Seq((100L, Timestamp.valueOf("2024-06-01 00:00:00")))
+      .toDF("l_orderkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$shipShifted/lineitem.parquet")
+    val eShip = intercept[IllegalArgumentException] {
+      Tables.assertFixtureContract(spark, shipShifted)
+    }
+    assert(eShip.getMessage.contains("l_shipdate sanity"))
+
+    val bigSizes = miniFixture()
+    Seq((1L, 1000), (2L, 5000))
+      .toDF("p_partkey", "p_size")
+      .write.mode("overwrite").parquet(s"$bigSizes/part.parquet")
+    val eSize = intercept[IllegalArgumentException] {
+      Tables.assertFixtureContract(spark, bigSizes)
+    }
+    assert(eSize.getMessage.contains("p_size sanity"))
 
     val shuffled = miniFixture()
     Seq((2L, "gamma"), (0L, "alpha"), (1L, "beta"))

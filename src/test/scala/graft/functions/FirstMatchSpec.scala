@@ -36,6 +36,21 @@ class FirstMatchSpec extends SparkSpec {
     assert(df.as[Option[String]].collect().toSet == Set(Some("hit"), None))
   }
 
+  test("uncompilable regex is defined as no-match, not a task kill") {
+    // first_match is SQL-registered, so regexes can be data-borne: a
+    // pattern that fails to compile must skip its rule (letting later
+    // rules still claim the row) instead of throwing per row. The config
+    // path still rejects bad regexes fail-fast at load (ConfigSpec).
+    val df = Seq("table_3").toDF("tbl")
+      .select(FirstMatch(col("tbl"), cands(
+        (0, "[unclosed", "bad"), (1, "table_[0-9]", "good"))).as("t"))
+    assert(df.as[String].head() == "good")
+    // all rules invalid -> NULL, same as no-match
+    val none = Seq("table_3").toDF("tbl")
+      .select(FirstMatch(col("tbl"), cands((0, "(?<", "bad"))).as("t"))
+    assert(none.as[Option[String]].head().isEmpty)
+  }
+
   test("survives codegen with fallback disabled; SQL-registered") {
     val keys = Seq("spark.sql.codegen.fallback", "spark.sql.codegen.factoryMode")
     val prev = keys.map(k => k -> spark.conf.getOption(k))

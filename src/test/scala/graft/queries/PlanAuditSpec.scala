@@ -116,8 +116,15 @@ class PlanAuditSpec extends SparkSpec {
       s"decontamination lost its broadcast join:\n$plan")
   }
 
-  test("bucketed co-located join plans without a shuffle exchange") {
+  // Parameterized over sf0.001 AND sf0.1: bucket-join planning can
+  // legitimately differ with file counts and relation sizes (bucket
+  // pruning, coalescing), so the zero-shuffle claim is pinned at both
+  // the iteration scale and the driver's bench scale (VERDICT r7 #3).
+  for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1"))
+  test(s"bucketed co-located join plans without a shuffle exchange ($dir)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+    val tag = Integer.toHexString(dir.hashCode)
+    val (ordersTbl, custTbl) = (s"graft_orders_b_$tag", s"graft_cust_b_$tag")
     val conf = spark.conf
     val prevThreshold = conf.get("spark.sql.autoBroadcastJoinThreshold")
     val prevAqe = conf.get("spark.sql.adaptive.enabled")
@@ -127,17 +134,17 @@ class PlanAuditSpec extends SparkSpec {
       conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       conf.set("spark.sql.adaptive.enabled", "false")
 
-      Tables.orders(spark, sfDir)
+      Tables.orders(spark, dir)
         .write.mode("overwrite").format("parquet")
         .bucketBy(8, "o_custkey")
-        .option("path", s"$tmp/orders_b").saveAsTable("graft_orders_b")
-      Tables.customer(spark, sfDir)
+        .option("path", s"$tmp/orders_b").saveAsTable(ordersTbl)
+      Tables.customer(spark, dir)
         .write.mode("overwrite").format("parquet")
         .bucketBy(8, "c_custkey")
-        .option("path", s"$tmp/cust_b").saveAsTable("graft_cust_b")
+        .option("path", s"$tmp/cust_b").saveAsTable(custTbl)
 
-      val joined = spark.table("graft_orders_b")
-        .join(spark.table("graft_cust_b"),
+      val joined = spark.table(ordersTbl)
+        .join(spark.table(custTbl),
           col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"), col("c_name"))
       val exchanges = joined.queryExecution.executedPlan.collect {
@@ -147,16 +154,27 @@ class PlanAuditSpec extends SparkSpec {
         s"bucketed join still shuffles:\n${joined.queryExecution.executedPlan}")
 
       // and it computes the same rows as the plain join
-      val expected = Tables.orders(spark, sfDir)
-        .join(Tables.customer(spark, sfDir),
+      val expected = Tables.orders(spark, dir)
+        .join(Tables.customer(spark, dir),
           col("o_custkey") === col("c_custkey"))
         .count()
       assert(joined.count() == expected && expected > 0)
+
+      // The production rel_bucketed_join query (the oracle-checked path
+      // through saveAsTable + catalog read-back + groupBy) may shuffle
+      // exactly once — for its aggregation — never for the join.
+      val prod = SourceQueries.queries("rel_bucketed_join")(spark, dir)
+      val prodExchanges = prod.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(prodExchanges.size <= 1,
+        s"rel_bucketed_join's join shuffles at $dir:\n" +
+          prod.queryExecution.executedPlan)
     } finally {
       conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       conf.set("spark.sql.adaptive.enabled", prevAqe)
-      spark.sql("DROP TABLE IF EXISTS graft_orders_b")
-      spark.sql("DROP TABLE IF EXISTS graft_cust_b")
+      spark.sql(s"DROP TABLE IF EXISTS $ordersTbl")
+      spark.sql(s"DROP TABLE IF EXISTS $custTbl")
     }
   }
 
