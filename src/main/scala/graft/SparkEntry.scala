@@ -25,12 +25,12 @@ object SparkEntry {
       TextQueries.queries ++ MultimodalQueries.queries ++ WindowQueries.queries ++
       RelationalQueries.queries ++ AdvancedQueries.queries ++
       CurationQueries.queries ++ AnalyticsQueries.queries ++
-      SourceQueries.queries
+      SourceQueries.queries ++ RetrievalQueries.queries
 
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
       TextQueries.oracles ++ MultimodalQueries.oracles ++ WindowQueries.oracles ++
       RelationalQueries.oracles ++ AdvancedQueries.oracles ++
       CurationQueries.oracles ++ AnalyticsQueries.oracles ++
-      SourceQueries.oracles
+      SourceQueries.oracles ++ RetrievalQueries.oracles
 }

@@ -1,0 +1,65 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact duplicated-substring detection (the Lee et al. 2021
+  * "Deduplicating Training Data Makes Language Models Better" exact
+  * n-gram-span tier): find every token position whose n-gram also
+  * occurs in ANOTHER document, then merge overlapping/adjacent
+  * duplicated n-grams into maximal spans per document. Complements the
+  * document-level tiers (E1 exact, E2/E3 near) and the line-level chunk
+  * grid (E137) with sub-document span granularity — the form used to
+  * CUT duplicated passages out of kept documents rather than drop the
+  * documents.
+  *
+  * Scale design: the n-grams are built scan-side with `transform` over
+  * the token array (codegen, no shuffle, no explode-then-window); the
+  * duplicate-frequency aggregation groups by md5(gram) so the shuffle
+  * carries a fixed-width 32-hex key instead of n-token strings (the
+  * same 128-bit content-key argument as exact dedup E1 — collision
+  * probability ~(G²/2^129) is negligible at any corpus size). Span
+  * merging is a per-document gaps-and-islands window — partitioned by
+  * doc, never global.
+  */
+object SpanDedup {
+
+  /** (doc_id, span_start, span_end, span_tokens) for every maximal
+    * duplicated span: positions are 0-based token offsets, spans are
+    * closed intervals, and two duplicated n-grams chain into one span
+    * when their start positions differ by ≤ n (overlap or touch).
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, minDocs: Int): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(ws) - $n), i -> " +
+          s"named_struct('pos', i, 'gh', md5(array_join(slice(ws, i + 1, $n), ' '))))"))
+        .as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
+    // Grams repeated WITHIN one doc don't make it "duplicated" — the
+    // signal is cross-document, hence count(DISTINCT doc).
+    val dup = grams.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("gh")
+    val hits = grams.join(dup, "gh").select("doc_id", "pos")
+    // Gaps-and-islands: a new island starts when the previous
+    // duplicated gram is more than n positions back (its span can no
+    // longer overlap or touch this one).
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= n, lit(0)).otherwise(lit(1)))
+      .withColumn("isl",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "isl")
+      .agg(min(col("pos")).as("span_start"), max(col("pos")).as("max_pos"))
+      .select(col("doc_id"),
+        col("span_start"),
+        (col("max_pos") + lit(n - 1)).as("span_end"),
+        (col("max_pos") + lit(n) - col("span_start")).as("span_tokens"))
+  }
+}

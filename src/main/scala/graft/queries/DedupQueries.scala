@@ -126,7 +126,25 @@ object DedupQueries {
         .select(col("doc_id").as("id"),
           graft.functions.SimHash60(col("text")).as("simhash"))
       Dedup.simhashPairs(sh, "id", "simhash", MaxHamming)
-    }))
+    }),
+
+    // E164: exact duplicated-substring spans (the Lee et al. 2021
+    // sub-document tier): maximal token spans whose every n-gram also
+    // appears in another document — the granularity used to CUT
+    // duplicated passages out of kept documents. Grams are built
+    // scan-side (transform over the token array, no explode+window),
+    // the frequency shuffle carries md5(gram) keys, and span merging
+    // is a per-document gaps-and-islands window.
+    "docs_dup_spans" -> ((s, dir) =>
+      graft.ext.SpanDedup.duplicatedSpans(
+        Tables.documents(s, dir), "doc_id", "text", SpanN, 2)))
+
+  /** Span-dedup n-gram width. 8 word-grams: long enough that the
+    * fixture's background bag-of-words text almost never collides by
+    * chance, short enough that the planted near-dup pairs (≥0.96
+    * similarity) produce real shared spans.
+    */
+  val SpanN = 8
 
   // -------------------------------------------------------------------
   // DuckDB oracles
@@ -258,5 +276,30 @@ object DedupQueries {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming""".stripMargin)
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming""".stripMargin,
+
+    // Mirrors SpanDedup.duplicatedSpans: same md5 gram key, same
+    // cross-document distinct-count cut, same ≤ n island chaining.
+    "docs_dup_spans" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |g AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+         |             md5(array_to_string(ws[u.i + 1 : u.i + $SpanN], ' ')) AS gh
+         |      FROM d, unnest(generate_series(0, len(ws) - $SpanN)) AS u(i)),
+         |dup AS (SELECT gh FROM (
+         |          SELECT gh, count(DISTINCT doc_id) AS nd FROM g GROUP BY gh)
+         |        WHERE nd >= 2),
+         |h AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+         |m AS (SELECT doc_id, pos,
+         |        CASE WHEN pos - lag(pos) OVER
+         |               (PARTITION BY doc_id ORDER BY pos) <= $SpanN
+         |             THEN 0 ELSE 1 END AS brk
+         |      FROM h),
+         |i AS (SELECT doc_id, pos,
+         |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |                       ROWS UNBOUNDED PRECEDING) AS isl
+         |      FROM m)
+         |SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+         |       CAST(max(pos) + ${SpanN - 1} AS INTEGER) AS span_end,
+         |       CAST(max(pos) + $SpanN - min(pos) AS INTEGER) AS span_tokens
+         |FROM i GROUP BY doc_id, isl""".stripMargin)
 }

@@ -14,16 +14,16 @@ import graft.ext.{Similarity, Srp}
   */
 object SimilarityQueries {
 
-  private val NumQueries = 10 // vec_id < 10 are the query set
+  private[queries] val NumQueries = 10 // vec_id < 10 are the query set
   private val EmbDim = 64     // fixture embedding dimensionality
-  private val K = 5           // brute-force top-k
+  private[queries] val K = 5           // brute-force top-k
   private val KIvf = 3        // per-cell top-k
   private val NearDupThreshold = 0.4
   private val KmeansIters = 2 // Lloyd rounds for emb_kmeans_iter
   private val PqSubspaces = 4 // PQ: M subspaces ...
   private val PqSubDim = EmbDim / PqSubspaces // ... of 16 dims each
 
-  private def corpus(s: SparkSession, dir: String): DataFrame =
+  private[queries] def corpus(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).select(
       col("vec_id").as("id"), col("label").as("part"),
       Similarity.toDouble(col("embedding")).as("vec"))
@@ -149,11 +149,11 @@ object SimilarityQueries {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (p, q) -> p + q)"
 
-  private def cosSql(a: String, b: String): String =
+  private[queries] def cosSql(a: String, b: String): String =
     s"""(CASE WHEN (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) = 0 THEN 0.0
        |ELSE ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END)""".stripMargin
 
-  private val embCte =
+  private[queries] val embCte =
     "WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
 
   /** SRP signature CTE: regenerates Srp.planes' md5 Rademacher matrix

@@ -183,7 +183,73 @@ object TextQueries {
         .select(col("event_id"),
           array_join(sort_array(map_keys(col("m"))), ",").as("keys_csv"),
           try_element_at(col("m"), lit("k")).as("k_val"),
-          size(col("m")).cast("long").as("n_keys"))))
+          size(col("m")).cast("long").as("n_keys"))),
+
+    // E165: interpolated bigram language-model scoring — the KenLM-ish
+    // fluency/perplexity quality signal (per-doc mean log probability
+    // under a corpus-trained bigram model with unigram add-one
+    // backoff). Complements E115's unigram score with word-ORDER
+    // sensitivity: shuffled boilerplate scores low even when its
+    // unigram profile looks normal. One window pass builds the doc
+    // bigrams (materialized — it feeds BOTH the count training and the
+    // scoring join, the TF-IDF double-eval lesson); model tables are
+    // aggregates joined back broadcast-small.
+    "docs_bigram_lm" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val bg = toks
+        .withColumn("w2", lead(col("w"), 1).over(w))
+        .filter(col("w2").isNotNull)
+        .select("doc_id", "w", "w2")
+        .localCheckpoint(false)
+      val uni = toks.groupBy("w").agg(count(lit(1)).as("cu"))
+      val tot = uni.agg(sum(col("cu")).as("t"), count(lit(1)).as("v"))
+      val bgc = bg.groupBy("w", "w2").agg(count(lit(1)).as("cb"))
+      val p =
+        lit(BigramLambda) * (col("cb").cast("double") / col("cu1").cast("double")) +
+          lit(BigramOneMinus) *
+            ((col("cu2") + lit(1L)).cast("double") / (col("t") + col("v")).cast("double"))
+      bg.join(bgc, Seq("w", "w2"))
+        .join(uni.select(col("w"), col("cu").as("cu1")), Seq("w"))
+        .join(uni.select(col("w").as("w2"), col("cu").as("cu2")), Seq("w2"))
+        .crossJoin(broadcast(tot)) // 1-row model-size attach
+        .select(col("doc_id"), log(p).as("lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(col("lp")), 6).as("avg_logprob"))
+    }),
+
+    // E166: linear quality classifier — a fastText-style logistic
+    // gate over the engine's own per-doc features (type-token ratio,
+    // stopword ratio, mean token length, token count) with FIXED
+    // published weights. The point is the serving shape: model
+    // application is one narrow codegen projection per row (no UDF, no
+    // shuffle), exactly how a trained filter deploys over 100 TB.
+    "docs_quality_logreg" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val ntok = size(toks).cast("double")
+      val ttr = size(array_distinct(toks)).cast("double") / ntok
+      val z = lit(LrBias) +
+        lit(LrWTtr) * ttr +
+        lit(LrWStop) * TextOps.stopwordRatio(toks) +
+        lit(LrWLen) * TextOps.meanTokenLen(toks) +
+        lit(LrWNtok) * ntok
+      val score = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+      Tables.documents(s, dir).select(col("doc_id"), score.as("score"),
+        (score >= lit(0.5)).as("keep"))
+    }))
+
+  // Bigram LM interpolation weight (λ·bigram + (1−λ)·smoothed unigram).
+  // Written as two literals so both engines add the SAME doubles.
+  private val BigramLambda = 0.7
+  private val BigramOneMinus = 0.3
+  // Logistic-gate weights: fixed "published model" coefficients.
+  private val LrBias = -1.5
+  private val LrWTtr = 0.8
+  private val LrWStop = 1.2
+  private val LrWLen = 0.05
+  private val LrWNtok = 0.002
 
   // -------------------------------------------------------------------
   // DuckDB oracles
@@ -337,5 +403,74 @@ object TextQueries {
         |       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
         |            AS BIGINT) AS min_k,
         |       count(*) AS n_missing_null
-        |FROM events GROUP BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // Mirrors docs_bigram_lm expression for expression: same cast
+    // points, same literal order (0.7/0.3 written separately, never
+    // 1 − λ at query time), ln applied to the identical double.
+    "docs_bigram_lm" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |t AS (SELECT doc_id, i AS pos, ws[CAST(i AS INTEGER)] AS w
+        |      FROM d, unnest(generate_series(1, len(ws))) AS u(i)),
+        |bgx AS (SELECT doc_id, w, lead(w) OVER
+        |          (PARTITION BY doc_id ORDER BY pos) AS w2
+        |        FROM t),
+        |b AS (SELECT doc_id, w, w2 FROM bgx WHERE w2 IS NOT NULL),
+        |uni AS (SELECT w, count(*) AS cu FROM t GROUP BY w),
+        |tot AS (SELECT sum(cu) AS t, count(*) AS v FROM uni),
+        |bgc AS (SELECT w, w2, count(*) AS cb FROM b GROUP BY w, w2),
+        |sc AS (SELECT b.doc_id,
+        |         ln(CAST(0.7 AS DOUBLE)
+        |              * (CAST(bgc.cb AS DOUBLE) / CAST(u1.cu AS DOUBLE))
+        |            + CAST(0.3 AS DOUBLE)
+        |              * (CAST(u2.cu + 1 AS DOUBLE)
+        |                 / CAST(tot.t + tot.v AS DOUBLE))) AS lp
+        |       FROM b JOIN bgc USING (w, w2)
+        |            JOIN uni u1 ON u1.w = b.w
+        |            JOIN uni u2 ON u2.w = b.w2
+        |            CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logprob
+        |FROM sc GROUP BY doc_id""".stripMargin,
+
+    // Mirrors docs_quality_logreg: the feature fragments are the SAME
+    // SQL as docs_text_stats' columns (so the features cannot drift
+    // from their standalone oracle), the weight chain is added in
+    // declaration order, and `keep` compares the ROUNDED score.
+    "docs_quality_logreg" ->
+      s"""$docsCte
+         |SELECT doc_id,
+         |       round(1.0 / (1.0 + exp(-(
+         |         CAST($LrBias AS DOUBLE)
+         |         + CAST($LrWTtr AS DOUBLE) *
+         |             (CAST(len(list_distinct(ws)) AS DOUBLE)
+         |              / CAST(len(ws) AS DOUBLE))
+         |         + CAST($LrWStop AS DOUBLE) * $stopRatioSql
+         |         + CAST($LrWLen AS DOUBLE) * $meanLenSql
+         |         + CAST($LrWNtok AS DOUBLE) * CAST(len(ws) AS DOUBLE)))), 6)
+         |         AS score,
+         |       round(1.0 / (1.0 + exp(-(
+         |         CAST($LrBias AS DOUBLE)
+         |         + CAST($LrWTtr AS DOUBLE) *
+         |             (CAST(len(list_distinct(ws)) AS DOUBLE)
+         |              / CAST(len(ws) AS DOUBLE))
+         |         + CAST($LrWStop AS DOUBLE) * $stopRatioSql
+         |         + CAST($LrWLen AS DOUBLE) * $meanLenSql
+         |         + CAST($LrWNtok AS DOUBLE) * CAST(len(ws) AS DOUBLE)))), 6)
+         |         >= 0.5 AS keep
+         |FROM d""".stripMargin)
+
+  /** Stopword-ratio / mean-token-length fragments shared with the
+    * docs_text_stats oracle shape (guarded CASE, same cast points).
+    */
+  private def stopRatioSql: String =
+    s"""(CASE WHEN len(ws) > 0
+       |      THEN CAST(len(list_filter(ws, t -> t IN $stopIn)) AS DOUBLE)
+       |           / CAST(len(ws) AS DOUBLE)
+       |      ELSE 0.0 END)""".stripMargin
+
+  private def meanLenSql: String =
+    """(CASE WHEN len(ws) > 0
+      |      THEN CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE)
+      |           / CAST(len(ws) AS DOUBLE)
+      |      ELSE 0.0 END)""".stripMargin
 }

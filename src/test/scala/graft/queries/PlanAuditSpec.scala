@@ -99,6 +99,22 @@ class PlanAuditSpec extends SparkSpec {
       s"interpreted HOF found in the scoring plan:\n$plan")
   }
 
+  test("docs_bm25 scores in ONE token pass: no shuffle join, bounded " +
+      "exchanges") {
+    val df = RetrievalQueries.queries("docs_bm25")(spark, sfDir)
+    val plan = df.queryExecution.sparkPlan
+    val text = plan.toString
+    // the one-pass design has no doc-keyed join at all — stats ride a
+    // 1-row broadcast attach; a rewrite that reintroduces the tf×dl
+    // join shape would show up as a shuffle join here
+    assert(!text.contains("SortMergeJoin") && !text.contains("ShuffledHashJoin"),
+      s"BM25 gained a shuffle join:\n$text")
+    // exactly: per-doc token agg, 1-row stats agg, global rank window
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size <= 3,
+      s"BM25 exchange count grew to ${exchanges.size}:\n$text")
+  }
+
   test("docs_bigrams derives adjacency without a window sort") {
     // the positional pair projection replaced a lead() window; a
     // regression back would reintroduce Window + Sort before the count
