@@ -200,11 +200,18 @@ object Similarity {
     * the codegen'd cosine, keep the argmax. Output:
     * (id, part, assigned, cos).
     */
-  def assignToNearest(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    // long form -> one array per cell, dims ordered
-    val centVecs = cents.groupBy(col("part").as("cpart"))
+  /** Long-form centroids (part, dim, c) → one (cpart, cvec) array row
+    * per cell, dims ordered — the broadcastable form every
+    * centroid-probing consumer (assignment, multi-probe search) uses.
+    */
+  def centroidVectors(cents: DataFrame): DataFrame =
+    cents.groupBy(col("part").as("cpart"))
       .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
       .select(col("cpart"), transform(col("dc"), x => x.getField("c")).as("cvec"))
+
+  def assignToNearest(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    // long form -> one array per cell, dims ordered
+    val centVecs = centroidVectors(cents)
     val scored = vecs.join(broadcast(centVecs))
       .select(col("id"), col("part"), col("cpart"),
         cosine(col("vec"), col("cvec")).as("score"))

@@ -139,7 +139,56 @@ object SimilarityQueries {
     // comparison.
     "emb_srp_pairs" -> ((s, dir) =>
       Srp.nearDupPairs(
-        corpus(s, dir).select(col("id"), col("vec")), EmbDim, NearDupThreshold)))
+        corpus(s, dir).select(col("id"), col("vec")), EmbDim, NearDupThreshold)),
+
+    // E167: multi-probe IVF top-k — each query searches its TOP-2
+    // nearest cells (by centroid cosine) instead of one, the standard
+    // recall lever for a cell-partitioned index (a query near a cell
+    // boundary misses neighbors just across it under single-probe).
+    // Probes reuse topKWithinPartition verbatim: two (qid, cell) probe
+    // rows per query pool their candidates in the same bounded-heap
+    // aggregation, so the plan is one broadcast of the probe list and
+    // one cell-keyed join — candidate work is 2 cells per query, never
+    // the corpus.
+    "emb_topk_mprobe" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val cvecs = Similarity.centroidVectors(Similarity.centroids(c))
+      val q = c.filter(col("id") < NumQueries)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      val pc = q.crossJoin(broadcast(cvecs)) // cells × queries: bounded
+        .select(col("qid"), col("qvec"), col("cpart"),
+          Similarity.cosine(col("qvec"), col("cvec")).as("cs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cs").desc, col("cpart"))
+      val probes = pc.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= MProbe)
+        .select(col("qid"), col("cpart").as("part"), col("qvec"))
+      Similarity.topKWithinPartition(c, probes, K)
+    }),
+
+    // E168: semantic decontamination — the embedding twin of E69's
+    // n-gram decontam (SemDeDup/embedding-overlap style): flag corpus
+    // vectors whose max cosine against the BENCHMARK/eval set crosses
+    // the near-dup line. The eval set is small by definition, so the
+    // scale shape is exact: broadcast the eval vectors, score map-side
+    // in the corpus scan, per-id max partial-aggregates before the
+    // only shuffle.
+    "emb_semantic_decontam" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val ev = c.filter(col("id") < EvalN).select(col("vec").as("evec"))
+      c.filter(col("id") >= EvalN)
+        .crossJoin(broadcast(ev))
+        .select(col("id"), Similarity.cosine(col("evec"), col("vec")).as("cs"))
+        .groupBy("id").agg(max(col("cs")).as("mc"))
+        .select(col("id").as("vec_id"), round(col("mc"), 6).as("max_cos"),
+          (col("mc") >= lit(DecontamThr)).as("contaminated"))
+    }))
+
+  private val MProbe = 2   // cells probed per query in emb_topk_mprobe
+  private val EvalN = 25   // vec_id < 25 play the benchmark/eval set
+  // 0.4 = the corpus' near-dup line (emb_neardup/emb_semdedup); fixture
+  // background max-cos sits at ~0.37 (p97), planted dups near 0.49.
+  private val DecontamThr = 0.4
 
   // -------------------------------------------------------------------
   // DuckDB oracles
@@ -352,5 +401,43 @@ object SimilarityQueries {
          |SELECT c.id_a, c.id_b, round(${cosSql("ea.v", "eb.v")}, 6) AS cos
          |FROM cand c JOIN e ea ON c.id_a = ea.vec_id
          |            JOIN e eb ON c.id_b = eb.vec_id
-         |WHERE round(${cosSql("ea.v", "eb.v")}, 6) >= $NearDupThreshold""".stripMargin)
+         |WHERE round(${cosSql("ea.v", "eb.v")}, 6) >= $NearDupThreshold""".stripMargin,
+
+    // Same trained-centroid CTE as emb_kmeans_assign; the probe list is
+    // the top-2 centroid ranking per query, candidates pool both cells.
+    "emb_topk_mprobe" ->
+      s"""$embCte,
+         |x AS (SELECT label, CAST(i - 1 AS INTEGER) AS dim, v[CAST(i AS INTEGER)] AS val
+         |      FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+         |cent AS (SELECT label AS cpart, dim, round(sum(val) / count(*), 6) AS c
+         |         FROM x GROUP BY label, dim),
+         |cvecs AS (SELECT cpart, list(c ORDER BY dim) AS cvec FROM cent GROUP BY cpart),
+         |q AS (SELECT * FROM e WHERE vec_id < $NumQueries),
+         |pc AS (SELECT q.vec_id AS qid, cv.cpart, ${cosSql("q.v", "cv.cvec")} AS cs
+         |       FROM q CROSS JOIN cvecs cv),
+         |pr AS (SELECT qid, cpart,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cpart) AS rn
+         |       FROM pc),
+         |probes AS (SELECT qid, cpart FROM pr WHERE rn <= $MProbe),
+         |sc AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |              ${cosSql("q.v", "e.v")} AS score
+         |       FROM q JOIN probes p ON p.qid = q.vec_id
+         |              JOIN e ON e.label = p.cpart AND e.vec_id <> q.vec_id),
+         |r AS (SELECT query_id, neighbor_id, score,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY score DESC, neighbor_id) AS rank
+         |      FROM sc)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+         |       round(score, 6) AS cos
+         |FROM r WHERE rank <= $K""".stripMargin,
+
+    "emb_semantic_decontam" ->
+      s"""$embCte,
+         |ev AS (SELECT v FROM e WHERE vec_id < $EvalN),
+         |corp AS (SELECT vec_id, v FROM e WHERE vec_id >= $EvalN),
+         |s AS (SELECT corp.vec_id, max(${cosSql("ev.v", "corp.v")}) AS mc
+         |      FROM corp CROSS JOIN ev GROUP BY corp.vec_id)
+         |SELECT vec_id, round(mc, 6) AS max_cos,
+         |       mc >= CAST($DecontamThr AS DOUBLE) AS contaminated
+         |FROM s""".stripMargin)
 }

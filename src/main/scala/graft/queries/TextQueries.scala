@@ -190,20 +190,31 @@ object TextQueries {
     // under a corpus-trained bigram model with unigram add-one
     // backoff). Complements E115's unigram score with word-ORDER
     // sensitivity: shuffled boilerplate scores low even when its
-    // unigram profile looks normal. One window pass builds the doc
-    // bigrams (materialized — it feeds BOTH the count training and the
-    // scoring join, the TF-IDF double-eval lesson); model tables are
-    // aggregates joined back broadcast-small.
+    // unigram profile looks normal. Adjacency is a scan-side positional
+    // pair projection (the docs_bigrams doctrine — no per-doc window
+    // sort, no shuffle before the counts); re-evaluating it for the
+    // scoring join is a narrow re-scan, so nothing is checkpointed.
+    // Model tables are vocabulary-sized aggregates joined back in.
     "docs_bigram_lm" -> ((s, dir) => {
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val bg = toks
-        .withColumn("w2", lead(col("w"), 1).over(w))
-        .filter(col("w2").isNotNull)
-        .select("doc_id", "w", "w2")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      // bg feeds BOTH the count training and the scoring join; uni
+      // feeds the w1/w2 probability joins AND the model-size total —
+      // lazy localCheckpoint each once so neither multi-consumer
+      // branch re-derives its scan (the TF-IDF double-eval lesson;
+      // uni is vocabulary-sized, bg is the one corpus-sized pass).
+      val bg = docs
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(1), size(col("ws")) - 1)).as("i"))
+        .select(col("doc_id"),
+          get(col("ws"), col("i") - 1).as("w"),
+          get(col("ws"), col("i")).as("w2"))
         .localCheckpoint(false)
-      val uni = toks.groupBy("w").agg(count(lit(1)).as("cu"))
+      val uni = docs
+        .select(explode(col("ws")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cu"))
+        .localCheckpoint(false)
       val tot = uni.agg(sum(col("cu")).as("t"), count(lit(1)).as("v"))
       val bgc = bg.groupBy("w", "w2").agg(count(lit(1)).as("cb"))
       val p =
@@ -238,7 +249,65 @@ object TextQueries {
       val score = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
       Tables.documents(s, dir).select(col("doc_id"), score.as("score"),
         (score >= lit(0.5)).as("keep"))
+    }),
+
+    // E169: within-document duplicated n-gram fraction — the Gopher
+    // repetition gate family's n-gram tier (fraction of 3-gram
+    // occurrences belonging to a 3-gram repeated INSIDE the same doc);
+    // completes docs_repetition's top-token/TTR signals with phrase-
+    // level self-repetition. Grams are built scan-side; the only
+    // shuffle is the (doc, gram) count — keyed by doc so the final
+    // per-doc rollup is shuffle-free after it.
+    "docs_dupgram_frac" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= DupGramN)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, size(ws) - $DupGramN), i -> " +
+            s"array_join(slice(ws, i + 1, $DupGramN), ' '))")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_grams"),
+          sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("dup"))
+        .select(col("doc_id"), col("n_grams"),
+          round(col("dup").cast("double") / col("n_grams").cast("double"), 6)
+            .as("dup_frac"))),
+
+    // E170: Zipf's-law slope — the lexical-statistics audit (a healthy
+    // natural corpus fits ln f ≈ a + s·ln r with s near −1; synthetic
+    // or template-generated text bends away). Least squares computed in
+    // EXACT fixed point: ln(rank)/ln(freq) are rounded to micro-nats
+    // (×1e6, integers), all regression sums are exact integer
+    // arithmetic (decimal(38,0) here, HUGEINT in the oracle), and only
+    // the final slope division is floating — bit-identical across
+    // engines and shuffle orders, the E79 exact-decimal trick adapted
+    // to logs.
+    "docs_zipf_slope" -> ((s, dir) => {
+      val tf = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+      // vocabulary-sized global ranking window: |vocab| rows, never
+      // corpus rows
+      val rw = Window.orderBy(col("f").desc, col("w"))
+      val xy = tf
+        .withColumn("r", row_number().over(rw))
+        .select(
+          round(log(col("r").cast("double")) * lit(1000000.0))
+            .cast("long").as("x"),
+          round(log(col("f").cast("double")) * lit(1000000.0))
+            .cast("long").as("y"))
+      val st = xy.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      st.select(col("n").as("n_terms"),
+        round(
+          (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))).cast("double") /
+            (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))).cast("double"),
+          6).as("slope"))
     }))
+
+  private val DupGramN = 3 // within-doc repetition gram width
 
   // Bigram LM interpolation weight (λ·bigram + (1−λ)·smoothed unigram).
   // Written as two literals so both engines add the SAME doubles.
@@ -457,7 +526,39 @@ object TextQueries {
          |         + CAST($LrWLen AS DOUBLE) * $meanLenSql
          |         + CAST($LrWNtok AS DOUBLE) * CAST(len(ws) AS DOUBLE)))), 6)
          |         >= 0.5 AS keep
-         |FROM d""".stripMargin)
+         |FROM d""".stripMargin,
+
+    // Mirrors docs_dupgram_frac; the only float op is the final
+    // division, and n_grams is CAST back to BIGINT (DuckDB widens
+    // integer sums to HUGEINT — the events_running_totals lesson).
+    "docs_dupgram_frac" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |g AS (SELECT doc_id, array_to_string(ws[u.i + 1 : u.i + $DupGramN], ' ') AS g
+         |      FROM d, unnest(generate_series(0, len(ws) - $DupGramN)) AS u(i)),
+         |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+         |       round(CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+         |             / CAST(sum(c) AS DOUBLE), 6) AS dup_frac
+         |FROM c GROUP BY doc_id""".stripMargin,
+
+    // Mirrors docs_zipf_slope: identical micro-nat fixed point (the
+    // ln → ×1e6 → round → integer pipeline), exact HUGEINT sums, one
+    // final double division.
+    "docs_zipf_slope" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT w, count(*) AS f FROM tok GROUP BY w),
+        |rk AS (SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r FROM tf),
+        |xy AS (SELECT
+        |         CAST(round(ln(CAST(r AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+        |         CAST(round(ln(CAST(f AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+        |       FROM rk),
+        |s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x * y) AS sxy, sum(x * x) AS sxx
+        |      FROM xy)
+        |SELECT CAST(n AS BIGINT) AS n_terms,
+        |       round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
+        |FROM s""".stripMargin)
 
   /** Stopword-ratio / mean-token-length fragments shared with the
     * docs_text_stats oracle shape (guarded CASE, same cast points).

@@ -124,6 +124,13 @@ class PlanAuditSpec extends SparkSpec {
       s"bigram adjacency regressed to a sorted window:\n$plan")
   }
 
+  test("docs_bigram_lm builds adjacency scan-side too (no window sort)") {
+    val plan = TextQueries.queries("docs_bigram_lm")(spark, sfDir)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("Window"),
+      s"bigram-LM adjacency regressed to a lead() window:\n$plan")
+  }
+
   test("docs_decontam broadcasts the eval-gram set (corpus never " +
       "shuffles before the match)") {
     val plan = CurationQueries.queries("docs_decontam")(spark, sfDir)

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.ext.Similarity
+
+/** Behavioral invariants for the round-8 scoring tier (multi-probe
+  * ANN, semantic decontam, repetition fraction, Zipf slope) — value
+  * correctness is the DuckDB oracle's job; these pin the semantics the
+  * oracle comparison can't express (recall dominance, set containment,
+  * derived-count consistency).
+  */
+class ScoringQueriesSpec extends SparkSpec {
+
+  test("multi-probe searches at most 2 cells per query and its recall " +
+      "dominates single-probe") {
+    val mp = SimilarityQueries.queries("emb_topk_mprobe")(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"))
+    // join neighbors back to their cells: each query's candidates come
+    // from <= MProbe distinct cells
+    val cells = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("neighbor_id"), col("label"))
+    val perQueryCells = mp.join(cells, "neighbor_id")
+      .groupBy("query_id").agg(countDistinct(col("label")).as("nc"))
+      .collect()
+    assert(perQueryCells.nonEmpty && perQueryCells.forall(_.getLong(1) <= 2),
+      s"a query drew candidates from more than 2 cells")
+
+    // recall vs brute-force ground truth must be >= the single-probe
+    // (own-cell) recall — that dominance is the POINT of multi-probe
+    val c = Tables.embeddings(spark, sfDir).select(
+      col("vec_id").as("id"), col("label").as("part"),
+      Similarity.toDouble(col("embedding")).as("vec"))
+    val qFlat = c.filter(col("id") < 10)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val qCell = c.filter(col("id") < 10)
+      .select(col("id").as("qid"), col("part"), col("vec").as("qvec"))
+    val exact = Similarity.topK(c, qFlat, 5)
+      .select(col("query_id"), col("neighbor_id"))
+    def hits(ann: org.apache.spark.sql.DataFrame): Long =
+      exact.join(ann, Seq("query_id", "neighbor_id")).count()
+    val singleHits = hits(Similarity.topKWithinPartition(c, qCell, 5)
+      .select(col("query_id"), col("neighbor_id")))
+    val multiHits = hits(mp)
+    assert(multiHits >= singleHits,
+      s"multi-probe recall $multiHits < single-probe $singleHits")
+  }
+
+  test("semantic decontam covers exactly the non-eval corpus and flags " +
+      "match a recomputed max-cos") {
+    val out = SimilarityQueries.queries("emb_semantic_decontam")(spark, sfDir)
+    val rows = out.collect()
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(rows.length == n - 25) // eval set excluded, everything else present
+    assert(rows.forall(r => r.getLong(0) >= 25))
+    assert(rows.forall { r =>
+      val mc = r.getDouble(1)
+      mc >= -1.0 - 1e-9 && mc <= 1.0 + 1e-9
+    })
+    // flag consistency against the ROUNDED score it ships with: at the
+    // 0.4 line the unrounded comparison can only disagree with the
+    // 6-dp rounding inside +-5e-7
+    assert(rows.forall { r =>
+      val (mc, flag) = (r.getDouble(1), r.getBoolean(2))
+      if (mc > 0.4 + 1e-6) flag
+      else if (mc < 0.4 - 1e-6) !flag
+      else true
+    })
+  }
+
+  test("dup-gram fraction: n_grams == n_tokens - 2 and fraction in [0,1]") {
+    val out = TextQueries.queries("docs_dupgram_frac")(spark, sfDir)
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("nt"))
+    val joined = out.join(toks, "doc_id").collect()
+    assert(joined.nonEmpty)
+    assert(joined.forall(r =>
+      r.getAs[Long]("n_grams") == r.getAs[Int]("nt").toLong - 2))
+    assert(joined.forall { r =>
+      val f = r.getAs[Double]("dup_frac"); f >= 0.0 && f <= 1.0
+    })
+  }
+
+  test("zipf slope: one row, negative slope, n_terms == vocabulary size") {
+    val row = TextQueries.queries("docs_zipf_slope")(spark, sfDir)
+      .collect().head
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .distinct().count()
+    assert(row.getAs[Long]("n_terms") == vocab)
+    assert(row.getAs[Double]("slope") < 0.0) // frequency falls with rank
+  }
+}
