@@ -218,4 +218,45 @@ object Curation {
   def urlDomain(canonical: Column): Column =
     regexp_extract(canonical,
       "://(?:[^/?#:]*\\.)?([^./?#:]+\\.[^./?#:]+)(?::[0-9]+)?(?:[/?#]|$)", 1)
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", simplified to
+    * unigram bag LMs): per document, the mean log-likelihood RATIO of
+    * its tokens under a target-domain LM vs the raw-corpus LM, both
+    * add-one smoothed over the raw corpus' vocabulary. Positive weight
+    * = "looks more like the target domain than the average crawl" —
+    * the principled replacement for hand-written quality gates when a
+    * trusted target corpus exists.
+    *
+    * Scale shape: two vocabulary-sized count aggregations (target
+    * counts left-joined onto raw vocabulary so OOV-in-target gets the
+    * smoothing floor), a 1-row totals broadcast, and one token→vocab
+    * equi-join for scoring — the same plan skeleton as the unigram
+    * perplexity tier (E115), with the ratio computed in one projection.
+    *
+    * `isTarget` is any row predicate over `docs` (a trusted source, a
+    * labeled subset); weights are deterministic exact-count arithmetic,
+    * rounded at 6dp after the per-doc mean.
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"), isTarget.as("tgt"),
+      explode(split(col(textCol), " ")).as("w"))
+    val raw = tok.groupBy("w").agg(count(lit(1)).as("cr"))
+    val tgt = tok.filter(col("tgt")).groupBy("w").agg(count(lit(1)).as("ct"))
+    val lm = raw.join(tgt, Seq("w"), "left_outer")
+      .select(col("w"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+    val tots = lm.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"),
+      count(lit(1)).as("v"))
+    tok.join(lm, "w")
+      .crossJoin(broadcast(tots)) // 1-row model-size attach
+      .select(col("doc_id"),
+        (log((col("ct") + lit(1L)).cast("double") /
+            (col("tt") + col("v")).cast("double")) -
+          log((col("cr") + lit(1L)).cast("double") /
+            (col("tr") + col("v")).cast("double"))).as("lr"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("lr")), 6).as("dsir_weight"))
+  }
 }

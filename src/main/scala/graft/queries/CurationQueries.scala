@@ -234,7 +234,19 @@ object CurationQueries {
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           floor((col("cum") - col("n_tokens")) / lit(PackBudget.toDouble))
             .cast("long").as("bin"))
-    }))
+    }),
+
+    // E171: DSIR importance weights — data selection by log-likelihood
+    // ratio under a target-domain LM vs the raw-corpus LM (Xie et al.
+    // 2023, unigram form), the principled upgrade over hand-tuned
+    // quality gates when a trusted corpus exists. Here source 'src0'
+    // plays the trusted target; positive weight = more target-like
+    // than the average document.
+    "docs_dsir_weights" -> ((s, dir) =>
+      Curation.dsirWeights(Tables.documents(s, dir), "doc_id", "text",
+        col("source") === DsirTargetSource)))
+
+  private val DsirTargetSource = "src0"
 
   // -------------------------------------------------------------------
   // queries (continued): collocations
@@ -534,5 +546,25 @@ object CurationQueries {
          |       CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
          |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |              - n_tokens) / ${PackBudget}.0) AS BIGINT) AS bin
-         |FROM t""".stripMargin)
+         |FROM t""".stripMargin,
+
+    // Mirrors Curation.dsirWeights: add-one smoothing over the RAW
+    // vocabulary on both LMs, same cast points, ratio as a difference
+    // of lns on the identical doubles.
+    "docs_dsir_weights" ->
+      s"""WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+         |             FROM documents),
+         |raw AS (SELECT w, count(*) AS cr FROM tok GROUP BY w),
+         |tgt AS (SELECT w, count(*) AS ct FROM tok
+         |        WHERE source = '$DsirTargetSource' GROUP BY w),
+         |lm AS (SELECT raw.w, raw.cr, coalesce(tgt.ct, 0) AS ct
+         |       FROM raw LEFT JOIN tgt USING (w)),
+         |tots AS (SELECT sum(cr) AS tr, sum(ct) AS tt, count(*) AS v FROM lm),
+         |s AS (SELECT tok.doc_id,
+         |        ln(CAST(lm.ct + 1 AS DOUBLE) / CAST(tots.tt + tots.v AS DOUBLE))
+         |        - ln(CAST(lm.cr + 1 AS DOUBLE) / CAST(tots.tr + tots.v AS DOUBLE))
+         |          AS lr
+         |      FROM tok JOIN lm ON lm.w = tok.w CROSS JOIN tots)
+         |SELECT doc_id, count(*) AS n_tokens, round(avg(lr), 6) AS dsir_weight
+         |FROM s GROUP BY doc_id""".stripMargin)
 }

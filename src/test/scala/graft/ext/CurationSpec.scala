@@ -149,4 +149,23 @@ class CurationSpec extends SparkSpec {
     assert(out(1) == "https://example.com/")
     assert(out(2) == "https://example.com/")
   }
+
+  test("dsirWeights: target-like docs score positive, anti-target negative, " +
+      "and weights are partitioning-invariant") {
+    // Vocab split: 't' dominates the target domain, 'r' the rest; a
+    // doc made of 't's must look MORE target-like than average
+    // (positive log ratio), an 'r'-only doc less (negative).
+    val docs = Seq(
+      (1L, "t t t t", true),
+      (2L, "t t r t", true),
+      (3L, "r r r r", false),
+      (4L, "r r t r", false)).toDF("doc_id", "text", "tgt")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Curation.dsirWeights(d, "doc_id", "text", col("tgt"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val w = run(docs)
+    assert(w(1L) > 0.0 && w(3L) < 0.0)
+    assert(w(1L) > w(2L) && w(2L) > w(4L) && w(4L) > w(3L)) // monotone in t-share
+    assert(w == run(docs.repartition(5, col("doc_id")))) // bit-deterministic
+  }
 }
