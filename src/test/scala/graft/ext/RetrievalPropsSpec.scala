@@ -73,6 +73,36 @@ object RetrievalPropsSpec extends Properties("Retrieval") {
         (2L, off2, off2 + runLen - 1, runLen))
     }
 
+  property("duplicatedSpans equals a brute-force reference on random corpora") =
+    Prop.forAllNoShrink(Gen.listOfN(6, genDoc), Gen.chooseNum(2, 4)) {
+      (docs, n) =>
+        import spark.implicits._
+        val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val got = SpanDedup.duplicatedSpans(df, "doc_id", "text", n, 2)
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+          .toSet
+        // brute force: per doc the positions whose n-gram occurs in
+        // ANOTHER doc, merged greedily while gaps stay <= n
+        val grams = docs.zipWithIndex.map { case (t, i) =>
+          val ws = t.split(" ")
+          i.toLong -> (0 to ws.length - n).map(p =>
+            p -> ws.slice(p, p + n).mkString(" ")).toVector
+        }.toMap
+        val docsOfGram = grams.toSeq
+          .flatMap { case (id, gs) => gs.map { case (_, g) => (g, id) } }
+          .groupMap(_._1)(_._2).view.mapValues(_.distinct.size).toMap
+        val expected = grams.flatMap { case (id, gs) =>
+          val hits = gs.collect { case (p, g) if docsOfGram(g) >= 2 => p }
+          hits.foldLeft(Vector.empty[(Int, Int)]) {
+            case (acc :+ ((s, e)), p) if p - e <= n => acc :+ (s -> p)
+            case (acc, p) => acc :+ (p -> p)
+          }.map { case (s, e) => (id, s, e + n - 1, e + n - s) }
+        }.toSet
+        got == expected
+    }
+
   property("rrf fusion is monotone in rank: improving a rank never " +
       "lowers the fused score") =
     Prop.forAllNoShrink(Gen.chooseNum(1, 50), Gen.chooseNum(1, 50)) {
