@@ -73,6 +73,39 @@ object RetrievalPropsSpec extends Properties("Retrieval") {
         (2L, off2, off2 + runLen - 1, runLen))
     }
 
+  property("bm25 equals an independent in-memory reference implementation") =
+    Prop.forAllNoShrink(Gen.listOfN(10, genDoc)) { docs =>
+      import spark.implicits._
+      val terms = Seq("spark", "join")
+      val (k1, b) = (1.2, 0.75)
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Retrieval.bm25(df, "doc_id", "text", terms, k1, b)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // plain-Scala reference: same formula, evaluated per doc with no
+      // Spark machinery; double ops in the same order, so equality is
+      // exact
+      val toks = docs.map(_.split(" ").toSeq)
+      val n = toks.size
+      val avgdl = toks.map(_.size).sum.toDouble / n
+      val dfOf = terms.map(t => t -> toks.count(_.contains(t))).toMap
+      val expected = toks.zipWithIndex.flatMap { case (ws, i) =>
+        val score = terms.map { t =>
+          val tf = ws.count(_ == t)
+          if (tf == 0) 0.0
+          else {
+            val d = dfOf(t)
+            val idf = math.log(1.0 + (n - d + 0.5) / (d + 0.5))
+            idf * ((tf.toDouble * (k1 + 1.0)) /
+              (tf.toDouble + k1 * (1.0 - b + b * ws.size.toDouble / avgdl)))
+          }
+        }.reduceLeft(_ + _)
+        if (terms.exists(ws.contains)) Some(i.toLong -> score) else None
+      }.toMap
+      got.keySet == expected.keySet &&
+        got.forall { case (id, s) => math.abs(s - expected(id)) < 1e-12 }
+    }
+
   property("duplicatedSpans equals a brute-force reference on random corpora") =
     Prop.forAllNoShrink(Gen.listOfN(6, genDoc), Gen.chooseNum(2, 4)) {
       (docs, n) =>
