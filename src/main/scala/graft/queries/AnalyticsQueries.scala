@@ -191,6 +191,46 @@ object AnalyticsQueries {
         .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"))
     }),
 
+    // E172: cross-source near-duplicate flow — the dedup PLANNING
+    // audit: which pairs of crawl dumps duplicate each other, and how
+    // much. Canonicalized source pair (alphabetical) per LSH-verified
+    // near-dup pair, counted. At scale this is the report that decides
+    // dedup ordering (dedup the heavy-overlap pair first) and catches
+    // a mirrored source before it floods the corpus. Source lookup
+    // rides the existing pair set — two id-keyed joins against the
+    // (id, source) projection, never the payload.
+    "docs_source_overlap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.nearDupPairsNative(docs, "doc_id", "text",
+        DedupQueries.WordN, word = true, DedupQueries.JaccardThreshold)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+        .groupBy(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // E173: duplicate-cluster size distribution — the dedup IMPACT
+    // audit: how many clusters of each size exist (singletons
+    // included), i.e. the histogram behind "dedup removes X% of the
+    // corpus". Composes the connected-components labels with two
+    // bounded aggregations (per-cluster size, then per-size count) —
+    // output is at most |distinct sizes| rows.
+    "docs_cluster_sizes" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.nearDupPairsNative(docs, "doc_id", "text",
+        DedupQueries.WordN, word = true, DedupQueries.JaccardThreshold)
+      val comp = Clusters.connectedComponents(pairs.select("id_a", "id_b"))
+        .withColumnRenamed("id", "doc_id")
+      docs.join(comp, Seq("doc_id"), "left")
+        .select(coalesce(col("label"), col("doc_id")).as("cluster"))
+        .groupBy("cluster").agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+    }),
+
     // Quality-aware duplicate-cluster representative selection (E125):
     // pairwise dedup keeps min-id arbitrarily; a real pipeline keeps
     // the BEST member of each duplicate cluster. Composes the
@@ -805,6 +845,33 @@ object AnalyticsQueries {
          |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
          |SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin,
+
+    "docs_source_overlap" ->
+      s"""${DedupQueries.wordShCte},
+         |pairs AS (${DedupQueries.jaccardPairsSelect}),
+         |src AS (SELECT doc_id, source FROM documents)
+         |SELECT least(a.source, b.source) AS src_a,
+         |       greatest(a.source, b.source) AS src_b,
+         |       count(*) AS n_pairs
+         |FROM pairs JOIN src a ON a.doc_id = pairs.id_a
+         |           JOIN src b ON b.doc_id = pairs.id_b
+         |GROUP BY 1, 2""".stripMargin,
+
+    "docs_cluster_sizes" ->
+      s"""${DedupQueries.wordShCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (${DedupQueries.jaccardPairsSelect}),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, x.r FROM reach x JOIN edges e ON e.dst = x.id),
+         |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         |lab AS (SELECT coalesce(c.cluster, d.doc_id) AS cluster
+         |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         |sz AS (SELECT cluster, count(*) AS sz FROM lab GROUP BY cluster)
+         |SELECT CAST(sz AS BIGINT) AS cluster_size, count(*) AS n_clusters
+         |FROM sz GROUP BY sz""".stripMargin,
 
     "docs_dup_clusters_star" ->
       s"""${DedupQueries.wordShCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
