@@ -15,7 +15,13 @@ import org.apache.spark.sql.functions._
   * documents.
   *
   * Scale design: the n-grams are built scan-side with `transform` over
-  * the token array (codegen, no shuffle, no explode-then-window); the
+  * the token array (no shuffle, no explode-then-window). The lambda
+  * evaluates interpreted; a flat explode(sequence)+slice projection is
+  * codegen and measured 1.8× faster at fixture lengths — but it drags
+  * the WHOLE token array through the generate, O(len²) bytes per doc,
+  * which inverts for long documents. The transform form stays
+  * O(len·n): each doc materializes its gram array once, rows after the
+  * explode carry only (pos, 32-hex key). The
   * duplicate-frequency aggregation groups by md5(gram) so the shuffle
   * carries a fixed-width 32-hex key instead of n-token strings (the
   * same 128-bit content-key argument as exact dedup E1 — collision
