@@ -55,6 +55,12 @@ object SpanDedup {
       else "md5(array_join(slice(ws, i + 1, %d), ' '))"
     val grams = docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      // The guard is load-bearing, not cosmetic: for size(ws) < n,
+      // sequence(0, size - n) runs DESCENDING (Spark defaults step to
+      // -1 when start > stop), and the i = -1 row feeds slice a start
+      // of 0 — a runtime error under ANSI. Short docs must contribute
+      // no grams, exactly like the oracle's empty generate_series.
+      .filter(size(col("ws")) >= n)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(ws) - $n), i -> " +
           s"named_struct('pos', i, 'gh', ${keyExpr.format(n)}))"))

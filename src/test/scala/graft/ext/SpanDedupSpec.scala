@@ -29,6 +29,20 @@ class SpanDedupSpec extends SparkSpec {
       (2L, 0, 9, 10))) // doc 2: tokens 0..9; doc 3 absent
   }
 
+  test("documents shorter than n tokens contribute nothing (and must " +
+      "not crash the ANSI slice)") {
+    // Regression: without the size >= n guard, sequence(0, size - n)
+    // runs descending for short docs and slice(ws, 0, n) throws.
+    val short = Seq(
+      (1L, "a b"),                       // 2 tokens < n = 4
+      (2L, "x1 x2 x3 x4 x5 x1 x2 x3 x4 x5"),
+      (3L, "x1 x2 x3 x4 x5 y1 y2 y3 y4 y5")
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.duplicatedSpans(short, "doc_id", "text", 4, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(out.map(_._1) == Set(2L, 3L)) // the shared x-run; doc 1 silent
+  }
+
   test("within-document repetition alone is not a duplicated span") {
     val solo = Seq(
       (1L, "r1 r2 r3 r4 r1 r2 r3 r4"), // repeats itself, shares nothing
