@@ -137,7 +137,46 @@ object DedupQueries {
     // is a per-document gaps-and-islands window.
     "docs_dup_spans" -> ((s, dir) =>
       graft.ext.SpanDedup.duplicatedSpans(
-        Tables.documents(s, dir), "doc_id", "text", SpanN, 2)))
+        Tables.documents(s, dir), "doc_id", "text", SpanN, 2)),
+
+    // E174: MinHash estimator accuracy audit — the sketch-tolerance
+    // row for the dedup tier (the E66/E74/E92 pattern): for every
+    // verified near-dup pair, the signature-agreement Jaccard estimate
+    // (matching OPH bins / 32) must sit within a stated bound of the
+    // exact Jaccard. The signatures are NOT oracle-reproducible
+    // (xxhash64), so — like the HLL/CMS rows — the oracle pins the
+    // exact value and the machine-checked boolean, and the bound
+    // itself is the claim under test. The bound reflects the DENSIFIED
+    // OPH estimator's real tails, not classic-MinHash σ: fixture docs
+    // carry ~25 shingles against 32 bins, so many bins are densified
+    // copies and the agreement variance sits well above sqrt(J(1−J)/32)
+    // — measured max |est−J| = 0.284 across every verified pair at
+    // sf0.1 (0.09 at sf0.01). 0.35 covers that with margin while a
+    // broken hash chain (est ≈ 0 against J ≥ 0.5 pairs) still fails.
+    "docs_minhash_accuracy" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.nearDupPairsNative(docs, "doc_id", "text",
+        WordN, word = true, JaccardThreshold)
+      val sigs = docs.select(col("doc_id"),
+        graft.functions.MinHashSig(col("text"), WordN, word = true).as("sig"))
+      pairs
+        .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+        .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          (abs(
+            aggregate(
+              zip_with(col("sig_a"), col("sig_b"),
+                (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
+              lit(0), (acc, v) => acc + v).cast("double") / lit(32.0)
+            - col("jaccard")) <= lit(MinHashTolerance)).as("within_tol"))
+    }))
+
+  /** |agreement/32 − exact J| bound for the E174 audit — sized to the
+    * densified-OPH estimator's measured tails on short docs (max 0.284
+    * at sf0.1), deterministic on fixed fixtures, and still far below
+    * the ≥0.5 error a broken hash chain would show.
+    */
+  val MinHashTolerance = 0.35
 
   /** Span-dedup n-gram width. 8 word-grams: long enough that the
     * fixture's background bag-of-words text almost never collides by
@@ -277,6 +316,20 @@ object DedupQueries {
          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming""".stripMargin,
+
+    // E174: the oracle pins the exact-Jaccard pair set and the
+    // machine-checked tolerance boolean; the estimate itself lives
+    // only on the Spark side (xxhash64 signatures are not DuckDB-
+    // reproducible) — the E66/E74/E92 sketch-audit pattern.
+    "docs_minhash_accuracy" ->
+      s"""$wordShCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       len(list_intersect(a.s, b.s))::DOUBLE /
+         |         len(list_distinct(list_concat(a.s, b.s))) AS jaccard,
+         |       true AS within_tol
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+         |        len(list_distinct(list_concat(a.s, b.s))) >= $JaccardThreshold""".stripMargin,
 
     // Mirrors SpanDedup.duplicatedSpans: same md5 gram key, same
     // cross-document distinct-count cut, same ≤ n island chaining.
