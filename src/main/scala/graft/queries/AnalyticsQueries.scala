@@ -687,7 +687,55 @@ object AnalyticsQueries {
           .agg(count(lit(1)).as("out_deg")), col("id") === col("doc_id"))
         .select(col("doc_id"), col("out_deg"),
           round(col("rank") * n, 6).as("rank_rel"))
+    }),
+
+    // E178: rate-spike detection — per event type, flag hours whose
+    // count exceeds the trailing-24h mean by 3 population standard
+    // deviations (the ops-monitoring / data-drift alert every event
+    // pipeline runs). Composition: the E78 calendar-spine gap-fill
+    // first (a missing hour is a ZERO observation — skipping it would
+    // bias the baseline up and mask post-outage spikes), then one
+    // sliding window per type over ROWS 24..1 PRECEDING (baseline
+    // excludes the hour under test). The z-test is EXACT integer
+    // arithmetic — z > 3 ⇔ n·c − S > 0 ∧ (n·c − S)² > 9·(n·Q − S²)
+    // with S/Q the window count-sum and sum-of-squares — so the
+    // verdict is bit-identical across engines with no float σ.
+    // Scale shape: hourly pre-aggregation shrinks events to
+    // types × hours rows BEFORE the window; the window partitions by
+    // type (low-cardinality, but the partition is already tiny —
+    // one row per hour).
+    "events_rate_spikes" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val hourly = ev
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val spine = ev
+        .agg(min(date_trunc("hour", col("ts"))).as("lo"),
+          max(date_trunc("hour", col("ts"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 hour"))).as("h"))
+        .crossJoin(ev.select(col("event_type")).distinct())
+      val filled = spine.join(hourly, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"),
+          coalesce(col("n"), lit(0L)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(-SpikeWindowHours, -1)
+      val stats = filled.select(col("event_type"), col("h"), col("n"),
+        count(lit(1)).over(w).as("wn"),
+        coalesce(sum(col("n")).over(w), lit(0L)).as("ws"),
+        coalesce(sum(col("n") * col("n")).over(w), lit(0L)).as("wq"))
+      stats.select(col("event_type"), col("h"), col("n"),
+        col("ws").as("win_sum"),
+        (col("wn") === SpikeWindowHours &&
+          (lit(SpikeWindowHours) * col("n") - col("ws")) > 0 &&
+          (lit(SpikeWindowHours) * col("n") - col("ws")) *
+            (lit(SpikeWindowHours) * col("n") - col("ws")) >
+            lit(9L) * (lit(SpikeWindowHours) * col("wq") -
+              col("ws") * col("ws"))).as("is_spike"))
     }))
+
+  /** Trailing-baseline width for E178 (one day of hourly buckets). */
+  private val SpikeWindowHours = 24
 
   // -------------------------------------------------------------------
   // DuckDB oracles
@@ -1048,5 +1096,34 @@ object AnalyticsQueries {
         |WHERE l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey
-        |LIMIT 20""".stripMargin)
+        |LIMIT 20""".stripMargin,
+
+    "events_rate_spikes" ->
+      s"""WITH b AS (SELECT min(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS lo,
+         |                  max(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hi
+         |           FROM events),
+         |sp AS (SELECT t.event_type, g.h
+         |       FROM (SELECT DISTINCT event_type FROM events) t
+         |       CROSS JOIN (SELECT unnest(generate_series(lo, hi,
+         |                     INTERVAL 1 HOUR)) AS h FROM b) g),
+         |c AS (SELECT event_type,
+         |             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         |             count(*) AS n
+         |      FROM events GROUP BY 1, 2),
+         |f AS (SELECT sp.event_type, sp.h, coalesce(c.n, 0) AS n
+         |      FROM sp LEFT JOIN c
+         |        ON sp.event_type = c.event_type AND sp.h = c.h),
+         |s AS (SELECT event_type, h, n,
+         |             count(*) OVER w AS wn,
+         |             coalesce(CAST(sum(n) OVER w AS BIGINT), 0) AS ws,
+         |             coalesce(CAST(sum(n * n) OVER w AS BIGINT), 0) AS wq
+         |      FROM f
+         |      WINDOW w AS (PARTITION BY event_type ORDER BY h
+         |        ROWS BETWEEN $SpikeWindowHours PRECEDING AND 1 PRECEDING))
+         |SELECT event_type, h, n, ws AS win_sum,
+         |       (wn = $SpikeWindowHours
+         |        AND ($SpikeWindowHours * n - ws) > 0
+         |        AND ($SpikeWindowHours * n - ws) * ($SpikeWindowHours * n - ws)
+         |              > 9 * ($SpikeWindowHours * wq - ws * ws)) AS is_spike
+         |FROM s""".stripMargin)
 }

@@ -244,9 +244,93 @@ object CurationQueries {
     // than the average document.
     "docs_dsir_weights" -> ((s, dir) =>
       Curation.dsirWeights(Tables.documents(s, dir), "doc_id", "text",
-        col("source") === DsirTargetSource)))
+        col("source") === DsirTargetSource)),
+
+    // E176: per-domain document cap — keep at most K documents per
+    // source, best-quality first (the anti-domination curation rule:
+    // without it one mega-crawl source swamps the mixture no matter how the
+    // per-source quality gates are tuned; complements E156's top-FRACTION
+    // filter, which cannot bound an oversized source's absolute count).
+    // One window shuffle keyed by source; ties broken by doc_id so the
+    // kept set is deterministic. At 100 TB the window partitions by the
+    // low-cardinality source key — skew-prone, so a real deployment
+    // composes this with the E101 two-phase rewrite if one source is
+    // >1 executor's worth; the fixture pins semantics.
+    "docs_domain_cap" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir).select(
+        col("doc_id"), col("source"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= DomainCapK)
+    }),
+
+    // E177: blocklist filter — flag documents containing any of a
+    // dictionary of banned terms (distinct-token membership) or exact
+    // phrases (space-delimited containment). The deploy shape for a
+    // bounded dictionary is what ships here: the list folds into the
+    // scan as literals (a broadcast in spirit — zero shuffle, zero
+    // join), the per-row work is one pass over the token array plus
+    // one contains() per phrase. A web-scale blocklist (millions of
+    // entries) would instead semi-join distinct doc tokens against a
+    // blocklist table — the E129-style keyed variant; the projection
+    // tier wins below ~10⁴ entries.
+    "docs_blocklist" -> ((s, dir) => {
+      val ws = TextOps.tokens(col("text"))
+      val termHits = size(filter(array_distinct(ws),
+        t => t.isInCollection(BlockTerms)))
+      val padded = concat(lit(" "), col("text"), lit(" "))
+      val phraseHits = BlockPhrases
+        .map(p => when(padded.contains(s" $p "), 1).otherwise(0))
+        .reduce(_ + _)
+      Tables.documents(s, dir).select(col("doc_id"),
+        termHits.as("n_term_hits"),
+        phraseHits.as("n_phrase_hits"),
+        (termHits + phraseHits > 0).as("blocked"))
+    }),
+
+    // E179: curation funnel report — the per-stage yield audit every
+    // production pipeline publishes ("N in, N after language, … after
+    // dedup"): cumulative AND-chain of the engine's own gates
+    // (language label, quality ≥ 0.5, Gopher-style length bracket,
+    // blocklist, then exact-fingerprint dedup over the survivors).
+    // One scan + one 1-row aggregate: the gates are all narrow codegen
+    // projections, and the dedup stage needs no join — surviving
+    // distinct content is count(DISTINCT fingerprint) among the rows
+    // that passed the previous gate, exactly the tier-0 dedup count.
+    "docs_funnel_report" -> ((s, dir) => {
+      val ws = TextOps.tokens(col("text"))
+      val n = size(ws)
+      val g1 = col("lang") === "en"
+      val g2 = g1 && TextOps.qualityScore(col("text")) >= 0.5
+      val g3 = g2 && n >= 20 && n <= 90
+      val termHit = size(filter(ws, t => t.isInCollection(BlockTerms))) > 0
+      val g4 = g3 && !termHit
+      Tables.documents(s, dir)
+        .select(g1.as("g1"), g2.as("g2"), g3.as("g3"), g4.as("g4"),
+          TextOps.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("g1"), 1L).otherwise(0L)).as("n_lang"),
+          sum(when(col("g2"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("g3"), 1L).otherwise(0L)).as("n_length"),
+          sum(when(col("g4"), 1L).otherwise(0L)).as("n_blocklist"),
+          countDistinct(when(col("g4"), col("fp"))).as("n_dedup"))
+    }))
 
   private val DsirTargetSource = "src0"
+
+  /** Per-source cap for E176 — bites at every fixture SF (25 docs per
+    * source at sf0.01, 250 at sf0.1).
+    */
+  private val DomainCapK = 15
+
+  /** Blocklist fixtures for E177/E179: terms hit via distinct-token
+    * membership, phrases via exact space-delimited containment. Drawn
+    * from the fixture vocabulary so both hit paths exercise.
+    */
+  private val BlockTerms = Seq("slow", "stream")
+  private val BlockPhrases = Seq("big table", "fast merge")
 
   // -------------------------------------------------------------------
   // queries (continued): collocations
@@ -566,5 +650,72 @@ object CurationQueries {
          |          AS lr
          |      FROM tok JOIN lm ON lm.w = tok.w CROSS JOIN tots)
          |SELECT doc_id, count(*) AS n_tokens, round(avg(lr), 6) AS dsir_weight
-         |FROM s GROUP BY doc_id""".stripMargin)
+         |FROM s GROUP BY doc_id""".stripMargin,
+
+    "docs_domain_cap" ->
+      s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+         |           FROM documents),
+         |q AS (SELECT doc_id, source, $qualitySql AS quality FROM d),
+         |r AS (SELECT doc_id, source, quality,
+         |             row_number() OVER (PARTITION BY source
+         |               ORDER BY quality DESC, doc_id) AS rnk
+         |      FROM q)
+         |SELECT doc_id, source, quality, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= $DomainCapK""".stripMargin,
+
+    "docs_blocklist" ->
+      s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+         |           FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(list_filter(list_distinct(ws),
+         |              t -> t IN ${inList(BlockTerms)})) AS INTEGER)
+         |         AS n_term_hits,
+         |       CAST(${BlockPhrases
+               .map(p => s"(CASE WHEN contains(' ' || text || ' ', ' $p ') " +
+                 "THEN 1 ELSE 0 END)")
+               .mkString(" + ")} AS INTEGER) AS n_phrase_hits,
+         |       (len(list_filter(list_distinct(ws),
+         |              t -> t IN ${inList(BlockTerms)}))
+         |        + ${BlockPhrases
+               .map(p => s"(CASE WHEN contains(' ' || text || ' ', ' $p ') " +
+                 "THEN 1 ELSE 0 END)")
+               .mkString(" + ")}) > 0 AS blocked
+         |FROM d""".stripMargin,
+
+    "docs_funnel_report" ->
+      s"""WITH d AS (SELECT doc_id, text, lang,
+         |                  string_split(text, ' ') AS ws FROM documents),
+         |g AS (SELECT doc_id,
+         |             (lang = 'en') AS g1,
+         |             (lang = 'en' AND $qualitySql >= 0.5) AS g2,
+         |             (lang = 'en' AND $qualitySql >= 0.5
+         |              AND len(ws) BETWEEN 20 AND 90) AS g3,
+         |             (lang = 'en' AND $qualitySql >= 0.5
+         |              AND len(ws) BETWEEN 20 AND 90
+         |              AND len(list_filter(ws,
+         |                    t -> t IN ${inList(BlockTerms)})) = 0) AS g4,
+         |             substr(md5(trim(regexp_replace(lower(text),
+         |               '[^a-z0-9]+', ' ', 'g'))), 1, 16) AS fp
+         |      FROM d)
+         |SELECT count(*) AS n_total,
+         |       CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+         |       CAST(sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |       CAST(sum(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT) AS n_length,
+         |       CAST(sum(CASE WHEN g4 THEN 1 ELSE 0 END) AS BIGINT) AS n_blocklist,
+         |       count(DISTINCT CASE WHEN g4 THEN fp END) AS n_dedup
+         |FROM g""".stripMargin)
+
+  /** The TextOps.qualityScore formula over the `ws` token list (same
+    * fragment shape as the TextQueries oracles — guarded CASE, same
+    * cast points, 6-decimal round).
+    */
+  private def qualitySql: String =
+    s"""round(least(CAST(len(ws) AS DOUBLE) / 50.0, 1.0) *
+       |      (1.0 - abs((CASE WHEN len(ws) > 0
+       |            THEN CAST(len(list_filter(ws, t -> t IN ${inList(TextOps.Stopwords)}))
+       |                   AS DOUBLE) / CAST(len(ws) AS DOUBLE)
+       |            ELSE 0.0 END) - 0.1)), 6)""".stripMargin
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'${w.replace("'", "''")}'").mkString("(", ", ", ")")
 }

@@ -305,7 +305,39 @@ object TextQueries {
           (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))).cast("double") /
             (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))).cast("double"),
           6).as("slope"))
+    }),
+
+    // E175: Gopher-style composite rule gate (Rae et al. 2021 §A1.1
+    // scaled to the fixture's 10–99-token documents): token-count
+    // bracket, mean-word-length bracket, a minimum stopword presence,
+    // and a minimum alphabetic-token fraction, each reported per rule
+    // so a curation run can audit WHICH gate rejects what. Every
+    // comparison is integer-exact (the mean-word-length bracket
+    // 4 ≤ chars/n ≤ 5 is tested as 4n ≤ chars ≤ 5n, the 80% alpha
+    // floor as 5·n_alpha ≥ 4·n) — no float thresholds, so the verdict
+    // is bit-identical across engines. One narrow codegen projection,
+    // no shuffle: the deploy shape of every rule-based filter at 100 TB.
+    "docs_gopher_gate" -> ((s, dir) => {
+      val ws = TextOps.tokens(col("text"))
+      val n = size(ws)
+      val chars = aggregate(ws, lit(0), (a, t) => a + length(t))
+      val nStop = size(filter(ws, t => t.isInCollection(TextOps.Stopwords)))
+      val nAlpha = size(filter(ws, t => t.rlike("[A-Za-z]")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), n.as("n_tokens"),
+          (n >= GopherMinTokens && n <= GopherMaxTokens).as("ok_len"),
+          (chars >= n * 4 && chars <= n * 5).as("ok_word_len"),
+          (nStop >= 1).as("ok_stopword"),
+          (nAlpha * 5 >= n * 4).as("ok_alpha"))
+        .withColumn("keep",
+          col("ok_len") && col("ok_word_len") &&
+            col("ok_stopword") && col("ok_alpha"))
     }))
+
+  // Gopher-gate brackets, sized to the fixture length distribution
+  // (10–99 tokens, median 56) so each rule actually discriminates.
+  private val GopherMinTokens = 20
+  private val GopherMaxTokens = 90
 
   private val DupGramN = 3 // within-doc repetition gram width
 
@@ -558,7 +590,24 @@ object TextQueries {
         |SELECT CAST(n AS BIGINT) AS n_terms,
         |       round(CAST(n * sxy - sx * sy AS DOUBLE)
         |             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
-        |FROM s""".stripMargin)
+        |FROM s""".stripMargin,
+
+    "docs_gopher_gate" ->
+      s"""$docsCte
+         |SELECT doc_id, CAST(len(ws) AS INTEGER) AS n_tokens,
+         |       (len(ws) BETWEEN $GopherMinTokens AND $GopherMaxTokens) AS ok_len,
+         |       (list_sum(list_transform(ws, w -> len(w)))
+         |          BETWEEN 4 * len(ws) AND 5 * len(ws)) AS ok_word_len,
+         |       (len(list_filter(ws, t -> t IN $stopIn)) >= 1) AS ok_stopword,
+         |       (5 * len(list_filter(ws, t -> regexp_matches(t, '[A-Za-z]')))
+         |          >= 4 * len(ws)) AS ok_alpha,
+         |       ((len(ws) BETWEEN $GopherMinTokens AND $GopherMaxTokens)
+         |        AND (list_sum(list_transform(ws, w -> len(w)))
+         |               BETWEEN 4 * len(ws) AND 5 * len(ws))
+         |        AND (len(list_filter(ws, t -> t IN $stopIn)) >= 1)
+         |        AND (5 * len(list_filter(ws, t -> regexp_matches(t, '[A-Za-z]')))
+         |               >= 4 * len(ws))) AS keep
+         |FROM d""".stripMargin)
 
   /** Stopword-ratio / mean-token-length fragments shared with the
     * docs_text_stats oracle shape (guarded CASE, same cast points).

@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Behavioral invariants for the round-8 gate tier (Gopher composite
+  * gate, per-domain cap, blocklist, funnel report, rate spikes) —
+  * value correctness is the DuckDB oracle's job; these pin the
+  * properties the flat hash comparison can't express: rule/keep
+  * consistency, top-k dominance, independent-reference agreement, and
+  * funnel monotonicity.
+  */
+class CurationGateSpec extends SparkSpec {
+
+  test("gopher gate: keep is exactly the AND of its rules, and each " +
+      "rule matches a from-scratch recomputation") {
+    val rows = TextQueries.queries("docs_gopher_gate")(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select("doc_id", "text"), "doc_id")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ws = r.getAs[String]("text").split(" ", -1)
+      val n = ws.length
+      val chars = ws.map(_.length).sum
+      val nStop = ws.count(graft.ext.TextOps.Stopwords.contains)
+      val nAlpha = ws.count(_.exists(_.isLetter))
+      assert(r.getAs[Boolean]("ok_len") == (n >= 20 && n <= 90))
+      assert(r.getAs[Boolean]("ok_word_len") ==
+        (chars >= 4 * n && chars <= 5 * n))
+      assert(r.getAs[Boolean]("ok_stopword") == (nStop >= 1))
+      assert(r.getAs[Boolean]("ok_alpha") == (5 * nAlpha >= 4 * n))
+      assert(r.getAs[Boolean]("keep") ==
+        (r.getAs[Boolean]("ok_len") && r.getAs[Boolean]("ok_word_len") &&
+          r.getAs[Boolean]("ok_stopword") && r.getAs[Boolean]("ok_alpha")))
+    }
+    // the gate must discriminate on this fixture: neither all-pass nor
+    // all-reject (a degenerate bracket would make the oracle check
+    // vacuous)
+    val kept = rows.count(_.getAs[Boolean]("keep"))
+    assert(kept > 0 && kept < rows.length, s"degenerate gate: $kept kept")
+  }
+
+  test("domain cap: at most K rows per source, and every kept doc's " +
+      "quality dominates every dropped doc's in its source") {
+    val capped = CurationQueries.queries("docs_domain_cap")(spark, sfDir)
+    val perSource = capped.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect()
+    assert(perSource.nonEmpty && perSource.forall(_.getAs[Long]("n") <= 15))
+
+    // top-k dominance: min kept quality per source >= max quality among
+    // the source's non-kept docs (ties legal: >=)
+    val all = Tables.documents(spark, sfDir).select(
+      col("doc_id"), col("source"),
+      graft.ext.TextOps.qualityScore(col("text")).as("quality"))
+    val dropped = all.join(capped.select("doc_id"), Seq("doc_id"), "left_anti")
+      .groupBy("source").agg(max(col("quality")).as("max_dropped"))
+    val minKept = capped.groupBy("source").agg(min(col("quality")).as("min_kept"))
+    val viol = minKept.join(dropped, "source")
+      .filter(col("min_kept") < col("max_dropped")).count()
+    assert(viol == 0, s"$viol sources keep a worse doc than one dropped")
+  }
+
+  test("blocklist: blocked flag agrees with an independent padded-" +
+      "substring reference over the whole fixture") {
+    val flags = CurationQueries.queries("docs_blocklist")(spark, sfDir)
+    val ref = Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      (Seq("slow", "stream", "big table", "fast merge")
+        .map(p => concat(lit(" "), col("text"), lit(" "))
+          .contains(s" $p "))
+        .reduce(_ || _)).as("ref_blocked"))
+    val diff = flags.join(ref, "doc_id")
+      .filter(col("blocked") =!= col("ref_blocked")).count()
+    assert(diff == 0, s"$diff docs disagree with the reference")
+    // both hit paths must actually fire on the fixture
+    val hits = flags.agg(
+      sum(when(col("n_term_hits") > 0, 1).otherwise(0)).as("t"),
+      sum(when(col("n_phrase_hits") > 0, 1).otherwise(0)).as("p")).head()
+    assert(hits.getLong(0) > 0 && hits.getLong(1) > 0,
+      s"a blocklist hit path never fired: $hits")
+  }
+
+  test("funnel report: stage counts are monotonically non-increasing " +
+      "and anchored to the corpus size") {
+    val r = CurationQueries.queries("docs_funnel_report")(spark, sfDir).head()
+    val total = Tables.documents(spark, sfDir).count()
+    val chain = Seq("n_total", "n_lang", "n_quality", "n_length",
+      "n_blocklist", "n_dedup").map(c => r.getAs[Long](c))
+    assert(chain.head == total)
+    chain.sliding(2).foreach { case Seq(a, b) =>
+      assert(a >= b, s"funnel not monotone: $chain")
+    }
+    assert(chain.last > 0, "funnel drained to zero — gates degenerate")
+  }
+
+  test("rate spikes: flags match a from-scratch trailing-window " +
+      "recomputation over the gap-filled hourly series") {
+    val out = AnalyticsQueries.queries("events_rate_spikes")(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    // independent reference: rebuild the dense hourly series per type
+    // from raw events and run the integer z-test in plain Scala
+    val byType = out.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[java.sql.Timestamp]("h").getTime)
+      val ns = sorted.map(_.getAs[Long]("n"))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val win = ns.slice(math.max(0, i - 24), i)
+        val expected = if (win.length < 24) false
+        else {
+          val s = win.sum; val q = win.map(x => x * x).sum
+          val d = 24 * ns(i) - s
+          d > 0 && d * d > 9 * (24 * q - s * s)
+        }
+        assert(r.getAs[Boolean]("is_spike") == expected,
+          s"spike flag mismatch at ${r.getAs[java.sql.Timestamp]("h")}")
+        if (win.length == 24)
+          assert(r.getAs[Long]("win_sum") == win.sum)
+      }
+    }
+    // the dense spine invariant: every type covers every hour exactly once
+    val types = byType.size
+    assert(out.length % types == 0 &&
+      byType.values.map(_.length).toSet.size == 1,
+      "hourly spine is ragged across types")
+  }
+}
