@@ -316,9 +316,51 @@ object CurationQueries {
           sum(when(col("g3"), 1L).otherwise(0L)).as("n_length"),
           sum(when(col("g4"), 1L).otherwise(0L)).as("n_blocklist"),
           countDistinct(when(col("g4"), col("fp"))).as("n_dedup"))
+    }),
+
+    // E180: deterministic epoch shuffle — the global training-order
+    // shuffle: each document gets a salted-hash sort key (a new salt
+    // per epoch re-shuffles the corpus with zero coordination), a
+    // shard = key mod N, and its position within the shard. This IS
+    // how a 100 TB corpus is "randomly" ordered in practice — a hash
+    // sort (repartition by shard + sort within), never a global
+    // orderBy and never engine RNG (not reproducible across retries);
+    // the per-shard window is the partition-local sort made visible.
+    // The oracle replays the md5-derived order bit-for-bit.
+    "docs_epoch_shuffle" -> ((s, dir) => {
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("sort_key"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Curation.hashBucket(col("doc_id"), EpochSalt).as("sort_key"))
+        .withColumn("shard", (col("sort_key") % EpochShards).cast("long"))
+        .withColumn("pos", row_number().over(w).cast("long"))
+    }),
+
+    // E181: per-source quantile normalization of quality scores — map
+    // each document's quality to its percentile WITHIN its source
+    // before any global thresholding (raw scores are not comparable
+    // across crawls: one source's 0.6 is another's top decile; the
+    // E38/E156 mixing and filtering tiers consume this calibrated
+    // score). One window shuffle keyed by source; percent_rank with a
+    // doc_id tie-break is engine-deterministic, rounded to 6.
+    "docs_quality_qnorm" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir).select(
+        col("doc_id"), col("source"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality"), col("doc_id"))
+      scored.withColumn("calibrated", round(percent_rank().over(w), 6))
     }))
 
   private val DsirTargetSource = "src0"
+
+  /** Epoch-shuffle parameters for E180: the salt IS the epoch (a new
+    * salt is a fresh permutation); shard count is the training-job
+    * reader parallelism, not a data property.
+    */
+  private val EpochSalt = "epoch1:"
+  private val EpochShards = 8
 
   /** Per-source cap for E176 — bites at every fixture SF (25 docs per
     * source at sf0.01, 250 at sf0.1).
@@ -703,7 +745,29 @@ object CurationQueries {
          |       CAST(sum(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT) AS n_length,
          |       CAST(sum(CASE WHEN g4 THEN 1 ELSE 0 END) AS BIGINT) AS n_blocklist,
          |       count(DISTINCT CASE WHEN g4 THEN fp END) AS n_dedup
-         |FROM g""".stripMargin)
+         |FROM g""".stripMargin,
+
+    "docs_epoch_shuffle" ->
+      s"""WITH h AS (SELECT doc_id,
+         |                  CAST(${hexBucketSql("doc_id", EpochSalt)} AS BIGINT)
+         |                    AS sort_key
+         |           FROM documents),
+         |s AS (SELECT doc_id, sort_key,
+         |             CAST(sort_key % $EpochShards AS BIGINT) AS shard
+         |      FROM h)
+         |SELECT doc_id, sort_key, shard,
+         |       CAST(row_number() OVER (PARTITION BY shard
+         |         ORDER BY sort_key, doc_id) AS BIGINT) AS pos
+         |FROM s""".stripMargin,
+
+    "docs_quality_qnorm" ->
+      s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+         |           FROM documents),
+         |q AS (SELECT doc_id, source, $qualitySql AS quality FROM d)
+         |SELECT doc_id, source, quality,
+         |       round(percent_rank() OVER (PARTITION BY source
+         |         ORDER BY quality, doc_id), 6) AS calibrated
+         |FROM q""".stripMargin)
 
   /** The TextOps.qualityScore formula over the `ws` token list (same
     * fragment shape as the TextQueries oracles — guarded CASE, same

@@ -125,4 +125,44 @@ class CurationGateSpec extends SparkSpec {
       byType.values.map(_.length).toSet.size == 1,
       "hourly spine is ragged across types")
   }
+
+  test("epoch shuffle: every doc appears once, positions are dense per " +
+      "shard, and a different salt is a different permutation") {
+    val out = CurationQueries.queries("docs_epoch_shuffle")(spark, sfDir)
+    val total = Tables.documents(spark, sfDir).count()
+    assert(out.count() == total)
+    assert(out.select("doc_id").distinct().count() == total)
+    // positions dense 1..n within each shard
+    val ragged = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"),
+        min(col("pos")).as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1).count()
+    assert(ragged == 0, "per-shard positions are not dense 1..n")
+    // epoch re-shuffle: a different salt must not reproduce the order
+    // (same hash domain, so a collision of the full (shard,pos)
+    // assignment would mean the salt is dead)
+    val other = Tables.documents(spark, sfDir).select(col("doc_id"),
+      graft.ext.Curation.hashBucket(col("doc_id"), "epoch2:").as("k2"))
+    val agree = out.join(other, "doc_id")
+      .filter(col("sort_key") === col("k2")).count()
+    assert(agree < total / 10,
+      s"epoch salt barely changes the order ($agree/$total keys equal)")
+  }
+
+  test("quality qnorm: calibrated is a [0,1] percentile, monotone in " +
+      "quality within each source, topping out at exactly 1") {
+    val out = CurationQueries.queries("docs_quality_qnorm")(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      val sorted = rows.sortBy(r =>
+        (r.getAs[Double]("quality"), r.getAs[Long]("doc_id")))
+      val cal = sorted.map(_.getAs[Double]("calibrated"))
+      assert(cal.head == 0.0 && cal.last == 1.0,
+        s"$src percentile range is not [0,1]: ${cal.head}..${cal.last}")
+      cal.sliding(2).foreach { case Array(a, b) =>
+        assert(a <= b, s"$src calibrated not monotone in (quality, doc_id)")
+      }
+    }
+  }
 }
