@@ -2,8 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState,
+  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import graft.cdc.{Pipeline, Routing}
 
@@ -277,6 +277,90 @@ object StreamingPipeline {
     import spark.implicits._
     keyed.groupByKey(_._1)
       .transformWithState(new RunningTotalProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Streaming twin of the batch `events_rate_spikes` query (E178 →
+    * E182): per-key hourly rate-spike detection over a trailing ring
+    * of the last [[SpikeDetectProcessor.windowHours]] CLOSED hourly
+    * counts. The contract is "finalized hourly counts arrive per key
+    * in hour order" (i.e. downstream of a watermarked tumbling-count
+    * aggregation); the processor then
+    *  - gap-fills missing hours as ZERO observations, exactly like
+    *    the batch twin's calendar spine (skipping them would bias the
+    *    baseline up and mask post-outage spikes),
+    *  - applies the same all-integer z>3 test
+    *    (d = W·n − S; flag ⇔ full ∧ d > 0 ∧ d² > 9·(W·Q − S²)) so the
+    *    streaming and batch verdicts are bit-comparable, and
+    *  - bounds pathological hour-jumps: past `maxGapEmit` missing
+    *    hours the ring is all-zero anyway, so only the trailing span
+    *    emits (state stays O(windowHours) regardless).
+    * State per key: ≤ windowHours longs + one watermark-hour long —
+    * constant, traffic-independent, the 100 TB/day-proof shape. A
+    * late hour (≤ last processed) is dropped: finalized windows
+    * cannot legitimately reopen past the watermark.
+    */
+  class SpikeDetectProcessor(windowHours: Int = 24, maxGapEmit: Int = 168)
+      extends StatefulProcessor[String, (String, Long, Long),
+        (String, Long, Long, Long, Boolean)] {
+    @transient private var ring: ListState[Long] = _
+    @transient private var lastHour: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      ring = getHandle.getListState[Long]("ring", Encoders.scalaLong, TTLConfig.NONE)
+      lastHour = getHandle.getValueState[Long]("lastHour", Encoders.scalaLong,
+        TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, Long)],
+        timers: TimerValues): Iterator[(String, Long, Long, Long, Boolean)] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      ring.get().foreach(buf += _)
+      var last = if (lastHour.exists()) lastHour.get() else Long.MinValue
+      val out =
+        scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long, Boolean)]
+
+      def step(h: Long, n: Long): Unit = {
+        val s = buf.sum
+        val q = buf.map(x => x * x).sum
+        val d = windowHours * n - s
+        val flag = buf.size == windowHours && d > 0 &&
+          d * d > 9 * (windowHours * q - s * s)
+        out += ((key, h, n, s, flag))
+        buf += n
+        if (buf.size > windowHours) buf.remove(0)
+        last = h
+      }
+
+      rows.toArray.sortBy(_._2).foreach { case (_, h, n) =>
+        if (last == Long.MinValue) step(h, n)
+        else if (h > last) {
+          var g = last + 3600L
+          if ((h - last) / 3600L - 1L > maxGapEmit) {
+            g = h - maxGapEmit * 3600L
+            buf.clear() // the ring is provably all-zero by this point
+          }
+          while (g < h) { step(g, 0L); g += 3600L }
+          step(h, n)
+        }
+      }
+      ring.put(buf.toArray)
+      if (last != Long.MinValue) lastHour.update(last)
+      out.iterator
+    }
+  }
+
+  /** `transformWithState` wiring for [[SpikeDetectProcessor]] over a
+    * streaming (event_type, hourEpochSec, count) Dataset of finalized
+    * hourly counts.
+    */
+  def rateSpikes(spark: SparkSession,
+                 hourly: Dataset[(String, Long, Long)])
+      : Dataset[(String, Long, Long, Long, Boolean)] = {
+    import spark.implicits._
+    hourly.groupByKey(_._1)
+      .transformWithState(new SpikeDetectProcessor(),
         TimeMode.None(), OutputMode.Update())
   }
 

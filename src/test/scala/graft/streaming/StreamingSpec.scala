@@ -513,6 +513,65 @@ class StreamingSpec extends SparkSpec {
     } finally prev.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
   }
 
+  test("transformWithState spike detector matches the batch rate-spike " +
+      "query after the 24h warmup on fixture events") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batch = graft.queries.AnalyticsQueries
+        .queries("events_rate_spikes")(spark, sfDir).collect()
+      // the stream's contract input: finalized NONZERO hourly counts in
+      // hour order (the zero spine hours are the processor's own job)
+      val feed = batch.filter(_.getAs[Long]("n") > 0)
+        .map(r => (r.getString(0),
+          r.getAs[java.sql.Timestamp]("h").getTime / 1000L,
+          r.getAs[Long]("n")))
+        .sortBy(_._2)
+      assert(feed.nonEmpty)
+      val stream = MemoryStream[(String, Long, Long)]
+      val out = StreamingPipeline.rateSpikes(spark, stream.toDS())
+      val q = out.writeStream.format("memory")
+        .queryName("twsspikes").outputMode("update").start()
+      try {
+        val (a, b) = feed.splitAt(feed.length / 2)
+        stream.addData(a.toIndexedSeq)
+        q.processAllAvailable()
+        stream.addData(b.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table("twsspikes")
+        .as[(String, Long, Long, Long, Boolean)].collect()
+        .map(t => (t._1, t._2) -> t).toMap
+      // batch and stream see different leading spines (the batch spine
+      // starts at the GLOBAL min hour, the stream at each key's first
+      // observation), so compare only once both baselines hold the
+      // same 24 hours: h >= firstObserved(key) + 24h, up to
+      // lastObserved(key) (the stream never advances past its last
+      // fed hour; the batch fills trailing zeros to the global max).
+      val firstObs = feed.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
+      val lastObs = feed.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
+      var compared = 0
+      batch.foreach { r =>
+        val k = r.getString(0)
+        val h = r.getAs[java.sql.Timestamp]("h").getTime / 1000L
+        if (h >= firstObs(k) + 24 * 3600L && h <= lastObs(k)) {
+          val t = streamed.getOrElse((k, h),
+            fail(s"stream emitted no row for ($k, $h)"))
+          assert(t._3 == r.getAs[Long]("n") &&
+            t._4 == r.getAs[Long]("win_sum") &&
+            t._5 == r.getAs[Boolean]("is_spike"),
+            s"($k, $h): stream $t != batch row $r")
+          compared += 1
+        }
+      }
+      // the overlap must dominate the series, or the parity is vacuous
+      assert(compared > batch.length / 2,
+        s"only $compared/${batch.length} rows comparable")
+    } finally prev.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
+  }
+
   test("Kafka adapter reports connector availability honestly") {
     // No spark-sql-kafka jar ships in this container (SURVEY.md §7.6.6):
     // the adapter must say so rather than fail deep inside a query.
