@@ -115,6 +115,39 @@ class PlanAuditSpec extends SparkSpec {
       s"BM25 exchange count grew to ${exchanges.size}:\n$text")
   }
 
+  test("the rule-gate tier (gopher gate, blocklist, logreg) plans as " +
+      "pure scan projections: zero exchanges") {
+    // the literal-folded deploy shape is the POINT of these operators
+    // (E166/E175/E177): a rewrite that sneaks a join or aggregation in
+    // front of the per-row verdict breaks the 100 TB story
+    // executedPlan strings: exchanges only exist after
+    // EnsureRequirements, and sparkPlan-based collect would pass
+    // vacuously
+    val plans = Seq(
+      "docs_gopher_gate" -> TextQueries.queries("docs_gopher_gate"),
+      "docs_quality_logreg" -> TextQueries.queries("docs_quality_logreg"),
+      "docs_blocklist" -> CurationQueries.queries("docs_blocklist"))
+    for ((name, q) <- plans) {
+      val text = q(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!text.contains("Exchange"), s"$name gained a shuffle:\n$text")
+      assert(text.contains("FileScan parquet"), s"$name lost its scan:\n$text")
+    }
+  }
+
+  test("epoch shuffle exchanges once (the shard hash-partition), " +
+      "never globally sorts") {
+    // executedPlan, not sparkPlan: exchanges only exist after
+    // EnsureRequirements runs
+    val text = CurationQueries.queries("docs_epoch_shuffle")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(text).length
+    assert(n == 1,
+      s"epoch shuffle should hash-exchange exactly once, saw $n:\n$text")
+    // a global orderBy would appear as a range partitioning
+    assert(!text.contains("rangepartitioning"),
+      s"epoch shuffle regressed to a global sort:\n$text")
+  }
+
   test("docs_bigrams derives adjacency without a window sort") {
     // the positional pair projection replaced a lead() window; a
     // regression back would reintroduce Window + Sort before the count
