@@ -351,7 +351,38 @@ object CurationQueries {
       val w = Window.partitionBy(col("source"))
         .orderBy(col("quality"), col("doc_id"))
       scored.withColumn("calibrated", round(percent_rank().over(w), 6))
+    }),
+
+    // E183: temperature-scaled mixture weights — per-source sampling
+    // weights ∝ (token share)^α with α = 0.5 (the multilingual /
+    // multi-source balancing rule: raw proportional sampling starves
+    // small sources, uniform over-trains them; the exponent
+    // interpolates). Two source-cardinality aggregations and two
+    // 1-row broadcast attaches — the corpus is scanned ONCE and
+    // nothing larger than |sources| rows ever shuffles. Downstream,
+    // E105's weighted sampler consumes the weight column.
+    "docs_mixture_weights" -> ((s, dir) => {
+      val per = Tables.documents(s, dir)
+        .select(col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      val tot = per.agg(sum(col("n_tokens")).as("t"))
+      val share = col("n_tokens").cast("double") / col("t").cast("double")
+      val powed = per.crossJoin(broadcast(tot))
+        .withColumn("pw", pow(share, lit(MixtureAlpha)))
+        .withColumn("raw_share", round(share, 6))
+      val z = powed.agg(sum(col("pw")).as("z"))
+      powed.crossJoin(broadcast(z))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("raw_share"),
+          round(col("pw") / col("z"), 6).as("weight"))
     }))
+
+  /** Mixture temperature for E183: weight ∝ share^α; 0.5 is the
+    * common "square-root sampling" compromise.
+    */
+  private val MixtureAlpha = 0.5
 
   private val DsirTargetSource = "src0"
 
@@ -767,7 +798,23 @@ object CurationQueries {
          |SELECT doc_id, source, quality,
          |       round(percent_rank() OVER (PARTITION BY source
          |         ORDER BY quality, doc_id), 6) AS calibrated
-         |FROM q""".stripMargin)
+         |FROM q""".stripMargin,
+
+    "docs_mixture_weights" ->
+      s"""WITH per AS (SELECT source, count(*) AS n_docs,
+         |                    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+         |                      AS n_tokens
+         |             FROM documents GROUP BY source),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM per),
+         |p AS (SELECT source, n_docs, n_tokens,
+         |             CAST(n_tokens AS DOUBLE) / CAST(t.t AS DOUBLE) AS share,
+         |             pow(CAST(n_tokens AS DOUBLE) / CAST(t.t AS DOUBLE),
+         |                 $MixtureAlpha) AS pw
+         |      FROM per CROSS JOIN t),
+         |z AS (SELECT sum(pw) AS z FROM p)
+         |SELECT source, n_docs, n_tokens, round(share, 6) AS raw_share,
+         |       round(pw / z.z, 6) AS weight
+         |FROM p CROSS JOIN z""".stripMargin)
 
   /** The TextOps.qualityScore formula over the `ws` token list (same
     * fragment shape as the TextQueries oracles — guarded CASE, same

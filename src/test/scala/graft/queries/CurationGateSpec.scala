@@ -165,4 +165,36 @@ class CurationGateSpec extends SparkSpec {
       }
     }
   }
+
+  test("mixture weights: sum to 1, preserve token-share order, and " +
+      "flatten toward uniform (temperature < 1)") {
+    val rows = CurationQueries.queries("docs_mixture_weights")(spark, sfDir)
+      .collect()
+    assert(rows.length > 1)
+    val wSum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wSum - 1.0) < 1e-4, s"weights sum to $wSum")
+    // α=0.5 compresses the distribution: w_i > s_i ⇔ s_i < (1/Σ√s_j)²
+    // (the exact fixed point of sqrt-normalization — NOT the mean
+    // share; sources between the mean and this crossover are boosted
+    // too). Every source strictly on either side must move the right
+    // way — that redistribution is the operator's purpose.
+    val cross = {
+      val s = rows.map(_.getAs[Double]("raw_share"))
+      val inv = 1.0 / s.map(math.sqrt).sum
+      inv * inv
+    }
+    rows.foreach { r =>
+      val share = r.getAs[Double]("raw_share")
+      val w = r.getAs[Double]("weight")
+      if (share < cross - 1e-6)
+        assert(w > share, s"${r.getString(0)}: small source not boosted")
+      if (share > cross + 1e-6)
+        assert(w < share, s"${r.getString(0)}: large source not shrunk")
+    }
+    // order preserved: more tokens never means less weight
+    val byTok = rows.sortBy(_.getAs[Long]("n_tokens"))
+    byTok.map(_.getAs[Double]("weight")).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b + 1e-9, "weight order inverted")
+    }
+  }
 }
