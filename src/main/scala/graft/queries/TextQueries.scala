@@ -237,18 +237,59 @@ object TextQueries {
     // published weights. The point is the serving shape: model
     // application is one narrow codegen projection per row (no UDF, no
     // shuffle), exactly how a trained filter deploys over 100 TB.
-    "docs_quality_logreg" -> ((s, dir) => {
-      val toks = TextOps.tokens(col("text"))
-      val ntok = size(toks).cast("double")
-      val ttr = size(array_distinct(toks)).cast("double") / ntok
-      val z = lit(LrBias) +
-        lit(LrWTtr) * ttr +
-        lit(LrWStop) * TextOps.stopwordRatio(toks) +
-        lit(LrWLen) * TextOps.meanTokenLen(toks) +
-        lit(LrWNtok) * ntok
-      val score = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
-      Tables.documents(s, dir).select(col("doc_id"), score.as("score"),
-        (score >= lit(0.5)).as("keep"))
+    "docs_quality_logreg" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        logregScore.as("score"), (logregScore >= lit(0.5)).as("keep"))),
+
+    // E184: calibration audit of the E166 gate — decile-bin the scored
+    // corpus and report each bin's mean score against the observed
+    // positive fraction (lang = 'en' as the proxy label): the
+    // reliability curve every deployed classifier gate needs before
+    // its threshold is trusted. Binning rides the E101 SCALABLE global
+    // row numbering (range exchange + zipWithIndex) — never
+    // `ntile() OVER ()`'s single-partition funnel — then
+    // bin = ⌊(rn−1)·10/N⌋ with N attached as a 1-row broadcast.
+    "docs_logreg_calibration" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir).select(col("doc_id"),
+        logregScore.as("score"), (col("lang") === "en").as("label"))
+        .withColumn("ord", struct(col("score"), col("doc_id")))
+      val rn = graft.operators.GlobalIndex.globalRowNumbers(scored, "ord",
+        s.sparkContext.defaultParallelism)
+      val tot = scored.agg(count(lit(1)).as("nn"))
+      rn.crossJoin(broadcast(tot))
+        .withColumn("bin",
+          floor((col("row_num") - 1) * 10 / col("nn")).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("score")), 6).as("mean_score"),
+          round(sum(when(col("label"), 1L).otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double"), 6).as("pos_frac"))
+    }),
+
+    // E185: tokenizer fertility audit — per language, characters per
+    // BPE token and BPE tokens per whitespace word (fertility): the
+    // per-language cost report every multilingual tokenizer ships with
+    // (high-fertility languages pay more sequence length per word, so
+    // mixture weights and context budgets must see this table). One
+    // scan, one |langs|-row aggregation; ratios from exact integer
+    // sums, divided once.
+    "docs_tokenizer_fertility" -> ((s, dir) => {
+      val ws = TextOps.tokens(col("text"))
+      val bpe = TextOps.bpeTokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("lang"), length(col("text")).cast("long").as("nc"),
+          size(ws).cast("long").as("nw"), size(bpe).cast("long").as("nb"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nc")).as("n_chars"),
+          sum(col("nw")).as("n_words"),
+          sum(col("nb")).as("n_bpe"))
+        .select(col("lang"), col("n_docs"), col("n_chars"), col("n_words"),
+          col("n_bpe"),
+          round(col("n_chars").cast("double") / col("n_bpe").cast("double"), 6)
+            .as("chars_per_token"),
+          round(col("n_bpe").cast("double") / col("n_words").cast("double"), 6)
+            .as("fertility"))
     }),
 
     // E169: within-document duplicated n-gram fraction — the Gopher
@@ -351,6 +392,22 @@ object TextQueries {
   private val LrWStop = 1.2
   private val LrWLen = 0.05
   private val LrWNtok = 0.002
+
+  /** The E166 logistic score as a Column — shared by the gate
+    * (docs_quality_logreg) and its calibration audit (E184) so the two
+    * can never drift.
+    */
+  private def logregScore: org.apache.spark.sql.Column = {
+    val toks = TextOps.tokens(col("text"))
+    val ntok = size(toks).cast("double")
+    val ttr = size(array_distinct(toks)).cast("double") / ntok
+    val z = lit(LrBias) +
+      lit(LrWTtr) * ttr +
+      lit(LrWStop) * TextOps.stopwordRatio(toks) +
+      lit(LrWLen) * TextOps.meanTokenLen(toks) +
+      lit(LrWNtok) * ntok
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+  }
 
   // -------------------------------------------------------------------
   // DuckDB oracles
@@ -540,25 +597,41 @@ object TextQueries {
     "docs_quality_logreg" ->
       s"""$docsCte
          |SELECT doc_id,
-         |       round(1.0 / (1.0 + exp(-(
-         |         CAST($LrBias AS DOUBLE)
-         |         + CAST($LrWTtr AS DOUBLE) *
-         |             (CAST(len(list_distinct(ws)) AS DOUBLE)
-         |              / CAST(len(ws) AS DOUBLE))
-         |         + CAST($LrWStop AS DOUBLE) * $stopRatioSql
-         |         + CAST($LrWLen AS DOUBLE) * $meanLenSql
-         |         + CAST($LrWNtok AS DOUBLE) * CAST(len(ws) AS DOUBLE)))), 6)
-         |         AS score,
-         |       round(1.0 / (1.0 + exp(-(
-         |         CAST($LrBias AS DOUBLE)
-         |         + CAST($LrWTtr AS DOUBLE) *
-         |             (CAST(len(list_distinct(ws)) AS DOUBLE)
-         |              / CAST(len(ws) AS DOUBLE))
-         |         + CAST($LrWStop AS DOUBLE) * $stopRatioSql
-         |         + CAST($LrWLen AS DOUBLE) * $meanLenSql
-         |         + CAST($LrWNtok AS DOUBLE) * CAST(len(ws) AS DOUBLE)))), 6)
-         |         >= 0.5 AS keep
+         |       $logregScoreSql AS score,
+         |       $logregScoreSql >= 0.5 AS keep
          |FROM d""".stripMargin,
+
+    "docs_logreg_calibration" ->
+      s"""$docsCte,
+         |sc AS (SELECT doc_id, $logregScoreSql AS score,
+         |              (lang = 'en') AS label
+         |       FROM d),
+         |r AS (SELECT doc_id, score, label,
+         |             row_number() OVER (ORDER BY score, doc_id) AS rn,
+         |             count(*) OVER () AS nn
+         |      FROM sc)
+         |SELECT CAST(floor((rn - 1) * 10.0 / nn) AS BIGINT) AS bin,
+         |       count(*) AS n,
+         |       round(avg(score), 6) AS mean_score,
+         |       round(CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / count(*), 6) AS pos_frac
+         |FROM r GROUP BY 1""".stripMargin,
+
+    "docs_tokenizer_fertility" ->
+      s"""WITH t AS (SELECT lang, len(text) AS nc,
+         |                  len(string_split(text, ' ')) AS nw,
+         |                  len(regexp_extract_all(text,
+         |                    '${TextOps.BpeTokenPattern}')) AS nb
+         |           FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(nc) AS BIGINT) AS n_chars,
+         |       CAST(sum(nw) AS BIGINT) AS n_words,
+         |       CAST(sum(nb) AS BIGINT) AS n_bpe,
+         |       round(CAST(sum(nc) AS DOUBLE) / CAST(sum(nb) AS DOUBLE), 6)
+         |         AS chars_per_token,
+         |       round(CAST(sum(nb) AS DOUBLE) / CAST(sum(nw) AS DOUBLE), 6)
+         |         AS fertility
+         |FROM t GROUP BY lang""".stripMargin,
 
     // Mirrors docs_dupgram_frac; the only float op is the final
     // division, and n_grams is CAST back to BIGINT (DuckDB widens
@@ -623,4 +696,18 @@ object TextQueries {
       |      THEN CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE)
       |           / CAST(len(ws) AS DOUBLE)
       |      ELSE 0.0 END)""".stripMargin
+
+  /** [[logregScore]] in DuckDB — one definition, used by the gate
+    * oracle and the calibration oracle.
+    */
+  private def logregScoreSql: String =
+    s"""round(1.0 / (1.0 + exp(-(
+       |         CAST($LrBias AS DOUBLE)
+       |         + CAST($LrWTtr AS DOUBLE) *
+       |             (CAST(len(list_distinct(ws)) AS DOUBLE)
+       |              / CAST(len(ws) AS DOUBLE))
+       |         + CAST($LrWStop AS DOUBLE) * $stopRatioSql
+       |         + CAST($LrWLen AS DOUBLE) * $meanLenSql
+       |         + CAST($LrWNtok AS DOUBLE) * CAST(len(ws) AS DOUBLE)))), 6)"""
+      .stripMargin
 }

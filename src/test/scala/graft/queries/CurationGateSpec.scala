@@ -197,4 +197,39 @@ class CurationGateSpec extends SparkSpec {
       case Array(a, b) => assert(a <= b + 1e-9, "weight order inverted")
     }
   }
+
+  test("logreg calibration: ten near-equal bins covering the corpus, " +
+      "mean score strictly increasing across bins") {
+    val rows = TextQueries.queries("docs_logreg_calibration")(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("bin"))
+    val total = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("bin")).toSeq == (0L until 10L),
+      s"bins not 0..9: ${rows.map(_.getAs[Long]("bin")).mkString(",")}")
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    val sizes = rows.map(_.getAs[Long]("n"))
+    assert(sizes.max - sizes.min <= 1, s"decile sizes ragged: ${sizes.toSeq}")
+    rows.map(_.getAs[Double]("mean_score")).sliding(2).foreach {
+      case Array(a, b) => assert(a < b, "mean score not increasing by bin")
+    }
+    rows.foreach { r =>
+      val pf = r.getAs[Double]("pos_frac")
+      assert(pf >= 0.0 && pf <= 1.0)
+    }
+  }
+
+  test("tokenizer fertility: covers every language, with >= 1 BPE " +
+      "token per word and > 1 char per token") {
+    val rows = TextQueries.queries("docs_tokenizer_fertility")(spark, sfDir)
+      .collect()
+    val langs = Tables.documents(spark, sfDir)
+      .select("lang").distinct().count()
+    assert(rows.length == langs)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("fertility") >= 1.0,
+        s"${r.getString(0)}: a word split into <1 BPE token")
+      assert(r.getAs[Double]("chars_per_token") > 1.0,
+        s"${r.getString(0)}: chars/token <= 1 is impossible for word text")
+      assert(r.getAs[Long]("n_bpe") >= r.getAs[Long]("n_words"))
+    }
+  }
 }
