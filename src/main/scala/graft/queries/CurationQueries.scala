@@ -377,6 +377,73 @@ object CurationQueries {
         .select(col("source"), col("n_docs"), col("n_tokens"),
           col("raw_share"),
           round(col("pw") / col("z"), 6).as("weight"))
+    }),
+
+    // E186: the web-scale blocklist tier — the SAME verdict as E177's
+    // literal-folded projection, but with the dictionary as DATA: doc
+    // tokens (and adjacent-bigram phrases) semi-joined against a
+    // broadcast blocklist table. This is the deploy shape when the
+    // list outgrows a literal fold (millions of entries — hash join
+    // probes beat a per-row scan over the list); the candidate rows
+    // are DISTINCT doc terms, so the join input is bounded by
+    // vocabulary-per-doc, not token count. BlocklistTierSpec-style
+    // equality with docs_blocklist is pinned in CurationGateSpec —
+    // same oracle SQL, so the driver hashes both against the same
+    // truth.
+    "docs_blocklist_join" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val terms = broadcast(BlockTerms.toDF("term"))
+      val phrases = broadcast(BlockPhrases.toDF("phrase"))
+      val ws = TextOps.tokens(col("text"))
+      val termHits = docs
+        .select(col("doc_id"), explode(array_distinct(ws)).as("term"))
+        .join(terms, "term")
+        .groupBy("doc_id").agg(count(lit(1)).cast("int").as("th"))
+      val bigrams = expr(
+        "transform(sequence(1, size(ws) - 1), i -> " +
+          "concat(ws[i - 1], ' ', ws[i]))")
+      val phraseHits = docs
+        .select(col("doc_id"), ws.as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"),
+          explode(array_distinct(bigrams)).as("phrase"))
+        .join(phrases, "phrase")
+        .groupBy("doc_id").agg(count(lit(1)).cast("int").as("ph"))
+      docs.select(col("doc_id"))
+        .join(termHits, Seq("doc_id"), "left")
+        .join(phraseHits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("th"), lit(0)).as("n_term_hits"),
+          coalesce(col("ph"), lit(0)).as("n_phrase_hits"))
+        .withColumn("blocked",
+          col("n_term_hits") + col("n_phrase_hits") > 0)
+    }),
+
+    // E187: PSI drift audit — Population Stability Index between a
+    // reference and a current corpus slice (doc_id parity stands in
+    // for two crawl epochs) over fixed-width score bins:
+    // PSI = Σ (c−p)·ln(c/p), the ops-standard "did the quality
+    // distribution move" alarm (<0.1 stable, >0.25 drifted). Shares
+    // are Laplace-smoothed ((n+1)/(N+bins)) so an empty bin never
+    // divides by zero, counts are exact integers end to end, and only
+    // the final ln/multiply is floating (rounded to 6). One scan, one
+    // 10-row aggregation, totals attached as a 1-row broadcast.
+    "docs_quality_psi" -> ((s, dir) => {
+      val q = Tables.documents(s, dir).select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      val binned = q.select(
+        least(floor(col("quality") * 10), lit(9)).cast("long").as("bin"),
+        (col("doc_id") % 2 === 0).as("is_ref"))
+      val counts = binned.groupBy("bin").agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+      val tot = counts.agg(sum(col("n_ref")).as("tr"), sum(col("n_cur")).as("tc"))
+      val p = (col("n_ref") + 1).cast("double") / (col("tr") + 10).cast("double")
+      val c = (col("n_cur") + 1).cast("double") / (col("tc") + 10).cast("double")
+      counts.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n_ref"), col("n_cur"),
+          round((c - p) * log(c / p), 6).as("psi_contrib"))
     }))
 
   /** Mixture temperature for E183: weight ∝ share^α; 0.5 is the
@@ -736,24 +803,7 @@ object CurationQueries {
          |SELECT doc_id, source, quality, CAST(rnk AS BIGINT) AS rnk
          |FROM r WHERE rnk <= $DomainCapK""".stripMargin,
 
-    "docs_blocklist" ->
-      s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws
-         |           FROM documents)
-         |SELECT doc_id,
-         |       CAST(len(list_filter(list_distinct(ws),
-         |              t -> t IN ${inList(BlockTerms)})) AS INTEGER)
-         |         AS n_term_hits,
-         |       CAST(${BlockPhrases
-               .map(p => s"(CASE WHEN contains(' ' || text || ' ', ' $p ') " +
-                 "THEN 1 ELSE 0 END)")
-               .mkString(" + ")} AS INTEGER) AS n_phrase_hits,
-         |       (len(list_filter(list_distinct(ws),
-         |              t -> t IN ${inList(BlockTerms)}))
-         |        + ${BlockPhrases
-               .map(p => s"(CASE WHEN contains(' ' || text || ' ', ' $p ') " +
-                 "THEN 1 ELSE 0 END)")
-               .mkString(" + ")}) > 0 AS blocked
-         |FROM d""".stripMargin,
+    "docs_blocklist" -> blocklistSql,
 
     "docs_funnel_report" ->
       s"""WITH d AS (SELECT doc_id, text, lang,
@@ -814,7 +864,34 @@ object CurationQueries {
          |z AS (SELECT sum(pw) AS z FROM p)
          |SELECT source, n_docs, n_tokens, round(share, 6) AS raw_share,
          |       round(pw / z.z, 6) AS weight
-         |FROM p CROSS JOIN z""".stripMargin)
+         |FROM p CROSS JOIN z""".stripMargin,
+
+    // Same truth as docs_blocklist: the join tier must be
+    // hash-identical to the literal tier, so it shares the oracle.
+    "docs_blocklist_join" -> blocklistSql,
+
+    "docs_quality_psi" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |           FROM documents),
+         |q AS (SELECT doc_id, $qualitySql AS quality FROM d),
+         |b AS (SELECT CAST(least(floor(quality * 10), 9) AS BIGINT) AS bin,
+         |             (doc_id % 2 = 0) AS is_ref
+         |      FROM q),
+         |cnt AS (SELECT bin,
+         |               CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+         |                 AS n_ref,
+         |               CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+         |                 AS n_cur
+         |        FROM b GROUP BY bin),
+         |t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+         |             CAST(sum(n_cur) AS BIGINT) AS tc FROM cnt)
+         |SELECT bin, n_ref, n_cur,
+         |       round((CAST(n_cur + 1 AS DOUBLE) / CAST(t.tc + 10 AS DOUBLE)
+         |              - CAST(n_ref + 1 AS DOUBLE) / CAST(t.tr + 10 AS DOUBLE))
+         |             * ln((CAST(n_cur + 1 AS DOUBLE) / CAST(t.tc + 10 AS DOUBLE))
+         |                  / (CAST(n_ref + 1 AS DOUBLE) / CAST(t.tr + 10 AS DOUBLE))),
+         |             6) AS psi_contrib
+         |FROM cnt CROSS JOIN t""".stripMargin)
 
   /** The TextOps.qualityScore formula over the `ws` token list (same
     * fragment shape as the TextQueries oracles — guarded CASE, same
@@ -829,4 +906,26 @@ object CurationQueries {
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'${w.replace("'", "''")}'").mkString("(", ", ", ")")
+
+  /** The blocklist truth in DuckDB — shared verbatim by the literal
+    * tier (docs_blocklist) and the join tier (docs_blocklist_join):
+    * one oracle, two physical strategies, identical hashes.
+    */
+  private def blocklistSql: String = {
+    val phraseCases = BlockPhrases
+      .map(p => s"(CASE WHEN contains(' ' || text || ' ', ' $p ') " +
+        "THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+       |           FROM documents)
+       |SELECT doc_id,
+       |       CAST(len(list_filter(list_distinct(ws),
+       |              t -> t IN ${inList(BlockTerms)})) AS INTEGER)
+       |         AS n_term_hits,
+       |       CAST($phraseCases AS INTEGER) AS n_phrase_hits,
+       |       (len(list_filter(list_distinct(ws),
+       |              t -> t IN ${inList(BlockTerms)}))
+       |        + $phraseCases) > 0 AS blocked
+       |FROM d""".stripMargin
+  }
 }

@@ -198,6 +198,38 @@ class CurationGateSpec extends SparkSpec {
     }
   }
 
+  test("blocklist: the literal tier and the join tier are row-identical " +
+      "(two physical strategies, one truth)") {
+    val lit0 = CurationQueries.queries("docs_blocklist")(spark, sfDir)
+    val join0 = CurationQueries.queries("docs_blocklist_join")(spark, sfDir)
+    assert(lit0.count() == join0.count())
+    assert(lit0.exceptAll(join0).isEmpty && join0.exceptAll(lit0).isEmpty,
+      "blocklist tiers diverge")
+  }
+
+  test("quality PSI: contributions recompute from raw bin counts and " +
+      "the doc-parity split is near-stable") {
+    val rows = CurationQueries.queries("docs_quality_psi")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val tr = rows.map(_.getAs[Long]("n_ref")).sum
+    val tc = rows.map(_.getAs[Long]("n_cur")).sum
+    assert(tr + tc == Tables.documents(spark, sfDir).count())
+    var psi = 0.0
+    rows.foreach { r =>
+      val p = (r.getAs[Long]("n_ref") + 1.0) / (tr + 10.0)
+      val c = (r.getAs[Long]("n_cur") + 1.0) / (tc + 10.0)
+      val expect = math.rint((c - p) * math.log(c / p) * 1e6) / 1e6
+      assert(math.abs(r.getAs[Double]("psi_contrib") - expect) <= 1e-6,
+        s"bin ${r.getAs[Long]("bin")}: contrib != recomputation")
+      psi += r.getAs[Double]("psi_contrib")
+    }
+    // doc_id parity is an arbitrary split of ONE corpus — PSI must sit
+    // well inside the industry 'stable' band (< 0.1); a drifted value
+    // here would mean the binning or share arithmetic is broken
+    assert(psi >= 0.0 && psi < 0.1, s"parity-split PSI = $psi")
+  }
+
   test("logreg calibration: ten near-equal bins covering the corpus, " +
       "mean score strictly increasing across bins") {
     val rows = TextQueries.queries("docs_logreg_calibration")(spark, sfDir)
