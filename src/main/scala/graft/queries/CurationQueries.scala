@@ -271,11 +271,14 @@ object CurationQueries {
     // phrases (space-delimited containment). The deploy shape for a
     // bounded dictionary is what ships here: the list folds into the
     // scan as literals (a broadcast in spirit — zero shuffle, zero
-    // join), the per-row work is one pass over the token array plus
-    // one contains() per phrase. A web-scale blocklist (millions of
-    // entries) would instead semi-join distinct doc tokens against a
-    // blocklist table — the E129-style keyed variant; the projection
-    // tier wins below ~10⁴ entries.
+    // join; Catalyst rewrites the IN to an O(1)-probe InSet), the
+    // per-row work is one pass over the token array plus one
+    // contains() per phrase. BlocklistScaleBench MEASURED the
+    // crossover vs the join tier (E186): the literal fold wins at
+    // every size through 10⁵ entries (InSet probes are flat; only the
+    // plan-resident list grows) — the join tier's case is a
+    // dictionary too large or too DYNAMIC to live in the plan
+    // (updated without re-deploying the query), not raw speed.
     "docs_blocklist" -> ((s, dir) => {
       val ws = TextOps.tokens(col("text"))
       val termHits = size(filter(array_distinct(ws),
@@ -379,17 +382,18 @@ object CurationQueries {
           round(col("pw") / col("z"), 6).as("weight"))
     }),
 
-    // E186: the web-scale blocklist tier — the SAME verdict as E177's
-    // literal-folded projection, but with the dictionary as DATA: doc
-    // tokens (and adjacent-bigram phrases) semi-joined against a
-    // broadcast blocklist table. This is the deploy shape when the
-    // list outgrows a literal fold (millions of entries — hash join
-    // probes beat a per-row scan over the list); the candidate rows
-    // are DISTINCT doc terms, so the join input is bounded by
-    // vocabulary-per-doc, not token count. BlocklistTierSpec-style
-    // equality with docs_blocklist is pinned in CurationGateSpec —
-    // same oracle SQL, so the driver hashes both against the same
-    // truth.
+    // E186: the dictionary-as-DATA blocklist tier — the SAME verdict
+    // as E177's literal-folded projection, but with doc tokens (and
+    // adjacent-bigram phrases) semi-joined against a broadcast
+    // blocklist table. BlocklistScaleBench measured the literal tier
+    // faster through 10⁵ entries (InSet probes are O(1)), so this
+    // tier's case is OPERATIONAL, not raw speed: a dictionary updated
+    // without re-planning the query, shared across jobs as a table,
+    // or too large to serialize into every task's plan. Candidate
+    // rows are DISTINCT doc terms, so the join input is bounded by
+    // vocabulary-per-doc, not token count. Equality with
+    // docs_blocklist is pinned in CurationGateSpec — same oracle SQL,
+    // so the driver hashes both against the same truth.
     "docs_blocklist_join" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
