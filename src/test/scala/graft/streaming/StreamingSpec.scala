@@ -572,6 +572,45 @@ class StreamingSpec extends SparkSpec {
     } finally prev.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
   }
 
+  test("spike detector clamps pathological hour jumps: only the " +
+      "trailing gap span emits and the post-gap hour flags on a " +
+      "zeroed baseline") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[(String, Long, Long)]
+      val out = StreamingPipeline.rateSpikes(spark, stream.toDS())
+      val q = out.writeStream.format("memory")
+        .queryName("twsgap").outputMode("update").start()
+      try {
+        // 30 observed hours at count 3, then a 1000-hour jump
+        stream.addData((0 until 30).map(i => ("k", i * 3600L, 3L)))
+        q.processAllAvailable()
+        stream.addData(Seq(("k", 1030 * 3600L, 5L)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("twsgap")
+        .as[(String, Long, Long, Long, Boolean)].collect()
+        .sortBy(_._2)
+      // 30 observed + clamped trailing 168 zero hours + the jump target
+      assert(rows.length == 30 + 168 + 1,
+        s"expected clamp to 168 gap emissions, got ${rows.length} rows")
+      val gapRows = rows.filter(r => r._2 > 29 * 3600L && r._2 < 1030 * 3600L)
+      assert(gapRows.length == 168 &&
+        gapRows.head._2 == (1030 - 168) * 3600L &&
+        gapRows.forall(r => r._3 == 0L && !r._5),
+        "gap span wrong: must be the trailing 168 hours, all zero, no flags")
+      val target = rows.last
+      // after >=24 zero hours the baseline ring is all-zero and full,
+      // so any positive count is an infinite-z spike: d=24*5>0, Q=S=0
+      assert(target._2 == 1030 * 3600L && target._3 == 5L &&
+        target._4 == 0L && target._5,
+        s"post-gap row wrong: $target")
+    } finally prev.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
+  }
+
   test("Kafka adapter reports connector availability honestly") {
     // No spark-sql-kafka jar ships in this container (SURVEY.md §7.6.6):
     // the adapter must say so rather than fail deep inside a query.
