@@ -448,6 +448,26 @@ object CurationQueries {
       counts.crossJoin(broadcast(tot))
         .select(col("bin"), col("n_ref"), col("n_cur"),
           round((c - p) * log(c / p), 6).as("psi_contrib"))
+    }),
+
+    // E188: shard manifest — the terminal artifact of the
+    // curate → shuffle flow (E180): per training shard, document and
+    // token counts, the sort-key range, and an order-free id checksum
+    // (the manifest a training job reads to size readers and verify
+    // shard integrity without re-scanning payloads). One scan + one
+    // |shards|-row aggregation; every column is an exact integer.
+    "docs_shard_manifest" -> ((s, dir) => {
+      val key = Curation.hashBucket(col("doc_id"), EpochSalt)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), key.as("sort_key"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("shard", (col("sort_key") % EpochShards).cast("long"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          min(col("sort_key")).as("min_key"),
+          max(col("sort_key")).as("max_key"),
+          sum(col("doc_id")).as("id_checksum"))
     }))
 
   /** Mixture temperature for E183: weight ∝ share^α; 0.5 is the
@@ -895,7 +915,22 @@ object CurationQueries {
          |             * ln((CAST(n_cur + 1 AS DOUBLE) / CAST(t.tc + 10 AS DOUBLE))
          |                  / (CAST(n_ref + 1 AS DOUBLE) / CAST(t.tr + 10 AS DOUBLE))),
          |             6) AS psi_contrib
-         |FROM cnt CROSS JOIN t""".stripMargin)
+         |FROM cnt CROSS JOIN t""".stripMargin,
+
+    "docs_shard_manifest" ->
+      s"""WITH h AS (SELECT doc_id,
+         |                  CAST(${hexBucketSql("doc_id", EpochSalt)} AS BIGINT)
+         |                    AS sort_key,
+         |                  CAST(len(string_split(text, ' ')) AS BIGINT)
+         |                    AS n_tok
+         |           FROM documents)
+         |SELECT CAST(sort_key % $EpochShards AS BIGINT) AS shard,
+         |       count(*) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |       min(sort_key) AS min_key,
+         |       max(sort_key) AS max_key,
+         |       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         |FROM h GROUP BY 1""".stripMargin)
 
   /** The TextOps.qualityScore formula over the `ws` token list (same
     * fragment shape as the TextQueries oracles — guarded CASE, same

@@ -230,6 +230,29 @@ class CurationGateSpec extends SparkSpec {
     assert(psi >= 0.0 && psi < 0.1, s"parity-split PSI = $psi")
   }
 
+  test("shard manifest: covers every shard and cross-foots with the " +
+      "epoch shuffle's per-shard contents") {
+    val manifest = CurationQueries.queries("docs_shard_manifest")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("shard") -> r).toMap
+    assert(manifest.keySet == (0L until 8L).toSet)
+    assert(manifest.values.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sfDir).count())
+    // the manifest must describe EXACTLY what the shuffle emits
+    val fromShuffle = CurationQueries.queries("docs_epoch_shuffle")(spark, sfDir)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("ck"),
+        min(col("sort_key")).as("mn"), max(col("sort_key")).as("mx"))
+      .collect()
+    fromShuffle.foreach { r =>
+      val m = manifest(r.getAs[Long]("shard"))
+      assert(m.getAs[Long]("n_docs") == r.getAs[Long]("n") &&
+        m.getAs[Long]("id_checksum") == r.getAs[Long]("ck") &&
+        m.getAs[Long]("min_key") == r.getAs[Long]("mn") &&
+        m.getAs[Long]("max_key") == r.getAs[Long]("mx"),
+        s"manifest disagrees with shuffle for shard ${r.getAs[Long]("shard")}")
+    }
+  }
+
   test("logreg calibration: ten near-equal bins covering the corpus, " +
       "mean score strictly increasing across bins") {
     val rows = TextQueries.queries("docs_logreg_calibration")(spark, sfDir)
