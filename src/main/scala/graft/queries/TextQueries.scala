@@ -195,42 +195,33 @@ object TextQueries {
     // sort, no shuffle before the counts); re-evaluating it for the
     // scoring join is a narrow re-scan, so nothing is checkpointed.
     // Model tables are vocabulary-sized aggregates joined back in.
-    "docs_bigram_lm" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      // bg feeds BOTH the count training and the scoring join; uni
-      // feeds the w1/w2 probability joins AND the model-size total —
-      // lazy localCheckpoint each once so neither multi-consumer
-      // branch re-derives its scan (the TF-IDF double-eval lesson;
-      // uni is vocabulary-sized, bg is the one corpus-sized pass).
-      val bg = docs
-        .filter(size(col("ws")) >= 2)
-        .select(col("doc_id"), col("ws"),
-          explode(sequence(lit(1), size(col("ws")) - 1)).as("i"))
-        .select(col("doc_id"),
-          get(col("ws"), col("i") - 1).as("w"),
-          get(col("ws"), col("i")).as("w2"))
-        .localCheckpoint(false)
-      val uni = docs
-        .select(explode(col("ws")).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("cu"))
-        .localCheckpoint(false)
-      val tot = uni.agg(sum(col("cu")).as("t"), count(lit(1)).as("v"))
-      val bgc = bg.groupBy("w", "w2").agg(count(lit(1)).as("cb"))
-      val p =
-        lit(BigramLambda) * (col("cb").cast("double") / col("cu1").cast("double")) +
-          lit(BigramOneMinus) *
-            ((col("cu2") + lit(1L)).cast("double") / (col("t") + col("v")).cast("double"))
-      bg.join(bgc, Seq("w", "w2"))
-        .join(uni.select(col("w"), col("cu").as("cu1")), Seq("w"))
-        .join(uni.select(col("w").as("w2"), col("cu").as("cu2")), Seq("w2"))
-        .crossJoin(broadcast(tot)) // 1-row model-size attach
-        .select(col("doc_id"), log(p).as("lp"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(avg(col("lp")), 6).as("avg_logprob"))
-    }),
+    "docs_bigram_lm" -> ((s, dir) => bigramLmScores(s, dir)),
 
+    // E189: CCNet-style perplexity bucketing — partition the corpus
+    // into head / middle / tail tertiles by LM score (Wenzek et al.
+    // 2020: train on head, inspect middle, drop tail — the canonical
+    // corpus split that complements the E166 binary gate and the E171
+    // DSIR weights with a graded verdict). Scores come from the SAME
+    // shared bigram-LM pass as docs_bigram_lm (one definition, no
+    // drift); tertile assignment rides the E101 scalable global row
+    // numbering over (score DESC, doc_id), never a single-partition
+    // ntile: bucket = ⌊(rn−1)·3/N⌋, N broadcast.
+    "docs_ppl_buckets" -> ((s, dir) => {
+      val scored = bigramLmScores(s, dir)
+        .select(col("doc_id"), col("avg_logprob"))
+        .withColumn("ord",
+          struct((-col("avg_logprob")).as("neg"), col("doc_id")))
+      val rn = graft.operators.GlobalIndex.globalRowNumbers(scored, "ord",
+        s.sparkContext.defaultParallelism)
+      val tot = scored.agg(count(lit(1)).as("nn"))
+      rn.crossJoin(broadcast(tot))
+        .withColumn("bucket_id",
+          floor((col("row_num") - 1) * 3 / col("nn")).cast("long"))
+        .select(col("doc_id"), col("avg_logprob"), col("bucket_id"),
+          when(col("bucket_id") === 0, "head")
+            .when(col("bucket_id") === 1, "middle")
+            .otherwise("tail").as("bucket"))
+    }),
     // E166: linear quality classifier — a fastText-style logistic
     // gate over the engine's own per-doc features (type-token ratio,
     // stopword ratio, mean token length, token count) with FIXED
@@ -392,6 +383,45 @@ object TextQueries {
   private val LrWStop = 1.2
   private val LrWLen = 0.05
   private val LrWNtok = 0.002
+
+  /** The E165 interpolated-bigram-LM per-doc scores — shared by
+    * docs_bigram_lm and the E189 perplexity buckets (one definition,
+    * no drift). bg feeds BOTH the count training and the scoring
+    * join; uni feeds the w1/w2 probability joins AND the model-size
+    * total — lazy localCheckpoint each once so neither multi-consumer
+    * branch re-derives its scan (the TF-IDF double-eval lesson; uni
+    * is vocabulary-sized, bg is the one corpus-sized pass).
+    */
+  private def bigramLmScores(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val bg = docs
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1), size(col("ws")) - 1)).as("i"))
+      .select(col("doc_id"),
+        get(col("ws"), col("i") - 1).as("w"),
+        get(col("ws"), col("i")).as("w2"))
+      .localCheckpoint(false)
+    val uni = docs
+      .select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+      .localCheckpoint(false)
+    val tot = uni.agg(sum(col("cu")).as("t"), count(lit(1)).as("v"))
+    val bgc = bg.groupBy("w", "w2").agg(count(lit(1)).as("cb"))
+    val p =
+      lit(BigramLambda) * (col("cb").cast("double") / col("cu1").cast("double")) +
+        lit(BigramOneMinus) *
+          ((col("cu2") + lit(1L)).cast("double") / (col("t") + col("v")).cast("double"))
+    bg.join(bgc, Seq("w", "w2"))
+      .join(uni.select(col("w"), col("cu").as("cu1")), Seq("w"))
+      .join(uni.select(col("w").as("w2"), col("cu").as("cu2")), Seq("w2"))
+      .crossJoin(broadcast(tot)) // 1-row model-size attach
+      .select(col("doc_id"), log(p).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("lp")), 6).as("avg_logprob"))
+  }
 
   /** The E166 logistic score as a Column — shared by the gate
     * (docs_quality_logreg) and its calibration audit (E184) so the two
@@ -567,28 +597,25 @@ object TextQueries {
     // points, same literal order (0.7/0.3 written separately, never
     // 1 − λ at query time), ln applied to the identical double.
     "docs_bigram_lm" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |t AS (SELECT doc_id, i AS pos, ws[CAST(i AS INTEGER)] AS w
-        |      FROM d, unnest(generate_series(1, len(ws))) AS u(i)),
-        |bgx AS (SELECT doc_id, w, lead(w) OVER
-        |          (PARTITION BY doc_id ORDER BY pos) AS w2
-        |        FROM t),
-        |b AS (SELECT doc_id, w, w2 FROM bgx WHERE w2 IS NOT NULL),
-        |uni AS (SELECT w, count(*) AS cu FROM t GROUP BY w),
-        |tot AS (SELECT sum(cu) AS t, count(*) AS v FROM uni),
-        |bgc AS (SELECT w, w2, count(*) AS cb FROM b GROUP BY w, w2),
-        |sc AS (SELECT b.doc_id,
-        |         ln(CAST(0.7 AS DOUBLE)
-        |              * (CAST(bgc.cb AS DOUBLE) / CAST(u1.cu AS DOUBLE))
-        |            + CAST(0.3 AS DOUBLE)
-        |              * (CAST(u2.cu + 1 AS DOUBLE)
-        |                 / CAST(tot.t + tot.v AS DOUBLE))) AS lp
-        |       FROM b JOIN bgc USING (w, w2)
-        |            JOIN uni u1 ON u1.w = b.w
-        |            JOIN uni u2 ON u2.w = b.w2
-        |            CROSS JOIN tot)
-        |SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logprob
-        |FROM sc GROUP BY doc_id""".stripMargin,
+      s"""WITH $bigramLmCtes
+         |SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logprob
+         |FROM sc GROUP BY doc_id""".stripMargin,
+
+    "docs_ppl_buckets" ->
+      s"""WITH $bigramLmCtes,
+         |s AS (SELECT doc_id, round(avg(lp), 6) AS avg_logprob
+         |      FROM sc GROUP BY doc_id),
+         |r AS (SELECT doc_id, avg_logprob,
+         |             row_number() OVER (ORDER BY avg_logprob DESC, doc_id)
+         |               AS rn,
+         |             count(*) OVER () AS nn
+         |      FROM s)
+         |SELECT doc_id, avg_logprob,
+         |       CAST(floor((rn - 1) * 3.0 / nn) AS BIGINT) AS bucket_id,
+         |       CASE CAST(floor((rn - 1) * 3.0 / nn) AS BIGINT)
+         |            WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+         |            ELSE 'tail' END AS bucket
+         |FROM r""".stripMargin,
 
     // Mirrors docs_quality_logreg: the feature fragments are the SAME
     // SQL as docs_text_stats' columns (so the features cannot drift
@@ -696,6 +723,32 @@ object TextQueries {
       |      THEN CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE)
       |           / CAST(len(ws) AS DOUBLE)
       |      ELSE 0.0 END)""".stripMargin
+
+  /** [[bigramLmScores]]'s CTE chain in DuckDB, up to the per-bigram
+    * log-probabilities `sc(doc_id, lp)` — shared by the bigram-LM
+    * oracle and the perplexity-bucket oracle.
+    */
+  private def bigramLmCtes: String =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |t AS (SELECT doc_id, i AS pos, ws[CAST(i AS INTEGER)] AS w
+      |      FROM d, unnest(generate_series(1, len(ws))) AS u(i)),
+      |bgx AS (SELECT doc_id, w, lead(w) OVER
+      |          (PARTITION BY doc_id ORDER BY pos) AS w2
+      |        FROM t),
+      |b AS (SELECT doc_id, w, w2 FROM bgx WHERE w2 IS NOT NULL),
+      |uni AS (SELECT w, count(*) AS cu FROM t GROUP BY w),
+      |tot AS (SELECT sum(cu) AS t, count(*) AS v FROM uni),
+      |bgc AS (SELECT w, w2, count(*) AS cb FROM b GROUP BY w, w2),
+      |sc AS (SELECT b.doc_id,
+      |         ln(CAST(0.7 AS DOUBLE)
+      |              * (CAST(bgc.cb AS DOUBLE) / CAST(u1.cu AS DOUBLE))
+      |            + CAST(0.3 AS DOUBLE)
+      |              * (CAST(u2.cu + 1 AS DOUBLE)
+      |                 / CAST(tot.t + tot.v AS DOUBLE))) AS lp
+      |       FROM b JOIN bgc USING (w, w2)
+      |            JOIN uni u1 ON u1.w = b.w
+      |            JOIN uni u2 ON u2.w = b.w2
+      |            CROSS JOIN tot)""".stripMargin
 
   /** [[logregScore]] in DuckDB — one definition, used by the gate
     * oracle and the calibration oracle.

@@ -272,6 +272,27 @@ class CurationGateSpec extends SparkSpec {
     }
   }
 
+  test("perplexity buckets: near-equal tertiles covering every scored " +
+      "doc, head strictly more probable than tail") {
+    val rows = TextQueries.queries("docs_ppl_buckets")(spark, sfDir).collect()
+    assert(rows.length ==
+      TextQueries.queries("docs_bigram_lm")(spark, sfDir).count())
+    val byBucket = rows.groupBy(_.getAs[String]("bucket"))
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    val sizes = byBucket.values.map(_.length)
+    assert(sizes.max - sizes.min <= 1, s"tertiles ragged: $sizes")
+    def mean(b: String) = {
+      val v = byBucket(b).map(_.getAs[Double]("avg_logprob")); v.sum / v.length
+    }
+    assert(mean("head") > mean("middle") && mean("middle") > mean("tail"),
+      "bucket order does not follow LM score")
+    // every head doc scores >= every tail doc (tertiles partition the
+    // sorted order; ties can only straddle adjacent buckets)
+    val minHead = byBucket("head").map(_.getAs[Double]("avg_logprob")).min
+    val maxTail = byBucket("tail").map(_.getAs[Double]("avg_logprob")).max
+    assert(minHead >= maxTail)
+  }
+
   test("tokenizer fertility: covers every language, with >= 1 BPE " +
       "token per word and > 1 char per token") {
     val rows = TextQueries.queries("docs_tokenizer_fertility")(spark, sfDir)
