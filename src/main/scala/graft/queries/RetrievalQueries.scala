@@ -92,7 +92,40 @@ object RetrievalQueries {
           coalesce(col("nh"), lit(0L)).cast("int").as("n_hit"),
           round(coalesce(col("nh"), lit(0L)).cast("double") /
             lit(SimilarityQueries.K.toDouble), 6).as("recall"))
+    }),
+
+    // E191: Matryoshka truncation recall — top-5 by cosine over the
+    // FIRST 16 of 64 dims, audited against full-dimension ground
+    // truth (the MRL deployment question: how much recall does a 4×
+    // cheaper prefix embedding keep? — the standard
+    // retrieve-truncated-then-rerank-full design needs this number
+    // before it is trusted). Cosine self-normalizes, so prefix
+    // truncation needs no renorm pass; both rankings use the same
+    // bounded-heap top-k machinery as E6/E163.
+    "emb_matryoshka_recall" -> ((s, dir) => {
+      val c = SimilarityQueries.corpus(s, dir)
+      val ct = c.select(col("id"), col("part"),
+        slice(col("vec"), 1, MatryoshkaDim).as("vec"))
+      val qFlat = c.filter(col("id") < SimilarityQueries.NumQueries)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      val qTrunc = ct.filter(col("id") < SimilarityQueries.NumQueries)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      val exact = Similarity.topK(c, qFlat, SimilarityQueries.K)
+        .select(col("query_id"), col("neighbor_id"))
+      val trunc = Similarity.topK(ct, qTrunc, SimilarityQueries.K)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(trunc, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("nh"))
+      qFlat.select(col("qid").as("query_id"))
+        .join(hits, Seq("query_id"), "left_outer")
+        .select(col("query_id"),
+          coalesce(col("nh"), lit(0L)).cast("int").as("n_hit"),
+          round(coalesce(col("nh"), lit(0L)).cast("double") /
+            lit(SimilarityQueries.K.toDouble), 6).as("recall"))
     }))
+
+  /** Matryoshka prefix width for E191 (of EmbDim = 64). */
+  private val MatryoshkaDim = 16
 
   // ---------------------------------------------------------------------
   // DuckDB oracles
@@ -188,6 +221,38 @@ object RetrievalQueries {
          |       WHERE rank <= ${SimilarityQueries.K}),
          |h AS (SELECT ex.query_id, count(*) AS nh
          |      FROM ex JOIN an USING (query_id, neighbor_id)
+         |      GROUP BY ex.query_id)
+         |SELECT q.vec_id AS query_id,
+         |       CAST(coalesce(h.nh, 0) AS INTEGER) AS n_hit,
+         |       round(CAST(coalesce(h.nh, 0) AS DOUBLE)
+         |             / CAST(${SimilarityQueries.K} AS DOUBLE), 6) AS recall
+         |FROM q LEFT JOIN h ON h.query_id = q.vec_id""".stripMargin,
+
+    "emb_matryoshka_recall" ->
+      s"""${SimilarityQueries.embCte},
+         |et AS (SELECT vec_id, label, v[1:$MatryoshkaDim] AS v FROM e),
+         |q AS (SELECT * FROM e WHERE vec_id < ${SimilarityQueries.NumQueries}),
+         |qt AS (SELECT * FROM et WHERE vec_id < ${SimilarityQueries.NumQueries}),
+         |exs AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |               ${SimilarityQueries.cosSql("q.v", "e.v")} AS score
+         |        FROM q JOIN e ON e.vec_id <> q.vec_id),
+         |exr AS (SELECT query_id, neighbor_id,
+         |          row_number() OVER (PARTITION BY query_id
+         |                             ORDER BY score DESC, neighbor_id) AS rank
+         |        FROM exs),
+         |ex AS (SELECT query_id, neighbor_id FROM exr
+         |       WHERE rank <= ${SimilarityQueries.K}),
+         |trs AS (SELECT qt.vec_id AS query_id, et.vec_id AS neighbor_id,
+         |               ${SimilarityQueries.cosSql("qt.v", "et.v")} AS score
+         |        FROM qt JOIN et ON et.vec_id <> qt.vec_id),
+         |trr AS (SELECT query_id, neighbor_id,
+         |          row_number() OVER (PARTITION BY query_id
+         |                             ORDER BY score DESC, neighbor_id) AS rank
+         |        FROM trs),
+         |tr AS (SELECT query_id, neighbor_id FROM trr
+         |       WHERE rank <= ${SimilarityQueries.K}),
+         |h AS (SELECT ex.query_id, count(*) AS nh
+         |      FROM ex JOIN tr USING (query_id, neighbor_id)
          |      GROUP BY ex.query_id)
          |SELECT q.vec_id AS query_id,
          |       CAST(coalesce(h.nh, 0) AS INTEGER) AS n_hit,

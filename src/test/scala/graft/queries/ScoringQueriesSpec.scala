@@ -91,4 +91,30 @@ class ScoringQueriesSpec extends SparkSpec {
     assert(row.getAs[Long]("n_terms") == vocab)
     assert(row.getAs[Double]("slope") < 0.0) // frequency falls with rank
   }
+
+  test("matryoshka recall harness: full-width truncation reproduces " +
+      "ground truth exactly; the 16-dim prefix keeps some signal") {
+    val rows = RetrievalQueries.queries("emb_matryoshka_recall")(spark, sfDir)
+      .collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val rc = r.getAs[Double]("recall")
+      assert(rc >= 0.0 && rc <= 1.0)
+    }
+    assert(rows.map(_.getAs[Int]("n_hit")).sum > 0,
+      "16-dim prefix lost ALL signal — harness suspect")
+    // identity case: rebuilding the 'truncated' ranking at the FULL
+    // width must agree with ground truth on every query — this pins
+    // the harness arithmetic (a bug in either ranking breaks it)
+    val c = SimilarityQueries.corpus(spark, sfDir)
+    val q = c.filter(col("id") < 10)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val a = Similarity.topK(c, q, 5).select(col("query_id"), col("neighbor_id"))
+    val b = Similarity.topK(
+      c.select(col("id"), col("part"), slice(col("vec"), 1, 64).as("vec")),
+      q.select(col("qid"), slice(col("qvec"), 1, 64).as("qvec")), 5)
+      .select(col("query_id"), col("neighbor_id"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "full-width slice changed the ranking")
+  }
 }
