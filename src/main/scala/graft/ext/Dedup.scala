@@ -723,16 +723,20 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs at Hamming distance ≤ maxHamming (< 4), via
-    * 4 chunks of 15 bits: hd ≤ 3 guarantees an identical chunk
-    * (pigeonhole), so banding is exhaustive, and a random 15-bit chunk
-    * collision has probability 2⁻¹⁵ — the candidate join stays sparse.
+    * 4 chunks of `chunkBits` bits: hd ≤ 3 guarantees an identical chunk
+    * (pigeonhole), so banding is exhaustive, and a random chunk
+    * collision has probability 2^-chunkBits — the candidate join stays
+    * sparse. The default 15 covers the 60-bit SimHash; the perceptual
+    * dHash tier (graft.functions.DHash32, 31 bits) passes 8 — coarser
+    * buckets, same pigeonhole guarantee (a production 64-bit pHash
+    * would pass 16 to keep buckets sparse at corpus scale).
     * Input: (id, simhash). Output: (id_a, id_b, hamming).
     */
   def simhashPairs(df: DataFrame, idCol: String, simhashCol: String,
-                   maxHamming: Int): DataFrame = {
+                   maxHamming: Int, chunkBits: Int = 15): DataFrame = {
     require(maxHamming < 4, "4-chunk banding only guarantees hd <= 3")
     val chunks = array((0 until 4).map { c =>
-      shiftright(col(simhashCol), c * 15).bitwiseAND(lit((1L << 15) - 1))
+      shiftright(col(simhashCol), c * chunkBits).bitwiseAND(lit((1L << chunkBits) - 1))
     }: _*)
     // One pass like lshCandidates: bucket by chunk, carry (id, simhash)
     // structs into the bucket, emit in-bucket pairs with both

@@ -87,6 +87,12 @@ object GraftFunctions {
         require(args.length == 1, s"video_meta expects 1 argument, got ${args.length}")
         VideoMeta(args.head)
       }),
+    (FunctionIdentifier("dhash32"),
+      new ExpressionInfo(classOf[DHash32].getName, "dhash32"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"dhash32 expects 1 argument, got ${args.length}")
+        DHash32(args.head)
+      }),
     (FunctionIdentifier("cdc_envelope"),
       new ExpressionInfo(classOf[CdcEnvelopeParse].getName, "cdc_envelope"),
       (args: Seq[Expression]) => {

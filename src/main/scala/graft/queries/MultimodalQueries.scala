@@ -89,6 +89,28 @@ object MultimodalQueries {
           col("v.n_tracks").cast("long").as("n_tracks"))
     }),
 
+    // Perceptual dHash per asset (E192): native one-pass codegen
+    // expression (graft.functions.DHash32) — 32-cell byte-grid
+    // downsample, floor-mean cells, 31 adjacent-gradient bits packed
+    // into a long. The oracle recomputes the identical grid/gradient
+    // arithmetic from ord() over the fixture bytes (ASCII, so VARCHAR
+    // positions are byte-exact), so a wrong cell boundary, floor step,
+    // or bit order breaks the hash match.
+    "mm_phash" -> ((s, dir) =>
+      Multimodal.fromDocuments(Tables.documents(s, dir))
+        .select(col("id"), graft.functions.DHash32(col("content")).as("dhash"))),
+
+    // Perceptual near-dup pairs at Hamming ≤ 3 (E192): the image-dedup
+    // analogue of docs_simhash_pairs — same 4-chunk pigeonhole banding
+    // (8-bit chunks over the 31-bit hash), hash-only shuffle, exact
+    // verify on the candidate sliver. The oracle is exact all-pairs
+    // Hamming, so banding must be pigeonhole-complete to match.
+    "mm_phash_pairs" -> ((s, dir) => {
+      val ph = Multimodal.fromDocuments(Tables.documents(s, dir))
+        .select(col("id"), graft.functions.DHash32(col("content")).as("dhash"))
+      graft.ext.Dedup.simhashPairs(ph, "id", "dhash", PhashMaxHamming, chunkBits = 8)
+    }),
+
     // Content checksum + size: the dedup join key for binary assets
     // (the multimodal analogue of docs_dedup_exact).
     "mm_checksum_dedup" -> ((s, dir) => {
@@ -98,6 +120,46 @@ object MultimodalQueries {
         .agg(min("id").as("id"), count(lit(1)).as("n_copies"))
         .select("id", "n_bytes", "n_copies")
     }))
+
+  /** Hamming radius for the perceptual near-dup tier (mm_phash_pairs);
+    * < 4 so the 4-chunk pigeonhole banding is exhaustive.
+    */
+  val PhashMaxHamming = 3
+
+  /** DHash32 recomputed in SQL from first principles: per-byte ord()
+    * values (fixture text is ASCII ⇒ VARCHAR position = byte), 32-cell
+    * grid by `(p * 32) // n`, floor-mean cell values, a full 0..31 cell
+    * spine with empty cells scoring -1 (the kernel's total-order guard
+    * for blobs shorter than the grid), gradient bit i = cell(i) >
+    * cell(i+1), packed little-endian. Ends in CTE `ph(doc_id, dhash)`.
+    */
+  private val phashCte: String =
+    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      |pos AS (
+      |  SELECT doc_id, n, CAST(t.i - 1 AS BIGINT) AS p,
+      |         ord(substr(text, CAST(t.i AS INTEGER), 1)) AS b
+      |  FROM d, unnest(generate_series(1, n)) AS t(i)),
+      |agg AS (
+      |  SELECT doc_id, (p * 32) // n AS cell,
+      |         CAST(sum(b) // count(*) AS BIGINT) AS v
+      |  FROM pos GROUP BY doc_id, (p * 32) // n),
+      |spine AS (
+      |  SELECT doc_id, CAST(g.cell AS BIGINT) AS cell
+      |  FROM d, unnest(generate_series(0, 31)) AS g(cell)),
+      |grid AS (
+      |  SELECT s.doc_id, s.cell, coalesce(a.v, -1) AS v
+      |  FROM spine s LEFT JOIN agg a
+      |    ON a.doc_id = s.doc_id AND a.cell = s.cell),
+      |bits AS (
+      |  SELECT lo.doc_id, lo.cell AS i,
+      |         CASE WHEN lo.v > hi.v THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      |  FROM grid lo JOIN grid hi
+      |    ON lo.doc_id = hi.doc_id AND hi.cell = lo.cell + 1),
+      |ph AS (
+      |  SELECT doc_id,
+      |         CAST(coalesce(sum(bit * (1::BIGINT << CAST(i AS INTEGER))), 0)
+      |              AS BIGINT) AS dhash
+      |  FROM bits GROUP BY doc_id)""".stripMargin
 
   /** Magic-prefix sniff as a CASE chain, generated from the same table
     * Multimodal.metadata folds over (first matching prefix wins).
@@ -122,6 +184,17 @@ object MultimodalQueries {
       """SELECT min(doc_id) AS id, octet_length(encode(text)) AS n_bytes,
         |       count(*) AS n_copies
         |FROM documents GROUP BY md5(text), octet_length(encode(text))""".stripMargin,
+
+    "mm_phash" -> s"$phashCte SELECT doc_id AS id, dhash FROM ph",
+
+    // Exact all-pairs Hamming over the same hash CTE — the banding is
+    // pigeonhole-complete, so the LSH result must equal this exactly.
+    "mm_phash_pairs" ->
+      s"""$phashCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= $PhashMaxHamming""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH f AS (
