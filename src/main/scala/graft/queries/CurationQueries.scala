@@ -27,6 +27,21 @@ object CurationQueries {
   val PackBudget = 1024L
   val DecontamMod = 11 // doc_id % 11 == 0 stands in for the eval set
 
+  /** Power-of-two caps for docs_length_buckets (1..4096); anything
+    * longer lands in the overflow cap. Pure-integer CASE chain in both
+    * engines — `2^ceil(log2(n))` in doubles misbuckets exact powers.
+    */
+  val LengthBucketCaps: Seq[Long] = (0 to 12).map(1L << _)
+  val LengthBucketOverflow: Long = 8192L
+
+  /** docs_priority_dedup mirror synthesis: every Mod-th doc gets a
+    * second copy re-attributed to top-priority 'src0' (the fixture has
+    * no cross-source duplicates of its own), offset out of the real id
+    * range.
+    */
+  val PriorityMirrorMod = 7
+  val PriorityMirrorOffset = 100000L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benchmark decontamination: distinct word-3-gram overlap of every
     // corpus document against the held-out eval subset (doc_id % 11).
@@ -245,6 +260,73 @@ object CurationQueries {
     "docs_dsir_weights" -> ((s, dir) =>
       Curation.dsirWeights(Tables.documents(s, dir), "doc_id", "text",
         col("source") === DsirTargetSource)),
+
+    // E193: length-bucketed batching audit — assign every document to
+    // the smallest power-of-two token-length bucket and report, per
+    // bucket, the padding cost of batching at that cap versus naively
+    // padding the whole corpus to its global max (the sequence-length
+    // bucketing question every trainer answers before fixing a batch
+    // layout; complements E60, which packs a FIXED budget — this tier
+    // measures what bucketing saves before a budget is chosen). One
+    // scan, one |buckets|-row aggregation, global cap attached as a
+    // 1-row broadcast; every slot count is an exact integer, the one
+    // ratio is a single final division.
+    "docs_length_buckets" -> ((s, dir) => {
+      val bucketed = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("bucket_cap",
+          LengthBucketCaps.foldRight(lit(LengthBucketOverflow)) { (c, acc) =>
+            when(col("n_tokens") <= c, lit(c)).otherwise(acc)
+          })
+      val perBucket = bucketed.groupBy("bucket_cap").agg(
+        count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+      val globalCap = bucketed.agg(max("bucket_cap").as("global_cap"))
+      val padded = col("bucket_cap") * col("n_docs")
+      val wasted = padded - col("sum_tokens")
+      perBucket.crossJoin(broadcast(globalCap))
+        .select(col("bucket_cap"), col("n_docs"), col("sum_tokens"),
+          padded.as("padded_slots"),
+          wasted.as("wasted_slots"),
+          (col("global_cap") * col("n_docs") - col("sum_tokens"))
+            .as("naive_wasted_slots"),
+          (wasted.cast("double") / padded.cast("double")).as("waste_frac"))
+    }),
+
+    // E194: cross-source priority dedup — when the same content ships
+    // in multiple sources, keep exactly one copy from the
+    // highest-priority source (the Dolma/RefinedWeb rule: a curated
+    // source's copy beats a crawl's; complements E125, which picks
+    // near-dup representatives by QUALITY — this is exact-hash with an
+    // explicit source-priority POLICY). Rank comes from the deployed
+    // ordered source list (the fixture encodes it as the src suffix);
+    // one window shuffle keyed by content hash carrying only
+    // (hash, rank, id, source) — payloads never move; ties broken by
+    // doc_id so the survivor set is deterministic. The fixture corpus
+    // has no cross-source copies, so — like the PII tier plants PII —
+    // a deterministic mirror of every 7th doc is re-attributed to
+    // 'src0' (top priority): those groups MUST collapse to the mirror
+    // (or, for src0 originals, resolve the rank tie by doc_id), which
+    // the exact-value oracle checks group by group.
+    "docs_priority_dedup" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val mirrored = base.filter(col("doc_id") % PriorityMirrorMod === 0)
+        .select((col("doc_id") + PriorityMirrorOffset).as("doc_id"),
+          lit("src0").as("source"), col("text"))
+      val ranked = base.unionByName(mirrored).select(
+        col("doc_id"), col("source"),
+        md5(col("text")).as("h"),
+        substring(col("source"), 4, 10).cast("int").as("rank"))
+      val w = Window.partitionBy("h").orderBy("rank", "doc_id")
+      val whole = Window.partitionBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      ranked
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_copies", count(lit(1)).over(whole))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("source"), col("rank"), col("n_copies"))
+    }),
 
     // E176: per-domain document cap — keep at most K documents per
     // source, best-quality first (the anti-domination curation rule:
@@ -795,6 +877,48 @@ object CurationQueries {
          |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |              - n_tokens) / ${PackBudget}.0) AS BIGINT) AS bin
          |FROM t""".stripMargin,
+
+    // Same generated CASE chain as the Spark side (smallest cap
+    // first), exact integer slot arithmetic; sums wrapped in CAST(..
+    // AS BIGINT) against the HUGEINT widening, the one double division
+    // at the same final point.
+    "docs_length_buckets" -> {
+      val chain = LengthBucketCaps
+        .map(c => s"WHEN n_tokens <= $c THEN CAST($c AS BIGINT)")
+        .mkString("CASE ", " ", s" ELSE CAST($LengthBucketOverflow AS BIGINT) END")
+      s"""WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+         |                    AS n_tokens
+         |           FROM documents),
+         |b AS (SELECT n_tokens, $chain AS bucket_cap FROM t),
+         |g AS (SELECT max(bucket_cap) AS global_cap FROM b),
+         |p AS (SELECT bucket_cap, count(*) AS n_docs,
+         |             CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |      FROM b GROUP BY bucket_cap)
+         |SELECT p.bucket_cap, p.n_docs, p.sum_tokens,
+         |       p.bucket_cap * p.n_docs AS padded_slots,
+         |       p.bucket_cap * p.n_docs - p.sum_tokens AS wasted_slots,
+         |       g.global_cap * p.n_docs - p.sum_tokens AS naive_wasted_slots,
+         |       CAST(p.bucket_cap * p.n_docs - p.sum_tokens AS DOUBLE)
+         |         / CAST(p.bucket_cap * p.n_docs AS DOUBLE) AS waste_frac
+         |FROM p, g""".stripMargin
+    },
+
+    // Same mirror synthesis and (rank, doc_id) total order; rank from
+    // the src suffix.
+    "docs_priority_dedup" ->
+      s"""WITH u AS (SELECT doc_id, source, text FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + $PriorityMirrorOffset, 'src0', text
+        |           FROM documents WHERE doc_id % $PriorityMirrorMod = 0),
+        |x AS (SELECT doc_id, source, md5(text) AS h,
+        |             CAST(substr(source, 4) AS INTEGER) AS rank
+        |      FROM u),
+        |r AS (SELECT doc_id, source, rank,
+        |             row_number() OVER (PARTITION BY h ORDER BY rank, doc_id)
+        |               AS rn,
+        |             count(*) OVER (PARTITION BY h) AS n_copies
+        |      FROM x)
+        |SELECT doc_id, source, rank, n_copies FROM r WHERE rn = 1""".stripMargin,
 
     // Mirrors Curation.dsirWeights: add-one smoothing over the RAW
     // vocabulary on both LMs, same cast points, ratio as a difference

@@ -308,4 +308,52 @@ class CurationGateSpec extends SparkSpec {
       assert(r.getAs[Long]("n_bpe") >= r.getAs[Long]("n_words"))
     }
   }
+
+  test("length buckets: power-of-two caps, exact slot cross-foot, " +
+      "bucketed waste never exceeds naive padding") {
+    val rows = CurationQueries.queries("docs_length_buckets")(spark, sfDir)
+      .collect()
+    assert(rows.length > 1, "one bucket would make the audit vacuous")
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs == Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      val cap = r.getAs[Long]("bucket_cap")
+      assert((cap & (cap - 1)) == 0, s"cap $cap not a power of two")
+      val padded = r.getAs[Long]("padded_slots")
+      val wasted = r.getAs[Long]("wasted_slots")
+      assert(padded == cap * r.getAs[Long]("n_docs"))
+      assert(wasted == padded - r.getAs[Long]("sum_tokens"))
+      assert(wasted >= 0 && wasted < padded)
+      assert(r.getAs[Long]("naive_wasted_slots") >= wasted,
+        "padding to the global max can never waste less than bucketing")
+      val frac = r.getAs[Double]("waste_frac")
+      assert(frac >= 0.0 && frac < 1.0)
+    }
+  }
+
+  test("priority dedup: one survivor per content group, always the " +
+      "(rank, doc_id)-minimal copy, and the mirror policy fires") {
+    import spark.implicits._
+    val kept = CurationQueries.queries("docs_priority_dedup")(spark, sfDir)
+      .collect()
+    // Rebuild the mirrored universe and group it from scratch.
+    val base = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect()
+    val universe = base ++ base
+      .filter(_._1 % CurationQueries.PriorityMirrorMod == 0)
+      .map { case (id, _, t) =>
+        (id + CurationQueries.PriorityMirrorOffset, "src0", t) }
+    val groups = universe.groupBy(_._3)
+    assert(kept.length == groups.size)
+    val keptById = kept.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("n_copies")).toMap
+    groups.values.foreach { g =>
+      val best = g.minBy { case (id, src, _) => (src.drop(3).toInt, id) }
+      assert(keptById.get(best._1).contains(g.length.toLong),
+        s"group of ${g.length} should keep doc ${best._1}")
+    }
+    assert(kept.count(_.getAs[Long]("doc_id") >=
+      CurationQueries.PriorityMirrorOffset) > 0,
+      "no mirror ever won — the priority policy was not exercised")
+  }
 }
