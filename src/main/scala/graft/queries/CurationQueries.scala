@@ -42,6 +42,12 @@ object CurationQueries {
   val PriorityMirrorMod = 7
   val PriorityMirrorOffset = 100000L
 
+  /** docs_repetition_budget: train on 4× the corpus' tokens, flag any
+    * source forced past 4 epochs (the repeated-data falloff point).
+    */
+  val RepBudgetMult = 4L
+  val RepMaxEpochs = 4L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benchmark decontamination: distinct word-3-gram overlap of every
     // corpus document against the held-out eval subset (doc_id % 11).
@@ -291,6 +297,32 @@ object CurationQueries {
           (col("global_cap") * col("n_docs") - col("sum_tokens"))
             .as("naive_wasted_slots"),
           (wasted.cast("double") / padded.cast("double")).as("waste_frac"))
+    }),
+
+    // E196: repetition budget check — given a training budget of
+    // RepBudgetMult × the corpus' tokens split uniformly across
+    // sources (the stress allocation that over-samples small sources),
+    // how many epochs must each source repeat to fill its slice?
+    // Sources past RepMaxEpochs are flagged: repeated data stops
+    // paying for itself around 4 epochs (Muennighoff et al. 2023), so
+    // the mixture (E183) or the budget has to give. Pure integer
+    // arithmetic end to end (ceil as (a + b - 1) div b); one scan, one
+    // |sources|-row aggregation, 1-row broadcast totals.
+    "docs_repetition_budget" -> ((s, dir) => {
+      val per = Tables.documents(s, dir)
+        .select(col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy("source").agg(sum(col("n_tok")).as("n_tokens"))
+      val tot = per.agg(sum(col("n_tokens")).as("t"),
+        count(lit(1)).as("n_sources"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("requested_tokens",
+          expr(s"(t * $RepBudgetMult) div n_sources"))
+        .withColumn("epochs_needed",
+          expr("(requested_tokens + n_tokens - 1) div n_tokens"))
+        .select(col("source"), col("n_tokens"), col("requested_tokens"),
+          col("epochs_needed"),
+          (col("epochs_needed") > RepMaxEpochs).as("over_budget"))
     }),
 
     // E194: cross-source priority dedup — when the same content ships
@@ -902,6 +934,24 @@ object CurationQueries {
          |         / CAST(p.bucket_cap * p.n_docs AS DOUBLE) AS waste_frac
          |FROM p, g""".stripMargin
     },
+
+    // Same integer ceil and uniform split; sums CAST-guarded against
+    // HUGEINT.
+    "docs_repetition_budget" ->
+      s"""WITH per AS (SELECT source,
+         |                    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+         |                      AS n_tokens
+         |             FROM documents GROUP BY source),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t,
+         |             count(*) AS n_sources FROM per),
+         |r AS (SELECT source, n_tokens,
+         |             (t.t * $RepBudgetMult) // t.n_sources AS requested_tokens
+         |      FROM per, t)
+         |SELECT source, n_tokens, requested_tokens,
+         |       (requested_tokens + n_tokens - 1) // n_tokens AS epochs_needed,
+         |       (requested_tokens + n_tokens - 1) // n_tokens > $RepMaxEpochs
+         |         AS over_budget
+         |FROM r""".stripMargin,
 
     // Same mirror synthesis and (rank, doc_id) total order; rank from
     // the src suffix.

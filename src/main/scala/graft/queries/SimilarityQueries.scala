@@ -182,6 +182,34 @@ object SimilarityQueries {
         .groupBy("id").agg(max(col("cs")).as("mc"))
         .select(col("id").as("vec_id"), round(col("mc"), 6).as("max_cos"),
           (col("mc") >= lit(DecontamThr)).as("contaminated"))
+    }),
+
+    // E195: near-dup threshold sweep — before committing to a SemDeDup
+    // τ, the curve an operator actually reads: for each candidate
+    // threshold, how many within-bucket pairs fire and how many
+    // vectors the lower-id-keeps rule would drop. ONE candidate pass
+    // at the loosest τ (the same cluster-bucketed join as emb_neardup,
+    // never all-pairs), then a |pairs|×|τ| replication — τ is a
+    // 5-element broadcast literal, so the sweep costs one small
+    // aggregation more than a single-τ run, not five candidate joins.
+    "emb_threshold_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val c = corpus(s, dir)
+      val pairs = Similarity.nearDupPairs(c, SweepThresholds.min)
+      val total = c.agg(count(lit(1)).as("n_vecs"))
+      val ts = SweepThresholds.toDF("threshold")
+      // LEFT from the τ list so a threshold no pair reaches still
+      // reports an explicit zero row (count/countDistinct skip the
+      // null-extended side).
+      ts.join(pairs, col("cos") >= col("threshold"), "left")
+        .groupBy("threshold")
+        .agg(count(col("id_a")).as("n_pairs"),
+          countDistinct(col("id_b")).as("n_dropped"))
+        .crossJoin(broadcast(total))
+        .select(col("threshold"), col("n_pairs"), col("n_dropped"),
+          (col("n_vecs") - col("n_dropped")).as("n_survivors"),
+          (col("n_dropped").cast("double") / col("n_vecs").cast("double"))
+            .as("drop_frac"))
     }))
 
   private val MProbe = 2   // cells probed per query in emb_topk_mprobe
@@ -189,6 +217,10 @@ object SimilarityQueries {
   // 0.4 = the corpus' near-dup line (emb_neardup/emb_semdedup); fixture
   // background max-cos sits at ~0.37 (p97), planted dups near 0.49.
   private val DecontamThr = 0.4
+  // Sweep brackets the corpus' near-dup line from both sides; both
+  // engines compare against the identical double literals on the
+  // round-6 cosine.
+  private[queries] val SweepThresholds: Seq[Double] = Seq(0.3, 0.35, 0.4, 0.45, 0.5)
 
   // -------------------------------------------------------------------
   // DuckDB oracles
@@ -439,5 +471,29 @@ object SimilarityQueries {
          |      FROM corp CROSS JOIN ev GROUP BY corp.vec_id)
          |SELECT vec_id, round(mc, 6) AS max_cos,
          |       mc >= CAST($DecontamThr AS DOUBLE) AS contaminated
-         |FROM s""".stripMargin)
+         |FROM s""".stripMargin,
+
+    // Same within-bucket exact pair set as emb_neardup at the loosest
+    // τ, swept against the identical CAST(.. AS DOUBLE) literals
+    // (bare VALUES decimals would type-mismatch the hash).
+    "emb_threshold_sweep" -> {
+      val tvals = SweepThresholds
+        .map(t => s"(CAST($t AS DOUBLE))").mkString(", ")
+      s"""$embCte,
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |             round(${cosSql("a.v", "b.v")}, 6) AS cos
+         |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |      WHERE round(${cosSql("a.v", "b.v")}, 6) >= ${SweepThresholds.min}),
+         |t(threshold) AS (VALUES $tvals),
+         |n AS (SELECT count(*) AS n_vecs FROM e),
+         |g AS (SELECT t.threshold, count(p.id_a) AS n_pairs,
+         |             count(DISTINCT p.id_b) AS n_dropped
+         |      FROM t LEFT JOIN p ON p.cos >= t.threshold
+         |      GROUP BY t.threshold)
+         |SELECT g.threshold, g.n_pairs, g.n_dropped,
+         |       n.n_vecs - g.n_dropped AS n_survivors,
+         |       CAST(g.n_dropped AS DOUBLE)
+         |         / CAST(n.n_vecs AS DOUBLE) AS drop_frac
+         |FROM g, n""".stripMargin
+    })
 }

@@ -117,4 +117,45 @@ class ScoringQueriesSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
       "full-width slice changed the ranking")
   }
+
+  test("threshold sweep: every tau reported (zeros explicit), counts " +
+      "monotone non-increasing in tau, survivors cross-foot") {
+    val rows = SimilarityQueries.queries("emb_threshold_sweep")(spark, sfDir)
+      .collect().sortBy(_.getAs[Double]("threshold"))
+    assert(rows.length == SimilarityQueries.SweepThresholds.length)
+    val n = Tables.embeddings(spark, sfDir).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_survivors") == n - r.getAs[Long]("n_dropped"))
+      assert(r.getAs[Long]("n_dropped") <= r.getAs[Long]("n_pairs"))
+    }
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Long]("n_pairs") >= hi.getAs[Long]("n_pairs"))
+      assert(lo.getAs[Long]("n_dropped") >= hi.getAs[Long]("n_dropped"))
+    }
+    assert(rows.head.getAs[Long]("n_pairs") > 0,
+      "loosest tau found no pairs — the sweep is vacuous on this fixture")
+  }
+
+  test("repetition budget: requested tokens uniform across sources, " +
+      "epochs are exact integer ceilings, flag matches the epoch rule") {
+    val rows = CurationQueries.queries("docs_repetition_budget")(spark, sfDir)
+      .collect()
+    val nSources = Tables.documents(spark, sfDir)
+      .select("source").distinct().count()
+    assert(rows.length == nSources)
+    val totalTokens = rows.map(_.getAs[Long]("n_tokens")).sum
+    val expectedReq =
+      totalTokens * CurationQueries.RepBudgetMult / nSources
+    rows.foreach { r =>
+      assert(r.getAs[Long]("requested_tokens") == expectedReq)
+      val avail = r.getAs[Long]("n_tokens")
+      val epochs = r.getAs[Long]("epochs_needed")
+      assert(epochs == (expectedReq + avail - 1) / avail)
+      assert(r.getAs[Boolean]("over_budget") ==
+        (epochs > CurationQueries.RepMaxEpochs))
+    }
+    assert(rows.exists(_.getAs[Boolean]("over_budget")) &&
+      rows.exists(!_.getAs[Boolean]("over_budget")),
+      "fixture should split across the epoch rule or the flag is vacuous")
+  }
 }
