@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.GraftBridge
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType}
+
+/** Content-defined chunk boundaries over an opaque binary column (the
+  * FastCDC/rsync family): a Karp-Rabin rolling hash over a 16-byte
+  * window marks a chunk end wherever `hash % 64 == 0`, so boundaries
+  * depend only on LOCAL content — an insertion near the head of a blob
+  * shifts every fixed-size block but re-aligns content-defined chunks
+  * at the first boundary after the edit, which is the entire point:
+  * chunk-level dedup keeps working across shifted near-copies, where
+  * block-level dedup shares nothing. This is the storage/binary-level
+  * member of the dedup family — below text shingles (MinHash), spans
+  * (E164), and whole-content hashes (E1).
+  *
+  * Output: the 1-based END offsets of each chunk, strictly increasing,
+  * last element = blob length (empty input → empty array; NULL →
+  * NULL). Offsets rather than (start, len) structs keep the codegen
+  * return a flat int array; callers derive starts from the previous
+  * end. Average chunk = 64 bytes at the fixture scale (boundary
+  * probability 1/64); production tunes `BoundaryDiv` up for multi-KB
+  * chunks without touching the plan.
+  *
+  * One O(n) pass per row inside whole-stage codegen, scan-side: the
+  * blob itself never reaches a shuffle — downstream dedup joins carry
+  * only (md5, len) per chunk. The DuckDB oracle recomputes the same
+  * hash by direct per-position window sums over `ord()` bytes with the
+  * identical base/modulus, so the kernel's rolling update (including
+  * its modular-negative handling) is value-checked end to end.
+  */
+case class BinaryChunks(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"binary_chunks requires a binary input, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def prettyName: String = "binary_chunks"
+
+  override def nullSafeEval(bytes: Any): Any =
+    BinaryChunksImpl.chunkEnds(bytes.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BinaryChunksImpl.chunkEnds($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): BinaryChunks =
+    copy(child = newChild)
+}
+
+object BinaryChunks {
+  /** Column-level entry point. */
+  def apply(content: Column): Column =
+    GraftBridge.column(BinaryChunks(GraftBridge.expression(content)))
+}
+
+/** Static kernel (separate object for a clean static forwarder in
+  * generated code). Hash orientation: at position p (1-based), the
+  * newest byte weighs Base^0 and the oldest in the window Base^(W-1) —
+  * h(p) = Σ_{j=0..W-1} byte(p-j)·Base^j mod Mod — which is what the
+  * oracle's window-sum join reproduces term by term.
+  */
+object BinaryChunksImpl {
+
+  val Base = 257L
+  val Mod = 1000000007L
+  val Window = 16
+  val BoundaryDiv = 64L
+
+  /** Base^Window mod Mod, the rolling-update eviction weight. */
+  val BaseToW: Long = {
+    var r = 1L
+    var i = 0
+    while (i < Window) { r = (r * Base) % Mod; i += 1 }
+    r
+  }
+
+  def chunkEnds(bytes: Array[Byte]): ArrayData = {
+    val n = bytes.length
+    if (n == 0) return new GenericArrayData(Array.empty[Int])
+    val ends = scala.collection.mutable.ArrayBuilder.make[Int]
+    var h = 0L
+    var p = 0 // 0-based scan; boundaries reported 1-based
+    while (p < n) {
+      h = (h * Base + (bytes(p) & 0xff)) % Mod
+      if (p >= Window) {
+        // evict byte (p - Window): its weight has grown to Base^Window
+        h = (h - (BaseToW * (bytes(p - Window) & 0xff)) % Mod + Mod) % Mod
+      }
+      if (p >= Window - 1 && h % BoundaryDiv == 0) ends += (p + 1)
+      p += 1
+    }
+    val arr = ends.result()
+    if (arr.isEmpty || arr(arr.length - 1) != n)
+      new GenericArrayData(arr :+ n)
+    else new GenericArrayData(arr)
+  }
+}

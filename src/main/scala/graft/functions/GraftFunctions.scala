@@ -93,6 +93,12 @@ object GraftFunctions {
         require(args.length == 1, s"dhash32 expects 1 argument, got ${args.length}")
         DHash32(args.head)
       }),
+    (FunctionIdentifier("binary_chunks"),
+      new ExpressionInfo(classOf[BinaryChunks].getName, "binary_chunks"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"binary_chunks expects 1 argument, got ${args.length}")
+        BinaryChunks(args.head)
+      }),
     (FunctionIdentifier("cdc_envelope"),
       new ExpressionInfo(classOf[CdcEnvelopeParse].getName, "cdc_envelope"),
       (args: Seq[Expression]) => {

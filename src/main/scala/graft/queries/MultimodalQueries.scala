@@ -111,6 +111,38 @@ object MultimodalQueries {
       graft.ext.Dedup.simhashPairs(ph, "id", "dhash", PhashMaxHamming, chunkBits = 8)
     }),
 
+    // E197: content-defined chunk table — every asset split at
+    // rolling-hash boundaries (graft.functions.BinaryChunks, the
+    // FastCDC/rsync family), one row per chunk with its exact length
+    // and md5. The universe includes a deterministic prefix-shifted
+    // copy of every 9th asset: content-defined boundaries RE-ALIGN
+    // after the edit, so the shifted copies share most chunk hashes
+    // with their originals — the property (pinned by BinaryChunksSpec)
+    // that makes chunk-level dedup work where fixed-size blocks share
+    // nothing. The oracle recomputes the rolling hash by direct
+    // per-position window sums with the same base/modulus, so the
+    // kernel's rolling update and modular-negative handling are
+    // value-checked end to end.
+    "mm_chunk_boundaries" -> ((s, dir) =>
+      chunkTable(Tables.documents(s, dir))),
+
+    // E197: corpus-level chunk-dedup accounting over the same chunk
+    // table — unique/total chunk and byte counts plus the achieved
+    // dedup ratio (what a binary-asset store would save): exact
+    // integers from two tiny aggregations, one final division.
+    "mm_chunk_dedup" -> ((s, dir) => {
+      val ch = chunkTable(Tables.documents(s, dir))
+      val tot = ch.agg(count(lit(1)).as("total_chunks"),
+        sum(col("chunk_len")).as("total_bytes"))
+      val uq = ch.groupBy("chunk_md5").agg(max(col("chunk_len")).as("l"))
+        .agg(count(lit(1)).as("unique_chunks"), sum(col("l")).as("unique_bytes"))
+      tot.crossJoin(uq)
+        .select(col("total_chunks"), col("unique_chunks"),
+          col("total_bytes"), col("unique_bytes"),
+          (col("unique_bytes").cast("double") / col("total_bytes").cast("double"))
+            .as("dedup_ratio"))
+    }),
+
     // Content checksum + size: the dedup join key for binary assets
     // (the multimodal analogue of docs_dedup_exact).
     "mm_checksum_dedup" -> ((s, dir) => {
@@ -125,6 +157,41 @@ object MultimodalQueries {
     * < 4 so the 4-chunk pigeonhole banding is exhaustive.
     */
   val PhashMaxHamming = 3
+
+  /** Chunk-dedup universe synthesis: every Mod-th asset gets a
+    * prefix-shifted copy (id offset out of range) so boundary
+    * re-alignment — the reason content-defined chunking exists — is
+    * exercised and oracle-checked, not just asserted.
+    */
+  val ChunkShiftMod = 9
+  val ChunkShiftOffset = 200000L
+  val ChunkShiftPrefix = "XYZ "
+
+  /** (id, chunk_idx, chunk_len, chunk_md5) over the base assets plus
+    * the shifted copies. Chunk ends come from the native BinaryChunks
+    * pass; starts are derived from the previous end (tiny per-row
+    * array lookback, 0-based `get` so ANSI mode cannot throw).
+    */
+  private def chunkTable(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id").as("id"),
+      encode(col("text"), "UTF-8").as("content"))
+    val shifted = docs.filter(col("doc_id") % ChunkShiftMod === 0)
+      .select((col("doc_id") + ChunkShiftOffset).as("id"),
+        encode(concat(lit(ChunkShiftPrefix), col("text")), "UTF-8").as("content"))
+    val withEnds = base.unionByName(shifted)
+      .select(col("id"), col("content"),
+        graft.functions.BinaryChunks(col("content")).as("ends"))
+    withEnds
+      .select(col("id"), col("content"), col("ends"),
+        posexplode(col("ends")).as(Seq("chunk_idx", "e")))
+      .withColumn("start",
+        when(col("chunk_idx") === 0, lit(0))
+          .otherwise(get(col("ends"), col("chunk_idx") - 1)))
+      .select(col("id"), col("chunk_idx"),
+        (col("e") - col("start")).as("chunk_len"),
+        md5(col("content").substr(col("start") + 1, col("e") - col("start")))
+          .as("chunk_md5"))
+  }
 
   /** DHash32 recomputed in SQL from first principles: per-byte ord()
     * values (fixture text is ASCII ⇒ VARCHAR position = byte), 32-cell
@@ -161,6 +228,55 @@ object MultimodalQueries {
       |              AS BIGINT) AS dhash
       |  FROM bits GROUP BY doc_id)""".stripMargin
 
+  /** BinaryChunks recomputed in SQL from first principles: per-position
+    * Karp-Rabin window hashes by DIRECT 16-term sums (b·Base^j with
+    * precomputed power literals — an independent formulation from the
+    * kernel's rolling add/evict update, so a mirrored modular-arithmetic
+    * bug cannot cancel out), boundaries where hash % BoundaryDiv == 0,
+    * the blob end appended, chunks rebuilt with lag/row_number. Ends in
+    * CTE `chunks(id, chunk_idx, chunk_len, chunk_md5)`.
+    */
+  private val chunkCte: String = {
+    import graft.functions.BinaryChunksImpl.{Base, Mod, Window, BoundaryDiv}
+    val powers = Iterator.iterate(1L)(p => p * Base % Mod)
+      .take(Window).toSeq
+    val cases = powers.zipWithIndex
+      .map { case (pw, j) => s"WHEN $j THEN $pw" }
+      .mkString(" ")
+    s"""WITH u AS (
+       |  SELECT doc_id AS id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $ChunkShiftOffset, '$ChunkShiftPrefix' || text
+       |  FROM documents WHERE doc_id % $ChunkShiftMod = 0),
+       |d AS (SELECT id, text, length(text) AS n FROM u),
+       |pos AS (
+       |  SELECT id, n, CAST(t.i AS BIGINT) AS p,
+       |         ord(substr(text, CAST(t.i AS INTEGER), 1)) AS b
+       |  FROM d, unnest(generate_series(1, n)) AS t(i)),
+       |win AS (
+       |  SELECT x.id, x.p,
+       |         CAST(sum(CAST(y.b AS BIGINT) * CASE x.p - y.p $cases END)
+       |              % $Mod AS BIGINT)
+       |           AS h
+       |  FROM pos x JOIN pos y
+       |    ON y.id = x.id AND y.p BETWEEN x.p - ${Window - 1} AND x.p
+       |  WHERE x.p >= $Window GROUP BY x.id, x.p),
+       |ends AS (SELECT DISTINCT id, e FROM (
+       |  SELECT id, p AS e FROM win WHERE h % $BoundaryDiv = 0
+       |  UNION ALL SELECT id, CAST(n AS BIGINT) FROM d WHERE n > 0)),
+       |ch AS (
+       |  SELECT id, e,
+       |         lag(e, 1, 0) OVER (PARTITION BY id ORDER BY e) AS pe,
+       |         row_number() OVER (PARTITION BY id ORDER BY e) - 1 AS ci
+       |  FROM ends),
+       |chunks AS (
+       |  SELECT ch.id, CAST(ci AS INTEGER) AS chunk_idx,
+       |         CAST(e - pe AS INTEGER) AS chunk_len,
+       |         md5(substring(d.text, CAST(pe + 1 AS BIGINT),
+       |                       CAST(e - pe AS BIGINT))) AS chunk_md5
+       |  FROM ch JOIN d ON d.id = ch.id)""".stripMargin
+  }
+
   /** Magic-prefix sniff as a CASE chain, generated from the same table
     * Multimodal.metadata folds over (first matching prefix wins).
     */
@@ -186,6 +302,23 @@ object MultimodalQueries {
         |FROM documents GROUP BY md5(text), octet_length(encode(text))""".stripMargin,
 
     "mm_phash" -> s"$phashCte SELECT doc_id AS id, dhash FROM ph",
+
+    "mm_chunk_boundaries" ->
+      s"$chunkCte SELECT id, chunk_idx, chunk_len, chunk_md5 FROM chunks",
+
+    "mm_chunk_dedup" ->
+      s"""$chunkCte,
+         |tot AS (SELECT count(*) AS total_chunks,
+         |               CAST(sum(chunk_len) AS BIGINT) AS total_bytes
+         |        FROM chunks),
+         |uq AS (SELECT count(*) AS unique_chunks,
+         |              CAST(sum(l) AS BIGINT) AS unique_bytes
+         |       FROM (SELECT max(chunk_len) AS l FROM chunks
+         |             GROUP BY chunk_md5))
+         |SELECT total_chunks, unique_chunks, total_bytes, unique_bytes,
+         |       CAST(unique_bytes AS DOUBLE) / CAST(total_bytes AS DOUBLE)
+         |         AS dedup_ratio
+         |FROM tot, uq""".stripMargin,
 
     // Exact all-pairs Hamming over the same hash CTE — the banding is
     // pigeonhole-complete, so the LSH result must equal this exactly.

@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** BinaryChunks kernel semantics (rolling update vs direct window
+  * sums, boundary rule, end-cap) plus the re-alignment property that
+  * justifies content-defined chunking over fixed-size blocks.
+  */
+class BinaryChunksSpec extends SparkSpec {
+  import spark.implicits._
+  import BinaryChunksImpl.{Base, Mod, Window, BoundaryDiv}
+
+  /** Direct per-position window sums — no rolling update, so a
+    * mirrored add/evict bug in the kernel cannot cancel out here.
+    */
+  private def refEnds(bytes: Array[Byte]): Seq[Int] = {
+    val n = bytes.length
+    if (n == 0) return Seq.empty
+    val powers = Iterator.iterate(1L)(p => p * Base % Mod).take(Window).toSeq
+    val ends = (Window to n).filter { p => // 1-based end position
+      val h = (0 until Window)
+        .map(j => (bytes(p - 1 - j) & 0xff) * powers(j) % Mod)
+        .sum % Mod
+      h % BoundaryDiv == 0
+    }
+    if (ends.lastOption.contains(n)) ends else ends :+ n
+  }
+
+  private def nativeEnds(payloads: Seq[Array[Byte]]): Map[Long, Seq[Int]] =
+    payloads.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("id", "content")
+      .select(col("id"), BinaryChunks(col("content")).as("ends"))
+      .as[(Long, Seq[Int])].collect().toMap
+
+  test("chunk ends match the direct window-sum reference on edge cases " +
+      "and across the fixture corpus") {
+    val cases: Seq[Array[Byte]] = Seq(
+      Array.empty[Byte],
+      Array[Byte](1),
+      Array.tabulate(Window - 1)(_.toByte), // shorter than one window
+      Array.tabulate(Window)(_.toByte), // exactly one window
+      Array.fill(500)(0.toByte), // constant: h == 0 everywhere past warmup
+      Array.tabulate(1000)(i => (i * 131 % 256).toByte),
+      Array[Byte](-1, -128, 127, 0, -1, -128, 127, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9)
+    ) ++ Tables.documents(spark, sfDir)
+      .select("text").as[String].collect().toSeq.map(_.getBytes("UTF-8"))
+    val native = nativeEnds(cases)
+    cases.zipWithIndex.foreach { case (b, i) =>
+      assert(native(i.toLong) == refEnds(b),
+        s"chunk ends differ on case $i (len ${b.length})")
+    }
+  }
+
+  test("ends are strictly increasing, positive, and cap at the blob " +
+      "length; constant bytes chunk at every position past the window") {
+    val payloads: Seq[Array[Byte]] = Seq(
+      Array.fill(100)(0.toByte),
+      Array.tabulate(700)(i => (i % 251).toByte))
+    val native = nativeEnds(payloads)
+    native.foreach { case (i, ends) =>
+      assert(ends.nonEmpty && ends.head > 0)
+      assert(ends.zip(ends.tail).forall { case (a, b) => a < b })
+      assert(ends.last == payloads(i.toInt).length)
+    }
+    // all-zero bytes: every window hash is 0, so every p >= Window ends
+    // a chunk — the degenerate worst case is still well-defined
+    assert(native(0L) == (Window to 100).toSeq)
+  }
+
+  test("prefix-shifted copies re-align: most chunk hashes are shared " +
+      "with the original (the fixed-size-block counterfactual shares " +
+      "none)") {
+    val texts = Tables.documents(spark, sfDir)
+      .select("text").as[String].collect().toSeq
+    def chunkSet(bytes: Array[Byte]): Set[String] = {
+      val ends = refEnds(bytes)
+      ends.zip(0 +: ends.init).map { case (e, s) =>
+        new String(bytes.slice(s, e), "ISO-8859-1")
+      }.toSet
+    }
+    val (shared, total) = texts.map { t =>
+      val orig = chunkSet(t.getBytes("UTF-8"))
+      val shifted = chunkSet(("XYZ " + t).getBytes("UTF-8"))
+      ((orig intersect shifted).size, orig.size)
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(shared.toDouble / total > 0.5,
+      s"only $shared/$total chunks survived a 4-byte prefix shift")
+  }
+}
