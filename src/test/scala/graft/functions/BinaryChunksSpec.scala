@@ -53,6 +53,19 @@ class BinaryChunksSpec extends SparkSpec {
     }
   }
 
+  test("SQL registration agrees with the Column API and NULL yields NULL") {
+    GraftFunctions.register(spark)
+    val df = Seq((0L, Some(Array.tabulate(100)(i => (i * 7 % 256).toByte))),
+      (1L, None)).toDF("id", "content")
+    df.createOrReplaceTempView("bchunks_in")
+    val viaSql = spark.sql(
+      "SELECT id, binary_chunks(content) AS ends FROM bchunks_in")
+      .as[(Long, Option[Seq[Int]])].collect().toMap
+    val viaColumn = df.select(col("id"), BinaryChunks(col("content")).as("ends"))
+      .as[(Long, Option[Seq[Int]])].collect().toMap
+    assert(viaSql == viaColumn && viaSql(1L).isEmpty && viaSql(0L).nonEmpty)
+  }
+
   test("ends are strictly increasing, positive, and cap at the blob " +
       "length; constant bytes chunk at every position past the window") {
     val payloads: Seq[Array[Byte]] = Seq(
