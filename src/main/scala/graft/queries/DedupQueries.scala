@@ -128,6 +128,34 @@ object DedupQueries {
       Dedup.simhashPairs(sh, "id", "simhash", MaxHamming)
     }),
 
+    // E198: LSH bucket-size profile over the SimHash banding — the
+    // "no silent caps" audit for every banding tier in this engine:
+    // per chunk position, how many buckets exist, the largest bucket,
+    // how many buckets actually collide, the total in-bucket candidate
+    // pairs (the quadratic-work predictor Σ m·(m−1)/2), and the
+    // headroom to Dedup.MaxBucketSize — the slice that silently trades
+    // recall for boundedness once a bucket reaches it. Run this BEFORE
+    // trusting a banding config at a new scale: headroom near zero
+    // means truncation is biting and chunk bits must grow. Exact
+    // integers end to end; two small aggregations over 4 rows/doc.
+    "docs_simhash_bucket_profile" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.SimHash60(col("text")).as("simhash"))
+      val chunks = sh.select(posexplode(array((0 until 4).map { c =>
+        shiftright(col("simhash"), c * 15).bitwiseAND(lit((1L << 15) - 1))
+      }: _*)).as(Seq("chunk_idx", "chunk_val")))
+      chunks.groupBy("chunk_idx", "chunk_val")
+        .agg(count(lit(1)).as("m"))
+        .groupBy("chunk_idx")
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("m")).as("n_docs"),
+          max(col("m")).as("max_bucket"),
+          sum(when(col("m") > 1, 1L).otherwise(0L)).as("n_colliding_buckets"),
+          sum(expr("(m * (m - 1)) DIV 2")).as("candidate_pairs"))
+        .withColumn("cap_headroom", lit(Dedup.MaxBucketSize.toLong) - col("max_bucket"))
+    }),
+
     // E164: exact duplicated-substring spans (the Lee et al. 2021
     // sub-document tier): maximal token spans whose every n-gram also
     // appears in another document — the granularity used to CUT
@@ -307,6 +335,24 @@ object DedupQueries {
         |WHERE levenshtein(a.head, b.head) <= 8""".stripMargin,
 
     "docs_simhash" -> s"$simhashCte SELECT doc_id, simhash FROM sh",
+
+    // Same 15-bit chunk extraction and integer pair arithmetic.
+    "docs_simhash_bucket_profile" ->
+      s"""$simhashCte,
+         |c AS (SELECT doc_id, CAST(t.c AS INTEGER) AS chunk_idx,
+         |             (simhash >> (CAST(t.c AS INTEGER) * 15)) & 32767
+         |               AS chunk_val
+         |      FROM sh, unnest(generate_series(0, 3)) AS t(c)),
+         |b AS (SELECT chunk_idx, chunk_val, count(*) AS m
+         |      FROM c GROUP BY chunk_idx, chunk_val)
+         |SELECT chunk_idx, count(*) AS n_buckets,
+         |       CAST(sum(m) AS BIGINT) AS n_docs,
+         |       CAST(max(m) AS BIGINT) AS max_bucket,
+         |       CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_colliding_buckets,
+         |       CAST(sum((m * (m - 1)) // 2) AS BIGINT) AS candidate_pairs,
+         |       CAST(${Dedup.MaxBucketSize} - max(m) AS BIGINT) AS cap_headroom
+         |FROM b GROUP BY chunk_idx""".stripMargin,
 
     // Exact all-pairs Hamming — banding is pigeonhole-complete, so the
     // LSH result must equal this exactly.

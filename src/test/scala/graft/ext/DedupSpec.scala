@@ -211,4 +211,27 @@ class DedupSpec extends SparkSpec {
     assert(kept.queryExecution.logical eq wide.queryExecution.logical,
       "plan was rewritten despite sufficient parallelism")
   }
+
+  test("simhash bucket profile cross-foots with the pair query: every " +
+      "doc in every chunk position, candidates bound the verified pairs, " +
+      "cap headroom positive on the fixture") {
+    val profile = graft.queries.DedupQueries
+      .queries("docs_simhash_bucket_profile")(spark, sfDir).collect()
+    assert(profile.length == 4)
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    profile.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == nDocs,
+        "bucket sizes per chunk must partition the corpus")
+      assert(r.getAs[Long]("cap_headroom") > 0,
+        "fixture buckets should sit far from the truncation cap")
+      assert(r.getAs[Long]("n_colliding_buckets") > 0,
+        "no collisions at all would make the audit vacuous")
+    }
+    // The banding can only verify pairs it bucketed: the distinct pair
+    // count from the pair query is bounded by the summed candidates.
+    val candidates = profile.map(_.getAs[Long]("candidate_pairs")).sum
+    val verified = graft.queries.DedupQueries
+      .queries("docs_simhash_pairs")(spark, sfDir).count()
+    assert(verified <= candidates)
+  }
 }
