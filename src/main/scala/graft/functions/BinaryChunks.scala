@@ -27,6 +27,21 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType}
   * probability 1/64); production tunes `BoundaryDiv` up for multi-KB
   * chunks without touching the plan.
   *
+  * Minimum-chunk bound (the FastCDC-family cutoff): a raw candidate
+  * (`hash % 64 == 0`) is ACCEPTED only when it lies at least
+  * [[BinaryChunksImpl.MinChunk]] bytes past the PREVIOUS candidate
+  * (virtual candidate at offset 0). Degenerate content — e.g. a long
+  * run of one byte, where every position past the window is a
+  * candidate — therefore yields one boundary at the run head instead
+  * of O(n) one-byte chunks. The suppression window looks at the
+  * previous candidate, not the previous ACCEPTED boundary, which
+  * keeps the rule local/stateless (any two accepted ends are still
+  * provably >= MinChunk apart: a closer pair would put the earlier
+  * end inside the later one's suppression window) and lets the DuckDB
+  * oracle replay it with a single `lag` over candidates rather than a
+  * sequential recursion. The forced final end at blob length may
+  * still close a short tail chunk, as in every CDC chunker.
+  *
   * One O(n) pass per row inside whole-stage codegen, scan-side: the
   * blob itself never reaches a shuffle — downstream dedup joins carry
   * only (md5, len) per chunk. The DuckDB oracle recomputes the same
@@ -76,6 +91,12 @@ object BinaryChunksImpl {
   val Window = 16
   val BoundaryDiv = 64L
 
+  /** Minimum spacing between consecutive raw candidates for the later
+    * one to be accepted (half the 64-byte expected chunk size, the
+    * usual FastCDC min/avg ratio).
+    */
+  val MinChunk = 32
+
   /** Base^Window mod Mod, the rolling-update eviction weight. */
   val BaseToW: Long = {
     var r = 1L
@@ -90,13 +111,18 @@ object BinaryChunksImpl {
     val ends = scala.collection.mutable.ArrayBuilder.make[Int]
     var h = 0L
     var p = 0 // 0-based scan; boundaries reported 1-based
+    var prevCand = 0 // last raw candidate END (virtual candidate at 0)
     while (p < n) {
       h = (h * Base + (bytes(p) & 0xff)) % Mod
       if (p >= Window) {
         // evict byte (p - Window): its weight has grown to Base^Window
         h = (h - (BaseToW * (bytes(p - Window) & 0xff)) % Mod + Mod) % Mod
       }
-      if (p >= Window - 1 && h % BoundaryDiv == 0) ends += (p + 1)
+      if (p >= Window - 1 && h % BoundaryDiv == 0) {
+        val e = p + 1
+        if (e - prevCand >= MinChunk) ends += e
+        prevCand = e
+      }
       p += 1
     }
     val arr = ends.result()

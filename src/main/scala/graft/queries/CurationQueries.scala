@@ -276,7 +276,11 @@ object CurationQueries {
     // measures what bucketing saves before a budget is chosen). One
     // scan, one |buckets|-row aggregation, global cap attached as a
     // 1-row broadcast; every slot count is an exact integer, the one
-    // ratio is a single final division.
+    // ratio is a single final division. The overflow bucket has no
+    // fixed cap, so each bucket pads to greatest(cap, max n_tokens in
+    // bucket) — for the bounded buckets that is the cap itself; for
+    // the overflow row it keeps wasted_slots >= 0 for arbitrarily
+    // long documents instead of going negative past 8192 tokens.
     "docs_length_buckets" -> ((s, dir) => {
       val bucketed = Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -286,12 +290,15 @@ object CurationQueries {
             when(col("n_tokens") <= c, lit(c)).otherwise(acc)
           })
       val perBucket = bucketed.groupBy("bucket_cap").agg(
-        count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
-      val globalCap = bucketed.agg(max("bucket_cap").as("global_cap"))
-      val padded = col("bucket_cap") * col("n_docs")
+          count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+          max("n_tokens").as("max_tokens"))
+        .withColumn("pad_cap", greatest(col("bucket_cap"), col("max_tokens")))
+      val globalCap = perBucket.agg(max("pad_cap").as("global_cap"))
+      val padded = col("pad_cap") * col("n_docs")
       val wasted = padded - col("sum_tokens")
       perBucket.crossJoin(broadcast(globalCap))
-        .select(col("bucket_cap"), col("n_docs"), col("sum_tokens"),
+        .select(col("bucket_cap"), col("pad_cap"), col("n_docs"),
+          col("sum_tokens"),
           padded.as("padded_slots"),
           wasted.as("wasted_slots"),
           (col("global_cap") * col("n_docs") - col("sum_tokens"))
@@ -609,6 +616,13 @@ object CurationQueries {
     */
   private val BlockTerms = Seq("slow", "stream")
   private val BlockPhrases = Seq("big table", "fast merge")
+  // docs_blocklist_join generates adjacent-token BIGRAMS as its join
+  // key, so every phrase must be exactly two tokens — a 3-word entry
+  // would silently diverge the join tier from the literal tier (and
+  // from the shared oracle). Fail fast at class-load instead.
+  require(BlockPhrases.forall(_.split(" ").length == 2),
+    s"BlockPhrases must all be 2-token bigrams (join tier builds " +
+      s"bigram keys only): $BlockPhrases")
 
   // -------------------------------------------------------------------
   // queries (continued): collocations
@@ -922,16 +936,18 @@ object CurationQueries {
          |                    AS n_tokens
          |           FROM documents),
          |b AS (SELECT n_tokens, $chain AS bucket_cap FROM t),
-         |g AS (SELECT max(bucket_cap) AS global_cap FROM b),
          |p AS (SELECT bucket_cap, count(*) AS n_docs,
-         |             CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
-         |      FROM b GROUP BY bucket_cap)
-         |SELECT p.bucket_cap, p.n_docs, p.sum_tokens,
-         |       p.bucket_cap * p.n_docs AS padded_slots,
-         |       p.bucket_cap * p.n_docs - p.sum_tokens AS wasted_slots,
+         |             CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |             greatest(bucket_cap, CAST(max(n_tokens) AS BIGINT))
+         |               AS pad_cap
+         |      FROM b GROUP BY bucket_cap),
+         |g AS (SELECT max(pad_cap) AS global_cap FROM p)
+         |SELECT p.bucket_cap, p.pad_cap, p.n_docs, p.sum_tokens,
+         |       p.pad_cap * p.n_docs AS padded_slots,
+         |       p.pad_cap * p.n_docs - p.sum_tokens AS wasted_slots,
          |       g.global_cap * p.n_docs - p.sum_tokens AS naive_wasted_slots,
-         |       CAST(p.bucket_cap * p.n_docs - p.sum_tokens AS DOUBLE)
-         |         / CAST(p.bucket_cap * p.n_docs AS DOUBLE) AS waste_frac
+         |       CAST(p.pad_cap * p.n_docs - p.sum_tokens AS DOUBLE)
+         |         / CAST(p.pad_cap * p.n_docs AS DOUBLE) AS waste_frac
          |FROM p, g""".stripMargin
     },
 

@@ -237,7 +237,7 @@ object MultimodalQueries {
     * CTE `chunks(id, chunk_idx, chunk_len, chunk_md5)`.
     */
   private val chunkCte: String = {
-    import graft.functions.BinaryChunksImpl.{Base, Mod, Window, BoundaryDiv}
+    import graft.functions.BinaryChunksImpl.{Base, Mod, Window, BoundaryDiv, MinChunk}
     val powers = Iterator.iterate(1L)(p => p * Base % Mod)
       .take(Window).toSeq
     val cases = powers.zipWithIndex
@@ -261,8 +261,12 @@ object MultimodalQueries {
        |  FROM pos x JOIN pos y
        |    ON y.id = x.id AND y.p BETWEEN x.p - ${Window - 1} AND x.p
        |  WHERE x.p >= $Window GROUP BY x.id, x.p),
+       |cand AS (
+       |  SELECT id, p AS e,
+       |         lag(p, 1, 0) OVER (PARTITION BY id ORDER BY p) AS pc
+       |  FROM win WHERE h % $BoundaryDiv = 0),
        |ends AS (SELECT DISTINCT id, e FROM (
-       |  SELECT id, p AS e FROM win WHERE h % $BoundaryDiv = 0
+       |  SELECT id, e FROM cand WHERE e - pc >= $MinChunk
        |  UNION ALL SELECT id, CAST(n AS BIGINT) FROM d WHERE n > 0)),
        |ch AS (
        |  SELECT id, e,

@@ -286,9 +286,18 @@ object StreamingPipeline {
     * counts. The contract is "finalized hourly counts arrive per key
     * in hour order" (i.e. downstream of a watermarked tumbling-count
     * aggregation); the processor then
-    *  - gap-fills missing hours as ZERO observations, exactly like
-    *    the batch twin's calendar spine (skipping them would bias the
-    *    baseline up and mask post-outage spikes),
+    *  - gap-fills missing hours as ZERO observations, like the batch
+    *    twin's calendar spine (skipping them would bias the baseline
+    *    up and mask post-outage spikes). One stated divergence: the
+    *    stream's spine starts at each KEY's first observed hour (a
+    *    processor cannot know a global corpus min before seeing data),
+    *    while the batch spine backfills zeros from the GLOBAL min hour
+    *    for every type — so a type that starts late can be flagged by
+    *    batch on an all-zero baseline where the stream is still in
+    *    warmup. Parity is therefore exact only once a key's ring has
+    *    filled (StreamingSpec restricts its pin to that overlap);
+    *    callers needing global-spine semantics can seed every key with
+    *    a synthetic zero at pipeline start hour before the processor.
     *  - applies the same all-integer z>3 test
     *    (d = W·n − S; flag ⇔ full ∧ d > 0 ∧ d² > 9·(W·Q − S²)) so the
     *    streaming and batch verdicts are bit-comparable, and

@@ -10,21 +10,28 @@ import graft.{SparkSpec, Tables}
   */
 class BinaryChunksSpec extends SparkSpec {
   import spark.implicits._
-  import BinaryChunksImpl.{Base, Mod, Window, BoundaryDiv}
+  import BinaryChunksImpl.{Base, Mod, Window, BoundaryDiv, MinChunk}
 
   /** Direct per-position window sums — no rolling update, so a
-    * mirrored add/evict bug in the kernel cannot cancel out here.
+    * mirrored add/evict bug in the kernel cannot cancel out here. The
+    * min-chunk suppression is replayed over the candidate list (accept
+    * iff >= MinChunk past the PREVIOUS candidate, virtual candidate at
+    * 0), matching both the kernel and the oracle's lag-over-candidates.
     */
   private def refEnds(bytes: Array[Byte]): Seq[Int] = {
     val n = bytes.length
     if (n == 0) return Seq.empty
     val powers = Iterator.iterate(1L)(p => p * Base % Mod).take(Window).toSeq
-    val ends = (Window to n).filter { p => // 1-based end position
+    val cands = (Window to n).filter { p => // 1-based end position
       val h = (0 until Window)
         .map(j => (bytes(p - 1 - j) & 0xff) * powers(j) % Mod)
         .sum % Mod
       h % BoundaryDiv == 0
     }
+    val ends = cands.foldLeft((Vector.empty[Int], 0)) {
+      case ((out, prev), e) =>
+        (if (e - prev >= MinChunk) out :+ e else out, e)
+    }._1
     if (ends.lastOption.contains(n)) ends else ends :+ n
   }
 
@@ -66,20 +73,30 @@ class BinaryChunksSpec extends SparkSpec {
     assert(viaSql == viaColumn && viaSql(1L).isEmpty && viaSql(0L).nonEmpty)
   }
 
-  test("ends are strictly increasing, positive, and cap at the blob " +
-      "length; constant bytes chunk at every position past the window") {
+  test("ends are strictly increasing, positive, cap at the blob length, " +
+      "and respect the min-chunk bound; a constant-byte run collapses " +
+      "to one chunk instead of O(n) one-byte chunks") {
     val payloads: Seq[Array[Byte]] = Seq(
       Array.fill(100)(0.toByte),
-      Array.tabulate(700)(i => (i % 251).toByte))
+      Array.tabulate(700)(i => (i % 251).toByte),
+      Array.fill(5000)('a'.toByte))
     val native = nativeEnds(payloads)
     native.foreach { case (i, ends) =>
       assert(ends.nonEmpty && ends.head > 0)
       assert(ends.zip(ends.tail).forall { case (a, b) => a < b })
       assert(ends.last == payloads(i.toInt).length)
+      // every gap except the forced final tail is >= MinChunk
+      val gaps = (0 +: ends.init).zip(ends).map { case (s, e) => e - s }
+      assert(gaps.init.forall(_ >= MinChunk),
+        s"sub-MinChunk interior gap in $ends")
     }
-    // all-zero bytes: every window hash is 0, so every p >= Window ends
-    // a chunk — the degenerate worst case is still well-defined
-    assert(native(0L) == (Window to 100).toSeq)
+    // all-zero / all-'a' bytes: every p >= Window is a raw candidate, so
+    // consecutive candidates are 1 apart and the suppression window
+    // rejects all of them — the adversarial run yields ONE chunk (the
+    // forced end-cap), not a chunk at every position (the pre-MinChunk
+    // blowup ADVICE r8 flagged)
+    assert(native(0L) == Seq(100))
+    assert(native(2L) == Seq(5000))
   }
 
   test("prefix-shifted copies re-align: most chunk hashes are shared " +
