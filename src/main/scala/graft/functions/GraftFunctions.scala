@@ -105,6 +105,13 @@ object GraftFunctions {
         require(args.length == 1, s"cdc_envelope expects 1 argument, got ${args.length}")
         CdcEnvelopeParse(args.head)
       }),
+    (FunctionIdentifier("bpe_merge"),
+      new ExpressionInfo(classOf[BpeMerge].getName, "bpe_merge"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"bpe_merge expects (sym, lhs, rhs) — got ${args.length} arguments")
+        BpeMerge(args.head, args(1), args(2))
+      }),
     (FunctionIdentifier("first_match"),
       new ExpressionInfo(classOf[FirstMatch].getName, "first_match"),
       (args: Seq[Expression]) => {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.TextOps
+import graft.ext.{Bpe, TextOps}
 
 /** Driver-contract queries + DuckDB oracles for text analysis
   * (SURVEY.md §7.4): token statistics, quality scoring, language-ID,
@@ -275,6 +275,56 @@ object TextQueries {
           sum(col("nc")).as("n_chars"),
           sum(col("nw")).as("n_words"),
           sum(col("nb")).as("n_bpe"))
+        .select(col("lang"), col("n_docs"), col("n_chars"), col("n_words"),
+          col("n_bpe"),
+          round(col("n_chars").cast("double") / col("n_bpe").cast("double"), 6)
+            .as("chars_per_token"),
+          round(col("n_bpe").cast("double") / col("n_words").cast("double"), 6)
+            .as("fertility"))
+    }),
+
+    // E199: distributed BPE tokenizer TRAINING — the learned merge
+    // table (rank, pair, merged symbol, weighted pair count) from
+    // iterative pair-count + argmax + native-merge rounds over the
+    // word-frequency vocabulary; see graft.ext.Bpe for the scale
+    // argument (corpus touched once; every round is one
+    // vocabulary-sized aggregation + an O(1) driver collect + a narrow
+    // codegen projection). The DuckDB oracle replays the SAME rounds
+    // as generated unrolled SQL, so the learned rules — including
+    // argmax tie-breaks and leftmost-greedy overlap resolution — are
+    // value-checked end to end, not just shape-checked.
+    "docs_bpe_merges" -> ((s, dir) => {
+      val (rules, _) = Bpe.train(Tables.documents(s, dir))
+      s.createDataFrame(rules)
+        .select(col("rank").as("merge_rank"), col("lhs"), col("rhs"),
+          concat(col("lhs"), col("rhs")).as("merged"),
+          col("pairCount").as("pair_count"))
+    }),
+
+    // E200: re-tokenization under the LEARNED merges — the E185
+    // fertility audit re-run against the trained tokenizer instead of
+    // the fixed regex, closing the corpus → tokenizer → audit loop.
+    // Encoding is a broadcast join of the corpus' pre-tokens against
+    // the final vocabulary segmentation (vocab-sized build side — at
+    // 100 TB the corpus never shuffles; OOV words can't occur here
+    // because train() saw the same corpus, and at inference they'd
+    // replay the rule list via bpe_merge).
+    "docs_bpe_tokenize" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val (_, words) = Bpe.train(docs)
+      val rep = words.select(col("word"), size(col("sym")).cast("long").as("n_sub"))
+      val dsub = docs
+        .select(col("doc_id"), explode(TextOps.bpeTokens(col("text"))).as("word"))
+        .join(broadcast(rep), Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nw"), sum(col("n_sub")).as("nb"))
+      docs.select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("nc"))
+        .join(dsub, Seq("doc_id"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars"),
+          sum(coalesce(col("nw"), lit(0L))).as("n_words"),
+          sum(coalesce(col("nb"), lit(0L))).as("n_bpe"))
         .select(col("lang"), col("n_docs"), col("n_chars"), col("n_words"),
           col("n_bpe"),
           round(col("n_chars").cast("double") / col("n_bpe").cast("double"), 6)
@@ -659,6 +709,43 @@ object TextQueries {
          |       round(CAST(sum(nb) AS DOUBLE) / CAST(sum(nw) AS DOUBLE), 6)
          |         AS fertility
          |FROM t GROUP BY lang""".stripMargin,
+
+    // Generated unrolled replay of the same Bpe.Rounds training rounds
+    // (see Bpe.oracleChain's Scaladoc for the per-round CTE anatomy) —
+    // argmax tie-breaks and leftmost-greedy overlap resolution
+    // included, so the merge table is value-checked, not shape-checked.
+    "docs_bpe_merges" ->
+      s"""${Bpe.oracleChain()}
+         |SELECT merge_rank, lhs, rhs, lhs || rhs AS merged,
+         |       cnt AS pair_count
+         |FROM merges""".stripMargin,
+
+    // Same chain; the final vocabulary w{Rounds} gives each word's
+    // learned segmentation length, joined back onto the corpus'
+    // pre-token stream and rolled up per language exactly like the
+    // fixed-regex fertility oracle above.
+    "docs_bpe_tokenize" ->
+      s"""${Bpe.oracleChain()},
+         |rep AS (SELECT word, CAST(count(*) AS BIGINT) AS n_sub
+         |        FROM w${Bpe.Rounds} GROUP BY word),
+         |dt AS (SELECT doc_id, unnest(regexp_extract_all(text,
+         |         '${TextOps.BpeTokenPattern}')) AS word
+         |       FROM documents),
+         |ds AS (SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS nw,
+         |              CAST(sum(rep.n_sub) AS BIGINT) AS nb
+         |       FROM dt JOIN rep USING (word) GROUP BY dt.doc_id),
+         |base AS (SELECT d.doc_id, d.lang, CAST(len(d.text) AS BIGINT) AS nc,
+         |                coalesce(ds.nw, 0) AS nw, coalesce(ds.nb, 0) AS nb
+         |         FROM documents d LEFT JOIN ds ON ds.doc_id = d.doc_id)
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(nc) AS BIGINT) AS n_chars,
+         |       CAST(sum(nw) AS BIGINT) AS n_words,
+         |       CAST(sum(nb) AS BIGINT) AS n_bpe,
+         |       round(CAST(sum(nc) AS DOUBLE) / CAST(sum(nb) AS DOUBLE), 6)
+         |         AS chars_per_token,
+         |       round(CAST(sum(nb) AS DOUBLE) / CAST(sum(nw) AS DOUBLE), 6)
+         |         AS fertility
+         |FROM base GROUP BY lang""".stripMargin,
 
     // Mirrors docs_dupgram_frac; the only float op is the final
     // division, and n_grams is CAST back to BIGINT (DuckDB widens
