@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Bpe, TextOps}
+import graft.ext.{Bpe, LogReg, TextOps}
 
 /** Driver-contract queries + DuckDB oracles for text analysis
   * (SURVEY.md §7.4): token statistics, quality scoring, language-ID,
@@ -257,6 +257,56 @@ object TextQueries {
             count(lit(1)).cast("double"), 6).as("pos_frac"))
     }),
 
+    // E201: logistic-regression quality classifier trained IN-ENGINE
+    // (round-9 verdict task #2) — batch gradient descent over the
+    // E166 feature set with the lang = 'en' proxy label: one
+    // standardization aggregation, then one partial-aggregatable
+    // corpus pass per step (five gradient sums + log-loss in a single
+    // agg) with an O(1) driver collect — the k-means/BPE iterate
+    // discipline; see graft.ext.LogReg. Output is the full step
+    // trajectory (weights after k updates + loss at them), so the
+    // oracle — the SAME fit unrolled as generated SQL with identical
+    // engine-side round points — value-checks every descent step, not
+    // just the final weights.
+    "docs_quality_logreg_fit" -> ((s, dir) => {
+      val feats = lrFeatureFrame(Tables.documents(s, dir))
+      val x = LogReg.standardized(feats, LogReg.featStats(feats))
+        .localCheckpoint()
+      s.createDataFrame(LogReg.fit(x))
+        .select(col("step"), col("bias"), col("w1").as("w_ttr"),
+          col("w2").as("w_stop"), col("w3").as("w_len"),
+          col("w4").as("w_ntok"), col("logLoss").as("log_loss"))
+    }),
+
+    // E202: the E184 calibration audit re-run over the FITTED weights
+    // — decile reliability curve for the in-engine-trained gate
+    // (mean fitted score vs observed positive fraction per bin),
+    // closing the fit → audit loop the fixed-weight tier could not.
+    // Binning rides the E101 scalable global row numbering, exactly
+    // like E184.
+    "docs_logreg_fit_calibration" -> ((s, dir) => {
+      val feats = lrFeatureFrame(Tables.documents(s, dir))
+      val x = LogReg.standardized(feats, LogReg.featStats(feats))
+        .localCheckpoint()
+      val w = LogReg.fit(x).last
+      val z = lit(w.bias) + lit(w.w1) * col("x1") + lit(w.w2) * col("x2") +
+        lit(w.w3) * col("x3") + lit(w.w4) * col("x4")
+      val scored = x.select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"), col("y"))
+        .withColumn("ord", struct(col("score"), col("doc_id")))
+      val rn = graft.operators.GlobalIndex.globalRowNumbers(scored, "ord",
+        s.sparkContext.defaultParallelism)
+      val tot = scored.agg(count(lit(1)).as("nn"))
+      rn.crossJoin(broadcast(tot))
+        .withColumn("bin",
+          floor((col("row_num") - 1) * 10 / col("nn")).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("score")), 6).as("mean_score"),
+          round(sum(col("y")) / count(lit(1)).cast("double"), 6)
+            .as("pos_frac"))
+    }),
+
     // E185: tokenizer fertility audit — per language, characters per
     // BPE token and BPE tokens per whitespace word (fertility): the
     // per-language cost report every multilingual tokenizer ships with
@@ -478,15 +528,36 @@ object TextQueries {
     * can never drift.
     */
   private def logregScore: org.apache.spark.sql.Column = {
-    val toks = TextOps.tokens(col("text"))
-    val ntok = size(toks).cast("double")
-    val ttr = size(array_distinct(toks)).cast("double") / ntok
+    val (ttr, swr, mlen, ntok) = lrFeatureCols
     val z = lit(LrBias) +
       lit(LrWTtr) * ttr +
-      lit(LrWStop) * TextOps.stopwordRatio(toks) +
-      lit(LrWLen) * TextOps.meanTokenLen(toks) +
+      lit(LrWStop) * swr +
+      lit(LrWLen) * mlen +
       lit(LrWNtok) * ntok
     round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+  }
+
+  /** The four raw E166 features (ttr, stopword ratio, mean token
+    * length, token count) — shared between the fixed-weight gate and
+    * the in-engine fit (E201) so the two can never drift.
+    */
+  private def lrFeatureCols = {
+    val toks = TextOps.tokens(col("text"))
+    val ntok = size(toks).cast("double")
+    (size(array_distinct(toks)).cast("double") / ntok,
+      TextOps.stopwordRatio(toks),
+      TextOps.meanTokenLen(toks),
+      ntok)
+  }
+
+  /** Raw feature frame for the in-engine fit: (doc_id, y, x1..x4) with
+    * the lang = 'en' proxy label as 0.0/1.0.
+    */
+  private def lrFeatureFrame(docs: DataFrame): DataFrame = {
+    val (ttr, swr, mlen, ntok) = lrFeatureCols
+    docs.select(col("doc_id"),
+      (col("lang") === "en").cast("double").as("y"),
+      ttr.as("x1"), swr.as("x2"), mlen.as("x3"), ntok.as("x4"))
   }
 
   // -------------------------------------------------------------------
@@ -694,6 +765,34 @@ object TextQueries {
          |             / count(*), 6) AS pos_frac
          |FROM r GROUP BY 1""".stripMargin,
 
+    // Generated unrolled replay of the same standardize + descend
+    // steps (see LogReg.oracleChain) — every round point identical.
+    "docs_quality_logreg_fit" ->
+      s"""$lrFitChain
+         |SELECT step, bias, w_ttr, w_stop, w_len, w_ntok, log_loss
+         |FROM fitsteps""".stripMargin,
+
+    // Same chain; scores from the final weight table wt{Steps}, then
+    // the E184 decile shape.
+    "docs_logreg_fit_calibration" ->
+      s"""$lrFitChain,
+         |scored AS (
+         |  SELECT doc_id,
+         |         round(1.0 / (1.0 + exp(-(b + w_x1 * x1 + w_x2 * x2
+         |                                  + w_x3 * x3 + w_x4 * x4))), 6)
+         |           AS score,
+         |         y
+         |  FROM xs, wt${LogReg.Steps}),
+         |r AS (SELECT score, y,
+         |             row_number() OVER (ORDER BY score, doc_id) AS rn,
+         |             count(*) OVER () AS nn
+         |      FROM scored)
+         |SELECT CAST(floor((rn - 1) * 10.0 / nn) AS BIGINT) AS bin,
+         |       count(*) AS n,
+         |       round(avg(score), 6) AS mean_score,
+         |       round(sum(y) / count(*), 6) AS pos_frac
+         |FROM r GROUP BY 1""".stripMargin,
+
     "docs_tokenizer_fertility" ->
       s"""WITH t AS (SELECT lang, len(text) AS nc,
          |                  len(string_split(text, ' ')) AS nw,
@@ -836,6 +935,23 @@ object TextQueries {
       |            JOIN uni u1 ON u1.w = b.w
       |            JOIN uni u2 ON u2.w = b.w2
       |            CROSS JOIN tot)""".stripMargin
+
+  /** Raw-feature CTE (the Spark [[lrFeatureFrame]] in DuckDB) + the
+    * generated standardize/descend chain from [[LogReg.oracleChain]] —
+    * shared by the fit oracle and the fitted-calibration oracle.
+    */
+  private def lrFitChain: String =
+    s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+       |           FROM documents),
+       |f AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         (CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END) AS y,
+       |         (CAST(len(list_distinct(ws)) AS DOUBLE)
+       |            / CAST(len(ws) AS DOUBLE)) AS x1,
+       |         $stopRatioSql AS x2,
+       |         $meanLenSql AS x3,
+       |         CAST(len(ws) AS DOUBLE) AS x4
+       |  FROM d)${LogReg.oracleChain()}""".stripMargin
 
   /** [[logregScore]] in DuckDB — one definition, used by the gate
     * oracle and the calibration oracle.
