@@ -759,4 +759,73 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** E203: banding-recall audit — the number E174 (estimator accuracy)
+    * and E198 (bucket sizes) do not give: what fraction of the TRUE
+    * near-dup pairs (exact Jaccard ≥ τ) the candidate generator
+    * actually surfaces, per τ and per banding config. This is the
+    * measurement to run on a fixture/sample BEFORE trusting a banding
+    * config at a new scale — banding recall is probabilistic
+    * ((1−(1−J^r)^b) per pair for classic r×b banding), so "the verify
+    * step is exact" says nothing about the pairs banding never
+    * surfaced.
+    *
+    * Ground truth is exact and banding-free: the set-similarity join
+    * (distinct (id, shingle-hash) rows self-joined on the shingle key,
+    * |A∩B| from the pair count, |A∪B| from per-doc set sizes) — never
+    * an all-pairs cross join; work scales with shared-shingle pair
+    * multiplicity, which is why this is an audit for fixture/sample
+    * scale, run deliberately, not a production dedup path (those stay
+    * banded precisely because exact ground truth is quadratic in hub
+    * shingles).
+    *
+    * Output per (config, tau): exact true-pair count, the measured
+    * caught count + recall, and the classic banding-formula expectation
+    * `avg(1 − (1 − J⁴)⁸)` over the SAME true-pair population — the
+    * reference curve the measurement is judged against ("banded32");
+    * the densified-OPH config ("oph") is measured against the same
+    * curve to EXPOSE its short-doc densification penalty rather than
+    * assuming it classic.
+    */
+  def lshRecallMeasured(universe: DataFrame, n: Int,
+      taus: Seq[Double]): DataFrame = {
+    require(taus.nonEmpty, "need at least one tau")
+    // three consumers (ground truth + two banding passes): materialize
+    // the shingle rows once, lazily (ContextCleaner-reclaimable)
+    val rows = wordShingleRows(universe, col("id"), col("text"), n)
+      .localCheckpoint(false)
+    val dsh = rows.select(col("id"), xxhash64(col("x")).as("k")).distinct()
+      .localCheckpoint(false)
+    val sizes = dsh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val truth = dsh.select(col("id").as("id_a"), col("k"))
+      .join(dsh.select(col("id").as("id_b"), col("k")), "k")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sa")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("sa") + col("sb") - col("inter")).cast("double")).as("j"))
+      .filter(col("j") >= lit(taus.min))
+    val configs = Seq(
+      "banded32" -> lshCandidates(minhashBandsFromRows(rows), "id", col("bands")),
+      "oph" -> lshCandidates(minhashBandsOphFromRows(rows), "id", col("bands")))
+    val flagged = configs.map { case (name, cands) =>
+      truth.join(cands.withColumn("hit", lit(1L)), Seq("id_a", "id_b"), "left")
+        .select(lit(name).as("config"), col("j"),
+          coalesce(col("hit"), lit(0L)).as("hit"))
+    }.reduce(_ unionAll _)
+    flagged
+      .select(col("config"), col("j"), col("hit"),
+        explode(array(taus.map(lit): _*)).as("tau"))
+      .filter(col("j") >= col("tau"))
+      .groupBy("config", "tau")
+      .agg(count(lit(1)).as("n_true_pairs"),
+        sum(col("hit")).as("n_caught"),
+        round(avg(lit(1.0) -
+          pow(lit(1.0) - pow(col("j"), lit(4.0)), lit(8.0))), 6)
+          .as("expected_recall"))
+      .withColumn("recall",
+        col("n_caught").cast("double") / col("n_true_pairs").cast("double"))
+  }
 }

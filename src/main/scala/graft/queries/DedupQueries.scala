@@ -156,6 +156,35 @@ object DedupQueries {
         .withColumn("cap_headroom", lit(Dedup.MaxBucketSize.toLong) - col("max_bucket"))
     }),
 
+    // E203: LSH banding-recall audit (round-9 verdict task #3) — the
+    // number E174 (estimator accuracy) and E198 (bucket sizes) do not
+    // give: per τ and per banding config, what fraction of the TRUE
+    // exact-Jaccard ≥ τ pairs the candidate generator surfaces. Ground
+    // truth is exact and banding-free (set-similarity join — never an
+    // all-pairs cross join) over a universe with PLANTED graded
+    // variants (J ≈ 0.33/0.48/0.66/0.90 tiers; without them the
+    // fixture's bimodal similarity would leave the mid-range
+    // unmeasured). The oracle recomputes the exact ground truth and
+    // the classic-formula expectation and pins the two claims
+    // (recall ≥ floor; |recall − formula| ≤ 0.2) as booleans — the
+    // E174 sketch-audit pattern, since xxhash candidates are not
+    // DuckDB-reproducible. DedupSpec asserts the same floors on the
+    // measured numbers directly.
+    "docs_lsh_recall" -> ((s, dir) => {
+      val m = Dedup.lshRecallMeasured(
+        recallUniverse(Tables.documents(s, dir)), WordN, RecallTaus)
+      val floorCol = RecallTaus.foldLeft(lit(0.0)) { (acc, t) =>
+        when(col("tau") === t,
+          when(col("config") === "oph", recallFloor("oph", t))
+            .otherwise(recallFloor("banded32", t))).otherwise(acc)
+      }
+      m.select(col("config"), col("tau"), col("n_true_pairs"),
+        col("expected_recall"),
+        (col("recall") >= floorCol).as("recall_ok"),
+        (abs(col("recall") - col("expected_recall")) <=
+          lit(RecallFormulaMargin)).as("tracks_formula"))
+    }),
+
     // E164: exact duplicated-substring spans (the Lee et al. 2021
     // sub-document tier): maximal token spans whose every n-gram also
     // appears in another document — the granularity used to CUT
@@ -212,6 +241,72 @@ object DedupQueries {
     * similarity) produce real shared spans.
     */
   val SpanN = 8
+
+  // -------------------------------------------------------------------
+  // E203 banding-recall audit: planted graded universe + thresholds
+  // -------------------------------------------------------------------
+
+  /** τ sweep for docs_lsh_recall — bracketed so each planted tier
+    * (J ≈ 0.33 / 0.48 / 0.66 / 0.90) enters at a distinct τ.
+    */
+  val RecallTaus = Seq(0.3, 0.45, 0.6, 0.85)
+
+  /** Every (doc_id % 7 == 3) document gets a graded variant: keep the
+    * first (50 + 15·(doc_id % 4))% of its words, replace the tail with
+    * per-doc-unique filler — yielding deterministic true pairs at
+    * Jaccard ≈ nk/(2n − nk), i.e. ~0.33/0.48/0.66/0.90 tiers. The
+    * fixture's own near-dups are bimodal (J ≥ 0.85 or < 0.3,
+    * LshRecallInvariantSpec), so WITHOUT planting, the recall curve
+    * would be measured on an empty mid-range — the planting pattern of
+    * E194/E197 applied to the similarity axis.
+    */
+  val RecallPlantMod = 7
+  val RecallPlantRes = 3
+  val RecallPlantOffset = 400000L
+
+  /** Measured-recall floors per (config, τ) for the hash-checked
+    * `recall_ok` verdict and the DedupSpec bound — set from measured
+    * values at sf0.001/sf0.01/sf0.1 with margin for fixture
+    * regeneration (binomial noise over the planted-pair population);
+    * a broken hash chain or banding regression (recall collapse at
+    * high τ) still fails loudly.
+    */
+  def recallFloor(config: String, tau: Double): Double = (config, tau) match {
+    // measured (sf0.001/0.01/0.1): banded32 0.67-0.70 / 0.79-0.81 /
+    // 0.92-0.97 / 1.0; oph 0.72-0.75 / 0.82-0.87 / 0.98-1.0 / 1.0.
+    // Floors sit ~4 binomial σ (n≈70-1000 pairs) below the minima.
+    case (_, 0.85) => if (config == "oph") 0.90 else 0.95
+    case (_, 0.6) => 0.75
+    case (_, 0.45) => 0.55
+    case _ => 0.45
+  }
+
+  /** |measured − classic-formula| bound for the `tracks_formula`
+    * verdict — measured deviations are ≤ 0.03 (banded32) and ≤ 0.06
+    * (oph, densification bias is ADDITIVE here); 0.2 leaves ~3σ of
+    * regeneration margin while a banding bug (e.g. a band slice off by
+    * one, collapsing recall at mid-J) still fails.
+    */
+  val RecallFormulaMargin = 0.2
+
+  /** The audit universe: corpus + graded variants (both engines build
+    * the identical texts, so exact ground truth matches bit for bit).
+    */
+  def recallUniverse(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col("doc_id").cast("long").as("id"), col("text"))
+    val variants = docs
+      .filter(pmod(col("doc_id"), lit(RecallPlantMod)) === RecallPlantRes)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("nk", greatest(
+        expr(s"(size(ws) * (50 + 15 * pmod(doc_id, 4)) + 99) DIV 100"),
+        lit(2)))
+      .select((col("doc_id") + lit(RecallPlantOffset)).as("id"),
+        expr("array_join(transform(sequence(1, size(ws)), i -> " +
+          "CASE WHEN i <= nk THEN element_at(ws, i) " +
+          "ELSE concat('zz', CAST(doc_id AS STRING), '_', CAST(i AS STRING)) " +
+          "END), ' ')").as("text"))
+    base.unionAll(variants)
+  }
 
   // -------------------------------------------------------------------
   // DuckDB oracles
@@ -376,6 +471,50 @@ object DedupQueries {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.s, b.s))::DOUBLE /
          |        len(list_distinct(list_concat(a.s, b.s))) >= $JaccardThreshold""".stripMargin,
+
+    // E203: exact ground truth + classic-formula expectation over the
+    // same planted universe; the two measured-recall verdicts are
+    // pinned true (xxhash candidates live only on the Spark side —
+    // the E174 pattern).
+    "docs_lsh_recall" -> {
+      val tausSql = RecallTaus
+        .map(t => s"(CAST($t AS DOUBLE))").mkString(", ")
+      s"""WITH doc0 AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+         |              FROM documents),
+         |u AS MATERIALIZED (
+         |  SELECT doc_id AS id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $RecallPlantOffset,
+         |         array_to_string(list_transform(generate_series(1, len(ws)),
+         |           i -> CASE WHEN i <= greatest(
+         |                       (len(ws) * (50 + 15 * (doc_id % 4)) + 99) // 100,
+         |                       2)
+         |                     THEN ws[i]
+         |                     ELSE 'zz' || CAST(doc_id AS VARCHAR) || '_'
+         |                          || CAST(i AS VARCHAR) END), ' ')
+         |  FROM doc0 WHERE doc_id % $RecallPlantMod = $RecallPlantRes),
+         |d AS (SELECT id, text, string_split(text, ' ') AS ws FROM u),
+         |sh AS MATERIALIZED (
+         |  SELECT id,
+         |         CASE WHEN len(ws) >= $WordN
+         |              THEN list_distinct(list_transform(
+         |                     generate_series(1, len(ws) - 2),
+         |                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+         |              ELSE [text] END AS s
+         |  FROM d),
+         |t AS MATERIALIZED (
+         |  SELECT len(list_intersect(a.s, b.s))::DOUBLE /
+         |           len(list_distinct(list_concat(a.s, b.s))) AS j
+         |  FROM sh a JOIN sh b ON a.id < b.id
+         |  WHERE len(list_intersect(a.s, b.s)) > 0),
+         |taus(tau) AS (VALUES $tausSql),
+         |cfg(config) AS (VALUES ('banded32'), ('oph'))
+         |SELECT config, tau, count(*) AS n_true_pairs,
+         |       round(avg(1.0 - pow(1.0 - pow(j, 4), 8)), 6)
+         |         AS expected_recall,
+         |       true AS recall_ok, true AS tracks_formula
+         |FROM t, taus, cfg WHERE j >= tau GROUP BY config, tau""".stripMargin
+    },
 
     // Mirrors SpanDedup.duplicatedSpans: same md5 gram key, same
     // cross-document distinct-count cut, same ≤ n island chaining.

@@ -234,4 +234,39 @@ class DedupSpec extends SparkSpec {
       .queries("docs_simhash_pairs")(spark, sfDir).count()
     assert(verified <= candidates)
   }
+
+  test("E203 banding recall: measured recall clears the shipped floors " +
+      "and tracks the classic formula at every tau, on both configs, " +
+      "over a non-vacuous graded pair population") {
+    import graft.queries.DedupQueries._
+    val m = Dedup.lshRecallMeasured(
+      recallUniverse(graft.Tables.documents(spark, sfDir)),
+      WordN, RecallTaus).collect()
+    assert(m.length == RecallTaus.size * 2, "one row per (config, tau)")
+    m.foreach { r =>
+      val config = r.getAs[String]("config")
+      val tau = r.getAs[Double]("tau")
+      val recall = r.getAs[Double]("recall")
+      val expected = r.getAs[Double]("expected_recall")
+      info(f"$config%-9s tau=$tau%.2f n=${r.getAs[Long]("n_true_pairs")}%4d " +
+        f"recall=$recall%.4f expected=$expected%.4f")
+      assert(recall >= recallFloor(config, tau),
+        s"$config recall $recall under floor at tau=$tau")
+      assert(math.abs(recall - expected) <= RecallFormulaMargin,
+        s"$config recall $recall strays from formula $expected at tau=$tau")
+    }
+    // non-vacuity: the graded planting must spread pairs across taus —
+    // strictly fewer pairs at each higher tau
+    val byTau = m.filter(_.getAs[String]("config") == "banded32")
+      .sortBy(_.getAs[Double]("tau")).map(_.getAs[Long]("n_true_pairs"))
+    assert(byTau.zip(byTau.tail).forall { case (a, b) => a > b },
+      s"planted tiers did not grade the pair population: ${byTau.toSeq}")
+    // and the sweep must include a genuinely probabilistic zone: some
+    // true pair missed at the loosest tau (else the audit shows nothing
+    // the exact verify would not)
+    val loosest = m.find(r => r.getAs[String]("config") == "banded32" &&
+      r.getAs[Double]("tau") == RecallTaus.min).get
+    assert(loosest.getAs[Long]("n_caught") < loosest.getAs[Long]("n_true_pairs"),
+      "every pair caught at the loosest tau — the mid-J planting is gone")
+  }
 }
