@@ -732,7 +732,62 @@ object AnalyticsQueries {
             (lit(SpikeWindowHours) * col("n") - col("ws")) >
             lit(9L) * (lit(SpikeWindowHours) * col("wq") -
               col("ws") * col("ws"))).as("is_spike"))
-    }))
+    }),
+
+    // E182 (oracle promotion, round-9 verdict task #6): the exact batch
+    // twin of the STREAMING SpikeDetectProcessor — previously the
+    // streaming tier was graded only by row-level parity against the
+    // E178 row inside an overlap window; this row hash-checks the
+    // processor's own semantics end to end (the E67/E124 batch-twin
+    // precedent). The one semantic difference from E178 is the spine:
+    // the processor gap-fills from each KEY's first observed hour to
+    // its last (a stateful operator cannot know a global corpus min
+    // before seeing data, and it never advances past its last fed
+    // hour), while E178's spine runs global-min..global-max for every
+    // type. Everything else — zero gap-fill, trailing ROWS 24..1
+    // PRECEDING baseline, ring-full gate, exact integer z>3 test — is
+    // shared arithmetic, so stream ≡ twin on EVERY emitted row (not
+    // just an overlap), which StreamingSpec pins, including on a
+    // planted late-starting key where twin and E178 genuinely diverge.
+    // (The processor's maxGapEmit=168h compression path is out of
+    // frame here: the twin requires — and StreamingSpec asserts — that
+    // no per-key gap on the fixture exceeds it.)
+    "events_rate_spikes_stream_twin" -> ((s, dir) =>
+      rateSpikeStreamTwin(Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n")))))
+
+  /** E182 twin core over finalized (event_type, h, n) hourly counts:
+    * per-key spine from each key's min(h) to max(h), zero gap-fill,
+    * then the shared E178 trailing-window integer z-test. Exposed so
+    * StreamingSpec can run the same twin over PLANTED hourly inputs
+    * (late-starting key) and pin stream ≡ twin row for row.
+    */
+  def rateSpikeStreamTwin(hourly: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spine = hourly.groupBy(col("event_type"))
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 hour"))).as("h"))
+    val filled = spine.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(-SpikeWindowHours, -1)
+    val stats = filled.select(col("event_type"), col("h"), col("n"),
+      count(lit(1)).over(w).as("wn"),
+      coalesce(sum(col("n")).over(w), lit(0L)).as("ws"),
+      coalesce(sum(col("n") * col("n")).over(w), lit(0L)).as("wq"))
+    stats.select(col("event_type"), col("h"), col("n"),
+      col("ws").as("win_sum"),
+      (col("wn") === SpikeWindowHours &&
+        (lit(SpikeWindowHours) * col("n") - col("ws")) > 0 &&
+        (lit(SpikeWindowHours) * col("n") - col("ws")) *
+          (lit(SpikeWindowHours) * col("n") - col("ws")) >
+          lit(9L) * (lit(SpikeWindowHours) * col("wq") -
+            col("ws") * col("ws"))).as("is_spike"))
+  }
 
   /** Trailing-baseline width for E178 (one day of hourly buckets). */
   private val SpikeWindowHours = 24
@@ -1110,6 +1165,36 @@ object AnalyticsQueries {
          |             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
          |             count(*) AS n
          |      FROM events GROUP BY 1, 2),
+         |f AS (SELECT sp.event_type, sp.h, coalesce(c.n, 0) AS n
+         |      FROM sp LEFT JOIN c
+         |        ON sp.event_type = c.event_type AND sp.h = c.h),
+         |s AS (SELECT event_type, h, n,
+         |             count(*) OVER w AS wn,
+         |             coalesce(CAST(sum(n) OVER w AS BIGINT), 0) AS ws,
+         |             coalesce(CAST(sum(n * n) OVER w AS BIGINT), 0) AS wq
+         |      FROM f
+         |      WINDOW w AS (PARTITION BY event_type ORDER BY h
+         |        ROWS BETWEEN $SpikeWindowHours PRECEDING AND 1 PRECEDING))
+         |SELECT event_type, h, n, ws AS win_sum,
+         |       (wn = $SpikeWindowHours
+         |        AND ($SpikeWindowHours * n - ws) > 0
+         |        AND ($SpikeWindowHours * n - ws) * ($SpikeWindowHours * n - ws)
+         |              > 9 * ($SpikeWindowHours * wq - ws * ws)) AS is_spike
+         |FROM s""".stripMargin,
+
+    // E182 stream twin: same arithmetic, but the spine is PER KEY —
+    // each type's first..last observed hour, the only span a stateful
+    // processor can know.
+    "events_rate_spikes_stream_twin" ->
+      s"""WITH c AS (SELECT event_type,
+         |                  date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         |                  count(*) AS n
+         |           FROM events GROUP BY 1, 2),
+         |b AS (SELECT event_type, min(h) AS lo, max(h) AS hi
+         |      FROM c GROUP BY event_type),
+         |sp AS (SELECT event_type,
+         |              unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+         |       FROM b),
          |f AS (SELECT sp.event_type, sp.h, coalesce(c.n, 0) AS n
          |      FROM sp LEFT JOIN c
          |        ON sp.event_type = c.event_type AND sp.h = c.h),

@@ -611,6 +611,91 @@ class StreamingSpec extends SparkSpec {
     } finally prev.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
   }
 
+  test("E182 oracle promotion: the stream equals its hash-checked batch " +
+      "twin on EVERY emitted row — fixture feed and a planted " +
+      "late-starting key where the twin diverges from the global spine") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def runSpikes(feed: Seq[(String, Long, Long)], name: String) = {
+      val stream = MemoryStream[(String, Long, Long)]
+      val out = StreamingPipeline.rateSpikes(spark, stream.toDS())
+      val q = out.writeStream.format("memory")
+        .queryName(name).outputMode("update").start()
+      try {
+        val (a, b) = feed.splitAt(feed.length / 2)
+        stream.addData(a.toIndexedSeq)
+        q.processAllAvailable()
+        stream.addData(b.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).as[(String, Long, Long, Long, Boolean)].collect()
+    }
+    def assertTwinParity(streamed: Array[(String, Long, Long, Long, Boolean)],
+        twin: Array[(String, Long, Long, Long, Boolean)]): Unit = {
+      assert(twin.nonEmpty && streamed.length == twin.length,
+        s"row counts differ: stream ${streamed.length}, twin ${twin.length}")
+      val sm = streamed.map(t => (t._1, t._2) -> t).toMap
+      twin.foreach { t =>
+        assert(sm((t._1, t._2)) == t, s"stream ${sm((t._1, t._2))} != twin $t")
+      }
+    }
+    try {
+      // ---- fixture feed: the oracle row's own input ----
+      val twin = graft.queries.AnalyticsQueries
+        .queries("events_rate_spikes_stream_twin")(spark, sfDir)
+        .select(col("event_type"), unix_timestamp(col("h")), col("n"),
+          col("win_sum"), col("is_spike"))
+        .as[(String, Long, Long, Long, Boolean)].collect()
+      val feed = twin.filter(_._3 > 0).map(t => (t._1, t._2, t._3)).sortBy(_._2)
+      // twin precondition: no per-key gap beyond the processor's
+      // maxGapEmit clamp (the twin does not model the compression path)
+      feed.groupBy(_._1).foreach { case (k, v) =>
+        val hs = v.map(_._2).sorted
+        val gap = hs.zip(hs.tail).map { case (a, b) => (b - a) / 3600L - 1 }
+          .foldLeft(0L)(math.max)
+        assert(gap <= 168L, s"fixture key $k has a $gap-hour gap; the twin " +
+          "would diverge from the maxGapEmit clamp")
+      }
+      assertTwinParity(runSpikes(feed.toSeq, "twstwinfull"), twin)
+
+      // ---- planted late start: 'late' first appears 48h after
+      // 'early', with a big first count. The per-key-spine twin keeps
+      // it unflagged (ring empty at first sight, warmup), while a
+      // global spine would backfill 48 zeros and flag it on an all-zero
+      // full ring — the divergence ADVICE r8 asked to have stated, here
+      // made a measured fact through the same helper.
+      val planted =
+        (0 until 60).map(i => ("early", i * 3600L, 2L)) :+
+          (("late", 48 * 3600L, 50L)) :+ (("late", 49 * 3600L, 1L))
+      val plantedDf = planted
+        .toDF("event_type", "epoch", "n")
+        .select(col("event_type"), col("epoch").cast("timestamp").as("h"),
+          col("n"))
+      def twinOf(h: org.apache.spark.sql.DataFrame) =
+        graft.queries.AnalyticsQueries.rateSpikeStreamTwin(h)
+          .select(col("event_type"), unix_timestamp(col("h")), col("n"),
+            col("win_sum"), col("is_spike"))
+          .as[(String, Long, Long, Long, Boolean)].collect()
+      val ptwin = twinOf(plantedDf)
+      assertTwinParity(runSpikes(planted.sortBy(_._2), "twstwinlate"), ptwin)
+      val lateFirst = ptwin.filter(_._1 == "late").minBy(_._2)
+      assert(lateFirst == (("late", 48 * 3600L, 50L, 0L, false)),
+        s"late key's first hour must be unflagged warmup in the twin: $lateFirst")
+      // global-spine semantics over the SAME counts: seed the late key
+      // with a zero observation at the global min hour — now the ring
+      // is full of backfilled zeros by hour 48 and the spike DOES flag
+      val seeded = twinOf(plantedDf.unionAll(
+        Seq(("late", 0L, 0L)).toDF("event_type", "epoch", "n")
+          .select(col("event_type"), col("epoch").cast("timestamp").as("h"),
+            col("n"))))
+      val seededFirst = seeded.filter(t => t._1 == "late" && t._3 == 50L).head
+      assert(seededFirst._5,
+        s"global spine must flag the late key's burst: $seededFirst")
+    } finally prev.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
+  }
+
   test("Kafka adapter reports connector availability honestly") {
     // No spark-sql-kafka jar ships in this container (SURVEY.md §7.6.6):
     // the adapter must say so rather than fail deep inside a query.
