@@ -192,6 +192,11 @@ object SimilarityQueries {
     // never all-pairs), then a |pairs|×|τ| replication — τ is a
     // 5-element broadcast literal, so the sweep costs one small
     // aggregation more than a single-τ run, not five candidate joins.
+    // Growth law: candidate work is Σ m·(m−1)/2 over cluster
+    // populations m, quadratic in corpus size under a FROZEN
+    // clustering (the fixture's 10 labels) — run emb_cluster_profile
+    // (E204) first and re-cluster with larger k when pop_headroom
+    // shrinks; with k grown ∝ corpus the sweep is linear.
     "emb_threshold_sweep" -> ((s, dir) => {
       import s.implicits._
       val c = corpus(s, dir)
@@ -210,7 +215,50 @@ object SimilarityQueries {
           (col("n_vecs") - col("n_dropped")).as("n_survivors"),
           (col("n_dropped").cast("double") / col("n_vecs").cast("double"))
             .as("drop_frac"))
+    }),
+
+    // E204: cluster-bucket profile for the embedding near-dup tier
+    // (round-9 verdict task #5) — the E198 "no silent caps" audit
+    // applied to the SemDeDup/near-dup/threshold-sweep cluster
+    // buckets. Every within-cluster candidate join (emb_neardup,
+    // emb_semdedup, emb_threshold_sweep) does Σ m·(m−1)/2 exact-cosine
+    // work over bucket populations m, and the fixture's cluster COUNT
+    // is fixed (10 labels) while its population grows with the corpus
+    // — so candidate work grows QUADRATICALLY in corpus size under a
+    // frozen clustering. That is the measured 2.41× sweep slope for
+    // 10× data, and it is a property of the clustering config, not of
+    // the join. The scale discipline is the SemDeDup paper's own: grow
+    // the cluster count k with the corpus (re-cluster via
+    // Similarity.kmeansIterated) so expected bucket population stays
+    // constant; THIS row is the instrument that says when — read
+    // max(m) and pop_headroom against MaxClusterPop before running the
+    // pair tier at a new scale, exactly like E198's chunk-bit check.
+    // One tiny aggregation (clusters × 1 rows); exact integers.
+    "emb_cluster_profile" -> ((s, dir) => {
+      val sizes = corpus(s, dir).groupBy(col("part"))
+        .agg(count(lit(1)).as("m"))
+      val tot = sizes.agg(sum(col("m")).as("n_vecs"),
+        sum(expr("(m * (m - 1)) DIV 2")).as("total_pairs"))
+      sizes.crossJoin(broadcast(tot))
+        .select(col("part"), col("m"),
+          expr("(m * (m - 1)) DIV 2").as("candidate_pairs"),
+          (col("m").cast("double") / col("n_vecs").cast("double"))
+            .as("bucket_frac"),
+          (expr("(m * (m - 1)) DIV 2").cast("double") /
+            col("total_pairs").cast("double")).as("pair_share"),
+          (lit(MaxClusterPop.toLong) - col("m")).as("pop_headroom"))
     }))
+
+  /** Bucket-population line for the embedding cluster tier: past this,
+    * within-cluster pair work (m²/2 exact cosines) stops being "small
+    * bucket" arithmetic and the operator should re-cluster with a
+    * larger k before running the pair tier — the embedding analogue of
+    * [[graft.ext.Dedup.MaxBucketSize]], surfaced as headroom in
+    * emb_cluster_profile rather than enforced as a silent slice (an
+    * embedding cluster, unlike an LSH bucket, cannot be truncated
+    * without losing specific near-dup pairs the operator asked for).
+    */
+  private[queries] val MaxClusterPop = 4096
 
   private val MProbe = 2   // cells probed per query in emb_topk_mprobe
   private val EvalN = 25   // vec_id < 25 play the benchmark/eval set
@@ -495,5 +543,20 @@ object SimilarityQueries {
          |       CAST(g.n_dropped AS DOUBLE)
          |         / CAST(n.n_vecs AS DOUBLE) AS drop_frac
          |FROM g, n""".stripMargin
-    })
+    },
+
+    // E204: exact integer bucket arithmetic over the label clusters.
+    "emb_cluster_profile" ->
+      s"""WITH m AS (SELECT label AS part, count(*) AS m
+         |           FROM embeddings GROUP BY label),
+         |t AS (SELECT CAST(sum(m) AS BIGINT) AS n_vecs,
+         |             CAST(sum((m * (m - 1)) // 2) AS BIGINT) AS total_pairs
+         |      FROM m)
+         |SELECT m.part, CAST(m.m AS BIGINT) AS m,
+         |       CAST((m.m * (m.m - 1)) // 2 AS BIGINT) AS candidate_pairs,
+         |       CAST(m.m AS DOUBLE) / CAST(t.n_vecs AS DOUBLE) AS bucket_frac,
+         |       CAST((m.m * (m.m - 1)) // 2 AS DOUBLE)
+         |         / CAST(t.total_pairs AS DOUBLE) AS pair_share,
+         |       $MaxClusterPop - CAST(m.m AS BIGINT) AS pop_headroom
+         |FROM m, t""".stripMargin)
 }

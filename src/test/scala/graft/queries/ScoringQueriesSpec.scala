@@ -136,6 +136,30 @@ class ScoringQueriesSpec extends SparkSpec {
       "loosest tau found no pairs — the sweep is vacuous on this fixture")
   }
 
+  test("E204 cluster profile: cross-foots with the corpus and bounds the " +
+      "sweep's candidate work; population headroom positive at this SF") {
+    val prof = SimilarityQueries.queries("emb_cluster_profile")(spark, sfDir)
+      .collect()
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(prof.map(_.getAs[Long]("m")).sum == n, "bucket sizes must " +
+      "partition the corpus")
+    prof.foreach { r =>
+      val m = r.getAs[Long]("m")
+      assert(r.getAs[Long]("candidate_pairs") == m * (m - 1) / 2)
+      assert(r.getAs[Long]("pop_headroom") > 0,
+        s"cluster ${r.get(0)} at population $m has no headroom to " +
+          s"MaxClusterPop — re-cluster with a larger k before the pair tier")
+    }
+    // the profile's pair total IS the sweep's candidate-join work bound:
+    // every verified pair at the loosest tau came out of these buckets
+    val totalPairs = prof.map(_.getAs[Long]("candidate_pairs")).sum
+    val loosest = SimilarityQueries.queries("emb_threshold_sweep")(spark, sfDir)
+      .collect().minBy(_.getAs[Double]("threshold")).getAs[Long]("n_pairs")
+    assert(loosest <= totalPairs,
+      s"sweep reported $loosest pairs but buckets only admit $totalPairs")
+    assert(math.abs(prof.map(_.getAs[Double]("pair_share")).sum - 1.0) < 1e-9)
+  }
+
   test("repetition budget: requested tokens uniform across sources, " +
       "epochs are exact integer ceilings, flag matches the epoch rule") {
     val rows = CurationQueries.queries("docs_repetition_budget")(spark, sfDir)
