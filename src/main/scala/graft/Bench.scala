@@ -42,23 +42,29 @@ object Bench {
       catch { case e: Throwable => Some(n -> e.toString.take(200)) }
     }.toMap
 
+    // SPARK_GRAFT_BENCH_REPS > 1 (scripts/isobench sets 3): repeat the
+    // timed pass and report the MIN — the stable floor a regression is
+    // adjudicated against, instead of a single reading inside this
+    // box's documented 3-15x small-query noise band.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
     var errors = warmErrs
     val results = names.flatMap { n =>
       if (errors.contains(n)) None
-      else {
-        // Queries that persist() internal datasets (the LSH candidate
-        // set) would otherwise serve the timed pass from the warmup
-        // pass's cache — measuring a cache read, not the operator.
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        try {
+      else try {
+        val times = (1 to reps).map { _ =>
+          // Queries that persist() internal datasets (the LSH candidate
+          // set) would otherwise serve the timed pass from the warmup
+          // pass's cache — measuring a cache read, not the operator.
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
           run(n)
-          Some(n -> (System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            errors += n -> e.toString.take(200)
-            None
+          (System.nanoTime() - t0) / 1e9
         }
+        Some(n -> times.min)
+      } catch {
+        case e: Throwable =>
+          errors += n -> e.toString.take(200)
+          None
       }
     }
 
