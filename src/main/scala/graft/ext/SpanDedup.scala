@@ -89,4 +89,50 @@ object SpanDedup {
         (col("max_pos") + lit(n - 1)).as("span_end"),
         (col("max_pos") + lit(n) - col("span_start")).as("span_tokens"))
   }
+
+  /** Find → CUT: every document rewritten with its duplicated spans
+    * excised (tokens at positions inside any [[duplicatedSpans]] span
+    * dropped, survivors rejoined with single spaces), plus the
+    * accounting a curation funnel reports (span count, token count
+    * before, tokens cut). Documents with no spans pass through with
+    * their ORIGINAL text byte-for-byte (no split/rejoin round trip to
+    * perturb whitespace). Policy: cut every occurrence — the
+    * conservative memorization-first variant of Lee et al. 2021 §4
+    * (which retains one occurrence corpus-wide); retaining one would
+    * make each doc's output depend on a global argmin over other docs,
+    * an ordering a distributed rewrite has no business coupling to.
+    *
+    * Scale shape: the span table is aggregated to one (start, end)
+    * array per affected doc — spans are maximal and disjoint by
+    * construction, so a doc carries few of them — and joined back by
+    * id. The rewrite is then a single scan-side projection: filter the
+    * token array by position against the tiny per-row span array,
+    * O(len·spans) with no explode of the corpus token stream (a flat
+    * posexplode+anti-join would shuffle every token of every document
+    * to cut a sliver of them). The lambda evaluates interpreted (the
+    * SpanDedup tradeoff above, same verdict): it touches only
+    * span-bearing docs' arrays once; the docs without spans short-
+    * circuit on the null join miss before the HOF runs.
+    */
+  def exciseSpans(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int, minDocs: Int): DataFrame = {
+    val spans = duplicatedSpans(docs, idCol, textCol, n, minDocs)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"),
+        count(lit(1)).as("n_spans"),
+        sum(col("span_tokens")).cast("long").as("tokens_cut"))
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        coalesce(col("tokens_cut"), lit(0L)).as("tokens_cut"),
+        when(col("spans").isNull, col("text")).otherwise(array_join(
+          expr("""transform(
+                 |  filter(transform(split(text, ' '), (w, i) -> struct(w, i)),
+                 |         t -> !exists(spans,
+                 |                sp -> t.i >= sp.span_start AND t.i <= sp.span_end)),
+                 |  t -> t.w)""".stripMargin), " ")).as("text_clean"))
+  }
 }

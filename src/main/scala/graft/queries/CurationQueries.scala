@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Curation, Decontam, TextOps}
+import graft.ext.{Clusters, Curation, Decontam, Dedup, TextOps}
 
 /** Driver-contract queries + DuckDB oracles for corpus curation
   * (SURVEY.md §7.4): deterministic sampling, train/val/test splitting,
@@ -112,6 +112,65 @@ object CurationQueries {
       Tables.documents(s, dir).select(
         col("doc_id"),
         Curation.assignSplit(col("doc_id"), TestP, ValP, "split:").as("split"))),
+
+    // E205: leakage-safe split — the per-doc split above leaks: a
+    // near-duplicate pair can straddle train/val, and the val member
+    // then scores as memorized generalization. Assigning by duplicate
+    // CLUSTER (near-dup pairs → connected components; the split hash
+    // keys on the component label) makes straddling impossible BY
+    // CONSTRUCTION: both members of any pair share a label, so they
+    // share a split. Singletons label themselves with their own
+    // doc_id under the SAME salt as docs_split_assign, so the
+    // non-duplicated bulk of the corpus never migrates when a pipeline
+    // upgrades from the per-doc tier. Scale shape: the split itself
+    // adds ONE id-keyed left join (cluster labels) to the E37
+    // projection — the expensive part is the near-dup pass the
+    // pipeline already runs for dedup, reused here, not recomputed
+    // semantics.
+    "docs_split_leakage_safe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.nearDupPairsNative(docs, "doc_id", "text",
+        DedupQueries.WordN, word = true, DedupQueries.JaccardThreshold)
+      val comp = Clusters.connectedComponents(pairs.select("id_a", "id_b"))
+        .withColumnRenamed("id", "doc_id")
+      docs.join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster"),
+          Curation.assignSplit(coalesce(col("label"), col("doc_id")),
+            TestP, ValP, "split:").as("split"))
+    }),
+
+    // E205 audit: the measured leak of each split policy — per method,
+    // how many verified near-dup pairs straddle a split boundary. The
+    // by_cluster row must read zero (the constructive guarantee,
+    // machine-checked); the by_doc row must NOT (the audit is vacuous
+    // on a corpus where the naive policy happens to be safe —
+    // LeakageSplitSpec pins both). Pairs are joined to the two
+    // assignments by id only; payloads never move.
+    "docs_split_leakage_audit" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // One LSH pass: the pair set feeds CC and BOTH audit branches —
+      // without the checkpoint each union branch re-runs it.
+      val pairs = Dedup.nearDupPairsNative(docs, "doc_id", "text",
+        DedupQueries.WordN, word = true, DedupQueries.JaccardThreshold)
+        .select("id_a", "id_b").localCheckpoint()
+      val comp = Clusters.connectedComponents(pairs)
+        .withColumnRenamed("id", "doc_id")
+      val byDoc = docs.select(col("doc_id"),
+        Curation.assignSplit(col("doc_id"), TestP, ValP, "split:").as("sp"))
+      val byCluster = docs.join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          Curation.assignSplit(coalesce(col("label"), col("doc_id")),
+            TestP, ValP, "split:").as("sp"))
+      def audit(assign: DataFrame, method: String): DataFrame = pairs
+        .join(assign.select(col("doc_id").as("id_a"), col("sp").as("sp_a")), "id_a")
+        .join(assign.select(col("doc_id").as("id_b"), col("sp").as("sp_b")), "id_b")
+        .agg(count(lit(1)).as("total_pairs"),
+          count(when(col("sp_a") =!= col("sp_b"), lit(1))).as("cross_pairs"))
+        .select(lit(method).as("method"), col("total_pairs"),
+          col("cross_pairs"), (col("cross_pairs") === 0).as("leak_free"))
+      audit(byDoc, "by_doc").unionAll(audit(byCluster, "by_cluster"))
+    }),
 
     // Stratified sampling: rebalance the en-heavy corpus — keep 10% of
     // en, 50% of everything else, deterministically per doc_id.
@@ -798,6 +857,66 @@ object CurationQueries {
          |            WHEN ${hexBucketSql("doc_id", "split:")} < $t2 THEN 'val'
          |            ELSE 'train' END AS split
          |FROM documents""".stripMargin
+    },
+
+    // True components via a recursive CTE (the docs_dup_clusters
+    // pattern), split assignment replayed over the component label.
+    "docs_split_leakage_safe" -> {
+      val t1 = math.floor(TestP * Curation.HashBuckets).toLong
+      val t2 = math.floor((TestP + ValP) * Curation.HashBuckets).toLong
+      s"""${DedupQueries.wordShCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (${DedupQueries.jaccardPairsSelect}),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, x.r FROM reach x JOIN edges e ON e.dst = x.id),
+         |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         |lab AS (SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+         |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+         |SELECT doc_id, cluster,
+         |       CASE WHEN ${hexBucketSql("cluster", "split:")} < $t1 THEN 'test'
+         |            WHEN ${hexBucketSql("cluster", "split:")} < $t2 THEN 'val'
+         |            ELSE 'train' END AS split
+         |FROM lab""".stripMargin
+    },
+
+    "docs_split_leakage_audit" -> {
+      val t1 = math.floor(TestP * Curation.HashBuckets).toLong
+      val t2 = math.floor((TestP + ValP) * Curation.HashBuckets).toLong
+      def splitOf(key: String) =
+        s"""CASE WHEN ${hexBucketSql(key, "split:")} < $t1 THEN 'test'
+           |     WHEN ${hexBucketSql(key, "split:")} < $t2 THEN 'val'
+           |     ELSE 'train' END""".stripMargin
+      s"""${DedupQueries.wordShCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (${DedupQueries.jaccardPairsSelect}),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, x.r FROM reach x JOIN edges e ON e.dst = x.id),
+         |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         |lab AS (SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+         |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         |asg AS (SELECT doc_id,
+         |               ${splitOf("doc_id")} AS sp_doc,
+         |               ${splitOf("cluster")} AS sp_cl
+         |        FROM lab),
+         |x AS (SELECT a.sp_doc AS da, b.sp_doc AS db,
+         |             a.sp_cl AS ca, b.sp_cl AS cb
+         |      FROM pairs p JOIN asg a ON a.doc_id = p.id_a
+         |                   JOIN asg b ON b.doc_id = p.id_b)
+         |SELECT 'by_doc' AS method, count(*) AS total_pairs,
+         |       CAST(count(*) FILTER (WHERE da <> db) AS BIGINT) AS cross_pairs,
+         |       count(*) FILTER (WHERE da <> db) = 0 AS leak_free
+         |FROM x
+         |UNION ALL
+         |SELECT 'by_cluster', count(*),
+         |       CAST(count(*) FILTER (WHERE ca <> cb) AS BIGINT),
+         |       count(*) FILTER (WHERE ca <> cb) = 0
+         |FROM x""".stripMargin
     },
 
     "docs_stratified_sample" -> {

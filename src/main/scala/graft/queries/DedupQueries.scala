@@ -196,6 +196,16 @@ object DedupQueries {
       graft.ext.SpanDedup.duplicatedSpans(
         Tables.documents(s, dir), "doc_id", "text", SpanN, 2)),
 
+    // E206: span EXCISION — E164's find stage completed into the cut
+    // stage Lee et al. built it for: every doc rewritten with its
+    // duplicated spans removed (cut-every-occurrence policy; see
+    // SpanDedup.exciseSpans for why retain-one is not distributed-
+    // friendly), with funnel accounting (n_spans, n_tokens,
+    // tokens_cut). Span-free docs pass through byte-identical.
+    "docs_span_excise" -> ((s, dir) =>
+      graft.ext.SpanDedup.exciseSpans(
+        Tables.documents(s, dir), "doc_id", "text", SpanN, 2)),
+
     // E174: MinHash estimator accuracy audit — the sketch-tolerance
     // row for the dedup tier (the E66/E74/E92 pattern): for every
     // verified near-dup pair, the signature-agreement Jaccard estimate
@@ -539,5 +549,56 @@ object DedupQueries {
          |SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
          |       CAST(max(pos) + ${SpanN - 1} AS INTEGER) AS span_end,
          |       CAST(max(pos) + $SpanN - min(pos) AS INTEGER) AS span_tokens
-         |FROM i GROUP BY doc_id, isl""".stripMargin)
+         |FROM i GROUP BY doc_id, isl""".stripMargin,
+
+    // Same span chain as docs_dup_spans, then the cut replayed flat:
+    // positions inside any span anti-joined away, survivors re-joined
+    // in position order. Docs with no spans take the original text
+    // verbatim (matching Spark's no-round-trip branch); a doc whose
+    // every token is cut yields '' via the coalesce.
+    "docs_span_excise" ->
+      s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+         |           FROM documents),
+         |g AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+         |             md5(array_to_string(ws[u.i + 1 : u.i + $SpanN], ' ')) AS gh
+         |      FROM d, unnest(generate_series(0, len(ws) - $SpanN)) AS u(i)),
+         |dup AS (SELECT gh FROM (
+         |          SELECT gh, count(DISTINCT doc_id) AS nd FROM g GROUP BY gh)
+         |        WHERE nd >= 2),
+         |h AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+         |m AS (SELECT doc_id, pos,
+         |        CASE WHEN pos - lag(pos) OVER
+         |               (PARTITION BY doc_id ORDER BY pos) <= $SpanN
+         |             THEN 0 ELSE 1 END AS brk
+         |      FROM h),
+         |i AS (SELECT doc_id, pos,
+         |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |                       ROWS UNBOUNDED PRECEDING) AS isl
+         |      FROM m),
+         |sp AS (SELECT doc_id, min(pos) AS span_start,
+         |              max(pos) + ${SpanN - 1} AS span_end,
+         |              max(pos) + $SpanN - min(pos) AS span_tokens
+         |       FROM i GROUP BY doc_id, isl),
+         |agg AS (SELECT doc_id, count(*) AS n_spans,
+         |               CAST(sum(span_tokens) AS BIGINT) AS tokens_cut
+         |        FROM sp GROUP BY doc_id),
+         |tok AS (SELECT d.doc_id, CAST(u.i AS INTEGER) AS pos, ws[u.i + 1] AS w
+         |        FROM d JOIN agg ON agg.doc_id = d.doc_id,
+         |             unnest(generate_series(0, len(ws) - 1)) AS u(i)),
+         |kept AS (SELECT t.doc_id, t.pos, t.w
+         |         FROM tok t LEFT JOIN sp
+         |           ON sp.doc_id = t.doc_id
+         |          AND t.pos BETWEEN sp.span_start AND sp.span_end
+         |         WHERE sp.doc_id IS NULL),
+         |clean AS (SELECT doc_id,
+         |                 string_agg(w, ' ' ORDER BY pos) AS text_clean
+         |          FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       coalesce(agg.n_spans, 0) AS n_spans,
+         |       CAST(len(ws) AS BIGINT) AS n_tokens,
+         |       coalesce(agg.tokens_cut, 0) AS tokens_cut,
+         |       CASE WHEN agg.doc_id IS NULL THEN d.text
+         |            ELSE coalesce(clean.text_clean, '') END AS text_clean
+         |FROM d LEFT JOIN agg ON agg.doc_id = d.doc_id
+         |       LEFT JOIN clean ON clean.doc_id = d.doc_id""".stripMargin)
 }

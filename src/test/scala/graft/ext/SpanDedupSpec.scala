@@ -63,6 +63,45 @@ class SpanDedupSpec extends SparkSpec {
     assert(spansOf(true) == md5Spans)
   }
 
+  test("exciseSpans cuts exactly the duplicated tokens and passes " +
+      "span-free docs through byte-identical") {
+    val out = SpanDedup.exciseSpans(docs, "doc_id", "text", 8, 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    assert(out(1L) == (1L, 15L, 10L, "a1 a2 a3 z1 z2"))
+    assert(out(2L) == (1L, 15L, 10L, "b1 b2 b3 b4 b5"))
+    assert(out(3L) == (0L, 10L, 0L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"))
+  }
+
+  test("a fully-duplicated doc excises to the empty string") {
+    val twins = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8"),
+      (2L, "t1 t2 t3 t4 t5 t6 t7 t8"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8")
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.exciseSpans(twins, "doc_id", "text", 8, 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getString(4))).toMap
+    assert(out(1L) == (8L, ""))
+    assert(out(2L) == (8L, ""))
+    assert(out(3L) == (0L, "u1 u2 u3 u4 u5 u6 u7 u8"))
+  }
+
+  test("excision accounting cross-foots on the fixture corpus") {
+    val fixture = graft.Tables.documents(spark, sfDir)
+    val rows = SpanDedup.exciseSpans(fixture, "doc_id", "text", 8, 2).collect()
+    assert(rows.exists(_.getLong(3) > 0)) // the planted dups must cut
+    rows.foreach { r =>
+      val (nSpans, nTok, cut, clean) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      assert(cut <= nTok)
+      assert((nSpans == 0) == (cut == 0))
+      if (cut == nTok) assert(clean.isEmpty)
+      else assert(clean.split(" ", -1).length == nTok - cut)
+    }
+  }
+
   test("two distant shared grams stay separate spans; close ones chain") {
     val far = Seq(
       (1L, "s1 s2 s3 f1 f2 f3 f4 f5 f6 f7 f8 f9 s1 s2 s3"),
