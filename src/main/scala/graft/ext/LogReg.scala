@@ -115,6 +115,28 @@ object LogReg {
     out.result()
   }
 
+  /** Held-out evaluation (E208): one row (n, log_loss) — the mean
+    * log-loss of the weights `w` over a [[standardized]] frame. Same
+    * formula and round point as the in-fit loss, so evaluating the
+    * final weights on the TRAIN frame reproduces the trajectory's last
+    * log_loss exactly; pointing it at the val frame (standardized with
+    * the TRAIN stats — the serving contract) is the generalization
+    * check the E205 leakage-safe split exists to make honest. One
+    * partial-aggregatable pass, O(1) output.
+    */
+  def lossAt(x: DataFrame, w: FitStep): DataFrame = {
+    val ws = Array(w.bias, w.w1, w.w2, w.w3, w.w4)
+    val z = Xs.zipWithIndex.foldLeft(lit(ws(0)).cast("double")) {
+      case (acc, (xc, i)) => acc + lit(ws(i + 1)) * col(xc)
+    }
+    val sig = lit(1.0) / (lit(1.0) + exp(-z))
+    val n = count(lit(1)).cast("double")
+    x.agg(count(lit(1)).as("n"),
+      round(-sum(col("y") * log(greatest(sig, lit(1e-12))) +
+        (lit(1.0) - col("y")) * log(greatest(lit(1.0) - sig, lit(1e-12)))) / n, 6)
+        .as("log_loss"))
+  }
+
   // -----------------------------------------------------------------
   // DuckDB oracle: the same fit replayed as unrolled SQL steps
   // -----------------------------------------------------------------
@@ -172,5 +194,27 @@ object LogReg {
         s"loss AS log_loss FROM wt$k, g$k"
     }.mkString("", "\n  UNION ALL\n", ")"))
     sb.toString
+  }
+
+  /** [[standardized]] in SQL over a CTE `src(doc_id, y, x1..x4)` using
+    * the chain's TRAIN stats `st` — the held-out twin of the chain's
+    * own `xs`.
+    */
+  def standardizeSql(src: String): String =
+    s"""SELECT doc_id, y,
+       |${Xs.map(x => s"       ($x - m_$x) / (CASE WHEN s_$x = 0 THEN 1.0 ELSE s_$x END) AS $x").mkString(",\n")}
+       |FROM $src, st""".stripMargin
+
+  /** [[lossAt]] in SQL: one (subset, n, log_loss) row for the weight
+    * table `wt` evaluated over the standardized CTE `xsrc`.
+    */
+  def lossAtSql(subset: String, xsrc: String, wt: String): String = {
+    val z = s"(b + ${Xs.map(x => s"w_$x * $x").mkString(" + ")})"
+    val sig = s"(1.0 / (1.0 + exp(-$z)))"
+    s"""SELECT '$subset' AS subset, count(*) AS n,
+       |       round(-sum(y * ln(greatest($sig, 1e-12))
+       |                  + (1.0 - y) * ln(greatest(1.0 - $sig, 1e-12)))
+       |             / count(*), 6) AS log_loss
+       |FROM $xsrc, $wt""".stripMargin
   }
 }

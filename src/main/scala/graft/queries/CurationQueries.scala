@@ -127,18 +127,8 @@ object CurationQueries {
     // projection — the expensive part is the near-dup pass the
     // pipeline already runs for dedup, reused here, not recomputed
     // semantics.
-    "docs_split_leakage_safe" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val pairs = Dedup.nearDupPairsNative(docs, "doc_id", "text",
-        DedupQueries.WordN, word = true, DedupQueries.JaccardThreshold)
-      val comp = Clusters.connectedComponents(pairs.select("id_a", "id_b"))
-        .withColumnRenamed("id", "doc_id")
-      docs.join(comp, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("label"), col("doc_id")).as("cluster"),
-          Curation.assignSplit(coalesce(col("label"), col("doc_id")),
-            TestP, ValP, "split:").as("split"))
-    }),
+    "docs_split_leakage_safe" -> ((s, dir) =>
+      leakageSafeSplit(s, dir)),
 
     // E205 audit: the measured leak of each split policy — per method,
     // how many verified near-dup pairs straddle a split boundary. The
@@ -650,6 +640,28 @@ object CurationQueries {
           sum(col("doc_id")).as("id_checksum"))
     }))
 
+  /** The E205 leakage-safe assignment as a reusable frame
+    * (doc_id, cluster, split): near-dup pairs → connected components →
+    * split hash keyed on the component label (singletons label
+    * themselves). Shared by docs_split_leakage_safe and the E201/E208
+    * classifier fit (which must train on `train` ONLY — fitting on the
+    * full corpus is exactly the leak this split exists to prevent).
+    * The LSH pair pass is the expensive stage; callers that consume the
+    * result more than once should localCheckpoint it.
+    */
+  private[queries] def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.nearDupPairsNative(docs, "doc_id", "text",
+      DedupQueries.WordN, word = true, DedupQueries.JaccardThreshold)
+    val comp = Clusters.connectedComponents(pairs.select("id_a", "id_b"))
+      .withColumnRenamed("id", "doc_id")
+    docs.join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster"),
+        Curation.assignSplit(coalesce(col("label"), col("doc_id")),
+          TestP, ValP, "split:").as("split"))
+  }
+
   /** Mixture temperature for E183: weight ∝ share^α; 0.5 is the
     * common "square-root sampling" compromise.
     */
@@ -759,6 +771,38 @@ object CurationQueries {
       .mkString("(", " + ", ")")
   }
 
+  /** [[Curation.assignSplit]] as a SQL CASE over `keyExpr` — one
+    * definition for every oracle that replays the split thresholds.
+    */
+  private[queries] def splitCaseSql(keyExpr: String): String = {
+    val t1 = math.floor(TestP * Curation.HashBuckets).toLong
+    val t2 = math.floor((TestP + ValP) * Curation.HashBuckets).toLong
+    s"""CASE WHEN ${hexBucketSql(keyExpr, "split:")} < $t1 THEN 'test'
+       |     WHEN ${hexBucketSql(keyExpr, "split:")} < $t2 THEN 'val'
+       |     ELSE 'train' END""".stripMargin
+  }
+
+  /** The E205 leakage-safe split replayed in DuckDB, as a WITH-prefix
+    * CTE chain ending in `lsplit(doc_id, cluster, split)` (plus the
+    * intermediate `pairs` the audit oracle also reads). Recursive —
+    * callers append further CTEs with `,` and must not re-open WITH.
+    * Shared by the split/audit oracles and the classifier-fit chain.
+    */
+  private[queries] val leakageSplitCtes: String =
+    s"""${DedupQueries.wordShCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |pairs AS (${DedupQueries.jaccardPairsSelect}),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, x.r FROM reach x JOIN edges e ON e.dst = x.id),
+       |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+       |lab AS (SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+       |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+       |lsplit AS (SELECT doc_id, cluster, ${splitCaseSql("cluster")} AS split
+       |           FROM lab)""".stripMargin
+
   /** The redaction pipeline as nested DuckDB regexp_replace calls,
     * generated from the SAME pattern list the Spark column folds over.
     */
@@ -861,49 +905,16 @@ object CurationQueries {
 
     // True components via a recursive CTE (the docs_dup_clusters
     // pattern), split assignment replayed over the component label.
-    "docs_split_leakage_safe" -> {
-      val t1 = math.floor(TestP * Curation.HashBuckets).toLong
-      val t2 = math.floor((TestP + ValP) * Curation.HashBuckets).toLong
-      s"""${DedupQueries.wordShCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |pairs AS (${DedupQueries.jaccardPairsSelect}),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |          UNION SELECT id_b, id_a FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, x.r FROM reach x JOIN edges e ON e.dst = x.id),
-         |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
-         |lab AS (SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
-         |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
-         |SELECT doc_id, cluster,
-         |       CASE WHEN ${hexBucketSql("cluster", "split:")} < $t1 THEN 'test'
-         |            WHEN ${hexBucketSql("cluster", "split:")} < $t2 THEN 'val'
-         |            ELSE 'train' END AS split
-         |FROM lab""".stripMargin
-    },
+    "docs_split_leakage_safe" ->
+      s"""$leakageSplitCtes
+         |SELECT doc_id, cluster, split FROM lsplit""".stripMargin,
 
-    "docs_split_leakage_audit" -> {
-      val t1 = math.floor(TestP * Curation.HashBuckets).toLong
-      val t2 = math.floor((TestP + ValP) * Curation.HashBuckets).toLong
-      def splitOf(key: String) =
-        s"""CASE WHEN ${hexBucketSql(key, "split:")} < $t1 THEN 'test'
-           |     WHEN ${hexBucketSql(key, "split:")} < $t2 THEN 'val'
-           |     ELSE 'train' END""".stripMargin
-      s"""${DedupQueries.wordShCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |pairs AS (${DedupQueries.jaccardPairsSelect}),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |          UNION SELECT id_b, id_a FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, x.r FROM reach x JOIN edges e ON e.dst = x.id),
-         |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
-         |lab AS (SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
-         |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+    "docs_split_leakage_audit" ->
+      s"""$leakageSplitCtes,
          |asg AS (SELECT doc_id,
-         |               ${splitOf("doc_id")} AS sp_doc,
-         |               ${splitOf("cluster")} AS sp_cl
-         |        FROM lab),
+         |               ${splitCaseSql("doc_id")} AS sp_doc,
+         |               split AS sp_cl
+         |        FROM lsplit),
          |x AS (SELECT a.sp_doc AS da, b.sp_doc AS db,
          |             a.sp_cl AS ca, b.sp_cl AS cb
          |      FROM pairs p JOIN asg a ON a.doc_id = p.id_a
@@ -916,8 +927,7 @@ object CurationQueries {
          |SELECT 'by_cluster', count(*),
          |       CAST(count(*) FILTER (WHERE ca <> cb) AS BIGINT),
          |       count(*) FILTER (WHERE ca <> cb) = 0
-         |FROM x""".stripMargin
-    },
+         |FROM x""".stripMargin,
 
     "docs_stratified_sample" -> {
       val enThr = math.floor(0.1 * Curation.HashBuckets).toLong

@@ -268,8 +268,14 @@ object TextQueries {
     // oracle — the SAME fit unrolled as generated SQL with identical
     // engine-side round points — value-checks every descent step, not
     // just the final weights.
+    //
+    // Round-9 verdict task #4: the fit consumes ONLY the E205
+    // leakage-safe TRAIN split (stats included — val/test rows must
+    // not inform standardization either). Fitting on the full corpus
+    // was exactly the leak E205 exists to prevent: eval rows shaping
+    // the gate's weights.
     "docs_quality_logreg_fit" -> ((s, dir) => {
-      val feats = lrFeatureFrame(Tables.documents(s, dir))
+      val feats = lrSplitFeatures(s, dir).filter(col("split") === "train")
       val x = LogReg.standardized(feats, LogReg.featStats(feats))
         .localCheckpoint()
       s.createDataFrame(LogReg.fit(x))
@@ -278,21 +284,46 @@ object TextQueries {
           col("w4").as("w_ntok"), col("logLoss").as("log_loss"))
     }),
 
+    // E208: held-out evaluation of the fitted gate — mean log-loss of
+    // the FINAL weights on the train split vs the leakage-safe VAL
+    // split (standardized with the TRAIN stats, the serving contract).
+    // The train row reproduces the trajectory's last log_loss by
+    // construction; the val row is the generalization number the E205
+    // cluster split makes honest (no near-dup of any train doc can sit
+    // in val, so the gap is generalization, not memorization). Two
+    // O(1) aggregation rows.
+    "docs_logreg_val_loss" -> ((s, dir) => {
+      val sf = lrSplitFeatures(s, dir)
+      val train = sf.filter(col("split") === "train")
+      val st = LogReg.featStats(train)
+      val x = LogReg.standardized(train, st).localCheckpoint()
+      val w = LogReg.fit(x).last
+      val xv = LogReg.standardized(sf.filter(col("split") === "val"), st)
+      LogReg.lossAt(x, w).select(lit("train").as("subset"), col("n"), col("log_loss"))
+        .unionAll(LogReg.lossAt(xv, w)
+          .select(lit("val").as("subset"), col("n"), col("log_loss")))
+    }),
+
     // E202: the E184 calibration audit re-run over the FITTED weights
-    // — decile reliability curve for the in-engine-trained gate
-    // (mean fitted score vs observed positive fraction per bin),
-    // closing the fit → audit loop the fixed-weight tier could not.
-    // Binning rides the E101 scalable global row numbering, exactly
-    // like E184.
+    // — decile reliability curve (mean fitted score vs observed
+    // positive fraction per bin), closing the fit → audit loop the
+    // fixed-weight tier could not. Round-9 verdict task #4: the curve
+    // is computed over the leakage-safe VAL split only — calibration
+    // read off the training rows flatters the gate (the fit minimized
+    // those rows' loss); the val curve is the one a threshold decision
+    // may trust. Binning rides the E101 scalable global row numbering,
+    // exactly like E184.
     "docs_logreg_fit_calibration" -> ((s, dir) => {
-      val feats = lrFeatureFrame(Tables.documents(s, dir))
-      val x = LogReg.standardized(feats, LogReg.featStats(feats))
-        .localCheckpoint()
+      val sf = lrSplitFeatures(s, dir)
+      val train = sf.filter(col("split") === "train")
+      val st = LogReg.featStats(train)
+      val x = LogReg.standardized(train, st).localCheckpoint()
       val w = LogReg.fit(x).last
       val z = lit(w.bias) + lit(w.w1) * col("x1") + lit(w.w2) * col("x2") +
         lit(w.w3) * col("x3") + lit(w.w4) * col("x4")
-      val scored = x.select(col("doc_id"),
-        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"), col("y"))
+      val scored = LogReg.standardized(sf.filter(col("split") === "val"), st)
+        .select(col("doc_id"),
+          round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"), col("y"))
         .withColumn("ord", struct(col("score"), col("doc_id")))
       val rn = graft.operators.GlobalIndex.globalRowNumbers(scored, "ord",
         s.sparkContext.defaultParallelism)
@@ -551,14 +582,31 @@ object TextQueries {
   }
 
   /** Raw feature frame for the in-engine fit: (doc_id, y, x1..x4) with
-    * the lang = 'en' proxy label as 0.0/1.0.
+    * the lang = 'en' proxy label as 0.0/1.0. `when/otherwise` rather
+    * than a bare boolean cast: a NULL lang must map to y = 0.0 like
+    * the oracle's CASE — the cast form would propagate NULL, silently
+    * dropping those rows from `sum(resid)` while `count(*)` still
+    * counts them (ADVICE r09; latent on this fixture, wrong on any
+    * corpus with missing lang).
     */
   private def lrFeatureFrame(docs: DataFrame): DataFrame = {
     val (ttr, swr, mlen, ntok) = lrFeatureCols
     docs.select(col("doc_id"),
-      (col("lang") === "en").cast("double").as("y"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
       ttr.as("x1"), swr.as("x2"), mlen.as("x3"), ntok.as("x4"))
   }
+
+  /** Feature frame joined with the E205 leakage-safe split label —
+    * (doc_id, split, y, x1..x4), materialized once per query: the
+    * LSH + connected-components split pass is the expensive stage and
+    * the fit tier reads the frame repeatedly (train stats, per-step
+    * gradient passes, val holdout).
+    */
+  private def lrSplitFeatures(s: SparkSession, dir: String): DataFrame =
+    lrFeatureFrame(Tables.documents(s, dir))
+      .join(CurationQueries.leakageSafeSplit(s, dir).select("doc_id", "split"),
+        Seq("doc_id"))
+      .localCheckpoint(false)
 
   // -------------------------------------------------------------------
   // DuckDB oracles
@@ -766,14 +814,23 @@ object TextQueries {
          |FROM r GROUP BY 1""".stripMargin,
 
     // Generated unrolled replay of the same standardize + descend
-    // steps (see LogReg.oracleChain) — every round point identical.
+    // steps (see LogReg.oracleChain) over the leakage-safe TRAIN
+    // slice — every round point identical.
     "docs_quality_logreg_fit" ->
       s"""$lrFitChain
          |SELECT step, bias, w_ttr, w_stop, w_len, w_ntok, log_loss
          |FROM fitsteps""".stripMargin,
 
-    // Same chain; scores from the final weight table wt{Steps}, then
-    // the E184 decile shape.
+    // Same chain; final weights wt{Steps} evaluated on the train and
+    // held-out val slices with the identical loss formula/round point.
+    "docs_logreg_val_loss" ->
+      s"""$lrFitChain
+         |${LogReg.lossAtSql("train", "xs", s"wt${LogReg.Steps}")}
+         |UNION ALL
+         |${LogReg.lossAtSql("val", "xv", s"wt${LogReg.Steps}")}""".stripMargin,
+
+    // Same chain; scores from the final weight table wt{Steps} over
+    // the VAL slice only, then the E184 decile shape.
     "docs_logreg_fit_calibration" ->
       s"""$lrFitChain,
          |scored AS (
@@ -782,7 +839,7 @@ object TextQueries {
          |                                  + w_x3 * x3 + w_x4 * x4))), 6)
          |           AS score,
          |         y
-         |  FROM xs, wt${LogReg.Steps}),
+         |  FROM xv, wt${LogReg.Steps}),
          |r AS (SELECT score, y,
          |             row_number() OVER (ORDER BY score, doc_id) AS rn,
          |             count(*) OVER () AS nn
@@ -936,22 +993,32 @@ object TextQueries {
       |            JOIN uni u2 ON u2.w = b.w2
       |            CROSS JOIN tot)""".stripMargin
 
-  /** Raw-feature CTE (the Spark [[lrFeatureFrame]] in DuckDB) + the
-    * generated standardize/descend chain from [[LogReg.oracleChain]] —
-    * shared by the fit oracle and the fitted-calibration oracle.
+  /** Raw-feature CTE (the Spark [[lrFeatureFrame]] in DuckDB) joined
+    * with the E205 leakage-safe split ([[CurationQueries
+    * .leakageSplitCtes]]), the TRAIN slice feeding the generated
+    * standardize/descend chain from [[LogReg.oracleChain]], plus the
+    * val slice standardized with the TRAIN stats (`fv`/`xv`) — shared
+    * by the fit oracle, the held-out-loss oracle, and the
+    * fitted-calibration oracle.
     */
   private def lrFitChain: String =
-    s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
-       |           FROM documents),
-       |f AS MATERIALIZED (
-       |  SELECT doc_id,
+    s"""${CurationQueries.leakageSplitCtes},
+       |fd AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+       |       FROM documents),
+       |fall AS MATERIALIZED (
+       |  SELECT fd.doc_id, ls.split,
        |         (CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END) AS y,
        |         (CAST(len(list_distinct(ws)) AS DOUBLE)
        |            / CAST(len(ws) AS DOUBLE)) AS x1,
        |         $stopRatioSql AS x2,
        |         $meanLenSql AS x3,
        |         CAST(len(ws) AS DOUBLE) AS x4
-       |  FROM d)${LogReg.oracleChain()}""".stripMargin
+       |  FROM fd JOIN lsplit ls ON ls.doc_id = fd.doc_id),
+       |f AS MATERIALIZED (SELECT doc_id, y, x1, x2, x3, x4 FROM fall
+       |                   WHERE split = 'train')${LogReg.oracleChain()},
+       |fv AS (SELECT doc_id, y, x1, x2, x3, x4 FROM fall
+       |       WHERE split = 'val'),
+       |xv AS MATERIALIZED (${LogReg.standardizeSql("fv")})""".stripMargin
 
   /** [[logregScore]] in DuckDB — one definition, used by the gate
     * oracle and the calibration oracle.

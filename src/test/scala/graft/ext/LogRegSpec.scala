@@ -49,4 +49,36 @@ class LogRegSpec extends SparkSpec {
       .toDF("doc_id", "y", "x1", "x2", "x3", "x4")
     intercept[IllegalArgumentException] { LogReg.featStats(empty) }
   }
+
+  test("lossAt at the final weights reproduces the trajectory's last " +
+      "log-loss (same formula, same round point)") {
+    val feats = toy()
+    val x = LogReg.standardized(feats, LogReg.featStats(feats))
+    val steps = LogReg.fit(x, steps = 4)
+    val r = LogReg.lossAt(x, steps.last).collect()(0)
+    assert(r.getLong(0) == 200L)
+    assert(r.getDouble(1) == steps.last.logLoss)
+  }
+
+  test("the fit tier trains on the E205 leakage-safe TRAIN split only " +
+      "(round-9 verdict task #4): held-out sizes match the assignment " +
+      "and no val doc shares a dup-cluster with any train doc") {
+    val assign = graft.queries.CurationQueries
+      .queries("docs_split_leakage_safe")(spark, sfDir).localCheckpoint()
+    val byS = assign.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vl = graft.queries.TextQueries
+      .queries("docs_logreg_val_loss")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the fit's train frame and the held-out val frame are exactly the
+    // split's slices — nothing from val/test leaks into the gradient
+    assert(vl("train") == byS("train") && vl("val") == byS("val"))
+    // and the split boundary is cluster-disjoint: a val doc can never
+    // be the near-dup of a train doc (memorized generalization)
+    val tr = assign.filter(col("split") === "train")
+      .select(col("cluster")).distinct()
+    val va = assign.filter(col("split") === "val")
+      .select(col("cluster")).distinct()
+    assert(tr.join(va, "cluster").count() == 0)
+  }
 }
