@@ -160,6 +160,23 @@ class ScoringQueriesSpec extends SparkSpec {
     assert(math.abs(prof.map(_.getAs[Double]("pair_share")).sum - 1.0) < 1e-9)
   }
 
+  test("adaptive re-clustering holds E[m] at targetPop (round-9 verdict " +
+      "task #2): cell count tracks ceil(N/targetPop) and no cell exceeds " +
+      "a small multiple of the target population") {
+    val n = Tables.embeddings(spark, sfDir).count()
+    val k = graft.ext.Similarity.adaptiveK(n, SimilarityQueries.AdaptiveTargetPop)
+    val prof = SimilarityQueries.queries("emb_cluster_profile")(spark, sfDir)
+      .collect()
+    // Lloyd rounds may empty a cell but never invent one; a collapse to
+    // far fewer cells than k would mean the pair tier is back quadratic
+    assert(prof.length <= k && prof.length >= (k + 1) / 2,
+      s"expected ~$k cells for n=$n, got ${prof.length}")
+    val maxPop = prof.map(_.getAs[Long]("m")).max
+    assert(maxPop <= 3L * SimilarityQueries.AdaptiveTargetPop,
+      s"a cell reached population $maxPop — the adaptive k failed to " +
+        s"bound the pair tier (target ${SimilarityQueries.AdaptiveTargetPop})")
+  }
+
   test("repetition budget: requested tokens uniform across sources, " +
       "epochs are exact integer ceilings, flag matches the epoch rule") {
     val rows = CurationQueries.queries("docs_repetition_budget")(spark, sfDir)
