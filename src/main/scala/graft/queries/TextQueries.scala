@@ -382,6 +382,25 @@ object TextQueries {
           col("pairCount").as("pair_count"))
     }),
 
+    // E209: BATCHED BPE training (round-9 verdict task #6) — the
+    // driver-round economics a production tokenizer needs: each round's
+    // single vocabulary aggregation yields the top-B ranking, and the
+    // longest pairwise symbol-DISJOINT prefix is applied at once, so
+    // 30k merges cost ~30k/B corpus-vocabulary passes instead of 30k
+    // (Bpe.trainBatched Scaladoc states the law). Disjoint merges
+    // commute, so the oracle replays the identical selection in SQL —
+    // ranking, conflict cut, simultaneous rebuild — and value-checks
+    // every accepted rule; BpeSpec additionally pins batched ≡
+    // sequential on this fixture and at batch = 1 structurally.
+    "docs_bpe_merges_batched" -> ((s, dir) => {
+      val (rules, _) = Bpe.trainBatched(Tables.documents(s, dir),
+        BpeBatchRounds, BpeBatch)
+      s.createDataFrame(rules)
+        .select(col("rank").as("merge_rank"), col("lhs"), col("rhs"),
+          concat(col("lhs"), col("rhs")).as("merged"),
+          col("pairCount").as("pair_count"))
+    }),
+
     // E200: re-tokenization under the LEARNED merges — the E185
     // fertility audit re-run against the trained tokenizer instead of
     // the fixed regex, closing the corpus → tokenizer → audit loop.
@@ -509,6 +528,14 @@ object TextQueries {
   private val BigramLambda = 0.7
   private val BigramOneMinus = 0.3
   // Logistic-gate weights: fixed "published model" coefficients.
+  /** Batched BPE (E209): 4 rounds × top-4 disjoint prefix learns up to
+    * 16 merges in 4 driver syncs — enough fixture rounds to exercise a
+    * realized conflict cut AND multi-rule rebuilds, small enough that
+    * the unrolled oracle stays readable.
+    */
+  val BpeBatchRounds = 4
+  val BpeBatch = 4
+
   private val LrBias = -1.5
   private val LrWTtr = 0.8
   private val LrWStop = 1.2
@@ -872,6 +899,12 @@ object TextQueries {
     // included, so the merge table is value-checked, not shape-checked.
     "docs_bpe_merges" ->
       s"""${Bpe.oracleChain()}
+         |SELECT merge_rank, lhs, rhs, lhs || rhs AS merged,
+         |       cnt AS pair_count
+         |FROM merges""".stripMargin,
+
+    "docs_bpe_merges_batched" ->
+      s"""${Bpe.oracleChainBatched(BpeBatchRounds, BpeBatch)}
          |SELECT merge_rank, lhs, rhs, lhs || rhs AS merged,
          |       cnt AS pair_count
          |FROM merges""".stripMargin,

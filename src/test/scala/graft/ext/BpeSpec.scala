@@ -88,4 +88,30 @@ class BpeSpec extends SparkSpec {
     val nN = words.select(sum(size(col("sym")))).as[Long].head()
     assert(nN < n0, s"merges applied but symbol count did not shrink ($n0 -> $nN)")
   }
+
+  test("batched training at batch = 1 IS sequential training " +
+      "(structural equivalence: the prefix rule degenerates to argmax)") {
+    val docs = Seq("low low lower", "ab ab").toDF("text")
+    val (seq, sw) = Bpe.train(docs, rounds = 6)
+    val (bat, bw) = Bpe.trainBatched(docs, batchRounds = 6, batch = 1)
+    assert(bat == seq)
+    assert(sw.orderBy("word").collect().toSeq ==
+      bw.orderBy("word").collect().toSeq)
+  }
+
+  test("batched ≡ sequential on the fixture: the conflict cut stops " +
+      "each batch exactly where a created pair could re-rank, so the " +
+      "accepted stream equals the sequential trace rule for rule") {
+    val docs = Tables.documents(spark, sfDir)
+    val (bat, _) = Bpe.trainBatched(docs,
+      graft.queries.TextQueries.BpeBatchRounds,
+      graft.queries.TextQueries.BpeBatch)
+    assert(bat.nonEmpty)
+    // more merges per driver sync than sequential's 1 — the law's point
+    assert(bat.size > graft.queries.TextQueries.BpeBatchRounds)
+    val (seq, _) = Bpe.train(docs, rounds = bat.size)
+    assert(bat == seq,
+      "batched disjoint-prefix selection diverged from the sequential " +
+        "trace on this fixture — a batch crossed a conflict")
+  }
 }
