@@ -42,6 +42,22 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType}
   * sequential recursion. The forced final end at blob length may
   * still close a short tail chunk, as in every CDC chunker.
   *
+  * Maximum-chunk bound (ADVICE r09 — the FastCDC forced cut): between
+  * consecutive accepted content ends a < b (virtual ends at 0 and the
+  * blob length), forced ends are inserted at a + k·[[BinaryChunksImpl
+  * .MaxChunk]] for k >= 1 while they stay at least MinChunk short of
+  * b. Content whose candidates never clear the suppression window —
+  * the constant-byte run above, or candidate-free stretches — can
+  * therefore never produce a chunk longer than MaxChunk + MinChunk − 1,
+  * restoring chunk-level dedup granularity on exactly the repetitive
+  * content CDC targets. Anchoring the forced grid to the previous
+  * ACCEPTED end (not to absolute blob offsets) keeps the re-alignment
+  * property: a prefix edit shifts the anchor and the forced cuts with
+  * it, so shifted copies still share their forced chunks. The rule is
+  * a pure function of the accepted-end sequence, which is itself
+  * local, so the oracle replays it as one `generate_series` per
+  * accepted-end gap — no sequential recursion.
+  *
   * One O(n) pass per row inside whole-stage codegen, scan-side: the
   * blob itself never reaches a shuffle — downstream dedup joins carry
   * only (md5, len) per chunk. The DuckDB oracle recomputes the same
@@ -97,6 +113,13 @@ object BinaryChunksImpl {
     */
   val MinChunk = 32
 
+  /** Forced-cut spacing: a gap between accepted content ends never
+    * grows past this without a forced end (4× the 64-byte expected
+    * chunk, the usual FastCDC max/avg ratio) — so the worst chunk is
+    * MaxChunk + MinChunk − 1 bytes, whatever the content.
+    */
+  val MaxChunk = 256
+
   /** Base^Window mod Mod, the rolling-update eviction weight. */
   val BaseToW: Long = {
     var r = 1L
@@ -108,7 +131,7 @@ object BinaryChunksImpl {
   def chunkEnds(bytes: Array[Byte]): ArrayData = {
     val n = bytes.length
     if (n == 0) return new GenericArrayData(Array.empty[Int])
-    val ends = scala.collection.mutable.ArrayBuilder.make[Int]
+    val acc = scala.collection.mutable.ArrayBuilder.make[Int]
     var h = 0L
     var p = 0 // 0-based scan; boundaries reported 1-based
     var prevCand = 0 // last raw candidate END (virtual candidate at 0)
@@ -120,11 +143,29 @@ object BinaryChunksImpl {
       }
       if (p >= Window - 1 && h % BoundaryDiv == 0) {
         val e = p + 1
-        if (e - prevCand >= MinChunk) ends += e
+        if (e - prevCand >= MinChunk) acc += e
         prevCand = e
       }
       p += 1
     }
+    // Merge the MaxChunk forced grid into the accepted content ends:
+    // per gap (prev accepted end -> next accepted end / blob end),
+    // forced ends at prev + k*MaxChunk while >= MinChunk short of next.
+    val content = acc.result()
+    val ends = scala.collection.mutable.ArrayBuilder.make[Int]
+    var prev = 0
+    def forced(next: Int): Unit = {
+      var g = prev + MaxChunk
+      while (g <= next - MinChunk) { ends += g; g += MaxChunk }
+    }
+    var i = 0
+    while (i < content.length) {
+      forced(content(i))
+      ends += content(i)
+      prev = content(i)
+      i += 1
+    }
+    forced(n)
     val arr = ends.result()
     if (arr.isEmpty || arr(arr.length - 1) != n)
       new GenericArrayData(arr :+ n)

@@ -237,7 +237,7 @@ object MultimodalQueries {
     * CTE `chunks(id, chunk_idx, chunk_len, chunk_md5)`.
     */
   private val chunkCte: String = {
-    import graft.functions.BinaryChunksImpl.{Base, Mod, Window, BoundaryDiv, MinChunk}
+    import graft.functions.BinaryChunksImpl.{Base, Mod, Window, BoundaryDiv, MinChunk, MaxChunk}
     val powers = Iterator.iterate(1L)(p => p * Base % Mod)
       .take(Window).toSeq
     val cases = powers.zipWithIndex
@@ -265,8 +265,21 @@ object MultimodalQueries {
        |  SELECT id, p AS e,
        |         lag(p, 1, 0) OVER (PARTITION BY id ORDER BY p) AS pc
        |  FROM win WHERE h % $BoundaryDiv = 0),
+       |acc AS (SELECT id, e FROM cand WHERE e - pc >= $MinChunk),
+       |seg AS (
+       |  SELECT s.id, s.e AS a,
+       |         coalesce(lead(s.e) OVER (PARTITION BY s.id ORDER BY s.e),
+       |                  CAST(d.n AS BIGINT)) AS nxt
+       |  FROM (SELECT id, e FROM acc
+       |        UNION ALL SELECT id, CAST(0 AS BIGINT) FROM d WHERE n > 0) s
+       |  JOIN d ON d.id = s.id),
+       |grid AS (
+       |  SELECT id, CAST(t.g AS BIGINT) AS e
+       |  FROM seg, unnest(generate_series(a + $MaxChunk, nxt - $MinChunk,
+       |                                   $MaxChunk)) AS t(g)),
        |ends AS (SELECT DISTINCT id, e FROM (
-       |  SELECT id, e FROM cand WHERE e - pc >= $MinChunk
+       |  SELECT id, e FROM acc
+       |  UNION ALL SELECT id, e FROM grid
        |  UNION ALL SELECT id, CAST(n AS BIGINT) FROM d WHERE n > 0)),
        |ch AS (
        |  SELECT id, e,

@@ -32,8 +32,21 @@ import org.apache.spark.sql.functions._
   * so two runs produce identical parquet and the witness is
   * reproducible from the repo alone.
   *
-  * Other tables (TPC-H fixtures, embeddings) are NOT scaled: the
-  * second-decade witness targets the documents/events operator
+  *  - embeddings: vec_id += k * IdStride, label += k * LabelStride,
+  *    and every replica's vectors pass through a deterministic
+  *    per-replica SIGN-FLIP diagonal (dim i negated when
+  *    pmod(hash(k, i), 2) = 0). A ±1 diagonal is orthogonal and
+  *    sign flips are exact in IEEE arithmetic, so every
+  *    within-replica cosine equals its source pair's cosine BIT FOR
+  *    BIT — the near-dup pair population mirrors the original per
+  *    replica (linear growth), while distinct replicas live in
+  *    incoherent orientations (no planted cross-replica structure).
+  *    This is what lets the witness carry the adaptive pair tier
+  *    (emb_threshold_sweep / emb_semdedup): 10x vectors must mean
+  *    10x cells of constant population, not 10x-populated cells.
+  *
+  * Other tables (TPC-H fixtures) are NOT scaled: the second-decade
+  * witness targets the documents/events/embeddings operator
   * families; copy the remaining parquet dirs unchanged if a mixed
   * query set must run (scripts/scale_witness does).
   *
@@ -46,6 +59,7 @@ object ScaleGen {
     */
   val IdStride = 10000000L
   val UserStride = 100000L
+  val LabelStride = 100L
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleGen <srcSfDir> <dstDir> [factor]")
@@ -88,9 +102,23 @@ object ScaleGen {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
 
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    emb.crossJoin(broadcast(reps))
+      .select(
+        (col("vec_id") + col("k") * IdStride).as("vec_id"),
+        when(col("k") === 0, col("embedding")).otherwise(
+          expr("transform(embedding, (x, i) -> " +
+            "CASE WHEN pmod(hash(k, i), 2) = 0 THEN -x ELSE x END)"))
+          .as("embedding"),
+        (col("label") + col("k") * LabelStride.toInt).cast("int").as("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
     println(s"scaled ${factor}x: " +
       spark.read.parquet(s"$dst/documents.parquet").count() + " docs, " +
-      spark.read.parquet(s"$dst/events.parquet").count() + s" events -> $dst")
+      spark.read.parquet(s"$dst/events.parquet").count() + " events, " +
+      spark.read.parquet(s"$dst/embeddings.parquet").count() +
+      s" embeddings -> $dst")
     spark.stop()
   }
 }

@@ -10,13 +10,14 @@ import graft.{SparkSpec, Tables}
   */
 class BinaryChunksSpec extends SparkSpec {
   import spark.implicits._
-  import BinaryChunksImpl.{Base, Mod, Window, BoundaryDiv, MinChunk}
+  import BinaryChunksImpl.{Base, Mod, Window, BoundaryDiv, MinChunk, MaxChunk}
 
   /** Direct per-position window sums — no rolling update, so a
     * mirrored add/evict bug in the kernel cannot cancel out here. The
     * min-chunk suppression is replayed over the candidate list (accept
     * iff >= MinChunk past the PREVIOUS candidate, virtual candidate at
-    * 0), matching both the kernel and the oracle's lag-over-candidates.
+    * 0), and the MaxChunk forced grid is merged per accepted-end gap —
+    * matching both the kernel and the oracle's lag/generate_series.
     */
   private def refEnds(bytes: Array[Byte]): Seq[Int] = {
     val n = bytes.length
@@ -28,11 +29,17 @@ class BinaryChunksSpec extends SparkSpec {
         .sum % Mod
       h % BoundaryDiv == 0
     }
-    val ends = cands.foldLeft((Vector.empty[Int], 0)) {
+    val accepted = cands.foldLeft((Vector.empty[Int], 0)) {
       case ((out, prev), e) =>
         (if (e - prev >= MinChunk) out :+ e else out, e)
     }._1
-    if (ends.lastOption.contains(n)) ends else ends :+ n
+    def grid(a: Int, b: Int): Seq[Int] =
+      Iterator.iterate(a + MaxChunk)(_ + MaxChunk)
+        .takeWhile(_ <= b - MinChunk).toSeq
+    val ends = (accepted :+ n).foldLeft((Vector.empty[Int], 0)) {
+      case ((out, prev), e) => ((out ++ grid(prev, e)) :+ e, e)
+    }._1.distinct // n may coincide with the last accepted end
+    ends
   }
 
   private def nativeEnds(payloads: Seq[Array[Byte]]): Map[Long, Seq[Int]] =
@@ -74,8 +81,9 @@ class BinaryChunksSpec extends SparkSpec {
   }
 
   test("ends are strictly increasing, positive, cap at the blob length, " +
-      "and respect the min-chunk bound; a constant-byte run collapses " +
-      "to one chunk instead of O(n) one-byte chunks") {
+      "respect the min-chunk bound, and never exceed the max-chunk " +
+      "bound; a constant-byte run chunks at the MaxChunk grid instead " +
+      "of one unbounded blob or O(n) one-byte chunks") {
     val payloads: Seq[Array[Byte]] = Seq(
       Array.fill(100)(0.toByte),
       Array.tabulate(700)(i => (i % 251).toByte),
@@ -85,18 +93,22 @@ class BinaryChunksSpec extends SparkSpec {
       assert(ends.nonEmpty && ends.head > 0)
       assert(ends.zip(ends.tail).forall { case (a, b) => a < b })
       assert(ends.last == payloads(i.toInt).length)
-      // every gap except the forced final tail is >= MinChunk
       val gaps = (0 +: ends.init).zip(ends).map { case (s, e) => e - s }
+      // every gap except the forced final tail is >= MinChunk
       assert(gaps.init.forall(_ >= MinChunk),
         s"sub-MinChunk interior gap in $ends")
+      // no gap anywhere exceeds the forced-cut bound (ADVICE r09)
+      assert(gaps.forall(_ <= MaxChunk + MinChunk - 1),
+        s"chunk above MaxChunk+MinChunk-1 in $ends")
     }
     // all-zero / all-'a' bytes: every p >= Window is a raw candidate, so
     // consecutive candidates are 1 apart and the suppression window
-    // rejects all of them — the adversarial run yields ONE chunk (the
-    // forced end-cap), not a chunk at every position (the pre-MinChunk
-    // blowup ADVICE r8 flagged)
+    // rejects all of them — the adversarial run yields the MaxChunk
+    // grid plus the end-cap (bounded chunks restoring dedup
+    // granularity), not one 5000-byte blob and not a chunk at every
+    // position (the pre-MinChunk blowup ADVICE r8 flagged)
     assert(native(0L) == Seq(100))
-    assert(native(2L) == Seq(5000))
+    assert(native(2L) == (MaxChunk to (5000 - MinChunk) by MaxChunk) :+ 5000)
   }
 
   test("prefix-shifted copies re-align: most chunk hashes are shared " +
