@@ -26,6 +26,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_SKIP_STREAM_PROBE=1 (set by scripts/isobench and
+    // scripts/scale_witness, which measure batch queries in per-query
+    // JVMs) skips the probe: seven 90k-row spans per JVM would cost
+    // each isolated measurement ~90 s of unrelated wall-clock.
+    //
     // Streaming throughput probe FIRST (round-9 verdict task #5): the
     // reference's 110k msg/s is a streaming number, and measuring it
     // after a 200+-query batch session reads a heat-soaked box —
@@ -36,7 +41,9 @@ object Bench {
     // with a GC+settle between spans, so the JSON carries the whole
     // variance band (spans list + best/median/min) instead of a single
     // coin-flip reading. -1 on any failure (never fails the bench).
-    val streamSpans: Seq[Long] = try {
+    val streamSpans: Seq[Long] = if (
+      sys.env.get("SPARK_GRAFT_SKIP_STREAM_PROBE").contains("1")) Seq.empty
+    else try {
       import spark.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       val rows = cdc.Envelopes.fromEvents(spark, sfDir)

@@ -279,9 +279,14 @@ object SimilarityQueries {
     */
   private[queries] val AdaptiveTargetPop = 100
 
-  /** Lloyd rounds after stride seeding — matches KmeansIters so the
-    * adaptive tier is trained, not just hashed. */
-  private[queries] val AdaptiveIters = 2
+  /** Lloyd rounds after stride seeding. One round is the bucketing
+    * sweet spot: each round is a full N·k assignment pass (the
+    * adaptive tier's dominant cost — measured two-decade slopes
+    * dropped 2.5→1.8-2.2× going 2→1), and the stride-seeded
+    * one-round assignment already lands populations within ±15% of
+    * targetPop (ScoringQueriesSpec pins the balance). Trained
+    * multi-round Lloyd stays demonstrated by emb_kmeans_iter. */
+  private[queries] val AdaptiveIters = 1
 
   private val MProbe = 2   // cells probed per query in emb_topk_mprobe
   private val EvalN = 25   // vec_id < 25 play the benchmark/eval set
