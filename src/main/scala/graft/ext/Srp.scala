@@ -20,16 +20,40 @@ import org.apache.spark.sql.functions._
   * Scale notes: the dot products run through the codegen'd
   * [[graft.functions.DotProduct]] against literal arrays — scan-side,
   * no shuffle; candidate generation shuffles (band, key) rows only.
-  * 16 planes / 4-bit bands suit the fixture's corpus; at 100 TB widen
-  * to 64–128 planes and 8–16-bit bands so expected bucket size stays
-  * bounded (band width ~ log2(corpus size)), and cap buckets like
-  * [[Dedup.MaxBucketSize]] if the embedding space has dense hubs.
+  *
+  * ADAPTIVE band width (round-10; the second-decade witness caught the
+  * fixed 4-bit banding going 85× superlinear at 10× sf0.1): a band of
+  * b bits has 2^b buckets, so under a FROZEN b the expected bucket
+  * population — and with it the within-bucket pair work — grows
+  * linearly in the corpus and the candidate volume quadratically,
+  * exactly the frozen-k disease of the cluster tier. [[adaptiveBits]]
+  * picks the smallest b with 2^b · [[TargetBucketPop]] ≥ N (clamped to
+  * [4, 15]), so expected population stays ≈ TargetBucketPop and
+  * candidate work stays linear; the standard LSH trade is recall —
+  * per-band collision probability is (1 − θ/π)^b — which a deployment
+  * re-calibrates via [[NumBands]] as b grows (the E203 discipline:
+  * measure, don't assume). The 60-plane signature (top 4 bits unused
+  * at the widest banding; 60 keeps every shift below the sign bit,
+  * the SimHash60 rule) is computed once whatever b is. At the fixture
+  * SFs (N ≤ 512·2) the clamp floor keeps b = 4 — bit-identical
+  * banding to the pre-adaptive tier.
   */
 object Srp {
 
-  val NumPlanes = 16
-  val BitsPerBand = 4
-  val NumBands: Int = NumPlanes / BitsPerBand
+  val NumPlanes = 60
+  val NumBands = 4
+  val MinBitsPerBand = 4
+  val MaxBitsPerBand: Int = NumPlanes / NumBands // 15: bit 59 max, no sign bit
+  val TargetBucketPop = 32
+
+  /** Smallest band width whose bucket space holds the corpus at
+    * [[TargetBucketPop]] expected members — integer arithmetic, so the
+    * SQL oracle replays it exactly.
+    */
+  def adaptiveBits(n: Long): Int =
+    (MinBitsPerBand to MaxBitsPerBand)
+      .find(b => (1L << b) * TargetBucketPop >= n)
+      .getOrElse(MaxBitsPerBand)
 
   /** Rademacher component: +1 when the first hex nibble of
     * md5("<plane>_<dim>") is even — reproduced in the oracle as
@@ -47,7 +71,7 @@ object Srp {
   def planes(dim: Int): IndexedSeq[IndexedSeq[Double]] =
     IndexedSeq.tabulate(NumPlanes, dim)(component)
 
-  /** 16-bit SRP signature of an `array<double>` column. */
+  /** [[NumPlanes]]-bit SRP signature of an `array<double>` column. */
   def sig(vec: Column, dim: Int): Column = {
     val r = planes(dim)
     (0 until NumPlanes).map { i =>
@@ -56,10 +80,10 @@ object Srp {
     }.reduce(_ + _)
   }
 
-  /** Band key b of a signature: bits [b·BitsPerBand, (b+1)·BitsPerBand). */
-  def bandKey(sigCol: Column, b: Int): Column =
-    shiftrightunsigned(sigCol, b * BitsPerBand)
-      .bitwiseAND(lit((1L << BitsPerBand) - 1))
+  /** Band key j of a signature at width `bits`: bits [j·bits, (j+1)·bits). */
+  def bandKey(sigCol: Column, j: Int, bits: Int): Column =
+    shiftrightunsigned(sigCol, j * bits)
+      .bitwiseAND(lit((1L << bits) - 1))
 
   /** SRP-bucketed cosine near-dup pairs: vectors sharing any band key
     * become candidates; candidates are verified with the exact cosine
@@ -76,9 +100,10 @@ object Srp {
     * widths), and in-bucket pairs come from a bucket-sparse HOF.
     */
   def nearDupPairs(vecs: DataFrame, dim: Int, threshold: Double): DataFrame = {
+    val bits = adaptiveBits(vecs.count()) // one bounded scalar action
     val sigs = vecs.select(col("id"), sig(col("vec"), dim).as("sig"))
     val bands = sigs.select(col("id"),
-      posexplode(array((0 until NumBands).map(b => bandKey(col("sig"), b)): _*))
+      posexplode(array((0 until NumBands).map(j => bandKey(col("sig"), j, bits)): _*))
         .as(Seq("band_idx", "band_key")))
     val buckets = bands.groupBy(col("band_idx"), col("band_key"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))

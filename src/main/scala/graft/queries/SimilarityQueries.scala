@@ -549,8 +549,15 @@ object SimilarityQueries {
 
     "emb_srp_pairs" ->
       s"""$srpSigCte,
-         |bands AS (SELECT id, b, (srp_sig >> (b * ${Srp.BitsPerBand})) & ${(1 << Srp.BitsPerBand) - 1} AS key
-         |          FROM sg CROSS JOIN generate_series(0, ${Srp.NumBands - 1}) t(b)),
+         |nnv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+         |bw AS (SELECT coalesce(min(t.bb), ${Srp.MaxBitsPerBand}) AS b
+         |       FROM generate_series(${Srp.MinBitsPerBand}, ${Srp.MaxBitsPerBand}) t(bb), nnv
+         |       WHERE (CAST(1 AS BIGINT) << t.bb) * ${Srp.TargetBucketPop} >= nnv.n),
+         |bands AS (SELECT id, t.j AS b,
+         |            (srp_sig >> (CAST(t.j AS INTEGER) * bw.b))
+         |              & ((CAST(1 AS BIGINT) << bw.b) - 1) AS key
+         |          FROM sg CROSS JOIN generate_series(0, ${Srp.NumBands - 1}) t(j)
+         |          CROSS JOIN bw),
          |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
          |         FROM bands x JOIN bands y
          |           ON x.b = y.b AND x.key = y.key AND x.id < y.id)

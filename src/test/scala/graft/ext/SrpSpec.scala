@@ -55,8 +55,24 @@ class SrpSpec extends SparkSpec {
     val corpus = Tables.embeddings(spark, sfDir).select(
       col("vec_id").as("id"),
       Similarity.toDouble(col("embedding")).as("vec"))
-    val keys = corpus.select(Srp.bandKey(Srp.sig(col("vec"), 64), 0).as("k"))
+    val bits = Srp.adaptiveBits(corpus.count())
+    val keys = corpus
+      .select(Srp.bandKey(Srp.sig(col("vec"), 64), 0, bits).as("k"))
       .distinct().as[Long].collect()
-    assert(keys.length > 4, s"band 0 uses only ${keys.length} of 16 keys")
+    assert(keys.length > 4,
+      s"band 0 uses only ${keys.length} of ${1 << bits} keys")
+  }
+
+  test("adaptive band width: clamp floor at fixture scale, smallest " +
+      "2^b*pop >= n above it, ceiling at the sign-bit-safe maximum — " +
+      "so expected bucket population stays ~TargetBucketPop as the " +
+      "corpus grows (the 85x second-decade blowup the witness caught)") {
+    assert(Srp.adaptiveBits(1L) == Srp.MinBitsPerBand)
+    assert(Srp.adaptiveBits(500L) == 4)   // fixture SFs: unchanged banding
+    assert(Srp.adaptiveBits(512L * 32) == 9)
+    assert(Srp.adaptiveBits(2000L) == 6)  // sf0.1
+    assert(Srp.adaptiveBits(20000L) == 10) // 10x witness fixture
+    assert(Srp.adaptiveBits(Long.MaxValue) == Srp.MaxBitsPerBand)
+    assert(Srp.NumBands * Srp.MaxBitsPerBand <= 60) // no sign-bit shift
   }
 }
