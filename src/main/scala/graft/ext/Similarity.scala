@@ -363,6 +363,139 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------
+  // Two-level (coarse → fine) assignment probe
+  // ---------------------------------------------------------------------
+
+  /** Coarse group count over k fine cells: the smallest g minimizing the
+    * per-point candidate work g + probe·k/g of a two-level probe —
+    * g* = ⌈√(2k)⌉ at probe = 2, clamped to [1, k]. Pure IEEE
+    * `ceil(sqrt(2k))`, which both engines compute identically, so the
+    * oracle replays it from `count(*)`.
+    *
+    * Why this exists: [[adaptiveClusters]] holds within-cell pair work
+    * linear by growing k with N — which makes the ASSIGNMENT stage the
+    * next dominant term: exact nearest-of-k scores N·k = N²/targetPop
+    * pairs, quadratic across decades (measured as the residual
+    * 3.9–4.7× second-decade slope of the adaptive tier). Routing each
+    * point through g coarse centroids and probing the `probe` best
+    * groups' fine cells cuts that to N·(g + probe·k/g) ≈ N·2√(2k) —
+    * O(N·√N) across decades instead of O(N²), the standard IVF
+    * coarse-quantizer discipline applied to the assignment itself.
+    */
+  def coarseGroupCount(k: Long): Long = {
+    require(k >= 1, "need at least one fine cell")
+    math.min(k, math.max(1L, math.ceil(math.sqrt(2.0 * k)).toLong))
+  }
+
+  /** Group the k fine centroids (cpart, cvec) into g =
+    * [[coarseGroupCount]](k) spatially-coherent coarse groups:
+    * stride-spread seeds in cpart rank order, one argmax assignment,
+    * 6-decimal-rounded coarse recompute, then a final fine→coarse
+    * reassignment against the recomputed coarse centroids (so the
+    * grouping map is consistent with the coarse vectors a point
+    * probes). Every stage is bounded by k — cells × dims small by
+    * construction, never corpus-sized; the one global window ranks k
+    * centroid rows, not data.
+    *
+    * Returns (fine grouping (cpart, cvec, gpart), coarse table
+    * (gpart, gvec) restricted to NON-EMPTY groups — probing an empty
+    * group would waste a probe slot and, with every probed group
+    * empty, silently drop the point).
+    */
+  def coarsenCentroids(fineCents: DataFrame): (DataFrame, DataFrame) = {
+    val k = fineCents.count()
+    val g = coarseGroupCount(k)
+    val stride = (k + g - 1) / g
+    val rk = fineCents.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cpart"))) - 1)
+    val seeds = rk.filter(pmod(col("rn"), lit(stride)) === 0)
+      .select(col("cpart").as("gpart"), col("cvec").as("gvec"))
+    def argmaxGroup(fine: DataFrame, coarse: DataFrame): DataFrame = {
+      val f = fine.withColumn("fn", sqrt(dot(col("cvec"), col("cvec"))))
+      val c = coarse.withColumn("gn", sqrt(dot(col("gvec"), col("gvec"))))
+      val denom = col("fn") * col("gn")
+      val score = when(denom === 0.0, lit(0.0))
+        .otherwise(dot(col("cvec"), col("gvec")) / denom)
+      f.join(broadcast(c))
+        .select(col("cpart"), col("gpart"), score.as("score"))
+        .groupBy(col("cpart"))
+        .agg(max_by(col("gpart"), struct(col("score"), -col("gpart")))
+          .as("gpart"))
+    }
+    val a0 = argmaxGroup(fineCents, seeds)
+    val coarse = centroidVectors(centroids(
+      fineCents.join(a0.withColumnRenamed("cpart", "acp"),
+        col("cpart") === col("acp"))
+        .select(col("gpart").as("part"), col("cvec").as("vec"))))
+      .select(col("cpart").as("gpart"), col("cvec").as("gvec"))
+    val fineG = fineCents.join(
+      argmaxGroup(fineCents, coarse).withColumnRenamed("cpart", "acp"),
+      col("cpart") === col("acp"))
+      .select(col("cpart"), col("cvec"), col("gpart"))
+    val coarseNonEmpty = coarse.join(
+      fineG.select(col("gpart").as("negp")).distinct(),
+      col("gpart") === col("negp"), "left_semi")
+    (fineG, coarseNonEmpty)
+  }
+
+  /** Two-level assignment of (id, vec) points against a fine centroid
+    * table (cpart, cvec): score the g coarse centroids, keep the top
+    * `probe` groups (row_number ties → smaller gpart — the same window
+    * rule the SQL oracle replays), then argmax over ONLY those groups'
+    * fine centroids (ties → smaller cpart, the [[assignToNearest]]
+    * rule). Output (id, cell, score, n_fine_cand) — the realized fine
+    * candidate count per point, so an audit can report the measured
+    * work instead of the formula.
+    *
+    * The assignment is APPROXIMATE: the true nearest fine cell can
+    * live outside the probed groups. That is the deliberate trade —
+    * `emb_twolevel_agreement` MEASURES the agreement fraction against
+    * the exact argmax rather than assuming it (the E203 discipline
+    * applied to assignment), and a bucketing consumer (SemDeDup pair
+    * tiers) tolerates boundary drift by construction.
+    */
+  def twoLevelAssign(vecs: DataFrame, fineCents: DataFrame,
+      probe: Int): DataFrame = {
+    require(probe >= 1, "need at least one probed group")
+    val (fineG, coarse) = coarsenCentroids(fineCents)
+    val v = vecs.select(col("id"), col("vec"))
+      .withColumn("vn", sqrt(dot(col("vec"), col("vec"))))
+    val cg = coarse.withColumn("gn", sqrt(dot(col("gvec"), col("gvec"))))
+    val gden = col("vn") * col("gn")
+    val gscore = when(gden === 0.0, lit(0.0))
+      .otherwise(dot(col("vec"), col("gvec")) / gden)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("gscore").desc, col("gpart"))
+    val top = v.join(broadcast(cg))
+      .select(col("id"), col("vec"), col("vn"), col("gpart"),
+        gscore.as("gscore"))
+      .withColumn("rnp", row_number().over(w))
+      .filter(col("rnp") <= probe)
+      .select(col("id"), col("vec"), col("vn"), col("gpart"))
+    val fc = fineG.withColumn("cn", sqrt(dot(col("cvec"), col("cvec"))))
+    val fden = col("vn") * col("cn")
+    val fscore = when(fden === 0.0, lit(0.0))
+      .otherwise(dot(col("vec"), col("cvec")) / fden)
+    top.join(broadcast(fc), Seq("gpart"))
+      .select(col("id"), col("cpart"), fscore.as("score"))
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("score"), col("cpart")),
+        struct(col("score"), -col("cpart"))).as("best"),
+        count(lit(1)).as("n_fine_cand"))
+      .select(col("id"), col("best.cpart").as("cell"),
+        col("best.score").as("score"), col("n_fine_cand"))
+  }
+
+  /** Exact nearest-cell assignment against a (cpart, cvec) centroid
+    * table — [[assignToNearest]]'s join shape without the carried
+    * source-partition column; the exact twin `emb_twolevel_agreement`
+    * audits [[twoLevelAssign]] against.
+    */
+  def nearestCell(vecs: DataFrame, centVecs: DataFrame): DataFrame =
+    nearestOf(vecs.select(col("id"), col("vec")), centVecs)
+
+  // ---------------------------------------------------------------------
   // Product quantization
   // ---------------------------------------------------------------------
 

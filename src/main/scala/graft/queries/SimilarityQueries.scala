@@ -257,6 +257,53 @@ object SimilarityQueries {
           (expr("(m * (m - 1)) DIV 2").cast("double") /
             col("total_pairs").cast("double")).as("pair_share"),
           (lit(MaxClusterPop.toLong) - col("m")).as("pop_headroom"))
+    }),
+
+    // E211: two-level assignment agreement audit. E207 holds the pair
+    // tier linear by growing k with N — which promotes the ASSIGNMENT
+    // stage (N·k exact cosine scorings, k = N/targetPop → N²/targetPop
+    // flops) to the tier's next quadratic term across decades: the
+    // residual 3.9–4.7× second-decade slope SCALING.md measures.
+    // Similarity.twoLevelAssign is the IVF coarse-quantizer discipline
+    // applied to assignment itself — route each point through
+    // g = ⌈√(2k)⌉ coarse centroids (k-means over the centroid table),
+    // probe the top-2 groups' fine cells: O(N·√k). The assignment is
+    // APPROXIMATE, so this row MEASURES what the cut costs instead of
+    // assuming it's free (the E203 discipline): agreement fraction vs
+    // the exact argmax over the SAME serving centroids, plus realized
+    // candidate work per point (coarse scorings + measured fine
+    // probes) against the exact tier's k. One summary row; the
+    // centroid-side meta-clustering is k-bounded, the corpus-side
+    // passes are the probe itself.
+    "emb_twolevel_agreement" -> ((s, dir) => {
+      val c = corpus(s, dir).select(col("id"), col("vec"))
+        .localCheckpoint(false)
+      val asg = Similarity.adaptiveClusters(c, AdaptiveTargetPop,
+        AdaptiveIters)
+      val fine = Similarity.centroidVectors(Similarity.centroids(
+        c.join(asg.select(col("id").as("aid"), col("assigned").as("part")),
+          col("id") === col("aid"))
+          .select(col("part"), col("vec"))))
+        .localCheckpoint(false)
+      val exact = Similarity.nearestCell(c, fine)
+        .select(col("id"), col("cell").as("ecell"))
+      val two = Similarity.twoLevelAssign(c, fine, TwoLevelProbe)
+        .select(col("id"), col("cell").as("tcell"), col("n_fine_cand"))
+      val (_, coarse) = Similarity.coarsenCentroids(fine)
+      val kg = fine.agg(count(lit(1)).as("k_cells"))
+        .crossJoin(coarse.agg(count(lit(1)).as("g_groups")))
+      exact.join(two, "id")
+        .agg(count(lit(1)).as("n_points"),
+          sum(when(col("ecell") === col("tcell"), 1L).otherwise(0L))
+            .as("agree_n"),
+          avg(col("n_fine_cand")).as("avg_fine"))
+        .crossJoin(broadcast(kg))
+        .select(col("n_points"), col("k_cells"), col("g_groups"),
+          col("agree_n"),
+          round(col("agree_n").cast("double") / col("n_points"), 4)
+            .as("agree_frac"),
+          col("k_cells").as("cand_exact_per_point"),
+          round(col("g_groups") + col("avg_fine"), 4).as("cand_two_avg"))
     }))
 
   /** Bucket-population line for the embedding cluster tier: past this,
@@ -287,6 +334,13 @@ object SimilarityQueries {
     * targetPop (ScoringQueriesSpec pins the balance). Trained
     * multi-round Lloyd stays demonstrated by emb_kmeans_iter. */
   private[queries] val AdaptiveIters = 1
+
+  /** Coarse groups probed per point by the two-level assignment tier
+    * (E211) — 2 is the g = ⌈√(2k)⌉ optimum's own probe count (the
+    * candidate-work expression g + probe·k/g is minimized at
+    * g = √(probe·k)).
+    */
+  private[queries] val TwoLevelProbe = 2
 
   private val MProbe = 2   // cells probed per query in emb_topk_mprobe
   private val EvalN = 25   // vec_id < 25 play the benchmark/eval set
@@ -644,5 +698,89 @@ object SimilarityQueries {
          |       CAST((am.m * (am.m - 1)) // 2 AS DOUBLE)
          |         / CAST(at.total_pairs AS DOUBLE) AS pair_share,
          |       $MaxClusterPop - CAST(am.m AS BIGINT) AS pop_headroom
-         |FROM am, at""".stripMargin)
+         |FROM am, at""".stripMargin,
+
+    // E211: replays the full two-level chain off the adaptive
+    // assignment — serving centroids (acf/avf), g = ⌈√(2k)⌉ clamped
+    // [1,k] (kk2: IEEE sqrt+ceil, identical in both engines),
+    // stride-spread coarse seeds over the centroid ranks (gsd), one
+    // argmax + 6-rounded recompute + reassignment (ga0/gc/gv/ga1),
+    // non-empty groups only (gne), per-point top-2 coarse probe
+    // (psc/ptop: row_number ties → smaller gpart), fine argmax within
+    // probed groups with the realized candidate count (pf/two), exact
+    // argmax over all k (exx/exa), then the one agreement row.
+    "emb_twolevel_agreement" ->
+      s"""$embCte,
+         |$adaptiveCte,
+         |acf AS (SELECT a.cell, ax.dim, round(sum(ax.val) / count(*), 6) AS c
+         |        FROM ax JOIN aasg a ON ax.vec_id = a.id
+         |        GROUP BY a.cell, ax.dim),
+         |avf AS (SELECT cell, list(c ORDER BY dim) AS cvec FROM acf GROUP BY cell),
+         |kk2 AS (SELECT CAST(count(*) AS BIGINT) AS k2,
+         |               least(CAST(count(*) AS BIGINT),
+         |                     greatest(CAST(1 AS BIGINT),
+         |                              CAST(ceil(sqrt(2.0 * count(*))) AS BIGINT))) AS g
+         |        FROM avf),
+         |rkc AS (SELECT cell, cvec, row_number() OVER (ORDER BY cell) - 1 AS rn
+         |        FROM avf),
+         |gsd AS (SELECT r.cell AS gpart, r.cvec AS gvec FROM rkc r, kk2
+         |        WHERE r.rn % ((kk2.k2 + kk2.g - 1) // kk2.g) = 0),
+         |gs0 AS (SELECT f.cell, s.gpart, ${cosSql("f.cvec", "s.gvec")} AS score
+         |        FROM avf f CROSS JOIN gsd s),
+         |ga0 AS (SELECT cell, gpart FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY cell
+         |            ORDER BY score DESC, gpart) AS rn2 FROM gs0)
+         |        WHERE rn2 = 1),
+         |cfx AS (SELECT cell, CAST(i - 1 AS INTEGER) AS dim,
+         |               cvec[CAST(i AS INTEGER)] AS val
+         |        FROM avf, unnest(generate_series(1, len(cvec))) AS t(i)),
+         |gc AS (SELECT ga0.gpart, cfx.dim, round(sum(cfx.val) / count(*), 6) AS c
+         |       FROM cfx JOIN ga0 ON cfx.cell = ga0.cell
+         |       GROUP BY ga0.gpart, cfx.dim),
+         |gv AS (SELECT gpart, list(c ORDER BY dim) AS gvec FROM gc GROUP BY gpart),
+         |gs1 AS (SELECT f.cell, s.gpart, ${cosSql("f.cvec", "s.gvec")} AS score
+         |        FROM avf f CROSS JOIN gv s),
+         |ga1 AS (SELECT cell, gpart FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY cell
+         |            ORDER BY score DESC, gpart) AS rn2 FROM gs1)
+         |        WHERE rn2 = 1),
+         |gne AS (SELECT gv.gpart, gv.gvec FROM gv
+         |        WHERE EXISTS (SELECT 1 FROM ga1 WHERE ga1.gpart = gv.gpart)),
+         |psc AS (SELECT e.vec_id AS id, s.gpart, ${cosSql("e.v", "s.gvec")} AS score
+         |        FROM e CROSS JOIN gne s),
+         |ptop AS (SELECT id, gpart FROM (
+         |           SELECT *, row_number() OVER (PARTITION BY id
+         |             ORDER BY score DESC, gpart) AS rnp FROM psc)
+         |         WHERE rnp <= $TwoLevelProbe),
+         |pf AS (SELECT p.id, f.cell, ${cosSql("e.v", "f.cvec")} AS score
+         |       FROM ptop p
+         |       JOIN ga1 m ON m.gpart = p.gpart
+         |       JOIN avf f ON f.cell = m.cell
+         |       JOIN e ON e.vec_id = p.id),
+         |two AS (SELECT id, cell AS tcell, nf FROM (
+         |          SELECT id, cell,
+         |                 count(*) OVER (PARTITION BY id) AS nf,
+         |                 row_number() OVER (PARTITION BY id
+         |                   ORDER BY score DESC, cell) AS rn2
+         |          FROM pf) WHERE rn2 = 1),
+         |exx AS (SELECT e.vec_id AS id, f.cell, ${cosSql("e.v", "f.cvec")} AS score
+         |        FROM e CROSS JOIN avf f),
+         |exa AS (SELECT id, cell AS ecell FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY id
+         |            ORDER BY score DESC, cell) AS rn2 FROM exx)
+         |        WHERE rn2 = 1),
+         |kcount AS (SELECT CAST(count(*) AS BIGINT) AS k_cells FROM avf),
+         |gcount AS (SELECT CAST(count(*) AS BIGINT) AS g_groups FROM gne)
+         |SELECT CAST(count(*) AS BIGINT) AS n_points,
+         |       kcount.k_cells,
+         |       gcount.g_groups,
+         |       CAST(sum(CASE WHEN exa.ecell = two.tcell THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS agree_n,
+         |       round(CAST(sum(CASE WHEN exa.ecell = two.tcell THEN 1 ELSE 0 END)
+         |                  AS DOUBLE) / count(*), 4) AS agree_frac,
+         |       kcount.k_cells AS cand_exact_per_point,
+         |       round(gcount.g_groups + avg(CAST(two.nf AS DOUBLE)), 4)
+         |         AS cand_two_avg
+         |FROM exa JOIN two ON exa.id = two.id, kcount, gcount
+         |GROUP BY kcount.k_cells, gcount.g_groups""".stripMargin)
 }
