@@ -496,6 +496,68 @@ object Similarity {
     nearestOf(vecs.select(col("id"), col("vec")), centVecs)
 
   // ---------------------------------------------------------------------
+  // Diversity coreset (farthest-point / k-center maximin)
+  // ---------------------------------------------------------------------
+
+  /** Greedy farthest-point coreset over (id, vec): seed with the
+    * smallest id (deterministic), then k−1 rounds of "add the point
+    * whose MAXIMUM cosine to the selected set is SMALLEST" (maximin
+    * under distance = 1 − cos; ties → smaller id) — the classic
+    * 2-approximation to the k-center cover, and the data-selection
+    * shape (coreset / diverse-subset picking for finetuning mixes)
+    * that complements dedup: dedup removes redundancy, the coreset
+    * RANKS what to keep for coverage.
+    *
+    * Scale shape: the running per-point state is one double (best cos
+    * so far); each round broadcasts exactly ONE new center vector, the
+    * state update is a narrow codegen projection (`greatest` over the
+    * 6-rounded cosine — rounding makes the fold order-free), and the
+    * argmin is a single `min_by` partial aggregation with an O(1)
+    * driver collect. k rounds → k tiny jobs over one cached corpus
+    * pass each; nothing corpus-sized ever reaches the driver, no
+    * shuffle carries more than one row. Already-selected ids are
+    * excluded from the argmin by a k-bounded literal blocklist (a
+    * duplicated vector would otherwise re-select forever at cos 1.0).
+    *
+    * Output: (center_rank, id, maximin_cos) — k rows; the seed's
+    * maximin_cos is NULL (no prior set to measure against). The SQL
+    * oracle replays every round (same rounding, same tie rule) as a
+    * generated CTE chain.
+    */
+  def farthestPointCoreset(vecs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "need at least one center")
+    val spark = vecs.sparkSession
+    val v = vecs.select(col("id"), col("vec")).localCheckpoint(false)
+    def vecOf(id: Long): Seq[Double] =
+      v.filter(col("id") === id).head().getSeq[Double](1)
+    val firstId = v.agg(min(col("id"))).head().getLong(0)
+    var selected = Vector[(Int, Long, Option[Double])]((1, firstId, None))
+    var state = v.withColumn("best",
+      round(cosine(col("vec"), typedLit(vecOf(firstId))), 6))
+      .localCheckpoint(false)
+    for (rank <- 2 to k) {
+      val chosen = selected.map(_._2)
+      val nxt = state.filter(!col("id").isInCollection(chosen))
+        .agg(min_by(struct(col("id"), col("best")),
+          struct(col("best"), col("id"))).as("m"))
+        .select(col("m.id"), col("m.best")).head()
+      val (nid, nbest) = (nxt.getLong(0), nxt.getDouble(1))
+      selected :+= ((rank, nid, Some(nbest)))
+      if (rank < k) {
+        state = state.withColumn("best",
+          greatest(col("best"),
+            round(cosine(col("vec"), typedLit(vecOf(nid))), 6)))
+          .localCheckpoint(false)
+      }
+    }
+    import spark.implicits._
+    selected.map { case (r, id, mc) => (r, id, mc) }
+      .toDF("center_rank", "id", "maximin_cos")
+      .select(col("center_rank").cast("int").as("center_rank"),
+        col("id"), col("maximin_cos"))
+  }
+
+  // ---------------------------------------------------------------------
   // Product quantization
   // ---------------------------------------------------------------------
 

@@ -304,7 +304,21 @@ object SimilarityQueries {
             .as("agree_frac"),
           col("k_cells").as("cand_exact_per_point"),
           round(col("g_groups") + col("avg_fine"), 4).as("cand_two_avg"))
-    }))
+    }),
+
+    // E212: farthest-point diversity coreset — greedy k-center maximin
+    // selection (seed = smallest id; then "add the point whose max
+    // cosine to the selected set is smallest", ties → smaller id).
+    // The data-SELECTION complement to dedup: dedup removes
+    // redundancy, the coreset ranks what to KEEP for coverage (the
+    // k-center 2-approximation that backs coreset-based finetuning
+    // data picks). Per round: ONE broadcast center vector, a narrow
+    // codegen `greatest` state update over one double per point, a
+    // min_by partial agg with an O(1) driver collect — k tiny jobs,
+    // nothing corpus-sized leaves the executors.
+    "emb_coreset" -> ((s, dir) =>
+      Similarity.farthestPointCoreset(
+        corpus(s, dir).select(col("id"), col("vec")), CoresetK)))
 
   /** Bucket-population line for the embedding cluster tier: past this,
     * within-cluster pair work (m²/2 exact cosines) stops being "small
@@ -341,6 +355,13 @@ object SimilarityQueries {
     * g = √(probe·k)).
     */
   private[queries] val TwoLevelProbe = 2
+
+  /** Coreset size for emb_coreset (E212) — 8 greedy maximin rounds:
+    * enough to exercise seed, tie rules, and the monotone maximin
+    * sequence while keeping the oracle's generated round chain
+    * readable.
+    */
+  private[queries] val CoresetK = 8
 
   private val MProbe = 2   // cells probed per query in emb_topk_mprobe
   private val EvalN = 25   // vec_id < 25 play the benchmark/eval set
@@ -782,5 +803,48 @@ object SimilarityQueries {
          |       round(gcount.g_groups + avg(CAST(two.nf AS DOUBLE)), 4)
          |         AS cand_two_avg
          |FROM exa JOIN two ON exa.id = two.id, kcount, gcount
-         |GROUP BY kcount.k_cells, gcount.g_groups""".stripMargin)
+         |GROUP BY kcount.k_cells, gcount.g_groups""".stripMargin,
+
+    // E212: generated round chain — s1 seeds at min(vec_id); each
+    // round folds the new center's 6-rounded cosine into the per-point
+    // running max (b_i) and picks the argmin outside the selected set
+    // (ORDER BY best, id LIMIT 1 ≡ Spark's min_by struct rule). The
+    // seed row's maximin_cos is NULL by definition.
+    "emb_coreset" -> coresetSql(CoresetK))
+
+  /** Generated SQL for [[graft.ext.Similarity.farthestPointCoreset]]:
+    * one CTE trio (s_i select, c_i center vector, b_i state fold) per
+    * round, so round count and rules can never drift between engines.
+    */
+  private def coresetSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""$embCte,
+              |s1 AS (SELECT min(vec_id) AS id FROM e),
+              |c1 AS (SELECT e.v AS cv FROM e, s1 WHERE e.vec_id = s1.id),
+              |b1 AS (SELECT e.vec_id AS id,
+              |              round(${cosSql("e.v", "c1.cv")}, 6) AS best
+              |       FROM e, c1)""".stripMargin
+    for (i <- 2 to k) {
+      val prevSel = (1 until i).map(j => s"SELECT id FROM s$j")
+        .mkString(" UNION ALL ")
+      sb ++=
+        s""",
+           |s$i AS (SELECT id, best FROM b${i - 1}
+           |        WHERE id NOT IN ($prevSel)
+           |        ORDER BY best, id LIMIT 1)""".stripMargin
+      if (i < k) {
+        sb ++=
+          s""",
+             |c$i AS (SELECT e.v AS cv FROM e, s$i WHERE e.vec_id = s$i.id),
+             |b$i AS (SELECT b.id,
+             |               greatest(b.best,
+             |                        round(${cosSql("e.v", s"c$i.cv")}, 6)) AS best
+             |        FROM b${i - 1} b JOIN e ON e.vec_id = b.id, c$i)""".stripMargin
+      }
+    }
+    sb ++= "\nSELECT 1 AS center_rank, s1.id, CAST(NULL AS DOUBLE) AS maximin_cos FROM s1"
+    for (i <- 2 to k)
+      sb ++= s"\nUNION ALL SELECT $i AS center_rank, id, best AS maximin_cos FROM s$i"
+    sb.toString
+  }
 }
