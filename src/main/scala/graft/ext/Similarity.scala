@@ -349,13 +349,89 @@ object Similarity {
       v.sparkSession.sparkContext.defaultParallelism)
     val seeds = rn.filter(pmod(col("row_num") - 1, lit(stride)) === 0)
       .select(col("id").as("cpart"), col("vec").as("cvec"))
-    var asg = nearestOf(v, seeds)
+    var asg = assignStage(v, seeds)
     for (_ <- 1 to iters) {
       val cents = centroids(
         v.join(asg.select(col("id").as("aid"), col("cell")),
           col("id") === col("aid"))
           .select(col("cell").as("part"), col("vec")))
-      asg = nearestOf(v, centroidVectors(cents))
+      asg = assignStage(v, centroidVectors(cents))
+    }
+    asg.select(col("id"), col("cell").as("assigned"),
+      round(col("score"), 6).as("cos"))
+      .localCheckpoint(false)
+  }
+
+  /** Centroid count at which [[adaptiveClusters]]' assignment stages
+    * switch from the exact argmax-of-k to the two-level coarse probe
+    * (round-10 verdict #1: exact assignment is N·k = N²/targetPop
+    * flops across decades — the tier's one remaining quadratic term).
+    * The candidate count g + probe·k/g ≈ 2√(2k) undercuts k from k=9,
+    * but the probe carries real fixed costs the formula doesn't — a
+    * k-bounded centroid meta-clustering plus an N·g row_number window
+    * — so the switch waits for a decisive (>2×) candidate-work win:
+    * 2√(2k) < k/2 ⇔ k ≥ 32, padded to 40. Below it (every shipped
+    * fixture SF: k = 5/5/20) assignment stays exact, so gate-scale
+    * values and oracles are untouched; the second-decade witness
+    * corpus (N = 20 000, k = 200) is where the probe engages — g = 20,
+    * candidates ≈ 40 ≪ 200. `emb_adaptive_twolevel` (E213) pins the
+    * engaged path hash-green at gate scale by forcing k past the
+    * crossover, and `emb_twolevel_agreement` (E211) measures what the
+    * approximation costs.
+    */
+  val TwoLevelCrossoverK = 40
+
+  /** Coarse groups probed per point when the two-level stage engages —
+    * 2 is the g = ⌈√(2k)⌉ optimum's own probe count (g + probe·k/g is
+    * minimized at g = √(probe·k)).
+    */
+  val TwoLevelProbe = 2
+
+  /** One assignment stage of [[adaptiveClusters]]: exact argmax below
+    * [[TwoLevelCrossoverK]] centroids, the [[twoLevelAssign]] coarse
+    * probe at or above it. The count is of the CURRENT stage's
+    * centroid table (Lloyd rounds can empty cells), so each stage
+    * independently picks the cheaper kernel.
+    */
+  private def assignStage(v: DataFrame, centVecs: DataFrame): DataFrame = {
+    val cents = centVecs.localCheckpoint(false)
+    if (cents.count() >= TwoLevelCrossoverK)
+      twoLevelAssign(v, cents, TwoLevelProbe)
+        .select(col("id"), col("cell"), col("score"))
+    else nearestOf(v, cents)
+  }
+
+  /** [[adaptiveClusters]] with the two-level probe FORCED on every
+    * assignment stage regardless of k — the E213 gate-scale witness
+    * shape: at the shipped fixtures k never crosses
+    * [[TwoLevelCrossoverK]], so without this variant the engaged path
+    * would only ever run (and only be value-checked) on the synthetic
+    * witness corpus, where there is no DuckDB oracle. The registered
+    * query runs it at a small targetPop (k = 50 at N = 500) and its
+    * generated-CTE oracle replays seed-probe → Lloyd recompute →
+    * probe, rule for rule.
+    */
+  def adaptiveClustersTwoLevel(vecs: DataFrame, targetPop: Int,
+      iters: Int): DataFrame = {
+    require(iters >= 1, "need at least one Lloyd round")
+    val v = vecs.select(col("id"), col("vec")).localCheckpoint(false)
+    val n = v.count()
+    val k = adaptiveK(n, targetPop)
+    val stride = (n + k - 1) / k
+    val rn = graft.operators.GlobalIndex.globalRowNumbers(
+      v.withColumn("ord", struct(col("id"))), "ord",
+      v.sparkSession.sparkContext.defaultParallelism)
+    val seeds = rn.filter(pmod(col("row_num") - 1, lit(stride)) === 0)
+      .select(col("id").as("cpart"), col("vec").as("cvec"))
+    var asg = twoLevelAssign(v, seeds, TwoLevelProbe)
+      .select(col("id"), col("cell"), col("score"))
+    for (_ <- 1 to iters) {
+      val cents = centroids(
+        v.join(asg.select(col("id").as("aid"), col("cell")),
+          col("id") === col("aid"))
+          .select(col("cell").as("part"), col("vec")))
+      asg = twoLevelAssign(v, centroidVectors(cents), TwoLevelProbe)
+        .select(col("id"), col("cell"), col("score"))
     }
     asg.select(col("id"), col("cell").as("assigned"),
       round(col("score"), 6).as("cos"))
@@ -456,9 +532,19 @@ object Similarity {
     * tiers) tolerates boundary drift by construction.
     */
   def twoLevelAssign(vecs: DataFrame, fineCents: DataFrame,
+      probe: Int): DataFrame =
+    twoLevelAssign(vecs, coarsenCentroids(fineCents), probe)
+
+  /** [[twoLevelAssign]] over a PRECOMPUTED [[coarsenCentroids]] pair —
+    * for callers that also consume the grouping themselves (the
+    * agreement audit reports g, the adaptive tier reuses one
+    * meta-clustering across stages); avoids re-running the whole
+    * centroid meta-clustering (ADVICE r10).
+    */
+  def twoLevelAssign(vecs: DataFrame, grouping: (DataFrame, DataFrame),
       probe: Int): DataFrame = {
     require(probe >= 1, "need at least one probed group")
-    val (fineG, coarse) = coarsenCentroids(fineCents)
+    val (fineG, coarse) = grouping
     val v = vecs.select(col("id"), col("vec"))
       .withColumn("vn", sqrt(dot(col("vec"), col("vec"))))
     val cg = coarse.withColumn("gn", sqrt(dot(col("gvec"), col("gvec"))))
@@ -519,10 +605,13 @@ object Similarity {
     * excluded from the argmin by a k-bounded literal blocklist (a
     * duplicated vector would otherwise re-select forever at cos 1.0).
     *
-    * Output: (center_rank, id, maximin_cos) — k rows; the seed's
-    * maximin_cos is NULL (no prior set to measure against). The SQL
-    * oracle replays every round (same rounding, same tie rule) as a
-    * generated CTE chain.
+    * Output: (center_rank, id, maximin_cos) — min(k, N) rows; the
+    * seed's maximin_cos is NULL (no prior set to measure against). A
+    * k larger than the corpus selects every point and stops (ADVICE
+    * r10: the all-excluded argmin returns a NULL `min_by`, which must
+    * terminate the greedy loop, not throw). The SQL oracle replays
+    * every round (same rounding, same tie rule) as a generated CTE
+    * chain.
     */
   def farthestPointCoreset(vecs: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "need at least one center")
@@ -535,12 +624,15 @@ object Similarity {
     var state = v.withColumn("best",
       round(cosine(col("vec"), typedLit(vecOf(firstId))), 6))
       .localCheckpoint(false)
-    for (rank <- 2 to k) {
+    var exhausted = false
+    for (rank <- 2 to k if !exhausted) {
       val chosen = selected.map(_._2)
       val nxt = state.filter(!col("id").isInCollection(chosen))
         .agg(min_by(struct(col("id"), col("best")),
           struct(col("best"), col("id"))).as("m"))
         .select(col("m.id"), col("m.best")).head()
+      if (nxt.isNullAt(0)) exhausted = true
+      else {
       val (nid, nbest) = (nxt.getLong(0), nxt.getDouble(1))
       selected :+= ((rank, nid, Some(nbest)))
       if (rank < k) {
@@ -548,6 +640,7 @@ object Similarity {
           greatest(col("best"),
             round(cosine(col("vec"), typedLit(vecOf(nid))), 6)))
           .localCheckpoint(false)
+      }
       }
     }
     import spark.implicits._

@@ -287,9 +287,12 @@ object SimilarityQueries {
         .localCheckpoint(false)
       val exact = Similarity.nearestCell(c, fine)
         .select(col("id"), col("cell").as("ecell"))
-      val two = Similarity.twoLevelAssign(c, fine, TwoLevelProbe)
+      // one meta-clustering, consumed by both the probe and the g
+      // count (ADVICE r10: the recompute doubled this stage's work)
+      val grouping = Similarity.coarsenCentroids(fine)
+      val two = Similarity.twoLevelAssign(c, grouping, TwoLevelProbe)
         .select(col("id"), col("cell").as("tcell"), col("n_fine_cand"))
-      val (_, coarse) = Similarity.coarsenCentroids(fine)
+      val coarse = grouping._2
       val kg = fine.agg(count(lit(1)).as("k_cells"))
         .crossJoin(coarse.agg(count(lit(1)).as("g_groups")))
       exact.join(two, "id")
@@ -318,7 +321,24 @@ object SimilarityQueries {
     // nothing corpus-sized leaves the executors.
     "emb_coreset" -> ((s, dir) =>
       Similarity.farthestPointCoreset(
-        corpus(s, dir).select(col("id"), col("vec")), CoresetK)))
+        corpus(s, dir).select(col("id"), col("vec")), CoresetK)),
+
+    // E213: the ENGAGED two-level assignment path, value-checked at
+    // gate scale (round-10 verdict #1). Production adaptiveClusters
+    // now dispatches each assignment stage through the two-level
+    // coarse probe once the stage's centroid count crosses
+    // TwoLevelCrossoverK = 40 — but every shipped fixture sits below
+    // it (k = 5/5/20), so the path production takes beyond the
+    // fixture decades (witness corpus: k = 200) would otherwise run
+    // only where no DuckDB oracle exists. This row forces the probe
+    // at k = ⌈500/10⌉ = 50: the full seed-probe → Lloyd recompute →
+    // probe chain, hash-checked rule for rule by a generated-CTE
+    // oracle (the E211 replay machinery, applied twice). E211 stays
+    // the agreement/accuracy audit; this is the value witness.
+    "emb_adaptive_twolevel" -> ((s, dir) =>
+      Similarity.adaptiveClustersTwoLevel(
+        corpus(s, dir).select(col("id"), col("vec")),
+        TwoLevelWitnessPop, AdaptiveIters)))
 
   /** Bucket-population line for the embedding cluster tier: past this,
     * within-cluster pair work (m²/2 exact cosines) stops being "small
@@ -350,11 +370,19 @@ object SimilarityQueries {
   private[queries] val AdaptiveIters = 1
 
   /** Coarse groups probed per point by the two-level assignment tier
-    * (E211) — 2 is the g = ⌈√(2k)⌉ optimum's own probe count (the
-    * candidate-work expression g + probe·k/g is minimized at
-    * g = √(probe·k)).
+    * (E211/E213) — aliased from the production constant so the audit,
+    * the forced-engage witness, and [[graft.ext.Similarity]]'s
+    * crossover dispatch can never probe different widths.
     */
-  private[queries] val TwoLevelProbe = 2
+  private[queries] val TwoLevelProbe = Similarity.TwoLevelProbe
+
+  /** Target population for the E213 forced-engage witness: k = ⌈N/10⌉
+    * = 50 at the 500-vector fixture, past
+    * [[graft.ext.Similarity.TwoLevelCrossoverK]] — so the two-level
+    * path that production [[graft.ext.Similarity.adaptiveClusters]]
+    * takes beyond the fixture decades is value-checked AT gate scale.
+    */
+  private[queries] val TwoLevelWitnessPop = 10
 
   /** Coreset size for emb_coreset (E212) — 8 greedy maximin rounds:
     * enough to exercise seed, tie rules, and the monotone maximin
@@ -464,6 +492,110 @@ object SimilarityQueries {
 
   private lazy val adaptiveCte: String =
     adaptiveAssignSql(AdaptiveTargetPop, AdaptiveIters)
+
+  /** One two-level assignment stage as a generated CTE block — the
+    * E211 replay machinery factored so the E213 oracle can apply it
+    * to EVERY assignment stage (seed probe, then per-Lloyd-round).
+    * Input: `cent` names a (cell, cvec) centroid CTE; points are the
+    * fixed `e(vec_id, v)`. Emits prefix-suffixed CTEs ending in
+    * `two_$p(id, cell, score)`: g = ⌈√(2k)⌉ clamped [1,k] (kk), stride
+    * seeds over centroid rank (gsd), argmax + 6-rounded coarse
+    * recompute + reassign (ga0/gc/gv/ga1), non-empty groups (gne),
+    * per-point top-`probe` coarse probe (psc/ptop, ties → smaller
+    * gpart), fine argmax within probed groups (pf/two, ties → smaller
+    * cell) — rule for rule [[graft.ext.Similarity.twoLevelAssign]].
+    */
+  private def twoLevelAssignSql(cent: String, p: String): String =
+    s"""kk_$p AS (SELECT CAST(count(*) AS BIGINT) AS k2,
+       |               least(CAST(count(*) AS BIGINT),
+       |                     greatest(CAST(1 AS BIGINT),
+       |                              CAST(ceil(sqrt(2.0 * count(*))) AS BIGINT))) AS g
+       |        FROM $cent),
+       |rkc_$p AS (SELECT cell, cvec, row_number() OVER (ORDER BY cell) - 1 AS rn
+       |        FROM $cent),
+       |gsd_$p AS (SELECT r.cell AS gpart, r.cvec AS gvec FROM rkc_$p r, kk_$p
+       |        WHERE r.rn % ((kk_$p.k2 + kk_$p.g - 1) // kk_$p.g) = 0),
+       |gs0_$p AS (SELECT f.cell, s.gpart, ${cosSql("f.cvec", "s.gvec")} AS score
+       |        FROM $cent f CROSS JOIN gsd_$p s),
+       |ga0_$p AS (SELECT cell, gpart FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY cell
+       |            ORDER BY score DESC, gpart) AS rn2 FROM gs0_$p)
+       |        WHERE rn2 = 1),
+       |cfx_$p AS (SELECT cell, CAST(i - 1 AS INTEGER) AS dim,
+       |               cvec[CAST(i AS INTEGER)] AS val
+       |        FROM $cent, unnest(generate_series(1, len(cvec))) AS t(i)),
+       |gc_$p AS (SELECT a.gpart, x.dim, round(sum(x.val) / count(*), 6) AS c
+       |       FROM cfx_$p x JOIN ga0_$p a ON x.cell = a.cell
+       |       GROUP BY a.gpart, x.dim),
+       |gv_$p AS (SELECT gpart, list(c ORDER BY dim) AS gvec
+       |       FROM gc_$p GROUP BY gpart),
+       |gs1_$p AS (SELECT f.cell, s.gpart, ${cosSql("f.cvec", "s.gvec")} AS score
+       |        FROM $cent f CROSS JOIN gv_$p s),
+       |ga1_$p AS (SELECT cell, gpart FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY cell
+       |            ORDER BY score DESC, gpart) AS rn2 FROM gs1_$p)
+       |        WHERE rn2 = 1),
+       |gne_$p AS (SELECT gv_$p.gpart, gv_$p.gvec FROM gv_$p
+       |        WHERE EXISTS (SELECT 1 FROM ga1_$p WHERE ga1_$p.gpart = gv_$p.gpart)),
+       |psc_$p AS (SELECT e.vec_id AS id, s.gpart, ${cosSql("e.v", "s.gvec")} AS score
+       |        FROM e CROSS JOIN gne_$p s),
+       |ptop_$p AS (SELECT id, gpart FROM (
+       |           SELECT *, row_number() OVER (PARTITION BY id
+       |             ORDER BY score DESC, gpart) AS rnp FROM psc_$p)
+       |         WHERE rnp <= $TwoLevelProbe),
+       |pf_$p AS (SELECT q.id, f.cell, ${cosSql("e.v", "f.cvec")} AS score
+       |       FROM ptop_$p q
+       |       JOIN ga1_$p m ON m.gpart = q.gpart
+       |       JOIN $cent f ON f.cell = m.cell
+       |       JOIN e ON e.vec_id = q.id),
+       |two_$p AS (SELECT id, cell, score FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY id
+       |            ORDER BY score DESC, cell) AS rn2 FROM pf_$p)
+       |        WHERE rn2 = 1)""".stripMargin
+
+  /** Generated oracle for `emb_adaptive_twolevel` (E213): replays
+    * [[graft.ext.Similarity.adaptiveClustersTwoLevel]] — integer
+    * k = ⌈n/targetPop⌉ stride seeding exactly as the exact-tier
+    * oracle, then [[twoLevelAssignSql]] for the SEED assignment and
+    * again after every 6-rounded Lloyd centroid recompute.
+    */
+  private def adaptiveTwoLevelSql(targetPop: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""$embCte,
+         |kk AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |              greatest(1, (count(*) + $targetPop - 1) // $targetPop) AS k
+         |       FROM e),
+         |rkseed AS (SELECT vec_id, v,
+         |                  row_number() OVER (ORDER BY vec_id) - 1 AS rn
+         |           FROM e),
+         |sd AS (SELECT r.vec_id AS cell, r.v AS cvec
+         |       FROM rkseed r, kk
+         |       WHERE r.rn % ((kk.n + kk.k - 1) // kk.k) = 0),
+         |ax AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+         |              v[CAST(i AS INTEGER)] AS val
+         |       FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+         |""".stripMargin
+    sb ++= twoLevelAssignSql("sd", "r0")
+    var prev = "two_r0"
+    for (i <- 1 to iters) {
+      sb ++=
+        s""",
+           |ac$i AS (SELECT t.cell, ax.dim, round(sum(ax.val) / count(*), 6) AS c
+           |         FROM ax JOIN $prev t ON ax.vec_id = t.id
+           |         GROUP BY t.cell, ax.dim),
+           |av$i AS (SELECT cell, list(c ORDER BY dim) AS cvec
+           |         FROM ac$i GROUP BY cell),
+           |""".stripMargin
+      sb ++= twoLevelAssignSql(s"av$i", s"r$i")
+      prev = s"two_r$i"
+    }
+    sb ++=
+      s"""
+         |SELECT id, CAST(cell AS BIGINT) AS assigned, round(score, 6) AS cos
+         |FROM $prev""".stripMargin
+    sb.toString
+  }
 
   /** N-round Lloyd oracle, generated so Spark and SQL can never drift
     * on round count: c1 seeds from `label`; each round builds centroid
@@ -804,6 +936,11 @@ object SimilarityQueries {
          |         AS cand_two_avg
          |FROM exa JOIN two ON exa.id = two.id, kcount, gcount
          |GROUP BY kcount.k_cells, gcount.g_groups""".stripMargin,
+
+    // E213: the forced-engage two-level adaptive tier — every
+    // assignment stage replayed through the twoLevelAssignSql block.
+    "emb_adaptive_twolevel" ->
+      adaptiveTwoLevelSql(TwoLevelWitnessPop, AdaptiveIters),
 
     // E212: generated round chain — s1 seeds at min(vec_id); each
     // round folds the new center's 6-rounded cosine into the per-point

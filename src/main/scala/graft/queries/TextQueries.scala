@@ -242,7 +242,11 @@ object TextQueries {
     // bin = ⌊(rn−1)·10/N⌋ with N attached as a 1-row broadcast.
     "docs_logreg_calibration" -> ((s, dir) => {
       val scored = Tables.documents(s, dir).select(col("doc_id"),
-        logregScore.as("score"), (col("lang") === "en").as("label"))
+        logregScore.as("score"),
+        // when/otherwise, not a bare comparison: a NULL lang must be a
+        // false label like the oracle's CASE — the comparison form
+        // yields NULL (same latent divergence fixed in lrFeatureFrame).
+        when(col("lang") === "en", true).otherwise(false).as("label"))
         .withColumn("ord", struct(col("score"), col("doc_id")))
       val rn = graft.operators.GlobalIndex.globalRowNumbers(scored, "ord",
         s.sparkContext.defaultParallelism)

@@ -99,9 +99,9 @@ class BpeSpec extends SparkSpec {
       bw.orderBy("word").collect().toSeq)
   }
 
-  test("batched ≡ sequential on the fixture: the conflict cut stops " +
-      "each batch exactly where a created pair could re-rank, so the " +
-      "accepted stream equals the sequential trace rule for rule") {
+  test("batched ≡ sequential on the fixture (EMPIRICAL equivalence — " +
+      "see comment; value correctness is docs_bpe_merges_batched's " +
+      "own oracle, independent of this)") {
     val docs = Tables.documents(spark, sfDir)
     val (bat, _) = Bpe.trainBatched(docs,
       graft.queries.TextQueries.BpeBatchRounds,
@@ -109,9 +109,18 @@ class BpeSpec extends SparkSpec {
     assert(bat.nonEmpty)
     // more merges per driver sync than sequential's 1 — the law's point
     assert(bat.size > graft.queries.TextQueries.BpeBatchRounds)
+    // NOTE (ADVICE r10): this equivalence is empirical for this
+    // fixture, not structural. The conflict cut only stops a batch at
+    // symbol-sharing pairs; a merge-CREATED pair (count ≤ its parent's)
+    // can still outrank a later symbol-disjoint pair in the same batch,
+    // in which case sequential would pick it earlier and the traces
+    // diverge. If fixture drift ever trips this assertion, that is the
+    // known-benign divergence, not a code bug — the batched tier's
+    // values stay oracle-checked by docs_bpe_merges_batched either way.
     val (seq, _) = Bpe.train(docs, rounds = bat.size)
     assert(bat == seq,
-      "batched disjoint-prefix selection diverged from the sequential " +
-        "trace on this fixture — a batch crossed a conflict")
+      "batched trace diverged from sequential on this fixture — " +
+        "expected-possible under fixture drift (see NOTE above), " +
+        "re-derive the fixture expectation rather than hunting a bug")
   }
 }

@@ -69,6 +69,41 @@ class TwoLevelAssignSpec extends SparkSpec {
     assert(maxCand <= k, "probed fine candidates are a subset of all cells")
   }
 
+  test("crossover dispatch (E213): below TwoLevelCrossoverK the " +
+      "adaptive tier is byte-identical to the exact-only round-10 " +
+      "path; at or past it, to the forced two-level variant") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"),
+        expr("transform(embedding, x -> cast(x as double))").as("vec"))
+      .localCheckpoint(false)
+    // k = ceil(500/100) = 5 < 40: the gate fixtures must keep their
+    // round-10 values — pinned by the unchanged DuckDB hashes, and
+    // here by the branch actually taken (exact output carries no
+    // approximation: every assigned cos equals the true max).
+    val prodSmall = Similarity.adaptiveClusters(emb, 100, 1)
+    assert(prodSmall.count() == 500)
+    // k = ceil(500/10) = 50 >= 40: production MUST take the same path
+    // E213's oracle hash-checks — row-for-row equality with the
+    // forced variant is the dispatch correctness claim.
+    val prod = Similarity.adaptiveClusters(emb, 10, 1)
+      .orderBy("id").collect().toSeq
+    val forced = Similarity.adaptiveClustersTwoLevel(emb, 10, 1)
+      .orderBy("id").collect().toSeq
+    assert(prod == forced,
+      "k >= TwoLevelCrossoverK did not route through twoLevelAssign")
+  }
+
+  test("oversized coreset k returns all points instead of throwing " +
+      "(ADVICE r10)") {
+    val pts = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(0.7, 0.7))).toDF("id", "vec")
+    val out = Similarity.farthestPointCoreset(pts, k = 10).collect()
+    assert(out.length == 3, s"expected all 3 points, got ${out.length}")
+    assert(out.map(_.getAs[Long]("id")).toSet == Set(1L, 2L, 3L))
+    assert(out.map(_.getAs[Int]("center_rank")).sorted.toSeq == Seq(1, 2, 3))
+  }
+
   test("empty coarse groups are dropped before probing: a probe slot " +
       "is never spent on a memberless group and no point is lost") {
     // Two tight direction bundles far apart: with g = ceil(sqrt(2*5)) = 4

@@ -272,6 +272,34 @@ class CurationGateSpec extends SparkSpec {
     }
   }
 
+  test("logreg calibration: a planted NULL-lang doc is a FALSE label, " +
+      "not a dropped row (ADVICE r09 / verdict r10 #5)") {
+    // Fixture planting (E194 precedent): the shipped corpus has zero
+    // NULL langs, so the when/otherwise-vs-bare-cast divergence is
+    // latent there — plant one and pin that the calibration still
+    // covers every row and counts the planted doc as a negative.
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val planted = docs.unionByName(
+      Seq((maxId + 1L, "the quick brown fox jumps over the lazy dog " * 4,
+        Option.empty[String], "planted", 176L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val dir = java.nio.file.Files.createTempDirectory("nulllang").toString
+    planted.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextQueries.queries("docs_logreg_calibration")(spark, dir)
+      .collect()
+    val n = docs.count() + 1
+    assert(rows.map(_.getAs[Long]("n")).sum == n,
+      "planted NULL-lang doc fell out of the calibration bins")
+    val positives = rows.map(r =>
+      math.round(r.getAs[Long]("n") * r.getAs[Double]("pos_frac"))).sum
+    val enCount = docs.filter(col("lang") === "en").count()
+    assert(positives == enCount,
+      s"NULL lang counted as positive: $positives vs $enCount en docs")
+    rows.foreach(r => assert(!r.isNullAt(r.fieldIndex("pos_frac"))))
+  }
+
   test("perplexity buckets: near-equal tertiles covering every scored " +
       "doc, head strictly more probable than tail") {
     val rows = TextQueries.queries("docs_ppl_buckets")(spark, sfDir).collect()
