@@ -104,6 +104,43 @@ object DedupQueries {
       Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
         WordN, ContainmentThreshold)),
 
+    // E215: candidate-volume profile for the containment prefix-filter
+    // join (round-10 verdict #3 — the E198/E204 instrument pointed at
+    // the tier with the steepest measured second-decade slope, 5.75×).
+    // The prefix join's work is Σ over join keys of np·(df−1): np =
+    // prefix rows carrying the key (docs whose ⌊(1−t)·m⌋+1 RAREST
+    // shingles include it), df = the key's document frequency. This
+    // groups that sum by df, so the growth is ATTRIBUTED: volume
+    // concentrated at df=2..3 is the planted near-dup families (true
+    // pairs — candidate count of the answer's own order, the PPJoin
+    // guarantee working); a fat high-df tail would be a real blowup
+    // (common shingles leaking into prefixes → capacity-adapt the
+    // prefix rule). Keys are md5(shingle) here so DuckDB replays the
+    // df-tie rank order digest-for-digest; production uses xxhash64
+    // keys, which permutes only the arbitrary within-df tie-break —
+    // the df histogram this query measures is identical.
+    "docs_containment_profile" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val rows = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"),
+          explode(Dedup.wordShingles(col("text"), WordN)).as("xs"))
+        .select(col("id"), md5(col("xs")).as("x"))
+      val ranked = rows
+        .withColumn("df", count(lit(1)).over(w.partitionBy(col("x"))))
+        .withColumn("m", count(lit(1)).over(w.partitionBy(col("id"))))
+        .withColumn("rn", row_number().over(
+          w.partitionBy(col("id")).orderBy(col("df"), col("x"))))
+      ranked
+        .filter(col("rn") <=
+          floor((lit(1.0) - lit(ContainmentThreshold)) * col("m")) + 1)
+        .groupBy(col("x"), col("df")).agg(count(lit(1)).as("np"))
+        .groupBy(col("df"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("np")).as("prefix_rows"),
+          sum(col("np") * (col("df") - 1)).as("cand_rows"),
+          max(col("np")).as("max_np"))
+    }),
+
     // Blocked edit-distance pairs (E91): Levenshtein ≤ 8 over the first
     // 64 chars, candidates restricted to docs sharing an 8-char prefix
     // block — the character-level fuzzy member of the dedup family,
@@ -195,6 +232,22 @@ object DedupQueries {
     "docs_dup_spans" -> ((s, dir) =>
       graft.ext.SpanDedup.duplicatedSpans(
         Tables.documents(s, dir), "doc_id", "text", SpanN, 2)),
+
+    // E214: the PRODUCTION span-find tier — xxhash64 gram keys instead
+    // of md5 (round-10 verdict #4). The md5 row above stays as the
+    // oracle-reproducible-digest tier; this registers the fast path
+    // the 100 TB deployment runs (the per-call digest gap is ~60× and
+    // the whole query measured 1.4× at sf0.1, where the gram shuffle
+    // dominates). One truth, two strategies (the E186 pattern): a
+    // 64-bit gram-key collision is the only way the outputs can
+    // differ (~G²/2⁶⁵ — the MinHash tier's accepted birthday budget),
+    // so the oracle IS the md5 tier's SQL and the hash check asserts
+    // the equality instead of assuming it; SpanDedupSpec pins it
+    // row-for-row on the fixtures too.
+    "docs_dup_spans_fast" -> ((s, dir) =>
+      graft.ext.SpanDedup.duplicatedSpans(
+        Tables.documents(s, dir), "doc_id", "text", SpanN, 2,
+        fastKeys = true)),
 
     // E206: span EXCISION — E164's find stage completed into the cut
     // stage Lee et al. built it for: every doc rewritten with its
@@ -377,6 +430,34 @@ object DedupQueries {
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |sh AS (SELECT doc_id, CAST($simhashExpr AS BIGINT) AS simhash FROM d)""".stripMargin
 
+  /** The one span-find truth both the md5 (E164) and xxhash64 (E214)
+    * tiers are checked against: md5 gram keys (the only digest DuckDB
+    * can reproduce), cross-document distinct-count cut, ≤ n island
+    * chaining.
+    */
+  private lazy val dupSpansSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |g AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+       |             md5(array_to_string(ws[u.i + 1 : u.i + $SpanN], ' ')) AS gh
+       |      FROM d, unnest(generate_series(0, len(ws) - $SpanN)) AS u(i)),
+       |dup AS (SELECT gh FROM (
+       |          SELECT gh, count(DISTINCT doc_id) AS nd FROM g GROUP BY gh)
+       |        WHERE nd >= 2),
+       |h AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+       |m AS (SELECT doc_id, pos,
+       |        CASE WHEN pos - lag(pos) OVER
+       |               (PARTITION BY doc_id ORDER BY pos) <= $SpanN
+       |             THEN 0 ELSE 1 END AS brk
+       |      FROM h),
+       |i AS (SELECT doc_id, pos,
+       |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |                       ROWS UNBOUNDED PRECEDING) AS isl
+       |      FROM m)
+       |SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+       |       CAST(max(pos) + ${SpanN - 1} AS INTEGER) AS span_end,
+       |       CAST(max(pos) + $SpanN - min(pos) AS INTEGER) AS span_tokens
+       |FROM i GROUP BY doc_id, isl""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "docs_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
@@ -427,6 +508,27 @@ object DedupQueries {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.s, b.s))::DOUBLE /
          |        least(len(a.s), len(b.s)) >= $ContainmentThreshold""".stripMargin,
+
+    // E215: same per-row shingle table, md5 keys, (df, key) rank and
+    // ⌊(1−t)·m⌋+1 prefix cut; integer volume arithmetic per df.
+    "docs_containment_profile" ->
+      s"""$wordShCte,
+         |r AS (SELECT doc_id AS id, md5(u.x) AS x FROM sh, unnest(s) AS u(x)),
+         |w AS (SELECT id, x,
+         |        count(*) OVER (PARTITION BY x) AS df,
+         |        count(*) OVER (PARTITION BY id) AS m
+         |      FROM r),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY id
+         |                    ORDER BY df, x) AS rn FROM w),
+         |p AS (SELECT x, df, count(*) AS np FROM rk
+         |      WHERE rn <= floor((CAST(1.0 AS DOUBLE)
+         |                         - CAST($ContainmentThreshold AS DOUBLE)) * m) + 1
+         |      GROUP BY x, df)
+         |SELECT CAST(df AS BIGINT) AS df, count(*) AS n_keys,
+         |       CAST(sum(np) AS BIGINT) AS prefix_rows,
+         |       CAST(sum(np * (df - 1)) AS BIGINT) AS cand_rows,
+         |       CAST(max(np) AS BIGINT) AS max_np
+         |FROM p GROUP BY df""".stripMargin,
 
     // Same blocking + windowed Levenshtein; DuckDB's levenshtein is the
     // same unit-cost edit distance (Spark's thresholded form returns the
@@ -528,28 +630,14 @@ object DedupQueries {
 
     // Mirrors SpanDedup.duplicatedSpans: same md5 gram key, same
     // cross-document distinct-count cut, same ≤ n island chaining.
-    "docs_dup_spans" ->
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         |g AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
-         |             md5(array_to_string(ws[u.i + 1 : u.i + $SpanN], ' ')) AS gh
-         |      FROM d, unnest(generate_series(0, len(ws) - $SpanN)) AS u(i)),
-         |dup AS (SELECT gh FROM (
-         |          SELECT gh, count(DISTINCT doc_id) AS nd FROM g GROUP BY gh)
-         |        WHERE nd >= 2),
-         |h AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
-         |m AS (SELECT doc_id, pos,
-         |        CASE WHEN pos - lag(pos) OVER
-         |               (PARTITION BY doc_id ORDER BY pos) <= $SpanN
-         |             THEN 0 ELSE 1 END AS brk
-         |      FROM h),
-         |i AS (SELECT doc_id, pos,
-         |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
-         |                       ROWS UNBOUNDED PRECEDING) AS isl
-         |      FROM m)
-         |SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
-         |       CAST(max(pos) + ${SpanN - 1} AS INTEGER) AS span_end,
-         |       CAST(max(pos) + $SpanN - min(pos) AS INTEGER) AS span_tokens
-         |FROM i GROUP BY doc_id, isl""".stripMargin,
+    "docs_dup_spans" -> dupSpansSql,
+
+    // E214: the xxhash64 production tier answers the SAME question —
+    // its oracle is the md5 tier's SQL, so the hash check asserts the
+    // two key strategies agree span-for-span (a 64-bit collision is
+    // the only possible divergence; E186's one-truth-two-strategies
+    // pattern).
+    "docs_dup_spans_fast" -> dupSpansSql,
 
     // Same span chain as docs_dup_spans, then the cut replayed flat:
     // positions inside any span anti-joined away, survivors re-joined

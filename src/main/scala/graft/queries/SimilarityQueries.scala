@@ -150,6 +150,51 @@ object SimilarityQueries {
       Srp.nearDupPairs(
         corpus(s, dir).select(col("id"), col("vec")), EmbDim, NearDupThreshold)),
 
+    // E216: SRP banding-recall audit (ADVICE r10) — the E203
+    // discipline pointed at the adaptive band width: adaptiveBits
+    // grows b with N while NumBands stays 4, so per-band collision
+    // probability (1−θ/π)^b falls as the corpus grows; this row
+    // MEASURES the realized cost instead of deferring it. Ground
+    // truth is the exact all-pairs set at the same rounded threshold
+    // (quadratic-by-design, audit-scale-only — the docs_lsh_recall
+    // convention); SRP pairs are exact-verified so they are a SUBSET
+    // of truth and recall = n_srp/n_true directly. expected_recall is
+    // the banding curve evaluated per true pair from its MEASURED
+    // plane agreement q = matching_bits/60 (integers, both engines),
+    // 1−(1−q^b)^bands averaged — so a drifting adaptive width shows
+    // up as expected-vs-realized divergence, not silence.
+    "emb_srp_recall" -> ((s, dir) => {
+      val v = corpus(s, dir).select(col("id"), col("vec"))
+        .localCheckpoint(false)
+      val bits = Srp.adaptiveBits(v.count())
+      val sigs = v.select(col("id"), Srp.sig(col("vec"), EmbDim).as("sig"))
+      val tp = v.select(col("id").as("id_a"), col("vec").as("va"))
+        .join(v.select(col("id").as("id_b"), col("vec").as("vb")),
+          col("id_a") < col("id_b"))
+        .filter(round(Similarity.cosine(col("va"), col("vb")), 6)
+          >= NearDupThreshold)
+        .select(col("id_a"), col("id_b"))
+      val q = (lit(Srp.NumPlanes.toDouble) -
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("double")) /
+        lit(Srp.NumPlanes.toDouble)
+      val hitProb = lit(1.0) -
+        pow(lit(1.0) - pow(q, lit(bits.toDouble)),
+          lit(Srp.NumBands.toDouble))
+      val stats = tp
+        .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+        .agg(count(lit(1)).as("n_true"),
+          round(avg(hitProb), 6).as("expected_recall"))
+      val srp = Srp.nearDupPairs(v, EmbDim, NearDupThreshold)
+        .agg(count(lit(1)).as("n_srp"))
+      stats.crossJoin(srp)
+        .select(col("n_true"), col("n_srp"),
+          lit(bits).as("band_bits"),
+          round(col("n_srp").cast("double") / col("n_true").cast("double"),
+            6).as("recall"),
+          col("expected_recall"))
+    }),
+
     // E167: multi-probe IVF top-k — each query searches its TOP-2
     // nearest cells (by centroid cosine) instead of one, the standard
     // recall lever for a cell-partitioned index (a query near a cell
@@ -941,6 +986,46 @@ object SimilarityQueries {
     // assignment stage replayed through the twoLevelAssignSql block.
     "emb_adaptive_twolevel" ->
       adaptiveTwoLevelSql(TwoLevelWitnessPop, AdaptiveIters),
+
+    // E216: same SRP band pipeline as emb_srp_pairs for the candidate
+    // count, exact all-pairs truth at the identical rounded threshold,
+    // and the banding curve from integer bit agreement.
+    "emb_srp_recall" ->
+      s"""$srpSigCte,
+         |nnv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+         |bw AS (SELECT coalesce(min(t.bb), ${Srp.MaxBitsPerBand}) AS b
+         |       FROM generate_series(${Srp.MinBitsPerBand}, ${Srp.MaxBitsPerBand}) t(bb), nnv
+         |       WHERE (CAST(1 AS BIGINT) << t.bb) * ${Srp.TargetBucketPop} >= nnv.n),
+         |bands AS (SELECT id, t.j AS b,
+         |            (srp_sig >> (CAST(t.j AS INTEGER) * bw.b))
+         |              & ((CAST(1 AS BIGINT) << bw.b) - 1) AS key
+         |          FROM sg CROSS JOIN generate_series(0, ${Srp.NumBands - 1}) t(j)
+         |          CROSS JOIN bw),
+         |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+         |         FROM bands x JOIN bands y
+         |           ON x.b = y.b AND x.key = y.key AND x.id < y.id),
+         |sp AS (SELECT c.id_a, c.id_b
+         |       FROM cand c JOIN e ea ON c.id_a = ea.vec_id
+         |                   JOIN e eb ON c.id_b = eb.vec_id
+         |       WHERE round(${cosSql("ea.v", "eb.v")}, 6) >= $NearDupThreshold),
+         |tp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |       FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |       WHERE round(${cosSql("a.v", "b.v")}, 6) >= $NearDupThreshold),
+         |h AS (SELECT (CAST(${Srp.NumPlanes} AS DOUBLE)
+         |               - bit_count(xor(x.srp_sig, y.srp_sig)))
+         |             / CAST(${Srp.NumPlanes} AS DOUBLE) AS q
+         |      FROM tp t JOIN sg x ON x.id = t.id_a
+         |                JOIN sg y ON y.id = t.id_b),
+         |s1 AS (SELECT CAST(count(*) AS BIGINT) AS n_true,
+         |              round(avg(1.0 - pow(1.0 - pow(h.q, bw.b),
+         |                                  ${Srp.NumBands})), 6)
+         |                AS expected_recall
+         |       FROM h, bw GROUP BY bw.b),
+         |s2 AS (SELECT CAST(count(*) AS BIGINT) AS n_srp FROM sp)
+         |SELECT s1.n_true, s2.n_srp, CAST(bw.b AS INTEGER) AS band_bits,
+         |       round(CAST(s2.n_srp AS DOUBLE) / s1.n_true, 6) AS recall,
+         |       s1.expected_recall
+         |FROM s1, s2, bw""".stripMargin,
 
     // E212: generated round chain — s1 seeds at min(vec_id); each
     // round folds the new center's 6-rounded cosine into the per-point
