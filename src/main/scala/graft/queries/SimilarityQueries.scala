@@ -368,6 +368,33 @@ object SimilarityQueries {
       Similarity.farthestPointCoreset(
         corpus(s, dir).select(col("id"), col("vec")), CoresetK)),
 
+    // E217: distributed top-component PCA — the dimensionality-
+    // reduction primitive of the embedding pipeline (whitening /
+    // compression ahead of ANN, dead-dimension triage, model-version
+    // drift). Two partial-aggregatable corpus passes (per-dim means,
+    // upper-triangle second moments — d²-bounded outputs), power
+    // iteration on the DRIVER's 64×64 matrix (O(d²) state, the
+    // k-means/BPE iterate discipline), fixed-point rounds at every
+    // step so the oracle replays fit AND projection from raw data.
+    "emb_pca_top" -> ((s, dir) => {
+      val v = corpus(s, dir).select(col("id"), col("vec"))
+        .localCheckpoint(false)
+      val (m, pc) = graft.ext.Pca.fit(v, EmbDim)
+      import s.implicits._
+      m.indices.map(d => (d, m(d), pc(d))).toDF("d", "mean", "pc1")
+    }),
+
+    // E217 serving shape: each row projected onto the fitted component
+    // by ONE codegen DotProduct against literals — scan-side, no
+    // shuffle; the oracle refits in SQL and projects independently,
+    // so a drifted fit cannot hide behind a matching projection rule.
+    "emb_pca_project" -> ((s, dir) => {
+      val v = corpus(s, dir).select(col("id"), col("vec"))
+        .localCheckpoint(false)
+      val (m, pc) = graft.ext.Pca.fit(v, EmbDim)
+      graft.ext.Pca.project(v, m, pc)
+    }),
+
     // E213: the ENGAGED two-level assignment path, value-checked at
     // gate scale (round-10 verdict #1). Production adaptiveClusters
     // now dispatches each assignment stage through the two-level
@@ -639,6 +666,49 @@ object SimilarityQueries {
       s"""
          |SELECT id, CAST(cell AS BIGINT) AS assigned, round(score, 6) AS cos
          |FROM $prev""".stripMargin
+    sb.toString
+  }
+
+  /** PCA CTE chain (E217): per-dim means (round 6), upper-triangle
+    * second moments (round 6), covariance via E[XY] − E[X]E[Y] over
+    * the rounded fixed points, mirrored to the full matrix, then
+    * `iters` power-iteration steps — w = round(C·v, 9),
+    * v = round(w/‖w‖, 6) — generated per step so the round count can
+    * never drift from [[graft.ext.Pca.PowerIters]]. Ends with
+    * `mm(d, m)` and `v$iters(d, val)`.
+    */
+  private def pcaCte(iters: Int): String = {
+    val sb = new StringBuilder
+    // Every multi-referenced CTE is MATERIALIZED: DuckDB inlines
+    // plain CTEs per reference, so the 8-level pv chain (each level
+    // referencing the last twice via pw/pn) would otherwise
+    // re-evaluate the N·d² second-moment join 2^8 times.
+    sb ++=
+      s"""$embCte,
+         |x AS MATERIALIZED (SELECT vec_id, CAST(i - 1 AS INTEGER) AS d,
+         |             v[CAST(i AS INTEGER)] AS val
+         |      FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+         |mm AS MATERIALIZED (SELECT d, round(avg(val), 6) AS m
+         |      FROM x GROUP BY d),
+         |pp AS (SELECT a.d AS i, b.d AS j, round(avg(a.val * b.val), 6) AS s
+         |       FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.d <= b.d
+         |       GROUP BY a.d, b.d),
+         |cvx AS (SELECT pp.i, pp.j, round(pp.s - ma.m * mb.m, 6) AS c
+         |        FROM pp JOIN mm ma ON ma.d = pp.i
+         |                JOIN mm mb ON mb.d = pp.j),
+         |cf AS MATERIALIZED (SELECT i, j, c FROM cvx
+         |       UNION ALL SELECT j AS i, i AS j, c FROM cvx WHERE i <> j),
+         |pv0 AS (SELECT d, CAST(1.0 AS DOUBLE) AS val FROM mm)""".stripMargin
+    for (t <- 1 to iters) {
+      sb ++=
+        s""",
+           |pw$t AS MATERIALIZED (
+           |        SELECT cf.i AS d, round(sum(cf.c * p.val), 9) AS wv
+           |        FROM cf JOIN pv${t - 1} p ON p.d = cf.j GROUP BY cf.i),
+           |pn$t AS (SELECT sqrt(sum(wv * wv)) AS nn FROM pw$t),
+           |pv$t AS MATERIALIZED (
+           |        SELECT d, round(wv / nn, 6) AS val FROM pw$t, pn$t)""".stripMargin
+    }
     sb.toString
   }
 
@@ -986,6 +1056,25 @@ object SimilarityQueries {
     // assignment stage replayed through the twoLevelAssignSql block.
     "emb_adaptive_twolevel" ->
       adaptiveTwoLevelSql(TwoLevelWitnessPop, AdaptiveIters),
+
+    // E217: the fit replayed from raw data — means, covariance, every
+    // power-iteration fixed point.
+    "emb_pca_top" ->
+      s"""${pcaCte(graft.ext.Pca.PowerIters)}
+         |SELECT mm.d, mm.m AS mean, pv${graft.ext.Pca.PowerIters}.val AS pc1
+         |FROM mm JOIN pv${graft.ext.Pca.PowerIters}
+         |  ON pv${graft.ext.Pca.PowerIters}.d = mm.d""".stripMargin,
+
+    // E217: independent refit + projection (x·v − m·v, round 6).
+    "emb_pca_project" -> {
+      val vT = s"pv${graft.ext.Pca.PowerIters}"
+      s"""${pcaCte(graft.ext.Pca.PowerIters)},
+         |mv AS (SELECT sum(mm.m * $vT.val) AS c
+         |       FROM mm JOIN $vT ON $vT.d = mm.d)
+         |SELECT x.vec_id AS id, round(sum(x.val * $vT.val) - mv.c, 6) AS proj
+         |FROM x JOIN $vT ON $vT.d = x.d, mv
+         |GROUP BY x.vec_id, mv.c""".stripMargin
+    },
 
     // E216: same SRP band pipeline as emb_srp_pairs for the candidate
     // count, exact all-pairs truth at the identical rounded threshold,
