@@ -368,6 +368,27 @@ object SimilarityQueries {
       Similarity.farthestPointCoreset(
         corpus(s, dir).select(col("id"), col("vec")), CoresetK)),
 
+    // E218: per-dimension embedding statistics + dead-dimension triage
+    // — the embedding-QA companion to E88's per-cluster norms: one
+    // partial-aggregatable pass emitting d rows (mean, variance via
+    // the same E[X²]−E[X]² fixed points as the PCA fit, min/max), with
+    // is_dead flagging collapsed dimensions (a truncated/buggy encoder
+    // export shows up as zero-variance columns long before any recall
+    // metric moves; the fixture has none — PcaSpec plants one and pins
+    // the flag fires).
+    "emb_dim_stats" -> ((s, dir) =>
+      corpus(s, dir)
+        .select(posexplode(col("vec")).as(Seq("d", "val")))
+        .groupBy(col("d"))
+        .agg(round(avg(col("val")), 6).as("mean"),
+          round(avg(col("val") * col("val")), 6).as("s2"),
+          min(col("val")).as("min_v"), max(col("val")).as("max_v"))
+        .select(col("d"), col("mean"),
+          round(col("s2") - col("mean") * col("mean"), 6).as("variance"),
+          col("min_v"), col("max_v"),
+          (round(col("s2") - col("mean") * col("mean"), 6) <= lit(1e-6))
+            .as("is_dead"))),
+
     // E217: distributed top-component PCA — the dimensionality-
     // reduction primitive of the embedding pipeline (whitening /
     // compression ahead of ANN, dead-dimension triage, model-version
@@ -1056,6 +1077,21 @@ object SimilarityQueries {
     // assignment stage replayed through the twoLevelAssignSql block.
     "emb_adaptive_twolevel" ->
       adaptiveTwoLevelSql(TwoLevelWitnessPop, AdaptiveIters),
+
+    // E218: same explode + fixed-point moment arithmetic.
+    "emb_dim_stats" ->
+      s"""$embCte,
+         |x AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS d,
+         |             v[CAST(i AS INTEGER)] AS val
+         |      FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+         |st AS (SELECT d, round(avg(val), 6) AS mean,
+         |              round(avg(val * val), 6) AS s2,
+         |              min(val) AS min_v, max(val) AS max_v
+         |       FROM x GROUP BY d)
+         |SELECT d, mean, round(s2 - mean * mean, 6) AS variance,
+         |       min_v, max_v,
+         |       round(s2 - mean * mean, 6) <= 1e-6 AS is_dead
+         |FROM st""".stripMargin,
 
     // E217: the fit replayed from raw data — means, covariance, every
     // power-iteration fixed point.

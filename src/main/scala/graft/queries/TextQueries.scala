@@ -468,6 +468,33 @@ object TextQueries {
     // the final slope division is floating — bit-identical across
     // engines and shuffle orders, the E79 exact-decimal trick adapted
     // to logs.
+    // E219: vocabulary coverage curve — for each candidate vocab size
+    // V, the fraction of corpus TOKEN INSTANCES covered by the top-V
+    // terms (rank by frequency desc, term asc — the Zipf tie rule):
+    // the sizing study run before committing a tokenizer/embedding
+    // vocabulary, and the quantitative face of Zipf's law E170 fits
+    // qualitatively. Scale shape: one corpus aggregation down to the
+    // vocabulary, then a vocabulary-sized ranking window and a
+    // 3-row broadcast join — corpus rows never meet the window.
+    "docs_vocab_coverage" -> ((s, dir) => {
+      val tf = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+      val rk = tf.withColumn("r",
+        row_number().over(Window.orderBy(col("f").desc, col("w"))))
+      val tot = tf.agg(sum(col("f")).as("total_tokens"))
+      import s.implicits._
+      VocabSizes.toDF("v")
+        .join(rk, col("r") <= col("v"))
+        .groupBy("v")
+        .agg(count(lit(1)).as("n_terms"), sum(col("f")).as("covered_tokens"))
+        .crossJoin(broadcast(tot))
+        .select(col("v"), col("n_terms"), col("covered_tokens"),
+          col("total_tokens"),
+          round(col("covered_tokens").cast("double") /
+            col("total_tokens").cast("double"), 6).as("coverage"))
+    }),
+
     "docs_zipf_slope" -> ((s, dir) => {
       val tf = Tables.documents(s, dir)
         .select(explode(split(col("text"), " ")).as("w"))
@@ -539,6 +566,12 @@ object TextQueries {
     */
   val BpeBatchRounds = 4
   val BpeBatch = 4
+
+  /** Candidate vocabulary sizes for the E219 coverage curve —
+    * power-of-4 spread brackets the fixture vocabulary so the curve
+    * shows real saturation, not three identical points.
+    */
+  val VocabSizes: Seq[Int] = Seq(256, 1024, 4096)
 
   private val LrBias = -1.5
   private val LrWTtr = 0.8
@@ -952,6 +985,24 @@ object TextQueries {
          |       round(CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
          |             / CAST(sum(c) AS DOUBLE), 6) AS dup_frac
          |FROM c GROUP BY doc_id""".stripMargin,
+
+    // E219: same frequency table, same (f DESC, w) rank, 3-value size
+    // list; exact integer sums (BIGINT-cast off DuckDB's HUGEINT).
+    "docs_vocab_coverage" -> {
+      val vals = VocabSizes.map(v => s"(CAST($v AS INTEGER))").mkString(", ")
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |tf AS (SELECT w, count(*) AS f FROM tok GROUP BY w),
+         |rk AS (SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r FROM tf),
+         |tot AS (SELECT CAST(sum(f) AS BIGINT) AS total_tokens FROM tf),
+         |vs(v) AS (VALUES $vals),
+         |c AS (SELECT vs.v, count(*) AS n_terms,
+         |             CAST(sum(rk.f) AS BIGINT) AS covered_tokens
+         |      FROM vs JOIN rk ON rk.r <= vs.v GROUP BY vs.v)
+         |SELECT c.v, c.n_terms, c.covered_tokens, tot.total_tokens,
+         |       round(CAST(c.covered_tokens AS DOUBLE) / tot.total_tokens, 6)
+         |         AS coverage
+         |FROM c, tot""".stripMargin
+    },
 
     // Mirrors docs_zipf_slope: identical micro-nat fixed point (the
     // ln → ×1e6 → round → integer pipeline), exact HUGEINT sums, one

@@ -47,6 +47,49 @@ class ProfileAuditSpec extends SparkSpec {
       "profile does not account for every prefix row")
   }
 
+  test("dim stats: a planted constant dimension is flagged dead; live " +
+      "dims are not, and variance is never negative") {
+    import spark.implicits._
+    // plant: zero out dim 7 across a copy of the embeddings table
+    val planted = Tables.embeddings(spark, sfDir)
+      .withColumn("embedding",
+        expr("transform(embedding, (x, i) -> " +
+          "CASE WHEN i = 7 THEN CAST(0.25 AS FLOAT) ELSE x END)"))
+    val dir = java.nio.file.Files.createTempDirectory("deaddim").toString
+    planted.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = SimilarityQueries.queries("emb_dim_stats")(spark, dir)
+      .collect().map(r => r.getAs[Int]("d") -> r).toMap
+    assert(rows.size == 64)
+    assert(rows(7).getAs[Boolean]("is_dead"), "constant dim not flagged")
+    assert(rows(7).getAs[Double]("min_v") == 0.25 &&
+      rows(7).getAs[Double]("max_v") == 0.25)
+    val dead = rows.values.count(_.getAs[Boolean]("is_dead"))
+    assert(dead == 1, s"expected exactly the planted dead dim, got $dead")
+    rows.values.foreach { r =>
+      assert(r.getAs[Double]("variance") >= -1e-9)
+      assert(r.getAs[Double]("min_v") <= r.getAs[Double]("max_v"))
+    }
+  }
+
+  test("vocab coverage: monotone non-decreasing in V, bounded by 1, " +
+      "and n_terms caps at min(V, |vocab|)") {
+    val rows = TextQueries.queries("docs_vocab_coverage")(spark, sfDir)
+      .collect().sortBy(_.getAs[Int]("v"))
+    assert(rows.length == TextQueries.VocabSizes.length)
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .select(countDistinct(col("w"))).head().getLong(0)
+    rows.foreach { r =>
+      val (v, nt) = (r.getAs[Int]("v").toLong, r.getAs[Long]("n_terms"))
+      assert(nt == math.min(v, vocab), s"n_terms $nt at V=$v, vocab=$vocab")
+      val cov = r.getAs[Double]("coverage")
+      assert(cov > 0.0 && cov <= 1.0)
+    }
+    rows.map(_.getAs[Double]("coverage")).sliding(2).foreach {
+      case Array(a, b) => assert(b >= a, "coverage decreased with V")
+    }
+  }
+
   test("srp recall audit: srp pairs are a subset of truth, recall is " +
       "their ratio, and band_bits is the adaptive width") {
     val r = SimilarityQueries.queries("emb_srp_recall")(spark, sfDir).head()
