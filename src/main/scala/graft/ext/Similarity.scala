@@ -338,7 +338,8 @@ object Similarity {
     * grew with the corpus — at 10× data there are 10× cells of the
     * same expected population, not 10×-populated cells.
     */
-  def adaptiveClusters(vecs: DataFrame, targetPop: Int, iters: Int): DataFrame = {
+  def adaptiveClusters(vecs: DataFrame, targetPop: Int, iters: Int,
+      crossoverK: Long = TwoLevelCrossoverK): DataFrame = {
     require(iters >= 1, "need at least one Lloyd round")
     val v = vecs.select(col("id"), col("vec")).localCheckpoint(false)
     val n = v.count()
@@ -349,13 +350,13 @@ object Similarity {
       v.sparkSession.sparkContext.defaultParallelism)
     val seeds = rn.filter(pmod(col("row_num") - 1, lit(stride)) === 0)
       .select(col("id").as("cpart"), col("vec").as("cvec"))
-    var asg = assignStage(v, seeds)
+    var asg = assignStage(v, seeds, crossoverK)
     for (_ <- 1 to iters) {
       val cents = centroids(
         v.join(asg.select(col("id").as("aid"), col("cell")),
           col("id") === col("aid"))
           .select(col("cell").as("part"), col("vec")))
-      asg = assignStage(v, centroidVectors(cents))
+      asg = assignStage(v, centroidVectors(cents), crossoverK)
     }
     asg.select(col("id"), col("cell").as("assigned"),
       round(col("score"), 6).as("cos"))
@@ -365,21 +366,30 @@ object Similarity {
   /** Centroid count at which [[adaptiveClusters]]' assignment stages
     * switch from the exact argmax-of-k to the two-level coarse probe
     * (round-10 verdict #1: exact assignment is N·k = N²/targetPop
-    * flops across decades — the tier's one remaining quadratic term).
-    * The candidate count g + probe·k/g ≈ 2√(2k) undercuts k from k=9,
-    * but the probe carries real fixed costs the formula doesn't — a
-    * k-bounded centroid meta-clustering plus an N·g row_number window
-    * — so the switch waits for a decisive (>2×) candidate-work win:
-    * 2√(2k) < k/2 ⇔ k ≥ 32, padded to 40. Below it (every shipped
-    * fixture SF: k = 5/5/20) assignment stays exact, so gate-scale
-    * values and oracles are untouched; the second-decade witness
-    * corpus (N = 20 000, k = 200) is where the probe engages — g = 20,
-    * candidates ≈ 40 ≪ 200. `emb_adaptive_twolevel` (E213) pins the
-    * engaged path hash-green at gate scale by forcing k past the
-    * crossover, and `emb_twolevel_agreement` (E211) measures what the
-    * approximation costs.
+    * flops across decades — the tier's eventual quadratic term).
+    *
+    * Set by MEASUREMENT, not by the candidate-count formula. The
+    * formula (g + probe·k/g ≈ 2√(2k) candidates vs k) predicts a win
+    * from k ≈ 40; the round-11 isolated kernel probe refuted that on
+    * real decades: the exact argmax is ONE broadcast join fused into
+    * whole-stage codegen with a map-side-partial max_by — it scored
+    * N·k = 4M pairs in 0.37 s (N = 20k, k = 200) and 400M pairs in
+    * 2.0 s (N = 200k, k = 1964), ~200M scored pairs/s — while the
+    * probe's extra hash aggregation + id-rejoin floor it at 1.5 s /
+    * 3.4 s at the same points: 16× fewer flops, still 1.7× slower,
+    * because the stage is pipeline-bound, not flop-bound, through at
+    * least k ≈ 2000. Extrapolating both curves (exact grows ×100 per
+    * decade past this point, the probe ×~30), the measured crossover
+    * sits near k ≈ 10⁴; 8192 with margin. Every shipped fixture
+    * (k = 5/5/20) and witness decade (k = 200/1964) therefore runs
+    * exact — value-identical to round 10 — and the probe is the
+    * documented escape hatch for the decades where no single number
+    * can be measured on this box. `emb_adaptive_twolevel` (E213)
+    * keeps the probe path hash-checked at gate scale by FORCING it,
+    * `emb_twolevel_agreement` (E211) prices its approximation, and
+    * TwoLevelAssignSpec pins the dispatch seam at a test crossover.
     */
-  val TwoLevelCrossoverK = 40
+  val TwoLevelCrossoverK = 8192
 
   /** Coarse groups probed per point when the two-level stage engages —
     * 2 is the g = ⌈√(2k)⌉ optimum's own probe count (g + probe·k/g is
@@ -388,14 +398,18 @@ object Similarity {
   val TwoLevelProbe = 2
 
   /** One assignment stage of [[adaptiveClusters]]: exact argmax below
-    * [[TwoLevelCrossoverK]] centroids, the [[twoLevelAssign]] coarse
-    * probe at or above it. The count is of the CURRENT stage's
-    * centroid table (Lloyd rounds can empty cells), so each stage
-    * independently picks the cheaper kernel.
+    * `crossoverK` centroids, the [[twoLevelAssign]] coarse probe at or
+    * above it. The count is of the CURRENT stage's centroid table
+    * (Lloyd rounds can empty cells), so each stage independently picks
+    * the cheaper kernel. `crossoverK` is a parameter (production
+    * default [[TwoLevelCrossoverK]]) so the dispatch seam is testable
+    * at fixture scale, where the measured production crossover is
+    * unreachable.
     */
-  private def assignStage(v: DataFrame, centVecs: DataFrame): DataFrame = {
+  private def assignStage(v: DataFrame, centVecs: DataFrame,
+      crossoverK: Long): DataFrame = {
     val cents = centVecs.localCheckpoint(false)
-    if (cents.count() >= TwoLevelCrossoverK)
+    if (cents.count() >= crossoverK)
       twoLevelAssign(v, cents, TwoLevelProbe)
         .select(col("id"), col("cell"), col("score"))
     else nearestOf(v, cents)
@@ -551,14 +565,30 @@ object Similarity {
     val gden = col("vn") * col("gn")
     val gscore = when(gden === 0.0, lit(0.0))
       .otherwise(dot(col("vec"), col("gvec")) / gden)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("gscore").desc, col("gpart"))
-    val top = v.join(broadcast(cg))
-      .select(col("id"), col("vec"), col("vn"), col("gpart"),
-        gscore.as("gscore"))
-      .withColumn("rnp", row_number().over(w))
-      .filter(col("rnp") <= probe)
-      .select(col("id"), col("vec"), col("vn"), col("gpart"))
+    // Top-`probe` groups per point WITHOUT a window: a row_number over
+    // (id) is a full sort-shuffle of all N·g score rows — measured 4×
+    // slower than the exact N·k argmax it was meant to undercut
+    // (round-11 probe at N=20k, k=200). The N·g rows for one id are
+    // born co-located (corpus row × broadcast coarse table), so a
+    // groupBy(id) hash-aggregation collapses them map-side and the
+    // exchange carries N narrow rows; the per-id top-probe is a
+    // g-bounded collect_list sorted by (score desc, gpart) — the
+    // identical rule the window expressed and the SQL oracle replays
+    // (ascending struct sort on (-score, gpart)). The vector column
+    // deliberately does NOT ride through the aggregation (dragging a
+    // 64-double array per input row through an object agg buffer cost
+    // more than the exact argmax); the probed ids rejoin the
+    // checkpointed corpus once, N-vs-N.
+    val tops = v.join(broadcast(cg))
+      .select(col("id"), col("gpart"), gscore.as("gscore"))
+      .groupBy(col("id"))
+      .agg(slice(sort_array(collect_list(
+        struct((-col("gscore")).as("ns"), col("gpart")))), 1, probe)
+        .as("tops"))
+      .select(col("id").as("tid"),
+        expr("transform(tops, t -> t.gpart)").as("gs"))
+    val top = v.join(tops, col("id") === col("tid"))
+      .select(col("id"), col("vec"), col("vn"), explode(col("gs")).as("gpart"))
     val fc = fineG.withColumn("cn", sqrt(dot(col("cvec"), col("cvec"))))
     val fden = col("vn") * col("cn")
     val fscore = when(fden === 0.0, lit(0.0))
