@@ -720,6 +720,49 @@ object Similarity {
     * DuckDB oracle reproduces every distance bit-for-bit and ties
     * break to the smaller codeword. Output: (id, c0..c{numSub-1}).
     */
+  /** ADC (asymmetric distance computation) top-k over PQ codes — the
+    * SEARCH stage that E112's encoding exists for (Jégou et al. 2011):
+    * each query builds a per-subspace distance table against the
+    * codebook (queries × numSub × cells rows — tiny, broadcast), and a
+    * coded vector's approximate distance is the SUM of numSub table
+    * lookups — the corpus-side scan touches only the integer codes,
+    * never raw vectors, which is the whole memory story of
+    * billion-vector PQ search. Table entries are 6-rounded fixed
+    * points so the numSub-term sum is order-stable across engines;
+    * ranking breaks ties (adc, id) ascending. Queries search with
+    * their RAW vectors (the asymmetry — only the database side is
+    * quantized), self excluded. Output: (query_id, rank, neighbor_id,
+    * adc).
+    */
+  def pqAdcTopK(vecs: DataFrame, numSub: Int, subDim: Int,
+      numQueries: Int, k: Int): DataFrame = {
+    val cw = pqCodewordVecs(pqCodebooks(vecs, subDim))
+    val codes = pqEncode(vecs, numSub, subDim)
+    val qsub = vecs.filter(col("id") < numQueries)
+      .select(col("id").as("qid"),
+        explode(sequence(lit(0), lit(numSub - 1))).as("m"), col("vec"))
+      .select(col("qid"), col("m"),
+        slice(col("vec"), col("m") * subDim + 1, lit(subDim)).as("sv"))
+    val d = aggregate(
+      zip_with(col("sv"), col("cvec"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val tables = qsub.join(broadcast(cw), "m")
+      .select(col("qid"), col("m"), col("cl"), round(d, 6).as("dt"))
+    val longCodes = codes.select(col("id"), posexplode(
+        array((0 until numSub).map(m => col(s"c$m")): _*))
+      .as(Seq("m", "cl")))
+    val scored = longCodes.join(broadcast(tables), Seq("m", "cl"))
+      .filter(col("id") =!= col("qid"))
+      .groupBy(col("qid"), col("id"))
+      .agg(round(sum(col("dt")), 6).as("adc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc"), col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("id").as("neighbor_id"), col("adc"))
+  }
+
   def pqEncode(vecs: DataFrame, numSub: Int, subDim: Int): DataFrame = {
     val cw = pqCodewordVecs(pqCodebooks(vecs, subDim))
     val sub = vecs.select(col("id"),

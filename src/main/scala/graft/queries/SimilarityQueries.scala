@@ -141,6 +141,18 @@ object SimilarityQueries {
     "emb_pq_codes" -> ((s, dir) =>
       Similarity.pqEncode(corpus(s, dir), PqSubspaces, PqSubDim)),
 
+    // E220: ADC top-k — the SEARCH stage E112's codes exist for: per
+    // query, a (numSub × cells) distance table against the codebook;
+    // per coded vector, the approximate distance is numSub table
+    // lookups summed — the corpus scan touches only integer codes,
+    // never raw vectors (the memory story of billion-vector PQ
+    // search). 6-rounded table entries make the 4-term sum
+    // order-stable; ties (adc, id). The oracle rebuilds codebooks,
+    // codes, tables, and ranking from the raw table.
+    "emb_pq_adc_topk" -> ((s, dir) =>
+      Similarity.pqAdcTopK(corpus(s, dir), PqSubspaces, PqSubDim,
+        NumQueries, K)),
+
     // SRP-bucketed near-dup pairs, exact-cosine verified: the bucketed
     // scale path beside emb_neardup's cluster-column bucketing. The
     // oracle replays the identical SRP pipeline (same hyperplanes, same
@@ -690,6 +702,32 @@ object SimilarityQueries {
     sb.toString
   }
 
+  /** Shared PQ CTE chain (E112/E220): label-seeded per-subspace
+    * codebooks (cb/cw), per-doc subvectors (sv), left-fold squared
+    * distances (d), argmin codes with (distance, codeword) ties (b).
+    */
+  private lazy val pqChainCte: String =
+    s"""$embCte,
+       |x AS (SELECT vec_id, label, CAST(i - 1 AS INTEGER) AS dim,
+       |             v[CAST(i AS INTEGER)] AS val
+       |      FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+       |sub0 AS (SELECT vec_id, CAST(label AS BIGINT) AS cl,
+       |                dim // $PqSubDim AS m, dim % $PqSubDim AS sd, val
+       |         FROM x),
+       |cb AS (SELECT cl, m, sd, round(sum(val) / count(*), 6) AS c
+       |       FROM sub0 GROUP BY 1, 2, 3),
+       |cw AS (SELECT cl, m, list(c ORDER BY sd) AS cvec FROM cb GROUP BY cl, m),
+       |sv AS (SELECT vec_id AS id, m, list(val ORDER BY sd) AS sv
+       |       FROM sub0 GROUP BY vec_id, m),
+       |d AS (SELECT sv.id, sv.m, cw.cl,
+       |             list_reduce(list_transform(generate_series(1, $PqSubDim),
+       |               i -> (sv.sv[i] - cw.cvec[i]) * (sv.sv[i] - cw.cvec[i])),
+       |               (p, q) -> p + q) AS d
+       |      FROM sv JOIN cw ON sv.m = cw.m),
+       |b AS (SELECT id, m, cl,
+       |             row_number() OVER (PARTITION BY id, m ORDER BY d, cl) AS rn
+       |      FROM d)""".stripMargin
+
   /** PCA CTE chain (E217): per-dim means (round 6), upper-triangle
     * second moments (round 6), covariance via E[XY] − E[X]E[Y] over
     * the rounded fixed points, mirrored to the full matrix, then
@@ -861,30 +899,34 @@ object SimilarityQueries {
     "emb_pq_codes" -> {
       val codeSelects = (0 until PqSubspaces)
         .map(m => s"max(CASE WHEN m = $m THEN cl END) AS c$m").mkString(",\n|       ")
-      s"""$embCte,
-         |x AS (SELECT vec_id, label, CAST(i - 1 AS INTEGER) AS dim,
-         |             v[CAST(i AS INTEGER)] AS val
-         |      FROM e, unnest(generate_series(1, len(v))) AS t(i)),
-         |sub0 AS (SELECT vec_id, CAST(label AS BIGINT) AS cl,
-         |                dim // $PqSubDim AS m, dim % $PqSubDim AS sd, val
-         |         FROM x),
-         |cb AS (SELECT cl, m, sd, round(sum(val) / count(*), 6) AS c
-         |       FROM sub0 GROUP BY 1, 2, 3),
-         |cw AS (SELECT cl, m, list(c ORDER BY sd) AS cvec FROM cb GROUP BY cl, m),
-         |sv AS (SELECT vec_id AS id, m, list(val ORDER BY sd) AS sv
-         |       FROM sub0 GROUP BY vec_id, m),
-         |d AS (SELECT sv.id, sv.m, cw.cl,
-         |             list_reduce(list_transform(generate_series(1, $PqSubDim),
-         |               i -> (sv.sv[i] - cw.cvec[i]) * (sv.sv[i] - cw.cvec[i])),
-         |               (p, q) -> p + q) AS d
-         |      FROM sv JOIN cw ON sv.m = cw.m),
-         |b AS (SELECT id, m, cl,
-         |             row_number() OVER (PARTITION BY id, m ORDER BY d, cl) AS rn
-         |      FROM d)
+      s"""$pqChainCte
          |SELECT id,
          |       $codeSelects
          |FROM b WHERE rn = 1 GROUP BY id""".stripMargin
     },
+
+    // E220: same codebook/code chain, then per-query distance tables
+    // (6-rounded) and the lookup-sum ranking.
+    "emb_pq_adc_topk" ->
+      s"""$pqChainCte,
+         |co AS (SELECT id, m, cl FROM b WHERE rn = 1),
+         |qt AS (SELECT sv.id AS qid, sv.m, cw.cl,
+         |              round(list_reduce(list_transform(generate_series(1, $PqSubDim),
+         |                i -> (sv.sv[i] - cw.cvec[i]) * (sv.sv[i] - cw.cvec[i])),
+         |                (p, q) -> p + q), 6) AS dt
+         |       FROM sv JOIN cw ON sv.m = cw.m
+         |       WHERE sv.id < $NumQueries),
+         |sc AS (SELECT qt.qid, co.id, round(sum(qt.dt), 6) AS adc
+         |       FROM co JOIN qt ON qt.m = co.m AND qt.cl = co.cl
+         |       WHERE co.id <> qt.qid
+         |       GROUP BY qt.qid, co.id),
+         |rr AS (SELECT qid, id, adc,
+         |              row_number() OVER (PARTITION BY qid
+         |                                 ORDER BY adc, id) AS rank
+         |       FROM sc)
+         |SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank,
+         |       id AS neighbor_id, adc
+         |FROM rr WHERE rank <= $K""".stripMargin,
 
     "emb_srp_sig" ->
       s"""$srpSigCte

@@ -90,6 +90,43 @@ class ProfileAuditSpec extends SparkSpec {
     }
   }
 
+  test("pq adc top-k: dense ranks 1..K per query, self excluded, and " +
+      "every adc cross-foots with a from-scratch table lookup") {
+    import graft.ext.Similarity
+    val c = SimilarityQueries.corpus(spark, sfDir).localCheckpoint(false)
+    val rows = SimilarityQueries.queries("emb_pq_adc_topk")(spark, sfDir)
+      .collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 10)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 5),
+        s"ranks not dense for query $q")
+      assert(!rs.exists(_.getAs[Long]("neighbor_id") == q), "self in top-k")
+    }
+    // from-scratch cross-foot: rebuild codebooks + codes, recompute the
+    // lookup sum for every reported (query, neighbor) pair
+    val cw = Similarity.pqCodewordVecs(Similarity.pqCodebooks(c, 16))
+      .collect().map(r => (r.getAs[Int]("m"), r.getAs[Long]("cl")) ->
+        r.getSeq[Double](r.fieldIndex("cvec"))).toMap
+    val codes = Similarity.pqEncode(c, 4, 16).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (0 until 4).map(m => r.getAs[Long](s"c$m"))).toMap
+    val qvecs = c.filter(col("id") < 10)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getSeq[Double](r.fieldIndex("vec"))).toMap
+    rows.foreach { r =>
+      val (q, n) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      val expect = (0 until 4).map { m =>
+        val qs = qvecs(q).slice(m * 16, m * 16 + 16)
+        val cv = cw((m, codes(n)(m)))
+        val raw = qs.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum
+        BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.sum
+      assert(math.abs(r.getAs[Double]("adc") - expect) < 1e-6,
+        s"adc mismatch for ($q, $n)")
+    }
+  }
+
   test("srp recall audit: srp pairs are a subset of truth, recall is " +
       "their ratio, and band_bits is the adaptive width") {
     val r = SimilarityQueries.queries("emb_srp_recall")(spark, sfDir).head()
