@@ -627,6 +627,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("containment"))
   }
 
+  /** Shard-merge MinHash algebra (E221): per-source signatures built
+    * TWO genuinely different ways and compared permutation-for-
+    * permutation — the property that lets a growing corpus keep
+    * source/shard-level sketches current without re-sketching
+    * anything (the MinHash analogue of E108's HLL cell merge, and the
+    * reason a 1000-shard ingest can maintain per-shard near-dup
+    * sketches with one elementwise-min combine step):
+    *
+    *  - MERGE tier: each doc's CLASSIC 32-permutation signature
+    *    ([[graft.functions.MinHashClassicSig]] — scan-side codegen),
+    *    elementwise-min-aggregated per source: one narrow shuffle of
+    *    (source, perm, min) partial aggregates.
+    *  - DIRECT tier: the source's DISTINCT shingle set (exploded
+    *    rows), each shingle's own 32 chunks (the classic signature of
+    *    a single-window string IS its chunk vector), min per
+    *    (source, perm) — never sees document boundaries.
+    *
+    * min distributes over union, so the two must agree EXACTLY for
+    * classic signatures (and provably would NOT for the densified OPH
+    * tier, whose bins copy neighbors — documented at
+    * [[graft.functions.MinHashClassicSig]]). Output one row per
+    * source: (source, n_docs, n_shingles, n_perms, merge_exact).
+    * The signatures are xxhash64-chains DuckDB cannot reproduce, so —
+    * the E174/E203 sketch-audit pattern — the oracle pins the exact
+    * integer counts and the machine-checked boolean.
+    */
+  def sourceSigMerge(docs: DataFrame, srcCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val merged = docs.select(col(srcCol).as("source"),
+        graft.functions.MinHashClassicSig(col(textCol), n, word = true)
+          .as("sig"))
+      .select(col("source"), posexplode(col("sig")).as(Seq("perm", "v")))
+      .groupBy(col("source"), col("perm"))
+      .agg(min(col("v")).as("merged_v"))
+    val srcShingles = docs.select(col(srcCol).as("source"),
+        explode(wordShingles(col(textCol), n)).as("x"))
+      .distinct().localCheckpoint(false)
+    val direct = srcShingles.select(col("source"),
+        posexplode(graft.functions.MinHashClassicSig(col("x"), n,
+          word = true)).as(Seq("perm", "v")))
+      .groupBy(col("source"), col("perm"))
+      .agg(min(col("v")).as("direct_v"))
+    val agree = merged.join(direct, Seq("source", "perm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_perms"),
+        sum(when(col("merged_v") === col("direct_v"), 1L).otherwise(0L))
+          .as("n_equal"))
+    docs.groupBy(col(srcCol).as("source")).agg(count(lit(1)).as("n_docs"))
+      .join(srcShingles.groupBy("source").agg(count(lit(1)).as("n_shingles")),
+        Seq("source"))
+      .join(agree, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_shingles"),
+        col("n_perms"), (col("n_equal") === col("n_perms")).as("merge_exact"))
+  }
+
   /** Blocked edit-distance near-dup pairs — the character-level fuzzy
     * tier of the dedup family (entity-resolution shape): docs sharing a
     * `prefixLen`-char blocking key are compared by Levenshtein distance

@@ -114,6 +114,48 @@ object MinHashSig {
     GraftBridge.column(MinHashSig(GraftBridge.expression(text), n, word))
 }
 
+/** The CLASSIC (32-permutation) signature — min over every permutation
+  * for every shingle, no OPH binning, no densification. 32× the fold
+  * work of [[MinHashSig]] per shingle, but it carries the property the
+  * OPH tier structurally cannot: the signature of a shingle-set UNION
+  * is the elementwise min of the parts' signatures (each permutation's
+  * min distributes over union), so shard/source-level signatures merge
+  * without re-sketching — the MinHash analogue of HLL cell merging
+  * (E108). Densified OPH breaks this: a densified bin holds a COPY of
+  * a neighbor bin, and min-merging copies yields values the union's
+  * own densification would not produce.
+  */
+case class MinHashClassicSig(child: Expression, n: Int, word: Boolean)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_classic_sig requires a string input, got ${t.sql}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def prettyName: String = "minhash_classic_sig"
+
+  override def nullSafeEval(s: Any): Any =
+    MinHashImpl.classicSigArray(s.asInstanceOf[UTF8String], n, word)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashImpl.classicSigArray($c, $n, $word);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashClassicSig =
+    copy(child = newChild)
+}
+
+object MinHashClassicSig {
+  /** Column-level entry point. */
+  def apply(text: Column, n: Int, word: Boolean): Column =
+    GraftBridge.column(MinHashClassicSig(GraftBridge.expression(text), n, word))
+}
+
 /** Static kernel (separate object so generated Java gets a static
   * forwarder unshadowed by the case class).
   */
@@ -258,6 +300,12 @@ object MinHashImpl {
   /** Boxed-array adapter for the [[MinHashSig]] expression. */
   def sigArray(text: UTF8String, n: Int, word: Boolean): ArrayData =
     new GenericArrayData(signature(text, n, word, oph = true))
+
+  /** Boxed-array adapter for [[MinHashClassicSig]] (no OPH, no
+    * densification — the min-merge-able form).
+    */
+  def classicSigArray(text: UTF8String, n: Int, word: Boolean): ArrayData =
+    new GenericArrayData(signature(text, n, word, oph = false))
 
   /** Hash bytes [start, end) once; then either fold all 32 permutation
     * chunks into the running minima (classic), or — OPH — route the one

@@ -141,6 +141,15 @@ object DedupQueries {
           max(col("np")).as("max_np"))
     }),
 
+    // E221: shard-merge MinHash algebra — per-source signatures via
+    // doc-level min-merge AND via the source's distinct-shingle set,
+    // compared permutation-for-permutation (min distributes over
+    // union, so classic signatures merge without re-sketching — the
+    // sketch-algebra property incremental shard ingest runs on).
+    "docs_sig_shard_merge" -> ((s, dir) =>
+      Dedup.sourceSigMerge(Tables.documents(s, dir), "source", "text",
+        WordN)),
+
     // Blocked edit-distance pairs (E91): Levenshtein ≤ 8 over the first
     // 64 chars, candidates restricted to docs sharing an 8-char prefix
     // block — the character-level fuzzy member of the dedup family,
@@ -529,6 +538,27 @@ object DedupQueries {
          |       CAST(sum(np * (df - 1)) AS BIGINT) AS cand_rows,
          |       CAST(max(np) AS BIGINT) AS max_np
          |FROM p GROUP BY df""".stripMargin,
+
+    // E221: exact per-source doc/distinct-shingle counts; the
+    // xxhash64 signature chains live only Spark-side, so the oracle
+    // pins the machine-checked equality boolean and the permutation
+    // count (the E174/E203 sketch-audit pattern).
+    "docs_sig_shard_merge" ->
+      s"""WITH d AS (SELECT doc_id, source, text,
+         |                  string_split(text, ' ') AS ws FROM documents),
+         |sh AS (SELECT source, doc_id,
+         |         CASE WHEN len(ws) >= 3
+         |              THEN list_distinct(list_transform(generate_series(1, len(ws)-2),
+         |                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+         |              ELSE [text] END AS s
+         |       FROM d),
+         |x AS (SELECT DISTINCT source, u.x FROM sh, unnest(s) AS u(x)),
+         |cnt AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+         |nsh AS (SELECT source, count(*) AS n_shingles FROM x GROUP BY source)
+         |SELECT c.source, c.n_docs, n.n_shingles,
+         |       CAST(${Dedup.NumPerms} AS BIGINT) AS n_perms,
+         |       true AS merge_exact
+         |FROM cnt c JOIN nsh n ON n.source = c.source""".stripMargin,
 
     // Same blocking + windowed Levenshtein; DuckDB's levenshtein is the
     // same unit-cost edit distance (Spark's thresholded form returns the

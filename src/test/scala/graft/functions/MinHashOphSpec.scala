@@ -94,4 +94,38 @@ class MinHashOphSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(oph == classic && oph.nonEmpty)
   }
+
+  test("shard-merge algebra (E221): classic signatures min-merge to " +
+      "exactly the union's signature; densified OPH structurally does " +
+      "NOT — the negative control that makes the classic tier " +
+      "load-bearing") {
+    def sigOf(text: String, classic: Boolean): Seq[Long] = {
+      val df = Seq(Tuple1(text)).toDF("t")
+      val c = if (classic) MinHashClassicSig(col("t"), 1, word = true)
+        else MinHashSig(col("t"), 1, word = true)
+      df.select(c).head().getSeq[Long](0)
+    }
+    // word 1-grams: "a b" has shingle set {a} ∪ {b} exactly
+    val (ca, cb, cab) = (sigOf("a", classic = true),
+      sigOf("b", classic = true), sigOf("a b", classic = true))
+    assert(ca.zip(cb).map { case (x, y) => math.min(x, y) } == cab,
+      "classic min-merge must equal the union signature exactly")
+    // densified OPH: 31 of 32 bins of a single-shingle doc are copies;
+    // min-merging copies yields values the union's own densification
+    // would not produce
+    val (oa, ob, oab) = (sigOf("a", classic = false),
+      sigOf("b", classic = false), sigOf("a b", classic = false))
+    assert(oa.zip(ob).map { case (x, y) => math.min(x, y) } != oab,
+      "OPH min-merge unexpectedly matched — the documented hazard " +
+        "would be vacuous")
+    // and the registered query's verdict holds corpus-wide
+    val rows = graft.queries.DedupQueries.queries("docs_sig_shard_merge")(
+      spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("merge_exact"),
+        s"merge/direct diverged for source ${r.getAs[String]("source")}")
+      assert(r.getAs[Long]("n_perms") == Dedup.NumPerms.toLong)
+    }
+  }
 }
