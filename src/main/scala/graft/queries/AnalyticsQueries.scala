@@ -556,6 +556,43 @@ object AnalyticsQueries {
         .select("doc_id", "source", "lang")
     }),
 
+    // E222: DYNAMIC partition pruning witness — the runtime
+    // counterpart of E49's static prune: the fact side is the
+    // lang-partitioned layout, the predicate lives on a DIM table
+    // (lang → language family, filtered to romance), so no static
+    // partition filter exists at plan time; Spark broadcasts the
+    // filtered dim and injects its lang set into the fact scan's
+    // partition filters at RUNTIME (DynamicPruningExpression —
+    // PartitionedScanSpec pins it on the executedPlan). At 100 TB
+    // this is the difference between scanning two language
+    // directories and scanning the corpus because the optimizer
+    // couldn't see through the join.
+    "docs_dpp_join" -> ((s, dir) => {
+      val out = Materialize.once(s"part_docs:$dir", dir) { p =>
+        Tables.documents(s, dir)
+          .write.mode("overwrite").partitionBy("lang").parquet(p)
+      }
+      // The dim must be an OPAQUE file table: derived inline, Catalyst
+      // constant-folds the family CASE into a STATIC fact-side
+      // partition filter (good, but then nothing is dynamic and the
+      // witness is vacuous) — read from parquet, the optimizer cannot
+      // see lang→family, so pruning must happen at runtime.
+      val dimOut = Materialize.once(s"lang_meta:$dir", dir) { p =>
+        Tables.documents(s, dir).select("lang").distinct()
+          .withColumn("family",
+            when(col("lang").isin("fr", "es", "it", "pt", "ro"), "romance")
+              .when(col("lang").isin("en", "de", "nl", "sv"), "germanic")
+              .otherwise("other"))
+          .write.mode("overwrite").parquet(p)
+      }
+      val dim = s.read.parquet(dimOut).filter(col("family") === "romance")
+      s.read.parquet(out)
+        .join(broadcast(dim), Seq("lang"))
+        .groupBy(col("lang"), col("family"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+    }),
+
     // Cohort retention: users bucketed by the week of their FIRST
     // event, then distinct-active counts per (cohort, week offset) —
     // the standard growth-analytics triangle. Two shuffles: the
@@ -1073,6 +1110,20 @@ object AnalyticsQueries {
         |SELECT from_type, to_type, n,
         |       round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
         |FROM c""".stripMargin,
+
+    // E222: the join semantics are plain SQL — the pruning itself is a
+    // plan property, pinned by PartitionedScanSpec on executedPlan.
+    "docs_dpp_join" ->
+      """WITH dim AS (SELECT DISTINCT lang,
+        |         CASE WHEN lang IN ('fr','es','it','pt','ro') THEN 'romance'
+        |              WHEN lang IN ('en','de','nl','sv') THEN 'germanic'
+        |              ELSE 'other' END AS family
+        |       FROM documents)
+        |SELECT d.lang, dim.family, count(*) AS n_docs,
+        |       CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+        |FROM documents d JOIN dim ON dim.lang = d.lang
+        |WHERE dim.family = 'romance'
+        |GROUP BY d.lang, dim.family""".stripMargin,
 
     "events_hll_merge" ->
       """SELECT count(DISTINCT CAST(ts AS DATE)) AS n_days,

@@ -37,4 +37,34 @@ class PartitionedScanSpec extends SparkSpec {
       .filter(col("lang") === "en").count()
     assert(back.count() == expected)
   }
+
+  test("E222: a dim-side family filter prunes the partitioned fact " +
+      "scan at RUNTIME (DynamicPruningExpression in partitionFilters)") {
+    val df = AnalyticsQueries.queries("docs_dpp_join")(spark, sfDir)
+    // the DPP subquery is planted by the optimizer, so it is visible
+    // on sparkPlan's scan; the query has exchanges, so executedPlan is
+    // an opaque AdaptiveSparkPlanExec a collect() cannot traverse
+    // (PlanAuditSpec convention)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec if s.relation.partitionSchema.nonEmpty => s
+    }
+    assert(scans.nonEmpty, "no partitioned file scan in plan")
+    // at sparkPlan stage the pruning filter is the unplanned
+    // DynamicPruningSubquery; AQE later plans it into a
+    // DynamicPruningExpression — match the shared DynamicPruning trait
+    val hasDpp = scans.exists(_.partitionFilters.exists(f =>
+      f.find(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.DynamicPruning])
+        .isDefined))
+    assert(hasDpp,
+      "no DynamicPruning filter reached the fact scan's partition " +
+        s"filters: ${scans.map(_.partitionFilters.mkString(";"))}")
+    // semantics: exactly the romance langs present in the fixture
+    val rows = df.collect()
+    assert(rows.map(_.getAs[String]("lang")).toSet == Set("fr", "es"))
+    assert(rows.forall(_.getAs[String]("family") == "romance"))
+    val expected = Tables.documents(spark, sfDir)
+      .filter(col("lang").isin("fr", "es")).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == expected)
+  }
 }
