@@ -296,4 +296,32 @@ object Sketches {
     }
     est
   }
+
+  /** Equi-join SIZE estimate from two Count-Min sketches over the join
+    * key (the AGMS/CM inner-product estimator): per hash row,
+    * Σᵢ A[r][i]·B[r][i] ≥ Σ_k f_A(k)·f_B(k) — the true join size plus
+    * only NON-NEGATIVE collision cross-terms, so each row's product
+    * OVERestimates deterministically and the min over depth rows is
+    * the tightest; E[overshoot per row] ≤ ‖f_A‖₁·‖f_B‖₁/width, so
+    * min over depth rows lands within e·n_A·n_B/width with
+    * probability ≥ 1 − e^−depth. This is how a planner prices a join
+    * between two 100 TB-scale relations from two 80 KiB summaries —
+    * no shuffle, no contact between the relations.
+    */
+  def cmsJoinEstimate(a: Seq[Long], b: Seq[Long],
+                      depth: Int = CmsDepth, width: Int = CmsWidth): Long = {
+    var est = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      var dot = 0L
+      var i = 0
+      while (i < width) {
+        dot += a(r * width + i) * b(r * width + i)
+        i += 1
+      }
+      if (dot < est) est = dot
+      r += 1
+    }
+    est
+  }
 }

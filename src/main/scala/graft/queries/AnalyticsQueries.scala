@@ -513,6 +513,41 @@ object AnalyticsQueries {
             .as("within_tol"))
     }),
 
+    // E223: CM-sketch JOIN-SIZE estimation (the AGMS inner-product
+    // estimator) — the click and purchase streams are summarized into
+    // two 80 KiB Count-Min sketches over user_id; the per-row sketch
+    // dot product overestimates the exact equi-join cardinality by
+    // only non-negative collision terms, so est ≥ exact holds
+    // DETERMINISTICALLY and min-over-depth lands within
+    // e·n_a·n_b/width w.h.p. — how a planner prices a join between
+    // two 100 TB relations from two summaries without the relations
+    // ever meeting. Sketch values are Murmur-indexed (not DuckDB-
+    // reproducible), so the oracle pins the exact integers and the
+    // machine-checked bound (the E66/E74/E92 sketch-audit pattern).
+    "events_join_size_cms" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id").cast("string").as("u"), col("event_type"))
+      val a = ev.filter(col("event_type") === "click")
+      val b = ev.filter(col("event_type") === "purchase")
+      val skA = a.agg(graft.ext.Sketches.countMin(col("u")).as("cms_a"),
+        count(lit(1)).as("n_a"))
+      val skB = b.agg(graft.ext.Sketches.countMin(col("u")).as("cms_b"),
+        count(lit(1)).as("n_b"))
+      val exact = a.groupBy("u").agg(count(lit(1)).as("fa"))
+        .join(b.groupBy("u").agg(count(lit(1)).as("fb")), "u")
+        .agg(coalesce(sum(col("fa") * col("fb")), lit(0L))
+          .as("exact_join_size"))
+      val est = udf((ta: Seq[Long], tb: Seq[Long]) =>
+        graft.ext.Sketches.cmsJoinEstimate(ta, tb))
+      skA.crossJoin(skB).crossJoin(exact)
+        .select(col("n_a"), col("n_b"), col("exact_join_size"),
+          (est(col("cms_a"), col("cms_b")) >= col("exact_join_size") &&
+            est(col("cms_a"), col("cms_b")) <= col("exact_join_size") +
+              ceil(lit(math.E) * col("n_a") * col("n_b") /
+                graft.ext.Sketches.CmsWidth).cast("long"))
+            .as("within_tol"))
+    }),
+
     // Approximate-quantile sketch with a machine-checked tolerance row
     // (the events_hll_check pattern): the KLL-style percentile_approx
     // at accuracy 100 guarantees rank error ≤ 1/100, so its p90 must
@@ -1146,6 +1181,20 @@ object AnalyticsQueries {
     "events_cms_check" ->
       """SELECT event_type, count(*) AS exact_n, true AS within_tol
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // E223: exact join cardinality between the two filtered streams;
+    // the estimate lives Spark-side only (Murmur-indexed sketches).
+    "events_join_size_cms" ->
+      """WITH a AS (SELECT user_id, count(*) AS fa FROM events
+        |           WHERE event_type = 'click' GROUP BY user_id),
+        |b AS (SELECT user_id, count(*) AS fb FROM events
+        |      WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT (SELECT CAST(sum(fa) AS BIGINT) FROM a) AS n_a,
+        |       (SELECT CAST(sum(fb) AS BIGINT) FROM b) AS n_b,
+        |       CAST(coalesce(sum(a.fa * b.fb), 0) AS BIGINT)
+        |         AS exact_join_size,
+        |       true AS within_tol
+        |FROM a JOIN b ON a.user_id = b.user_id""".stripMargin,
 
     "docs_global_rownum" ->
       """SELECT doc_id,

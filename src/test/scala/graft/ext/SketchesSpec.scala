@@ -146,6 +146,32 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("CMS join-size estimate over-estimates deterministically and " +
+      "lands within the e*nA*nB/width bound (E223)") {
+    val agg = new Sketches.CountMinAggregator()
+    val sa = (1 to 1500).map(i => s"u${i % 41}")
+    val sb = (1 to 1100).map(i => s"u${i % 29}")
+    val ta = agg.finish(sa.foldLeft(agg.zero)(agg.reduce))
+    val tb = agg.finish(sb.foldLeft(agg.zero)(agg.reduce))
+    val fa = sa.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val fb = sb.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val exact = fa.map { case (k, n) => n * fb.getOrElse(k, 0L) }.sum
+    val est = Sketches.cmsJoinEstimate(ta, tb)
+    assert(est >= exact, s"join estimate under-counted ($est < $exact)")
+    val slack = math.ceil(
+      math.E * sa.size.toLong * sb.size.toLong / Sketches.CmsWidth).toLong
+    assert(est <= exact + slack, s"est=$est exceeds $exact + $slack")
+    // disjoint key spaces: every row's dot product is pure collision
+    // noise, and the min over rows must stay within the same bound of 0
+    val sc = (1 to 800).map(i => s"w${i % 31}")
+    val tc = agg.finish(sc.foldLeft(agg.zero)(agg.reduce))
+    val estDisjoint = Sketches.cmsJoinEstimate(ta, tc)
+    val slack2 = math.ceil(
+      math.E * sa.size.toLong * sc.size.toLong / Sketches.CmsWidth).toLong
+    assert(estDisjoint <= slack2,
+      s"disjoint-key estimate $estDisjoint exceeds collision bound $slack2")
+  }
+
   test("CMS merge is exactly the sketch of the concatenated stream") {
     // Cell-wise counter addition means split+merge == sequential, bit
     // for bit — stronger than HLL/MG's order-insensitivity.
