@@ -49,6 +49,36 @@ object CurationQueries {
   val RepMaxEpochs = 4L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // E224: matched-pair construction for ablation evals — every
+    // treatment doc (source = src0) is paired with a distinct control
+    // doc agreeing on (lang, 256-char length bucket), pairing by rank
+    // order within the stratum (two per-stratum row_number windows —
+    // strata are small by construction, the window never sees the
+    // corpus globally); unmatched treatment docs drop (inner join) so
+    // the pair set is balanced BY CONSTRUCTION. The matched-control
+    // design removes the obvious confounders (language, length)
+    // before attributing a metric delta to the treatment source —
+    // the eval discipline behind "did adding source X help".
+    "docs_matched_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("len_bucket", (col("n_chars") / 256).cast("long"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"), col("len_bucket")).orderBy(col("doc_id"))
+      def ranked(p: org.apache.spark.sql.Column) = docs.filter(p)
+        .withColumn("rn", row_number().over(w))
+      val t = ranked(col("source") === MatchTreatmentSource)
+        .select(col("doc_id").as("treat_id"), col("lang"),
+          col("len_bucket"), col("rn"))
+      val c = ranked(col("source") =!= MatchTreatmentSource)
+        .select(col("doc_id").as("control_id"),
+          col("lang").as("c_lang"), col("len_bucket").as("c_lb"),
+          col("rn").as("c_rn"))
+      t.join(c, col("lang") === col("c_lang") &&
+          col("len_bucket") === col("c_lb") && col("rn") === col("c_rn"))
+        .select(col("treat_id"), col("control_id"), col("lang"),
+          col("len_bucket"))
+    }),
+
     // Benchmark decontamination: distinct word-3-gram overlap of every
     // corpus document against the held-out eval subset (doc_id % 11).
     // The eval n-gram set broadcasts; only matched rows shuffle.
@@ -811,7 +841,25 @@ object CurationQueries {
       s"regexp_replace($inner, '$pat', '$repl', 'g')"
     }
 
+  /** Treatment source for the E224 matched-pair construction. */
+  private[queries] val MatchTreatmentSource = "src0"
+
   val oracles: Map[String, String] = Map(
+    // E224: same strata, same (stratum, rank) pairing, inner join =
+    // drop unmatched treatment docs.
+    "docs_matched_pairs" ->
+      s"""WITH t AS (SELECT doc_id, lang, n_chars // 256 AS len_bucket,
+         |                  row_number() OVER (PARTITION BY lang, n_chars // 256
+         |                                     ORDER BY doc_id) AS rn
+         |           FROM documents WHERE source = '$MatchTreatmentSource'),
+         |c AS (SELECT doc_id, lang, n_chars // 256 AS len_bucket,
+         |             row_number() OVER (PARTITION BY lang, n_chars // 256
+         |                                ORDER BY doc_id) AS rn
+         |      FROM documents WHERE source <> '$MatchTreatmentSource')
+         |SELECT t.doc_id AS treat_id, c.doc_id AS control_id,
+         |       t.lang, CAST(t.len_bucket AS BIGINT) AS len_bucket
+         |FROM t JOIN c ON c.lang = t.lang AND c.len_bucket = t.len_bucket
+         |               AND c.rn = t.rn""".stripMargin,
     "docs_url_canonical" ->
       """WITH u AS (
         |  SELECT doc_id,

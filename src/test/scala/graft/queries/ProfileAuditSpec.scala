@@ -127,6 +127,27 @@ class ProfileAuditSpec extends SparkSpec {
     }
   }
 
+  test("matched pairs: controls are distinct, never from the treatment " +
+      "source, and agree with their treatment doc on every stratum key") {
+    val rows = CurationQueries.queries("docs_matched_pairs")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val controls = rows.map(_.getAs[Long]("control_id"))
+    assert(controls.distinct.length == controls.length,
+      "a control doc was matched twice")
+    val meta = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        (col("n_chars") / 256).cast("long").as("lb"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3))).toMap
+    rows.foreach { r =>
+      val (t, c) = (r.getAs[Long]("treat_id"), r.getAs[Long]("control_id"))
+      assert(meta(t)._1 == "src0" && meta(c)._1 != "src0")
+      assert(meta(t)._2 == meta(c)._2, s"lang mismatch in pair ($t, $c)")
+      assert(meta(t)._3 == meta(c)._3, s"length-bucket mismatch ($t, $c)")
+    }
+  }
+
   test("srp recall audit: srp pairs are a subset of truth, recall is " +
       "their ratio, and band_bits is the adaptive width") {
     val r = SimilarityQueries.queries("emb_srp_recall")(spark, sfDir).head()
