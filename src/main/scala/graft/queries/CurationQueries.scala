@@ -582,6 +582,61 @@ object CurationQueries {
           round(col("pw") / col("z"), 6).as("weight"))
     }),
 
+    // E225: water-filling token-budget allocation — the CAP-side
+    // complement of E183's mixture exponent: given a global token
+    // budget B, find the unique level L where capping every source at
+    // L makes the total Σ min(n_tokens, L) hit B — sources under the
+    // level keep everything, sources above are cut to L (the "fill
+    // water over the histogram" rule that allocates a fixed training
+    // budget without starving small sources). Exact integer
+    // arithmetic over the SOURCE table (|sources| rows — the corpus
+    // is scanned once for token counts, everything after is
+    // vocabulary-of-sources sized): sort sources by count, prefix
+    // sums, per-rank candidate level (B − P_{i−1}) / (n−i+1), pick
+    // the rank whose candidate lands in [c_{i−1}, c_i); budgets ≥ the
+    // corpus keep every token. The oracle replays the same windows
+    // and integer division.
+    "docs_token_budget" -> ((s, dir) => {
+      val per = Tables.documents(s, dir)
+        .select(col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy("source").agg(sum(col("n_tok")).as("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_tokens"), col("source"))
+      val wpre = w.rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+      // budget = ⌊90% of the corpus⌋ in exact integer arithmetic — a
+      // scale-relative budget, so a water level between the smallest
+      // and largest source exists at every SF (near-uniform sources:
+      // only the largest get cut)
+      val ranked = per
+        .withColumn("i", row_number().over(w))
+        .withColumn("p_prev", coalesce(sum(col("n_tokens")).over(wpre),
+          lit(0L)))
+        .crossJoin(broadcast(per.agg(count(lit(1)).as("n_src"),
+          sum(col("n_tokens")).as("total_tok"))))
+        .withColumn("budget", expr("(total_tok * 9) div 10"))
+      val cand = (col("budget") - col("p_prev")) /
+        (col("n_src") - col("i") + 1)
+      // valid segment: capping everyone from rank i onward at c_i
+      // meets the budget AND the candidate level falls below c_i; the
+      // FIRST such rank (min_by i) is the water segment. A budget ≥
+      // the corpus has no valid rank → level = max count (keep all).
+      val level = ranked
+        .withColumn("lcand", floor(cand).cast("long"))
+        .filter(col("p_prev") + (col("n_src") - col("i") + 1) *
+          col("n_tokens") >= col("budget") &&
+          col("lcand") < col("n_tokens"))
+        .agg(min_by(col("lcand"), col("i")).as("lvl"))
+      per.crossJoin(broadcast(level))
+        .crossJoin(broadcast(per.agg(max(col("n_tokens")).as("mx"))))
+        .withColumn("water_level", coalesce(col("lvl"), col("mx")))
+        .select(col("source"), col("n_tokens"),
+          least(col("n_tokens"), col("water_level")).as("allocated"),
+          (col("n_tokens") > col("water_level")).as("capped"),
+          col("water_level"))
+    }),
+
     // E186: the dictionary-as-DATA blocklist tier — the SAME verdict
     // as E177's literal-folded projection, but with doc tokens (and
     // adjacent-bigram phrases) semi-joined against a broadcast
@@ -1240,6 +1295,38 @@ object CurationQueries {
          |       round(percent_rank() OVER (PARTITION BY source
          |         ORDER BY quality, doc_id), 6) AS calibrated
          |FROM q""".stripMargin,
+
+    // E225: same sorted-source windows, same integer candidate levels,
+    // same first-valid-segment rule.
+    "docs_token_budget" ->
+      s"""WITH per AS (SELECT source,
+         |                    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+         |                      AS n_tokens
+         |             FROM documents GROUP BY source),
+         |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_src,
+         |              CAST(sum(n_tokens) AS BIGINT) AS total_tok,
+         |              CAST((sum(n_tokens) * 9) // 10 AS BIGINT) AS budget,
+         |              CAST(max(n_tokens) AS BIGINT) AS mx
+         |       FROM per),
+         |rk AS (SELECT source, n_tokens,
+         |              row_number() OVER (ORDER BY n_tokens, source) AS i,
+         |              coalesce(sum(n_tokens) OVER (ORDER BY n_tokens, source
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |                0) AS p_prev
+         |       FROM per),
+         |lv AS (SELECT CAST(min_by((tt.budget - rk.p_prev)
+         |                          // (tt.n_src - rk.i + 1), rk.i) AS BIGINT)
+         |                AS lvl
+         |       FROM rk, tt
+         |       WHERE rk.p_prev + (tt.n_src - rk.i + 1) * rk.n_tokens
+         |               >= tt.budget
+         |         AND (tt.budget - rk.p_prev) // (tt.n_src - rk.i + 1)
+         |               < rk.n_tokens)
+         |SELECT per.source, per.n_tokens,
+         |       least(per.n_tokens, coalesce(lv.lvl, tt.mx)) AS allocated,
+         |       per.n_tokens > coalesce(lv.lvl, tt.mx) AS capped,
+         |       coalesce(lv.lvl, tt.mx) AS water_level
+         |FROM per, lv, tt""".stripMargin,
 
     "docs_mixture_weights" ->
       s"""WITH per AS (SELECT source, count(*) AS n_docs,

@@ -148,6 +148,33 @@ class ProfileAuditSpec extends SparkSpec {
     }
   }
 
+  test("token budget: allocation hits the 90% budget to within the " +
+      "floor remainder, caps only above-level sources, and both " +
+      "branches are exercised") {
+    val rows = CurationQueries.queries("docs_token_budget")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    val budget = total * 9 / 10
+    val allocated = rows.map(_.getAs[Long]("allocated")).sum
+    val nCapped = rows.count(_.getAs[Boolean]("capped"))
+    assert(allocated <= budget, s"over budget: $allocated > $budget")
+    assert(budget - allocated < math.max(nCapped, 1),
+      s"left ${budget - allocated} tokens on the table with $nCapped " +
+        "capped sources — not a water level")
+    val level = rows.head.getAs[Long]("water_level")
+    rows.foreach { r =>
+      val (n, a, capped) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("allocated"), r.getAs[Boolean]("capped"))
+      assert(r.getAs[Long]("water_level") == level)
+      if (capped) assert(n > level && a == level)
+      else assert(n <= level && a == n)
+    }
+    assert(nCapped > 0 && nCapped < rows.length,
+      s"degenerate fixture: $nCapped/${rows.length} capped — the " +
+        "level must fall between source sizes")
+  }
+
   test("srp recall audit: srp pairs are a subset of truth, recall is " +
       "their ratio, and band_bits is the adaptive width") {
     val r = SimilarityQueries.queries("emb_srp_recall")(spark, sfDir).head()
