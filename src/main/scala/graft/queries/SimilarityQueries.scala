@@ -380,6 +380,58 @@ object SimilarityQueries {
       Similarity.farthestPointCoreset(
         corpus(s, dir).select(col("id"), col("vec")), CoresetK)),
 
+    // E226: ADC recall audit — the E163 discipline applied to E220:
+    // per query, (a) how many ADC top-k survive in the EXACT
+    // squared-L2 top-k (point-ranking recall: LOW by design on this
+    // fixture — 4×16 PQ over near-isotropic vectors with a
+    // 5-codeword-per-subspace codebook has 5⁴ code points for 500
+    // vectors, so within-top-5 ranking is mostly quantization noise;
+    // the audit MAKES that measurable instead of assumed), and (b)
+    // the SERVING-SHAPE recall: how many exact top-k appear in the
+    // ADC top-5k CANDIDATE set — candidates-then-exact-rerank is how
+    // PQ deploys, and that recall is what the rerank multiplier buys.
+    // Unlike the LSH/sketch audits, both sides are deterministic
+    // fixed-point pipelines, so every number is hash-checked — no
+    // pinned booleans. Deployment levers: trained (k-means) codebooks
+    // and more codewords; the audit re-prices them every round.
+    "emb_adc_recall" -> ((s, dir) => {
+      val c = corpus(s, dir).localCheckpoint(false)
+      val adcAll = Similarity.pqAdcTopK(c, PqSubspaces, PqSubDim,
+        NumQueries, K * AdcRerankMult)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .localCheckpoint(false)
+      val adcTop = adcAll.filter(col("rank") <= K)
+        .select(col("query_id"), col("neighbor_id"))
+      val q = c.filter(col("id") < NumQueries)
+        .select(col("id").as("qid"), col("vec").as("qv"))
+      val l2 = aggregate(
+        zip_with(col("qv"), col("vec"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+      val exact = q.join(c.select(col("id"), col("vec")),
+          col("id") =!= col("qid"))
+        .select(col("qid"), col("id"), l2.as("d"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("qid")).orderBy(col("d"), col("id"))))
+        .filter(col("rank") <= K)
+        .select(col("qid").as("query_id"), col("id").as("neighbor_id"))
+      val hits = adcTop.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("h"))
+      val candHits = adcAll.select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("ch"))
+      q.select(col("qid").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .join(candHits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("h"), lit(0L)).as("n_hits"),
+          round(coalesce(col("h"), lit(0L)).cast("double") /
+            lit(K.toDouble), 6).as("recall_at_k"),
+          coalesce(col("ch"), lit(0L)).as("n_cand_hits"),
+          round(coalesce(col("ch"), lit(0L)).cast("double") /
+            lit(K.toDouble), 6).as("recall_rerank"))
+    }),
+
     // E218: per-dimension embedding statistics + dead-dimension triage
     // — the embedding-QA companion to E88's per-cluster norms: one
     // partial-aggregatable pass emitting d rows (mean, variance via
@@ -495,6 +547,12 @@ object SimilarityQueries {
     * readable.
     */
   private[queries] val CoresetK = 8
+
+  /** Candidate multiplier for the E226 rerank-recall column: ADC
+    * serves as candidate generator at k·mult, exact rerank recovers
+    * the final top-k — the standard PQ serving shape.
+    */
+  private[queries] val AdcRerankMult = 5
 
   private val MProbe = 2   // cells probed per query in emb_topk_mprobe
   private val EvalN = 25   // vec_id < 25 play the benchmark/eval set
@@ -1119,6 +1177,51 @@ object SimilarityQueries {
     // assignment stage replayed through the twoLevelAssignSql block.
     "emb_adaptive_twolevel" ->
       adaptiveTwoLevelSql(TwoLevelWitnessPop, AdaptiveIters),
+
+    // E226: same ADC chain as E220 ranked to the rerank horizon, exact
+    // L2 ranking over raw vectors (same left-fold), per-query
+    // intersections at both cutoffs — fully value-checked.
+    "emb_adc_recall" ->
+      s"""$pqChainCte,
+         |co AS (SELECT id, m, cl FROM b WHERE rn = 1),
+         |qt AS (SELECT sv.id AS qid, sv.m, cw.cl,
+         |              round(list_reduce(list_transform(generate_series(1, $PqSubDim),
+         |                i -> (sv.sv[i] - cw.cvec[i]) * (sv.sv[i] - cw.cvec[i])),
+         |                (p, q) -> p + q), 6) AS dt
+         |       FROM sv JOIN cw ON sv.m = cw.m
+         |       WHERE sv.id < $NumQueries),
+         |sc AS (SELECT qt.qid, co.id, round(sum(qt.dt), 6) AS adc
+         |       FROM co JOIN qt ON qt.m = co.m AND qt.cl = co.cl
+         |       WHERE co.id <> qt.qid
+         |       GROUP BY qt.qid, co.id),
+         |adcr AS (SELECT qid, id, rank FROM (
+         |           SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |             ORDER BY adc, id) AS rank FROM sc)
+         |         WHERE rank <= ${K * AdcRerankMult}),
+         |exd AS (SELECT q.vec_id AS qid, e.vec_id AS id,
+         |               list_reduce(list_transform(generate_series(1, len(q.v)),
+         |                 i -> (q.v[i] - e.v[i]) * (q.v[i] - e.v[i])),
+         |                 (p, qq) -> p + qq) AS d
+         |        FROM e q JOIN e ON e.vec_id <> q.vec_id
+         |        WHERE q.vec_id < $NumQueries),
+         |exr AS (SELECT qid, id FROM (
+         |          SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |            ORDER BY d, id) AS rank FROM exd)
+         |        WHERE rank <= $K),
+         |h AS (SELECT a.qid, count(*) AS n FROM adcr a
+         |      JOIN exr x ON x.qid = a.qid AND x.id = a.id
+         |      WHERE a.rank <= $K GROUP BY a.qid),
+         |hc AS (SELECT a.qid, count(*) AS n FROM adcr a
+         |       JOIN exr x ON x.qid = a.qid AND x.id = a.id GROUP BY a.qid)
+         |SELECT q.vec_id AS query_id,
+         |       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+         |       round(CAST(coalesce(h.n, 0) AS DOUBLE) / $K, 6) AS recall_at_k,
+         |       CAST(coalesce(hc.n, 0) AS BIGINT) AS n_cand_hits,
+         |       round(CAST(coalesce(hc.n, 0) AS DOUBLE) / $K, 6)
+         |         AS recall_rerank
+         |FROM (SELECT DISTINCT vec_id FROM e WHERE vec_id < $NumQueries) q
+         |LEFT JOIN h ON h.qid = q.vec_id
+         |LEFT JOIN hc ON hc.qid = q.vec_id""".stripMargin,
 
     // E218: same explode + fixed-point moment arithmetic.
     "emb_dim_stats" ->

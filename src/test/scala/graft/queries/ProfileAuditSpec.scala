@@ -175,6 +175,25 @@ class ProfileAuditSpec extends SparkSpec {
         "level must fall between source sizes")
   }
 
+  test("adc recall audit: rerank recall dominates point recall, both " +
+      "bounded by k, and the ratios cross-foot") {
+    val rows = SimilarityQueries.queries("emb_adc_recall")(spark, sfDir)
+      .collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (h, ch) = (r.getAs[Long]("n_hits"), r.getAs[Long]("n_cand_hits"))
+      assert(h <= ch, "top-k hits must be a subset of candidate hits")
+      assert(ch <= 5, "cannot hit more than the k exact neighbors")
+      assert(math.abs(r.getAs[Double]("recall_at_k") - h / 5.0) < 1e-9)
+      assert(math.abs(r.getAs[Double]("recall_rerank") - ch / 5.0) < 1e-9)
+    }
+    // the rerank multiplier must BUY something corpus-wide — otherwise
+    // the serving-shape column is dead weight
+    assert(rows.map(_.getAs[Long]("n_cand_hits")).sum >
+      rows.map(_.getAs[Long]("n_hits")).sum,
+      "5x candidates recovered nothing over the point ranking")
+  }
+
   test("srp recall audit: srp pairs are a subset of truth, recall is " +
       "their ratio, and band_bits is the adaptive width") {
     val r = SimilarityQueries.queries("emb_srp_recall")(spark, sfDir).head()
