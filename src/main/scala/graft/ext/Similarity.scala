@@ -773,6 +773,65 @@ object Similarity {
         (-col("item.score")).as("adc"))
   }
 
+  /** Composed IVF-PQ search — the full ladder in one operator
+    * (brute force → IVF cells → PQ codes → THIS): each query routes
+    * to its `probe` best cells by centroid cosine (the E167 multi-
+    * probe rule), and ADC-ranks ONLY those cells' codes — candidate
+    * volume ≈ queries · probe · N/cells instead of queries · N, and
+    * the scan still touches integer codes only. This is the shape a
+    * billion-vector serving index actually runs: coarse quantizer
+    * prunes, product quantizer scores, (optionally) exact rerank on
+    * the survivors — E226 prices that last step. Same fixed-point
+    * table entries, same (adc, id) ties, same bounded-heap top-k as
+    * [[pqAdcTopK]].
+    */
+  def pqIvfTopK(vecs: DataFrame, numSub: Int, subDim: Int,
+      numQueries: Int, k: Int, probe: Int): DataFrame = {
+    val cw = pqCodewordVecs(pqCodebooks(vecs, subDim))
+    val cvecs = centroidVectors(centroids(vecs))
+    val q = vecs.filter(col("id") < numQueries)
+      .select(col("id").as("qid"), col("vec").as("qv"))
+    // probe list: queries × cells rows — tiny, window fine
+    val probes = q.join(broadcast(cvecs))
+      .select(col("qid"), col("cpart"),
+        cosine(col("qv"), col("cvec")).as("cs"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("cs").desc, col("cpart"))))
+      .filter(col("rn") <= probe)
+      .select(col("qid"), col("cpart"))
+    val qsub = q
+      .select(col("qid"),
+        explode(sequence(lit(0), lit(numSub - 1))).as("m"), col("qv"))
+      .select(col("qid"), col("m"),
+        slice(col("qv"), col("m") * subDim + 1, lit(subDim)).as("sv"))
+    val d = aggregate(
+      zip_with(col("sv"), col("cvec"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val tables = qsub.join(broadcast(cw), "m")
+      .select(col("qid"), col("m"), col("cl"), round(d, 6).as("dt"))
+    // IVF prune FIRST: codes of probed cells only, per query
+    val codes = pqEncode(vecs, numSub, subDim)
+      .join(vecs.select(col("id").as("pid"), col("part")),
+        col("id") === col("pid"))
+      .join(broadcast(probes), col("part") === col("cpart"))
+      .filter(col("id") =!= col("qid"))
+    val longCodes = codes.select(col("qid"), col("id"), posexplode(
+        array((0 until numSub).map(m => col(s"c$m")): _*))
+      .as(Seq("m", "cl")))
+    val scored = longCodes.join(broadcast(tables), Seq("qid", "m", "cl"))
+      .groupBy(col("qid"), col("id"))
+      .agg(round(sum(col("dt")), 6).as("adc"))
+    scored.select(col("qid"), col("id"), (-col("adc")).as("score"))
+      .groupBy(col("qid"))
+      .agg(topkUdaf(k)(col("score"), col("id")).as("topk"))
+      .select(col("qid").as("query_id"),
+        posexplode(col("topk").getField("items")).as(Seq("pos", "item")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("item.id").as("neighbor_id"),
+        (-col("item.score")).as("adc"))
+  }
+
   def pqEncode(vecs: DataFrame, numSub: Int, subDim: Int): DataFrame = {
     val cw = pqCodewordVecs(pqCodebooks(vecs, subDim))
     val sub = vecs.select(col("id"),

@@ -380,6 +380,18 @@ object SimilarityQueries {
       Similarity.farthestPointCoreset(
         corpus(s, dir).select(col("id"), col("vec")), CoresetK)),
 
+    // E227: composed IVF-PQ search — the ANN ladder's capstone: the
+    // coarse quantizer routes each query to its top-2 cells (E167's
+    // multi-probe rule), the product quantizer ADC-ranks only those
+    // cells' integer codes (candidates ≈ probe/cells of the corpus,
+    // scan never touches raw vectors), the bounded heap caps the
+    // shuffle at k rows per query. The oracle composes the centroid,
+    // probe, codebook, code, and table chains and replays the whole
+    // search value-for-value.
+    "emb_topk_ivfpq" -> ((s, dir) =>
+      Similarity.pqIvfTopK(corpus(s, dir), PqSubspaces, PqSubDim,
+        NumQueries, KIvf, MProbe)),
+
     // E226: ADC recall audit — the E163 discipline applied to E220:
     // per query, (a) how many ADC top-k survive in the EXACT
     // squared-L2 top-k (point-ranking recall: LOW by design on this
@@ -1177,6 +1189,45 @@ object SimilarityQueries {
     // assignment stage replayed through the twoLevelAssignSql block.
     "emb_adaptive_twolevel" ->
       adaptiveTwoLevelSql(TwoLevelWitnessPop, AdaptiveIters),
+
+    // E227: centroid + probe chains composed onto the PQ chain; the
+    // candidate set is pruned to probed cells BEFORE scoring, exactly
+    // like the Spark plan.
+    "emb_topk_ivfpq" ->
+      s"""$pqChainCte,
+         |cent2 AS (SELECT label AS cpart, dim, round(sum(val) / count(*), 6) AS c
+         |          FROM x GROUP BY label, dim),
+         |cv2 AS (SELECT cpart, list(c ORDER BY dim) AS cvec
+         |        FROM cent2 GROUP BY cpart),
+         |qq AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < $NumQueries),
+         |pc AS (SELECT qq.qid, cv2.cpart, ${cosSql("qq.v", "cv2.cvec")} AS cs
+         |       FROM qq CROSS JOIN cv2),
+         |pr AS (SELECT qid, cpart FROM (
+         |         SELECT qid, cpart, row_number() OVER (PARTITION BY qid
+         |           ORDER BY cs DESC, cpart) AS rn FROM pc)
+         |       WHERE rn <= $MProbe),
+         |co AS (SELECT id, m, cl FROM b WHERE rn = 1),
+         |qt AS (SELECT sv.id AS qid, sv.m, cw.cl,
+         |              round(list_reduce(list_transform(generate_series(1, $PqSubDim),
+         |                i -> (sv.sv[i] - cw.cvec[i]) * (sv.sv[i] - cw.cvec[i])),
+         |                (p, q) -> p + q), 6) AS dt
+         |       FROM sv JOIN cw ON sv.m = cw.m
+         |       WHERE sv.id < $NumQueries),
+         |cand AS (SELECT pr.qid, co.id, co.m, co.cl
+         |         FROM co JOIN e ON e.vec_id = co.id
+         |                 JOIN pr ON pr.cpart = e.label
+         |         WHERE co.id <> pr.qid),
+         |sc2 AS (SELECT c.qid, c.id, round(sum(qt.dt), 6) AS adc
+         |        FROM cand c JOIN qt ON qt.qid = c.qid AND qt.m = c.m
+         |                            AND qt.cl = c.cl
+         |        GROUP BY c.qid, c.id),
+         |rr2 AS (SELECT qid, id, adc,
+         |               row_number() OVER (PARTITION BY qid
+         |                                  ORDER BY adc, id) AS rank
+         |        FROM sc2)
+         |SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank,
+         |       id AS neighbor_id, adc
+         |FROM rr2 WHERE rank <= $KIvf""".stripMargin,
 
     // E226: same ADC chain as E220 ranked to the rerank horizon, exact
     // L2 ranking over raw vectors (same left-fold), per-query

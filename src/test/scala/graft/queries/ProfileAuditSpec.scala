@@ -175,6 +175,46 @@ class ProfileAuditSpec extends SparkSpec {
         "level must fall between source sizes")
   }
 
+  test("ivf-pq: every returned neighbor lives in one of its query's " +
+      "probed cells, and ranks are dense per query") {
+    import graft.ext.Similarity
+    val c = SimilarityQueries.corpus(spark, sfDir).localCheckpoint(false)
+    val rows = SimilarityQueries.queries("emb_topk_ivfpq")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val cells = c.select(col("id"), col("part"))
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[Number](1).longValue()).toMap
+    // recompute the probe list from scratch (same rule as the op)
+    val cvecs = Similarity.centroidVectors(Similarity.centroids(c))
+      .collect().map(r =>
+        r.getAs[Number](r.fieldIndex("cpart")).longValue() ->
+          r.getSeq[Double](r.fieldIndex("cvec")))
+    val qvecs = c.filter(col("id") < 10).collect()
+      .map(r => r.getAs[Long]("id") ->
+        r.getSeq[Double](r.fieldIndex("vec"))).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val n = math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum)
+      if (n == 0.0) 0.0 else d / n
+    }
+    val probed = qvecs.map { case (q, qv) =>
+      q -> cvecs.map { case (p, cv) => (p, cos(qv, cv)) }
+        .sortBy { case (p, s) => (-s, p) }.take(2).map(_._1).toSet
+    }
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq ==
+        (1 to rs.length), s"ranks not dense for query $q")
+      rs.foreach { r =>
+        val n = r.getAs[Long]("neighbor_id")
+        assert(n != q, "self in top-k")
+        assert(probed(q).contains(cells(n)),
+          s"neighbor $n of query $q is outside the probed cells")
+      }
+    }
+  }
+
   test("adc recall audit: rerank recall dominates point recall, both " +
       "bounded by k, and the ratios cross-foot") {
     val rows = SimilarityQueries.queries("emb_adc_recall")(spark, sfDir)
