@@ -696,6 +696,49 @@ object Dedup {
     * Spark's thresholded `levenshtein` (early-exits DP rows above
     * `maxDist`, returning -1 — strictly faster, same surviving pairs).
     */
+  /** Sorted-neighborhood edit-distance near-dup pairs (E229) — the
+    * classic SECOND PASS of multi-pass blocking (Hernández & Stolfo's
+    * SNM): E91's equi-block dies exactly when an edit touches the
+    * blocking key, so this pass sorts the corpus by a DIFFERENT key —
+    * the reversed text head, i.e. document ENDINGS — and compares each
+    * row only to its `window` successors in sort order. A pair whose
+    * first characters diverge but whose tail is stable lands adjacent
+    * here and is found; candidate volume is EXACTLY N·window by
+    * construction (no skew: a hot block cannot blow up, unlike
+    * equi-blocking), the known trade being that near-pairs > window
+    * apart in sort order are missed (classic SNM: add passes, not
+    * window).
+    *
+    * Scale shape: the global sort rides [[graft.operators.GlobalIndex]]
+    * (range exchange + per-partition numbering — never a one-partition
+    * window); successor pairing is an EQUI-join on rn+j (each row
+    * exploded into `window` probe rows), so the whole pipeline is
+    * codegen joins and one bounded explode.
+    */
+  def editDistanceSnmPairs(docs: DataFrame, idColName: String,
+      textColName: String, keyLen: Int, window: Int, headLen: Int,
+      maxDist: Int): DataFrame = {
+    val base = docs.select(col(idColName).as("id"),
+      substring(reverse(col(textColName)), 1, keyLen).as("k"),
+      substring(col(textColName), 1, headLen).as("head"))
+    val rn = graft.operators.GlobalIndex.globalRowNumbers(
+      base.withColumn("ord", struct(col("k"), col("id"))), "ord",
+      docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id"), col("head"), col("row_num"))
+    val probes = rn
+      .select(col("id").as("id_a"), col("head").as("head_a"),
+        col("row_num").as("ra"),
+        explode(sequence(lit(1), lit(window))).as("j"))
+      .select(col("id_a"), col("head_a"), (col("ra") + col("j")).as("rb"))
+    probes.join(rn.select(col("id").as("id_b"), col("head").as("head_b"),
+        col("row_num").as("rb")), "rb")
+      .withColumn("dist", levenshtein(col("head_a"), col("head_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        col("dist").cast("int").as("dist"))
+  }
+
   def editDistancePairs(docs: DataFrame, idColName: String, textColName: String,
                         prefixLen: Int, window: Int, maxDist: Int): DataFrame = {
     val keyed = docs.select(col(idColName).as("id"),

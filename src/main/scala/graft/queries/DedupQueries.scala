@@ -158,6 +158,15 @@ object DedupQueries {
       Dedup.editDistancePairs(Tables.documents(s, dir), "doc_id", "text",
         prefixLen = 8, window = 64, maxDist = 8)),
 
+    // E229: the sorted-neighborhood SECOND PASS — sorted by the
+    // reversed text head (document endings), each row compared to its
+    // 4 sort-order successors: finds the pairs whose leading edit
+    // breaks E91's prefix block, with candidate volume pinned at
+    // exactly N·window regardless of key skew.
+    "docs_editdist_snm" -> ((s, dir) =>
+      Dedup.editDistanceSnmPairs(Tables.documents(s, dir), "doc_id",
+        "text", keyLen = 24, window = 4, headLen = 64, maxDist = 8)),
+
     // 60-bit SimHash fingerprint per document — native scan-side
     // expression (graft.functions.SimHash60; A/B-pinned against the
     // explode+aggregate form, which remains for tests).
@@ -570,6 +579,19 @@ object DedupQueries {
         |       CAST(levenshtein(a.head, b.head) AS INTEGER) AS dist
         |FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.head, b.head) <= 8""".stripMargin,
+
+    // E229: same reversed-head sort key, same rn-successor pairing.
+    "docs_editdist_snm" ->
+      """WITH d AS (SELECT doc_id, substr(reverse(text), 1, 24) AS k,
+        |                  substr(text, 1, 64) AS head FROM documents),
+        |r AS (SELECT doc_id, head,
+        |             row_number() OVER (ORDER BY k, doc_id) AS rn FROM d),
+        |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |             levenshtein(a.head, b.head) AS dist
+        |      FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4)
+        |SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+        |       CAST(dist AS INTEGER) AS dist
+        |FROM p WHERE dist <= 8""".stripMargin,
 
     "docs_simhash" -> s"$simhashCte SELECT doc_id, simhash FROM sh",
 

@@ -234,6 +234,37 @@ class ProfileAuditSpec extends SparkSpec {
       "5x candidates recovered nothing over the point ranking")
   }
 
+  test("snm edit-distance pass: a planted LEADING edit is found by the " +
+      "sorted-endings pass and structurally missed by the prefix " +
+      "block — the multi-pass claim, proven") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val original = docs.orderBy("doc_id").head()
+    val text = original.getAs[String]("text")
+    assume(text.length > 20)
+    // copy with the FIRST 6 chars replaced: different 8-char prefix
+    // block (E91 cannot pair them), identical ending (SNM sorts them
+    // adjacent)
+    val edited = "QQQQQQ" + text.substring(6)
+    val planted = docs.unionByName(
+      Seq((maxId + 1L, edited, original.getAs[String]("lang"),
+        "planted", edited.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val dir = java.nio.file.Files.createTempDirectory("snm").toString
+    planted.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val origId = original.getAs[Long]("doc_id")
+    val snm = DedupQueries.queries("docs_editdist_snm")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(snm.contains((origId, maxId + 1L)),
+      "sorted-endings pass missed the planted leading-edit pair")
+    val blocked = DedupQueries.queries("docs_editdist_pairs")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(!blocked.contains((origId, maxId + 1L)),
+      "prefix block unexpectedly found the leading-edit pair — the " +
+        "SNM pass would be redundant")
+  }
+
   test("srp recall audit: srp pairs are a subset of truth, recall is " +
       "their ratio, and band_bits is the adaptive width") {
     val r = SimilarityQueries.queries("emb_srp_recall")(spark, sfDir).head()
