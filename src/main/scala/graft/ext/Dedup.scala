@@ -696,7 +696,7 @@ object Dedup {
     * Spark's thresholded `levenshtein` (early-exits DP rows above
     * `maxDist`, returning -1 — strictly faster, same surviving pairs).
     */
-  /** Sorted-neighborhood edit-distance near-dup pairs (E229) — the
+  /** Sorted-neighborhood edit-distance near-dup pairs (E228) — the
     * classic SECOND PASS of multi-pass blocking (Hernández & Stolfo's
     * SNM): E91's equi-block dies exactly when an edit touches the
     * blocking key, so this pass sorts the corpus by a DIFFERENT key —

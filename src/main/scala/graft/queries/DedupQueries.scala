@@ -158,7 +158,7 @@ object DedupQueries {
       Dedup.editDistancePairs(Tables.documents(s, dir), "doc_id", "text",
         prefixLen = 8, window = 64, maxDist = 8)),
 
-    // E229: the sorted-neighborhood SECOND PASS — sorted by the
+    // E228: the sorted-neighborhood SECOND PASS — sorted by the
     // reversed text head (document endings), each row compared to its
     // 4 sort-order successors: finds the pairs whose leading edit
     // breaks E91's prefix block, with candidate volume pinned at
@@ -580,7 +580,7 @@ object DedupQueries {
         |FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.head, b.head) <= 8""".stripMargin,
 
-    // E229: same reversed-head sort key, same rn-successor pairing.
+    // E228: same reversed-head sort key, same rn-successor pairing.
     "docs_editdist_snm" ->
       """WITH d AS (SELECT doc_id, substr(reverse(text), 1, 24) AS k,
         |                  substr(text, 1, 64) AS head FROM documents),
