@@ -513,6 +513,40 @@ object AnalyticsQueries {
             .as("within_tol"))
     }),
 
+    // E230: linear multi-touch attribution — every purchase splits one
+    // unit of credit equally across the user's clicks in the 24 h
+    // before it; credit is then rolled up by click hour (the marketing
+    // twin of E57's funnel: funnel counts who converted, attribution
+    // prices which touches drove it). The click×purchase range join
+    // uses E27's hour-bucket replication (each purchase fans to its
+    // window's 25 hour buckets; the join is then an EQUI join on
+    // (user, bucket) + an exact range filter — codegen, no
+    // inequality-join nested loop), and the per-purchase click count
+    // joins back on the already-shuffled purchase key.
+    "events_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"),
+          col("ts").as("pts"))
+      val phb = (unix_timestamp(col("pts")) / 3600).cast("long")
+      val pb = purchases.withColumn("hb",
+        explode(sequence(phb - 24, phb)))
+      val cb = clicks.withColumn("hb",
+        (unix_timestamp(col("cts")) / 3600).cast("long"))
+      val matched = cb.join(pb, Seq("user_id", "hb"))
+        .filter(col("cts") < col("pts") &&
+          col("cts") >= col("pts") - expr("INTERVAL 24 HOURS"))
+        .select(col("user_id"), col("pid"), col("cts"))
+      val perPurchase = matched.groupBy(col("pid"))
+        .agg(count(lit(1)).as("n"))
+      matched.join(perPurchase, Seq("pid"))
+        .groupBy(date_trunc("hour", col("cts")).as("click_hour"))
+        .agg(count(lit(1)).as("n_credited"),
+          round(sum(lit(1.0) / col("n")), 6).as("credit"))
+    }),
+
     // E223: CM-sketch JOIN-SIZE estimation (the AGMS inner-product
     // estimator) — the click and purchase streams are summarized into
     // two 80 KiB Count-Min sketches over user_id; the per-row sketch
@@ -1181,6 +1215,24 @@ object AnalyticsQueries {
     "events_cms_check" ->
       """SELECT event_type, count(*) AS exact_n, true AS within_tol
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // E230: plain inequality join over the same 24 h window — the
+    // bucket replication is a physical strategy, not a semantic.
+    "events_attribution" ->
+      """WITH c AS (SELECT user_id, ts AS cts FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS pid, ts AS pts FROM events
+        |      WHERE event_type = 'purchase'),
+        |m AS (SELECT c.user_id, p.pid, c.cts
+        |      FROM c JOIN p ON p.user_id = c.user_id
+        |        AND c.cts < p.pts
+        |        AND c.cts >= p.pts - INTERVAL 24 HOUR),
+        |n AS (SELECT pid, count(*) AS n FROM m GROUP BY pid)
+        |SELECT date_trunc('hour', m.cts) AS click_hour,
+        |       count(*) AS n_credited,
+        |       round(sum(CAST(1.0 AS DOUBLE) / n.n), 6) AS credit
+        |FROM m JOIN n ON n.pid = m.pid
+        |GROUP BY 1""".stripMargin,
 
     // E223: exact join cardinality between the two filtered streams;
     // the estimate lives Spark-side only (Murmur-indexed sketches).

@@ -265,6 +265,28 @@ class ProfileAuditSpec extends SparkSpec {
         "SNM pass would be redundant")
   }
 
+  test("attribution: total credit equals the number of purchases with " +
+      "at least one prior-24h click — conservation, the property that " +
+      "makes attribution an accounting identity") {
+    val rows = AnalyticsQueries.queries("events_attribution")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val totalCredit = rows.map(_.getAs[Double]("credit")).sum
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .collect()
+    val clicks = ev.filter(_.getString(2) == "click")
+      .map(r => r.getLong(1) -> r.getTimestamp(3).getTime)
+    val attributed = ev.filter(_.getString(2) == "purchase").count { p =>
+      val (u, t) = (p.getLong(1), p.getTimestamp(3).getTime)
+      clicks.exists { case (cu, ct) =>
+        cu == u && ct < t && ct >= t - 24L * 3600 * 1000 }
+    }
+    assert(math.abs(totalCredit - attributed) < 0.01,
+      s"credit $totalCredit != $attributed attributed purchases")
+    assert(attributed > 0, "vacuous: no purchase has a prior click")
+  }
+
   test("srp recall audit: srp pairs are a subset of truth, recall is " +
       "their ratio, and band_bits is the adaptive width") {
     val r = SimilarityQueries.queries("emb_srp_recall")(spark, sfDir).head()
