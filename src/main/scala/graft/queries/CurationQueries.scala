@@ -637,6 +637,34 @@ object CurationQueries {
           col("water_level"))
     }),
 
+    // E229: annealed mixture SCHEDULE — E183's temperature exponent
+    // turned into a training curriculum: epoch e samples with
+    // α_e ∈ {0.3, 0.5, 0.8, 1.0}, flattest (most source-diverse)
+    // first, converging to natural token shares by the last epoch —
+    // the anneal-to-natural recipe multi-source pretraining runs so
+    // early epochs don't overfit the dominant source. One corpus scan
+    // for token counts; the schedule itself is |epochs|×|sources|
+    // rows of broadcast arithmetic, normalized per epoch.
+    "docs_mixture_anneal" -> ((s, dir) => {
+      import s.implicits._
+      val per = Tables.documents(s, dir)
+        .select(col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy("source").agg(sum(col("n_tok")).as("n_tokens"))
+      val tot = per.agg(sum(col("n_tokens")).as("t"))
+      val alphas = AnnealAlphas.zipWithIndex
+        .map { case (a, e) => (e, a) }.toDF("epoch", "alpha")
+      val powed = per.crossJoin(broadcast(tot))
+        .crossJoin(broadcast(alphas))
+        .withColumn("pw", pow(
+          col("n_tokens").cast("double") / col("t").cast("double"),
+          col("alpha")))
+      val z = powed.groupBy("epoch").agg(sum(col("pw")).as("z"))
+      powed.join(z, Seq("epoch"))
+        .select(col("epoch"), col("source"), col("alpha"),
+          round(col("pw") / col("z"), 6).as("weight"))
+    }),
+
     // E186: the dictionary-as-DATA blocklist tier — the SAME verdict
     // as E177's literal-folded projection, but with doc tokens (and
     // adjacent-bigram phrases) semi-joined against a broadcast
@@ -898,6 +926,12 @@ object CurationQueries {
 
   /** Treatment source for the E224 matched-pair construction. */
   private[queries] val MatchTreatmentSource = "src0"
+
+  /** Per-epoch temperature schedule for E229 — flattest first,
+    * natural shares last; exact decimal literals so both engines pow
+    * the identical doubles.
+    */
+  private[queries] val AnnealAlphas: Seq[Double] = Seq(0.3, 0.5, 0.8, 1.0)
 
   val oracles: Map[String, String] = Map(
     // E224: same strata, same (stratum, rank) pairing, inner join =
@@ -1327,6 +1361,27 @@ object CurationQueries {
          |       per.n_tokens > coalesce(lv.lvl, tt.mx) AS capped,
          |       coalesce(lv.lvl, tt.mx) AS water_level
          |FROM per, lv, tt""".stripMargin,
+
+    // E229: per-epoch alphas as a VALUES spine, E183's pow/normalize
+    // replayed per epoch.
+    "docs_mixture_anneal" -> {
+      val vals = AnnealAlphas.zipWithIndex
+        .map { case (a, e) => s"($e, CAST($a AS DOUBLE))" }.mkString(", ")
+      s"""WITH per AS (SELECT source,
+         |                    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+         |                      AS n_tokens
+         |             FROM documents GROUP BY source),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM per),
+         |ep(epoch, alpha) AS (VALUES $vals),
+         |p AS (SELECT ep.epoch, per.source, ep.alpha,
+         |             pow(CAST(per.n_tokens AS DOUBLE) / CAST(t.t AS DOUBLE),
+         |                 ep.alpha) AS pw
+         |      FROM per CROSS JOIN t CROSS JOIN ep),
+         |z AS (SELECT epoch, sum(pw) AS z FROM p GROUP BY epoch)
+         |SELECT p.epoch, p.source, p.alpha,
+         |       round(p.pw / z.z, 6) AS weight
+         |FROM p JOIN z ON z.epoch = p.epoch""".stripMargin
+    },
 
     "docs_mixture_weights" ->
       s"""WITH per AS (SELECT source, count(*) AS n_docs,

@@ -287,6 +287,36 @@ class ProfileAuditSpec extends SparkSpec {
     assert(attributed > 0, "vacuous: no purchase has a prior click")
   }
 
+  test("mixture anneal: each epoch's weights sum to 1, the last epoch " +
+      "is natural token shares, and dispersion shrinks monotonically " +
+      "toward it") {
+    val rows = CurationQueries.queries("docs_mixture_anneal")(spark, sfDir)
+      .collect()
+    val byEpoch = rows.groupBy(_.getAs[Int]("epoch"))
+    assert(byEpoch.keySet == Set(0, 1, 2, 3))
+    byEpoch.values.foreach { rs =>
+      assert(math.abs(rs.map(_.getAs[Double]("weight")).sum - 1.0) < 1e-4)
+    }
+    // the last epoch (alpha = 1) must BE the natural share
+    val per = Tables.documents(spark, sfDir)
+      .select(col("source"), size(split(col("text"), " ")).as("n"))
+      .groupBy("source").agg(sum(col("n")).as("nt")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("nt")).toMap
+    val total = per.values.sum.toDouble
+    byEpoch(3).foreach { r =>
+      val natural = per(r.getAs[String]("source")) / total
+      assert(math.abs(r.getAs[Double]("weight") - natural) < 1e-4,
+        s"epoch 3 weight is not the natural share for ${r.getString(1)}")
+    }
+    // annealing flattens early epochs: max weight grows with alpha
+    // when the natural distribution is non-uniform
+    val maxByEpoch = (0 to 3).map(e =>
+      byEpoch(e).map(_.getAs[Double]("weight")).max)
+    maxByEpoch.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-9, "dominant-source weight shrank as alpha grew")
+    }
+  }
+
   test("srp recall audit: srp pairs are a subset of truth, recall is " +
       "their ratio, and band_bits is the adaptive width") {
     val r = SimilarityQueries.queries("emb_srp_recall")(spark, sfDir).head()
