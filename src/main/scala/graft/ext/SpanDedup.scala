@@ -115,8 +115,9 @@ object SpanDedup {
     * circuit on the null join miss before the HOF runs.
     */
   def exciseSpans(docs: DataFrame, idCol: String, textCol: String,
-                  n: Int, minDocs: Int): DataFrame = {
-    val spans = duplicatedSpans(docs, idCol, textCol, n, minDocs)
+                  n: Int, minDocs: Int,
+                  fastKeys: Boolean = false): DataFrame = {
+    val spans = duplicatedSpans(docs, idCol, textCol, n, minDocs, fastKeys)
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"),
         count(lit(1)).as("n_spans"),

@@ -277,6 +277,16 @@ object DedupQueries {
       graft.ext.SpanDedup.exciseSpans(
         Tables.documents(s, dir), "doc_id", "text", SpanN, 2)),
 
+    // E231: the excision stage on the E214 xxhash64 production keys —
+    // completing the fast tier end to end (find AND cut). Same
+    // one-truth oracle as the md5 row: a 64-bit gram-key collision is
+    // the only possible divergence, so the hash check asserts the
+    // rewritten corpus is byte-identical under either digest.
+    "docs_span_excise_fast" -> ((s, dir) =>
+      graft.ext.SpanDedup.exciseSpans(
+        Tables.documents(s, dir), "doc_id", "text", SpanN, 2,
+        fastKeys = true)),
+
     // E174: MinHash estimator accuracy audit — the sketch-tolerance
     // row for the dedup tier (the E66/E74/E92 pattern): for every
     // verified near-dup pair, the signature-agreement Jaccard estimate
@@ -475,6 +485,55 @@ object DedupQueries {
        |       CAST(max(pos) + ${SpanN - 1} AS INTEGER) AS span_end,
        |       CAST(max(pos) + $SpanN - min(pos) AS INTEGER) AS span_tokens
        |FROM i GROUP BY doc_id, isl""".stripMargin
+
+  /** One excision truth for both the md5 (E206) and xxhash64
+    * (E231) cut tiers (same argument as [[dupSpansSql]]).
+    */
+  private lazy val exciseSpansSql: String =
+    s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+         |           FROM documents),
+         |g AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+         |             md5(array_to_string(ws[u.i + 1 : u.i + $SpanN], ' ')) AS gh
+         |      FROM d, unnest(generate_series(0, len(ws) - $SpanN)) AS u(i)),
+         |dup AS (SELECT gh FROM (
+         |          SELECT gh, count(DISTINCT doc_id) AS nd FROM g GROUP BY gh)
+         |        WHERE nd >= 2),
+         |h AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+         |m AS (SELECT doc_id, pos,
+         |        CASE WHEN pos - lag(pos) OVER
+         |               (PARTITION BY doc_id ORDER BY pos) <= $SpanN
+         |             THEN 0 ELSE 1 END AS brk
+         |      FROM h),
+         |i AS (SELECT doc_id, pos,
+         |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |                       ROWS UNBOUNDED PRECEDING) AS isl
+         |      FROM m),
+         |sp AS (SELECT doc_id, min(pos) AS span_start,
+         |              max(pos) + ${SpanN - 1} AS span_end,
+         |              max(pos) + $SpanN - min(pos) AS span_tokens
+         |       FROM i GROUP BY doc_id, isl),
+         |agg AS (SELECT doc_id, count(*) AS n_spans,
+         |               CAST(sum(span_tokens) AS BIGINT) AS tokens_cut
+         |        FROM sp GROUP BY doc_id),
+         |tok AS (SELECT d.doc_id, CAST(u.i AS INTEGER) AS pos, ws[u.i + 1] AS w
+         |        FROM d JOIN agg ON agg.doc_id = d.doc_id,
+         |             unnest(generate_series(0, len(ws) - 1)) AS u(i)),
+         |kept AS (SELECT t.doc_id, t.pos, t.w
+         |         FROM tok t LEFT JOIN sp
+         |           ON sp.doc_id = t.doc_id
+         |          AND t.pos BETWEEN sp.span_start AND sp.span_end
+         |         WHERE sp.doc_id IS NULL),
+         |clean AS (SELECT doc_id,
+         |                 string_agg(w, ' ' ORDER BY pos) AS text_clean
+         |          FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       coalesce(agg.n_spans, 0) AS n_spans,
+         |       CAST(len(ws) AS BIGINT) AS n_tokens,
+         |       coalesce(agg.tokens_cut, 0) AS tokens_cut,
+         |       CASE WHEN agg.doc_id IS NULL THEN d.text
+         |            ELSE coalesce(clean.text_clean, '') END AS text_clean
+         |FROM d LEFT JOIN agg ON agg.doc_id = d.doc_id
+         |       LEFT JOIN clean ON clean.doc_id = d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "docs_dedup_exact" ->
@@ -696,49 +755,9 @@ object DedupQueries {
     // in position order. Docs with no spans take the original text
     // verbatim (matching Spark's no-round-trip branch); a doc whose
     // every token is cut yields '' via the coalesce.
-    "docs_span_excise" ->
-      s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws
-         |           FROM documents),
-         |g AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
-         |             md5(array_to_string(ws[u.i + 1 : u.i + $SpanN], ' ')) AS gh
-         |      FROM d, unnest(generate_series(0, len(ws) - $SpanN)) AS u(i)),
-         |dup AS (SELECT gh FROM (
-         |          SELECT gh, count(DISTINCT doc_id) AS nd FROM g GROUP BY gh)
-         |        WHERE nd >= 2),
-         |h AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
-         |m AS (SELECT doc_id, pos,
-         |        CASE WHEN pos - lag(pos) OVER
-         |               (PARTITION BY doc_id ORDER BY pos) <= $SpanN
-         |             THEN 0 ELSE 1 END AS brk
-         |      FROM h),
-         |i AS (SELECT doc_id, pos,
-         |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
-         |                       ROWS UNBOUNDED PRECEDING) AS isl
-         |      FROM m),
-         |sp AS (SELECT doc_id, min(pos) AS span_start,
-         |              max(pos) + ${SpanN - 1} AS span_end,
-         |              max(pos) + $SpanN - min(pos) AS span_tokens
-         |       FROM i GROUP BY doc_id, isl),
-         |agg AS (SELECT doc_id, count(*) AS n_spans,
-         |               CAST(sum(span_tokens) AS BIGINT) AS tokens_cut
-         |        FROM sp GROUP BY doc_id),
-         |tok AS (SELECT d.doc_id, CAST(u.i AS INTEGER) AS pos, ws[u.i + 1] AS w
-         |        FROM d JOIN agg ON agg.doc_id = d.doc_id,
-         |             unnest(generate_series(0, len(ws) - 1)) AS u(i)),
-         |kept AS (SELECT t.doc_id, t.pos, t.w
-         |         FROM tok t LEFT JOIN sp
-         |           ON sp.doc_id = t.doc_id
-         |          AND t.pos BETWEEN sp.span_start AND sp.span_end
-         |         WHERE sp.doc_id IS NULL),
-         |clean AS (SELECT doc_id,
-         |                 string_agg(w, ' ' ORDER BY pos) AS text_clean
-         |          FROM kept GROUP BY doc_id)
-         |SELECT d.doc_id,
-         |       coalesce(agg.n_spans, 0) AS n_spans,
-         |       CAST(len(ws) AS BIGINT) AS n_tokens,
-         |       coalesce(agg.tokens_cut, 0) AS tokens_cut,
-         |       CASE WHEN agg.doc_id IS NULL THEN d.text
-         |            ELSE coalesce(clean.text_clean, '') END AS text_clean
-         |FROM d LEFT JOIN agg ON agg.doc_id = d.doc_id
-         |       LEFT JOIN clean ON clean.doc_id = d.doc_id""".stripMargin)
+    "docs_span_excise" -> exciseSpansSql,
+
+    // E231: the fast-key excision answers the same question -- the
+    // oracle IS the md5 tier's SQL (E214 pattern, cut stage).
+    "docs_span_excise_fast" -> exciseSpansSql)
 }
