@@ -69,6 +69,26 @@ object GraftFunctions {
         }
         MinHashSig(args.head, n, word)
       }),
+    (FunctionIdentifier("minhash_classic_sig"),
+      new ExpressionInfo(classOf[MinHashClassicSig].getName,
+        "minhash_classic_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"minhash_classic_sig expects (text, n, word) — got ${args.length} arguments")
+        require(args(1).foldable && args(2).foldable,
+          "minhash_classic_sig n and word must be literals")
+        val n = args(1).eval() match {
+          case i: Number => i.intValue()
+          case other => throw new IllegalArgumentException(
+            s"minhash_classic_sig n must be an integer literal, got $other")
+        }
+        val word = args(2).eval() match {
+          case b: java.lang.Boolean => b.booleanValue()
+          case other => throw new IllegalArgumentException(
+            s"minhash_classic_sig word must be a boolean literal, got $other")
+        }
+        MinHashClassicSig(args.head, n, word)
+      }),
     (FunctionIdentifier("media_dims"),
       new ExpressionInfo(classOf[MediaDims].getName, "media_dims"),
       (args: Seq[Expression]) => {

@@ -54,6 +54,16 @@ class GraftFunctionsSpec extends SparkSpec {
       .as[Seq[Long]].collect().head
     assert(sig == sigCol && sig.length == graft.ext.Dedup.NumPerms)
 
+    val csig = spark.sql(
+      "SELECT minhash_classic_sig('the quick brown fox jumps', 3, true) AS s")
+      .as[Seq[Long]].collect().head
+    val csigCol = Seq("the quick brown fox jumps").toDF("t")
+      .select(MinHashClassicSig(
+        org.apache.spark.sql.functions.col("t"), 3, word = true))
+      .as[Seq[Long]].collect().head
+    assert(csig == csigCol && csig.length == graft.ext.Dedup.NumPerms)
+    assert(csig != sig, "classic and densified-OPH signatures coincide")
+
     // 1×1 transparent-pixel PNG header: width/height parse to (1, 1)
     val dims = spark.sql(
       "SELECT media_dims(unhex('89504E470D0A1A0A0000000D49484452" +
