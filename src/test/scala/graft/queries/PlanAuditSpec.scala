@@ -606,13 +606,25 @@ class PlanAuditSpec extends SparkSpec {
       while (i >= 0) { c += 1; i = h.indexOf(n, i + 1) }
       c
     }
+    // Optimizer-INJECTED runtime Bloom filters (InjectRuntimeFilter)
+    // legitimately introduce one xxhash64 per bloom_filter_agg build
+    // and one per might_contain probe — that is a new beneficial
+    // computation (the E85 pattern), not a duplicated user expression;
+    // discount those sites before judging multiplication.
+    def adjusted(h: String, m: String): Int = {
+      val raw = count(h, m)
+      if (m == "xxhash64")
+        raw - count(h, "bloom_filter_agg(xxhash64") -
+          count(h, "might_contain(")
+      else raw
+    }
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val qe = fn(spark, sfDir).queryExecution
         val an = qe.analyzed.toString
         val op = qe.optimizedPlan.toString
         markers.flatMap { m =>
-          val a = count(an, m); val o = count(op, m)
+          val a = adjusted(an, m); val o = adjusted(op, m)
           // ≥2× AND ≥3 extra sites: constant-folding can legitimately
           // clone a marker once or twice (e.g. a literal split shared
           // into two branches); systematic inlining shows up far above
