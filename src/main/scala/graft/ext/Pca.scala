@@ -98,6 +98,29 @@ object Pca {
     (m, powerIterate(c, PowerIters))
   }
 
+  /** Variance accounting for a fitted component: Rayleigh quotient
+    * λ = round(Σᵢ vᵢ·round(Σⱼ Cᵢⱼvⱼ, 9), 6) (the captured variance —
+    * same fixed-point mat-vec rule as the iteration, so the oracle
+    * replays it), total variance = round(Σᵢ Cᵢᵢ, 6), and the explained
+    * share — the number that says whether one component is worth
+    * keeping before anyone projects anything.
+    */
+  def varianceAccount(c: Array[Array[Double]], v: IndexedSeq[Double])
+      : (Double, Double, Double) = {
+    val dim = c.length
+    val w = IndexedSeq.tabulate(dim) { i =>
+      BigDecimal((0 until dim).map(j => c(i)(j) * v(j)).sum)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val lambda = BigDecimal(v.zip(w).map { case (a, b) => a * b }.sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val trace = BigDecimal((0 until dim).map(i => c(i)(i)).sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val explained = BigDecimal(lambda / trace)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (lambda, trace, explained)
+  }
+
   /** Per-row projection onto the fitted component: one codegen
     * DotProduct against the literal component, minus the constant
     * mean offset (Σ(x−m)·v = x·v − m·v) — scan-side, no shuffle, the

@@ -481,6 +481,22 @@ object SimilarityQueries {
       m.indices.map(d => (d, m(d), pc(d))).toDF("d", "mean", "pc1")
     }),
 
+    // E232: PCA variance accounting — eigenvalue (Rayleigh quotient at
+    // the fitted component, same fixed-point mat-vec as the
+    // iteration), total variance (trace), explained share: the
+    // keep-or-not number read before any projection ships. One row,
+    // driver arithmetic over the d×d state, oracle-refit from raw.
+    "emb_pca_var" -> ((s, dir) => {
+      val v = corpus(s, dir).select(col("id"), col("vec"))
+        .localCheckpoint(false)
+      val (_, c) = graft.ext.Pca.covariance(v, EmbDim)
+      val comp = graft.ext.Pca.powerIterate(c, graft.ext.Pca.PowerIters)
+      val (lambda, trace, explained) = graft.ext.Pca.varianceAccount(c, comp)
+      import s.implicits._
+      Seq((lambda, trace, explained))
+        .toDF("eigval", "trace_var", "explained")
+    }),
+
     // E217 serving shape: each row projected onto the fitted component
     // by ONE codegen DotProduct against literals — scan-side, no
     // shuffle; the oracle refits in SQL and projects independently,
@@ -1296,6 +1312,20 @@ object SimilarityQueries {
          |SELECT mm.d, mm.m AS mean, pv${graft.ext.Pca.PowerIters}.val AS pc1
          |FROM mm JOIN pv${graft.ext.Pca.PowerIters}
          |  ON pv${graft.ext.Pca.PowerIters}.d = mm.d""".stripMargin,
+
+    // E232: refit, one more fixed-point mat-vec, Rayleigh + trace.
+    "emb_pca_var" -> {
+      val vT = s"pv${graft.ext.Pca.PowerIters}"
+      s"""${pcaCte(graft.ext.Pca.PowerIters)},
+         |lw AS (SELECT cf.i AS d, round(sum(cf.c * p.val), 9) AS wv
+         |       FROM cf JOIN $vT p ON p.d = cf.j GROUP BY cf.i),
+         |lam AS (SELECT round(sum($vT.val * lw.wv), 6) AS eigval
+         |        FROM $vT JOIN lw ON lw.d = $vT.d),
+         |tr AS (SELECT round(sum(c), 6) AS trace_var FROM cf WHERE i = j)
+         |SELECT lam.eigval, tr.trace_var,
+         |       round(lam.eigval / tr.trace_var, 6) AS explained
+         |FROM lam, tr""".stripMargin
+    },
 
     // E217: independent refit + projection (x·v − m·v, round 6).
     "emb_pca_project" -> {

@@ -38,6 +38,25 @@ class PcaSpec extends SparkSpec {
       s"component norm drifted: ${v.map(x => x * x).sum}")
   }
 
+  test("variance account: eigenvalue within trace, explained share in " +
+      "(0, 1], and consistent with an unrounded Rayleigh recompute") {
+    val (_, c) = Pca.covariance(vecs, Dim)
+    val v = Pca.powerIterate(c, Pca.PowerIters)
+    val (lambda, trace, explained) = Pca.varianceAccount(c, v)
+    assert(lambda > 0 && lambda <= trace + 1e-6,
+      s"eigenvalue $lambda outside (0, trace=$trace]")
+    assert(explained > 0.0 && explained <= 1.0)
+    assert(math.abs(explained - lambda / trace) < 1e-5)
+    val raw = {
+      val cv = (0 until Dim).map(i =>
+        (0 until Dim).map(j => c(i)(j) * v(j)).sum)
+      v.zip(cv).map { case (a, b) => a * b }.sum /
+        v.map(x => x * x).sum
+    }
+    assert(math.abs(lambda - raw) < 1e-4,
+      s"fixed-point eigenvalue $lambda drifted from Rayleigh $raw")
+  }
+
   test("top component dominates every coordinate axis: projected " +
       "variance >= the largest per-dimension variance") {
     val (m, c) = Pca.covariance(vecs, Dim)
