@@ -41,6 +41,18 @@ object Bench {
     // with a GC+settle between spans, so the JSON carries the whole
     // variance band (spans list + best/median/min) instead of a single
     // coin-flip reading. -1 on any failure (never fails the bench).
+    // Box-load guard (VERDICT r11 #6): /proc/loadavg at probe start and
+    // at end of the batch run, recorded into the JSON so a depressed
+    // in-session streaming median (123k vs 163k in r11, judged as
+    // session load after an idle-box re-measure) is self-adjudicating:
+    // 1-min load far above the core count at probe time = load noise,
+    // not a code regression. -1.0 when unreadable (non-Linux).
+    def loadAvg1m(): Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadAtProbe = loadAvg1m()
+
     val streamSpans: Seq[Long] = if (
       sys.env.get("SPARK_GRAFT_SKIP_STREAM_PROBE").contains("1")) Seq.empty
     else try {
@@ -163,7 +175,8 @@ object Bench {
         (sorted.last, sorted.head, sorted(sorted.length / 2))
       }
     val spansJson = streamSpans.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"rows_per_sec":$rps,"cdc_input_rows":$cdcInput,"streaming_route_rows_per_sec":$streamRps,"streaming_route_rows_per_sec_min":$streamRpsMin,"streaming_route_rows_per_sec_median":$streamRpsMedian,"streaming_route_rows_per_sec_spans":$spansJson,"errors":$es,"sf":"$sfDir"}""")
+    val loadAtEnd = loadAvg1m()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"rows_per_sec":$rps,"cdc_input_rows":$cdcInput,"streaming_route_rows_per_sec":$streamRps,"streaming_route_rows_per_sec_min":$streamRpsMin,"streaming_route_rows_per_sec_median":$streamRpsMedian,"streaming_route_rows_per_sec_spans":$spansJson,"loadavg_1m_at_stream_probe":$loadAtProbe,"loadavg_1m_at_end":$loadAtEnd,"errors":$es,"sf":"$sfDir"}""")
     // Compact trailer: the driver keeps only the tail of stdout, and the
     // full line above can exceed that window. Repeat the headline totals
     // last so they always survive truncation (VERDICT r03 #3).

@@ -307,6 +307,15 @@ object Sketches {
     * probability ≥ 1 − e^−depth. This is how a planner prices a join
     * between two 100 TB-scale relations from two 80 KiB summaries —
     * no shuffle, no contact between the relations.
+    *
+    * Overflow (ADVICE r11): at counter magnitudes ~1e11+ (100 TB-scale
+    * streams) a cell product alone exceeds Long — each row accumulates
+    * with `multiplyExact`/`addExact` and SATURATES to Long.MaxValue on
+    * the first overflow instead of wrapping negative. A saturated row
+    * simply never wins the min (its true value is at least that
+    * large), so the estimate stays a valid overestimate as long as any
+    * row fits; if every row saturates the result is Long.MaxValue —
+    * "too large to price", never a silently bogus number.
     */
   def cmsJoinEstimate(a: Seq[Long], b: Seq[Long],
                       depth: Int = CmsDepth, width: Int = CmsWidth): Long = {
@@ -315,10 +324,13 @@ object Sketches {
     while (r < depth) {
       var dot = 0L
       var i = 0
-      while (i < width) {
-        dot += a(r * width + i) * b(r * width + i)
-        i += 1
-      }
+      try {
+        while (i < width) {
+          dot = Math.addExact(dot,
+            Math.multiplyExact(a(r * width + i), b(r * width + i)))
+          i += 1
+        }
+      } catch { case _: ArithmeticException => dot = Long.MaxValue }
       if (dot < est) est = dot
       r += 1
     }

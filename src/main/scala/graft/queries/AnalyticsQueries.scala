@@ -530,11 +530,16 @@ object AnalyticsQueries {
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("pid"),
           col("ts").as("pts"))
-      val phb = (unix_timestamp(col("pts")) / 3600).cast("long")
+      // floor(), not a bare long cast (ADVICE r11): the cast truncates
+      // toward zero, so a pre-1970 click would land one bucket HIGH and
+      // miss the purchase's replicated bucket range — silently dropping
+      // matches the oracle's plain inequality join keeps. floor keeps
+      // bucket assignment consistent for all timestamps.
+      val phb = floor(unix_timestamp(col("pts")) / 3600).cast("long")
       val pb = purchases.withColumn("hb",
         explode(sequence(phb - 24, phb)))
       val cb = clicks.withColumn("hb",
-        (unix_timestamp(col("cts")) / 3600).cast("long"))
+        floor(unix_timestamp(col("cts")) / 3600).cast("long"))
       val matched = cb.join(pb, Seq("user_id", "hb"))
         .filter(col("cts") < col("pts") &&
           col("cts") >= col("pts") - expr("INTERVAL 24 HOURS"))

@@ -616,14 +616,17 @@ object CurationQueries {
         .crossJoin(broadcast(per.agg(count(lit(1)).as("n_src"),
           sum(col("n_tokens")).as("total_tok"))))
         .withColumn("budget", expr("(total_tok * 9) div 10"))
-      val cand = (col("budget") - col("p_prev")) /
-        (col("n_src") - col("i") + 1)
+      // exact BIGINT division (ADVICE r11): `/` on two longs is double
+      // division whose 53-bit mantissa diverges from the oracle's `//`
+      // past 2^53 total tokens; `div` truncates toward zero exactly
+      // like DuckDB's `//` (both verified at -7/2 → -3).
+      val cand = expr("(budget - p_prev) div (n_src - i + 1)")
       // valid segment: capping everyone from rank i onward at c_i
       // meets the budget AND the candidate level falls below c_i; the
       // FIRST such rank (min_by i) is the water segment. A budget ≥
       // the corpus has no valid rank → level = max count (keep all).
       val level = ranked
-        .withColumn("lcand", floor(cand).cast("long"))
+        .withColumn("lcand", cand)
         .filter(col("p_prev") + (col("n_src") - col("i") + 1) *
           col("n_tokens") >= col("budget") &&
           col("lcand") < col("n_tokens"))

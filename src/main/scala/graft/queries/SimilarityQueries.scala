@@ -510,16 +510,18 @@ object SimilarityQueries {
 
     // E213: the ENGAGED two-level assignment path, value-checked at
     // gate scale (round-10 verdict #1). Production adaptiveClusters
-    // now dispatches each assignment stage through the two-level
-    // coarse probe once the stage's centroid count crosses
-    // TwoLevelCrossoverK = 40 — but every shipped fixture sits below
-    // it (k = 5/5/20), so the path production takes beyond the
-    // fixture decades (witness corpus: k = 200) would otherwise run
-    // only where no DuckDB oracle exists. This row forces the probe
-    // at k = ⌈500/10⌉ = 50: the full seed-probe → Lloyd recompute →
-    // probe chain, hash-checked rule for rule by a generated-CTE
-    // oracle (the E211 replay machinery, applied twice). E211 stays
-    // the agreement/accuracy audit; this is the value witness.
+    // dispatches each assignment stage through the two-level coarse
+    // probe once the stage's centroid count crosses the MEASURED
+    // TwoLevelCrossoverK = 8192 (the round-11 kernel study: exact
+    // argmax is pipeline-bound and faster through k ≈ 2000) — every
+    // shipped fixture AND witness decade (k = 5/5/20/200/1964) sits
+    // far below it, so the probe path production takes past the
+    // crossover would otherwise run only where no DuckDB oracle
+    // exists. This row therefore FORCES the probe (it does not cross
+    // the seam): the full seed-probe → Lloyd recompute → probe chain,
+    // hash-checked rule for rule by a generated-CTE oracle (the E211
+    // replay machinery, applied twice). E211 stays the
+    // agreement/accuracy audit; this is the value witness.
     "emb_adaptive_twolevel" -> ((s, dir) =>
       Similarity.adaptiveClustersTwoLevel(
         corpus(s, dir).select(col("id"), col("vec")),
@@ -561,11 +563,14 @@ object SimilarityQueries {
     */
   private[queries] val TwoLevelProbe = Similarity.TwoLevelProbe
 
-  /** Target population for the E213 forced-engage witness: k = ⌈N/10⌉
-    * = 50 at the 500-vector fixture, past
-    * [[graft.ext.Similarity.TwoLevelCrossoverK]] — so the two-level
-    * path that production [[graft.ext.Similarity.adaptiveClusters]]
-    * takes beyond the fixture decades is value-checked AT gate scale.
+  /** Target population for the E213 forced-engage witness. The witness
+    * HARD-FORCES [[graft.ext.Similarity.adaptiveClustersTwoLevel]] —
+    * the fixture k never approaches the measured crossover
+    * [[graft.ext.Similarity.TwoLevelCrossoverK]] = 8192, so the probe
+    * engages by fiat, not by crossing the seam. k only needs to give
+    * the coarse grouping real structure (g = ⌈√(2k)⌉ ≥ probe, multiple
+    * cells per group); it does not need to be large — the forced k is
+    * the biggest cost lever on the whole bench line (VERDICT r11 #5).
     */
   private[queries] val TwoLevelWitnessPop = 10
 

@@ -172,6 +172,22 @@ class SketchesSpec extends SparkSpec {
       s"disjoint-key estimate $estDisjoint exceeds collision bound $slack2")
   }
 
+  test("CMS join-size estimate saturates to Long.MaxValue instead of " +
+      "wrapping negative on 100TB-scale counter products (ADVICE r11)") {
+    val d = Sketches.CmsDepth
+    val w = Sketches.CmsWidth
+    // every cell ~1e11: each product is 1e22 >> Long.MaxValue (9.2e18)
+    val huge = Array.fill(d * w)(100000000000L).toSeq
+    val est = Sketches.cmsJoinEstimate(huge, huge)
+    assert(est == Long.MaxValue, s"expected saturation, got $est")
+    // one row overflows, another stays finite: the finite row's valid
+    // overestimate must win the min (the saturated row never wins)
+    val mixed = Array.tabulate(d * w)(i =>
+      if (i < w) 100000000000L else 3L).toSeq
+    val estMixed = Sketches.cmsJoinEstimate(mixed, mixed)
+    assert(estMixed == 9L * w, s"finite row should win: $estMixed")
+  }
+
   test("CMS merge is exactly the sketch of the concatenated stream") {
     // Cell-wise counter addition means split+merge == sequential, bit
     // for bit — stronger than HLL/MG's order-insensitivity.
