@@ -435,8 +435,16 @@ object Similarity {
     val rn = graft.operators.GlobalIndex.globalRowNumbers(
       v.withColumn("ord", struct(col("id"))), "ord",
       v.sparkSession.sparkContext.defaultParallelism)
+    // Each centroid table is MATERIALIZED (k×d — tiny) before the
+    // probe: [[coarsenCentroids]] + the probe's joins consume it 4-5
+    // times, and without the checkpoint every consumer re-executes the
+    // corpus-wide centroid aggregation (or the GlobalIndex seed scan)
+    // feeding it — measured 12.1 s → 3-4 s on the E213 witness
+    // (VERDICT r11 #5; the production [[assignStage]] already
+    // checkpoints for exactly this reason).
     val seeds = rn.filter(pmod(col("row_num") - 1, lit(stride)) === 0)
       .select(col("id").as("cpart"), col("vec").as("cvec"))
+      .localCheckpoint(false)
     var asg = twoLevelAssign(v, seeds, TwoLevelProbe)
       .select(col("id"), col("cell"), col("score"))
     for (_ <- 1 to iters) {
@@ -444,7 +452,8 @@ object Similarity {
         v.join(asg.select(col("id").as("aid"), col("cell")),
           col("id") === col("aid"))
           .select(col("cell").as("part"), col("vec")))
-      asg = twoLevelAssign(v, centroidVectors(cents), TwoLevelProbe)
+      asg = twoLevelAssign(v,
+        centroidVectors(cents).localCheckpoint(false), TwoLevelProbe)
         .select(col("id"), col("cell"), col("score"))
     }
     asg.select(col("id"), col("cell").as("assigned"),
@@ -514,15 +523,22 @@ object Similarity {
           .as("gpart"))
     }
     val a0 = argmaxGroup(fineCents, seeds)
+    // coarse and fineG are k-bounded (≤ k×d doubles) but each feeds
+    // 2+ consumers, and every consumer would re-run the 3-4-shuffle
+    // argmax/recompute chain behind them — at fixture/witness scale
+    // that latency, not flops, dominates the stage (the VERDICT r11 #5
+    // measurement). Materialize once.
     val coarse = centroidVectors(centroids(
       fineCents.join(a0.withColumnRenamed("cpart", "acp"),
         col("cpart") === col("acp"))
         .select(col("gpart").as("part"), col("cvec").as("vec"))))
       .select(col("cpart").as("gpart"), col("cvec").as("gvec"))
+      .localCheckpoint(false)
     val fineG = fineCents.join(
       argmaxGroup(fineCents, coarse).withColumnRenamed("cpart", "acp"),
       col("cpart") === col("acp"))
       .select(col("cpart"), col("cvec"), col("gpart"))
+      .localCheckpoint(false)
     val coarseNonEmpty = coarse.join(
       fineG.select(col("gpart").as("negp")).distinct(),
       col("gpart") === col("negp"), "left_semi")
