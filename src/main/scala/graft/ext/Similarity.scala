@@ -700,13 +700,13 @@ object Similarity {
   // Product quantization
   // ---------------------------------------------------------------------
 
-  /** Per-subspace PQ codebooks: split each vector into `numSub` blocks
-    * of `subDim` dims and average each block per coarse cell (`part`) —
-    * one long-form aggregation, shuffling (cells × dims) doubles
-    * regardless of corpus size (the [[centroids]] discipline applied
-    * per subspace). Codeword id = the cell id, so the codebook is
-    * seeded exactly like the IVF tier; iterate with the k-means loop
-    * for a trained codebook, plumbing unchanged.
+  /** Per-subspace PQ codebook SEEDS: split each vector into `numSub`
+    * blocks of `subDim` dims and average each block per coarse cell
+    * (`part`) — one long-form aggregation, shuffling (cells × dims)
+    * doubles regardless of corpus size (the [[centroids]] discipline
+    * applied per subspace). Codeword id = the cell id, so the codebook
+    * is seeded exactly like the IVF tier; [[pqCodebooksTrained]] runs
+    * the per-subspace Lloyd loop on top of this seed.
     * Output: (cl, m, sd, c) with centroids rounded to 6 decimals so a
     * SQL oracle reproduces codes bit-for-bit.
     */
@@ -717,6 +717,96 @@ object Similarity {
         pmod(col("dim"), lit(subDim)).cast("int").as("sd"), col("v"))
       .groupBy(col("cl"), col("m"), col("sd"))
       .agg(round(avg(col("v")), 6).as("c"))
+
+  /** Lloyd rounds applied to the PQ codebooks (VERDICT r11 #1): the
+    * round-11 audit (E226 `emb_adc_recall`) priced the cell-seeded
+    * codebooks at point recall 0-0.2 — hash-correct, not servable.
+    * Rounds of per-subspace k-means move the codewords to
+    * distortion-minimizing positions; the audit re-prices the result
+    * every round. Fixed count (not convergence-tested) so the
+    * oracle's generated CTE chain replays the identical rounds — the
+    * [[Pca.PowerIters]] discipline.
+    */
+  val PqTrainIters = 2
+
+  /** Codewords per subspace for the TRAINED codebook. Training alone
+    * could not rescue the 5-cell-seeded book (measured: point recall
+    * 0.06 after 2 Lloyd rounds on 5 codewords), and neither could
+    * codeword count alone — the round-12 sweep (SCALING.md) shows the
+    * 4×16-dim geometry plateauing at ≈0.2 point recall for every
+    * (K, iters) tried, while 16 subspaces × 4 dims with K=32 reads
+    * 0.32 point / 0.82 rerank. So the trained tier ships 32
+    * stride-seeded codewords per subspace, decoupled from the IVF
+    * cell count. Production PQ uses 256 (8-bit codes); 32 keeps the
+    * oracle's generated training chain tractable at fixture scale
+    * while exercising the identical machinery — the constant is the
+    * only thing a deployment changes.
+    */
+  val PqCodewords = 32
+
+  /** Per-subspace k-means TRAINING of the PQ codebooks (the
+    * Jégou et al. 2011 codebook fit, run independently per subspace):
+    * seed [[PqCodewords]] codewords per subspace from id-stride-spread
+    * documents' raw subvectors (every ⌈n/K⌉-th vector in global id
+    * order — the [[adaptiveClusters]] seed discipline, replayable by a
+    * SQL row_number; codeword id = the seed's vec_id), then `iters`
+    * Lloyd rounds of argmin-L2 assignment (ties → smaller codeword —
+    * the [[pqEncode]] rule) and 6-decimal-rounded codeword recompute.
+    *
+    * Scale shape: the two per-round stages are the engine's standard
+    * bounded aggregations — assignment scores numSub tiny subvectors
+    * per row against a BROADCAST codebook (K × numSub × subDim doubles
+    * by construction) and shuffles (id, m, code) ints; the recompute
+    * is the [[centroids]] long-form aggregation, shuffling
+    * (codewords × dims) doubles regardless of corpus size. A codeword
+    * that loses every member simply drops out of the next round's
+    * codebook (both engines replay the same drop). Output: (cl, m,
+    * sd, c), the [[pqCodebooks]] shape, so every consumer is plumbing-
+    * unchanged.
+    */
+  def pqCodebooksTrained(vecs: DataFrame, numSub: Int, subDim: Int,
+      iters: Int, numCodewords: Int = PqCodewords): DataFrame = {
+    // long-form subvector components once, materialized: the seed, the
+    // per-round recompute, and the per-round assignment all re-read it
+    val v = vecs.select(col("id"), col("vec")).localCheckpoint(false)
+    val sub0 = v
+      .select(col("id"), posexplode(col("vec")).as(Seq("dim", "v")))
+      .select(col("id"),
+        (col("dim") / subDim).cast("int").as("m"),
+        pmod(col("dim"), lit(subDim)).cast("int").as("sd"), col("v"))
+      .localCheckpoint(false)
+    val sv = sub0.groupBy(col("id"), col("m"))
+      .agg(array_sort(collect_list(struct(col("sd"), col("v")))).as("x"))
+      .select(col("id"), col("m"),
+        transform(col("x"), t => t.getField("v")).as("sv"))
+      .localCheckpoint(false)
+    val n = v.count()
+    val stride = (n + numCodewords - 1) / numCodewords
+    val rn = graft.operators.GlobalIndex.globalRowNumbers(
+      v.withColumn("ord", struct(col("id"))), "ord",
+      v.sparkSession.sparkContext.defaultParallelism)
+    val seedIds = rn.filter(pmod(col("row_num") - 1, lit(stride)) === 0)
+      .select(col("id").as("sid"))
+    val d = l2sqUnrolled(col("sv"), col("cvec"), subDim)
+    // seed codewords = the seed documents' raw subvectors (exact
+    // doubles in both engines — no rounding needed until recompute)
+    var cb = sub0.join(seedIds, col("id") === col("sid"))
+      .select(col("id").as("cl"), col("m"), col("sd"), col("v").as("c"))
+    for (_ <- 1 to iters) {
+      val cw = pqCodewordVecs(cb).localCheckpoint(false)
+      val asg = sv.join(broadcast(cw), "m")
+        .select(col("id"), col("m"), struct(d.as("d"), col("cl")).as("s"))
+        .groupBy(col("id"), col("m"))
+        .agg(min(col("s")).as("best")) // struct min = (distance, codeword) argmin
+        .select(col("id").as("aid"), col("m").as("am"),
+          col("best.cl").as("cl"))
+      cb = sub0.join(asg,
+          col("id") === col("aid") && col("m") === col("am"))
+        .groupBy(col("cl"), col("m"), col("sd"))
+        .agg(round(avg(col("v")), 6).as("c"))
+    }
+    cb
+  }
 
   /** Codebooks re-packed to one array per (codeword, subspace). */
   def pqCodewordVecs(cb: DataFrame): DataFrame =
@@ -752,16 +842,14 @@ object Similarity {
     */
   def pqAdcTopK(vecs: DataFrame, numSub: Int, subDim: Int,
       numQueries: Int, k: Int): DataFrame = {
-    val cw = pqCodewordVecs(pqCodebooks(vecs, subDim))
-    val codes = pqEncode(vecs, numSub, subDim)
+    val cw = trainedCodewordVecs(vecs, numSub, subDim)
+    val codes = pqEncodeWith(vecs, numSub, subDim, cw)
     val qsub = vecs.filter(col("id") < numQueries)
       .select(col("id").as("qid"),
         explode(sequence(lit(0), lit(numSub - 1))).as("m"), col("vec"))
       .select(col("qid"), col("m"),
         slice(col("vec"), col("m") * subDim + 1, lit(subDim)).as("sv"))
-    val d = aggregate(
-      zip_with(col("sv"), col("cvec"), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
+    val d = l2sqUnrolled(col("sv"), col("cvec"), subDim)
     val tables = qsub.join(broadcast(cw), "m")
       .select(col("qid"), col("m"), col("cl"), round(d, 6).as("dt"))
     val longCodes = codes.select(col("id"), posexplode(
@@ -803,7 +891,7 @@ object Similarity {
     */
   def pqIvfTopK(vecs: DataFrame, numSub: Int, subDim: Int,
       numQueries: Int, k: Int, probe: Int): DataFrame = {
-    val cw = pqCodewordVecs(pqCodebooks(vecs, subDim))
+    val cw = trainedCodewordVecs(vecs, numSub, subDim)
     val cvecs = centroidVectors(centroids(vecs))
     val q = vecs.filter(col("id") < numQueries)
       .select(col("id").as("qid"), col("vec").as("qv"))
@@ -821,13 +909,11 @@ object Similarity {
         explode(sequence(lit(0), lit(numSub - 1))).as("m"), col("qv"))
       .select(col("qid"), col("m"),
         slice(col("qv"), col("m") * subDim + 1, lit(subDim)).as("sv"))
-    val d = aggregate(
-      zip_with(col("sv"), col("cvec"), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
+    val d = l2sqUnrolled(col("sv"), col("cvec"), subDim)
     val tables = qsub.join(broadcast(cw), "m")
       .select(col("qid"), col("m"), col("cl"), round(d, 6).as("dt"))
     // IVF prune FIRST: codes of probed cells only, per query
-    val codes = pqEncode(vecs, numSub, subDim)
+    val codes = pqEncodeWith(vecs, numSub, subDim, cw)
       .join(vecs.select(col("id").as("pid"), col("part")),
         col("id") === col("pid"))
       .join(broadcast(probes), col("part") === col("cpart"))
@@ -848,15 +934,47 @@ object Similarity {
         (-col("item.score")).as("adc"))
   }
 
-  def pqEncode(vecs: DataFrame, numSub: Int, subDim: Int): DataFrame = {
-    val cw = pqCodewordVecs(pqCodebooks(vecs, subDim))
+  /** Squared L2 between two `n`-element array columns, UNROLLED into a
+    * flat codegen sum instead of the interpreted `aggregate(zip_with)`
+    * HOF fold: identical left-to-right order and initial 0.0, so every
+    * double — and the oracle's `list_reduce` replay — is bit-identical,
+    * but the expression inlines into whole-stage codegen (the HOF
+    * evaluates interpreted per row; measured 10-30× penalties in this
+    * repo). Usable whenever the width is a plan-time constant, which
+    * every PQ path's subDim is.
+    */
+  private def l2sqUnrolled(a: Column, b: Column, n: Int): Column =
+    (0 until n).foldLeft(lit(0.0): Column) { (acc, i) =>
+      acc + (a.getItem(i) - b.getItem(i)) * (a.getItem(i) - b.getItem(i))
+    }
+
+  /** TRAINED codebook in broadcastable (cl, m, cvec) form, checkpointed
+    * once: every PQ operator consumes it from 2+ subplans (distance
+    * tables + codes), and the training chain behind it is `iters`
+    * rounds of corpus aggregation that must not re-execute per
+    * consumer.
+    */
+  private def trainedCodewordVecs(vecs: DataFrame, numSub: Int,
+      subDim: Int, numCodewords: Int = PqCodewords): DataFrame =
+    pqCodewordVecs(
+      pqCodebooksTrained(vecs, numSub, subDim, PqTrainIters, numCodewords))
+      .localCheckpoint(false)
+
+  def pqEncode(vecs: DataFrame, numSub: Int, subDim: Int,
+      numCodewords: Int = PqCodewords): DataFrame =
+    pqEncodeWith(vecs, numSub, subDim,
+      trainedCodewordVecs(vecs, numSub, subDim, numCodewords))
+
+  /** [[pqEncode]] against a caller-supplied (cl, m, cvec) codebook —
+    * so operators that also build distance tables train ONCE.
+    */
+  private def pqEncodeWith(vecs: DataFrame, numSub: Int, subDim: Int,
+      cw: DataFrame): DataFrame = {
     val sub = vecs.select(col("id"),
         explode(sequence(lit(0), lit(numSub - 1))).as("m"), col("vec"))
       .select(col("id"), col("m"),
         slice(col("vec"), col("m") * subDim + 1, lit(subDim)).as("sv"))
-    val d = aggregate(
-      zip_with(col("sv"), col("cvec"), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
+    val d = l2sqUnrolled(col("sv"), col("cvec"), subDim)
     val best = sub.join(broadcast(cw), "m")
       .select(col("id"), col("m"), struct(d.as("d"), col("cl")).as("s"))
       .groupBy(col("id"), col("m"))

@@ -20,8 +20,14 @@ object SimilarityQueries {
   private val KIvf = 3        // per-cell top-k
   private val NearDupThreshold = 0.4
   private val KmeansIters = 2 // Lloyd rounds for emb_kmeans_iter
-  private val PqSubspaces = 4 // PQ: M subspaces ...
-  private val PqSubDim = EmbDim / PqSubspaces // ... of 16 dims each
+  // PQ geometry: M=16 subspaces of 4 dims each. Chosen by the round-12
+  // recall sweep (published in SCALING.md): at fixed code budget the
+  // subspace count, not codeword count or training rounds, is the
+  // binding constraint on this near-isotropic fixture — 4×16 plateaus
+  // at point recall ≈ 0.2 for every (K, iters) tried; 16×4 with K=32
+  // trained codewords reads 0.32 point / 0.82 rerank in E226.
+  private val PqSubspaces = 16 // PQ: M subspaces ...
+  private val PqSubDim = EmbDim / PqSubspaces // ... of 4 dims each
 
   private[queries] def corpus(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).select(
@@ -131,13 +137,14 @@ object SimilarityQueries {
         Srp.sig(col("vec"), EmbDim).as("srp_sig"))),
 
     // Product-quantization encoding (E112): 4 subspaces × 16 dims,
-    // cell-seeded codebooks, argmin-L2 codes — the 64-float vector
-    // becomes 4 small ints, the storage shrink that makes
-    // billion-vector ANN memory-resident (completes the ladder:
-    // brute force → IVF cells → PQ codes). Codebook averaging, the
-    // left-fold squared distance, and the (distance, codeword)
-    // tie-break are all replayed identically by the oracle, so every
-    // code is hash-matched, not spot-checked.
+    // cell-seeded then per-subspace-k-means-TRAINED codebooks
+    // (PqTrainIters Lloyd rounds — VERDICT r11 #1), argmin-L2 codes —
+    // the 64-float vector becomes 4 small ints, the storage shrink
+    // that makes billion-vector ANN memory-resident (completes the
+    // ladder: brute force → IVF cells → PQ codes). Codebook seeding,
+    // every training round, the left-fold squared distance, and the
+    // (distance, codeword) tie-break are all replayed identically by
+    // the oracle, so every code is hash-matched, not spot-checked.
     "emb_pq_codes" -> ((s, dir) =>
       Similarity.pqEncode(corpus(s, dir), PqSubspaces, PqSubDim)),
 
@@ -793,31 +800,76 @@ object SimilarityQueries {
     sb.toString
   }
 
-  /** Shared PQ CTE chain (E112/E220): label-seeded per-subspace
-    * codebooks (cb/cw), per-doc subvectors (sv), left-fold squared
-    * distances (d), argmin codes with (distance, codeword) ties (b).
+  /** Shared PQ CTE chain (E112/E220/E226/E227): cell-SEEDED
+    * per-subspace codebooks (cb0), then [[graft.ext.Similarity.PqTrainIters]]
+    * generated Lloyd rounds of argmin-L2 assignment (ties → smaller
+    * codeword) + 6-rounded codeword recompute (cwt/dt/bt/cb per round
+    * — VERDICT r11 #1: the TRAINED codebook, replayed round for round
+    * so the count can never drift), ending in the final codebook `cw`,
+    * per-doc subvectors `sv`, left-fold squared distances `d`, and
+    * argmin codes `b` — the names every downstream PQ oracle consumes.
+    * sub0/sv are MATERIALIZED: DuckDB inlines plain CTEs per
+    * reference, and the training rounds reference each 2·iters+ times.
     */
+  private def pqChainSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""$embCte,
+         |x AS (SELECT vec_id, label, CAST(i - 1 AS INTEGER) AS dim,
+         |             v[CAST(i AS INTEGER)] AS val
+         |      FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+         |sub0 AS MATERIALIZED (SELECT vec_id,
+         |                dim // $PqSubDim AS m, dim % $PqSubDim AS sd, val
+         |         FROM x),
+         |sv AS MATERIALIZED (SELECT vec_id AS id, m, list(val ORDER BY sd) AS sv
+         |       FROM sub0 GROUP BY vec_id, m),
+         |pqnn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+         |pqrk AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rn
+         |         FROM e),
+         |pqsd AS (SELECT r.vec_id FROM pqrk r, pqnn
+         |         WHERE r.rn % ((pqnn.n + $PqCodewordsK - 1) // $PqCodewordsK) = 0),
+         |cb0 AS (SELECT s.vec_id AS cl, s.m, s.sd, s.val AS c
+         |        FROM sub0 s JOIN pqsd ON s.vec_id = pqsd.vec_id)""".stripMargin
+    for (t <- 1 to iters) {
+      sb ++=
+        s""",
+           |cwt${t - 1} AS (SELECT cl, m, list(c ORDER BY sd) AS cvec
+           |         FROM cb${t - 1} GROUP BY cl, m),
+           |dt$t AS (SELECT sv.id, sv.m, w.cl,
+           |             list_reduce(list_transform(generate_series(1, $PqSubDim),
+           |               i -> (sv.sv[i] - w.cvec[i]) * (sv.sv[i] - w.cvec[i])),
+           |               (p, q) -> p + q) AS d
+           |      FROM sv JOIN cwt${t - 1} w ON sv.m = w.m),
+           |bt$t AS (SELECT id, m, cl FROM (
+           |         SELECT id, m, cl,
+           |                row_number() OVER (PARTITION BY id, m ORDER BY d, cl) AS rn
+           |         FROM dt$t) WHERE rn = 1),
+           |cb$t AS (SELECT a.cl, s.m, s.sd, round(sum(s.val) / count(*), 6) AS c
+           |        FROM sub0 s JOIN bt$t a ON s.vec_id = a.id AND s.m = a.m
+           |        GROUP BY a.cl, s.m, s.sd)""".stripMargin
+    }
+    sb ++=
+      s""",
+         |cw AS MATERIALIZED (SELECT cl, m, list(c ORDER BY sd) AS cvec
+         |       FROM cb$iters GROUP BY cl, m),
+         |d AS (SELECT sv.id, sv.m, cw.cl,
+         |             list_reduce(list_transform(generate_series(1, $PqSubDim),
+         |               i -> (sv.sv[i] - cw.cvec[i]) * (sv.sv[i] - cw.cvec[i])),
+         |               (p, q) -> p + q) AS d
+         |      FROM sv JOIN cw ON sv.m = cw.m),
+         |b AS (SELECT id, m, cl,
+         |             row_number() OVER (PARTITION BY id, m ORDER BY d, cl) AS rn
+         |      FROM d)""".stripMargin
+    sb.toString
+  }
+
+  /** Codewords per subspace — aliased from the production constant so
+    * the Spark training and the oracle's seed stride can never drift.
+    */
+  private def PqCodewordsK = graft.ext.Similarity.PqCodewords
+
   private lazy val pqChainCte: String =
-    s"""$embCte,
-       |x AS (SELECT vec_id, label, CAST(i - 1 AS INTEGER) AS dim,
-       |             v[CAST(i AS INTEGER)] AS val
-       |      FROM e, unnest(generate_series(1, len(v))) AS t(i)),
-       |sub0 AS (SELECT vec_id, CAST(label AS BIGINT) AS cl,
-       |                dim // $PqSubDim AS m, dim % $PqSubDim AS sd, val
-       |         FROM x),
-       |cb AS (SELECT cl, m, sd, round(sum(val) / count(*), 6) AS c
-       |       FROM sub0 GROUP BY 1, 2, 3),
-       |cw AS (SELECT cl, m, list(c ORDER BY sd) AS cvec FROM cb GROUP BY cl, m),
-       |sv AS (SELECT vec_id AS id, m, list(val ORDER BY sd) AS sv
-       |       FROM sub0 GROUP BY vec_id, m),
-       |d AS (SELECT sv.id, sv.m, cw.cl,
-       |             list_reduce(list_transform(generate_series(1, $PqSubDim),
-       |               i -> (sv.sv[i] - cw.cvec[i]) * (sv.sv[i] - cw.cvec[i])),
-       |               (p, q) -> p + q) AS d
-       |      FROM sv JOIN cw ON sv.m = cw.m),
-       |b AS (SELECT id, m, cl,
-       |             row_number() OVER (PARTITION BY id, m ORDER BY d, cl) AS rn
-       |      FROM d)""".stripMargin
+    pqChainSql(graft.ext.Similarity.PqTrainIters)
 
   /** PCA CTE chain (E217): per-dim means (round 6), upper-triangle
     * second moments (round 6), covariance via E[XY] − E[X]E[Y] over

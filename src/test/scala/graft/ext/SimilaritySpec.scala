@@ -114,9 +114,12 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("pqEncode picks each subspace's true argmin codeword on a known layout") {
-    // 4-dim vectors, 2 subspaces of 2 dims. Cell 0 sits at (0,0|0,0),
-    // cell 1 at (10,10|10,10). A vector near cell 0 in the first block
-    // and near cell 1 in the second must MIX codes — the property that
+    // 4-dim vectors, 2 subspaces of 2 dims, TRAINED 2-codeword book:
+    // stride seeding over 5 ids picks ranks 0 and 3 → codeword ids 0
+    // (seeded at (0,0|0,0)) and 3 (seeded at (9.8,10|10.2,10)); the
+    // Lloyd rounds pull each toward its cluster mean per block. A
+    // vector near the low cluster in the first block and the high
+    // cluster in the second must MIX codes — the property that
     // separates PQ (independent per-subspace choice) from plain
     // nearest-centroid assignment.
     val vecs = Seq(
@@ -124,13 +127,43 @@ class SimilaritySpec extends SparkSpec {
       (1L, 0, Seq(0.2, 0.0, 0.1, 0.0)),
       (2L, 1, Seq(10.0, 10.0, 10.0, 10.0)),
       (3L, 1, Seq(9.8, 10.0, 10.2, 10.0)),
-      (4L, 0, Seq(0.1, 0.1, 9.9, 10.1))) // mixed: block0→cell0, block1→cell1
+      (4L, 0, Seq(0.1, 0.1, 9.9, 10.1))) // mixed: block0→low, block1→high
       .toDF("id", "part", "vec")
-    val codes = Similarity.pqEncode(vecs, 2, 2)
+    val codes = Similarity.pqEncode(vecs, 2, 2, numCodewords = 2)
       .select("id", "c0", "c1").as[(Long, Long, Long)].collect()
       .map(r => r._1 -> (r._2, r._3)).toMap
-    assert(codes(0L) == ((0L, 0L)) && codes(2L) == ((1L, 1L)))
-    assert(codes(4L) == ((0L, 1L)), s"mixed vector got ${codes(4L)}")
+    assert(codes(0L) == ((0L, 0L)) && codes(2L) == ((3L, 3L)))
+    assert(codes(4L) == ((0L, 3L)), s"mixed vector got ${codes(4L)}")
+  }
+
+  test("pqCodebooksTrained shrinks quantization error vs the seed book " +
+      "and never widens it per round (the Lloyd descent law)") {
+    val vecs = graft.Tables.embeddings(spark, sfDir).select(
+      col("vec_id").as("id"), col("label").as("part"),
+      Similarity.toDouble(col("embedding")).as("vec")).localCheckpoint(false)
+    val numSub = 4
+    val subDim = 16
+    def sqError(cb: org.apache.spark.sql.DataFrame): Double = {
+      val cw = Similarity.pqCodewordVecs(cb)
+      val sub = vecs.select(col("id"),
+          explode(sequence(lit(0), lit(numSub - 1))).as("m"), col("vec"))
+        .select(col("id"), col("m"),
+          slice(col("vec"), col("m") * subDim + 1, lit(subDim)).as("sv"))
+      val d = aggregate(zip_with(col("sv"), col("cvec"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+      sub.join(broadcast(cw), "m")
+        .groupBy("id", "m").agg(min(d).as("best"))
+        .agg(sum(col("best"))).head().getDouble(0)
+    }
+    val err1 = sqError(Similarity.pqCodebooksTrained(vecs, numSub, subDim, 1, 8))
+    val err2 = sqError(Similarity.pqCodebooksTrained(vecs, numSub, subDim, 2, 8))
+    // the 6-decimal recompute rounding perturbs the exact descent by
+    // at most the rounding grain per codeword coordinate — allow it
+    assert(err2 <= err1 + 1e-3,
+      s"round 2 widened distortion: $err1 -> $err2")
+    val seedErr = sqError(Similarity.pqCodebooks(vecs, subDim))
+    assert(err2 < seedErr,
+      s"trained book $err2 not below cell-seeded $seedErr")
   }
 
   test("pq codes pointwise-dominate the own-cell codeword and shrink " +

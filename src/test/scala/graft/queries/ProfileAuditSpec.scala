@@ -103,21 +103,25 @@ class ProfileAuditSpec extends SparkSpec {
         s"ranks not dense for query $q")
       assert(!rs.exists(_.getAs[Long]("neighbor_id") == q), "self in top-k")
     }
-    // from-scratch cross-foot: rebuild codebooks + codes, recompute the
-    // lookup sum for every reported (query, neighbor) pair
-    val cw = Similarity.pqCodewordVecs(Similarity.pqCodebooks(c, 16))
+    // from-scratch cross-foot: rebuild the TRAINED codebooks + codes
+    // (round-12 geometry: 16 subspaces × 4 dims, 32 trained codewords),
+    // recompute the lookup sum for every reported (query, neighbor)
+    val numSub = 16
+    val subDim = 4
+    val cw = Similarity.pqCodewordVecs(Similarity.pqCodebooksTrained(
+        c, numSub, subDim, Similarity.PqTrainIters))
       .collect().map(r => (r.getAs[Int]("m"), r.getAs[Long]("cl")) ->
         r.getSeq[Double](r.fieldIndex("cvec"))).toMap
-    val codes = Similarity.pqEncode(c, 4, 16).collect()
+    val codes = Similarity.pqEncode(c, numSub, subDim).collect()
       .map(r => r.getAs[Long]("id") ->
-        (0 until 4).map(m => r.getAs[Long](s"c$m"))).toMap
+        (0 until numSub).map(m => r.getAs[Long](s"c$m"))).toMap
     val qvecs = c.filter(col("id") < 10)
       .collect().map(r => r.getAs[Long]("id") ->
         r.getSeq[Double](r.fieldIndex("vec"))).toMap
     rows.foreach { r =>
       val (q, n) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
-      val expect = (0 until 4).map { m =>
-        val qs = qvecs(q).slice(m * 16, m * 16 + 16)
+      val expect = (0 until numSub).map { m =>
+        val qs = qvecs(q).slice(m * subDim, m * subDim + subDim)
         val cv = cw((m, codes(n)(m)))
         val raw = qs.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum
         BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
