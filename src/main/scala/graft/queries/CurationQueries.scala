@@ -49,6 +49,28 @@ object CurationQueries {
   val RepMaxEpochs = 4L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // E233: raw-web HTML extraction (VERDICT r11 #2) — the
+    // CCNet/RefinedWeb front door: tag strip, link-density
+    // boilerplate-line filter, entity decode. HTML is PLANTED
+    // deterministically from doc columns for doc_id % 3 == 0 (the
+    // E116/E194 precedent — the fixture has no markup of its own):
+    // title line (kept), pure-navigation line (dropped: link density
+    // 1), the real text in <p> (kept, recovered verbatim), an
+    // entity-bearing line (kept, decoded), an anchor-heavy footer
+    // (dropped), bare closing tags (dropped: empty visible text).
+    // Unplanted docs pass through byte-identical — the operator runs
+    // on every row, it cannot know which rows carry markup. One
+    // narrow scan-side projection; the oracle replays split, both
+    // regexes, the integer link-density rule, and the decode order in
+    // DuckDB's RE2 (the patterns deliberately use the Java∩RE2
+    // subset, and the hash match proves it).
+    "docs_html_extract" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.ext.HtmlExtract.extract(plantedHtml).as("x"))
+        .select(col("doc_id"), col("x.text_clean").as("text_clean"),
+          col("x.n_kept").as("n_kept"), col("x.n_dropped").as("n_dropped"))),
+
     // E224: matched-pair construction for ablation evals — every
     // treatment doc (source = src0) is paired with a distinct control
     // doc agreeing on (lang, 256-char length bucket), pairing by rank
@@ -765,6 +787,30 @@ object CurationQueries {
     * The LSH pair pass is the expensive stage; callers that consume the
     * result more than once should localCheckpoint it.
     */
+  /** Deterministic HTML planting for docs_html_extract (E233): every
+    * third doc is wrapped into a six-line page exercising each rule —
+    * title (kept), nav (link density 1 → dropped), content `<p>` (kept,
+    * byte-recovered), entities (kept, decoded; `&#39;s&nbsp;` pins the
+    * numeric-entity and nbsp paths), anchor-heavy footer (anchors 37 of
+    * 46 visible chars → dropped), bare closers (empty → dropped). The
+    * rest pass through as raw text.
+    */
+  private[queries] def plantedHtml: org.apache.spark.sql.Column =
+    when(col("doc_id") % 3 === 0,
+      concat_ws("\n",
+        concat(lit("<html><head><title>Doc "), col("doc_id"), lit(" "),
+          col("lang"), lit("</title></head><body>")),
+        lit("<div class=\"nav\"><a href=\"/\">Home</a> " +
+          "<a href=\"/about\">About</a> <a href=\"/contact\">Contact</a></div>"),
+        concat(lit("<p>"), col("text"), lit("</p>")),
+        lit("<p>Fish &amp; chips &lt;tag&gt; say &quot;hi&quot; " +
+          "it&#39;s&nbsp;fine</p>"),
+        lit("<div class=\"footer\"><a href=\"/tos\">Terms of Service</a> " +
+          "<a href=\"/privacy\">Privacy Policy</a> " +
+          "<a href=\"/sitemap\">Sitemap</a> | 2024</div>"),
+        lit("</body></html>")))
+      .otherwise(col("text"))
+
   private[queries] def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val pairs = Dedup.nearDupPairsNative(docs, "doc_id", "text",
@@ -936,7 +982,42 @@ object CurationQueries {
     */
   private[queries] val AnnealAlphas: Seq[Double] = Seq(0.3, 0.5, 0.8, 1.0)
 
+  /** One line's visible text, as DuckDB SQL (RE2 'g' flag ≡ Spark's
+    * replace-all default).
+    */
+  private def visSql(l: String): String =
+    s"trim(regexp_replace(regexp_replace($l, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))"
+
   val oracles: Map[String, String] = Map(
+    // E233: planting, split, tag strip, integer link-density rule,
+    // and the entity decode order replayed rule for rule.
+    "docs_html_extract" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN
+         |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' ' || lang || '</title></head><body>' || chr(10) ||
+         |    '<div class="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div>' || chr(10) ||
+         |    '<p>' || text || '</p>' || chr(10) ||
+         |    '<p>Fish &amp; chips &lt;tag&gt; say &quot;hi&quot; it&#39;s&nbsp;fine</p>' || chr(10) ||
+         |    '<div class="footer"><a href="/tos">Terms of Service</a> <a href="/privacy">Privacy Policy</a> <a href="/sitemap">Sitemap</a> | 2024</div>' || chr(10) ||
+         |    '</body></html>'
+         |  ELSE text END AS html
+         |  FROM documents),
+         |ln AS (SELECT doc_id, string_split(html, chr(10)) AS lines FROM h),
+         |kp AS (SELECT doc_id, lines,
+         |  list_filter(lines, l -> ${visSql("l")} <> ''
+         |    AND 2 * coalesce(length(array_to_string(regexp_extract_all(l, '<[Aa][^>]*>([^<]*)</[Aa]>', 1), '')), 0)
+         |        <= length(${visSql("l")})) AS k
+         |  FROM ln)
+         |SELECT doc_id,
+         |  array_to_string(list_transform(k, l ->
+         |    replace(replace(replace(replace(replace(replace(${visSql("l")},
+         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&')), chr(10))
+         |    AS text_clean,
+         |  CAST(len(k) AS BIGINT) AS n_kept,
+         |  CAST(len(lines) - len(k) AS BIGINT) AS n_dropped
+         |FROM kp""".stripMargin,
+
     // E224: same strata, same (stratum, rank) pairing, inner join =
     // drop unmatched treatment docs.
     "docs_matched_pairs" ->
