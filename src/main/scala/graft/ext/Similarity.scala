@@ -182,6 +182,27 @@ object Similarity {
     explodeTopK(agg, Seq("query_id"))
   }
 
+  /** Filtered ANN search (VERDICT r11 #3): attribute-constrained top-k
+    * where an ARBITRARY user predicate rides CANDIDATE GENERATION, not
+    * the ranked output. The predicate is applied to the corpus side
+    * BEFORE the cell-keyed candidate join, which is exactly the
+    * pushed-down form: Catalyst moves it into (or directly above) the
+    * scan, so non-matching rows are never scored, never heaped, and
+    * never shuffled — where post-filtering the top-k would both waste
+    * that work and silently return FEWER than k results whenever the
+    * true top-k contains non-matching neighbors (the classic filtered-
+    * ANN correctness bug this operator exists to avoid; E152 is the
+    * one-predicate special case, this is the general shape).
+    *
+    * `emb_filtered_recall` audits the result against the
+    * predicate-filtered brute force (the E163 discipline), and
+    * FilteredAnnSpec pins that every neighbor satisfies the predicate
+    * and that the filter sits below the join in the executed plan.
+    */
+  def filteredTopKWithinPartition(corpus: DataFrame, queries: DataFrame,
+      k: Int, pred: Column): DataFrame =
+    topKWithinPartition(corpus.filter(pred), queries, k)
+
   /** Per-cell centroids — the IVF "training" step (here one averaging
     * pass over pre-assigned cells; a full k-means iterates this with
     * [[assignToNearest]]). Output is LONG form (part, dim, c): explode

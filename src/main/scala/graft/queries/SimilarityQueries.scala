@@ -239,6 +239,54 @@ object SimilarityQueries {
       Similarity.topKWithinPartition(c, probes, K)
     }),
 
+    // E234: FILTERED multi-probe ANN search (VERDICT r11 #3) — the
+    // attribute-constrained top-k every retrieval stack ships: each
+    // query probes its top-2 cells (the E167 rule) and ranks ONLY the
+    // corpus rows satisfying the user predicate (here vec_id % 3 = 0,
+    // standing in for any metadata constraint). The predicate rides
+    // candidate generation — applied to the corpus side BELOW the
+    // cell-keyed join, so non-matching vectors are never scored —
+    // where a post-ranking filter would silently under-fill k (the
+    // filtered-ANN correctness bug). FilteredAnnSpec pins the plan
+    // placement; E235 prices the recall.
+    "emb_topk_filtered" -> ((s, dir) => filteredSearch(s, dir)),
+
+    // E235: filtered-ANN recall audit (the E163 discipline applied to
+    // E234): ground truth is the predicate-filtered brute force —
+    // exact cosine top-k over matching vectors only — and the audit
+    // reports per-query hit counts at k. Both sides deterministic
+    // fixed-point pipelines → every number hash-checked, no pinned
+    // booleans.
+    "emb_filtered_recall" -> ((s, dir) => {
+      val c = corpus(s, dir).localCheckpoint(false)
+      val ivf = filteredSearch(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(false)
+      val q = c.filter(col("id") < NumQueries)
+        .select(col("id").as("qid"), col("vec").as("qv"))
+      val truth = q.join(
+          c.filter(filteredPred).select(col("id"), col("vec")),
+          col("id") =!= col("qid"))
+        .select(col("qid"), col("id"),
+          Similarity.cosine(col("qv"), col("vec")).as("score"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("qid")).orderBy(col("score").desc, col("id"))))
+        .filter(col("rank") <= K)
+        .select(col("qid").as("query_id"), col("id").as("neighbor_id"))
+      val hits = ivf.join(truth, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("h"))
+      val nIvf = ivf.groupBy("query_id").agg(count(lit(1)).as("n_ivf"))
+      q.select(col("qid").as("query_id"))
+        .join(nIvf, Seq("query_id"), "left")
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_ivf"), lit(0L)).as("n_ivf"),
+          coalesce(col("h"), lit(0L)).as("n_hits"),
+          round(coalesce(col("h"), lit(0L)).cast("double") /
+            lit(K.toDouble), 6).as("recall_at_k"))
+    }),
+
     // E168: semantic decontamination — the embedding twin of E69's
     // n-gram decontam (SemDeDup/embedding-overlap style): flag corpus
     // vectors whose max cosine against the BENCHMARK/eval set crosses
@@ -593,6 +641,37 @@ object SimilarityQueries {
     * the final top-k — the standard PQ serving shape.
     */
   private[queries] val AdcRerankMult = 5
+
+  /** Attribute constraint for the filtered-ANN pair (E234/E235):
+    * vec_id % 3 == 0, standing in for any user metadata predicate —
+    * selective enough (~1/3 of the corpus) that the filtered and
+    * unfiltered top-k differ, dense enough that every probed cell
+    * still holds ≥ k matches.
+    */
+  private[queries] val FilteredMod = 3
+  private[queries] def filteredPred =
+    pmod(col("id"), lit(FilteredMod.toLong)) === 0
+
+  /** E234's search, shared with the E235 audit: top-[[MProbe]] cells
+    * per query by trained-centroid cosine (the emb_topk_mprobe probe
+    * list), then [[graft.ext.Similarity.filteredTopKWithinPartition]]
+    * over the probed cells.
+    */
+  private[queries] def filteredSearch(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val cvecs = Similarity.centroidVectors(Similarity.centroids(c))
+    val q = c.filter(col("id") < NumQueries)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val pc = q.crossJoin(broadcast(cvecs)) // cells × queries: bounded
+      .select(col("qid"), col("qvec"), col("cpart"),
+        Similarity.cosine(col("qvec"), col("cvec")).as("cs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cs").desc, col("cpart"))
+    val probes = pc.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= MProbe)
+      .select(col("qid"), col("cpart").as("part"), col("qvec"))
+    Similarity.filteredTopKWithinPartition(c, probes, K, filteredPred)
+  }
 
   private val MProbe = 2   // cells probed per query in emb_topk_mprobe
   private val EvalN = 25   // vec_id < 25 play the benchmark/eval set
@@ -1121,6 +1200,82 @@ object SimilarityQueries {
          |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
          |       round(score, 6) AS cos
          |FROM r WHERE rank <= $K""".stripMargin,
+
+    // E234: the mprobe chain with the user predicate ON the candidate
+    // join — non-matching vectors never enter sc, mirroring the Spark
+    // plan's below-join filter.
+    "emb_topk_filtered" ->
+      s"""$embCte,
+         |x AS (SELECT label, CAST(i - 1 AS INTEGER) AS dim, v[CAST(i AS INTEGER)] AS val
+         |      FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+         |cent AS (SELECT label AS cpart, dim, round(sum(val) / count(*), 6) AS c
+         |         FROM x GROUP BY label, dim),
+         |cvecs AS (SELECT cpart, list(c ORDER BY dim) AS cvec FROM cent GROUP BY cpart),
+         |q AS (SELECT * FROM e WHERE vec_id < $NumQueries),
+         |pc AS (SELECT q.vec_id AS qid, cv.cpart, ${cosSql("q.v", "cv.cvec")} AS cs
+         |       FROM q CROSS JOIN cvecs cv),
+         |pr AS (SELECT qid, cpart,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cpart) AS rn
+         |       FROM pc),
+         |probes AS (SELECT qid, cpart FROM pr WHERE rn <= $MProbe),
+         |sc AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |              ${cosSql("q.v", "e.v")} AS score
+         |       FROM q JOIN probes p ON p.qid = q.vec_id
+         |              JOIN e ON e.label = p.cpart AND e.vec_id <> q.vec_id
+         |                    AND e.vec_id % $FilteredMod = 0),
+         |r AS (SELECT query_id, neighbor_id, score,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY score DESC, neighbor_id) AS rank
+         |      FROM sc)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+         |       round(score, 6) AS cos
+         |FROM r WHERE rank <= $K""".stripMargin,
+
+    // E235: the E234 chain intersected with the predicate-filtered
+    // exact brute force, per query.
+    "emb_filtered_recall" ->
+      s"""$embCte,
+         |x AS (SELECT label, CAST(i - 1 AS INTEGER) AS dim, v[CAST(i AS INTEGER)] AS val
+         |      FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+         |cent AS (SELECT label AS cpart, dim, round(sum(val) / count(*), 6) AS c
+         |         FROM x GROUP BY label, dim),
+         |cvecs AS (SELECT cpart, list(c ORDER BY dim) AS cvec FROM cent GROUP BY cpart),
+         |q AS (SELECT * FROM e WHERE vec_id < $NumQueries),
+         |pc AS (SELECT q.vec_id AS qid, cv.cpart, ${cosSql("q.v", "cv.cvec")} AS cs
+         |       FROM q CROSS JOIN cvecs cv),
+         |pr AS (SELECT qid, cpart,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cpart) AS rn
+         |       FROM pc),
+         |probes AS (SELECT qid, cpart FROM pr WHERE rn <= $MProbe),
+         |sc AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |              ${cosSql("q.v", "e.v")} AS score
+         |       FROM q JOIN probes p ON p.qid = q.vec_id
+         |              JOIN e ON e.label = p.cpart AND e.vec_id <> q.vec_id
+         |                    AND e.vec_id % $FilteredMod = 0),
+         |ivf AS (SELECT query_id, neighbor_id FROM (
+         |          SELECT query_id, neighbor_id,
+         |                 row_number() OVER (PARTITION BY query_id
+         |                   ORDER BY score DESC, neighbor_id) AS rank
+         |          FROM sc) WHERE rank <= $K),
+         |tr AS (SELECT query_id, neighbor_id FROM (
+         |         SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |                row_number() OVER (PARTITION BY q.vec_id
+         |                  ORDER BY ${cosSql("q.v", "e.v")} DESC, e.vec_id) AS rank
+         |         FROM q JOIN e ON e.vec_id <> q.vec_id
+         |                      AND e.vec_id % $FilteredMod = 0)
+         |       WHERE rank <= $K),
+         |h AS (SELECT i.query_id, count(*) AS h FROM ivf i
+         |      JOIN tr t ON t.query_id = i.query_id
+         |              AND t.neighbor_id = i.neighbor_id
+         |      GROUP BY i.query_id),
+         |ni AS (SELECT query_id, count(*) AS n_ivf FROM ivf GROUP BY query_id)
+         |SELECT q.vec_id AS query_id,
+         |       CAST(coalesce(ni.n_ivf, 0) AS BIGINT) AS n_ivf,
+         |       CAST(coalesce(h.h, 0) AS BIGINT) AS n_hits,
+         |       round(CAST(coalesce(h.h, 0) AS DOUBLE) / $K, 6) AS recall_at_k
+         |FROM (SELECT DISTINCT vec_id FROM e WHERE vec_id < $NumQueries) q
+         |LEFT JOIN ni ON ni.query_id = q.vec_id
+         |LEFT JOIN h ON h.query_id = q.vec_id""".stripMargin,
 
     "emb_semantic_decontam" ->
       s"""$embCte,
