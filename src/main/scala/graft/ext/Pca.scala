@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Distributed top-component PCA over an embedding column — the
@@ -42,11 +43,90 @@ object Pca {
     */
   val PowerIters = 8
 
+  // ---------------------------------------------------------------------
+  // Gram aggregator (round-12, VERDICT r11 #4): one typed Aggregator
+  // pass instead of the N·d(d+1)/2-row explode
+  // ---------------------------------------------------------------------
+
+  /** One vector's contribution buffer: count, per-dim sums (d), and
+    * upper-triangle product sums (d(d+1)/2) — the MLlib Gramian shape.
+    * One O(d²) buffer per partition, zero generated rows, merged
+    * pairwise by the partial-aggregation machinery.
+    */
+  case class GramBuf(n: Long, sums: Array[Double], prods: Array[Double])
+  case class VecInput(vec: Seq[Double])
+
+  class GramAggregator(dim: Int)
+      extends Aggregator[VecInput, GramBuf, GramBuf] {
+    private val tri = dim * (dim + 1) / 2
+    def zero: GramBuf = GramBuf(0L, new Array[Double](dim), new Array[Double](tri))
+    def reduce(b: GramBuf, a: VecInput): GramBuf = {
+      val v = a.vec
+      var i = 0
+      var idx = 0
+      while (i < dim) {
+        val vi = v(i)
+        b.sums(i) += vi
+        var j = i
+        while (j < dim) {
+          b.prods(idx) += vi * v(j)
+          idx += 1
+          j += 1
+        }
+        i += 1
+      }
+      GramBuf(b.n + 1, b.sums, b.prods)
+    }
+    def merge(b1: GramBuf, b2: GramBuf): GramBuf = {
+      var i = 0
+      while (i < dim) { b1.sums(i) += b2.sums(i); i += 1 }
+      i = 0
+      while (i < tri) { b1.prods(i) += b2.prods(i); i += 1 }
+      GramBuf(b1.n + b2.n, b1.sums, b1.prods)
+    }
+    def finish(b: GramBuf): GramBuf = b
+    def bufferEncoder = Encoders.product[GramBuf]
+    def outputEncoder = Encoders.product[GramBuf]
+  }
+
+  /** [[covariance]] via the Gram aggregator: ONE partial-aggregatable
+    * corpus pass accumulating (n, Σxᵢ, Σxᵢxⱼ upper triangle) in a flat
+    * O(d²) buffer per partition — no generated rows, where the explode
+    * formulation pushes N·d(d+1)/2 struct rows (d=64 ⇒ 2080 per input
+    * row) through a hash aggregate (VERDICT r11 #3/what's-wrong).
+    * Identical fixed points: means/moments are the same Σ/n divisions
+    * rounded HALF_UP to 6 decimals, and partial-sum fold-order noise
+    * (~1e-13) sits far below the rounding grain — the oracle replays
+    * the same numbers from raw data, unchanged. Selected over the
+    * explode by the round-12 witness probe (SCALING.md).
+    */
+  def covarianceGram(vecs: DataFrame, dim: Int)
+      : (IndexedSeq[Double], Array[Array[Double]]) = {
+    val g = vecs.agg(
+      udaf(new GramAggregator(dim), Encoders.product[VecInput])(col("vec"))
+        .as("g"))
+      .select(col("g.n"), col("g.sums"), col("g.prods")).head()
+    val n = g.getLong(0).toDouble
+    val sums = g.getSeq[Double](1)
+    val prods = g.getSeq[Double](2)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val m = IndexedSeq.tabulate(dim)(i => r6(sums(i) / n))
+    def triIdx(i: Int, j: Int): Int = i * dim - i * (i - 1) / 2 + (j - i)
+    val c = Array.tabulate(dim, dim) { (i, j) =>
+      val (lo, hi) = (math.min(i, j), math.max(i, j))
+      r6(r6(prods(triIdx(lo, hi)) / n) - m(i) * m(j))
+    }
+    (m, c)
+  }
+
   /** Per-dim means (round 6) and the FULL symmetric covariance matrix
     * (round 6, E[XY] − E[X]E[Y] over the 6-rounded fixed points),
     * collected to the driver: d + d² doubles of driver state.
+    * EXPLODE formulation — kept as the Gram aggregator's differential
+    * twin (PcaSpec pins them equal); [[fit]] runs the aggregator.
     */
-  def covariance(vecs: DataFrame, dim: Int)
+  def covarianceExplode(vecs: DataFrame, dim: Int)
       : (IndexedSeq[Double], Array[Array[Double]]) = {
     val x = vecs.select(posexplode(col("vec")).as(Seq("d", "val")))
     val means = x.groupBy(col("d")).agg(round(avg(col("val")), 6).as("m"))
@@ -91,6 +171,14 @@ object Pca {
     }
     v
   }
+
+  /** Production covariance = the kernel the round-12 witness probe
+    * selected (SCALING.md): the Gram aggregator. The explode twin
+    * stays for the differential spec.
+    */
+  def covariance(vecs: DataFrame, dim: Int)
+      : (IndexedSeq[Double], Array[Array[Double]]) =
+    covarianceGram(vecs, dim)
 
   /** (means, top component) for an (id, vec) frame. */
   def fit(vecs: DataFrame, dim: Int): (IndexedSeq[Double], IndexedSeq[Double]) = {
