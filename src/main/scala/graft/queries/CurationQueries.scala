@@ -27,6 +27,13 @@ object CurationQueries {
   val PackBudget = 1024L
   val DecontamMod = 11 // doc_id % 11 == 0 stands in for the eval set
 
+  /** A line appearing in ≥ this many distinct documents is template
+    * boilerplate (E236) — the planted entity line recurs in every
+    * third doc and crosses it at every SF; titles/content are per-doc
+    * unique and never do.
+    */
+  val LineBoilerDf = 3
+
   /** Power-of-two caps for docs_length_buckets (1..4096); anything
     * longer lands in the overflow cap. Pure-integer CASE chain in both
     * engines — `2^ceil(log2(n))` in doubles misbuckets exact powers.
@@ -70,6 +77,46 @@ object CurationQueries {
           graft.ext.HtmlExtract.extract(plantedHtml).as("x"))
         .select(col("doc_id"), col("x.text_clean").as("text_clean"),
           col("x.n_kept").as("n_kept"), col("x.n_dropped").as("n_dropped"))),
+
+    // E236: line-frequency boilerplate removal — the CCNet line-dedup
+    // pass, CHAINED onto E233's extraction output (raw HTML → visible
+    // lines → drop every line that repeats across ≥ LineBoilerDf
+    // docs). This is the cross-document complement of E206's
+    // within-corpus span excision: a line shared by many documents is
+    // template chrome ("subscribe to our newsletter"), whatever its
+    // link density. Here the planted entity line recurs in every
+    // third doc → dropped corpus-wide; title and content lines are
+    // per-doc unique → kept; clean docs pass through byte-identical.
+    //
+    // Scale shape: line frequency aggregates 32-char md5 digests +
+    // doc counts (line text never shuffles); the boilerplate set is
+    // bounded by TRUE cross-document duplication — vocabulary-of-
+    // templates sized, not corpus sized (the E129 survivor-table
+    // argument) — so it collects to the driver and rides back into
+    // the scan as an InSet over the kept-lines HOF filter: the
+    // rewrite is a narrow second scan, documents are never
+    // re-assembled through a shuffle. LineBoilerSpec pins the chain.
+    "docs_line_boilerplate" -> ((s, dir) => {
+      val ex = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          split(graft.ext.HtmlExtract.extract(plantedHtml)
+            .getField("text_clean"), "\n").as("lines"))
+        .localCheckpoint(false) // feeds the frequency agg AND the rewrite
+      val boiler = ex
+        .select(col("doc_id"), explode(col("lines")).as("line"))
+        .groupBy(md5(col("line")).as("dig"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= LineBoilerDf)
+        .select("dig").collect().map(_.getString(0)).toSeq
+      val keepLine: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        if (boiler.isEmpty) _ => lit(true)
+        else l => !md5(l).isInCollection(boiler)
+      val kept = filter(col("lines"), keepLine)
+      ex.select(col("doc_id"),
+        array_join(kept, "\n").as("text_clean"),
+        size(kept).cast("long").as("n_kept"),
+        (size(col("lines")) - size(kept)).cast("long").as("n_dropped"))
+    }),
 
     // E224: matched-pair construction for ablation evals — every
     // treatment doc (source = src0) is paired with a distinct control
@@ -988,35 +1035,71 @@ object CurationQueries {
   private def visSql(l: String): String =
     s"trim(regexp_replace(regexp_replace($l, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))"
 
+  /** Entity decode of one already-stripped line, [[visSql]] inside. */
+  private def decodeSql(l: String): String =
+    s"""replace(replace(replace(replace(replace(replace(${visSql(l)},
+       |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+       |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&')""".stripMargin
+
+  /** The E233 extraction chain (planting → split → link-density keep
+    * list), ending at `kp(doc_id, lines, k)` — shared by the E233 and
+    * E236 oracles so the two can never drift on the front door.
+    */
+  private val htmlChainSql: String =
+    s"""h AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 3 = 0 THEN
+       |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' ' || lang || '</title></head><body>' || chr(10) ||
+       |    '<div class="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div>' || chr(10) ||
+       |    '<p>' || text || '</p>' || chr(10) ||
+       |    '<p>Fish &amp; chips &lt;tag&gt; say &quot;hi&quot; it&#39;s&nbsp;fine</p>' || chr(10) ||
+       |    '<div class="footer"><a href="/tos">Terms of Service</a> <a href="/privacy">Privacy Policy</a> <a href="/sitemap">Sitemap</a> | 2024</div>' || chr(10) ||
+       |    '</body></html>'
+       |  ELSE text END AS html
+       |  FROM documents),
+       |ln AS (SELECT doc_id, string_split(html, chr(10)) AS lines FROM h),
+       |kp AS (SELECT doc_id, lines,
+       |  list_filter(lines, l -> ${visSql("l")} <> ''
+       |    AND 2 * coalesce(length(array_to_string(regexp_extract_all(l, '<[Aa][^>]*>([^<]*)</[Aa]>', 1), '')), 0)
+       |        <= length(${visSql("l")})) AS k
+       |  FROM ln)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // E233: planting, split, tag strip, integer link-density rule,
     // and the entity decode order replayed rule for rule.
     "docs_html_extract" ->
-      s"""WITH h AS (SELECT doc_id,
-         |  CASE WHEN doc_id % 3 = 0 THEN
-         |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' ' || lang || '</title></head><body>' || chr(10) ||
-         |    '<div class="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div>' || chr(10) ||
-         |    '<p>' || text || '</p>' || chr(10) ||
-         |    '<p>Fish &amp; chips &lt;tag&gt; say &quot;hi&quot; it&#39;s&nbsp;fine</p>' || chr(10) ||
-         |    '<div class="footer"><a href="/tos">Terms of Service</a> <a href="/privacy">Privacy Policy</a> <a href="/sitemap">Sitemap</a> | 2024</div>' || chr(10) ||
-         |    '</body></html>'
-         |  ELSE text END AS html
-         |  FROM documents),
-         |ln AS (SELECT doc_id, string_split(html, chr(10)) AS lines FROM h),
-         |kp AS (SELECT doc_id, lines,
-         |  list_filter(lines, l -> ${visSql("l")} <> ''
-         |    AND 2 * coalesce(length(array_to_string(regexp_extract_all(l, '<[Aa][^>]*>([^<]*)</[Aa]>', 1), '')), 0)
-         |        <= length(${visSql("l")})) AS k
-         |  FROM ln)
+      s"""WITH $htmlChainSql
          |SELECT doc_id,
-         |  array_to_string(list_transform(k, l ->
-         |    replace(replace(replace(replace(replace(replace(${visSql("l")},
-         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-         |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&')), chr(10))
+         |  array_to_string(list_transform(k, l -> ${decodeSql("l")}), chr(10))
          |    AS text_clean,
          |  CAST(len(k) AS BIGINT) AS n_kept,
          |  CAST(len(lines) - len(k) AS BIGINT) AS n_dropped
          |FROM kp""".stripMargin,
+
+    // E236: the same chain, then per-line document frequency over the
+    // extracted lines and the cross-corpus boilerplate drop. The
+    // Spark side groups md5 digests (shuffle width) where the oracle
+    // groups raw lines — equivalent modulo md5 collision, the tier's
+    // accepted birthday budget.
+    "docs_line_boilerplate" ->
+      s"""WITH $htmlChainSql,
+         |cl AS (SELECT doc_id,
+         |         list_transform(k, l -> ${decodeSql("l")}) AS cls
+         |       FROM kp),
+         |lx AS (SELECT doc_id, CAST(i AS INTEGER) AS i,
+         |              cls[CAST(i AS INTEGER)] AS line
+         |       FROM cl, unnest(generate_series(1, len(cls))) AS t(i)),
+         |bf AS (SELECT line FROM lx GROUP BY line
+         |       HAVING count(DISTINCT doc_id) >= $LineBoilerDf),
+         |mk AS (SELECT doc_id, i, line,
+         |              line IN (SELECT line FROM bf) AS isb
+         |       FROM lx)
+         |SELECT doc_id,
+         |  coalesce(array_to_string(
+         |    list(line ORDER BY i) FILTER (WHERE NOT isb), chr(10)), '')
+         |    AS text_clean,
+         |  CAST(count(*) FILTER (WHERE NOT isb) AS BIGINT) AS n_kept,
+         |  CAST(count(*) FILTER (WHERE isb) AS BIGINT) AS n_dropped
+         |FROM mk GROUP BY doc_id""".stripMargin,
 
     // E224: same strata, same (stratum, rank) pairing, inner join =
     // drop unmatched treatment docs.

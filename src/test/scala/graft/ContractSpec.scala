@@ -46,8 +46,24 @@ class ContractSpec extends AnyFunSuite {
   test("oracle SQL is single-statement and names its tables from the fixture set") {
     val tables = Set("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
+    // ';' INSIDE a SQL string literal is data (the E233 oracle carries
+    // HTML entities like '&amp;'), not a statement separator — strip
+    // quoted literals (with '' escapes) before checking.
+    def outsideLiterals(sql: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      var inLit = false
+      while (i < sql.length) {
+        val c = sql.charAt(i)
+        if (c == '\'') inLit = !inLit // '' escape = two toggles, stays out
+        else if (!inLit) sb += c
+        i += 1
+      }
+      sb.toString
+    }
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      assert(!sql.contains(";"), s"$name: ';' would break the driver's single-statement run")
+      assert(!outsideLiterals(sql).contains(";"),
+        s"$name: bare ';' would break the driver's single-statement run")
       assert(tables.exists(t => sql.contains(t)),
         s"$name: oracle references no fixture table")
     }
