@@ -197,6 +197,52 @@ object TextQueries {
     // Model tables are vocabulary-sized aggregates joined back in.
     "docs_bigram_lm" -> ((s, dir) => bigramLmScores(s, dir)),
 
+    // E237: interpolated Kneser-Ney bigram LM — the canonical n-gram
+    // smoothing (Kneser & Ney 1995; Chen & Goodman 1999) beside
+    // E165's fixed-λ mixture: absolute discount D on the raw bigram
+    // estimate, the freed mass D·N1+(w·)/c(w) redistributed through
+    // the CONTINUATION probability N1+(·w2)/|bigram types| — "how
+    // many contexts does w2 complete" rather than "how often does w2
+    // occur", the correction that stops high-frequency-but-one-
+    // context words (the "San Francisco" effect) from leaking
+    // probability. Every statistic is an integer count off the ONE
+    // bigram-type table (vocabulary-sized; history marginals,
+    // forward/backward type counts, the type total), so the oracle
+    // replays the whole estimator term for term; scoring is the same
+    // instance-side join shape as E165.
+    "docs_bigram_kn" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val bg = docs
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(1), size(col("ws")) - 1)).as("i"))
+        .select(col("doc_id"),
+          get(col("ws"), col("i") - 1).as("w"),
+          get(col("ws"), col("i")).as("w2"))
+        .localCheckpoint(false) // feeds type counts AND instance scoring
+      val bgc = bg.groupBy("w", "w2").agg(count(lit(1)).as("cb"))
+        .localCheckpoint(false) // feeds hist, cont, bt, and the join
+      val hist = bgc.groupBy("w")
+        .agg(sum(col("cb")).as("c1"), count(lit(1)).as("n1f"))
+      val cont = bgc.groupBy("w2").agg(count(lit(1)).as("n1b"))
+      val btypes = bgc.agg(count(lit(1)).as("bt"))
+      val p =
+        greatest(col("cb") - lit(KnDiscount), lit(0.0)) /
+          col("c1").cast("double") +
+          lit(KnDiscount) * col("n1f").cast("double") /
+            col("c1").cast("double") *
+            (col("n1b").cast("double") / col("bt").cast("double"))
+      bg.join(bgc, Seq("w", "w2"))
+        .join(hist, Seq("w"))
+        .join(cont, Seq("w2"))
+        .crossJoin(broadcast(btypes))
+        .select(col("doc_id"), log(p).as("lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(col("lp")), 6).as("avg_logprob"))
+    }),
+
     // E189: CCNet-style perplexity bucketing — partition the corpus
     // into head / middle / tail tertiles by LM score (Wenzek et al.
     // 2020: train on head, inspect middle, drop tail — the canonical
@@ -557,6 +603,12 @@ object TextQueries {
   // Bigram LM interpolation weight (λ·bigram + (1−λ)·smoothed unigram).
   // Written as two literals so both engines add the SAME doubles.
   private val BigramLambda = 0.7
+
+  /** Absolute discount for the Kneser-Ney estimator (E237) — the
+    * Chen & Goodman fixed-D variant; every observed bigram has
+    * cb ≥ 1 > D, so the discounted term stays positive.
+    */
+  private val KnDiscount = 0.75
   private val BigramOneMinus = 0.3
   // Logistic-gate weights: fixed "published model" coefficients.
   /** Batched BPE (E209): 4 rounds × top-4 disjoint prefix learns up to
@@ -833,6 +885,36 @@ object TextQueries {
       s"""WITH $bigramLmCtes
          |SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logprob
          |FROM sc GROUP BY doc_id""".stripMargin,
+
+    // E237: the KN estimator term for term — discounted bigram
+    // estimate + history backoff weight × continuation probability,
+    // all integer counts off the one bigram-type table.
+    "docs_bigram_kn" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |t AS (SELECT doc_id, i AS pos, ws[CAST(i AS INTEGER)] AS w
+        |      FROM d, unnest(generate_series(1, len(ws))) AS u(i)),
+        |bgx AS (SELECT doc_id, w, lead(w) OVER
+        |          (PARTITION BY doc_id ORDER BY pos) AS w2
+        |        FROM t),
+        |b AS (SELECT doc_id, w, w2 FROM bgx WHERE w2 IS NOT NULL),
+        |bgc AS MATERIALIZED (SELECT w, w2, count(*) AS cb FROM b GROUP BY w, w2),
+        |hist AS (SELECT w, sum(cb) AS c1, count(*) AS n1f FROM bgc GROUP BY w),
+        |cont AS (SELECT w2, count(*) AS n1b FROM bgc GROUP BY w2),
+        |bt AS (SELECT count(*) AS bt FROM bgc),
+        |sc AS (SELECT b.doc_id,
+        |         ln(greatest(CAST(bgc.cb AS DOUBLE) - CAST(0.75 AS DOUBLE),
+        |                     CAST(0.0 AS DOUBLE)) / CAST(hist.c1 AS DOUBLE)
+        |            + CAST(0.75 AS DOUBLE) * CAST(hist.n1f AS DOUBLE)
+        |                / CAST(hist.c1 AS DOUBLE)
+        |                * (CAST(cont.n1b AS DOUBLE) / CAST(bt.bt AS DOUBLE)))
+        |           AS lp
+        |       FROM b JOIN bgc USING (w, w2)
+        |            JOIN hist ON hist.w = b.w
+        |            JOIN cont ON cont.w2 = b.w2
+        |            CROSS JOIN bt)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       round(avg(lp), 6) AS avg_logprob
+        |FROM sc GROUP BY doc_id""".stripMargin,
 
     "docs_ppl_buckets" ->
       s"""WITH $bigramLmCtes,
