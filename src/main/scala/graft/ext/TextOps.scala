@@ -98,4 +98,31 @@ object TextOps {
     */
   def fingerprint(text: Column): Column =
     substring(md5(normalize(text)), 1, 16)
+
+  /** Unicode folding map for [[foldText]] (E238): accented latin
+    * letters to their base letter, curly quotes / en- / em-dashes to
+    * their ASCII forms, NBSP to space — the crawl-text variation a
+    * tokenizer vocabulary should not have to learn twice. 1:1
+    * codepoint pairs (translate semantics, identical in Spark and
+    * DuckDB — both verified codepoint-based); the map is the
+    * operator's published config, extended per corpus exactly like
+    * [[Stopwords]] or [[LangMarkers]].
+    */
+  val FoldFrom: String =
+    "ÀÁÂÄÈÉÊËÌÍÎÏÑÒÓÔÖÙÚÛÜàáâäçèéêëìíîïñòóôöùúûü‘’“”–— "
+  val FoldTo: String =
+    "AAAAEEEEIIIINOOOOUUUUaaaaceeeeiiiinoooouuuu''\"\"-- "
+  require(FoldFrom.length == FoldTo.length, "fold map must be 1:1")
+
+  /** Destructive-but-deterministic text canonicalization (E238) — the
+    * normalization pass between HTML extraction and tokenization:
+    * fold accents/typographic punctuation ([[FoldFrom]]→[[FoldTo]]),
+    * lowercase, collapse whitespace, trim. Unlike [[normalize]] (the
+    * fingerprint key, which DELETES punctuation structure), this is a
+    * text REWRITE — punctuation survives in canonical form, so the
+    * output is still trainable text. Pure codegen projection.
+    */
+  def foldText(text: Column): Column =
+    trim(regexp_replace(lower(translate(text, FoldFrom, FoldTo)),
+      "\\s+", " "))
 }

@@ -195,6 +195,26 @@ object TextQueries {
     // sort, no shuffle before the counts); re-evaluating it for the
     // scoring join is a narrow re-scan, so nothing is checkpointed.
     // Model tables are vocabulary-sized aggregates joined back in.
+    // E238: unicode/typographic normalization — the canonicalization
+    // pass between HTML extraction and tokenization: fold accented
+    // letters and curly-quote/dash typography to ASCII (1:1 codepoint
+    // translate — Spark and DuckDB both verified codepoint-based),
+    // lowercase, collapse whitespace. Messy text is PLANTED from doc
+    // columns for doc_id % 4 == 1 (uppercased body + an accent/
+    // typography suffix with an NBSP); clean docs normalize to
+    // themselves (`changed` = false), planted docs back to their
+    // lowercase body + folded suffix. Pure codegen projection, no
+    // shuffle, no UDF.
+    "docs_normalize" -> ((s, dir) => {
+      val messy = when(col("doc_id") % 4 === 1,
+        concat(upper(col("text")),
+          lit(" CAFÉ naïve façade “quoted” it’s – dash — done end")))
+        .otherwise(col("text"))
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextOps.foldText(messy).as("normalized"),
+        (TextOps.foldText(messy) =!= col("text")).as("changed"))
+    }),
+
     "docs_bigram_lm" -> ((s, dir) => bigramLmScores(s, dir)),
 
     // E237: interpolated Kneser-Ney bigram LM — the canonical n-gram
@@ -881,6 +901,24 @@ object TextQueries {
     // Mirrors docs_bigram_lm expression for expression: same cast
     // points, same literal order (0.7/0.3 written separately, never
     // 1 − λ at query time), ln applied to the identical double.
+    // E238: planting + the identical translate/lower/collapse chain;
+    // the fold map is embedded from the SAME TextOps constants the
+    // Spark side reads, so the two can never drift.
+    "docs_normalize" -> {
+      def lit(s: String) = "'" + s.replace("'", "''") + "'"
+      s"""WITH m AS (SELECT doc_id, text,
+         |  CASE WHEN doc_id % 4 = 1 THEN upper(text) || ' CAFÉ naïve façade “quoted” it’s – dash — done' || chr(160) || 'end'
+         |  ELSE text END AS messy
+         |  FROM documents),
+         |n AS (SELECT doc_id, text,
+         |  trim(regexp_replace(lower(translate(messy,
+         |    ${lit(graft.ext.TextOps.FoldFrom)},
+         |    ${lit(graft.ext.TextOps.FoldTo)})), '\\s+', ' ', 'g')) AS normalized
+         |  FROM m)
+         |SELECT doc_id, normalized, normalized <> text AS changed
+         |FROM n""".stripMargin
+    },
+
     "docs_bigram_lm" ->
       s"""WITH $bigramLmCtes
          |SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logprob

@@ -47,6 +47,24 @@ class TextOpsSpec extends SparkSpec {
     assert(toks == Seq("abc", "123", "def", "-", "gh", "4", "x"))
   }
 
+  test("foldText canonicalizes accents, typography, NBSP, case, and " +
+      "whitespace; clean text is a fixed point (E238)") {
+    val cases = Seq(
+      "CAFÉ naïve façade" -> "cafe naive facade",
+      "“quoted” it’s – a — b" -> "\"quoted\" it's - a - b",
+      "done end" -> "done end",
+      "  spaced   out\t x " -> "spaced out x",
+      "already clean text" -> "already clean text")
+    val out = cases.map(_._1).toDF("t")
+      .select(TextOps.foldText(col("t"))).as[String].collect()
+    out.zip(cases.map(_._2)).foreach { case (got, want) =>
+      assert(got == want, s"'$got' != '$want'")
+    }
+    // the fold map itself stays 1:1 — a drifted edit fails here, not
+    // silently misaligning translate
+    assert(TextOps.FoldFrom.length == TextOps.FoldTo.length)
+  }
+
   test("quality score is bounded and rewards the target stopword rate") {
     val good = ("w " * 49 + "the").trim                   // 50 tokens, 2% stopwords
     val ideal = (Seq.fill(45)("w") ++ Seq.fill(5)("the")).mkString(" ") // 10%
