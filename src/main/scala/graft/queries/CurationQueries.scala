@@ -96,26 +96,27 @@ object CurationQueries {
     // the scan as an InSet over the kept-lines HOF filter: the
     // rewrite is a narrow second scan, documents are never
     // re-assembled through a shuffle. LineBoilerSpec pins the chain.
-    "docs_line_boilerplate" -> ((s, dir) => {
-      val ex = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          split(graft.ext.HtmlExtract.extract(plantedHtml)
-            .getField("text_clean"), "\n").as("lines"))
-        .localCheckpoint(false) // feeds the frequency agg AND the rewrite
-      val boiler = ex
-        .select(col("doc_id"), explode(col("lines")).as("line"))
-        .groupBy(md5(col("line")).as("dig"))
-        .agg(countDistinct(col("doc_id")).as("df"))
-        .filter(col("df") >= LineBoilerDf)
-        .select("dig").collect().map(_.getString(0)).toSeq
-      val keepLine: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        if (boiler.isEmpty) _ => lit(true)
-        else l => !md5(l).isInCollection(boiler)
-      val kept = filter(col("lines"), keepLine)
-      ex.select(col("doc_id"),
-        array_join(kept, "\n").as("text_clean"),
-        size(kept).cast("long").as("n_kept"),
-        (size(col("lines")) - size(kept)).cast("long").as("n_dropped"))
+    "docs_line_boilerplate" -> ((s, dir) => lineBoilerFrame(s, dir)),
+
+    // E239: the composed web FRONT DOOR — raw (planted) HTML through
+    // every round-12 tier in one call: E233 extraction → E236
+    // line-frequency boilerplate drop → E238 unicode/typographic
+    // normalization → token accounting + a minimum-length keep
+    // verdict. This is the query a corpus team actually runs on a
+    // crawl drop; each stage is the SAME shared definition its
+    // standalone row registers (one definition, no drift — the
+    // bigramLmScores pattern), so the composition is pure plumbing:
+    // still one scan-side chain plus the bounded line-frequency
+    // aggregation, nothing new to shuffle.
+    "docs_web_pipeline" -> ((s, dir) => {
+      val lb = lineBoilerFrame(s, dir)
+      val norm = graft.ext.TextOps.foldText(col("text_clean"))
+      lb.select(col("doc_id"),
+        col("n_kept").as("n_lines_kept"),
+        col("n_dropped").as("n_boiler_dropped"),
+        norm.as("norm_text"),
+        size(split(norm, " ")).cast("long").as("n_tokens"),
+        (size(split(norm, " ")) >= WebMinTokens).as("keep"))
     }),
 
     // E224: matched-pair construction for ablation evals — every
@@ -858,6 +859,37 @@ object CurationQueries {
         lit("</body></html>")))
       .otherwise(col("text"))
 
+  /** Minimum token count for the E239 web-pipeline keep verdict —
+    * the crude length gate every crawl pipeline applies first.
+    */
+  val WebMinTokens = 20
+
+  /** The E236 chained extract → line-frequency-drop frame, shared by
+    * docs_line_boilerplate and the E239 composed pipeline (one
+    * definition, no drift).
+    */
+  private[queries] def lineBoilerFrame(s: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        split(graft.ext.HtmlExtract.extract(plantedHtml)
+          .getField("text_clean"), "\n").as("lines"))
+      .localCheckpoint(false) // feeds the frequency agg AND the rewrite
+    val boiler = ex
+      .select(col("doc_id"), explode(col("lines")).as("line"))
+      .groupBy(md5(col("line")).as("dig"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= LineBoilerDf)
+      .select("dig").collect().map(_.getString(0)).toSeq
+    val keepLine: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (boiler.isEmpty) _ => lit(true)
+      else l => !md5(l).isInCollection(boiler)
+    val kept = filter(col("lines"), keepLine)
+    ex.select(col("doc_id"),
+      array_join(kept, "\n").as("text_clean"),
+      size(kept).cast("long").as("n_kept"),
+      (size(col("lines")) - size(kept)).cast("long").as("n_dropped"))
+  }
+
   private[queries] def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val pairs = Dedup.nearDupPairsNative(docs, "doc_id", "text",
@@ -1063,6 +1095,30 @@ object CurationQueries {
        |        <= length(${visSql("l")})) AS k
        |  FROM ln)""".stripMargin
 
+  /** E236's line-frequency drop as CTEs over [[htmlChainSql]]'s `kp`,
+    * ending at `lb(doc_id, text_clean, n_kept, n_dropped)` — shared by
+    * the standalone row and the E239 composition.
+    */
+  private val lineBoilerSql: String =
+    s"""cl AS (SELECT doc_id,
+       |         list_transform(k, l -> ${decodeSql("l")}) AS cls
+       |       FROM kp),
+       |lx AS (SELECT doc_id, CAST(i AS INTEGER) AS i,
+       |              cls[CAST(i AS INTEGER)] AS line
+       |       FROM cl, unnest(generate_series(1, len(cls))) AS t(i)),
+       |bf AS (SELECT line FROM lx GROUP BY line
+       |       HAVING count(DISTINCT doc_id) >= $LineBoilerDf),
+       |mk AS (SELECT doc_id, i, line,
+       |              line IN (SELECT line FROM bf) AS isb
+       |       FROM lx),
+       |lb AS (SELECT doc_id,
+       |  coalesce(array_to_string(
+       |    list(line ORDER BY i) FILTER (WHERE NOT isb), chr(10)), '')
+       |    AS text_clean,
+       |  CAST(count(*) FILTER (WHERE NOT isb) AS BIGINT) AS n_kept,
+       |  CAST(count(*) FILTER (WHERE isb) AS BIGINT) AS n_dropped
+       |FROM mk GROUP BY doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // E233: planting, split, tag strip, integer link-density rule,
     // and the entity decode order replayed rule for rule.
@@ -1082,24 +1138,28 @@ object CurationQueries {
     // accepted birthday budget.
     "docs_line_boilerplate" ->
       s"""WITH $htmlChainSql,
-         |cl AS (SELECT doc_id,
-         |         list_transform(k, l -> ${decodeSql("l")}) AS cls
-         |       FROM kp),
-         |lx AS (SELECT doc_id, CAST(i AS INTEGER) AS i,
-         |              cls[CAST(i AS INTEGER)] AS line
-         |       FROM cl, unnest(generate_series(1, len(cls))) AS t(i)),
-         |bf AS (SELECT line FROM lx GROUP BY line
-         |       HAVING count(DISTINCT doc_id) >= $LineBoilerDf),
-         |mk AS (SELECT doc_id, i, line,
-         |              line IN (SELECT line FROM bf) AS isb
-         |       FROM lx)
-         |SELECT doc_id,
-         |  coalesce(array_to_string(
-         |    list(line ORDER BY i) FILTER (WHERE NOT isb), chr(10)), '')
-         |    AS text_clean,
-         |  CAST(count(*) FILTER (WHERE NOT isb) AS BIGINT) AS n_kept,
-         |  CAST(count(*) FILTER (WHERE isb) AS BIGINT) AS n_dropped
-         |FROM mk GROUP BY doc_id""".stripMargin,
+         |$lineBoilerSql
+         |SELECT doc_id, text_clean, n_kept, n_dropped FROM lb""".stripMargin,
+
+    // E239: the composed front door — the E233+E236 chain, then the
+    // E238 fold/lower/collapse normalization (same TextOps constants)
+    // and token accounting with the minimum-length verdict.
+    "docs_web_pipeline" -> {
+      def slit(s: String) = "'" + s.replace("'", "''") + "'"
+      s"""WITH $htmlChainSql,
+         |$lineBoilerSql,
+         |nm AS (SELECT doc_id, n_kept, n_dropped,
+         |  trim(regexp_replace(lower(translate(text_clean,
+         |    ${slit(graft.ext.TextOps.FoldFrom)},
+         |    ${slit(graft.ext.TextOps.FoldTo)})), '\\s+', ' ', 'g'))
+         |    AS norm_text
+         |  FROM lb)
+         |SELECT doc_id, n_kept AS n_lines_kept,
+         |       n_dropped AS n_boiler_dropped, norm_text,
+         |       CAST(len(string_split(norm_text, ' ')) AS BIGINT) AS n_tokens,
+         |       len(string_split(norm_text, ' ')) >= $WebMinTokens AS keep
+         |FROM nm""".stripMargin
+    },
 
     // E224: same strata, same (stratum, rank) pairing, inner join =
     // drop unmatched treatment docs.

@@ -33,6 +33,26 @@ class LineBoilerSpec extends SparkSpec {
     }
   }
 
+  test("web pipeline composes the three tiers: normalized single-space " +
+      "text, token accounting consistent, both keep verdicts realized") {
+    val rows = CurationQueries.queries("docs_web_pipeline")(spark, sfDir)
+      .collect()
+    assert(rows.length == 500)
+    var keeps = 0
+    rows.foreach { r =>
+      val norm = r.getAs[String]("norm_text")
+      assert(!norm.contains("\n") && !norm.contains("  "),
+        s"doc ${r.getLong(0)} not collapsed")
+      assert(norm == norm.toLowerCase, s"doc ${r.getLong(0)} not lowered")
+      val n = r.getAs[Long]("n_tokens")
+      assert(n == norm.split(" ", -1).length, s"doc ${r.getLong(0)} tokens")
+      val keep = r.getAs[Boolean]("keep")
+      assert(keep == (n >= CurationQueries.WebMinTokens))
+      if (keep) keeps += 1
+    }
+    assert(keeps > 0 && keeps < 500, "keep verdict never fires both ways")
+  }
+
   test("threshold boundary: a line shared by df-1 docs survives, " +
       "df docs dies") {
     import spark.implicits._
