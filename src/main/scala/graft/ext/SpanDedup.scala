@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -73,9 +73,16 @@ object SpanDedup {
       .filter(col("nd") >= minDocs)
       .select("gh")
     val hits = grams.join(dup, "gh").select("doc_id", "pos")
-    // Gaps-and-islands: a new island starts when the previous
-    // duplicated gram is more than n positions back (its span can no
-    // longer overlap or touch this one).
+    islandSpans(hits, n)
+  }
+
+  /** Gaps-and-islands merge of duplicated-gram hit positions into
+    * maximal spans: a new island starts when the previous hit is more
+    * than n positions back (its span can no longer overlap or touch
+    * this one). Shared by the duplication tier and the E240
+    * contamination tier — one span rule, two hit sources.
+    */
+  private def islandSpans(hits: DataFrame, n: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     hits
       .withColumn("brk",
@@ -89,6 +96,54 @@ object SpanDedup {
         (col("max_pos") + lit(n - 1)).as("span_end"),
         (col("max_pos") + lit(n) - col("span_start")).as("span_tokens"))
   }
+
+  /** SPAN-LEVEL eval decontamination (E240) — the surgical variant of
+    * the doc-level overlap flag (E69): for every TRAINING doc (rows
+    * where `evalPred` is false), the maximal spans whose n-grams
+    * appear verbatim anywhere in the EVAL slice (`evalPred` true).
+    * Doc-level decontam throws away a whole document for one leaked
+    * paragraph; span-level finds exactly the leaked text, and
+    * [[decontamExcise]] cuts it — what production pipelines run when
+    * the corpus is too valuable to drop wholesale (the Lee et al.
+    * machinery pointed at a reference set instead of at duplication).
+    *
+    * Scale shape: identical to [[duplicatedSpans]] — gram digests
+    * shuffle, text does not; the eval gram set is bounded by the eval
+    * slice (by definition tiny next to the corpus) and rides a
+    * semi-join, so training grams that match nothing never leave
+    * their partition with more than a digest.
+    */
+  def contaminationSpans(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int, evalPred: Column): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"), evalPred.as("is_eval"),
+        split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= n) // same short-doc guard as above
+      .select(col("doc_id"), col("is_eval"), explode(expr(
+        s"transform(sequence(0, size(ws) - $n), i -> " +
+          s"named_struct('pos', i, 'gh', md5(array_join(slice(ws, i + 1, $n), ' '))))"))
+        .as("g"))
+      .select(col("doc_id"), col("is_eval"),
+        col("g.pos").as("pos"), col("g.gh").as("gh"))
+    val evalGrams = grams.filter(col("is_eval")).select("gh").distinct()
+    val hits = grams.filter(!col("is_eval"))
+      .join(evalGrams, Seq("gh"), "left_semi")
+      .select("doc_id", "pos")
+    islandSpans(hits, n)
+  }
+
+  /** Find → CUT for the contamination tier: every TRAINING doc
+    * rewritten with its eval-overlapping spans excised (the
+    * [[exciseSpans]] rewrite applied to [[contaminationSpans]]); eval
+    * docs are not part of the output — they are the reference set,
+    * not the corpus.
+    */
+  def decontamExcise(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int, evalPred: Column): DataFrame =
+    exciseUsing(
+      docs.filter(!evalPred).select(col(idCol).as("doc_id"),
+        col(textCol).as("text")),
+      contaminationSpans(docs, idCol, textCol, n, evalPred))
 
   /** Find → CUT: every document rewritten with its duplicated spans
     * excised (tokens at positions inside any [[duplicatedSpans]] span
@@ -116,14 +171,21 @@ object SpanDedup {
     */
   def exciseSpans(docs: DataFrame, idCol: String, textCol: String,
                   n: Int, minDocs: Int,
-                  fastKeys: Boolean = false): DataFrame = {
-    val spans = duplicatedSpans(docs, idCol, textCol, n, minDocs, fastKeys)
+                  fastKeys: Boolean = false): DataFrame =
+    exciseUsing(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      duplicatedSpans(docs, idCol, textCol, n, minDocs, fastKeys))
+
+  /** The cut stage over a caller-supplied span table — shared by the
+    * duplication (E206/E231) and contamination (E240) tiers.
+    */
+  private def exciseUsing(docs: DataFrame, spanTable: DataFrame): DataFrame = {
+    val spans = spanTable
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"),
         count(lit(1)).as("n_spans"),
         sum(col("span_tokens")).cast("long").as("tokens_cut"))
     docs
-      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .join(spans, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),

@@ -277,6 +277,27 @@ object DedupQueries {
       graft.ext.SpanDedup.exciseSpans(
         Tables.documents(s, dir), "doc_id", "text", SpanN, 2)),
 
+    // E240: SPAN-LEVEL eval decontamination — the surgical variant of
+    // E69's doc-level overlap flag: for every training doc, the
+    // maximal spans whose 8-grams appear verbatim in the eval slice
+    // (doc_id % 11 == 0, the E69 convention). Doc-level decontam
+    // throws a whole document away for one leaked paragraph;
+    // this finds exactly the leaked text. Same gram/island machinery
+    // as the duplication tier (one span rule, two hit sources); the
+    // eval gram set is eval-slice-bounded and rides a semi-join.
+    "docs_decontam_spans" -> ((s, dir) =>
+      graft.ext.SpanDedup.contaminationSpans(
+        Tables.documents(s, dir), "doc_id", "text", SpanN,
+        col("doc_id") % CurationQueries.DecontamMod === 0)),
+
+    // E240's cut stage: the training corpus rewritten with its
+    // eval-overlapping spans excised (eval docs are the reference
+    // set, not corpus — they are absent from the output).
+    "docs_decontam_excise" -> ((s, dir) =>
+      graft.ext.SpanDedup.decontamExcise(
+        Tables.documents(s, dir), "doc_id", "text", SpanN,
+        col("doc_id") % CurationQueries.DecontamMod === 0)),
+
     // E231: the excision stage on the E214 xxhash64 production keys —
     // completing the fast tier end to end (find AND cut). Same
     // one-truth oracle as the md5 row: a 64-bit gram-key collision is
@@ -535,7 +556,89 @@ object DedupQueries {
          |FROM d LEFT JOIN agg ON agg.doc_id = d.doc_id
          |       LEFT JOIN clean ON clean.doc_id = d.doc_id""".stripMargin
 
+  /** E240 spans: the [[dupSpansSql]] chain with the hit source
+    * swapped — eval-slice gram membership instead of cross-doc
+    * counts; training side only.
+    */
+  private lazy val decontamSpansSql: String = {
+    val M = CurationQueries.DecontamMod
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |g AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+       |             md5(array_to_string(ws[u.i + 1 : u.i + $SpanN], ' ')) AS gh
+       |      FROM d, unnest(generate_series(0, len(ws) - $SpanN)) AS u(i)),
+       |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % $M = 0),
+       |h AS (SELECT doc_id, pos FROM g JOIN ev USING (gh)
+       |      WHERE doc_id % $M <> 0),
+       |m AS (SELECT doc_id, pos,
+       |        CASE WHEN pos - lag(pos) OVER
+       |               (PARTITION BY doc_id ORDER BY pos) <= $SpanN
+       |             THEN 0 ELSE 1 END AS brk
+       |      FROM h),
+       |i AS (SELECT doc_id, pos,
+       |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |                       ROWS UNBOUNDED PRECEDING) AS isl
+       |      FROM m)
+       |SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+       |       CAST(max(pos) + ${SpanN - 1} AS INTEGER) AS span_end,
+       |       CAST(max(pos) + $SpanN - min(pos) AS INTEGER) AS span_tokens
+       |FROM i GROUP BY doc_id, isl""".stripMargin
+  }
+
+  /** E240 cut: the [[exciseSpansSql]] rewrite over the contamination
+    * hit source, output restricted to the training slice.
+    */
+  private lazy val decontamExciseSql: String = {
+    val M = CurationQueries.DecontamMod
+    s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+       |           FROM documents),
+       |g AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+       |             md5(array_to_string(ws[u.i + 1 : u.i + $SpanN], ' ')) AS gh
+       |      FROM d, unnest(generate_series(0, len(ws) - $SpanN)) AS u(i)),
+       |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % $M = 0),
+       |h AS (SELECT doc_id, pos FROM g JOIN ev USING (gh)
+       |      WHERE doc_id % $M <> 0),
+       |m AS (SELECT doc_id, pos,
+       |        CASE WHEN pos - lag(pos) OVER
+       |               (PARTITION BY doc_id ORDER BY pos) <= $SpanN
+       |             THEN 0 ELSE 1 END AS brk
+       |      FROM h),
+       |i AS (SELECT doc_id, pos,
+       |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |                       ROWS UNBOUNDED PRECEDING) AS isl
+       |      FROM m),
+       |sp AS (SELECT doc_id, min(pos) AS span_start,
+       |              max(pos) + ${SpanN - 1} AS span_end,
+       |              max(pos) + $SpanN - min(pos) AS span_tokens
+       |       FROM i GROUP BY doc_id, isl),
+       |agg AS (SELECT doc_id, count(*) AS n_spans,
+       |               CAST(sum(span_tokens) AS BIGINT) AS tokens_cut
+       |        FROM sp GROUP BY doc_id),
+       |tok AS (SELECT d.doc_id, CAST(u.i AS INTEGER) AS pos, ws[u.i + 1] AS w
+       |        FROM d JOIN agg ON agg.doc_id = d.doc_id,
+       |             unnest(generate_series(0, len(ws) - 1)) AS u(i)),
+       |kept AS (SELECT t.doc_id, t.pos, t.w
+       |         FROM tok t LEFT JOIN sp
+       |           ON sp.doc_id = t.doc_id
+       |          AND t.pos BETWEEN sp.span_start AND sp.span_end
+       |         WHERE sp.doc_id IS NULL),
+       |clean AS (SELECT doc_id,
+       |                 string_agg(w, ' ' ORDER BY pos) AS text_clean
+       |          FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       coalesce(agg.n_spans, 0) AS n_spans,
+       |       CAST(len(ws) AS BIGINT) AS n_tokens,
+       |       coalesce(agg.tokens_cut, 0) AS tokens_cut,
+       |       CASE WHEN agg.doc_id IS NULL THEN d.text
+       |            ELSE coalesce(clean.text_clean, '') END AS text_clean
+       |FROM d LEFT JOIN agg ON agg.doc_id = d.doc_id
+       |       LEFT JOIN clean ON clean.doc_id = d.doc_id
+       |WHERE d.doc_id % $M <> 0""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "docs_decontam_spans" -> decontamSpansSql,
+    "docs_decontam_excise" -> decontamExciseSql,
+
     "docs_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
