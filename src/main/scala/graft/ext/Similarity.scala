@@ -1086,4 +1086,127 @@ object Similarity {
       .join(dropped, col("id") === col("did"), "left_anti")
       .select(col("id"), col("assigned"))
   }
+
+  /** Simplified silhouette (Hruschka et al. 2004) over label-seeded
+    * nearest-centroid clusters — the cluster-quality audit an IVF /
+    * SemDeDup partitioner needs before its cells are trusted: per
+    * point, a = cosine distance to the NEAREST centroid (its
+    * assignment), b = distance to the second-nearest, and because
+    * a ≤ b by construction the score collapses to
+    * s = (csa − csb) / (1 − csb) ∈ [0, 1] where csa/csb are the top-2
+    * centroid cosines (s = 0 when the two are indistinguishable, → 1
+    * as the cluster separates; 0 if csb = 1 exactly).
+    *
+    * One corpus pass: every vector scores all centroids map-side
+    * (broadcast, codegen cosine) and the SAME bounded-heap aggregator
+    * the top-k family uses keeps the top-2 — assignment AND the
+    * second-best ride one aggregation, no second scan, no join back.
+    * Per-cluster output: (assigned, n, avg_sil, min_sil, max_sil).
+    * Unlike full silhouette (O(N²) pair distances) this is O(N·k) —
+    * the only formulation that survives 100 TB.
+    */
+  def simplifiedSilhouette(vecs: DataFrame): DataFrame = {
+    val centVecs = centroidVectors(centroids(vecs))
+    val scored = vecs.join(broadcast(centVecs))
+      .select(col("id"), col("cpart").cast("long").as("cell"),
+        cosine(col("vec"), col("cvec")).as("cs"))
+    val top2 = scored.groupBy("id")
+      .agg(topkUdaf(2)(col("cs"), col("cell")).as("t"))
+      .select(col("id"),
+        col("t.items").getItem(0).getField("id").as("assigned"),
+        col("t.items").getItem(0).getField("score").as("csa"),
+        get(col("t.items"), lit(1)).getField("score").as("csb"))
+    val sil = top2.select(col("assigned"),
+      when(lit(1.0) - col("csb") === 0.0, lit(0.0))
+        .otherwise((col("csa") - col("csb")) / (lit(1.0) - col("csb")))
+        .as("sil"))
+    sil.groupBy("assigned")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("sil")), 6).as("avg_sil"),
+        round(min(col("sil")), 6).as("min_sil"),
+        round(max(col("sil")), 6).as("max_sil"))
+  }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    * diversified top-k. Stage 1 generates `nCand` candidates per query
+    * with the same bucketed-broadcast bounded-heap pass as [[topK]] —
+    * the ONLY corpus-scale stage. Stage 2 greedily selects k of them,
+    * each round maximizing  λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s)
+    * (ties toward the smaller candidate id), so near-duplicates of an
+    * already-selected result are pushed down the list — the standard
+    * redundancy fix for RAG context assembly and search result pages.
+    *
+    * λ and (1−λ) are passed as SEPARATE double literals (`lambda`,
+    * `oneMinusLambda`) rather than deriving one from the other: the
+    * DuckDB oracle parses the same decimal literals to the same IEEE
+    * doubles, whereas `1.0 - λ` evaluates in exact DECIMAL there and
+    * in binary double here. Relevance and pair similarities enter the
+    * greedy arithmetic 6-decimal-rounded, so every MMR score is the
+    * same IEEE double in both engines and selection is bit-stable.
+    *
+    * Scale shape: after candidate generation everything operates on
+    * Q × nCand rows — independent of corpus size. Candidates and their
+    * O(Q · nCand²) pair similarities are localCheckpointed ONCE (they
+    * feed every greedy round; Spark does not share non-exchanged
+    * subplans), and the selected set is re-checkpointed per round so
+    * the k-round loop's lineage stays flat. Each round is one
+    * aggregate + one max_by argmax over the bounded frame.
+    *
+    * Output: (query_id, rank = selection order, neighbor_id,
+    * mmr = round(score, 7), cos = the plain relevance). The MMR score
+    * is emitted at SEVEN decimals, not six: λ·rel − (1−λ)·pen over
+    * 6-decimal inputs and 1-decimal weights is decimal-EXACT at seven
+    * digits, so round(·,7) never lands on a half-case — whereas at six
+    * digits every score sits exactly on a tie (…5) and Spark's
+    * shortest-string HALF_UP disagrees with DuckDB's binary rounding.
+    */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, nCand: Int, k: Int,
+              lambda: Double, oneMinusLambda: Double): DataFrame = {
+    require(k <= nCand, s"k=$k must not exceed nCand=$nCand")
+    // (query_id, cid, rel) with rel already round(·,6) by topK's output.
+    val cand = topK(corpus, queries, nCand)
+      .select(col("query_id"), col("neighbor_id").as("cid"),
+        col("cos").as("rel"))
+      .localCheckpoint(false)
+    // Candidate vectors ride a broadcast-able join back to the corpus
+    // (Q·nCand ids); pair similarities stay within one query's list.
+    val cv = cand.join(
+        corpus.select(col("id").as("vid"), col("vec")),
+        col("cid") === col("vid"))
+      .select(col("query_id"), col("cid"), col("vec"))
+    val pairs = cv.alias("a")
+      .join(cv.alias("b"),
+        col("a.query_id") === col("b.query_id") && col("a.cid") =!= col("b.cid"))
+      .select(col("a.query_id"), col("a.cid").as("ca"), col("b.cid").as("cb"),
+        round(cosine(col("a.vec"), col("b.vec")), 6).as("sim"))
+      .localCheckpoint(false)
+
+    val pick1 = cand.groupBy("query_id")
+      .agg(max_by(struct(col("cid"), col("rel")),
+        struct(col("rel"), -col("cid"))).as("w"))
+      .select(col("query_id"), col("w.cid").as("cid"), col("w.rel").as("rel"),
+        (lit(lambda) * col("w.rel")).as("mmr"), lit(1).as("rk"))
+    var acc = pick1.localCheckpoint(false)
+    for (i <- 2 to k) {
+      val pen = pairs.alias("p")
+        .join(acc.alias("s"),
+          col("p.query_id") === col("s.query_id") && col("p.cb") === col("s.cid"))
+        .groupBy(col("p.query_id").as("query_id"), col("p.ca").as("cid"))
+        .agg(max(col("p.sim")).as("pen"))
+      val rem = cand.join(acc.select(col("query_id"), col("cid")),
+          Seq("query_id", "cid"), "left_anti")
+        .join(pen, Seq("query_id", "cid"))
+        .select(col("query_id"), col("cid"), col("rel"),
+          (lit(lambda) * col("rel") - lit(oneMinusLambda) * col("pen")).as("mmr"))
+      val pick = rem.groupBy("query_id")
+        .agg(max_by(struct(col("cid"), col("rel"), col("mmr")),
+          struct(col("mmr"), -col("cid"))).as("w"))
+        .select(col("query_id"), col("w.cid").as("cid"), col("w.rel").as("rel"),
+          col("w.mmr").as("mmr"), lit(i).as("rk"))
+      acc = acc.union(pick).localCheckpoint(false)
+    }
+    acc.select(col("query_id"), col("rk").cast("int").as("rank"),
+      col("cid").as("neighbor_id"), round(col("mmr"), 7).as("mmr"),
+      col("rel").as("cos"))
+  }
 }

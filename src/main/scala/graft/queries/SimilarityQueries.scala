@@ -28,6 +28,12 @@ object SimilarityQueries {
   // trained codewords reads 0.32 point / 0.82 rerank in E226.
   private val PqSubspaces = 16 // PQ: M subspaces ...
   private val PqSubDim = EmbDim / PqSubspaces // ... of 4 dims each
+  // MMR re-ranking: λ and (1−λ) are SEPARATE literals so both engines
+  // parse the same decimals to the same IEEE doubles (deriving 0.3 as
+  // `1.0 - 0.7` is exact DECIMAL in DuckDB but binary double in Spark).
+  private val MmrCand = 20    // candidate pool per query
+  private val MmrLambda = 0.7
+  private val MmrOneMinusLambda = 0.3
 
   private[queries] def corpus(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).select(
@@ -53,6 +59,18 @@ object SimilarityQueries {
         .select(col("id").as("qid"), col("vec").as("qvec"),
           col("part").as("qlabel"))
       Similarity.hardNegatives(c, q, K)
+    }),
+
+    // MMR diversified top-5 (E241): 20 relevance candidates per query
+    // (the same bounded-heap corpus pass as emb_topk), then 5 greedy
+    // rounds of λ·rel − (1−λ)·max-sim-to-selected — near-duplicates of
+    // an already-picked result sink, the RAG context-assembly fix.
+    // Everything past candidate generation is Q×20 rows.
+    "emb_mmr_topk" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val q = c.filter(col("id") < NumQueries)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      Similarity.mmrTopK(c, q, MmrCand, K, MmrLambda, MmrOneMinusLambda)
     }),
 
     // IVF-style top-3: every vector queries only its own coarse cell
@@ -82,6 +100,14 @@ object SimilarityQueries {
       Similarity.semDedupSurvivors(c, NearDupThreshold,
         asg.select(col("id").as("aid"), col("assigned")))
     }),
+
+    // Simplified silhouette (E242): per-cluster separation audit of
+    // the label-seeded nearest-centroid partitioner — one O(N·k)
+    // corpus pass (broadcast centroids, top-2 heap), never the O(N²)
+    // full silhouette. s = (csa − csb)/(1 − csb) over the top-2
+    // centroid cosines.
+    "emb_silhouette" -> ((s, dir) =>
+      Similarity.simplifiedSilhouette(corpus(s, dir))),
 
     // IVF "training": per-cell centroids in long (cell, dim, value)
     // form — the aggregation shuffles plain doubles, never arrays.
@@ -1018,7 +1044,54 @@ object SimilarityQueries {
     sb.toString
   }
 
+  /** Generated-CTE replay of [[Similarity.mmrTopK]]'s greedy loop: one
+    * (penalty, score, argmax, accumulate) CTE quadruple per selection
+    * round, off the SAME 6-decimal-rounded relevance / pair-similarity
+    * tables the Spark side checkpoints — so every MMR score is the
+    * identical IEEE double. `cand`/`pr`/`acc*` are multi-referenced →
+    * MATERIALIZED (DuckDB inlines CTEs per reference; an inlined acc
+    * chain re-evaluates 2^depth times).
+    */
+  private def mmrSql(nCand: Int, k: Int): String = {
+    val lam = s"CAST($MmrLambda AS DOUBLE)"
+    val mu = s"CAST($MmrOneMinusLambda AS DOUBLE)"
+    val sb = new StringBuilder
+    sb ++= s"$embCte,\n"
+    sb ++= s"q AS (SELECT * FROM e WHERE vec_id < $NumQueries),\n"
+    sb ++= (s"sc AS (SELECT q.vec_id AS qid, e.vec_id AS cid, " +
+      s"${cosSql("q.v", "e.v")} AS score FROM q JOIN e ON e.vec_id <> q.vec_id),\n")
+    sb ++= (s"cand AS MATERIALIZED (SELECT qid, cid, round(score, 6) AS rel " +
+      s"FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn FROM sc) " +
+      s"WHERE rn <= $nCand),\n")
+    sb ++= "cv AS (SELECT c.qid, c.cid, e.v FROM cand c JOIN e ON e.vec_id = c.cid),\n"
+    sb ++= (s"pr AS MATERIALIZED (SELECT a.qid, a.cid AS ca, b.cid AS cb, " +
+      s"round(${cosSql("a.v", "b.v")}, 6) AS sim " +
+      s"FROM cv a JOIN cv b ON a.qid = b.qid AND a.cid <> b.cid),\n")
+    sb ++= (s"acc1 AS MATERIALIZED (SELECT qid, cid, rel, $lam * rel AS mmr, 1 AS rk " +
+      s"FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rn FROM cand) " +
+      s"WHERE rn = 1)")
+    for (i <- 2 to k) {
+      val prev = s"acc${i - 1}"
+      sb ++= (s",\np$i AS (SELECT p.qid, p.ca AS cid, max(p.sim) AS pen " +
+        s"FROM pr p JOIN $prev s ON p.qid = s.qid AND p.cb = s.cid GROUP BY p.qid, p.ca)")
+      sb ++= (s",\nm$i AS (SELECT c.qid, c.cid, c.rel, $lam * c.rel - $mu * p.pen AS mmr " +
+        s"FROM cand c JOIN p$i p ON p.qid = c.qid AND p.cid = c.cid " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM $prev s WHERE s.qid = c.qid AND s.cid = c.cid))")
+      sb ++= (s",\nacc$i AS MATERIALIZED (SELECT * FROM $prev UNION ALL " +
+        s"SELECT qid, cid, rel, mmr, $i AS rk FROM " +
+        s"(SELECT *, row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, cid) AS rn FROM m$i) " +
+        s"WHERE rn = 1)")
+    }
+    // round(·,7), not 6: the score is decimal-exact at 7 digits (6-digit
+    // inputs × 1-digit weights), so 7 has no half-cases — at 6 EVERY
+    // score is a …5 tie and the engines' round() semantics diverge.
+    sb ++= (s"\nSELECT qid AS query_id, CAST(rk AS INTEGER) AS rank, " +
+      s"cid AS neighbor_id, round(mmr, 7) AS mmr, rel AS cos FROM acc$k")
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "emb_mmr_topk" -> mmrSql(MmrCand, K),
     "emb_kmeans_iter" -> kmeansIterSql(KmeansIters),
     "emb_quantize" ->
       s"""$embCte,
@@ -1099,6 +1172,34 @@ object SimilarityQueries {
          |      FROM s)
          |SELECT id, part, cpart AS assigned, round(score, 6) AS cos
          |FROM r WHERE rn = 1""".stripMargin,
+
+    // Top-2 centroid cosines per point replay the heap's (score desc,
+    // cell asc) order as rn = 1 / rn = 2; the score algebra is the
+    // same IEEE arithmetic on the same 6-decimal-rounded centroids.
+    "emb_silhouette" ->
+      s"""$embCte,
+         |x AS (SELECT label, CAST(i - 1 AS INTEGER) AS dim, v[CAST(i AS INTEGER)] AS val
+         |      FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+         |cent AS (SELECT label AS cpart, dim, round(sum(val) / count(*), 6) AS c
+         |         FROM x GROUP BY label, dim),
+         |cvecs AS (SELECT cpart, list(c ORDER BY dim) AS cvec FROM cent GROUP BY cpart),
+         |s AS (SELECT e.vec_id AS id, CAST(cv.cpart AS BIGINT) AS cell,
+         |             ${cosSql("e.v", "cv.cvec")} AS cs
+         |      FROM e CROSS JOIN cvecs cv),
+         |r AS (SELECT id, cell, cs,
+         |             row_number() OVER (PARTITION BY id ORDER BY cs DESC, cell) AS rn
+         |      FROM s),
+         |t AS (SELECT a.id, a.cell AS assigned, a.cs AS csa, b.cs AS csb
+         |      FROM r a JOIN r b ON a.id = b.id AND b.rn = 2 WHERE a.rn = 1),
+         |sil AS (SELECT assigned,
+         |               CASE WHEN (CAST(1.0 AS DOUBLE) - csb) = 0 THEN 0.0
+         |                    ELSE (csa - csb) / (CAST(1.0 AS DOUBLE) - csb) END AS sil
+         |        FROM t)
+         |SELECT assigned, count(*) AS n,
+         |       round(avg(sil), 6) AS avg_sil,
+         |       round(min(sil), 6) AS min_sil,
+         |       round(max(sil), 6) AS max_sil
+         |FROM sil GROUP BY assigned""".stripMargin,
 
     "emb_semdedup" ->
       s"""$embCte,
