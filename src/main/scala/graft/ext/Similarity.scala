@@ -955,6 +955,94 @@ object Similarity {
         (-col("item.score")).as("adc"))
   }
 
+  /** RESIDUAL IVF-PQ search — the production FAISS `IVFPQ` design
+    * (Jégou et al. 2011 §IV.B): codes quantize the residual
+    * r = v − centroid(cell) instead of the raw vector, so each
+    * codebook only has to cover the spread WITHIN a cell rather than
+    * the whole corpus diameter — the classic recall lift at identical
+    * code budget. The asymmetry moves to the query side: a query
+    * builds ONE distance table PER PROBED CELL against its
+    * per-cell residual q − centroid(cell) (probe × numSub × K rows —
+    * still tiny, still broadcast), and each candidate's ADC sums
+    * lookups from its own cell's table.
+    *
+    * Pipeline: coarse centroids (label-seeded, 6-rounded — the shared
+    * IVF quantizer) → per-vector residuals (argmax-cosine assignment,
+    * ties → smaller cell; subtraction unrolled into a flat codegen
+    * array, no interpreted HOF) → per-subspace k-means-TRAINED
+    * codebooks on residuals ([[pqCodebooksTrained]], plumbing
+    * unchanged) → codes → multi-probe pruned ADC exactly as
+    * [[pqIvfTopK]]. Residuals are localCheckpointed once (they feed
+    * training AND encoding); centroid/codebook tables are broadcast.
+    * Output: (query_id, rank, neighbor_id, adc).
+    */
+  def pqResidualIvfTopK(vecs: DataFrame, numSub: Int, subDim: Int,
+      numQueries: Int, k: Int, probe: Int): DataFrame = {
+    val dim = numSub * subDim
+    val cvecs = centroidVectors(centroids(vecs)).localCheckpoint(false)
+    val asg = vecs.join(broadcast(cvecs))
+      .select(col("id"), col("cpart"), col("cvec"),
+        cosine(col("vec"), col("cvec")).as("cs"))
+      .groupBy("id")
+      .agg(max_by(struct(col("cpart"), col("cvec")),
+        struct(col("cs"), -col("cpart"))).as("w"))
+      .select(col("id").as("aid"), col("w.cpart").as("cell"),
+        col("w.cvec").as("ccv"))
+    val resid = vecs.join(asg, col("id") === col("aid"))
+      .select(col("id"), col("cell"),
+        array((0 until dim).map(i =>
+          col("vec").getItem(i) - col("ccv").getItem(i)): _*).as("vec"))
+      .localCheckpoint(false)
+    val cw = trainedCodewordVecs(resid, numSub, subDim)
+    val codes = pqEncodeWith(resid, numSub, subDim, cw)
+    val q = vecs.filter(col("id") < numQueries)
+      .select(col("id").as("qid"), col("vec").as("qv"))
+    val probes = q.join(broadcast(cvecs))
+      .select(col("qid"), col("cpart"), col("cvec"),
+        cosine(col("qv"), col("cvec")).as("cs"), col("qv"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("cs").desc, col("cpart"))))
+      .filter(col("rn") <= probe)
+      // two consumers (query tables + candidate prune); without this
+      // the queries-vs-centroids scan re-executes per consumer
+      .localCheckpoint(false)
+    // query residual PER PROBED CELL — the residual-PQ asymmetry
+    val qsub = probes
+      .select(col("qid"), col("cpart"),
+        array((0 until dim).map(i =>
+          col("qv").getItem(i) - col("cvec").getItem(i)): _*).as("rv"))
+      .select(col("qid"), col("cpart"),
+        explode(sequence(lit(0), lit(numSub - 1))).as("m"), col("rv"))
+      .select(col("qid"), col("cpart"), col("m"),
+        slice(col("rv"), col("m") * subDim + 1, lit(subDim)).as("sv"))
+    val d = l2sqUnrolled(col("sv"), col("cvec"), subDim)
+    val tables = qsub.join(broadcast(cw), "m")
+      .select(col("qid"), col("cpart"), col("m"), col("cl"),
+        round(d, 6).as("dt"))
+    val cand = codes
+      .join(resid.select(col("id").as("rid"), col("cell")),
+        col("id") === col("rid"))
+      .join(broadcast(probes.select(col("qid"), col("cpart"))),
+        col("cell") === col("cpart"))
+      .filter(col("id") =!= col("qid"))
+    val longCodes = cand.select(col("qid"), col("cpart"), col("id"),
+      posexplode(array((0 until numSub).map(m => col(s"c$m")): _*))
+        .as(Seq("m", "cl")))
+    val scored = longCodes
+      .join(broadcast(tables), Seq("qid", "cpart", "m", "cl"))
+      .groupBy(col("qid"), col("id"))
+      .agg(round(sum(col("dt")), 6).as("adc"))
+    scored.select(col("qid"), col("id"), (-col("adc")).as("score"))
+      .groupBy(col("qid"))
+      .agg(topkUdaf(k)(col("score"), col("id")).as("topk"))
+      .select(col("qid").as("query_id"),
+        posexplode(col("topk").getField("items")).as(Seq("pos", "item")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("item.id").as("neighbor_id"),
+        (-col("item.score")).as("adc"))
+  }
+
   /** Squared L2 between two `n`-element array columns, UNROLLED into a
     * flat codegen sum instead of the interpreted `aggregate(zip_with)`
     * HOF fold: identical left-to-right order and initial 0.0, so every

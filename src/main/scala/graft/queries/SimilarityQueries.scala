@@ -473,6 +473,56 @@ object SimilarityQueries {
       Similarity.pqIvfTopK(corpus(s, dir), PqSubspaces, PqSubDim,
         NumQueries, KIvf, MProbe)),
 
+    // E243: RESIDUAL IVF-PQ — the production FAISS IVFPQ shape: codes
+    // quantize v − centroid(cell), the query builds one distance
+    // table per probed cell against its per-cell residual. Same
+    // trained-codebook, multi-probe, bounded-heap machinery.
+    "emb_topk_ivfpq_residual" -> ((s, dir) =>
+      Similarity.pqResidualIvfTopK(corpus(s, dir), PqSubspaces, PqSubDim,
+        NumQueries, KIvf, MProbe)),
+
+    // E244: recall audit for the residual chain (the E226 discipline):
+    // per query, exact-L2 top-k hits inside the residual IVF-PQ top-k
+    // (point recall) and inside its rerank-horizon candidate set —
+    // the number that prices residual vs raw-vector quantization.
+    "emb_residual_recall" -> ((s, dir) => {
+      val c = corpus(s, dir).localCheckpoint(false)
+      val adcAll = Similarity.pqResidualIvfTopK(c, PqSubspaces, PqSubDim,
+        NumQueries, KIvf * AdcRerankMult, MProbe)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .localCheckpoint(false)
+      val adcTop = adcAll.filter(col("rank") <= KIvf)
+        .select(col("query_id"), col("neighbor_id"))
+      val q = c.filter(col("id") < NumQueries)
+        .select(col("id").as("qid"), col("vec").as("qv"))
+      val l2 = aggregate(
+        zip_with(col("qv"), col("vec"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+      val exact = q.join(c.select(col("id"), col("vec")),
+          col("id") =!= col("qid"))
+        .select(col("qid"), col("id"), l2.as("d"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("qid")).orderBy(col("d"), col("id"))))
+        .filter(col("rank") <= KIvf)
+        .select(col("qid").as("query_id"), col("id").as("neighbor_id"))
+      val hits = adcTop.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("h"))
+      val candHits = adcAll.select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("ch"))
+      q.select(col("qid").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .join(candHits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("h"), lit(0L)).as("n_hits"),
+          round(coalesce(col("h"), lit(0L)).cast("double") /
+            lit(KIvf.toDouble), 6).as("recall_at_k"),
+          coalesce(col("ch"), lit(0L)).as("n_cand_hits"),
+          round(coalesce(col("ch"), lit(0L)).cast("double") /
+            lit(KIvf.toDouble), 6).as("recall_rerank"))
+    }),
+
     // E226: ADC recall audit — the E163 discipline applied to E220:
     // per query, (a) how many ADC top-k survive in the EXACT
     // squared-L2 top-k (point-ranking recall: LOW by design on this
@@ -916,16 +966,17 @@ object SimilarityQueries {
     * sub0/sv are MATERIALIZED: DuckDB inlines plain CTEs per
     * reference, and the training rounds reference each 2·iters+ times.
     */
-  private def pqChainSql(iters: Int): String = {
+  private def pqChainSql(iters: Int, prologue: String = "",
+      src: String = "x"): String = {
     val sb = new StringBuilder
     sb ++=
       s"""$embCte,
          |x AS (SELECT vec_id, label, CAST(i - 1 AS INTEGER) AS dim,
          |             v[CAST(i AS INTEGER)] AS val
-         |      FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+         |      FROM e, unnest(generate_series(1, len(v))) AS t(i)),$prologue
          |sub0 AS MATERIALIZED (SELECT vec_id,
          |                dim // $PqSubDim AS m, dim % $PqSubDim AS sd, val
-         |         FROM x),
+         |         FROM $src),
          |sv AS MATERIALIZED (SELECT vec_id AS id, m, list(val ORDER BY sd) AS sv
          |       FROM sub0 GROUP BY vec_id, m),
          |pqnn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
@@ -975,6 +1026,71 @@ object SimilarityQueries {
 
   private lazy val pqChainCte: String =
     pqChainSql(graft.ext.Similarity.PqTrainIters)
+
+  /** Residual-PQ chain (E243): the [[pqChainSql]] training/encoding
+    * replay pointed at RESIDUAL long-form components `xr` — coarse
+    * label-seeded centroids (cent2/cv2, the same 6-rounded fixed
+    * points as every IVF oracle), argmax-cosine assignment `car`
+    * (ties → smaller cell, the Spark max_by rule), residual
+    * val = v[i] − centroid[i] in exact IEEE. Ends with the standard
+    * chain names (cw, sv, b) plus cv2/car for the search stage.
+    */
+  private lazy val pqResidualChainCte: String = {
+    val prologue =
+      s"""
+         |cent2 AS (SELECT label AS cpart, dim, round(sum(val) / count(*), 6) AS c
+         |          FROM x GROUP BY label, dim),
+         |cv2 AS MATERIALIZED (SELECT cpart, list(c ORDER BY dim) AS cvec
+         |        FROM cent2 GROUP BY cpart),
+         |scr AS (SELECT e.vec_id, cv2.cpart, ${cosSql("e.v", "cv2.cvec")} AS cs
+         |        FROM e CROSS JOIN cv2),
+         |car AS MATERIALIZED (SELECT vec_id, cpart AS cell FROM (
+         |         SELECT vec_id, cpart, row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY cs DESC, cpart) AS rn FROM scr) WHERE rn = 1),
+         |xr AS (SELECT e.vec_id, e.label, CAST(i - 1 AS INTEGER) AS dim,
+         |              e.v[CAST(i AS INTEGER)] - cv2.cvec[CAST(i AS INTEGER)] AS val
+         |       FROM e JOIN car ON car.vec_id = e.vec_id
+         |              JOIN cv2 ON cv2.cpart = car.cell,
+         |            unnest(generate_series(1, len(e.v))) AS t(i)),""".stripMargin
+    pqChainSql(graft.ext.Similarity.PqTrainIters, prologue, "xr")
+  }
+
+  /** Residual IVF-PQ search CTEs shared by the E243 query and the E244
+    * recall audit: multi-probe cell list, PER-PROBED-CELL query
+    * residuals and distance tables, probed-cell candidate codes, and
+    * the summed ADC `sc2 (qid, id, adc)`.
+    */
+  private lazy val residualSearchCtes: String =
+    s"""$pqResidualChainCte,
+       |co AS (SELECT id, m, cl FROM b WHERE rn = 1),
+       |qq AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < $NumQueries),
+       |pc AS (SELECT qq.qid, cv2.cpart, ${cosSql("qq.v", "cv2.cvec")} AS cs
+       |       FROM qq CROSS JOIN cv2),
+       |prq AS MATERIALIZED (SELECT qid, cpart FROM (
+       |        SELECT qid, cpart, row_number() OVER (PARTITION BY qid
+       |          ORDER BY cs DESC, cpart) AS rn FROM pc) WHERE rn <= $MProbe),
+       |qrv AS (SELECT prq.qid, prq.cpart,
+       |               list_transform(generate_series(1, len(qq.v)),
+       |                 i -> qq.v[i] - cv2.cvec[i]) AS rv
+       |        FROM prq JOIN qq ON qq.qid = prq.qid
+       |               JOIN cv2 ON cv2.cpart = prq.cpart),
+       |qsv AS (SELECT qid, cpart, t.m,
+       |               list_transform(generate_series(1, $PqSubDim),
+       |                 i -> rv[t.m * $PqSubDim + i]) AS sv
+       |        FROM qrv, unnest(generate_series(0, ${PqSubspaces - 1})) AS t(m)),
+       |qt AS (SELECT qsv.qid, qsv.cpart, qsv.m, cw.cl,
+       |              round(list_reduce(list_transform(generate_series(1, $PqSubDim),
+       |                i -> (qsv.sv[i] - cw.cvec[i]) * (qsv.sv[i] - cw.cvec[i])),
+       |                (p, q) -> p + q), 6) AS dt
+       |       FROM qsv JOIN cw ON qsv.m = cw.m),
+       |cnd AS (SELECT prq.qid, prq.cpart, co.id, co.m, co.cl
+       |        FROM co JOIN car ON car.vec_id = co.id
+       |                JOIN prq ON prq.cpart = car.cell
+       |        WHERE co.id <> prq.qid),
+       |sc2 AS (SELECT c.qid, c.id, round(sum(qt.dt), 6) AS adc
+       |        FROM cnd c JOIN qt ON qt.qid = c.qid AND qt.cpart = c.cpart
+       |                           AND qt.m = c.m AND qt.cl = c.cl
+       |        GROUP BY c.qid, c.id)""".stripMargin
 
   /** PCA CTE chain (E217): per-dim means (round 6), upper-triangle
     * second moments (round 6), covariance via E[XY] − E[X]E[Y] over
@@ -1557,6 +1673,50 @@ object SimilarityQueries {
          |SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank,
          |       id AS neighbor_id, adc
          |FROM rr2 WHERE rank <= $KIvf""".stripMargin,
+
+    // E243: residual chain + per-probed-cell query tables, ranked to k.
+    "emb_topk_ivfpq_residual" ->
+      s"""$residualSearchCtes,
+         |rr2 AS (SELECT qid, id, adc,
+         |               row_number() OVER (PARTITION BY qid
+         |                                  ORDER BY adc, id) AS rank
+         |        FROM sc2)
+         |SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank,
+         |       id AS neighbor_id, adc
+         |FROM rr2 WHERE rank <= $KIvf""".stripMargin,
+
+    // E244: E226's two-cutoff recall arithmetic over the residual
+    // chain's ADC ranking vs the exact-L2 brute force.
+    "emb_residual_recall" ->
+      s"""$residualSearchCtes,
+         |adcr AS (SELECT qid, id, rank FROM (
+         |           SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |             ORDER BY adc, id) AS rank FROM sc2)
+         |         WHERE rank <= ${KIvf * AdcRerankMult}),
+         |exd AS (SELECT q2.vec_id AS qid, e.vec_id AS id,
+         |               list_reduce(list_transform(generate_series(1, len(q2.v)),
+         |                 i -> (q2.v[i] - e.v[i]) * (q2.v[i] - e.v[i])),
+         |                 (p, z) -> p + z) AS d
+         |        FROM e q2 JOIN e ON e.vec_id <> q2.vec_id
+         |        WHERE q2.vec_id < $NumQueries),
+         |exr AS (SELECT qid, id FROM (
+         |          SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |            ORDER BY d, id) AS rank FROM exd)
+         |        WHERE rank <= $KIvf),
+         |h AS (SELECT a.qid, count(*) AS n FROM adcr a
+         |      JOIN exr x2 ON x2.qid = a.qid AND x2.id = a.id
+         |      WHERE a.rank <= $KIvf GROUP BY a.qid),
+         |hc AS (SELECT a.qid, count(*) AS n FROM adcr a
+         |       JOIN exr x2 ON x2.qid = a.qid AND x2.id = a.id GROUP BY a.qid)
+         |SELECT q3.vec_id AS query_id,
+         |       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+         |       round(CAST(coalesce(h.n, 0) AS DOUBLE) / $KIvf, 6) AS recall_at_k,
+         |       CAST(coalesce(hc.n, 0) AS BIGINT) AS n_cand_hits,
+         |       round(CAST(coalesce(hc.n, 0) AS DOUBLE) / $KIvf, 6)
+         |         AS recall_rerank
+         |FROM (SELECT DISTINCT vec_id FROM e WHERE vec_id < $NumQueries) q3
+         |LEFT JOIN h ON h.qid = q3.vec_id
+         |LEFT JOIN hc ON hc.qid = q3.vec_id""".stripMargin,
 
     // E226: same ADC chain as E220 ranked to the rerank horizon, exact
     // L2 ranking over raw vectors (same left-fold), per-query
