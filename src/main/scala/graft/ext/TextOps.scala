@@ -125,4 +125,45 @@ object TextOps {
   def foldText(text: Column): Column =
     trim(regexp_replace(lower(translate(text, FoldFrom, FoldTo)),
       "\\s+", " "))
+
+  // -------------------------------------------------------------------
+  // Structural content tagging (E245) — the Dolma-tagger shape
+  // -------------------------------------------------------------------
+
+  /** A line is code-shaped if the WHOLE line is consumed by either
+    * alternative (one match per line, so `regexp_count` = line count):
+    * leading 4-space indent / def / import / return / class / a bare
+    * closing brace, OR any line ending in `;` or `{`. Deliberately the
+    * Java∩RE2 dialect subset ((?m), non-capturing groups, literal
+    * classes) so the DuckDB oracle runs the identical pattern.
+    */
+  val CodeLineRe: String =
+    "(?m)^(?:(?:    |def |import |return |class |\\}).*|.*[;{])$"
+
+  /** Bullet/enumeration list lines: `- `, `* `, or `1. ` prefixes.
+    * Anchored at line start only — at most one match per line.
+    */
+  val BulletLineRe: String = "(?m)^(?:- |\\* |[0-9]+\\. )"
+
+  /** Structural content tags for domain routing (the Dolma-style
+    * tagger pass): per document, line counts by shape via ONE
+    * `regexp_count` per signal over the raw text — no line explode,
+    * no HOF, pure codegen projection — then a deterministic routing
+    * tag: code_frac ≥ 0.3 → 'code', bullet_frac ≥ 0.5 → 'list', else
+    * 'prose' (thresholds compared on the ROUNDED fractions so both
+    * engines decide identically). Returns a struct
+    * (n_lines, code_frac, bullet_frac, tag).
+    */
+  def contentTags(text: Column): Column = {
+    val nLines = size(split(text, "\n"))
+    val codeFrac = round(
+      regexp_count(text, lit(CodeLineRe)).cast("double") / nLines, 6)
+    val bulletFrac = round(
+      regexp_count(text, lit(BulletLineRe)).cast("double") / nLines, 6)
+    val tag = when(codeFrac >= lit(0.3), lit("code"))
+      .when(bulletFrac >= lit(0.5), lit("list"))
+      .otherwise(lit("prose"))
+    struct(nLines.cast("long").as("n_lines"), codeFrac.as("code_frac"),
+      bulletFrac.as("bullet_frac"), tag.as("tag"))
+  }
 }

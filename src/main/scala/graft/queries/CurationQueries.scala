@@ -178,6 +178,34 @@ object CurationQueries {
         .select(col("doc_id"), Curation.redactPii(planted).as("redacted"))
     }),
 
+    // Structural content tagger (E245) — the Dolma-tagger shape: code
+    // and list lines are PLANTED deterministically onto a third of the
+    // corpus (doc_id % 4 routes), then per-doc line-shape fractions
+    // ride ONE regexp_count per signal (no line explode, pure codegen)
+    // into a routing tag (code/list/prose) — the signal a mixture
+    // scheduler routes on before token budgeting. Oracle replays the
+    // identical Java∩RE2 patterns via regexp_extract_all.
+    "docs_content_tags" -> ((s, dir) => {
+      val planted = when(col("doc_id") % 4 === 0, concat_ws("\n",
+          col("text"),
+          lit("def f(x):"),
+          lit("    return x * 2;"),
+          concat(lit("    y = compute("),
+            (col("doc_id") % 7).cast("string"), lit(");")),
+          lit("}")))
+        .when(col("doc_id") % 4 === 1, concat_ws("\n",
+          col("text"),
+          lit("- first item"),
+          concat(lit("- item "), (col("doc_id") % 5).cast("string")),
+          lit("* last item")))
+        .otherwise(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.contentTags(planted).as("t"))
+        .select(col("doc_id"), col("t.n_lines").as("n_lines"),
+          col("t.code_frac").as("code_frac"),
+          col("t.bullet_frac").as("bullet_frac"), col("t.tag").as("tag"))
+    }),
+
     // URL canonicalization (E116): deterministic messy URLs planted
     // from doc columns (uppercase host, default port, trailing slash,
     // utm params, fragment — the variation crawl frontiers actually
@@ -1217,6 +1245,38 @@ object CurationQueries {
         |       regexp_extract(canonical,
         |         '://(?:[^/?#:]*\.)?([^./?#:]+\.[^./?#:]+)(?::[0-9]+)?(?:[/?#]|$)', 1) AS domain
         |FROM c""".stripMargin,
+
+    // E245: identical planted construction, identical Java∩RE2 line
+    // patterns (generated from the same TextOps constants — the two
+    // can never drift), same rounded-fraction thresholds.
+    "docs_content_tags" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 4 = 0 THEN
+         |                text || chr(10) || 'def f(x):' || chr(10) ||
+         |                '    return x * 2;' || chr(10) ||
+         |                '    y = compute(' || CAST(doc_id % 7 AS VARCHAR) ||
+         |                ');' || chr(10) || '}'
+         |              WHEN doc_id % 4 = 1 THEN
+         |                text || chr(10) || '- first item' || chr(10) ||
+         |                '- item ' || CAST(doc_id % 5 AS VARCHAR) || chr(10) ||
+         |                '* last item'
+         |              ELSE text END AS planted
+         |  FROM documents),
+         |f AS (SELECT doc_id,
+         |             len(str_split(planted, chr(10))) AS n_lines,
+         |             len(regexp_extract_all(planted, '${TextOps.CodeLineRe}')) AS cc,
+         |             len(regexp_extract_all(planted, '${TextOps.BulletLineRe}')) AS bc
+         |      FROM p),
+         |g AS (SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+         |             round(CAST(cc AS DOUBLE) / n_lines, 6) AS code_frac,
+         |             round(CAST(bc AS DOUBLE) / n_lines, 6) AS bullet_frac
+         |      FROM f)
+         |SELECT doc_id, n_lines, code_frac, bullet_frac,
+         |       CASE WHEN code_frac >= CAST(0.3 AS DOUBLE) THEN 'code'
+         |            WHEN bullet_frac >= CAST(0.5 AS DOUBLE) THEN 'list'
+         |            ELSE 'prose' END AS tag
+         |FROM g""".stripMargin,
 
     "docs_pii_redact" ->
       s"""WITH p AS (

@@ -76,4 +76,22 @@ class TextOpsSpec extends SparkSpec {
     assert(q("tiny") < 0.05)   // single token
     assert(q("g") < q("i"))
   }
+
+  test("contentTags routes code, list, and prose by hand-computed fractions") {
+    val code = "def f(x):\n    return x * 2;\nplain words\n}"   // 3/4 code
+    val lst = "intro line\n- one\n- two\n* three"               // 3/4 bullets
+    val prose = "just a sentence\nand another one"              // 0/2
+    val mixed = "a line ending in a brace {\nplain\nplain\nplain" // 1/4 < 0.3
+    val df = Seq(("c", code), ("l", lst), ("p", prose), ("m", mixed))
+      .toDF("id", "text")
+    val out = df.select(col("id"), TextOps.contentTags(col("text")).as("t"))
+      .select(col("id"), col("t.n_lines"), col("t.code_frac"),
+        col("t.bullet_frac"), col("t.tag"))
+      .as[(String, Long, Double, Double, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("c") == ("c", 4L, 0.75, 0.0, "code"))
+    assert(out("l") == ("l", 4L, 0.0, 0.75, "list"))
+    assert(out("p") == ("p", 2L, 0.0, 0.0, "prose"))
+    assert(out("m") == ("m", 4L, 0.25, 0.0, "prose")) // below the 0.3 gate
+  }
 }
