@@ -26,6 +26,13 @@ object CurationQueries {
   val ChunkStride = 32
   val PackBudget = 1024L
   val DecontamMod = 11 // doc_id % 11 == 0 stands in for the eval set
+  // E246 topic clustering: hashed-TF feature dims / topic count / Lloyd
+  // rounds. Dims stay small so the dense per-doc vector is a few
+  // doubles and the k-means shuffle is (topics × dims) regardless of
+  // corpus size.
+  val TopicDims = 16
+  val TopicK = 8
+  val TopicIters = 2
 
   /** A line appearing in ≥ this many distinct documents is template
     * boilerplate (E236) — the planted entity line recurs in every
@@ -177,6 +184,18 @@ object CurationQueries {
       Tables.documents(s, dir)
         .select(col("doc_id"), Curation.redactPii(planted).as("redacted"))
     }),
+
+    // Topic clustering WITHOUT embeddings (E246): k-means over hashed
+    // term-frequency features (the hashing trick — md5 token buckets,
+    // the same salt-bucket arithmetic as every sampling tier), doc_id-
+    // seeded cells, 2 Lloyd rounds via the shared kmeansIterated loop.
+    // The topic distribution a mixture scheduler balances on when no
+    // encoder is available (the CCNet-style corpus map). Feature build
+    // is one token explode + count agg; vectors are TopicDims-dense,
+    // so the k-means pass shuffles (cells × dims) doubles only.
+    "docs_topic_kmeans" -> ((s, dir) =>
+      graft.ext.Similarity.kmeansIterated(
+        hashedTfVecs(Tables.documents(s, dir)), TopicIters)),
 
     // Structural content tagger (E245) — the Dolma-tagger shape: code
     // and list lines are PLANTED deterministically onto a third of the
@@ -1057,6 +1076,28 @@ object CurationQueries {
     * callers append further CTEs with `,` and must not re-open WITH.
     * Shared by the split/audit oracles and the classifier-fit chain.
     */
+  /** E246 feature build: hashing-trick term-frequency vectors —
+    * md5-bucketed tokens (the repo's deterministic hash discipline)
+    * counted into a dense [[TopicDims]]-wide double array, doc_id-
+    * seeded cells. One explode + one count agg; the dense re-pack is
+    * a per-doc map probe over a plan-time-constant sequence.
+    */
+  private[queries] def hashedTfVecs(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"),
+        (Curation.hashBucket(col("tok"), "topic:") % TopicDims).as("b"))
+    toks.groupBy("doc_id", "b")
+      .agg(count(lit(1)).cast("double").as("c"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("b"), col("c"))))
+        .as("m"))
+      .select(col("doc_id").as("id"),
+        (col("doc_id") % TopicK).as("part"),
+        transform(sequence(lit(0L), lit(TopicDims - 1L)),
+          i => coalesce(try_element_at(col("m"), i), lit(0.0))).as("vec"))
+  }
+
   private[queries] val leakageSplitCtes: String =
     s"""${DedupQueries.wordShCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
        |pairs AS (${DedupQueries.jaccardPairsSelect}),
@@ -1245,6 +1286,28 @@ object CurationQueries {
         |       regexp_extract(canonical,
         |         '://(?:[^/?#:]*\.)?([^./?#:]+\.[^./?#:]+)(?::[0-9]+)?(?:[/?#]|$)', 1) AS domain
         |FROM c""".stripMargin,
+
+    // E246: identical md5 token buckets, dense TopicDims vectors, then
+    // the SHARED kmeansIterSql round generator pointed at the hashed-TF
+    // feature CTE (same rounded centroids, same argmax ties).
+    "docs_topic_kmeans" -> {
+      val src =
+        s"""WITH dt AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+           |            FROM documents),
+           |tb AS (SELECT doc_id,
+           |              (${hexBucketSql("tok", "topic:")}) % $TopicDims AS b
+           |       FROM dt),
+           |cnts AS (SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS c
+           |         FROM tb GROUP BY doc_id, b),
+           |dv AS (SELECT d.doc_id, i.i AS dim,
+           |              coalesce(c.c, CAST(0.0 AS DOUBLE)) AS val
+           |       FROM (SELECT DISTINCT doc_id FROM documents) d
+           |       CROSS JOIN generate_series(0, ${TopicDims - 1}) i(i)
+           |       LEFT JOIN cnts c ON c.doc_id = d.doc_id AND c.b = i.i),
+           |e AS (SELECT doc_id AS vec_id, doc_id % $TopicK AS label,
+           |             list(val ORDER BY dim) AS v FROM dv GROUP BY doc_id)""".stripMargin
+      SimilarityQueries.kmeansIterSql(TopicIters, src)
+    },
 
     // E245: identical planted construction, identical Java∩RE2 line
     // patterns (generated from the same TextOps constants — the two

@@ -1141,9 +1141,13 @@ object SimilarityQueries {
     * vector to its max-cosine centroid (ties to the smaller cell), and
     * feeds the next round's centroid recompute.
     */
-  private def kmeansIterSql(iters: Int): String = {
+  /** `src` must be a WITH clause ending in a CTE named `e` with
+    * columns (vec_id, label, v: DOUBLE[]) — the embedding default, or
+    * any caller-built feature table (E246 passes hashed term counts).
+    */
+  private[queries] def kmeansIterSql(iters: Int, src: String = embCte): String = {
     val sb = new StringBuilder
-    sb ++= s"$embCte,\n"
+    sb ++= s"$src,\n"
     sb ++= ("x AS (SELECT vec_id, label, CAST(i - 1 AS INTEGER) AS dim, " +
       "v[CAST(i AS INTEGER)] AS val FROM e, unnest(generate_series(1, len(v))) AS t(i)),\n")
     sb ++= "c1 AS (SELECT label AS cell, dim, round(sum(val) / count(*), 6) AS c FROM x GROUP BY label, dim)"
