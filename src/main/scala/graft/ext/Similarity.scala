@@ -1175,6 +1175,58 @@ object Similarity {
       .select(col("id"), col("assigned"))
   }
 
+  /** 1-bit binary quantization (E247): the cheapest ANN rung under
+    * SRP/PQ — each dimension contributes its SIGN bit (v > 0), packed
+    * into two ≤32-bit halves (h0 = dims 0..d/2−1, h1 = the rest).
+    * Two halves instead of one 64-bit word keeps every packed value
+    * below 2³², so the pack is a flat codegen sum of disjoint powers
+    * of two and the oracle replays it in plain BIGINT arithmetic —
+    * no sign-bit shift semantics to reconcile across engines. 64×
+    * storage shrink; Hamming distance = two xor+popcount ops.
+    */
+  def binarySigs(vecs: DataFrame, dim: Int): DataFrame = {
+    require(dim % 2 == 0 && dim <= 64, s"dim=$dim must be even, <= 64")
+    val half = dim / 2
+    def pack(lo: Int): Column = (0 until half)
+      .map(i => when(col("vec").getItem(lo + i) > 0.0,
+        lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    vecs.select(col("id"), pack(0).as("h0"), pack(half).as("h1"))
+  }
+
+  /** Hamming top-k over [[binarySigs]] — the binary-quantized search
+    * stage (the Qdrant/Weaviate "binary quantization" serving tier):
+    * dist = popcount(h0⊕q0) + popcount(h1⊕q1), two `bit_count` calls
+    * per pair, integer-only corpus scan. Same bucketed-broadcast
+    * equi-key + bounded-heap shape as [[topK]] (negated distance
+    * turns the max-heap into a min-heap with (dist, id)-ascending
+    * ties — distances are small exact integers, untouched by the
+    * double score channel). `emb_binary_recall` prices the tier
+    * against the exact cosine top-k every round.
+    */
+  def binaryHammingTopK(vecs: DataFrame, dim: Int, numQueries: Int,
+      k: Int): DataFrame = {
+    val sigs = binarySigs(vecs, dim).localCheckpoint(false) // 2 consumers
+    val c = sigs.withColumn("bk", pmod(col("id"), lit(BruteForceBuckets.toLong)))
+    val q = sigs.filter(col("id") < numQueries)
+      .select(col("id").as("qid"), col("h0").as("q0"), col("h1").as("q1"),
+        bucketFanout.as("qbk"))
+    val dist = bit_count(col("c.h0").bitwiseXOR(col("q.q0"))) +
+      bit_count(col("c.h1").bitwiseXOR(col("q.q1")))
+    val scored = c.alias("c")
+      .join(broadcast(q.alias("q")),
+        col("c.bk") === col("q.qbk") && col("c.id") =!= col("q.qid"))
+      .select(col("q.qid").as("query_id"), col("c.id").as("id"),
+        (-dist).cast("double").as("score"))
+    scored.groupBy("query_id")
+      .agg(topkUdaf(k)(col("score"), col("id")).as("topk"))
+      .select(col("query_id"),
+        posexplode(col("topk").getField("items")).as(Seq("pos", "item")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("item.id").as("neighbor_id"),
+        (-col("item.score")).cast("long").as("hamming"))
+  }
+
   /** Simplified silhouette (Hruschka et al. 2004) over label-seeded
     * nearest-centroid clusters — the cluster-quality audit an IVF /
     * SemDeDup partitioner needs before its cells are trusted: per

@@ -101,6 +101,36 @@ object SimilarityQueries {
         asg.select(col("id").as("aid"), col("assigned")))
     }),
 
+    // Binary quantization tier (E247): sign bits packed into two
+    // 32-bit halves — 64× storage shrink, the cheapest ANN rung.
+    "emb_binary_sig" -> ((s, dir) =>
+      Similarity.binarySigs(corpus(s, dir), EmbDim)),
+
+    // Hamming top-5 over the packed signatures: integer-only scan,
+    // two xor+popcount per pair, bounded-heap per query.
+    "emb_hamming_topk" -> ((s, dir) =>
+      Similarity.binaryHammingTopK(corpus(s, dir), EmbDim, NumQueries, K)),
+
+    // E248: recall of the binary tier vs exact cosine top-k — prices
+    // what 1 bit/dim keeps of the ranking (the E163 discipline).
+    "emb_binary_recall" -> ((s, dir) => {
+      val c = corpus(s, dir).localCheckpoint(false)
+      val ham = Similarity.binaryHammingTopK(c, EmbDim, NumQueries, K)
+        .select(col("query_id"), col("neighbor_id"))
+      val q = c.filter(col("id") < NumQueries)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      val exact = Similarity.topK(c, q, K)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = ham.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("h"))
+      q.select(col("qid").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("h"), lit(0L)).as("n_hits"),
+          round(coalesce(col("h"), lit(0L)).cast("double") /
+            lit(K.toDouble), 6).as("recall_at_k"))
+    }),
+
     // Simplified silhouette (E242): per-cluster separation audit of
     // the label-seeded nearest-centroid partitioner — one O(N·k)
     // corpus pass (broadcast centroids, top-2 heap), never the O(N²)
@@ -774,6 +804,29 @@ object SimilarityQueries {
   private[queries] val embCte =
     "WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
 
+  /** E247 sign-bit pack: sum of disjoint powers of two over half the
+    * dims starting at `lo` (0-based) — the same flat fold as
+    * Similarity.binarySigs, in plain BIGINT arithmetic.
+    */
+  private def binPackSql(lo: Int): String =
+    "CAST(" + (0 until EmbDim / 2)
+      .map(i => s"(CASE WHEN v[${lo + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ") + " AS BIGINT)"
+
+  /** Shared E247/E248 CTEs: packed signatures `sg`, query sigs `qs`,
+    * and all-pairs Hamming distances `d (qid, id, dist)`.
+    */
+  private lazy val binarySigCtes: String =
+    s"""$embCte,
+       |sg AS MATERIALIZED (SELECT vec_id AS id, ${binPackSql(0)} AS h0,
+       |       ${binPackSql(EmbDim / 2)} AS h1 FROM e),
+       |qs AS (SELECT id AS qid, h0 AS q0, h1 AS q1 FROM sg
+       |       WHERE id < $NumQueries),
+       |d AS (SELECT qs.qid, sg.id,
+       |             CAST(bit_count(xor(sg.h0, qs.q0)) +
+       |                  bit_count(xor(sg.h1, qs.q1)) AS BIGINT) AS dist
+       |      FROM qs JOIN sg ON sg.id <> qs.qid)""".stripMargin
+
   /** SRP signature CTE: regenerates Srp.planes' md5 Rademacher matrix
     * (+1 when the first md5 hex nibble of "<plane>_<dim>" is even) and
     * folds each dot product in the same left-to-right order as the
@@ -1292,6 +1345,46 @@ object SimilarityQueries {
          |      FROM s)
          |SELECT id, part, cpart AS assigned, round(score, 6) AS cos
          |FROM r WHERE rn = 1""".stripMargin,
+
+    // E247: the pack is a plain BIGINT sum of disjoint powers of two —
+    // generated from the same half-width constant as the Spark fold.
+    "emb_binary_sig" ->
+      s"""$embCte
+         |SELECT vec_id AS id, ${binPackSql(0)} AS h0,
+         |       ${binPackSql(EmbDim / 2)} AS h1
+         |FROM e""".stripMargin,
+
+    "emb_hamming_topk" ->
+      s"""$binarySigCtes,
+         |r AS (SELECT qid, id, dist,
+         |             row_number() OVER (PARTITION BY qid
+         |                                ORDER BY dist, id) AS rank
+         |      FROM d)
+         |SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank,
+         |       id AS neighbor_id, dist AS hamming
+         |FROM r WHERE rank <= $K""".stripMargin,
+
+    "emb_binary_recall" ->
+      s"""$binarySigCtes,
+         |hr AS (SELECT qid, id FROM (
+         |         SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |           ORDER BY dist, id) AS rank FROM d) WHERE rank <= $K),
+         |s2 AS (SELECT q2.vec_id AS qid, e.vec_id AS id,
+         |              ${cosSql("q2.v", "e.v")} AS score
+         |       FROM e q2 JOIN e ON e.vec_id <> q2.vec_id
+         |       WHERE q2.vec_id < $NumQueries),
+         |xr2 AS (SELECT qid, id FROM (
+         |          SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |            ORDER BY score DESC, id) AS rank FROM s2)
+         |        WHERE rank <= $K),
+         |h AS (SELECT hr.qid, count(*) AS n FROM hr
+         |      JOIN xr2 ON xr2.qid = hr.qid AND xr2.id = hr.id
+         |      GROUP BY hr.qid)
+         |SELECT q3.vec_id AS query_id,
+         |       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+         |       round(CAST(coalesce(h.n, 0) AS DOUBLE) / $K, 6) AS recall_at_k
+         |FROM (SELECT DISTINCT vec_id FROM e WHERE vec_id < $NumQueries) q3
+         |LEFT JOIN h ON h.qid = q3.vec_id""".stripMargin,
 
     // Top-2 centroid cosines per point replay the heap's (score desc,
     // cell asc) order as rn = 1 / rn = 2; the score algebra is the
