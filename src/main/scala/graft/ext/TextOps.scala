@@ -146,24 +146,33 @@ object TextOps {
   val BulletLineRe: String = "(?m)^(?:- |\\* |[0-9]+\\. )"
 
   /** Structural content tags for domain routing (the Dolma-style
-    * tagger pass): per document, line counts by shape via ONE
-    * `regexp_count` per signal over the raw text — no line explode,
-    * no HOF, pure codegen projection — then a deterministic routing
-    * tag: code_frac ≥ 0.3 → 'code', bullet_frac ≥ 0.5 → 'list', else
-    * 'prose' (thresholds compared on the ROUNDED fractions so both
-    * engines decide identically). Returns a struct
-    * (n_lines, code_frac, bullet_frac, tag).
+    * tagger pass): appends (n_lines, code_frac, bullet_frac, tag) —
+    * line counts by shape via ONE `regexp_count` per signal over the
+    * raw text (no line explode, no HOF, pure codegen projection),
+    * then a deterministic routing tag: code_frac ≥ 0.3 → 'code',
+    * bullet_frac ≥ 0.5 → 'list', else 'prose' (thresholds compared
+    * on the ROUNDED fractions so both engines decide identically).
+    *
+    * Built as LAYERED projections, not one expression tree: the tag
+    * CASE references the fraction columns, which reference the count
+    * columns — each regexp is a distinct multi-referenced non-cheap
+    * alias, so CollapseProject cannot inline it into its consumers
+    * and it evaluates ONCE per row (reusing one Column object in the
+    * struct AND the CASE duplicated every regexp 2× — the exact shape
+    * PlanAuditSpec's corpus-wide duplication audit exists to catch).
     */
-  def contentTags(text: Column): Column = {
-    val nLines = size(split(text, "\n"))
-    val codeFrac = round(
-      regexp_count(text, lit(CodeLineRe)).cast("double") / nLines, 6)
-    val bulletFrac = round(
-      regexp_count(text, lit(BulletLineRe)).cast("double") / nLines, 6)
-    val tag = when(codeFrac >= lit(0.3), lit("code"))
-      .when(bulletFrac >= lit(0.5), lit("list"))
-      .otherwise(lit("prose"))
-    struct(nLines.cast("long").as("n_lines"), codeFrac.as("code_frac"),
-      bulletFrac.as("bullet_frac"), tag.as("tag"))
-  }
+  def contentTags(df: org.apache.spark.sql.DataFrame,
+      text: Column): org.apache.spark.sql.DataFrame =
+    df.select(col("*"),
+        size(split(text, "\n")).cast("long").as("n_lines"),
+        regexp_count(text, lit(CodeLineRe)).cast("double").as("cc_"),
+        regexp_count(text, lit(BulletLineRe)).cast("double").as("bc_"))
+      .select(col("*"),
+        round(col("cc_") / col("n_lines"), 6).as("code_frac"),
+        round(col("bc_") / col("n_lines"), 6).as("bullet_frac"))
+      .select(col("*"),
+        when(col("code_frac") >= lit(0.3), lit("code"))
+          .when(col("bullet_frac") >= lit(0.5), lit("list"))
+          .otherwise(lit("prose")).as("tag"))
+      .drop("cc_", "bc_")
 }

@@ -26,6 +26,12 @@ object CurationQueries {
   val ChunkStride = 32
   val PackBudget = 1024L
   val DecontamMod = 11 // doc_id % 11 == 0 stands in for the eval set
+  // E249 k-anonymity: quasi-identifier bundle = (lang, source,
+  // n_chars-bucket); groups smaller than KanonK are re-identification
+  // risks (Sweeney 2002) and get their source generalized to '*'.
+  val KanonK = 5
+  val KanonBucket = 200 // chars per size bucket
+
   // E246 topic clustering: hashed-TF feature dims / topic count / Lloyd
   // rounds. Dims stay small so the dense per-doc vector is a few
   // doubles and the k-means shuffle is (topics × dims) regardless of
@@ -185,6 +191,20 @@ object CurationQueries {
         .select(col("doc_id"), Curation.redactPii(planted).as("redacted"))
     }),
 
+    // k-anonymity audit (E249): group sizes over the quasi-identifier
+    // bundle — the privacy-governance companion to the PII redaction
+    // tier (redaction removes direct identifiers; k-anonymity measures
+    // whether the REMAINING attributes still single documents out).
+    // One partial-aggregatable pass; groups, not docs, come back.
+    "docs_kanon_audit" -> ((s, dir) =>
+      kanonAudit(Tables.documents(s, dir))),
+
+    // E249: the suppression step — docs in at-risk QI groups get their
+    // source generalized to '*' (one generalization round; the group
+    // table is bounded by distinct QI combinations and broadcasts).
+    "docs_kanon_suppress" -> ((s, dir) =>
+      kanonSuppress(Tables.documents(s, dir))),
+
     // Topic clustering WITHOUT embeddings (E246): k-means over hashed
     // term-frequency features (the hashing trick — md5 token buckets,
     // the same salt-bucket arithmetic as every sampling tier), doc_id-
@@ -218,11 +238,11 @@ object CurationQueries {
           concat(lit("- item "), (col("doc_id") % 5).cast("string")),
           lit("* last item")))
         .otherwise(col("text"))
-      Tables.documents(s, dir)
-        .select(col("doc_id"), TextOps.contentTags(planted).as("t"))
-        .select(col("doc_id"), col("t.n_lines").as("n_lines"),
-          col("t.code_frac").as("code_frac"),
-          col("t.bullet_frac").as("bullet_frac"), col("t.tag").as("tag"))
+      TextOps.contentTags(
+          Tables.documents(s, dir).select(col("doc_id"), planted.as("pl")),
+          col("pl"))
+        .select(col("doc_id"), col("n_lines"), col("code_frac"),
+          col("bullet_frac"), col("tag"))
     }),
 
     // URL canonicalization (E116): deterministic messy URLs planted
@@ -1076,6 +1096,34 @@ object CurationQueries {
     * callers append further CTEs with `,` and must not re-open WITH.
     * Shared by the split/audit oracles and the classifier-fit chain.
     */
+  /** E249 quasi-identifier projection: (lang, source, n_chars-bucket). */
+  private def kanonQi(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("source"),
+      expr(s"n_chars div $KanonBucket").as("size_bucket"))
+
+  /** E249 audit: QI group sizes + at-risk verdict (< [[KanonK]]). */
+  private[queries] def kanonAudit(docs: DataFrame): DataFrame =
+    kanonQi(docs)
+      .groupBy(col("lang"), col("source"), col("size_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("source"), col("size_bucket"), col("n"),
+        (col("n") < KanonK).as("at_risk"))
+
+  /** E249 suppression: generalize the at-risk groups' source to '*'
+    * (single round; a re-[[kanonAudit]] catches sub-k groups that did
+    * not merge — the documented limitation of one-shot generalization).
+    */
+  private[queries] def kanonSuppress(docs: DataFrame): DataFrame = {
+    val d = kanonQi(docs)
+    val g = d.groupBy("lang", "source", "size_bucket")
+      .agg(count(lit(1)).as("n"))
+    d.join(broadcast(g), Seq("lang", "source", "size_bucket"))
+      .select(col("doc_id"), col("lang"),
+        when(col("n") < KanonK, lit("*")).otherwise(col("source"))
+          .as("source_anon"),
+        col("size_bucket"))
+  }
+
   /** E246 feature build: hashing-trick term-frequency vectors —
     * md5-bucketed tokens (the repo's deterministic hash discipline)
     * counted into a dense [[TopicDims]]-wide double array, doc_id-
@@ -1286,6 +1334,23 @@ object CurationQueries {
         |       regexp_extract(canonical,
         |         '://(?:[^/?#:]*\.)?([^./?#:]+\.[^./?#:]+)(?::[0-9]+)?(?:[/?#]|$)', 1) AS domain
         |FROM c""".stripMargin,
+
+    "docs_kanon_audit" ->
+      s"""SELECT lang, source, n_chars // $KanonBucket AS size_bucket,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       count(*) < $KanonK AS at_risk
+         |FROM documents GROUP BY 1, 2, 3""".stripMargin,
+
+    "docs_kanon_suppress" ->
+      s"""WITH d AS (SELECT doc_id, lang, source,
+         |                  n_chars // $KanonBucket AS size_bucket
+         |           FROM documents),
+         |g AS (SELECT lang, source, size_bucket, count(*) AS n
+         |      FROM d GROUP BY 1, 2, 3)
+         |SELECT d.doc_id, d.lang,
+         |       CASE WHEN g.n < $KanonK THEN '*' ELSE d.source END AS source_anon,
+         |       d.size_bucket
+         |FROM d JOIN g USING (lang, source, size_bucket)""".stripMargin,
 
     // E246: identical md5 token buckets, dense TopicDims vectors, then
     // the SHARED kmeansIterSql round generator pointed at the hashed-TF

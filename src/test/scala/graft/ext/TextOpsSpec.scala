@@ -84,9 +84,9 @@ class TextOpsSpec extends SparkSpec {
     val mixed = "a line ending in a brace {\nplain\nplain\nplain" // 1/4 < 0.3
     val df = Seq(("c", code), ("l", lst), ("p", prose), ("m", mixed))
       .toDF("id", "text")
-    val out = df.select(col("id"), TextOps.contentTags(col("text")).as("t"))
-      .select(col("id"), col("t.n_lines"), col("t.code_frac"),
-        col("t.bullet_frac"), col("t.tag"))
+    val out = TextOps.contentTags(df, col("text"))
+      .select(col("id"), col("n_lines"), col("code_frac"),
+        col("bullet_frac"), col("tag"))
       .as[(String, Long, Double, Double, String)].collect()
       .map(r => r._1 -> r).toMap
     assert(out("c") == ("c", 4L, 0.75, 0.0, "code"))
