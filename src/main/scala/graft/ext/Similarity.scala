@@ -1307,7 +1307,18 @@ object Similarity {
     val cand = topK(corpus, queries, nCand)
       .select(col("query_id"), col("neighbor_id").as("cid"),
         col("cos").as("rel"))
-      .localCheckpoint(false)
+    mmrOverCandidates(cand, corpus, k, lambda, oneMinusLambda)
+  }
+
+  /** The greedy MMR stage over a caller-supplied candidate pool
+    * (query_id, cid, rel) — shared verbatim by [[mmrTopK]] (brute-force
+    * candidates) and the E250 serving pipeline (residual-IVF-PQ
+    * candidates after exact rerank), so the selection rule can never
+    * drift between the two entry points.
+    */
+  def mmrOverCandidates(cand0: DataFrame, corpus: DataFrame, k: Int,
+      lambda: Double, oneMinusLambda: Double): DataFrame = {
+    val cand = cand0.localCheckpoint(false)
     // Candidate vectors ride a broadcast-able join back to the corpus
     // (Q·nCand ids); pair similarities stay within one query's list.
     val cv = cand.join(

@@ -73,6 +73,28 @@ object SimilarityQueries {
       Similarity.mmrTopK(c, q, MmrCand, K, MmrLambda, MmrOneMinusLambda)
     }),
 
+    // E250: the COMPOSED retrieval serving pipeline — what a RAG stack
+    // actually runs end-to-end: residual IVF-PQ candidate generation
+    // (E243, integer codes + probed cells only) → exact-cosine rerank
+    // of the bounded candidate pool → MMR diversification (E241).
+    // Every stage is the same shared definition its standalone row
+    // registers; the composition is pure plumbing.
+    "emb_serving_pipeline" -> ((s, dir) => {
+      val c = corpus(s, dir).localCheckpoint(false)
+      val cand = Similarity.pqResidualIvfTopK(c, PqSubspaces, PqSubDim,
+          NumQueries, KIvf * AdcRerankMult, MProbe)
+        .select(col("query_id"), col("neighbor_id").as("cid"))
+      val qv = c.filter(col("id") < NumQueries)
+        .select(col("id").as("qid2"), col("vec").as("qvec"))
+      val rel = cand
+        .join(c.select(col("id").as("vid"), col("vec")),
+          col("cid") === col("vid"))
+        .join(broadcast(qv), col("query_id") === col("qid2"))
+        .select(col("query_id"), col("cid"),
+          round(Similarity.cosine(col("qvec"), col("vec")), 6).as("rel"))
+      Similarity.mmrOverCandidates(rel, c, K, MmrLambda, MmrOneMinusLambda)
+    }),
+
     // IVF-style top-3: every vector queries only its own coarse cell
     // (label = the fixture's stand-in for a k-means cell id).
     "emb_topk_ivf" -> ((s, dir) => {
@@ -1226,8 +1248,6 @@ object SimilarityQueries {
     * chain re-evaluates 2^depth times).
     */
   private def mmrSql(nCand: Int, k: Int): String = {
-    val lam = s"CAST($MmrLambda AS DOUBLE)"
-    val mu = s"CAST($MmrOneMinusLambda AS DOUBLE)"
     val sb = new StringBuilder
     sb ++= s"$embCte,\n"
     sb ++= s"q AS (SELECT * FROM e WHERE vec_id < $NumQueries),\n"
@@ -1235,8 +1255,21 @@ object SimilarityQueries {
       s"${cosSql("q.v", "e.v")} AS score FROM q JOIN e ON e.vec_id <> q.vec_id),\n")
     sb ++= (s"cand AS MATERIALIZED (SELECT qid, cid, round(score, 6) AS rel " +
       s"FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn FROM sc) " +
-      s"WHERE rn <= $nCand),\n")
-    sb ++= "cv AS (SELECT c.qid, c.cid, e.v FROM cand c JOIN e ON e.vec_id = c.cid),\n"
+      s"WHERE rn <= $nCand)")
+    sb ++= mmrRoundsSql(k)
+    sb.toString
+  }
+
+  /** The greedy-round CTEs appended after any WITH chain that defines
+    * `e` (vec_id, v) and a MATERIALIZED `cand` (qid, cid, rel) — shared
+    * by [[mmrSql]] and the E250 serving-pipeline oracle, mirroring
+    * [[graft.ext.Similarity.mmrOverCandidates]] exactly.
+    */
+  private def mmrRoundsSql(k: Int): String = {
+    val lam = s"CAST($MmrLambda AS DOUBLE)"
+    val mu = s"CAST($MmrOneMinusLambda AS DOUBLE)"
+    val sb = new StringBuilder
+    sb ++= ",\ncv AS (SELECT c.qid, c.cid, e.v FROM cand c JOIN e ON e.vec_id = c.cid),\n"
     sb ++= (s"pr AS MATERIALIZED (SELECT a.qid, a.cid AS ca, b.cid AS cb, " +
       s"round(${cosSql("a.v", "b.v")}, 6) AS sim " +
       s"FROM cv a JOIN cv b ON a.qid = b.qid AND a.cid <> b.cid),\n")
@@ -1265,6 +1298,20 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "emb_mmr_topk" -> mmrSql(MmrCand, K),
+    // E250: the residual search chain to the rerank horizon, exact
+    // cosine over the candidate pool, then the SAME greedy-round
+    // generator as emb_mmr_topk.
+    "emb_serving_pipeline" ->
+      (s"""$residualSearchCtes,
+          |cr AS (SELECT qid, id FROM (
+          |         SELECT qid, id, row_number() OVER (PARTITION BY qid
+          |           ORDER BY adc, id) AS rank FROM sc2)
+          |       WHERE rank <= ${KIvf * AdcRerankMult}),
+          |cand AS MATERIALIZED (SELECT cr.qid, cr.id AS cid,
+          |         round(${cosSql("qe.v", "ce.v")}, 6) AS rel
+          |       FROM cr JOIN e qe ON qe.vec_id = cr.qid
+          |               JOIN e ce ON ce.vec_id = cr.id)""".stripMargin
+        + mmrRoundsSql(K)),
     "emb_kmeans_iter" -> kmeansIterSql(KmeansIters),
     "emb_quantize" ->
       s"""$embCte,
