@@ -73,6 +73,40 @@ object SimilarityQueries {
       Similarity.mmrTopK(c, q, MmrCand, K, MmrLambda, MmrOneMinusLambda)
     }),
 
+    // E251: the MMR TRADEOFF, measured (the E163 audit discipline
+    // applied to diversification): per query, intra-list similarity
+    // (avg pairwise cosine) of the plain top-k vs the MMR top-k, plus
+    // their overlap — quantifying how much redundancy λ = 0.7 removes
+    // and how much of the pure-relevance set it keeps.
+    "emb_mmr_diversity" -> ((s, dir) => {
+      val c = corpus(s, dir).localCheckpoint(false)
+      val q = c.filter(col("id") < NumQueries)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      val plain = Similarity.topK(c, q, K)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint(false)
+      val mmr = Similarity
+        .mmrTopK(c, q, MmrCand, K, MmrLambda, MmrOneMinusLambda)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint(false)
+      def ils(sel: DataFrame, out: String): DataFrame = {
+        val v = sel.join(c.select(col("id").as("vid"), col("vec")),
+          col("neighbor_id") === col("vid"))
+          .select(col("query_id"), col("neighbor_id").as("nid"), col("vec"))
+        v.alias("a").join(v.alias("b"),
+            col("a.query_id") === col("b.query_id") &&
+              col("a.nid") < col("b.nid"))
+          .select(col("a.query_id"),
+            round(Similarity.cosine(col("a.vec"), col("b.vec")), 6).as("cs"))
+          .groupBy("query_id").agg(round(avg(col("cs")), 6).as(out))
+      }
+      val overlap = plain.join(mmr, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+      ils(plain, "ils_plain")
+        .join(ils(mmr, "ils_mmr"), Seq("query_id"))
+        .join(overlap, Seq("query_id"), "left")
+        .select(col("query_id"), col("ils_plain"), col("ils_mmr"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+    }),
+
     // E250: the COMPOSED retrieval serving pipeline — what a RAG stack
     // actually runs end-to-end: residual IVF-PQ candidate generation
     // (E243, integer codes + probed cells only) → exact-cosine rerank
@@ -1247,7 +1281,7 @@ object SimilarityQueries {
     * MATERIALIZED (DuckDB inlines CTEs per reference; an inlined acc
     * chain re-evaluates 2^depth times).
     */
-  private def mmrSql(nCand: Int, k: Int): String = {
+  private def mmrSql(nCand: Int, k: Int, withFinal: Boolean = true): String = {
     val sb = new StringBuilder
     sb ++= s"$embCte,\n"
     sb ++= s"q AS (SELECT * FROM e WHERE vec_id < $NumQueries),\n"
@@ -1256,7 +1290,7 @@ object SimilarityQueries {
     sb ++= (s"cand AS MATERIALIZED (SELECT qid, cid, round(score, 6) AS rel " +
       s"FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn FROM sc) " +
       s"WHERE rn <= $nCand)")
-    sb ++= mmrRoundsSql(k)
+    sb ++= mmrRoundsSql(k, withFinal)
     sb.toString
   }
 
@@ -1265,7 +1299,7 @@ object SimilarityQueries {
     * by [[mmrSql]] and the E250 serving-pipeline oracle, mirroring
     * [[graft.ext.Similarity.mmrOverCandidates]] exactly.
     */
-  private def mmrRoundsSql(k: Int): String = {
+  private def mmrRoundsSql(k: Int, withFinal: Boolean = true): String = {
     val lam = s"CAST($MmrLambda AS DOUBLE)"
     val mu = s"CAST($MmrOneMinusLambda AS DOUBLE)"
     val sb = new StringBuilder
@@ -1291,13 +1325,39 @@ object SimilarityQueries {
     // round(·,7), not 6: the score is decimal-exact at 7 digits (6-digit
     // inputs × 1-digit weights), so 7 has no half-cases — at 6 EVERY
     // score is a …5 tie and the engines' round() semantics diverge.
-    sb ++= (s"\nSELECT qid AS query_id, CAST(rk AS INTEGER) AS rank, " +
-      s"cid AS neighbor_id, round(mmr, 7) AS mmr, rel AS cos FROM acc$k")
+    if (withFinal)
+      sb ++= (s"\nSELECT qid AS query_id, CAST(rk AS INTEGER) AS rank, " +
+        s"cid AS neighbor_id, round(mmr, 7) AS mmr, rel AS cos FROM acc$k")
     sb.toString
   }
 
   val oracles: Map[String, String] = Map(
     "emb_mmr_topk" -> mmrSql(MmrCand, K),
+    // E251: the mmr rounds WITHOUT their final projection, the plain
+    // top-k set, pairwise-cosine ILS per set, overlap count.
+    "emb_mmr_diversity" ->
+      (mmrSql(MmrCand, K, withFinal = false) +
+        s""",
+           |pl AS (SELECT qid, cid FROM (
+           |         SELECT qid, cid, row_number() OVER (PARTITION BY qid
+           |           ORDER BY score DESC, cid) AS rn FROM sc) WHERE rn <= $K),
+           |mm2 AS (SELECT qid, cid FROM acc$K),
+           |plv AS (SELECT p.qid, p.cid, e.v FROM pl p JOIN e ON e.vec_id = p.cid),
+           |mmv AS (SELECT m.qid, m.cid, e.v FROM mm2 m JOIN e ON e.vec_id = m.cid),
+           |ip AS (SELECT a.qid, round(avg(round(${cosSql("a.v", "b.v")}, 6)), 6) AS ils_plain
+           |       FROM plv a JOIN plv b ON a.qid = b.qid AND a.cid < b.cid
+           |       GROUP BY a.qid),
+           |im AS (SELECT a.qid, round(avg(round(${cosSql("a.v", "b.v")}, 6)), 6) AS ils_mmr
+           |       FROM mmv a JOIN mmv b ON a.qid = b.qid AND a.cid < b.cid
+           |       GROUP BY a.qid),
+           |ov AS (SELECT pl.qid, count(*) AS n FROM pl
+           |       JOIN mm2 ON mm2.qid = pl.qid AND mm2.cid = pl.cid
+           |       GROUP BY pl.qid)
+           |SELECT ip.qid AS query_id, ip.ils_plain, im.ils_mmr,
+           |       CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlap
+           |FROM ip JOIN im ON im.qid = ip.qid
+           |LEFT JOIN ov ON ov.qid = ip.qid""".stripMargin),
+
     // E250: the residual search chain to the rerank horizon, exact
     // cosine over the candidate pool, then the SAME greedy-round
     // generator as emb_mmr_topk.

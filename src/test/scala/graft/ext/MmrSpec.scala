@@ -55,4 +55,12 @@ class MmrSpec extends SparkSpec {
       Similarity.mmrTopK(corpus, queries, 2, 3, 0.7, 0.3)
     }
   }
+
+  test("selection is invariant to input partitioning") {
+    val base = Similarity.mmrTopK(corpus, queries, 3, 3, 0.7, 0.3)
+      .orderBy("rank").collect().toSeq
+    val shuffled = Similarity.mmrTopK(corpus.repartition(7), queries, 3, 3,
+      0.7, 0.3).orderBy("rank").collect().toSeq
+    assert(base == shuffled)
+  }
 }
