@@ -955,6 +955,70 @@ object Similarity {
         (-col("item.score")).as("adc"))
   }
 
+  /** ADAPTIVE multi-probe top-k (E252): instead of a FIXED probe
+    * count, each query keeps adding cells (in centroid-cosine rank
+    * order) until the CUMULATIVE candidate population reaches
+    * ceil(targetNum/targetDen · N) — the dynamic-nprobe knob every
+    * serving stack exposes, and the exact lever the residual-PQ study
+    * names as the recall bound (coverage, not quantizer fidelity).
+    * Under cell-size skew a query whose best cells are huge probes
+    * few; one landing in tiny cells probes more — candidate volume is
+    * uniform per query by construction, which is what keeps tail
+    * latency flat at 100 TB.
+    *
+    * The target is computed in EXACT INTEGER arithmetic
+    * (ceil(num·N/den) = (num·N + den − 1) div den) so the oracle can
+    * never drift through decimal-vs-double division. Probe selection:
+    * a cell is kept while the cumulative population EXCLUDING it is
+    * still below target — so the first cell always survives and the
+    * probe set is minimal. Scoring inside probed cells is the exact
+    * cosine (isolating the coverage knob from quantization error);
+    * the per-query work is bounded by the target, not the corpus.
+    * Output: (query_id, rank, neighbor_id, cos).
+    */
+  def adaptiveProbeTopK(vecs: DataFrame, numQueries: Int, k: Int,
+      targetNum: Long, targetDen: Long): DataFrame = {
+    val c = vecs.localCheckpoint(false)
+    val n = c.count()
+    val target = (targetNum * n + targetDen - 1) / targetDen
+    val cvecs = centroidVectors(centroids(c)).localCheckpoint(false)
+    val asg = c.join(broadcast(cvecs))
+      .select(col("id"), col("cpart"),
+        cosine(col("vec"), col("cvec")).as("cs"))
+      .groupBy("id")
+      .agg(max_by(col("cpart"), struct(col("cs"), -col("cpart"))).as("cell"))
+      .localCheckpoint(false) // feeds cell populations AND the candidate join
+    val pop = asg.groupBy("cell").agg(count(lit(1)).as("np"))
+    val q = c.filter(col("id") < numQueries)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cs").desc, col("cpart"))
+    val probes = q.join(broadcast(cvecs))
+      .select(col("qid"), col("cpart"),
+        cosine(col("qvec"), col("cvec")).as("cs"))
+      .join(broadcast(pop), col("cpart") === col("cell"))
+      .withColumn("cum", sum(col("np")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .filter(col("cum") - col("np") < target)
+      .select(col("qid"), col("cpart"))
+      .localCheckpoint(false)
+    val scored = c.join(asg.select(col("id").as("aid"), col("cell")),
+        col("id") === col("aid"))
+      .join(broadcast(probes), col("cell") === col("cpart"))
+      .filter(col("id") =!= col("qid"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid").as("query_id"), col("id"),
+        cosine(col("qvec"), col("vec")).as("score"))
+    val agg = scored.groupBy("query_id")
+      .agg(topkUdaf(k)(col("score"), col("id")).as("topk"))
+    agg.select(col("query_id"),
+        posexplode(col("topk").getField("items")).as(Seq("pos", "item")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("item.id").as("neighbor_id"),
+        round(col("item.score"), 6).as("cos"))
+  }
+
   /** RESIDUAL IVF-PQ search — the production FAISS `IVFPQ` design
     * (Jégou et al. 2011 §IV.B): codes quantize the residual
     * r = v − centroid(cell) instead of the raw vector, so each

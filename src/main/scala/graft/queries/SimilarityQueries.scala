@@ -28,6 +28,10 @@ object SimilarityQueries {
   // trained codewords reads 0.32 point / 0.82 rerank in E226.
   private val PqSubspaces = 16 // PQ: M subspaces ...
   private val PqSubDim = EmbDim / PqSubspaces // ... of 4 dims each
+  // E252 adaptive probe: per-query target = ceil(3N/10) candidates,
+  // computed in exact integer arithmetic on both engines.
+  private val ProbeTargetNum = 3L
+  private val ProbeTargetDen = 10L
   // MMR re-ranking: λ and (1−λ) are SEPARATE literals so both engines
   // parse the same decimals to the same IEEE doubles (deriving 0.3 as
   // `1.0 - 0.7` is exact DECIMAL in DuckDB but binary double in Spark).
@@ -71,6 +75,36 @@ object SimilarityQueries {
       val q = c.filter(col("id") < NumQueries)
         .select(col("id").as("qid"), col("vec").as("qvec"))
       Similarity.mmrTopK(c, q, MmrCand, K, MmrLambda, MmrOneMinusLambda)
+    }),
+
+    // E252: ADAPTIVE multi-probe — each query probes cells in centroid
+    // rank order until cumulative candidate population reaches
+    // ceil(3N/10); exact cosine inside probed cells. The dynamic-
+    // nprobe knob the residual study names as the recall bound.
+    "emb_adaptive_probe" -> ((s, dir) =>
+      Similarity.adaptiveProbeTopK(corpus(s, dir), NumQueries, KIvf,
+        ProbeTargetNum, ProbeTargetDen)),
+
+    // E253: its recall audit vs the global exact top-k — shows the
+    // coverage the fixed 2-cell probe (ceiling 0.433 at sf0.01)
+    // leaves on the table.
+    "emb_adaptive_probe_recall" -> ((s, dir) => {
+      val c = corpus(s, dir).localCheckpoint(false)
+      val ap = Similarity.adaptiveProbeTopK(c, NumQueries, KIvf,
+        ProbeTargetNum, ProbeTargetDen)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint(false)
+      val q = c.filter(col("id") < NumQueries)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      val exact = Similarity.topK(c, q, KIvf)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = ap.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("h"))
+      q.select(col("qid").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("h"), lit(0L)).as("n_hits"),
+          round(coalesce(col("h"), lit(0L)).cast("double") /
+            lit(KIvf.toDouble), 6).as("recall_at_k"))
     }),
 
     // E251: the MMR TRADEOFF, measured (the E163 audit discipline
@@ -869,6 +903,46 @@ object SimilarityQueries {
       .map(i => s"(CASE WHEN v[${lo + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
       .mkString(" + ") + " AS BIGINT)"
 
+  /** Shared E252/E253 CTEs: label-seeded coarse quantizer (cent2/cv2),
+    * argmax assignment `car`, cell populations, per-query ranked cells
+    * with a ROWS-frame cumulative population, the minimal probe set
+    * `prb` (kept while cum − np < ceil(3N/10), exact integers), and
+    * the exact-cosine scores `sc3 (qid, id, score)` inside probed
+    * cells.
+    */
+  private lazy val adaptiveProbeCtes: String =
+    s"""$embCte,
+       |x AS (SELECT label, CAST(i - 1 AS INTEGER) AS dim, v[CAST(i AS INTEGER)] AS val
+       |      FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+       |cent2 AS (SELECT label AS cpart, dim, round(sum(val) / count(*), 6) AS c
+       |          FROM x GROUP BY label, dim),
+       |cv2 AS MATERIALIZED (SELECT cpart, list(c ORDER BY dim) AS cvec
+       |        FROM cent2 GROUP BY cpart),
+       |scr AS (SELECT e.vec_id, cv2.cpart, ${cosSql("e.v", "cv2.cvec")} AS cs
+       |        FROM e CROSS JOIN cv2),
+       |car AS MATERIALIZED (SELECT vec_id, cpart AS cell FROM (
+       |         SELECT vec_id, cpart, row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY cs DESC, cpart) AS rn FROM scr) WHERE rn = 1),
+       |pop AS (SELECT cell, CAST(count(*) AS BIGINT) AS np
+       |        FROM car GROUP BY cell),
+       |nn AS (SELECT count(*) AS n FROM e),
+       |qq AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < $NumQueries),
+       |pc AS (SELECT qq.qid, cv2.cpart, ${cosSql("qq.v", "cv2.cvec")} AS cs
+       |       FROM qq CROSS JOIN cv2),
+       |pcp AS (SELECT pc.qid, pc.cpart, pop.np,
+       |               sum(pop.np) OVER (PARTITION BY pc.qid
+       |                 ORDER BY pc.cs DESC, pc.cpart
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |        FROM pc JOIN pop ON pop.cell = pc.cpart),
+       |prb AS MATERIALIZED (SELECT qid, cpart FROM pcp, nn
+       |        WHERE cum - np < ($ProbeTargetNum * nn.n + ${ProbeTargetDen - 1})
+       |              // $ProbeTargetDen),
+       |sc3 AS (SELECT prb.qid, e.vec_id AS id, ${cosSql("qq.v", "e.v")} AS score
+       |        FROM e JOIN car ON car.vec_id = e.vec_id
+       |               JOIN prb ON prb.cpart = car.cell
+       |               JOIN qq ON qq.qid = prb.qid
+       |        WHERE e.vec_id <> prb.qid)""".stripMargin
+
   /** Shared E247/E248 CTEs: packed signatures `sg`, query sigs `qs`,
     * and all-pairs Hamming distances `d (qid, id, dist)`.
     */
@@ -1333,6 +1407,42 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "emb_mmr_topk" -> mmrSql(MmrCand, K),
+    // E252: probe set = cells whose cumulative population (rank order,
+    // ROWS frame) excluding themselves is below ceil(3N/10) — exact
+    // integer target, same argmax assignment as every IVF oracle.
+    "emb_adaptive_probe" ->
+      s"""$adaptiveProbeCtes,
+         |r3 AS (SELECT qid, id, score,
+         |              row_number() OVER (PARTITION BY qid
+         |                                 ORDER BY score DESC, id) AS rank
+         |       FROM sc3)
+         |SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank,
+         |       id AS neighbor_id, round(score, 6) AS cos
+         |FROM r3 WHERE rank <= $KIvf""".stripMargin,
+
+    "emb_adaptive_probe_recall" ->
+      s"""$adaptiveProbeCtes,
+         |apr AS (SELECT qid, id FROM (
+         |          SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |            ORDER BY score DESC, id) AS rank FROM sc3)
+         |        WHERE rank <= $KIvf),
+         |s4 AS (SELECT q2.vec_id AS qid, e.vec_id AS id,
+         |              ${cosSql("q2.v", "e.v")} AS score
+         |       FROM e q2 JOIN e ON e.vec_id <> q2.vec_id
+         |       WHERE q2.vec_id < $NumQueries),
+         |xr4 AS (SELECT qid, id FROM (
+         |          SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |            ORDER BY score DESC, id) AS rank FROM s4)
+         |        WHERE rank <= $KIvf),
+         |h AS (SELECT a.qid, count(*) AS n FROM apr a
+         |      JOIN xr4 x2 ON x2.qid = a.qid AND x2.id = a.id
+         |      GROUP BY a.qid)
+         |SELECT q3.vec_id AS query_id,
+         |       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+         |       round(CAST(coalesce(h.n, 0) AS DOUBLE) / $KIvf, 6) AS recall_at_k
+         |FROM (SELECT DISTINCT vec_id FROM e WHERE vec_id < $NumQueries) q3
+         |LEFT JOIN h ON h.qid = q3.vec_id""".stripMargin,
+
     // E251: the mmr rounds WITHOUT their final projection, the plain
     // top-k set, pairwise-cosine ILS per set, overlap count.
     "emb_mmr_diversity" ->
