@@ -1019,6 +1019,65 @@ object Similarity {
         round(col("item.score"), 6).as("cos"))
   }
 
+  /** Probe-recall sweep (E254): the full recall-vs-coverage CURVE the
+    * fixed (E167), adaptive (E252) and residual (E243) searches are
+    * single points of — for every probe width p = 1..pMax, each
+    * query's exact-cosine top-k inside its p best cells is
+    * intersected with the global exact top-k. One corpus scoring
+    * pass at p = pMax (cell ranks ride along), checkpointed; each
+    * narrower p is a filter + bounded-heap re-rank over that frame,
+    * so the sweep costs one search plus pMax cheap re-ranks, not
+    * pMax searches. Output: (probe, query_id, n_hits, recall_at_k).
+    */
+  def probeRecallSweep(vecs: DataFrame, numQueries: Int, k: Int,
+      pMax: Int): DataFrame = {
+    val c = vecs.localCheckpoint(false)
+    val cvecs = centroidVectors(centroids(c)).localCheckpoint(false)
+    val asg = c.join(broadcast(cvecs))
+      .select(col("id"), col("cpart"),
+        cosine(col("vec"), col("cvec")).as("cs"))
+      .groupBy("id")
+      .agg(max_by(col("cpart"), struct(col("cs"), -col("cpart"))).as("cell"))
+    val q = c.filter(col("id") < numQueries)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cs").desc, col("cpart"))
+    val ranks = q.join(broadcast(cvecs))
+      .select(col("qid"), col("cpart"),
+        cosine(col("qvec"), col("cvec")).as("cs"))
+      .withColumn("cellrank", row_number().over(w))
+      .filter(col("cellrank") <= pMax)
+      .select(col("qid"), col("cpart"), col("cellrank"))
+    val cand = c.join(asg.select(col("id").as("aid"), col("cell")),
+        col("id") === col("aid"))
+      .join(broadcast(ranks), col("cell") === col("cpart"))
+      .filter(col("id") =!= col("qid"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid").as("query_id"), col("id"),
+        cosine(col("qvec"), col("vec")).as("score"), col("cellrank"))
+      .localCheckpoint(false)
+    val exact = topK(c, q, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(false)
+    val perP = (1 to pMax).map { p =>
+      val top = cand.filter(col("cellrank") <= p)
+        .groupBy("query_id")
+        .agg(topkUdaf(k)(col("score"), col("id")).as("topk"))
+        .select(col("query_id"),
+          explode(col("topk").getField("items").getField("id"))
+            .as("neighbor_id"))
+      val hits = top.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("h"))
+      q.select(col("qid").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(lit(p).as("probe"), col("query_id"),
+          coalesce(col("h"), lit(0L)).as("n_hits"),
+          round(coalesce(col("h"), lit(0L)).cast("double") /
+            lit(k.toDouble), 6).as("recall_at_k"))
+    }
+    perP.reduce(_ union _)
+  }
+
   /** RESIDUAL IVF-PQ search — the production FAISS `IVFPQ` design
     * (Jégou et al. 2011 §IV.B): codes quantize the residual
     * r = v − centroid(cell) instead of the raw vector, so each

@@ -32,6 +32,7 @@ object SimilarityQueries {
   // computed in exact integer arithmetic on both engines.
   private val ProbeTargetNum = 3L
   private val ProbeTargetDen = 10L
+  private val SweepPMax = 5 // E254: probe widths 1..5 in the recall curve
   // MMR re-ranking: λ and (1−λ) are SEPARATE literals so both engines
   // parse the same decimals to the same IEEE doubles (deriving 0.3 as
   // `1.0 - 0.7` is exact DECIMAL in DuckDB but binary double in Spark).
@@ -76,6 +77,14 @@ object SimilarityQueries {
         .select(col("id").as("qid"), col("vec").as("qvec"))
       Similarity.mmrTopK(c, q, MmrCand, K, MmrLambda, MmrOneMinusLambda)
     }),
+
+    // E254: the recall-vs-coverage CURVE — recall@k at every probe
+    // width 1..5, one scoring pass + cheap re-ranks. The fixed-probe
+    // (E167), adaptive (E252) and residual (E243) searches are single
+    // points on this curve; this query publishes the whole knob.
+    "emb_probe_sweep" -> ((s, dir) =>
+      Similarity.probeRecallSweep(corpus(s, dir), NumQueries, KIvf,
+        SweepPMax)),
 
     // E252: ADAPTIVE multi-probe — each query probes cells in centroid
     // rank order until cumulative candidate population reaches
@@ -1407,6 +1416,64 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "emb_mmr_topk" -> mmrSql(MmrCand, K),
+    // E254: one MATERIALIZED candidate frame at pMax cell ranks, then
+    // a rank+intersect block generated per probe width.
+    "emb_probe_sweep" -> {
+      val base =
+        s"""$embCte,
+           |x AS (SELECT label, CAST(i - 1 AS INTEGER) AS dim, v[CAST(i AS INTEGER)] AS val
+           |      FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+           |cent2 AS (SELECT label AS cpart, dim, round(sum(val) / count(*), 6) AS c
+           |          FROM x GROUP BY label, dim),
+           |cv2 AS MATERIALIZED (SELECT cpart, list(c ORDER BY dim) AS cvec
+           |        FROM cent2 GROUP BY cpart),
+           |scr AS (SELECT e.vec_id, cv2.cpart, ${cosSql("e.v", "cv2.cvec")} AS cs
+           |        FROM e CROSS JOIN cv2),
+           |car AS MATERIALIZED (SELECT vec_id, cpart AS cell FROM (
+           |         SELECT vec_id, cpart, row_number() OVER (PARTITION BY vec_id
+           |           ORDER BY cs DESC, cpart) AS rn FROM scr) WHERE rn = 1),
+           |qq AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < $NumQueries),
+           |pc AS (SELECT qq.qid, cv2.cpart, ${cosSql("qq.v", "cv2.cvec")} AS cs
+           |       FROM qq CROSS JOIN cv2),
+           |pcr AS (SELECT qid, cpart,
+           |               row_number() OVER (PARTITION BY qid
+           |                 ORDER BY cs DESC, cpart) AS cellrank
+           |        FROM pc),
+           |cnd AS MATERIALIZED (SELECT pcr.qid, e.vec_id AS id,
+           |         ${cosSql("qq.v", "e.v")} AS score, pcr.cellrank
+           |       FROM e JOIN car ON car.vec_id = e.vec_id
+           |              JOIN pcr ON pcr.cpart = car.cell
+           |                          AND pcr.cellrank <= $SweepPMax
+           |              JOIN qq ON qq.qid = pcr.qid
+           |       WHERE e.vec_id <> pcr.qid),
+           |s5 AS (SELECT q2.vec_id AS qid, e.vec_id AS id,
+           |              ${cosSql("q2.v", "e.v")} AS score
+           |       FROM e q2 JOIN e ON e.vec_id <> q2.vec_id
+           |       WHERE q2.vec_id < $NumQueries),
+           |xr5 AS MATERIALIZED (SELECT qid, id FROM (
+           |         SELECT qid, id, row_number() OVER (PARTITION BY qid
+           |           ORDER BY score DESC, id) AS rank FROM s5)
+           |       WHERE rank <= $KIvf),
+           |ql AS MATERIALIZED (SELECT DISTINCT vec_id FROM e WHERE vec_id < $NumQueries)""".stripMargin
+      val perP = (1 to SweepPMax).map { p =>
+        s""",
+           |t$p AS (SELECT qid, id FROM (
+           |         SELECT qid, id, row_number() OVER (PARTITION BY qid
+           |           ORDER BY score DESC, id) AS rn
+           |         FROM cnd WHERE cellrank <= $p) WHERE rn <= $KIvf),
+           |h$p AS (SELECT t.qid, count(*) AS n FROM t$p t
+           |        JOIN xr5 x2 ON x2.qid = t.qid AND x2.id = t.id
+           |        GROUP BY t.qid)""".stripMargin
+      }.mkString
+      val unions = (1 to SweepPMax).map { p =>
+        s"""SELECT $p AS probe, ql.vec_id AS query_id,
+           |       CAST(coalesce(h$p.n, 0) AS BIGINT) AS n_hits,
+           |       round(CAST(coalesce(h$p.n, 0) AS DOUBLE) / $KIvf, 6) AS recall_at_k
+           |FROM ql LEFT JOIN h$p ON h$p.qid = ql.vec_id""".stripMargin
+      }.mkString("\n", "\nUNION ALL\n", "")
+      base + perP + unions
+    },
+
     // E252: probe set = cells whose cumulative population (rank order,
     // ROWS frame) excluding themselves is below ceil(3N/10) — exact
     // integer target, same argmax assignment as every IVF oracle.
