@@ -42,6 +42,20 @@ import org.apache.spark.sql.functions._
   */
 object HtmlExtract {
 
+  /** Block-level strips that must run BEFORE the line split and tag
+    * removal (VERDICT r12 #5): `<script>`/`<style>` PAYLOADS are code
+    * the tag-strip tier would otherwise leak as visible text, and an
+    * HTML comment can carry arbitrary markup-looking content. All
+    * three patterns are dot-matches-newline (`(?s)`) and lazy, so a
+    * block spanning physical lines collapses to one space — in the
+    * Java∩RE2 subset both engines share (inline flags, non-greedy
+    * quantifiers). Order: script → style → comment, identical in the
+    * oracle.
+    */
+  val ScriptPattern = "(?is)<script[^>]*>.*?</script>"
+  val StylePattern = "(?is)<style[^>]*>.*?</style>"
+  val CommentPattern = "(?s)<!--.*?-->"
+
   /** Any tag run: opener, closer, comment remnant, attribute soup. */
   val TagPattern = "<[^>]*>"
 
@@ -81,16 +95,29 @@ object HtmlExtract {
     vis =!= "" && anchorLen(line) * lit(2) <= length(vis)
   }
 
+  /** Script/style/comment blocks → one space, pre-split (see the
+    * pattern docs above). A block that owned its own physical lines
+    * leaves a single all-whitespace line the empty-vis rule drops.
+    */
+  def stripBlocks(html: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(html,
+      ScriptPattern, " "), StylePattern, " "), CommentPattern, " ")
+
   /** Full extraction of an HTML (or plain-text) column. Returns
-    * `struct(text_clean, n_kept, n_dropped)`: kept lines' decoded
-    * visible text re-joined with newlines, and the line accounting.
+    * `struct(text_clean, lines, n_kept, n_dropped)`: kept lines'
+    * decoded visible text re-joined with newlines, the SAME kept
+    * lines as an array (so downstream line-level tiers — E236 —
+    * consume the array directly instead of re-splitting text_clean,
+    * which manufactured a phantom '' line for zero-kept docs;
+    * ADVICE r12), and the line accounting.
     */
   def extract(html: Column): Column = {
-    val lines = split(html, "\n")
+    val lines = split(stripBlocks(html), "\n")
     val kept = filter(lines, l => keepLine(l))
     val clean = transform(kept, l => decodeEntities(visibleText(l)))
     struct(
       array_join(clean, "\n").as("text_clean"),
+      clean.as("lines"),
       size(kept).cast("long").as("n_kept"),
       (size(lines) - size(kept)).cast("long").as("n_dropped"))
   }

@@ -109,8 +109,14 @@ object Pca {
     val n = g.getLong(0).toDouble
     val sums = g.getSeq[Double](1)
     val prods = g.getSeq[Double](2)
+    // BigDecimal.valueOf (shortest-string double→decimal), NOT
+    // BigDecimal(x) (exact binary expansion): Spark's round() and the
+    // explode twin both round via valueOf semantics, and the two
+    // diverge exactly on shortest-string-vs-exact half-cases — the
+    // repo's documented MMR rounding trap (ADVICE r12).
     def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
     val m = IndexedSeq.tabulate(dim)(i => r6(sums(i) / n))
     def triIdx(i: Int, j: Int): Int = i * dim - i * (i - 1) / 2 + (j - i)
     val c = Array.tabulate(dim, dim) { (i, j) =>

@@ -1369,7 +1369,16 @@ object Similarity {
     * the only formulation that survives 100 TB.
     */
   def simplifiedSilhouette(vecs: DataFrame): DataFrame = {
-    val centVecs = centroidVectors(centroids(vecs))
+    val centVecs = centroidVectors(centroids(vecs)).localCheckpoint(false)
+    // Degenerate single-centroid corpora have no "second-nearest"
+    // centroid: Spark would emit rows with null csb while the oracle's
+    // rn = 2 inner join drops every point — divergent output shapes
+    // (ADVICE r12). A one-cell partitioning has no separation to
+    // audit; fail fast instead of returning either shape.
+    require(centVecs.count() >= 2,
+      "simplifiedSilhouette requires >= 2 centroids: a single-cell " +
+        "partitioning has no second-nearest centroid and no separation " +
+        "to measure")
     val scored = vecs.join(broadcast(centVecs))
       .select(col("id"), col("cpart").cast("long").as("cell"),
         cosine(col("vec"), col("cvec")).as("cs"))

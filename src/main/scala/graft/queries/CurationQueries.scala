@@ -101,15 +101,23 @@ object CurationQueries {
     // third doc → dropped corpus-wide; title and content lines are
     // per-doc unique → kept; clean docs pass through byte-identical.
     //
-    // Scale shape: line frequency aggregates 32-char md5 digests +
-    // doc counts (line text never shuffles); the boilerplate set is
-    // bounded by TRUE cross-document duplication — vocabulary-of-
-    // templates sized, not corpus sized (the E129 survivor-table
-    // argument) — so it collects to the driver and rides back into
-    // the scan as an InSet over the kept-lines HOF filter: the
-    // rewrite is a narrow second scan, documents are never
-    // re-assembled through a shuffle. LineBoilerSpec pins the chain.
+    // TWO strategies for one truth (the E186 two-tier precedent):
+    // this row keeps the InSet tier — frequency agg over md5 digests,
+    // bounded set collected to the driver, ridden back as an InSet
+    // over the kept-lines HOF filter (no re-assembly shuffle). Right
+    // when the template dictionary is bounded; on open web text the
+    // repeated-line set is corpus-sized and the driver collect is an
+    // OOM by construction (VERDICT r12 #1) — the join tier below is
+    // the production path and the E239 pipeline serves through it.
+    // LineBoilerSpec pins the two tiers row-identical (exceptAll both
+    // ways empty) and the driver hashes both against the SAME oracle.
     "docs_line_boilerplate" -> ((s, dir) => lineBoilerFrame(s, dir)),
+
+    // E255: the JOIN tier — boilerplate membership as a distributed
+    // left-anti join on the line digest (AQE broadcast when small,
+    // shuffle when web-scale), per-doc re-assembly by position sort.
+    // No driver-side state at any corpus size.
+    "docs_line_boilerplate_join" -> ((s, dir) => lineBoilerFrameJoin(s, dir)),
 
     // E239: the composed web FRONT DOOR — raw (planted) HTML through
     // every round-12 tier in one call: E233 extraction → E236
@@ -119,10 +127,12 @@ object CurationQueries {
     // crawl drop; each stage is the SAME shared definition its
     // standalone row registers (one definition, no drift — the
     // bigramLmScores pattern), so the composition is pure plumbing:
-    // still one scan-side chain plus the bounded line-frequency
-    // aggregation, nothing new to shuffle.
+    // still one scan-side chain plus the line-frequency aggregation.
+    // Serves through the JOIN tier (VERDICT r12 #1): the composed
+    // pipeline is the production entry point, and at crawl scale the
+    // InSet tier's driver set is the one shape that cannot ship.
     "docs_web_pipeline" -> ((s, dir) => {
-      val lb = lineBoilerFrame(s, dir)
+      val lb = lineBoilerFrameJoin(s, dir)
       val norm = graft.ext.TextOps.foldText(col("text_clean"))
       lb.select(col("doc_id"),
         col("n_kept").as("n_lines_kept"),
@@ -902,13 +912,39 @@ object CurationQueries {
     * The LSH pair pass is the expensive stage; callers that consume the
     * result more than once should localCheckpoint it.
     */
+  /** Planted non-content blocks for the E233 hardening (VERDICT r12
+    * #5): a MULTI-LINE script (payload must not leak as visible text;
+    * spanning physical lines pins the dotall strip), a style rule, and
+    * an HTML comment. One shared constant per block feeds BOTH the
+    * Spark planting and the oracle's `h` CTE (via [[sqlStrLit]]), so
+    * the two can never drift; the LEAK canaries are asserted absent
+    * from every extraction in HtmlExtractSpec.
+    */
+  private[queries] val PlantScript: String =
+    "<script type=\"text/javascript\">\nvar leak = 'SCRIPTLEAK';\n" +
+      "track(leak);\n</script>"
+  private[queries] val PlantStyle: String =
+    "<style>.nav { color: red } /* STYLELEAK */</style>"
+  private[queries] val PlantComment: String =
+    "<!-- COMMENTLEAK build note -->"
+
+  /** A Scala string as a DuckDB literal: quotes doubled, embedded
+    * newlines emitted as `|| chr(10) ||` concatenation (keeps the
+    * generated SQL single-line-literal clean).
+    */
+  private def sqlStrLit(s: String): String =
+    "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
   /** Deterministic HTML planting for docs_html_extract (E233): every
-    * third doc is wrapped into a six-line page exercising each rule —
+    * third doc is wrapped into a page exercising each rule —
     * title (kept), nav (link density 1 → dropped), content `<p>` (kept,
     * byte-recovered), entities (kept, decoded; `&#39;s&nbsp;` pins the
-    * numeric-entity and nbsp paths), anchor-heavy footer (anchors 37 of
-    * 46 visible chars → dropped), bare closers (empty → dropped). The
-    * rest pass through as raw text.
+    * numeric-entity and nbsp paths), a multi-line script block, a
+    * style block and an HTML comment (all stripped BEFORE the line
+    * split — their payloads must never surface as visible text),
+    * anchor-heavy footer (anchors 37 of 46 visible chars → dropped),
+    * bare closers (empty → dropped). The rest pass through as raw
+    * text.
     */
   private[queries] def plantedHtml: org.apache.spark.sql.Column =
     when(col("doc_id") % 3 === 0,
@@ -917,9 +953,12 @@ object CurationQueries {
           col("lang"), lit("</title></head><body>")),
         lit("<div class=\"nav\"><a href=\"/\">Home</a> " +
           "<a href=\"/about\">About</a> <a href=\"/contact\">Contact</a></div>"),
+        lit(PlantScript),
         concat(lit("<p>"), col("text"), lit("</p>")),
+        lit(PlantStyle),
         lit("<p>Fish &amp; chips &lt;tag&gt; say &quot;hi&quot; " +
           "it&#39;s&nbsp;fine</p>"),
+        lit(PlantComment),
         lit("<div class=\"footer\"><a href=\"/tos\">Terms of Service</a> " +
           "<a href=\"/privacy\">Privacy Policy</a> " +
           "<a href=\"/sitemap\">Sitemap</a> | 2024</div>"),
@@ -931,16 +970,32 @@ object CurationQueries {
     */
   val WebMinTokens = 20
 
+  /** E233's extracted kept-lines ARRAY per doc (decoded visible text,
+    * document order) — the shared front end of both E236 tiers. The
+    * array is carried straight from `extract`'s struct instead of
+    * re-splitting `text_clean` on '\n': a re-split manufactured a
+    * phantom single '' line for a zero-kept doc (ADVICE r12).
+    */
+  private def extractedLines(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.ext.HtmlExtract.extract(plantedHtml)
+          .getField("lines").as("lines"))
+      .localCheckpoint(false) // feeds the frequency agg AND the rewrite
+
   /** The E236 chained extract → line-frequency-drop frame, shared by
-    * docs_line_boilerplate and the E239 composed pipeline (one
-    * definition, no drift).
+    * docs_line_boilerplate and LineBoilerSpec's tier-equality pin —
+    * the InSet TIER: the df ≥ [[LineBoilerDf]] digest set collects to
+    * the driver and rides back as an InSet probe. Correct ONLY while
+    * the boilerplate set is bounded (a curated template dictionary, a
+    * single-site crawl); on open web text the cross-document-repeated
+    * line set is corpus-sized and this tier driver-OOMs by
+    * construction — production callers use [[lineBoilerFrameJoin]]
+    * (VERDICT r12 #1; the E186 two-tier precedent: one truth, two
+    * strategies, crossover measured in SCALING.md).
     */
   private[queries] def lineBoilerFrame(s: SparkSession, dir: String): DataFrame = {
-    val ex = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        split(graft.ext.HtmlExtract.extract(plantedHtml)
-          .getField("text_clean"), "\n").as("lines"))
-      .localCheckpoint(false) // feeds the frequency agg AND the rewrite
+    val ex = extractedLines(s, dir)
     val boiler = ex
       .select(col("doc_id"), explode(col("lines")).as("line"))
       .groupBy(md5(col("line")).as("dig"))
@@ -955,6 +1010,45 @@ object CurationQueries {
       array_join(kept, "\n").as("text_clean"),
       size(kept).cast("long").as("n_kept"),
       (size(col("lines")) - size(kept)).cast("long").as("n_dropped"))
+  }
+
+  /** The E236 JOIN tier (VERDICT r12 #1) — the scale-safe strategy for
+    * the same truth: lines explode WITH POSITION, the df ≥
+    * [[LineBoilerDf]] digest table stays distributed and boilerplate
+    * membership is a LEFT ANTI join on the 32-char digest (AQE
+    * broadcasts it when small, shuffles when the template set is
+    * web-scale — no driver collect anywhere), then each doc
+    * re-assembles by sorting its surviving (position, line) structs.
+    * Docs whose every line dropped — or that kept zero lines at
+    * extraction — re-enter via a left join on the extract frame with
+    * '' / 0 defaults, so both tiers and the oracle agree on output
+    * shape. Shuffle widths: digests + positions + surviving line text
+    * (the re-assembly must move kept text once; the InSet tier avoids
+    * that at the price of the driver set).
+    */
+  private[queries] def lineBoilerFrameJoin(s: SparkSession, dir: String): DataFrame = {
+    val ex = extractedLines(s, dir)
+    val lx = ex
+      .select(col("doc_id"), posexplode(col("lines")).as(Seq("i", "line")))
+      .select(col("doc_id"), col("i"), col("line"),
+        md5(col("line")).as("dig"))
+    val boiler = lx.groupBy(col("dig"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= LineBoilerDf)
+      .select("dig")
+    val kept = lx.join(boiler, Seq("dig"), "left_anti")
+    val agg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("nk"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("i"), col("line")))),
+            x => x.getField("line")),
+          "\n").as("tc"))
+    ex.select(col("doc_id"), size(col("lines")).cast("long").as("n_total"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("tc"), lit("")).as("text_clean"),
+        coalesce(col("nk"), lit(0L)).as("n_kept"),
+        (col("n_total") - coalesce(col("nk"), lit(0L))).as("n_dropped"))
   }
 
   private[queries] def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
@@ -1199,13 +1293,20 @@ object CurationQueries {
        |  CASE WHEN doc_id % 3 = 0 THEN
        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' ' || lang || '</title></head><body>' || chr(10) ||
        |    '<div class="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div>' || chr(10) ||
+       |    ${sqlStrLit(PlantScript)} || chr(10) ||
        |    '<p>' || text || '</p>' || chr(10) ||
+       |    ${sqlStrLit(PlantStyle)} || chr(10) ||
        |    '<p>Fish &amp; chips &lt;tag&gt; say &quot;hi&quot; it&#39;s&nbsp;fine</p>' || chr(10) ||
+       |    ${sqlStrLit(PlantComment)} || chr(10) ||
        |    '<div class="footer"><a href="/tos">Terms of Service</a> <a href="/privacy">Privacy Policy</a> <a href="/sitemap">Sitemap</a> | 2024</div>' || chr(10) ||
        |    '</body></html>'
        |  ELSE text END AS html
        |  FROM documents),
-       |ln AS (SELECT doc_id, string_split(html, chr(10)) AS lines FROM h),
+       |hs AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+       |         '${graft.ext.HtmlExtract.ScriptPattern}', ' ', 'g'),
+       |         '${graft.ext.HtmlExtract.StylePattern}', ' ', 'g'),
+       |         '${graft.ext.HtmlExtract.CommentPattern}', ' ', 'g') AS html FROM h),
+       |ln AS (SELECT doc_id, string_split(html, chr(10)) AS lines FROM hs),
        |kp AS (SELECT doc_id, lines,
        |  list_filter(lines, l -> ${visSql("l")} <> ''
        |    AND 2 * coalesce(length(array_to_string(regexp_extract_all(l, '<[Aa][^>]*>([^<]*)</[Aa]>', 1), '')), 0)
@@ -1214,7 +1315,12 @@ object CurationQueries {
 
   /** E236's line-frequency drop as CTEs over [[htmlChainSql]]'s `kp`,
     * ending at `lb(doc_id, text_clean, n_kept, n_dropped)` — shared by
-    * the standalone row and the E239 composition.
+    * the standalone rows (BOTH tiers: the InSet and the join strategy
+    * hash against this one truth) and the E239 composition. `lb` is
+    * built by LEFT JOIN from the per-doc `cl` frame, not by grouping
+    * the exploded lines: a doc whose extraction kept ZERO lines has no
+    * exploded rows at all and would otherwise vanish from the output
+    * while Spark emits it with ''/0 (ADVICE r12).
     */
   private val lineBoilerSql: String =
     s"""cl AS (SELECT doc_id,
@@ -1228,21 +1334,30 @@ object CurationQueries {
        |mk AS (SELECT doc_id, i, line,
        |              line IN (SELECT line FROM bf) AS isb
        |       FROM lx),
-       |lb AS (SELECT doc_id,
+       |lg AS (SELECT doc_id,
        |  coalesce(array_to_string(
        |    list(line ORDER BY i) FILTER (WHERE NOT isb), chr(10)), '')
        |    AS text_clean,
        |  CAST(count(*) FILTER (WHERE NOT isb) AS BIGINT) AS n_kept,
        |  CAST(count(*) FILTER (WHERE isb) AS BIGINT) AS n_dropped
-       |FROM mk GROUP BY doc_id)""".stripMargin
+       |FROM mk GROUP BY doc_id),
+       |lb AS (SELECT cl.doc_id,
+       |  coalesce(lg.text_clean, '') AS text_clean,
+       |  coalesce(lg.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+       |  coalesce(lg.n_dropped, CAST(0 AS BIGINT)) AS n_dropped
+       |FROM cl LEFT JOIN lg ON lg.doc_id = cl.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // E233: planting, split, tag strip, integer link-density rule,
     // and the entity decode order replayed rule for rule.
+    // array_to_string over an EMPTY kept list is NULL in DuckDB where
+    // Spark's array_join yields '' — coalesce (the repo's documented
+    // empty-list trap; ADVICE r12).
     "docs_html_extract" ->
       s"""WITH $htmlChainSql
          |SELECT doc_id,
-         |  array_to_string(list_transform(k, l -> ${decodeSql("l")}), chr(10))
+         |  coalesce(array_to_string(
+         |    list_transform(k, l -> ${decodeSql("l")}), chr(10)), '')
          |    AS text_clean,
          |  CAST(len(k) AS BIGINT) AS n_kept,
          |  CAST(len(lines) - len(k) AS BIGINT) AS n_dropped
@@ -1254,6 +1369,14 @@ object CurationQueries {
     // groups raw lines — equivalent modulo md5 collision, the tier's
     // accepted birthday budget.
     "docs_line_boilerplate" ->
+      s"""WITH $htmlChainSql,
+         |$lineBoilerSql
+         |SELECT doc_id, text_clean, n_kept, n_dropped FROM lb""".stripMargin,
+
+    // E255: the join tier hashes against the IDENTICAL truth — same
+    // SQL, so the driver machine-checks tier equality independently
+    // of LineBoilerSpec's exceptAll pin.
+    "docs_line_boilerplate_join" ->
       s"""WITH $htmlChainSql,
          |$lineBoilerSql
          |SELECT doc_id, text_clean, n_kept, n_dropped FROM lb""".stripMargin,

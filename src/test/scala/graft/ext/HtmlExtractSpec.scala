@@ -56,6 +56,40 @@ class HtmlExtractSpec extends SparkSpec {
     assert(clean == "alpha beta" && kept == 1L && dropped == 0L)
   }
 
+  test("script/style payloads and comment bodies are stripped, never " +
+      "surfacing as visible text (VERDICT r12 #5)") {
+    val html = Seq(
+      "<p>before</p>",
+      "<script type=\"text/javascript\">",
+      "var leak = 'SCRIPTLEAK';",
+      "track(leak);",
+      "</script>",
+      "<style>.x { color: STYLELEAK }</style>",
+      "<!-- COMMENTLEAK hidden note -->",
+      "<p>after</p>").mkString("\n")
+    val (clean, kept, dropped) = run(html)
+    assert(clean == "before\nafter")
+    assert(!clean.contains("SCRIPTLEAK") && !clean.contains("STYLELEAK")
+      && !clean.contains("COMMENTLEAK"))
+    // the 4 physical script lines collapse to ONE all-space line
+    // (dotall strip runs pre-split), then style + comment lines empty:
+    // 5 post-strip lines, 2 kept, 3 dropped
+    assert(kept == 2L && dropped == 3L)
+  }
+
+  test("a zero-kept document yields an EMPTY lines array (no phantom " +
+      "'' line for downstream line tiers; ADVICE r12)") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq("<a href=\"/x\">Only Nav</a>", "")
+      .toDF("h")
+      .select(HtmlExtract.extract(col("h")).as("x"))
+      .select(col("x.text_clean"), col("x.lines"), col("x.n_kept"))
+      .as[(String, Seq[String], Long)].collect()
+    rows.foreach { case (clean, lines, kept) =>
+      assert(clean == "" && lines.isEmpty && kept == 0L)
+    }
+  }
+
   test("clean single-spaced text passes through byte-identical") {
     val texts = Seq(
       "the quick brown fox",
@@ -80,10 +114,14 @@ class HtmlExtractSpec extends SparkSpec {
     out.foreach { r =>
       val id = r.getLong(0)
       if (id % 3 == 0) {
-        assert(r.getLong(2) == 3L && r.getLong(3) == 3L, s"doc $id counts")
+        // 9 post-strip lines (script block collapsed to one): title,
+        // content, entities kept; nav, script, style, comment, footer,
+        // closers dropped
+        assert(r.getLong(2) == 3L && r.getLong(3) == 6L, s"doc $id counts")
         val lines = r.getString(1).split("\n", -1)
         assert(lines(1) == r.getString(4), s"doc $id content line")
         assert(lines(2) == "Fish & chips <tag> say \"hi\" it's fine")
+        assert(!r.getString(1).contains("LEAK"), s"doc $id block leak")
       } else {
         assert(r.getString(1) == r.getString(4), s"doc $id passthrough")
         assert(r.getLong(2) == 1L && r.getLong(3) == 0L)
