@@ -212,8 +212,22 @@ object CurationQueries {
     // E249: the suppression step — docs in at-risk QI groups get their
     // source generalized to '*' (one generalization round; the group
     // table is bounded by distinct QI combinations and broadcasts).
+    // KNOWN-partial: merged groups can stay sub-k — the fixpoint row
+    // below is the one carrying the actual guarantee.
     "docs_kanon_suppress" -> ((s, dir) =>
       kanonSuppress(Tables.documents(s, dir))),
+
+    // E256: the generalization LADDER to fixpoint — source → '*', then
+    // size_bucket → −1, then full-row suppression; every surviving
+    // row's group is ≥ k by construction (VERDICT r12 #4).
+    "docs_kanon_fixpoint" -> ((s, dir) =>
+      kanonFixpoint(Tables.documents(s, dir))),
+
+    // E257: the machine-checked guarantee (the E66 pattern): one row
+    // whose k_satisfied column the gate hashes — the privacy claim as
+    // a checked value, not a comment.
+    "docs_kanon_verify" -> ((s, dir) =>
+      kanonVerifyStats(Tables.documents(s, dir))),
 
     // Topic clustering WITHOUT embeddings (E246): k-means over hashed
     // term-frequency features (the hashing trick — md5 token buckets,
@@ -1190,6 +1204,32 @@ object CurationQueries {
     * callers append further CTEs with `,` and must not re-open WITH.
     * Shared by the split/audit oracles and the classifier-fit chain.
     */
+  /** The E256 ladder as CTEs ending at `d3(doc_id, lang, source_anon,
+    * size_bucket)` — shared by the fixpoint and verify oracles.
+    */
+  private lazy val kanonLadderSql: String =
+    s"""d0 AS (SELECT doc_id, lang, source,
+       |              n_chars // $KanonBucket AS size_bucket
+       |       FROM documents),
+       |g1 AS (SELECT lang, source, size_bucket, count(*) AS n
+       |       FROM d0 GROUP BY 1, 2, 3),
+       |d1 AS (SELECT d0.doc_id, d0.lang,
+       |         CASE WHEN g1.n < $KanonK THEN '*' ELSE d0.source END AS source,
+       |         d0.size_bucket
+       |       FROM d0 JOIN g1 USING (lang, source, size_bucket)),
+       |g2 AS (SELECT lang, source, size_bucket, count(*) AS n
+       |       FROM d1 GROUP BY 1, 2, 3),
+       |d2 AS (SELECT d1.doc_id, d1.lang, d1.source,
+       |         CASE WHEN g2.n < $KanonK THEN CAST(-1 AS BIGINT)
+       |              ELSE d1.size_bucket END AS size_bucket
+       |       FROM d1 JOIN g2 USING (lang, source, size_bucket)),
+       |g3 AS (SELECT lang, source, size_bucket, count(*) AS n
+       |       FROM d2 GROUP BY 1, 2, 3),
+       |d3 AS (SELECT d2.doc_id, d2.lang, d2.source AS source_anon,
+       |              d2.size_bucket
+       |       FROM d2 JOIN g3 USING (lang, source, size_bucket)
+       |       WHERE g3.n >= $KanonK)""".stripMargin
+
   /** E249 quasi-identifier projection: (lang, source, n_chars-bucket). */
   private def kanonQi(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("lang"), col("source"),
@@ -1216,6 +1256,65 @@ object CurationQueries {
         when(col("n") < KanonK, lit("*")).otherwise(col("source"))
           .as("source_anon"),
         col("size_bucket"))
+  }
+
+  /** E256: k-anonymity to FIXPOINT (VERDICT r12 #4) — the single-round
+    * [[kanonSuppress]] leaves merged-but-still-sub-k groups behind;
+    * this ladder runs the standard generalization hierarchy until the
+    * guarantee actually holds, in exactly three deterministic rounds:
+    *
+    *  1. sub-k groups generalize `source` → '*' (the E249 round);
+    *  2. still-sub-k groups generalize `size_bucket` → −1 (merging
+    *     across buckets within (lang, source));
+    *  3. rows still in a sub-k group are SUPPRESSED (dropped) — the
+    *     classic full-row suppression backstop.
+    *
+    * Dropping whole groups cannot shrink any other group, so every
+    * surviving row's group has n ≥ k BY CONSTRUCTION after round 3 —
+    * the fixpoint needs no iteration beyond the ladder, and
+    * [[kanonVerifyStats]] machine-checks the claim (the E66 pattern).
+    * Each round is one |groups|-row broadcast aggregate joined back —
+    * three cheap passes, no driver state.
+    */
+  private[queries] def kanonFixpoint(docs: DataFrame): DataFrame = {
+    def sizes(d: DataFrame): DataFrame =
+      broadcast(d.groupBy("lang", "source", "size_bucket")
+        .agg(count(lit(1)).as("n")))
+    val d0 = kanonQi(docs)
+    val d1 = d0.join(sizes(d0), Seq("lang", "source", "size_bucket"))
+      .select(col("doc_id"), col("lang"),
+        when(col("n") < KanonK, lit("*")).otherwise(col("source"))
+          .as("source"),
+        col("size_bucket"))
+    val d2 = d1.join(sizes(d1), Seq("lang", "source", "size_bucket"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        when(col("n") < KanonK, lit(-1L)).otherwise(col("size_bucket"))
+          .as("size_bucket"))
+    d2.join(sizes(d2), Seq("lang", "source", "size_bucket"))
+      .filter(col("n") >= KanonK)
+      .select(col("doc_id"), col("lang"),
+        col("source").as("source_anon"), col("size_bucket"))
+  }
+
+  /** E257: the machine-checked guarantee row over [[kanonFixpoint]]'s
+    * output — (input rows, surviving rows, suppressed rows, group
+    * count, minimum group size, k_satisfied). `k_satisfied` must be
+    * true for every input; an empty output is vacuously k-anonymous
+    * (min coalesces to k).
+    */
+  private[queries] def kanonVerifyStats(docs: DataFrame): DataFrame = {
+    val g = kanonFixpoint(docs)
+      .groupBy("lang", "source_anon", "size_bucket")
+      .agg(count(lit(1)).as("n"))
+    val stats = g.agg(
+      count(lit(1)).as("n_groups"),
+      coalesce(sum(col("n")), lit(0L)).as("n_rows"),
+      coalesce(min(col("n")), lit(KanonK.toLong)).as("min_group_n"))
+    docs.agg(count(lit(1)).as("n_input")).crossJoin(stats)
+      .select(col("n_input"), col("n_rows"),
+        (col("n_input") - col("n_rows")).as("n_suppressed"),
+        col("n_groups"), col("min_group_n"),
+        (col("min_group_n") >= KanonK).as("k_satisfied"))
   }
 
   /** E246 feature build: hashing-trick term-frequency vectors —
@@ -1474,6 +1573,28 @@ object CurationQueries {
          |       CASE WHEN g.n < $KanonK THEN '*' ELSE d.source END AS source_anon,
          |       d.size_bucket
          |FROM d JOIN g USING (lang, source, size_bucket)""".stripMargin,
+
+    // E256/E257: the three ladder rounds replayed as joined group
+    // aggregates — identical CASE thresholds, −1 bucket sentinel, and
+    // the n >= k survival filter.
+    "docs_kanon_fixpoint" ->
+      s"""WITH $kanonLadderSql
+         |SELECT doc_id, lang, source_anon, size_bucket FROM d3""".stripMargin,
+
+    "docs_kanon_verify" ->
+      s"""WITH $kanonLadderSql,
+         |gf AS (SELECT lang, source_anon, size_bucket, count(*) AS n
+         |       FROM d3 GROUP BY 1, 2, 3),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+         |              CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows,
+         |              CAST(coalesce(min(n), $KanonK) AS BIGINT) AS min_group_n
+         |       FROM gf),
+         |ni AS (SELECT CAST(count(*) AS BIGINT) AS n_input FROM documents)
+         |SELECT ni.n_input, st.n_rows,
+         |       ni.n_input - st.n_rows AS n_suppressed,
+         |       st.n_groups, st.min_group_n,
+         |       st.min_group_n >= $KanonK AS k_satisfied
+         |FROM ni, st""".stripMargin,
 
     // E246: identical md5 token buckets, dense TopicDims vectors, then
     // the SHARED kmeansIterSql round generator pointed at the hashed-TF
