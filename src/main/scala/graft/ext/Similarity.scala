@@ -1100,7 +1100,63 @@ object Similarity {
     * Output: (query_id, rank, neighbor_id, adc).
     */
   def pqResidualIvfTopK(vecs: DataFrame, numSub: Int, subDim: Int,
-      numQueries: Int, k: Int, probe: Int): DataFrame = {
+      numQueries: Int, k: Int, probe: Int): DataFrame =
+    pqResidualSearchCore(vecs, numSub, subDim, numQueries, k,
+      (q, cvecs, _) => q.join(broadcast(cvecs))
+        .select(col("qid"), col("cpart"), col("cvec"),
+          cosine(col("qv"), col("cvec")).as("cs"), col("qv"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("qid")).orderBy(col("cs").desc, col("cpart"))))
+        .filter(col("rn") <= probe))
+
+  /** RESIDUAL IVF-PQ search with the ADAPTIVE probe rule (E258,
+    * VERDICT r12 #2): the composition of [[adaptiveProbeTopK]]'s
+    * population-targeted cell selection with [[pqResidualIvfTopK]]'s
+    * residual ADC chain. Each query probes cells in centroid rank
+    * order until the cumulative candidate population reaches
+    * ceil(targetNum/targetDen · N) — exact integer target, first cell
+    * always survives, probe set minimal — then builds one distance
+    * table per PROBED cell against its per-cell residual exactly as
+    * the fixed-probe chain does. Per-query candidate volume is
+    * uniform by construction (the tail-latency property), and the
+    * recall lift the E252/E253 study measured for exact-cosine
+    * scoring is re-priced under quantized scoring by
+    * `emb_serving_adaptive_recall`.
+    */
+  def pqResidualAdaptiveTopK(vecs: DataFrame, numSub: Int, subDim: Int,
+      numQueries: Int, k: Int, targetNum: Long, targetDen: Long)
+      : DataFrame = {
+    val c = vecs.localCheckpoint(false) // count + the whole chain
+    val target = (targetNum * c.count() + targetDen - 1) / targetDen
+    pqResidualSearchCore(c, numSub, subDim, numQueries, k,
+      (q, cvecs, asg) => {
+        val pop = asg.groupBy("cell").agg(count(lit(1)).as("np"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("cs").desc, col("cpart"))
+        q.join(broadcast(cvecs))
+          .select(col("qid"), col("cpart"), col("cvec"),
+            cosine(col("qv"), col("cvec")).as("cs"), col("qv"))
+          .join(broadcast(pop), col("cpart") === col("cell"))
+          .withColumn("cum", sum(col("np")).over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+          .filter(col("cum") - col("np") < target)
+          .select(col("qid"), col("cpart"), col("cvec"), col("qv"))
+      })
+  }
+
+  /** The shared residual-PQ chain behind the fixed-probe and adaptive
+    * entries: coarse assignment, residuals, trained codebooks, codes,
+    * then the caller's probe picker `(q, cvecs, asg) → (qid, cpart,
+    * cvec, qv, …)` chooses which cells each query searches. The picker
+    * result is checkpointed here (two consumers: per-cell query
+    * distance tables + the candidate prune).
+    */
+  private def pqResidualSearchCore(vecs: DataFrame, numSub: Int,
+      subDim: Int, numQueries: Int, k: Int,
+      pickProbes: (DataFrame, DataFrame, DataFrame) => DataFrame)
+      : DataFrame = {
     val dim = numSub * subDim
     val cvecs = centroidVectors(centroids(vecs)).localCheckpoint(false)
     val asg = vecs.join(broadcast(cvecs))
@@ -1120,13 +1176,8 @@ object Similarity {
     val codes = pqEncodeWith(resid, numSub, subDim, cw)
     val q = vecs.filter(col("id") < numQueries)
       .select(col("id").as("qid"), col("vec").as("qv"))
-    val probes = q.join(broadcast(cvecs))
-      .select(col("qid"), col("cpart"), col("cvec"),
-        cosine(col("qv"), col("cvec")).as("cs"), col("qv"))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("qid")).orderBy(col("cs").desc, col("cpart"))))
-      .filter(col("rn") <= probe)
+    val probes = pickProbes(q, cvecs,
+        asg.select(col("aid"), col("cell")))
       // two consumers (query tables + candidate prune); without this
       // the queries-vs-centroids scan re-executes per consumer
       .localCheckpoint(false)

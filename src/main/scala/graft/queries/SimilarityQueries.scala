@@ -172,6 +172,72 @@ object SimilarityQueries {
       Similarity.mmrOverCandidates(rel, c, K, MmrLambda, MmrOneMinusLambda)
     }),
 
+    // E258: the serving pipeline with the ADAPTIVE probe composed in
+    // (VERDICT r12 #2) — E252's population-targeted cell selection
+    // replaces the fixed probe=2 in the residual IVF-PQ candidate
+    // stage; rerank and MMR unchanged. The E253 study measured the
+    // adaptive rule at 0.600 recall vs the fixed-probe 0.433 ceiling
+    // under exact scoring; E259 re-prices that lift under quantized
+    // (ADC) scoring inside the full composition.
+    "emb_serving_adaptive" -> ((s, dir) => {
+      val c = corpus(s, dir).localCheckpoint(false)
+      val cand = Similarity.pqResidualAdaptiveTopK(c, PqSubspaces, PqSubDim,
+          NumQueries, KIvf * AdcRerankMult, ProbeTargetNum, ProbeTargetDen)
+        .select(col("query_id"), col("neighbor_id").as("cid"))
+      val qv = c.filter(col("id") < NumQueries)
+        .select(col("id").as("qid2"), col("vec").as("qvec"))
+      val rel = cand
+        .join(c.select(col("id").as("vid"), col("vec")),
+          col("cid") === col("vid"))
+        .join(broadcast(qv), col("query_id") === col("qid2"))
+        .select(col("query_id"), col("cid"),
+          round(Similarity.cosine(col("qvec"), col("vec")), 6).as("rel"))
+      Similarity.mmrOverCandidates(rel, c, K, MmrLambda, MmrOneMinusLambda)
+    }),
+
+    // E259: the E244-pattern recall audit over the ADAPTIVE residual
+    // chain — point recall at k and rerank-horizon recall vs the
+    // exact-L2 truth, pricing whether the adaptive-probe lift
+    // survives composition with residual PQ.
+    "emb_serving_adaptive_recall" -> ((s, dir) => {
+      val c = corpus(s, dir).localCheckpoint(false)
+      val adcAll = Similarity.pqResidualAdaptiveTopK(c, PqSubspaces,
+          PqSubDim, NumQueries, KIvf * AdcRerankMult,
+          ProbeTargetNum, ProbeTargetDen)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .localCheckpoint(false)
+      val adcTop = adcAll.filter(col("rank") <= KIvf)
+        .select(col("query_id"), col("neighbor_id"))
+      val q = c.filter(col("id") < NumQueries)
+        .select(col("id").as("qid"), col("vec").as("qv"))
+      val l2 = aggregate(
+        zip_with(col("qv"), col("vec"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+      val exact = q.join(c.select(col("id"), col("vec")),
+          col("id") =!= col("qid"))
+        .select(col("qid"), col("id"), l2.as("d"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("qid")).orderBy(col("d"), col("id"))))
+        .filter(col("rank") <= KIvf)
+        .select(col("qid").as("query_id"), col("id").as("neighbor_id"))
+      val hits = adcTop.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("h"))
+      val candHits = adcAll.select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("ch"))
+      q.select(col("qid").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .join(candHits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("h"), lit(0L)).as("n_hits"),
+          round(coalesce(col("h"), lit(0L)).cast("double") /
+            lit(KIvf.toDouble), 6).as("recall_at_k"),
+          coalesce(col("ch"), lit(0L)).as("n_cand_hits"),
+          round(coalesce(col("ch"), lit(0L)).cast("double") /
+            lit(KIvf.toDouble), 6).as("recall_rerank"))
+    }),
+
     // IVF-style top-3: every vector queries only its own coarse cell
     // (label = the fixture's stand-in for a k-means cell id).
     "emb_topk_ivf" -> ((s, dir) => {
@@ -1247,20 +1313,19 @@ object SimilarityQueries {
     pqChainSql(graft.ext.Similarity.PqTrainIters, prologue, "xr")
   }
 
-  /** Residual IVF-PQ search CTEs shared by the E243 query and the E244
-    * recall audit: multi-probe cell list, PER-PROBED-CELL query
-    * residuals and distance tables, probed-cell candidate codes, and
-    * the summed ADC `sc2 (qid, id, adc)`.
+  /** Residual IVF-PQ search CTEs shared by the E243/E244 fixed-probe
+    * rows and the E258/E259 adaptive rows: probe cell list (the one
+    * clause the two families differ on, injected as `prqCte`),
+    * PER-PROBED-CELL query residuals and distance tables, probed-cell
+    * candidate codes, and the summed ADC `sc2 (qid, id, adc)`.
     */
-  private lazy val residualSearchCtes: String =
+  private def residualSearchCtesWith(prqCte: String): String =
     s"""$pqResidualChainCte,
        |co AS (SELECT id, m, cl FROM b WHERE rn = 1),
        |qq AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < $NumQueries),
        |pc AS (SELECT qq.qid, cv2.cpart, ${cosSql("qq.v", "cv2.cvec")} AS cs
        |       FROM qq CROSS JOIN cv2),
-       |prq AS MATERIALIZED (SELECT qid, cpart FROM (
-       |        SELECT qid, cpart, row_number() OVER (PARTITION BY qid
-       |          ORDER BY cs DESC, cpart) AS rn FROM pc) WHERE rn <= $MProbe),
+       |$prqCte,
        |qrv AS (SELECT prq.qid, prq.cpart,
        |               list_transform(generate_series(1, len(qq.v)),
        |                 i -> qq.v[i] - cv2.cvec[i]) AS rv
@@ -1283,6 +1348,31 @@ object SimilarityQueries {
        |        FROM cnd c JOIN qt ON qt.qid = c.qid AND qt.cpart = c.cpart
        |                           AND qt.m = c.m AND qt.cl = c.cl
        |        GROUP BY c.qid, c.id)""".stripMargin
+
+  /** E243/E244 fixed multi-probe: rank ≤ [[MProbe]]. */
+  private lazy val residualSearchCtes: String = residualSearchCtesWith(
+    s"""prq AS MATERIALIZED (SELECT qid, cpart FROM (
+       |        SELECT qid, cpart, row_number() OVER (PARTITION BY qid
+       |          ORDER BY cs DESC, cpart) AS rn FROM pc) WHERE rn <= $MProbe)""".stripMargin)
+
+  /** E258/E259 adaptive probe: cells in centroid rank order while the
+    * cumulative population EXCLUDING the cell is below the exact
+    * integer target ceil(num·N/den) — the same rule as
+    * [[adaptiveProbeCtes]], re-derived over the residual chain's
+    * `car` assignment.
+    */
+  private lazy val residualAdaptiveSearchCtes: String = residualSearchCtesWith(
+    s"""rpop AS (SELECT cell, CAST(count(*) AS BIGINT) AS np
+       |         FROM car GROUP BY cell),
+       |rnn AS (SELECT count(*) AS n FROM e),
+       |prq AS MATERIALIZED (SELECT qid, cpart FROM (
+       |        SELECT pc.qid, pc.cpart, rpop.np,
+       |               sum(rpop.np) OVER (PARTITION BY pc.qid
+       |                 ORDER BY pc.cs DESC, pc.cpart
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |        FROM pc JOIN rpop ON rpop.cell = pc.cpart), rnn
+       |        WHERE cum - np < ($ProbeTargetNum * rnn.n + ${ProbeTargetDen - 1})
+       |              // $ProbeTargetDen)""".stripMargin)
 
   /** PCA CTE chain (E217): per-dim means (round 6), upper-triangle
     * second moments (round 6), covariance via E[XY] − E[X]E[Y] over
@@ -1549,6 +1639,52 @@ object SimilarityQueries {
           |       FROM cr JOIN e qe ON qe.vec_id = cr.qid
           |               JOIN e ce ON ce.vec_id = cr.id)""".stripMargin
         + mmrRoundsSql(K)),
+
+    // E258: identical chain with the adaptive probe CTE swapped in.
+    "emb_serving_adaptive" ->
+      (s"""$residualAdaptiveSearchCtes,
+          |cr AS (SELECT qid, id FROM (
+          |         SELECT qid, id, row_number() OVER (PARTITION BY qid
+          |           ORDER BY adc, id) AS rank FROM sc2)
+          |       WHERE rank <= ${KIvf * AdcRerankMult}),
+          |cand AS MATERIALIZED (SELECT cr.qid, cr.id AS cid,
+          |         round(${cosSql("qe.v", "ce.v")}, 6) AS rel
+          |       FROM cr JOIN e qe ON qe.vec_id = cr.qid
+          |               JOIN e ce ON ce.vec_id = cr.id)""".stripMargin
+        + mmrRoundsSql(K)),
+
+    // E259: E244's two-cutoff recall arithmetic over the ADAPTIVE
+    // residual chain's ADC ranking vs the exact-L2 brute force.
+    "emb_serving_adaptive_recall" ->
+      s"""$residualAdaptiveSearchCtes,
+         |adcr AS (SELECT qid, id, rank FROM (
+         |           SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |             ORDER BY adc, id) AS rank FROM sc2)
+         |         WHERE rank <= ${KIvf * AdcRerankMult}),
+         |exd AS (SELECT q2.vec_id AS qid, e.vec_id AS id,
+         |               list_reduce(list_transform(generate_series(1, len(q2.v)),
+         |                 i -> (q2.v[i] - e.v[i]) * (q2.v[i] - e.v[i])),
+         |                 (p, z) -> p + z) AS d
+         |        FROM e q2 JOIN e ON e.vec_id <> q2.vec_id
+         |        WHERE q2.vec_id < $NumQueries),
+         |exr AS (SELECT qid, id FROM (
+         |          SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |            ORDER BY d, id) AS rank FROM exd)
+         |        WHERE rank <= $KIvf),
+         |h AS (SELECT a.qid, count(*) AS n FROM adcr a
+         |      JOIN exr x2 ON x2.qid = a.qid AND x2.id = a.id
+         |      WHERE a.rank <= $KIvf GROUP BY a.qid),
+         |hc AS (SELECT a.qid, count(*) AS n FROM adcr a
+         |       JOIN exr x2 ON x2.qid = a.qid AND x2.id = a.id GROUP BY a.qid)
+         |SELECT q3.vec_id AS query_id,
+         |       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+         |       round(CAST(coalesce(h.n, 0) AS DOUBLE) / $KIvf, 6) AS recall_at_k,
+         |       CAST(coalesce(hc.n, 0) AS BIGINT) AS n_cand_hits,
+         |       round(CAST(coalesce(hc.n, 0) AS DOUBLE) / $KIvf, 6)
+         |         AS recall_rerank
+         |FROM (SELECT DISTINCT vec_id FROM e WHERE vec_id < $NumQueries) q3
+         |LEFT JOIN h ON h.qid = q3.vec_id
+         |LEFT JOIN hc ON hc.qid = q3.vec_id""".stripMargin,
     "emb_kmeans_iter" -> kmeansIterSql(KmeansIters),
     "emb_quantize" ->
       s"""$embCte,
