@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ext.{AnnIndex, Similarity}
+
+/** ANN index build service entrypoint (E260, VERDICT r12 #3) — the
+  * retrieval twin of [[CurateMain]]: build the residual IVF-PQ index
+  * for an embeddings table ONCE, persist it as parquet tables plus a
+  * manifest, and prove the round trip by re-loading the artifact and
+  * serving a probe search from it.
+  *
+  * Usage: `IndexMain <embeddingsDir> <indexDir> [numSub]`
+  *
+  * `embeddingsDir` must contain `embeddings.parquet` (the fixture
+  * layout); `numSub` defaults to [[DefaultSubspaces]] — the 16×4
+  * geometry the round-12 PQ sweep measured as the binding constraint
+  * (SCALING.md: 16 subspaces of 4 dims, 0.32 point / 0.82 rerank vs
+  * ≤ 0.2 for every 4×16 variant).
+  */
+object IndexMain {
+
+  val DefaultSubspaces = 16
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: IndexMain <embeddingsDir> <indexDir> [numSub]")
+    val numSub = if (args.length > 2) args(2).toInt else DefaultSubspaces
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-index")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val vecs = Tables.embeddings(spark, args(0)).select(
+      col("vec_id").as("id"), col("label").as("part"),
+      Similarity.toDouble(col("embedding")).as("vec"))
+    val dim = vecs.select(size(col("vec"))).head().getInt(0)
+    require(dim % numSub == 0, s"dim $dim not divisible by numSub $numSub")
+    AnnIndex.build(vecs, numSub, dim / numSub, args(1))
+
+    // read-back proof: load (manifest re-asserted) and serve one probe
+    // query from the persisted artifact
+    val idx = AnnIndex.load(spark, args(1))
+    val q = vecs.limit(1).select(col("id").as("qid"), col("vec").as("qv"))
+    val served = AnnIndex.searchTopK(spark, args(1), q, 3, 2).count()
+    println(s"""{"metric":"index","n_vectors":${idx.codes.count()},"n_cells":${idx.centroids.count()},"n_codebook_rows":${idx.codebooks.count()},"num_sub":${idx.numSub},"sub_dim":${idx.subDim},"probe_rows":$served}""")
+    spark.stop()
+  }
+}

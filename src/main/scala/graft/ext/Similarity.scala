@@ -1102,13 +1102,7 @@ object Similarity {
   def pqResidualIvfTopK(vecs: DataFrame, numSub: Int, subDim: Int,
       numQueries: Int, k: Int, probe: Int): DataFrame =
     pqResidualSearchCore(vecs, numSub, subDim, numQueries, k,
-      (q, cvecs, _) => q.join(broadcast(cvecs))
-        .select(col("qid"), col("cpart"), col("cvec"),
-          cosine(col("qv"), col("cvec")).as("cs"), col("qv"))
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("qid")).orderBy(col("cs").desc, col("cpart"))))
-        .filter(col("rn") <= probe))
+      fixedProbePicker(probe))
 
   /** RESIDUAL IVF-PQ search with the ADAPTIVE probe rule (E258,
     * VERDICT r12 #2): the composition of [[adaptiveProbeTopK]]'s
@@ -1157,6 +1151,22 @@ object Similarity {
       subDim: Int, numQueries: Int, k: Int,
       pickProbes: (DataFrame, DataFrame, DataFrame) => DataFrame)
       : DataFrame = {
+    val (cvecs, cw, codes) = residualIndexBuild(vecs, numSub, subDim)
+    val q = vecs.filter(col("id") < numQueries)
+      .select(col("id").as("qid"), col("vec").as("qv"))
+    residualIndexSearch(cvecs, cw, codes, q, numSub, subDim, k, pickProbes)
+  }
+
+  /** The BUILD half of the residual IVF-PQ chain — everything a
+    * serving deployment computes once and persists (E260): coarse
+    * centroid vectors `(cpart, cvec)`, trained residual codebooks
+    * `(cl, m, cvec)`, and per-vector codes WITH their cell assignment
+    * `(id, c0..c{M−1}, cell)`. Raw vectors and residuals do not
+    * outlive the build: the search half touches integer codes plus
+    * the two small broadcast tables only.
+    */
+  private[graft] def residualIndexBuild(vecs: DataFrame, numSub: Int,
+      subDim: Int): (DataFrame, DataFrame, DataFrame) = {
     val dim = numSub * subDim
     val cvecs = centroidVectors(centroids(vecs)).localCheckpoint(false)
     val asg = vecs.join(broadcast(cvecs))
@@ -1174,10 +1184,25 @@ object Similarity {
       .localCheckpoint(false)
     val cw = trainedCodewordVecs(resid, numSub, subDim)
     val codes = pqEncodeWith(resid, numSub, subDim, cw)
-    val q = vecs.filter(col("id") < numQueries)
-      .select(col("id").as("qid"), col("vec").as("qv"))
+      .join(resid.select(col("id").as("rid"), col("cell")),
+        col("id") === col("rid"))
+      .drop("rid")
+    (cvecs, cw, codes)
+  }
+
+  /** The SEARCH half: serve top-k from a built (or persisted and
+    * re-loaded) index. `pickProbes(q, cvecs, cellOf)` chooses the
+    * probed cells per query — fixed rank or population-adaptive;
+    * `cellOf (aid, cell)` derives from the code table, so probe
+    * population targeting needs no artifact beyond the index itself.
+    */
+  private[graft] def residualIndexSearch(cvecs: DataFrame, cw: DataFrame,
+      codes: DataFrame, q: DataFrame, numSub: Int, subDim: Int, k: Int,
+      pickProbes: (DataFrame, DataFrame, DataFrame) => DataFrame)
+      : DataFrame = {
+    val dim = numSub * subDim
     val probes = pickProbes(q, cvecs,
-        asg.select(col("aid"), col("cell")))
+        codes.select(col("id").as("aid"), col("cell")))
       // two consumers (query tables + candidate prune); without this
       // the queries-vs-centroids scan re-executes per consumer
       .localCheckpoint(false)
@@ -1195,8 +1220,6 @@ object Similarity {
       .select(col("qid"), col("cpart"), col("m"), col("cl"),
         round(d, 6).as("dt"))
     val cand = codes
-      .join(resid.select(col("id").as("rid"), col("cell")),
-        col("id") === col("rid"))
       .join(broadcast(probes.select(col("qid"), col("cpart"))),
         col("cell") === col("cpart"))
       .filter(col("id") =!= col("qid"))
@@ -1216,6 +1239,20 @@ object Similarity {
         col("item.id").as("neighbor_id"),
         (-col("item.score")).as("adc"))
   }
+
+  /** The fixed-rank probe picker, shared by [[pqResidualIvfTopK]] and
+    * the persisted-index serving path (E260) — one definition so the
+    * in-memory and read-back searches cannot drift.
+    */
+  private[graft] def fixedProbePicker(probe: Int)
+      : (DataFrame, DataFrame, DataFrame) => DataFrame =
+    (q, cvecs, _) => q.join(broadcast(cvecs))
+      .select(col("qid"), col("cpart"), col("cvec"),
+        cosine(col("qv"), col("cvec")).as("cs"), col("qv"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("cs").desc, col("cpart"))))
+      .filter(col("rn") <= probe)
 
   /** Squared L2 between two `n`-element array columns, UNROLLED into a
     * flat codegen sum instead of the interpreted `aggregate(zip_with)`

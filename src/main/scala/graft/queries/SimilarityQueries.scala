@@ -676,6 +676,25 @@ object SimilarityQueries {
       Similarity.pqResidualIvfTopK(corpus(s, dir), PqSubspaces, PqSubDim,
         NumQueries, KIvf, MProbe)),
 
+    // E260: serving from the PERSISTED index (VERDICT r12 #3) — the
+    // residual IVF-PQ index is built ONCE per fixture state and
+    // written as parquet tables + manifest (Materialize.once, the
+    // partitioned-scan precedent); the query then LOADS the artifact
+    // (manifest re-asserted: version, geometry, per-table row counts)
+    // and serves the same fixed-probe search the in-memory E243 row
+    // runs. Parquet round-trips doubles bit-exactly, so this hashes
+    // against the IDENTICAL oracle as emb_topk_ivfpq_residual — the
+    // build→persist→load→search round trip is machine-checked by the
+    // gate itself, and AnnIndexSpec pins in-memory equality directly.
+    "emb_persisted_topk" -> ((s, dir) => {
+      val idx = Materialize.once("annindex", dir) { p =>
+        graft.ext.AnnIndex.build(corpus(s, dir), PqSubspaces, PqSubDim, p)
+      }
+      val q = corpus(s, dir).filter(col("id") < NumQueries)
+        .select(col("id").as("qid"), col("vec").as("qv"))
+      graft.ext.AnnIndex.searchTopK(s, idx, q, KIvf, MProbe)
+    }),
+
     // E244: recall audit for the residual chain (the E226 discipline):
     // per query, exact-L2 top-k hits inside the residual IVF-PQ top-k
     // (point recall) and inside its rerank-horizon candidate set —
@@ -2193,6 +2212,18 @@ object SimilarityQueries {
 
     // E243: residual chain + per-probed-cell query tables, ranked to k.
     "emb_topk_ivfpq_residual" ->
+      s"""$residualSearchCtes,
+         |rr2 AS (SELECT qid, id, adc,
+         |               row_number() OVER (PARTITION BY qid
+         |                                  ORDER BY adc, id) AS rank
+         |        FROM sc2)
+         |SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank,
+         |       id AS neighbor_id, adc
+         |FROM rr2 WHERE rank <= $KIvf""".stripMargin,
+
+    // E260: the persisted round trip must reproduce the in-memory
+    // chain bit-for-bit — same oracle as emb_topk_ivfpq_residual.
+    "emb_persisted_topk" ->
       s"""$residualSearchCtes,
          |rr2 AS (SELECT qid, id, adc,
          |               row_number() OVER (PARTITION BY qid
