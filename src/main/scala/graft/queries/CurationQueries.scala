@@ -277,17 +277,35 @@ object CurationQueries {
     // of one page otherwise survive as distinct rows. The oracle
     // replays the identical regex/array pipeline in DuckDB.
     "docs_url_canonical" -> ((s, dir) => {
-      val url = concat(
-        lit("https://WWW.Site"), (col("doc_id") % 40).cast("string"), lit(".COM"),
-        when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
-        lit("/Path/p"), (col("doc_id") % 7).cast("string"),
-        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
-        lit("?utm_source=x&id="), (col("doc_id") % 5).cast("string"),
-        lit("#sec"), (col("doc_id") % 9).cast("string"))
+      val url = plantedUrl
       val canon = Curation.canonicalUrl(url)
       Tables.documents(s, dir).select(
         col("doc_id"), url.as("url"), canon.as("canonical"),
         Curation.urlDomain(canon).as("domain"))
+    }),
+
+    // E261: Dolma-style DOMAIN blocklist over the canonical-URL tier
+    // (VERDICT r12 #7) — the most common web-curation gate after
+    // dedup: canonicalize, extract the registered domain, verdict
+    // against the banned-domain set. Literal tier: the list folds
+    // into the plan as an InSet probe (right for bounded curated
+    // lists).
+    "docs_domain_blocklist" -> ((s, dir) =>
+      domainFrame(s, dir).select(col("doc_id"), col("domain"),
+        col("domain").isInCollection(BlockDomains).as("blocked"))),
+
+    // E261: the dictionary-as-DATA tier (the E186 precedent) — the
+    // SAME verdict via a broadcast left join, for blocklists updated
+    // without re-planning, shared as tables, or too large for the
+    // plan. Same oracle as the literal tier; equality pinned in
+    // CurationGateSpec.
+    "docs_domain_blocklist_join" -> ((s, dir) => {
+      import s.implicits._
+      val bl = broadcast(
+        BlockDomains.toDF("domain").withColumn("hit", lit(true)))
+      domainFrame(s, dir).join(bl, Seq("domain"), "left")
+        .select(col("doc_id"), col("domain"),
+          coalesce(col("hit"), lit(false)).as("blocked"))
     }),
 
     // Deterministic Bernoulli(0.25) sample — same rows on every run,
@@ -1204,6 +1222,64 @@ object CurationQueries {
     * callers append further CTEs with `,` and must not re-open WITH.
     * Shared by the split/audit oracles and the classifier-fit chain.
     */
+  /** The E116 canonicalization chain as a full `WITH` prefix ending at
+    * `dom(doc_id, url, canonical, domain)` — shared by the
+    * docs_url_canonical oracle and the E261 domain-blocklist tiers.
+    * Raw (non-interpolated) string: the regexes carry `\?`/`\.` that
+    * an s-interpolator would mangle (the repo's documented escape
+    * trap).
+    */
+  private val urlChainCte: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |         'https://WWW.Site' || CAST(doc_id % 40 AS VARCHAR) || '.COM'
+      |         || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+      |         || '/Path/p' || CAST(doc_id % 7 AS VARCHAR)
+      |         || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+      |         || '?utm_source=x&id=' || CAST(doc_id % 5 AS VARCHAR)
+      |         || '#sec' || CAST(doc_id % 9 AS VARCHAR) AS url
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf FROM u),
+      |parts AS (
+      |  SELECT doc_id, url,
+      |         lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |         CASE lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      |           WHEN 'https' THEN regexp_replace(
+      |             lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+      |             ':443$', '')
+      |           WHEN 'http' THEN regexp_replace(
+      |             lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+      |             ':80$', '')
+      |           ELSE lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+      |         END AS host,
+      |         regexp_replace(
+      |           regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+      |           '/+$', '') AS sp,
+      |         array_to_string(list_filter(
+      |           string_split(regexp_extract(nf, '\?([^#]*)', 1), '&'),
+      |           q -> NOT starts_with(q, 'utm_')), '&') AS kq
+      |  FROM p),
+      |c AS (
+      |  SELECT doc_id, url,
+      |         scheme || '://' || host
+      |         || CASE WHEN sp = '' THEN '/' ELSE sp END
+      |         || CASE WHEN kq = '' THEN '' ELSE '?' || kq END AS canonical
+      |  FROM parts),
+      |dom AS (
+      |  SELECT doc_id, url, canonical,
+      |         regexp_extract(canonical,
+      |           '://(?:[^/?#:]*\.)?([^./?#:]+\.[^./?#:]+)(?::[0-9]+)?(?:[/?#]|$)', 1) AS domain
+      |  FROM c)""".stripMargin
+
+  /** E261 shared truth for both blocklist tiers — IN-list generated
+    * from [[BlockDomains]].
+    */
+  private lazy val domainBlocklistSql: String =
+    urlChainCte + "\nSELECT doc_id, domain, domain IN (" +
+      BlockDomains.map(d => s"'$d'").mkString(", ") +
+      ") AS blocked FROM dom"
+
   /** The E256 ladder as CTEs ending at `d3(doc_id, lang, source_anon,
     * size_bucket)` — shared by the fixpoint and verify oracles.
     */
@@ -1229,6 +1305,31 @@ object CurationQueries {
        |              d2.size_bucket
        |       FROM d2 JOIN g3 USING (lang, source, size_bucket)
        |       WHERE g3.n >= $KanonK)""".stripMargin
+
+  /** The E116 deterministic messy-URL planting (uppercase host,
+    * default port, trailing slash, utm params, fragment) — shared by
+    * docs_url_canonical and the E261 domain-blocklist tiers.
+    */
+  private[queries] def plantedUrl: org.apache.spark.sql.Column =
+    concat(
+      lit("https://WWW.Site"), (col("doc_id") % 40).cast("string"), lit(".COM"),
+      when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+      lit("/Path/p"), (col("doc_id") % 7).cast("string"),
+      when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_source=x&id="), (col("doc_id") % 5).cast("string"),
+      lit("#sec"), (col("doc_id") % 9).cast("string"))
+
+  /** (doc_id, domain) over the planted URLs — the E261 front end. */
+  private def domainFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      Curation.urlDomain(Curation.canonicalUrl(plantedUrl)).as("domain"))
+
+  /** Banned registered domains for E261 — drawn from the planted URL
+    * population (doc_id % 40 → site0..site39), so both verdicts fire
+    * at every SF.
+    */
+  private[queries] val BlockDomains = Seq("site7.com", "site13.com",
+    "site21.com")
 
   /** E249 quasi-identifier projection: (lang, source, n_chars-bucket). */
   private def kanonQi(docs: DataFrame): DataFrame =
@@ -1516,47 +1617,13 @@ object CurationQueries {
          |FROM t JOIN c ON c.lang = t.lang AND c.len_bucket = t.len_bucket
          |               AND c.rn = t.rn""".stripMargin,
     "docs_url_canonical" ->
-      """WITH u AS (
-        |  SELECT doc_id,
-        |         'https://WWW.Site' || CAST(doc_id % 40 AS VARCHAR) || '.COM'
-        |         || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
-        |         || '/Path/p' || CAST(doc_id % 7 AS VARCHAR)
-        |         || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
-        |         || '?utm_source=x&id=' || CAST(doc_id % 5 AS VARCHAR)
-        |         || '#sec' || CAST(doc_id % 9 AS VARCHAR) AS url
-        |  FROM documents),
-        |p AS (
-        |  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf FROM u),
-        |parts AS (
-        |  SELECT doc_id, url,
-        |         lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-        |         CASE lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
-        |           WHEN 'https' THEN regexp_replace(
-        |             lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
-        |             ':443$', '')
-        |           WHEN 'http' THEN regexp_replace(
-        |             lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
-        |             ':80$', '')
-        |           ELSE lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
-        |         END AS host,
-        |         regexp_replace(
-        |           regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
-        |           '/+$', '') AS sp,
-        |         array_to_string(list_filter(
-        |           string_split(regexp_extract(nf, '\?([^#]*)', 1), '&'),
-        |           q -> NOT starts_with(q, 'utm_')), '&') AS kq
-        |  FROM p),
-        |c AS (
-        |  SELECT doc_id, url,
-        |         scheme || '://' || host
-        |         || CASE WHEN sp = '' THEN '/' ELSE sp END
-        |         || CASE WHEN kq = '' THEN '' ELSE '?' || kq END AS canonical
-        |  FROM parts)
-        |SELECT doc_id, url, canonical,
-        |       regexp_extract(canonical,
-        |         '://(?:[^/?#:]*\.)?([^./?#:]+\.[^./?#:]+)(?::[0-9]+)?(?:[/?#]|$)', 1) AS domain
-        |FROM c""".stripMargin,
+      (urlChainCte + "\nSELECT doc_id, url, canonical, domain FROM dom"),
 
+    // E261: both tiers hash against this one truth (the blocklist is
+    // generated from the same BlockDomains constant the Spark tiers
+    // fold/join).
+    "docs_domain_blocklist" -> domainBlocklistSql,
+    "docs_domain_blocklist_join" -> domainBlocklistSql,
     "docs_kanon_audit" ->
       s"""SELECT lang, source, n_chars // $KanonBucket AS size_bucket,
          |       CAST(count(*) AS BIGINT) AS n,

@@ -207,6 +207,20 @@ class CurationGateSpec extends SparkSpec {
       "blocklist tiers diverge")
   }
 
+  test("domain blocklist: the literal tier and the join tier are " +
+      "row-identical, and both verdicts fire (E261)") {
+    val lit0 = CurationQueries.queries("docs_domain_blocklist")(spark, sfDir)
+    val join0 = CurationQueries
+      .queries("docs_domain_blocklist_join")(spark, sfDir)
+    assert(lit0.count() == join0.count())
+    assert(lit0.exceptAll(join0).isEmpty && join0.exceptAll(lit0).isEmpty,
+      "domain blocklist tiers diverge")
+    val blocked = lit0.filter(org.apache.spark.sql.functions.col("blocked"))
+      .count()
+    assert(blocked > 0 && blocked < lit0.count(),
+      "domain verdict never fires both ways")
+  }
+
   test("quality PSI: contributions recompute from raw bin counts and " +
       "the doc-parity split is near-stable") {
     val rows = CurationQueries.queries("docs_quality_psi")(spark, sfDir)
