@@ -15,6 +15,8 @@ import org.apache.spark.sql.functions._
   *   centroids.parquet  (cpart, cvec: double[])     — coarse quantizer
   *   codebooks.parquet  (cl, m, cvec: double[])     — trained PQ books
   *   codes.parquet      (id, c0..c{M−1}, cell)      — integer codes
+  *   tombstones.parquet (id)                        — deleted, not yet
+  *                                                    compacted away
   *   manifest.parquet   (1 row: format/geometry/counts)
   *
   * The manifest is written LAST, so a crashed build never presents a
@@ -34,11 +36,47 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
-  val FormatVersion = 1
+  /** v2 added the tombstone table (E263) — a v1 artifact has no
+    * `tombstones.parquet` and its manifest no `n_tombstones`, so the
+    * version bump keeps a v2 reader from serving a v1 index with
+    * deletes silently un-applied.
+    */
+  val FormatVersion = 2
 
   /** Loaded, validated artifact handles. */
   final case class Index(numSub: Int, subDim: Int,
-      centroids: DataFrame, codebooks: DataFrame, codes: DataFrame)
+      centroids: DataFrame, codebooks: DataFrame, codes: DataFrame,
+      tombstones: DataFrame) {
+    /** Codes visible to a search: physical rows minus tombstoned ids
+      * (the Lucene/FAISS soft-delete read path; [[compact]] makes it
+      * physical).
+      */
+    def liveCodes: DataFrame =
+      codes.join(tombstones.select(col("id")), Seq("id"), "left_anti")
+  }
+
+  /** Manifest row describing the tables ON DISK — every writer calls
+    * this LAST, after its table writes, with counts re-read from the
+    * written files: a crashed build/append/delete/compact leaves a
+    * manifest whose counts fail [[load]]'s check, never a silently
+    * short or stale index.
+    */
+  private def writeManifest(spark: SparkSession, dir: String,
+      numSub: Int, subDim: Int): Unit = {
+    val nCells = spark.read.parquet(s"$dir/centroids.parquet").count()
+    val nBook = spark.read.parquet(s"$dir/codebooks.parquet").count()
+    val nVecs = spark.read.parquet(s"$dir/codes.parquet").count()
+    val nTomb = spark.read.parquet(s"$dir/tombstones.parquet").count()
+    import spark.implicits._
+    Seq((FormatVersion, numSub, subDim, numSub * subDim,
+        Similarity.PqCodewords, Similarity.PqTrainIters,
+        nCells, nBook, nVecs, nTomb))
+      .toDF("format_version", "num_sub", "sub_dim", "dim",
+        "num_codewords", "train_iters",
+        "n_cells", "n_codebook_rows", "n_vectors", "n_tombstones")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/manifest.parquet")
+  }
 
   /** Build and persist the index for `vecs (id, part, vec)` under
     * `outDir` (`part` seeds the coarse quantizer, the repo-wide IVF
@@ -52,20 +90,12 @@ object AnnIndex {
     cvecs.write.mode("overwrite").parquet(s"$outDir/centroids.parquet")
     cw.write.mode("overwrite").parquet(s"$outDir/codebooks.parquet")
     codes.write.mode("overwrite").parquet(s"$outDir/codes.parquet")
-    // counts from the WRITTEN tables — the manifest describes the
-    // artifact on disk, not the plan that produced it
-    val nCells = spark.read.parquet(s"$outDir/centroids.parquet").count()
-    val nBook = spark.read.parquet(s"$outDir/codebooks.parquet").count()
-    val nVecs = spark.read.parquet(s"$outDir/codes.parquet").count()
-    import spark.implicits._
-    Seq((FormatVersion, numSub, subDim, numSub * subDim,
-        Similarity.PqCodewords, Similarity.PqTrainIters,
-        nCells, nBook, nVecs))
-      .toDF("format_version", "num_sub", "sub_dim", "dim",
-        "num_codewords", "train_iters",
-        "n_cells", "n_codebook_rows", "n_vectors")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$outDir/manifest.parquet")
+    // empty tombstone set with the CODES id type — delete() appends to
+    // this file, and parquet append demands an identical schema
+    spark.read.parquet(s"$outDir/codes.parquet").select(col("id"))
+      .limit(0)
+      .write.mode("overwrite").parquet(s"$outDir/tombstones.parquet")
+    writeManifest(spark, outDir, numSub, subDim)
   }
 
   /** Load + validate. Throws (IllegalArgumentException) on a missing,
@@ -84,6 +114,7 @@ object AnnIndex {
     val cvecs = spark.read.parquet(s"$dir/centroids.parquet")
     val cw = spark.read.parquet(s"$dir/codebooks.parquet")
     val codes = spark.read.parquet(s"$dir/codes.parquet")
+    val tomb = spark.read.parquet(s"$dir/tombstones.parquet")
     def check(name: String, df: DataFrame, want: Long): Unit = {
       val got = df.count()
       require(got == want,
@@ -93,7 +124,97 @@ object AnnIndex {
     check("centroids", cvecs, ml("n_cells"))
     check("codebooks", cw, ml("n_codebook_rows"))
     check("codes", codes, ml("n_vectors"))
-    Index(mi("num_sub"), mi("sub_dim"), cvecs, cw, codes)
+    check("tombstones", tomb, ml("n_tombstones"))
+    Index(mi("num_sub"), mi("sub_dim"), cvecs, cw, codes, tomb)
+  }
+
+  /** Incrementally APPEND `newVecs (id, vec)` to a persisted index
+    * (E262) — the FAISS `add` semantics: assign + PQ-encode the new
+    * batch under the artifact's FROZEN centroids and codebooks (no
+    * retraining), append the codes, and rewrite the manifest LAST with
+    * the new count (a crashed append leaves a manifest that fails the
+    * count check, never a silently short index). Guards: the batch's
+    * vector width must match the manifest geometry, and batch ids must
+    * be disjoint from the indexed set (this is add, not upsert).
+    * Quantizer staleness is the explicit price — AppendSpec measures
+    * appended-vs-rebuilt recall instead of assuming the frozen books
+    * still fit tomorrow's distribution.
+    */
+  def append(newVecs: DataFrame, dir: String): Unit = {
+    val spark = newVecs.sparkSession
+    val idx = load(spark, dir)
+    val dim = idx.numSub * idx.subDim
+    val batchDim = newVecs.select(size(col("vec"))).head().getInt(0)
+    require(batchDim == dim,
+      s"append batch has dim $batchDim, index geometry says $dim")
+    val dup = newVecs.select(col("id"))
+      .join(idx.codes.select(col("id")), "id").count()
+    require(dup == 0,
+      s"append batch shares $dup ids with the indexed set — " +
+        "append is add, not upsert")
+    Similarity.residualEncodeFrozen(newVecs, idx.centroids,
+        idx.codebooks, idx.numSub, idx.subDim)
+      .write.mode("append").parquet(s"$dir/codes.parquet")
+    writeManifest(spark, dir, idx.numSub, idx.subDim)
+  }
+
+  /** DELETE `ids (id)` from the persisted index (E263) — the soft
+    * path: ids are appended to the tombstone table and every search
+    * anti-joins it ([[Index.liveCodes]]); the codes stay physical
+    * until [[compact]]. This is the Lucene/FAISS deletion design —
+    * a delete costs O(batch) regardless of index size. Strict by
+    * contract: every id must exist and not already be tombstoned
+    * (a delete that silently no-ops hides caller bugs). Manifest is
+    * rewritten LAST, so a crashed delete fails the tombstone count
+    * check rather than serving half a deletion.
+    *
+    * Note the interaction with [[append]]: a tombstoned id still owns
+    * physical code rows, so re-adding it refuses until a [[compact]]
+    * reclaims the rows — add-after-delete is a compact-then-append.
+    */
+  def delete(ids: DataFrame, dir: String): Unit = {
+    val spark = ids.sparkSession
+    val idx = load(spark, dir)
+    val n = ids.count()
+    val present = ids.select(col("id"))
+      .join(idx.codes.select(col("id")), "id").count()
+    require(present == n,
+      s"delete batch has ${n - present} ids not in the index — " +
+        "delete is strict, not a filter")
+    val already = ids.select(col("id"))
+      .join(idx.tombstones.select(col("id")), "id").count()
+    require(already == 0,
+      s"$already ids are already tombstoned — double delete")
+    ids.select(col("id"))
+      .write.mode("append").parquet(s"$dir/tombstones.parquet")
+    writeManifest(spark, dir, idx.numSub, idx.subDim)
+  }
+
+  /** COMPACT the index (E263): physically drop tombstoned code rows
+    * and clear the tombstone table. Search output is identical before
+    * and after by construction (the soft path already anti-joins) —
+    * AnnDeleteSpec pins that equality; compaction buys back the scan
+    * width and re-opens the ids for [[append]]. Crash windows: the
+    * rewrite goes to a side directory first, and the swap happens
+    * before the manifest rewrite — a crash mid-swap leaves a missing
+    * or count-mismatched table that [[load]] refuses, never a stale
+    * view served as fresh.
+    */
+  def compact(dir: String): Unit = {
+    val spark = SparkSession.active
+    val idx = load(spark, dir)
+    if (idx.tombstones.isEmpty) return
+    idx.liveCodes.write.mode("overwrite")
+      .parquet(s"$dir/codes.compacting.parquet")
+    val codesPath = java.nio.file.Paths.get(dir, "codes.parquet")
+    java.nio.file.Files.walk(codesPath)
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(dir, "codes.compacting.parquet"), codesPath)
+    spark.read.parquet(s"$dir/codes.parquet").select(col("id")).limit(0)
+      .write.mode("overwrite").parquet(s"$dir/tombstones.parquet")
+    writeManifest(spark, dir, idx.numSub, idx.subDim)
   }
 
   /** Serve top-k for `q (qid, qv)` from the persisted index with the
@@ -104,7 +225,7 @@ object AnnIndex {
       k: Int, probe: Int): DataFrame = {
     val idx = load(spark, dir)
     Similarity.residualIndexSearch(idx.centroids, idx.codebooks,
-      idx.codes, q, idx.numSub, idx.subDim, k,
+      idx.liveCodes, q, idx.numSub, idx.subDim, k,
       Similarity.fixedProbePicker(probe))
   }
 }

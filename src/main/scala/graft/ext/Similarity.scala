@@ -1167,8 +1167,20 @@ object Similarity {
     */
   private[graft] def residualIndexBuild(vecs: DataFrame, numSub: Int,
       subDim: Int): (DataFrame, DataFrame, DataFrame) = {
-    val dim = numSub * subDim
     val cvecs = centroidVectors(centroids(vecs)).localCheckpoint(false)
+    val resid = residualsAgainst(vecs, cvecs, numSub * subDim)
+    val cw = trainedCodewordVecs(resid, numSub, subDim)
+    (cvecs, cw, encodeResiduals(resid, numSub, subDim, cw))
+  }
+
+  /** Per-vector residuals v − centroid(argmax-cosine cell) against a
+    * GIVEN centroid table — shared by the index build (centroids just
+    * trained) and the incremental append path (centroids FROZEN from
+    * the persisted artifact). Checkpointed: every consumer reads it
+    * at least twice (training + encoding, or encoding + cell join).
+    */
+  private def residualsAgainst(vecs: DataFrame, cvecs: DataFrame,
+      dim: Int): DataFrame = {
     val asg = vecs.join(broadcast(cvecs))
       .select(col("id"), col("cpart"), col("cvec"),
         cosine(col("vec"), col("cvec")).as("cs"))
@@ -1177,18 +1189,33 @@ object Similarity {
         struct(col("cs"), -col("cpart"))).as("w"))
       .select(col("id").as("aid"), col("w.cpart").as("cell"),
         col("w.cvec").as("ccv"))
-    val resid = vecs.join(asg, col("id") === col("aid"))
+    vecs.join(asg, col("id") === col("aid"))
       .select(col("id"), col("cell"),
         array((0 until dim).map(i =>
           col("vec").getItem(i) - col("ccv").getItem(i)): _*).as("vec"))
       .localCheckpoint(false)
-    val cw = trainedCodewordVecs(resid, numSub, subDim)
-    val codes = pqEncodeWith(resid, numSub, subDim, cw)
+  }
+
+  /** Residuals → (id, c0..c{M−1}, cell) under a given codebook. */
+  private def encodeResiduals(resid: DataFrame, numSub: Int, subDim: Int,
+      cw: DataFrame): DataFrame =
+    pqEncodeWith(resid, numSub, subDim, cw)
       .join(resid.select(col("id").as("rid"), col("cell")),
         col("id") === col("rid"))
       .drop("rid")
-    (cvecs, cw, codes)
-  }
+
+  /** Incremental-append encoding (E262): assign + encode `newVecs`
+    * under FROZEN quantizers — the persisted index's centroids and
+    * codebooks, untouched. The FAISS `add` semantics: new vectors
+    * join the searchable set immediately at the price of quantizers
+    * trained on yesterday's distribution (AppendSpec measures that
+    * staleness explicitly instead of assuming it away).
+    */
+  private[graft] def residualEncodeFrozen(newVecs: DataFrame,
+      cvecs: DataFrame, cw: DataFrame, numSub: Int, subDim: Int)
+      : DataFrame =
+    encodeResiduals(residualsAgainst(newVecs, cvecs, numSub * subDim),
+      numSub, subDim, cw)
 
   /** The SEARCH half: serve top-k from a built (or persisted and
     * re-loaded) index. `pickProbes(q, cvecs, cellOf)` chooses the

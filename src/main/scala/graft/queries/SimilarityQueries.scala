@@ -33,6 +33,13 @@ object SimilarityQueries {
   private val ProbeTargetNum = 3L
   private val ProbeTargetDen = 10L
   private val SweepPMax = 5 // E254: probe widths 1..5 in the recall curve
+
+  /** E262 split: vectors with id % AppendMod == AppendBatchRem arrive
+    * AFTER the index is built and are appended under frozen
+    * quantizers; the rest are the training/base population.
+    */
+  private val AppendMod = 7
+  private val AppendBatchRem = 3
   // MMR re-ranking: λ and (1−λ) are SEPARATE literals so both engines
   // parse the same decimals to the same IEEE doubles (deriving 0.3 as
   // `1.0 - 0.7` is exact DECIMAL in DuckDB but binary double in Spark).
@@ -695,6 +702,51 @@ object SimilarityQueries {
       graft.ext.AnnIndex.searchTopK(s, idx, q, KIvf, MProbe)
     }),
 
+    // E262: incremental index APPEND (the FAISS `add` semantics) —
+    // the index is built on the BASE corpus (id % 7 ≠ 3), then the
+    // held-out batch is appended under the FROZEN centroids and
+    // codebooks (no retraining), and the search covers everything.
+    // The oracle replays the frozen-quantizer discipline exactly:
+    // centroid means and codebook training restricted to the base
+    // population, assignment + encoding over all vectors. Staleness
+    // (appended vs full-rebuild recall) is measured in AppendSpec —
+    // the price of not retraining is a number, not an assumption.
+    "emb_index_append" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val idx = Materialize.once("annindex_append", dir) { p =>
+        graft.ext.AnnIndex.build(
+          c.filter(col("id") % AppendMod =!= AppendBatchRem),
+          PqSubspaces, PqSubDim, p)
+        graft.ext.AnnIndex.append(
+          c.filter(col("id") % AppendMod === AppendBatchRem)
+            .select(col("id"), col("vec")), p)
+      }
+      val q = c.filter(col("id") < NumQueries)
+        .select(col("id").as("qid"), col("vec").as("qv"))
+      graft.ext.AnnIndex.searchTopK(s, idx, q, KIvf, MProbe)
+    }),
+
+    // E263: tombstone DELETE over the persisted index — built on the
+    // FULL corpus (training and codes cover everything), then the
+    // id % 7 == 3 slice is tombstoned and the search serves through
+    // the soft-delete anti-join (liveCodes). The oracle keeps the
+    // full-population training chain and excludes the deleted ids
+    // from the CANDIDATE set only — exactly what a tombstone does.
+    // Compaction (physical removal) is pinned search-identical to
+    // this soft path by AnnDeleteSpec, so one gate row covers both.
+    "emb_index_delete" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val idx = Materialize.once("annindex_delete", dir) { p =>
+        graft.ext.AnnIndex.build(c, PqSubspaces, PqSubDim, p)
+        graft.ext.AnnIndex.delete(
+          c.filter(col("id") % AppendMod === AppendBatchRem)
+            .select(col("id")), p)
+      }
+      val q = c.filter(col("id") < NumQueries)
+        .select(col("id").as("qid"), col("vec").as("qv"))
+      graft.ext.AnnIndex.searchTopK(s, idx, q, KIvf, MProbe)
+    }),
+
     // E244: recall audit for the residual chain (the E226 discipline):
     // per query, exact-L2 top-k hits inside the residual IVF-PQ top-k
     // (point recall) and inside its rerank-horizon candidate set —
@@ -1243,8 +1295,13 @@ object SimilarityQueries {
     * sub0/sv are MATERIALIZED: DuckDB inlines plain CTEs per
     * reference, and the training rounds reference each 2·iters+ times.
     */
+  /** `trainFilter` (a predicate over `vec_id`, default all rows)
+    * restricts the TRAINING population — seed selection and every
+    * Lloyd recompute — while encoding still covers every vector: the
+    * frozen-quantizer replay the E262 incremental-append oracle needs.
+    */
   private def pqChainSql(iters: Int, prologue: String = "",
-      src: String = "x"): String = {
+      src: String = "x", trainFilter: String = "TRUE"): String = {
     val sb = new StringBuilder
     sb ++=
       s"""$embCte,
@@ -1256,9 +1313,10 @@ object SimilarityQueries {
          |         FROM $src),
          |sv AS MATERIALIZED (SELECT vec_id AS id, m, list(val ORDER BY sd) AS sv
          |       FROM sub0 GROUP BY vec_id, m),
-         |pqnn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+         |pqnn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e
+         |         WHERE $trainFilter),
          |pqrk AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rn
-         |         FROM e),
+         |         FROM e WHERE $trainFilter),
          |pqsd AS (SELECT r.vec_id FROM pqrk r, pqnn
          |         WHERE r.rn % ((pqnn.n + $PqCodewordsK - 1) // $PqCodewordsK) = 0),
          |cb0 AS (SELECT s.vec_id AS cl, s.m, s.sd, s.val AS c
@@ -1279,6 +1337,7 @@ object SimilarityQueries {
            |         FROM dt$t) WHERE rn = 1),
            |cb$t AS (SELECT a.cl, s.m, s.sd, round(sum(s.val) / count(*), 6) AS c
            |        FROM sub0 s JOIN bt$t a ON s.vec_id = a.id AND s.m = a.m
+           |        WHERE a.id IN (SELECT vec_id FROM pqrk)
            |        GROUP BY a.cl, s.m, s.sd)""".stripMargin
     }
     sb ++=
@@ -1312,11 +1371,11 @@ object SimilarityQueries {
     * val = v[i] − centroid[i] in exact IEEE. Ends with the standard
     * chain names (cw, sv, b) plus cv2/car for the search stage.
     */
-  private lazy val pqResidualChainCte: String = {
+  private def pqResidualChainSql(trainFilter: String = "TRUE"): String = {
     val prologue =
       s"""
          |cent2 AS (SELECT label AS cpart, dim, round(sum(val) / count(*), 6) AS c
-         |          FROM x GROUP BY label, dim),
+         |          FROM x WHERE $trainFilter GROUP BY label, dim),
          |cv2 AS MATERIALIZED (SELECT cpart, list(c ORDER BY dim) AS cvec
          |        FROM cent2 GROUP BY cpart),
          |scr AS (SELECT e.vec_id, cv2.cpart, ${cosSql("e.v", "cv2.cvec")} AS cs
@@ -1329,8 +1388,10 @@ object SimilarityQueries {
          |       FROM e JOIN car ON car.vec_id = e.vec_id
          |              JOIN cv2 ON cv2.cpart = car.cell,
          |            unnest(generate_series(1, len(e.v))) AS t(i)),""".stripMargin
-    pqChainSql(graft.ext.Similarity.PqTrainIters, prologue, "xr")
+    pqChainSql(graft.ext.Similarity.PqTrainIters, prologue, "xr", trainFilter)
   }
+
+  private lazy val pqResidualChainCte: String = pqResidualChainSql()
 
   /** Residual IVF-PQ search CTEs shared by the E243/E244 fixed-probe
     * rows and the E258/E259 adaptive rows: probe cell list (the one
@@ -1338,9 +1399,16 @@ object SimilarityQueries {
     * PER-PROBED-CELL query residuals and distance tables, probed-cell
     * candidate codes, and the summed ADC `sc2 (qid, id, adc)`.
     */
-  private def residualSearchCtesWith(prqCte: String): String =
-    s"""$pqResidualChainCte,
-       |co AS (SELECT id, m, cl FROM b WHERE rn = 1),
+  /** `candFilter` (a predicate over `id`, default all) restricts the
+    * SEARCHABLE code rows — the E263 tombstone-delete oracle excludes
+    * deleted ids from candidates while training/assignment still ran
+    * over the full build population.
+    */
+  private def residualSearchCtesWith(prqCte: String,
+      chain: String = pqResidualChainCte,
+      candFilter: String = "TRUE"): String =
+    s"""$chain,
+       |co AS (SELECT id, m, cl FROM b WHERE rn = 1 AND ($candFilter)),
        |qq AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < $NumQueries),
        |pc AS (SELECT qq.qid, cv2.cpart, ${cosSql("qq.v", "cv2.cvec")} AS cs
        |       FROM qq CROSS JOIN cv2),
@@ -1369,10 +1437,13 @@ object SimilarityQueries {
        |        GROUP BY c.qid, c.id)""".stripMargin
 
   /** E243/E244 fixed multi-probe: rank ≤ [[MProbe]]. */
-  private lazy val residualSearchCtes: String = residualSearchCtesWith(
+  private lazy val fixedPrqCte: String =
     s"""prq AS MATERIALIZED (SELECT qid, cpart FROM (
        |        SELECT qid, cpart, row_number() OVER (PARTITION BY qid
-       |          ORDER BY cs DESC, cpart) AS rn FROM pc) WHERE rn <= $MProbe)""".stripMargin)
+       |          ORDER BY cs DESC, cpart) AS rn FROM pc) WHERE rn <= $MProbe)""".stripMargin
+
+  private lazy val residualSearchCtes: String =
+    residualSearchCtesWith(fixedPrqCte)
 
   /** E258/E259 adaptive probe: cells in centroid rank order while the
     * cumulative population EXCLUDING the cell is below the exact
@@ -2220,6 +2291,36 @@ object SimilarityQueries {
          |SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank,
          |       id AS neighbor_id, adc
          |FROM rr2 WHERE rank <= $KIvf""".stripMargin,
+
+    // E262: frozen-quantizer replay — training population restricted
+    // to the base (vec_id % 7 ≠ 3), assignment/encoding/search over
+    // everything.
+    "emb_index_append" ->
+      (residualSearchCtesWith(fixedPrqCte,
+        pqResidualChainSql(s"vec_id % $AppendMod <> $AppendBatchRem")) +
+        s""",
+           |rr2 AS (SELECT qid, id, adc,
+           |               row_number() OVER (PARTITION BY qid
+           |                                  ORDER BY adc, id) AS rank
+           |        FROM sc2)
+           |SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank,
+           |       id AS neighbor_id, adc
+           |FROM rr2 WHERE rank <= $KIvf""".stripMargin),
+
+    // E263: tombstone delete — training over the FULL population (the
+    // index was built before the delete), deleted ids excluded from
+    // the candidate set only.
+    "emb_index_delete" ->
+      (residualSearchCtesWith(fixedPrqCte,
+        candFilter = s"id % $AppendMod <> $AppendBatchRem") +
+        s""",
+           |rr2 AS (SELECT qid, id, adc,
+           |               row_number() OVER (PARTITION BY qid
+           |                                  ORDER BY adc, id) AS rank
+           |        FROM sc2)
+           |SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank,
+           |       id AS neighbor_id, adc
+           |FROM rr2 WHERE rank <= $KIvf""".stripMargin),
 
     // E260: the persisted round trip must reproduce the in-memory
     // chain bit-for-bit — same oracle as emb_topk_ivfpq_residual.
