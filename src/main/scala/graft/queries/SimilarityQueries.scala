@@ -40,6 +40,13 @@ object SimilarityQueries {
     */
   private val AppendMod = 7
   private val AppendBatchRem = 3
+
+  /** E265 bitext mining: even ids below the cap are the bounded source
+    * batch (the production mining shape — batched), odd ids the full
+    * target side; margins average over KMargin neighbors per side.
+    */
+  private val BitextCap = 400
+  private val KMargin = 4
   // MMR re-ranking: λ and (1−λ) are SEPARATE literals so both engines
   // parse the same decimals to the same IEEE doubles (deriving 0.3 as
   // `1.0 - 0.7` is exact DECIMAL in DuckDB but binary double in Spark).
@@ -745,6 +752,20 @@ object SimilarityQueries {
       val q = c.filter(col("id") < NumQueries)
         .select(col("id").as("qid"), col("vec").as("qv"))
       graft.ext.AnnIndex.searchTopK(s, idx, q, KIvf, MProbe)
+    }),
+
+    // E265: margin-based bitext mining (CCMatrix/LASER) — the even-id
+    // batch mines its best odd-id partner by MARGIN (cosine over the
+    // mean of each side's k-NN cosines), which demotes hub vectors
+    // raw cosine would mis-mine; `mutual` marks pairs where the
+    // target's best source is the source (the strict acceptance).
+    "emb_bitext_margin" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      graft.ext.Bitext.marginMine(
+        c.filter(col("id") % 2 === 0 && col("id") < BitextCap)
+          .select(col("id"), col("vec")),
+        c.filter(col("id") % 2 === 1).select(col("id"), col("vec")),
+        KMargin)
     }),
 
     // E244: recall audit for the residual chain (the E226 discipline):
@@ -2306,6 +2327,43 @@ object SimilarityQueries {
            |SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank,
            |       id AS neighbor_id, adc
            |FROM rr2 WHERE rank <= $KIvf""".stripMargin),
+
+    // E265: margin mining — neighborhood sums replay the heap's rank
+    // order via list(cs ORDER BY rn), so the fold is bit-identical.
+    "emb_bitext_margin" ->
+      s"""$embCte,
+         |sa AS MATERIALIZED (SELECT vec_id AS xid, v FROM e
+         |      WHERE vec_id % 2 = 0 AND vec_id < $BitextCap),
+         |sb AS MATERIALIZED (SELECT vec_id AS yid, v FROM e
+         |      WHERE vec_id % 2 = 1),
+         |scb AS MATERIALIZED (SELECT sa.xid, sb.yid,
+         |        ${cosSql("sa.v", "sb.v")} AS cs
+         |      FROM sa CROSS JOIN sb),
+         |fwr AS MATERIALIZED (SELECT xid, yid, cs,
+         |        row_number() OVER (PARTITION BY xid
+         |          ORDER BY cs DESC, yid) AS rn FROM scb),
+         |kaa AS (SELECT xid,
+         |          list_reduce(list(cs ORDER BY rn), (p, q) -> p + q)
+         |            / $KMargin AS ka
+         |        FROM fwr WHERE rn <= $KMargin GROUP BY xid),
+         |fb1 AS (SELECT xid, yid, cs FROM fwr WHERE rn = 1),
+         |ysd AS (SELECT DISTINCT yid FROM fb1),
+         |bwr AS MATERIALIZED (SELECT s2.yid, s2.xid, s2.cs,
+         |        row_number() OVER (PARTITION BY s2.yid
+         |          ORDER BY s2.cs DESC, s2.xid) AS rn
+         |      FROM scb s2 JOIN ysd ON ysd.yid = s2.yid),
+         |kbb AS (SELECT yid,
+         |          list_reduce(list(cs ORDER BY rn), (p, q) -> p + q)
+         |            / $KMargin AS kb
+         |        FROM bwr WHERE rn <= $KMargin GROUP BY yid),
+         |bb1 AS (SELECT yid, xid AS bx FROM bwr WHERE rn = 1)
+         |SELECT fb1.xid AS x_id, fb1.yid AS y_id,
+         |       round(fb1.cs, 6) AS cos,
+         |       round(fb1.cs / ((kaa.ka + kbb.kb) / 2.0), 6) AS margin,
+         |       (bb1.bx = fb1.xid) AS mutual
+         |FROM fb1 JOIN kaa ON kaa.xid = fb1.xid
+         |         JOIN kbb ON kbb.yid = fb1.yid
+         |         JOIN bb1 ON bb1.yid = fb1.yid""".stripMargin,
 
     // E263: tombstone delete — training over the FULL population (the
     // index was built before the delete), deleted ids excluded from
