@@ -31,6 +31,44 @@ object DedupQueries {
   val ContainmentThreshold = 0.9
   private val MaxHamming = 3
 
+  /** E266 planner grid: every banding of the production 32-signature
+    * budget ([[Dedup.NumPerms]] = NumBands × RowsPerBand). The planner
+    * asks, against the corpus's MEASURED pair similarities, which
+    * (bands, rows) meets the recall target at the smallest band count
+    * (bands ≈ shuffle cost: one bucket key per band per doc).
+    */
+  private val PlanGrid =
+    Seq((32, 1), (16, 2), (8, 4), (4, 8), (2, 16), (1, 32))
+  private val PlanTargetRecall = 0.9
+
+  /** S-curve P(candidate | jaccard s) = 1 − (1 − s^r)^b with UNROLLED
+    * integer powers — left-associated multiplication chains evaluate
+    * bit-identically in Spark and DuckDB, where `pow()` carries no
+    * cross-engine correctly-rounded guarantee.
+    */
+  private def sCurveSql(b: Int, r: Int): String = {
+    val sr = (1 to r).map(_ => "jaccard").mkString("(", " * ", ")")
+    val q = s"(CAST(1 AS DOUBLE) - $sr)"
+    s"(CAST(1 AS DOUBLE) - ${(1 to b).map(_ => q).mkString("(", " * ", ")")})"
+  }
+
+  private def sCurveCol(b: Int, r: Int): org.apache.spark.sql.Column = {
+    val sr = (1 to r).map(_ => col("jaccard")).reduce(_ * _)
+    val q = lit(1.0) - sr
+    lit(1.0) - (1 to b).map(_ => q).reduce(_ * _)
+  }
+
+  /** S-curve at the verify threshold, as one rounded literal embedded
+    * in BOTH engines (computed once here — one truth).
+    */
+  private def pAtThreshold(b: Int, r: Int): Double = {
+    val sr = (1 to r).map(_ => JaccardThreshold).reduce(_ * _)
+    val q = 1.0 - sr
+    val p = 1.0 - (1 to b).map(_ => q).reduce(_ * _)
+    BigDecimal.valueOf(p).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: one representative (min doc_id) per content hash.
     // Grouping by md5(text), not text, keeps shuffle rows narrow — the
@@ -338,6 +376,42 @@ object DedupQueries {
                 (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
               lit(0), (acc, v) => acc + v).cast("double") / lit(32.0)
             - col("jaccard")) <= lit(MinHashTolerance)).as("within_tol"))
+    }),
+
+    // E266: LSH banding-parameter PLANNER — the design-time companion
+    // to E203's measured banding recall. For every factorization of
+    // the production 32-signature budget, the S-curve
+    // P(candidate | s) = 1 − (1 − s^r)^b is averaged over the
+    // corpus's MEASURED near-dup pair similarities (the verified-pair
+    // tier), giving the expected candidate recall each (bands, rows)
+    // buys; `chosen` marks the cheapest banding (fewest bucket keys
+    // per doc) that meets the 0.9 target. Per-pair probabilities are
+    // summed as 9-decimal DECIMALs so the mean is order-free (exact,
+    // associative) — double summation order differs across engines.
+    "docs_lsh_plan" -> ((s, dir) => {
+      val pairs = Dedup.nearDupPairsNative(Tables.documents(s, dir),
+          "doc_id", "text", WordN, word = true, JaccardThreshold)
+        .select(col("jaccard"))
+      val sums = PlanGrid.zipWithIndex.map { case ((b, r), i) =>
+        sum(round(sCurveCol(b, r), 9).cast("decimal(20,9)")).as(s"s_$i")
+      }
+      val one = pairs.agg(count(lit(1)).as("n"), sums: _*)
+      val entries = array(PlanGrid.zipWithIndex.map { case ((b, r), i) =>
+        struct(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          round(col(s"s_$i").cast("double") / col("n"), 6)
+            .as("expected_recall"),
+          lit(pAtThreshold(b, r)).as("p_at_threshold"))
+      }: _*)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1)) // 6-row frame: the window is over the grid
+      one.select(col("n").as("n_pairs"), explode(entries).as("g"))
+        .select(col("g.bands").as("bands"),
+          col("g.rows_per_band").as("rows_per_band"), col("n_pairs"),
+          col("g.expected_recall").as("expected_recall"),
+          col("g.p_at_threshold").as("p_at_threshold"),
+          (col("g.expected_recall") >= PlanTargetRecall).as("meets_target"))
+        .withColumn("chosen", col("meets_target") && col("bands") ===
+          min(when(col("meets_target"), col("bands"))).over(w))
     }))
 
   /** |agreement/32 − exact J| bound for the E174 audit — sized to the
@@ -663,6 +737,37 @@ object DedupQueries {
 
     // Exact all-pairs Jaccard — independent of the LSH implementation.
     "docs_dedup_near" -> jaccardPairsSql(wordShCte),
+
+    // E266: S-curves with unrolled powers over the exact pair
+    // similarities; DECIMAL(20,9) sums make the mean order-free.
+    "docs_lsh_plan" -> {
+      val grid = PlanGrid.map { case (b, r) =>
+        s"""  SELECT $b AS bands, $r AS rows_per_band,
+           |         round(CAST(sum(CAST(round(${sCurveSql(b, r)}, 9)
+           |                 AS DECIMAL(20,9))) AS DOUBLE)
+           |           / (SELECT n FROM nn), 6) AS expected_recall,
+           |         CAST(${pAtThreshold(b, r)} AS DOUBLE) AS p_at_threshold
+           |  FROM jp""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$wordShCte,
+         |jp AS MATERIALIZED ($jaccardPairsSelect),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM jp),
+         |g AS (
+         |$grid
+         |),
+         |g2 AS (SELECT bands, rows_per_band,
+         |              (SELECT n FROM nn) AS n_pairs,
+         |              expected_recall, p_at_threshold,
+         |              expected_recall >= CAST($PlanTargetRecall AS DOUBLE)
+         |                AS meets_target
+         |       FROM g),
+         |g3 AS (SELECT g2.*, min(CASE WHEN meets_target THEN bands END)
+         |                      OVER () AS minb FROM g2)
+         |SELECT bands, rows_per_band, n_pairs, expected_recall,
+         |       p_at_threshold, meets_target,
+         |       (meets_target AND bands = minb) AS chosen
+         |FROM g3""".stripMargin
+    },
 
     "docs_incremental_neardup" ->
       s"""$wordShCte
