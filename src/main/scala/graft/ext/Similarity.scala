@@ -1355,6 +1355,40 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Bucketed kNN-graph construction (E267) — the graph backbone of
+    * NN-descent, graph-based dedup, and diversity analysis: every
+    * vector ranks its coarse-bucket peers by exact cosine and keeps
+    * the top k as directed edges; `mutual` marks edges present in
+    * BOTH directions (the symmetric core most graph algorithms run
+    * on). Candidates come only from the vector's own bucket (the
+    * [[nearDupPairs]] discipline — per-bucket cost is bucket-size²,
+    * never corpus²; swap `part` for [[adaptiveClusters]] labels to
+    * hold bucket populations constant as N grows). Output:
+    * (src_id, rank, dst_id, cos, mutual).
+    */
+  def knnGraph(vecs: DataFrame, k: Int): DataFrame = {
+    val v = vecs.withColumn("nrm", sqrt(dot(col("vec"), col("vec"))))
+    val denom = col("a.nrm") * col("b.nrm")
+    val cs = when(denom === 0.0, lit(0.0))
+      .otherwise(dot(col("a.vec"), col("b.vec")) / denom)
+    val top = v.alias("a")
+      .join(v.alias("b"),
+        col("a.part") === col("b.part") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("src"), col("b.id").as("dst"), cs.as("cs"))
+      .groupBy(col("src"))
+      .agg(topkUdaf(k)(col("cs"), col("dst")).as("t"))
+      .select(col("src"), posexplode(col("t.items")).as(Seq("pos", "it")))
+      .select(col("src"), (col("pos") + 1).as("rank"),
+        col("it.id").as("dst"), col("it.score").as("cs"))
+      .localCheckpoint(false) // consumed twice: edges + mutual probe
+    val back = top.select(col("src").as("bsrc"), col("dst").as("bdst"))
+    top.join(back,
+        col("src") === col("bdst") && col("dst") === col("bsrc"), "left")
+      .select(col("src").as("src_id"), col("rank"),
+        col("dst").as("dst_id"), round(col("cs"), 6).as("cos"),
+        col("bsrc").isNotNull.as("mutual"))
+  }
+
   /** Semantic dedup over LEARNED clusters (the SemDeDup shape,
     * Abbas et al. 2023, arXiv:2303.09540): train nearest-centroid
     * clusters ([[centroids]] + [[assignToNearest]]), compare cosine

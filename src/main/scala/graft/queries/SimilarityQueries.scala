@@ -47,6 +47,9 @@ object SimilarityQueries {
     */
   private val BitextCap = 400
   private val KMargin = 4
+
+  /** E267/E268 kNN-graph degree. */
+  private val KnnK = 4
   // MMR re-ranking: λ and (1−λ) are SEPARATE literals so both engines
   // parse the same decimals to the same IEEE doubles (deriving 0.3 as
   // `1.0 - 0.7` is exact DECIMAL in DuckDB but binary double in Spark).
@@ -263,6 +266,28 @@ object SimilarityQueries {
     // Cluster-bucketed cosine near-duplicate pairs at ≥ 0.4.
     "emb_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(corpus(s, dir), NearDupThreshold)),
+
+    // E267: bucketed kNN graph — every vector's top-KnnK cosine
+    // neighbors within its coarse bucket, with the mutual (both
+    // directions) flag the symmetric graph algorithms need.
+    "emb_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(corpus(s, dir), KnnK)),
+
+    // E268: semantic components — connected components over the
+    // MUTUAL kNN edges (the graph-clustering organization of the
+    // corpus; singletons keep their own id). Same min-label CC
+    // operator as the dedup clusters (E48).
+    "emb_knn_components" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val g = Similarity.knnGraph(c, KnnK)
+      val edges = g.filter(col("mutual") && col("src_id") < col("dst_id"))
+        .select(col("src_id").as("id_a"), col("dst_id").as("id_b"))
+      val comp = graft.ext.Clusters.connectedComponents(edges)
+      c.select(col("id").as("vec_id"))
+        .join(comp, col("vec_id") === col("id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("label"), col("vec_id")).as("cluster"))
+    }),
 
     // SemDeDup: semantic dedup within LEARNED k-means clusters —
     // survivors after dropping every vector with a lower-id
@@ -1457,6 +1482,20 @@ object SimilarityQueries {
        |                           AND qt.m = c.m AND qt.cl = c.cl
        |        GROUP BY c.qid, c.id)""".stripMargin
 
+  /** E267/E268 shared CTEs: within-label scored pairs and the per-src
+    * top-KnnK set (mirrors Similarity.knnGraph exactly).
+    */
+  private lazy val knnTopCte: String =
+    s"""vv AS MATERIALIZED (SELECT vec_id AS id, label, v FROM e),
+       |ksc AS MATERIALIZED (SELECT a.id AS src, b.id AS dst,
+       |        ${cosSql("a.v", "b.v")} AS cs
+       |      FROM vv a JOIN vv b ON a.label = b.label AND a.id <> b.id),
+       |ktp AS (SELECT src, dst, cs, row_number() OVER (
+       |        PARTITION BY src ORDER BY cs DESC, dst) AS rn
+       |      FROM ksc),
+       |ktop AS MATERIALIZED (SELECT src, dst, cs, rn FROM ktp
+       |      WHERE rn <= $KnnK)""".stripMargin
+
   /** E243/E244 fixed multi-probe: rank ≤ [[MProbe]]. */
   private lazy val fixedPrqCte: String =
     s"""prq AS MATERIALIZED (SELECT qid, cpart FROM (
@@ -2327,6 +2366,35 @@ object SimilarityQueries {
            |SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank,
            |       id AS neighbor_id, adc
            |FROM rr2 WHERE rank <= $KIvf""".stripMargin),
+
+    // E267: bucketed kNN graph — within-label exact cosine, per-src
+    // top-KnnK, mutual via self-join on the top set.
+    "emb_knn_graph" ->
+      s"""$embCte,
+         |$knnTopCte
+         |SELECT t.src AS src_id, CAST(t.rn AS INTEGER) AS rank,
+         |       t.dst AS dst_id, round(t.cs, 6) AS cos,
+         |       (b.src IS NOT NULL) AS mutual
+         |FROM ktop t LEFT JOIN ktop b
+         |  ON b.src = t.dst AND b.dst = t.src""".stripMargin,
+
+    // E268: recursive reachability over the MUTUAL edge set — min
+    // reachable id == component label, singletons keep their own id.
+    "emb_knn_components" ->
+      s"""${embCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$knnTopCte,
+         |me AS (SELECT t.src AS ea, t.dst AS eb FROM ktop t
+         |       JOIN ktop b ON b.src = t.dst AND b.dst = t.src
+         |       WHERE t.src < t.dst),
+         |kedges AS (SELECT ea AS s2, eb AS d2 FROM me
+         |           UNION SELECT eb, ea FROM me),
+         |reach(id, r) AS (
+         |  SELECT s2, s2 FROM kedges
+         |  UNION
+         |  SELECT e2.s2, x.r FROM reach x JOIN kedges e2 ON e2.d2 = x.id),
+         |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+         |SELECT vv.id AS vec_id, coalesce(c.cluster, vv.id) AS cluster
+         |FROM vv LEFT JOIN comp c ON c.id = vv.id""".stripMargin,
 
     // E265: margin mining — neighborhood sums replay the heap's rank
     // order via list(cs ORDER BY rn), so the fold is bit-identical.
