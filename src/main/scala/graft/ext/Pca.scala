@@ -106,9 +106,17 @@ object Pca {
       udaf(new GramAggregator(dim), Encoders.product[VecInput])(col("vec"))
         .as("g"))
       .select(col("g.n"), col("g.sums"), col("g.prods")).head()
-    val n = g.getLong(0).toDouble
-    val sums = g.getSeq[Double](1)
-    val prods = g.getSeq[Double](2)
+    covFromMoments(g.getLong(0), g.getSeq[Double](1), g.getSeq[Double](2),
+      dim)
+  }
+
+  /** Raw moments → (means, covariance), the shared fixed-point tail of
+    * the monolithic and shard-merged paths.
+    */
+  private def covFromMoments(nL: Long, sums: Seq[Double],
+      prods: Seq[Double], dim: Int)
+      : (IndexedSeq[Double], Array[Array[Double]]) = {
+    val n = nL.toDouble
     // BigDecimal.valueOf (shortest-string double→decimal), NOT
     // BigDecimal(x) (exact binary expansion): Spark's round() and the
     // explode twin both round via valueOf semantics, and the two
@@ -124,6 +132,51 @@ object Pca {
       r6(r6(prods(triIdx(lo, hi)) / n) - m(i) * m(j))
     }
     (m, c)
+  }
+
+  /** PCA moments as a MERGEABLE SKETCH (E269, the E108/E221 sketch-
+    * algebra discipline applied to PCA): one row per shard —
+    * (shard, n, sums[d], prods[d(d+1)/2]) — raw moments, which are
+    * exactly additive. Persist the rows as parquet and tomorrow's fit
+    * touches only tomorrow's shard: merge is O(shards·d²) driver
+    * arithmetic, never a re-scan of yesterday's data. Fold-order
+    * noise (~1e-13) from summing shards instead of one pass sits far
+    * below the 6-decimal rounding grain, the same argument the Gram
+    * aggregator's own partition merges already rest on.
+    */
+  def shardMoments(vecs: DataFrame, shard: org.apache.spark.sql.Column,
+      dim: Int): DataFrame =
+    vecs.groupBy(shard.as("shard"))
+      .agg(udaf(new GramAggregator(dim), Encoders.product[VecInput])(
+        col("vec")).as("g"))
+      .select(col("shard"), col("g.n").as("n"), col("g.sums").as("sums"),
+        col("g.prods").as("prods"))
+
+  /** Merge persisted moment rows (added in shard order — deterministic)
+    * and fit: (means, top component), identical contract to [[fit]].
+    */
+  def fitFromShardMoments(moments: DataFrame, dim: Int)
+      : (IndexedSeq[Double], IndexedSeq[Double]) = {
+    val rows = moments.sort(col("shard")).collect()
+    require(rows.nonEmpty, "no moment rows to merge")
+    val tri = dim * (dim + 1) / 2
+    var n = 0L
+    val sums = new Array[Double](dim)
+    val prods = new Array[Double](tri)
+    rows.foreach { r =>
+      n += r.getAs[Long]("n")
+      val s = r.getSeq[Double](r.fieldIndex("sums"))
+      val p = r.getSeq[Double](r.fieldIndex("prods"))
+      require(s.length == dim && p.length == tri,
+        s"moment row geometry ${s.length}/${p.length} != $dim/$tri")
+      var i = 0
+      while (i < dim) { sums(i) += s(i); i += 1 }
+      var j = 0
+      while (j < tri) { prods(j) += p(j); j += 1 }
+    }
+    val (m, c) = covFromMoments(n, sums.toIndexedSeq, prods.toIndexedSeq,
+      dim)
+    (m, powerIterate(c, PowerIters))
   }
 
   /** Per-dim means (round 6) and the FULL symmetric covariance matrix

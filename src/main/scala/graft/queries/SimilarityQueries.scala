@@ -924,6 +924,25 @@ object SimilarityQueries {
       m.indices.map(d => (d, m(d), pc(d))).toDF("d", "mean", "pc1")
     }),
 
+    // E269: PCA from MERGED SHARD MOMENTS — the incremental-fit
+    // algebra (E108/E221 sketch discipline): per-shard (id % 3) raw
+    // moments persisted through parquet, merged in shard order on the
+    // driver, fitted without re-touching any shard's vectors. The
+    // oracle is the MONOLITHIC refit from raw data — the hash match
+    // IS the claim that merge loses nothing.
+    "emb_pca_merge" -> ((s, dir) => {
+      val v = corpus(s, dir).select(col("id"), col("vec"),
+        (col("id") % 3).as("sh"))
+      val momentsDir = Materialize.once(s"pca_moments:$dir", dir) { p =>
+        graft.ext.Pca.shardMoments(v, col("sh"), EmbDim)
+          .write.mode("overwrite").parquet(p)
+      }
+      val (m, pc) = graft.ext.Pca.fitFromShardMoments(
+        s.read.parquet(momentsDir), EmbDim)
+      import s.implicits._
+      m.indices.map(d => (d, m(d), pc(d))).toDF("d", "mean", "pc1")
+    }),
+
     // E232: PCA variance accounting — eigenvalue (Rayleigh quotient at
     // the fitted component, same fixed-point mat-vec as the
     // iteration), total variance (trace), explained share: the
@@ -2556,6 +2575,14 @@ object SimilarityQueries {
     // E217: the fit replayed from raw data — means, covariance, every
     // power-iteration fixed point.
     "emb_pca_top" ->
+      s"""${pcaCte(graft.ext.Pca.PowerIters)}
+         |SELECT mm.d, mm.m AS mean, pv${graft.ext.Pca.PowerIters}.val AS pc1
+         |FROM mm JOIN pv${graft.ext.Pca.PowerIters}
+         |  ON pv${graft.ext.Pca.PowerIters}.d = mm.d""".stripMargin,
+
+    // E269: the monolithic refit from raw — matching it is the
+    // merge-loses-nothing claim.
+    "emb_pca_merge" ->
       s"""${pcaCte(graft.ext.Pca.PowerIters)}
          |SELECT mm.d, mm.m AS mean, pv${graft.ext.Pca.PowerIters}.val AS pc1
          |FROM mm JOIN pv${graft.ext.Pca.PowerIters}
