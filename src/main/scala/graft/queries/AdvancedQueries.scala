@@ -256,6 +256,39 @@ object AdvancedQueries {
         .agg(sum(col("n")).as("n"), sum(col("value_cents")).as("value_cents"))
     }),
 
+    // Incremental JOIN-view maintenance (E270): the delta-join algebra
+    // every materialized join view rests on — with base tables split
+    // into old/new slices, the view update is
+    //   ΔV = ΔO ⋈ L_old  ∪  O_old ⋈ ΔL  ∪  ΔO ⋈ ΔL
+    // and V_old ∪ ΔV must equal the full recompute (the oracle IS the
+    // full join — the hash match is the maintenance-loses-nothing
+    // claim, E121's contract lifted from aggregates to joins). At
+    // 100 TB the three delta joins scan only delta-sized probe sides
+    // against partition-pruned base storage (the E222 DPP shape);
+    // yesterday's view rows are never recomputed. Raw columns only —
+    // the identity is algebraic, not arithmetic.
+    "rel_incremental_join" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val l = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"))
+      val dO = col("o_orderkey") % 10 === 7
+      val dL = col("l_orderkey") % 10 === 3
+      val (oOld, oNew) = (o.filter(!dO), o.filter(dO))
+      val (lOld, lNew) = (l.filter(!dL), l.filter(dL))
+      def j(a: DataFrame, b: DataFrame) =
+        a.join(b, col("o_orderkey") === col("l_orderkey"))
+      // localCheckpoint stands in for "yesterday's materialized view":
+      // the maintenance path reads it, never re-derives it
+      val vOld = j(oOld, lOld).localCheckpoint(false)
+      vOld.unionByName(j(oNew, lOld))
+        .unionByName(j(oOld, lNew))
+        .unionByName(j(oNew, lNew))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("l_linenumber"), col("l_partkey"), col("l_quantity"))
+    }),
+
     // Key-skew profiler (E122): the distribution of per-key group sizes
     // — the diagnostic that decides WHEN the salting/AQE tiers (E26,
     // E63, E99) are needed, shipped as an operator instead of folklore.
@@ -465,6 +498,14 @@ object AdvancedQueries {
         |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
         |         AS value_cents
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // E270: the full recompute — matching it is the delta-maintenance
+    // claim.
+    "rel_incremental_join" ->
+      """SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+        |       l.l_linenumber, l.l_partkey, l.l_quantity
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey"""
+        .stripMargin,
 
     "events_key_skew" ->
       """WITH s AS (SELECT user_id, count(*) AS sz FROM events GROUP BY 1)

@@ -561,6 +561,40 @@ object TextQueries {
             col("total_tokens").cast("double"), 6).as("coverage"))
     }),
 
+    // E271: Heaps-law vocabulary growth — cumulative total vs DISTINCT
+    // tokens at doc-count checkpoints (N/8, N/4, N/2, N in doc_id
+    // order), the corpus-diversity audit read before scaling a crawl:
+    // a flattening curve means new data is re-treading old vocabulary.
+    // Single pass: each token carries its FIRST-occurrence rank, so
+    // every checkpoint is a filter over the vocab-sized table, never a
+    // re-scan; global ranks via the E101 operator (no one-partition
+    // window). Counts are integer-exact; ttr is one exact division.
+    "docs_heaps_curve" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val n = docs.count()
+      val cps = Seq(n / 8, n / 4, n / 2, n).distinct.filter(_ >= 1)
+      import s.implicits._
+      val cp = cps.toDF("cpn")
+      val ranked = graft.operators.GlobalIndex.globalRowNumbers(docs,
+          "doc_id", s.sparkContext.defaultParallelism)
+        .localCheckpoint(false) // consumed by totals AND first-ranks
+      val tot = ranked
+        .select(col("row_num"),
+          size(split(col("text"), " ")).cast("long").as("ntok"))
+        .join(broadcast(cp), col("row_num") <= col("cpn"))
+        .groupBy("cpn").agg(sum(col("ntok")).as("total_tokens"))
+      val dis = ranked
+        .select(col("row_num"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(min(col("row_num")).as("frn"))
+        .join(broadcast(cp), col("frn") <= col("cpn"))
+        .groupBy("cpn").agg(count(lit(1)).as("distinct_tokens"))
+      tot.join(dis, "cpn")
+        .select(col("cpn").as("checkpoint_docs"), col("total_tokens"),
+          col("distinct_tokens"),
+          round(col("distinct_tokens").cast("double") /
+            col("total_tokens").cast("double"), 6).as("ttr"))
+    }),
+
     "docs_zipf_slope" -> ((s, dir) => {
       val tf = Tables.documents(s, dir)
         .select(explode(split(col("text"), " ")).as("w"))
@@ -1123,6 +1157,30 @@ object TextQueries {
          |         AS coverage
          |FROM c, tot""".stripMargin
     },
+
+    // E271: first-occurrence ranks make every checkpoint a filter over
+    // the vocab table; counts exact, one final division.
+    "docs_heaps_curve" ->
+      """WITH d AS (SELECT text, row_number() OVER (ORDER BY doc_id) AS rn
+        |           FROM documents),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |cp AS (SELECT DISTINCT cpn FROM (
+        |         SELECT unnest([n // 8, n // 4, n // 2, n]) AS cpn
+        |         FROM nn) u
+        |       WHERE cpn >= 1),
+        |dt AS (SELECT rn, CAST(len(string_split(text, ' ')) AS BIGINT)
+        |                AS ntok FROM d),
+        |tot AS (SELECT cp.cpn, CAST(sum(dt.ntok) AS BIGINT) AS total_tokens
+        |        FROM cp JOIN dt ON dt.rn <= cp.cpn GROUP BY cp.cpn),
+        |tok AS (SELECT rn, unnest(string_split(text, ' ')) AS w FROM d),
+        |fo AS (SELECT w, min(rn) AS frn FROM tok GROUP BY w),
+        |dis AS (SELECT cp.cpn, CAST(count(*) AS BIGINT) AS distinct_tokens
+        |        FROM cp JOIN fo ON fo.frn <= cp.cpn GROUP BY cp.cpn)
+        |SELECT CAST(tot.cpn AS BIGINT) AS checkpoint_docs, total_tokens,
+        |       distinct_tokens,
+        |       round(CAST(distinct_tokens AS DOUBLE) /
+        |             CAST(total_tokens AS DOUBLE), 6) AS ttr
+        |FROM tot JOIN dis ON dis.cpn = tot.cpn""".stripMargin,
 
     // Mirrors docs_zipf_slope: identical micro-nat fixed point (the
     // ln → ×1e6 → round → integer pipeline), exact HUGEINT sums, one

@@ -204,6 +204,36 @@ object StreamingPipeline {
         .mode("overwrite").partitionBy("batch_id").parquet(path)
     }
 
+  /** Streaming ANN-index maintenance (E272): a `foreachBatch` sink
+    * that appends each micro-batch of new vectors to a persisted
+    * [[graft.ext.AnnIndex]] — the streaming face of the E262
+    * incremental-append path. Idempotence needs no side ledger: the
+    * index's OWN id set is the ledger. A batch whose ids are all
+    * already indexed is a replay (at-least-once delivery after a
+    * crash between append and offset commit) and is skipped; all-new
+    * ids append; a PARTIAL overlap means a torn previous append —
+    * impossible under append's manifest-last protocol — and refuses
+    * loudly rather than guessing. At-least-once delivery becomes
+    * exactly-once index state.
+    */
+  def indexAppendSink(indexDir: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) => {
+      val spark = batch.sparkSession
+      val ids = batch.select(col("id")).localCheckpoint(false)
+      val nb = ids.count()
+      if (nb > 0) {
+        val present = ids.join(
+          graft.ext.AnnIndex.load(spark, indexDir).codes.select(col("id")),
+          "id").count()
+        if (present == 0)
+          graft.ext.AnnIndex.append(
+            batch.select(col("id"), col("vec")), indexDir)
+        else require(present == nb,
+          s"batch overlaps the index on $present of $nb ids — torn " +
+            "append state; refusing rather than double-writing")
+      }
+    }
+
   /** Streaming exact-dedup with keyed state: emit a key's record the
     * first time the key is seen, suppress replays. State per key is one
     * boolean. This is the streaming tier of exact dedup: at 100 TB/day
