@@ -847,6 +847,43 @@ object Similarity {
     * DuckDB oracle reproduces every distance bit-for-bit and ties
     * break to the smaller codeword. Output: (id, c0..c{numSub-1}).
     */
+  /** Variance-balanced dimension permutation (E273 — OPQ's cheap
+    * cousin): Ge et al. 2013 motivate the learned OPQ rotation by
+    * subspace-variance IMBALANCE — a subspace that carries most of the
+    * energy wastes the other subspaces' codebooks. The parametric
+    * shortcut is a permutation: rank dimensions by variance and DEAL
+    * them snake-wise across the numSub subspaces so each carries
+    * comparable energy — zero training cost, and L2 is EXACTLY
+    * preserved (a permutation is the cheapest orthogonal transform),
+    * so exact ground truth is unchanged and any recall delta is pure
+    * quantizer quality. Variances are 6-rounded fixed points and the
+    * rank ties break on dimension index, so the oracle re-derives the
+    * identical permutation from raw data. Returns srcAt: position j of
+    * the permuted vector reads raw dimension srcAt(j); O(d) driver
+    * state.
+    */
+  def balancedPerm(vecs: DataFrame, numSub: Int, subDim: Int)
+      : IndexedSeq[Int] = {
+    val dim = numSub * subDim
+    val dv = vecs.select(posexplode(col("vec")).as(Seq("d", "val")))
+      .groupBy("d")
+      .agg(round(
+        sum(col("val") * col("val")) / count(lit(1)) -
+          (sum(col("val")) / count(lit(1))) *
+          (sum(col("val")) / count(lit(1))), 6).as("vr"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    require(dv.length == dim, s"saw ${dv.length} dims, expected $dim")
+    val ranked = dv.sortBy { case (d, v) => (-v, d) }.map(_._1)
+    val srcAt = new Array[Int](dim)
+    ranked.zipWithIndex.foreach { case (d, k) =>
+      val block = k / numSub
+      val pos = k % numSub
+      val m = if (block % 2 == 0) pos else numSub - 1 - pos
+      srcAt(m * subDim + block) = d
+    }
+    srcAt.toIndexedSeq
+  }
+
   /** ADC (asymmetric distance computation) top-k over PQ codes — the
     * SEARCH stage that E112's encoding exists for (Jégou et al. 2011):
     * each query builds a per-subspace distance table against the

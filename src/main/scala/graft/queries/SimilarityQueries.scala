@@ -62,6 +62,58 @@ object SimilarityQueries {
       col("vec_id").as("id"), col("label").as("part"),
       Similarity.toDouble(col("embedding")).as("vec"))
 
+  /** E273: the corpus with dimensions snake-dealt by variance rank
+    * ([[Similarity.balancedPerm]] — O(d) driver state).
+    */
+  private def balancedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val perm = Similarity.balancedPerm(c, PqSubspaces, PqSubDim)
+    c.select(col("id"), col("part"),
+      array(perm.map(i => col("vec").getItem(i)): _*).as("vec"))
+  }
+
+  /** E226/E274 shared recall audit: ADC candidates come from
+    * `searchC` (raw or balanced-permuted), exact-L2 truth from the
+    * RAW corpus `c` — ids compare directly because L2 is invariant
+    * under the permutation.
+    */
+  private def adcRecallOver(c: DataFrame, searchC: DataFrame): DataFrame = {
+    val adcAll = Similarity.pqAdcTopK(searchC, PqSubspaces, PqSubDim,
+      NumQueries, K * AdcRerankMult)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .localCheckpoint(false)
+    val adcTop = adcAll.filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = c.filter(col("id") < NumQueries)
+      .select(col("id").as("qid"), col("vec").as("qv"))
+    val l2 = aggregate(
+      zip_with(col("qv"), col("vec"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val exact = q.join(c.select(col("id"), col("vec")),
+        col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), l2.as("d"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("d"), col("id"))))
+      .filter(col("rank") <= K)
+      .select(col("qid").as("query_id"), col("id").as("neighbor_id"))
+    val hits = adcTop.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("h"))
+    val candHits = adcAll.select(col("query_id"), col("neighbor_id"))
+      .join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("ch"))
+    q.select(col("qid").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .join(candHits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        round(coalesce(col("h"), lit(0L)).cast("double") /
+          lit(K.toDouble), 6).as("recall_at_k"),
+        coalesce(col("ch"), lit(0L)).as("n_cand_hits"),
+        round(coalesce(col("ch"), lit(0L)).cast("double") /
+          lit(K.toDouble), 6).as("recall_rerank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 for 10 query vectors against the whole
     // corpus: broadcast queries, map-side scoring, bounded-heap UDAF.
@@ -419,6 +471,21 @@ object SimilarityQueries {
     "emb_pq_adc_topk" -> ((s, dir) =>
       Similarity.pqAdcTopK(corpus(s, dir), PqSubspaces, PqSubDim,
         NumQueries, K)),
+
+    // E273: variance-balanced PQ (OPQ's parametric shortcut) — same
+    // ADC search over dimensions snake-dealt across subspaces by
+    // variance rank, so each subspace carries comparable energy.
+    "emb_pq_balanced" -> ((s, dir) =>
+      Similarity.pqAdcTopK(balancedCorpus(s, dir), PqSubspaces, PqSubDim,
+        NumQueries, K)),
+
+    // E274: the E226 audit over the balanced chain — exact truth over
+    // RAW vectors (L2 invariant under permutation), so the recall
+    // delta vs emb_adc_recall is pure quantizer quality.
+    "emb_pq_balanced_recall" -> ((s, dir) => {
+      val c = corpus(s, dir).localCheckpoint(false)
+      adcRecallOver(c, balancedCorpus(s, dir).localCheckpoint(false))
+    }),
 
     // SRP-bucketed near-dup pairs, exact-cosine verified: the bucketed
     // scale path beside emb_neardup's cluster-column bucketing. The
@@ -851,40 +918,7 @@ object SimilarityQueries {
     // and more codewords; the audit re-prices them every round.
     "emb_adc_recall" -> ((s, dir) => {
       val c = corpus(s, dir).localCheckpoint(false)
-      val adcAll = Similarity.pqAdcTopK(c, PqSubspaces, PqSubDim,
-        NumQueries, K * AdcRerankMult)
-        .select(col("query_id"), col("rank"), col("neighbor_id"))
-        .localCheckpoint(false)
-      val adcTop = adcAll.filter(col("rank") <= K)
-        .select(col("query_id"), col("neighbor_id"))
-      val q = c.filter(col("id") < NumQueries)
-        .select(col("id").as("qid"), col("vec").as("qv"))
-      val l2 = aggregate(
-        zip_with(col("qv"), col("vec"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
-      val exact = q.join(c.select(col("id"), col("vec")),
-          col("id") =!= col("qid"))
-        .select(col("qid"), col("id"), l2.as("d"))
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("qid")).orderBy(col("d"), col("id"))))
-        .filter(col("rank") <= K)
-        .select(col("qid").as("query_id"), col("id").as("neighbor_id"))
-      val hits = adcTop.join(exact, Seq("query_id", "neighbor_id"))
-        .groupBy("query_id").agg(count(lit(1)).as("h"))
-      val candHits = adcAll.select(col("query_id"), col("neighbor_id"))
-        .join(exact, Seq("query_id", "neighbor_id"))
-        .groupBy("query_id").agg(count(lit(1)).as("ch"))
-      q.select(col("qid").as("query_id"))
-        .join(hits, Seq("query_id"), "left")
-        .join(candHits, Seq("query_id"), "left")
-        .select(col("query_id"),
-          coalesce(col("h"), lit(0L)).as("n_hits"),
-          round(coalesce(col("h"), lit(0L)).cast("double") /
-            lit(K.toDouble), 6).as("recall_at_k"),
-          coalesce(col("ch"), lit(0L)).as("n_cand_hits"),
-          round(coalesce(col("ch"), lit(0L)).cast("double") /
-            lit(K.toDouble), 6).as("recall_rerank"))
+      adcRecallOver(c, c)
     }),
 
     // E218: per-dimension embedding statistics + dead-dimension triage
@@ -1457,6 +1491,100 @@ object SimilarityQueries {
   }
 
   private lazy val pqResidualChainCte: String = pqResidualChainSql()
+
+  /** E273 balanced chain: per-dim 6-rounded variances over the
+    * exploded x, snake-deal rank → new position np, then the standard
+    * chain over the REMAPPED dims (mirrors Similarity.balancedPerm).
+    */
+  private lazy val pqBalancedChainCte: String = {
+    val prologue =
+      s"""
+         |bdv AS (SELECT dim, round(sum(val * val) / count(*)
+         |          - (sum(val) / count(*)) * (sum(val) / count(*)), 6)
+         |          AS vr
+         |        FROM x GROUP BY dim),
+         |bprk AS (SELECT dim,
+         |           row_number() OVER (ORDER BY vr DESC, dim) - 1 AS k
+         |         FROM bdv),
+         |bpm AS (SELECT dim,
+         |          (CASE WHEN ((k // $PqSubspaces) % 2) = 0
+         |                THEN k % $PqSubspaces
+         |                ELSE $PqSubspaces - 1 - (k % $PqSubspaces) END)
+         |            * $PqSubDim + (k // $PqSubspaces) AS np
+         |        FROM bprk),
+         |xbal AS MATERIALIZED (SELECT x.vec_id,
+         |          CAST(bpm.np AS INTEGER) AS dim, x.val
+         |        FROM x JOIN bpm ON bpm.dim = x.dim),""".stripMargin
+    pqChainSql(graft.ext.Similarity.PqTrainIters, prologue, "xbal")
+  }
+
+  /** E220/E273 shared ADC top-k tail over a given PQ chain. */
+  private def adcTopKSql(chain: String): String =
+    s"""$chain,
+       |co AS (SELECT id, m, cl FROM b WHERE rn = 1),
+       |qt AS (SELECT sv.id AS qid, sv.m, cw.cl,
+       |              round(list_reduce(list_transform(generate_series(1, $PqSubDim),
+       |                i -> (sv.sv[i] - cw.cvec[i]) * (sv.sv[i] - cw.cvec[i])),
+       |                (p, q) -> p + q), 6) AS dt
+       |       FROM sv JOIN cw ON sv.m = cw.m
+       |       WHERE sv.id < $NumQueries),
+       |sc AS (SELECT qt.qid, co.id, round(sum(qt.dt), 6) AS adc
+       |       FROM co JOIN qt ON qt.m = co.m AND qt.cl = co.cl
+       |       WHERE co.id <> qt.qid
+       |       GROUP BY qt.qid, co.id),
+       |rr AS (SELECT qid, id, adc,
+       |              row_number() OVER (PARTITION BY qid
+       |                                 ORDER BY adc, id) AS rank
+       |       FROM sc)
+       |SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank,
+       |       id AS neighbor_id, adc
+       |FROM rr WHERE rank <= $K""".stripMargin
+
+  /** E226/E274 shared recall-audit tail over a given PQ chain — the
+    * exact truth always reads the RAW vectors (L2 is invariant under
+    * the balanced permutation, so neighbor ids compare directly).
+    */
+  private def adcRecallSql(chain: String): String =
+    s"""$chain,
+       |co AS (SELECT id, m, cl FROM b WHERE rn = 1),
+       |qt AS (SELECT sv.id AS qid, sv.m, cw.cl,
+       |              round(list_reduce(list_transform(generate_series(1, $PqSubDim),
+       |                i -> (sv.sv[i] - cw.cvec[i]) * (sv.sv[i] - cw.cvec[i])),
+       |                (p, q) -> p + q), 6) AS dt
+       |       FROM sv JOIN cw ON sv.m = cw.m
+       |       WHERE sv.id < $NumQueries),
+       |sc AS (SELECT qt.qid, co.id, round(sum(qt.dt), 6) AS adc
+       |       FROM co JOIN qt ON qt.m = co.m AND qt.cl = co.cl
+       |       WHERE co.id <> qt.qid
+       |       GROUP BY qt.qid, co.id),
+       |adcr AS (SELECT qid, id, rank FROM (
+       |           SELECT qid, id, row_number() OVER (PARTITION BY qid
+       |             ORDER BY adc, id) AS rank FROM sc)
+       |         WHERE rank <= ${K * AdcRerankMult}),
+       |exd AS (SELECT q.vec_id AS qid, e.vec_id AS id,
+       |               list_reduce(list_transform(generate_series(1, len(q.v)),
+       |                 i -> (q.v[i] - e.v[i]) * (q.v[i] - e.v[i])),
+       |                 (p, qq) -> p + qq) AS d
+       |        FROM e q JOIN e ON e.vec_id <> q.vec_id
+       |        WHERE q.vec_id < $NumQueries),
+       |exr AS (SELECT qid, id FROM (
+       |          SELECT qid, id, row_number() OVER (PARTITION BY qid
+       |            ORDER BY d, id) AS rank FROM exd)
+       |        WHERE rank <= $K),
+       |h AS (SELECT a.qid, count(*) AS n FROM adcr a
+       |      JOIN exr x ON x.qid = a.qid AND x.id = a.id
+       |      WHERE a.rank <= $K GROUP BY a.qid),
+       |hc AS (SELECT a.qid, count(*) AS n FROM adcr a
+       |       JOIN exr x ON x.qid = a.qid AND x.id = a.id GROUP BY a.qid)
+       |SELECT q.vec_id AS query_id,
+       |       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+       |       round(CAST(coalesce(h.n, 0) AS DOUBLE) / $K, 6) AS recall_at_k,
+       |       CAST(coalesce(hc.n, 0) AS BIGINT) AS n_cand_hits,
+       |       round(CAST(coalesce(hc.n, 0) AS DOUBLE) / $K, 6)
+       |         AS recall_rerank
+       |FROM (SELECT DISTINCT vec_id FROM e WHERE vec_id < $NumQueries) q
+       |LEFT JOIN h ON h.qid = q.vec_id
+       |LEFT JOIN hc ON hc.qid = q.vec_id""".stripMargin
 
   /** Residual IVF-PQ search CTEs shared by the E243/E244 fixed-probe
     * rows and the E258/E259 adaptive rows: probe cell list (the one
@@ -2032,26 +2160,14 @@ object SimilarityQueries {
 
     // E220: same codebook/code chain, then per-query distance tables
     // (6-rounded) and the lookup-sum ranking.
-    "emb_pq_adc_topk" ->
-      s"""$pqChainCte,
-         |co AS (SELECT id, m, cl FROM b WHERE rn = 1),
-         |qt AS (SELECT sv.id AS qid, sv.m, cw.cl,
-         |              round(list_reduce(list_transform(generate_series(1, $PqSubDim),
-         |                i -> (sv.sv[i] - cw.cvec[i]) * (sv.sv[i] - cw.cvec[i])),
-         |                (p, q) -> p + q), 6) AS dt
-         |       FROM sv JOIN cw ON sv.m = cw.m
-         |       WHERE sv.id < $NumQueries),
-         |sc AS (SELECT qt.qid, co.id, round(sum(qt.dt), 6) AS adc
-         |       FROM co JOIN qt ON qt.m = co.m AND qt.cl = co.cl
-         |       WHERE co.id <> qt.qid
-         |       GROUP BY qt.qid, co.id),
-         |rr AS (SELECT qid, id, adc,
-         |              row_number() OVER (PARTITION BY qid
-         |                                 ORDER BY adc, id) AS rank
-         |       FROM sc)
-         |SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank,
-         |       id AS neighbor_id, adc
-         |FROM rr WHERE rank <= $K""".stripMargin,
+    "emb_pq_adc_topk" -> adcTopKSql(pqChainCte),
+
+    // E273: identical search tail over the variance-balanced chain.
+    "emb_pq_balanced" -> adcTopKSql(pqBalancedChainCte),
+
+    // E274: identical recall audit over the balanced chain — exact
+    // truth reads RAW vectors (L2 is permutation-invariant).
+    "emb_pq_balanced_recall" -> adcRecallSql(pqBalancedChainCte),
 
     "emb_srp_sig" ->
       s"""$srpSigCte
@@ -2515,47 +2631,7 @@ object SimilarityQueries {
     // E226: same ADC chain as E220 ranked to the rerank horizon, exact
     // L2 ranking over raw vectors (same left-fold), per-query
     // intersections at both cutoffs — fully value-checked.
-    "emb_adc_recall" ->
-      s"""$pqChainCte,
-         |co AS (SELECT id, m, cl FROM b WHERE rn = 1),
-         |qt AS (SELECT sv.id AS qid, sv.m, cw.cl,
-         |              round(list_reduce(list_transform(generate_series(1, $PqSubDim),
-         |                i -> (sv.sv[i] - cw.cvec[i]) * (sv.sv[i] - cw.cvec[i])),
-         |                (p, q) -> p + q), 6) AS dt
-         |       FROM sv JOIN cw ON sv.m = cw.m
-         |       WHERE sv.id < $NumQueries),
-         |sc AS (SELECT qt.qid, co.id, round(sum(qt.dt), 6) AS adc
-         |       FROM co JOIN qt ON qt.m = co.m AND qt.cl = co.cl
-         |       WHERE co.id <> qt.qid
-         |       GROUP BY qt.qid, co.id),
-         |adcr AS (SELECT qid, id, rank FROM (
-         |           SELECT qid, id, row_number() OVER (PARTITION BY qid
-         |             ORDER BY adc, id) AS rank FROM sc)
-         |         WHERE rank <= ${K * AdcRerankMult}),
-         |exd AS (SELECT q.vec_id AS qid, e.vec_id AS id,
-         |               list_reduce(list_transform(generate_series(1, len(q.v)),
-         |                 i -> (q.v[i] - e.v[i]) * (q.v[i] - e.v[i])),
-         |                 (p, qq) -> p + qq) AS d
-         |        FROM e q JOIN e ON e.vec_id <> q.vec_id
-         |        WHERE q.vec_id < $NumQueries),
-         |exr AS (SELECT qid, id FROM (
-         |          SELECT qid, id, row_number() OVER (PARTITION BY qid
-         |            ORDER BY d, id) AS rank FROM exd)
-         |        WHERE rank <= $K),
-         |h AS (SELECT a.qid, count(*) AS n FROM adcr a
-         |      JOIN exr x ON x.qid = a.qid AND x.id = a.id
-         |      WHERE a.rank <= $K GROUP BY a.qid),
-         |hc AS (SELECT a.qid, count(*) AS n FROM adcr a
-         |       JOIN exr x ON x.qid = a.qid AND x.id = a.id GROUP BY a.qid)
-         |SELECT q.vec_id AS query_id,
-         |       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
-         |       round(CAST(coalesce(h.n, 0) AS DOUBLE) / $K, 6) AS recall_at_k,
-         |       CAST(coalesce(hc.n, 0) AS BIGINT) AS n_cand_hits,
-         |       round(CAST(coalesce(hc.n, 0) AS DOUBLE) / $K, 6)
-         |         AS recall_rerank
-         |FROM (SELECT DISTINCT vec_id FROM e WHERE vec_id < $NumQueries) q
-         |LEFT JOIN h ON h.qid = q.vec_id
-         |LEFT JOIN hc ON hc.qid = q.vec_id""".stripMargin,
+    "emb_adc_recall" -> adcRecallSql(pqChainCte),
 
     // E218: same explode + fixed-point moment arithmetic.
     "emb_dim_stats" ->
