@@ -933,6 +933,35 @@ object CurationQueries {
           min(col("sort_key")).as("min_key"),
           max(col("sort_key")).as("max_key"),
           sum(col("doc_id")).as("id_checksum"))
+    }),
+
+    // E275: token-BALANCED shard assignment — E188's hash sharding is
+    // uniform in DOC COUNT but skewed in TOKENS when lengths are; the
+    // training-shard contract is equal token work per shard. Snake
+    // deal by token-size rank (the distributed LPT approximation:
+    // longest docs spread first, direction alternating per block so no
+    // shard always gets the block's largest): global ranks via E101,
+    // never a one-partition window. rel_load = shard tokens over the
+    // perfect-balance mean; ShardBalanceSpec pins snake ≤ hash spread.
+    "docs_shard_balance" -> ((s, dir) => {
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("sk",
+          struct((-col("n_tok")).as("neg"), col("doc_id").as("id")))
+      val ranked = graft.operators.GlobalIndex.globalRowNumbers(t, "sk",
+        s.sparkContext.defaultParallelism)
+      val pos = expr(s"(row_num - 1) % $EpochShards")
+      val shard = when(expr(s"((row_num - 1) div $EpochShards) % 2") === 0,
+        pos).otherwise(lit(EpochShards - 1) - pos)
+      val g = ranked.withColumn("shard", shard.cast("long"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      val mean = sum(col("n_tokens")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(1)))
+        .cast("double") / lit(EpochShards.toDouble)
+      g.select(col("shard"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / mean, 6).as("rel_load"))
     }))
 
   /** The E205 leakage-safe assignment as a reusable frame
@@ -2165,7 +2194,33 @@ object CurationQueries {
          |       min(sort_key) AS min_key,
          |       max(sort_key) AS max_key,
          |       CAST(sum(doc_id) AS BIGINT) AS id_checksum
-         |FROM h GROUP BY 1""".stripMargin)
+         |FROM h GROUP BY 1""".stripMargin,
+
+    // E275: snake deal by token rank, perfect-balance mean ratio.
+    "docs_shard_balance" ->
+      s"""WITH t AS (SELECT doc_id,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |           FROM documents),
+         |r AS (SELECT doc_id, n_tok,
+         |             row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1
+         |               AS k
+         |      FROM t),
+         |a AS (SELECT n_tok,
+         |             CASE WHEN ((k // $EpochShards) % 2) = 0
+         |                  THEN k % $EpochShards
+         |                  ELSE ${EpochShards - 1} - (k % $EpochShards) END
+         |               AS shard
+         |      FROM r),
+         |g AS (SELECT CAST(shard AS BIGINT) AS shard,
+         |             count(*) AS n_docs,
+         |             CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |      FROM a GROUP BY shard),
+         |m AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM g)
+         |SELECT shard, n_docs, n_tokens,
+         |       round(CAST(n_tokens AS DOUBLE) /
+         |             (CAST((SELECT tt FROM m) AS DOUBLE)
+         |                / ${EpochShards}.0), 6) AS rel_load
+         |FROM g""".stripMargin)
 
   /** The TextOps.qualityScore formula over the `ws` token list (same
     * fragment shape as the TextQueries oracles — guarded CASE, same
