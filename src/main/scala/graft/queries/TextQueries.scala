@@ -595,6 +595,35 @@ object TextQueries {
             col("total_tokens").cast("double"), 6).as("ttr"))
     }),
 
+    // E276: the 100 TB tier of the Heaps curve — at scale the exact
+    // vocabulary no longer fits a groupBy, so distinct tokens per
+    // checkpoint come from the HLL sketch (E28's estimator over token
+    // hashes, duplicates welcome), with the E66 machine-checked-claim
+    // discipline: the gate row emits the EXACT count (replayable) and
+    // a within-tolerance verdict the oracle pins to true — if the
+    // estimator drifts out of its band, the hash match breaks loudly.
+    "docs_heaps_hll" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val n = docs.count()
+      val cps = Seq(n / 8, n / 4, n / 2, n).distinct.filter(_ >= 1)
+      import s.implicits._
+      val cp = cps.toDF("cpn")
+      val toks = graft.operators.GlobalIndex.globalRowNumbers(docs,
+          "doc_id", s.sparkContext.defaultParallelism)
+        .select(col("row_num"), explode(split(col("text"), " ")).as("w"))
+        .localCheckpoint(false) // consumed by the exact AND sketch tiers
+      val dis = toks.groupBy("w").agg(min(col("row_num")).as("frn"))
+        .join(broadcast(cp), col("frn") <= col("cpn"))
+        .groupBy("cpn").agg(count(lit(1)).as("exact_distinct"))
+      val est = toks.join(broadcast(cp), col("row_num") <= col("cpn"))
+        .groupBy("cpn")
+        .agg(graft.ext.Sketches.hllDistinct(xxhash64(col("w"))).as("est"))
+      dis.join(est, "cpn")
+        .select(col("cpn").as("checkpoint_docs"), col("exact_distinct"),
+          (abs(col("est") - col("exact_distinct")) /
+            col("exact_distinct") < 0.05).as("within_tol"))
+    }),
+
     "docs_zipf_slope" -> ((s, dir) => {
       val tf = Tables.documents(s, dir)
         .select(explode(split(col("text"), " ")).as("w"))
@@ -1157,6 +1186,23 @@ object TextQueries {
          |         AS coverage
          |FROM c, tot""".stripMargin
     },
+
+    // E276: exact distinct replayed, verdict pinned true (E66 pattern).
+    "docs_heaps_hll" ->
+      """WITH d AS (SELECT text, row_number() OVER (ORDER BY doc_id) AS rn
+        |           FROM documents),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |cp AS (SELECT DISTINCT cpn FROM (
+        |         SELECT unnest([n // 8, n // 4, n // 2, n]) AS cpn
+        |         FROM nn) u
+        |       WHERE cpn >= 1),
+        |tok AS (SELECT rn, unnest(string_split(text, ' ')) AS w FROM d),
+        |fo AS (SELECT w, min(rn) AS frn FROM tok GROUP BY w)
+        |SELECT CAST(cp.cpn AS BIGINT) AS checkpoint_docs,
+        |       CAST(count(*) AS BIGINT) AS exact_distinct,
+        |       true AS within_tol
+        |FROM cp JOIN fo ON fo.frn <= cp.cpn
+        |GROUP BY cp.cpn""".stripMargin,
 
     // E271: first-occurrence ranks make every checkpoint a filter over
     // the vocab table; counts exact, one final division.
