@@ -325,6 +325,20 @@ object SimilarityQueries {
     "emb_knn_graph" -> ((s, dir) =>
       Similarity.knnGraph(corpus(s, dir), KnnK)),
 
+    // E277: the graph over ADAPTIVE buckets (k grows with N, expected
+    // population constant) — the scale knob the E267 witness slope
+    // attribution named, now a registered row instead of a sentence.
+    "emb_knn_graph_adaptive" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val asg = Similarity.adaptiveClusters(c, AdaptiveTargetPop,
+          AdaptiveIters)
+        .select(col("id").as("aid"), col("assigned"))
+      Similarity.knnGraph(
+        c.join(asg, col("id") === col("aid"))
+          .select(col("id"), col("assigned").as("part"), col("vec")),
+        KnnK)
+    }),
+
     // E268: semantic components — connected components over the
     // MUTUAL kNN edges (the graph-clustering organization of the
     // corpus; singletons keep their own id). Same min-label CC
@@ -1629,11 +1643,13 @@ object SimilarityQueries {
        |                           AND qt.m = c.m AND qt.cl = c.cl
        |        GROUP BY c.qid, c.id)""".stripMargin
 
-  /** E267/E268 shared CTEs: within-label scored pairs and the per-src
-    * top-KnnK set (mirrors Similarity.knnGraph exactly).
+  /** E267/E268/E277 shared CTEs: within-bucket scored pairs and the
+    * per-src top-KnnK set (mirrors Similarity.knnGraph exactly);
+    * `vvSelect` provides (id, label, v) — fixture labels or the
+    * adaptive assignment.
     */
-  private lazy val knnTopCte: String =
-    s"""vv AS MATERIALIZED (SELECT vec_id AS id, label, v FROM e),
+  private def knnTopCtesFrom(vvSelect: String): String =
+    s"""vv AS MATERIALIZED ($vvSelect),
        |ksc AS MATERIALIZED (SELECT a.id AS src, b.id AS dst,
        |        ${cosSql("a.v", "b.v")} AS cs
        |      FROM vv a JOIN vv b ON a.label = b.label AND a.id <> b.id),
@@ -1642,6 +1658,17 @@ object SimilarityQueries {
        |      FROM ksc),
        |ktop AS MATERIALIZED (SELECT src, dst, cs, rn FROM ktp
        |      WHERE rn <= $KnnK)""".stripMargin
+
+  private lazy val knnTopCte: String =
+    knnTopCtesFrom("SELECT vec_id AS id, label, v FROM e")
+
+  /** Shared edge-emit tail for the kNN-graph rows. */
+  private val knnGraphSelectSql: String =
+    s"""SELECT t.src AS src_id, CAST(t.rn AS INTEGER) AS rank,
+       |       t.dst AS dst_id, round(t.cs, 6) AS cos,
+       |       (b.src IS NOT NULL) AS mutual
+       |FROM ktop t LEFT JOIN ktop b
+       |  ON b.src = t.dst AND b.dst = t.src""".stripMargin
 
   /** E243/E244 fixed multi-probe: rank ≤ [[MProbe]]. */
   private lazy val fixedPrqCte: String =
@@ -2507,11 +2534,16 @@ object SimilarityQueries {
     "emb_knn_graph" ->
       s"""$embCte,
          |$knnTopCte
-         |SELECT t.src AS src_id, CAST(t.rn AS INTEGER) AS rank,
-         |       t.dst AS dst_id, round(t.cs, 6) AS cos,
-         |       (b.src IS NOT NULL) AS mutual
-         |FROM ktop t LEFT JOIN ktop b
-         |  ON b.src = t.dst AND b.dst = t.src""".stripMargin,
+         |$knnGraphSelectSql""".stripMargin,
+
+    // E277: the same graph over the ADAPTIVE assignment — the knob the
+    // witness named for holding bucket populations (and the slope)
+    // constant as N grows.
+    "emb_knn_graph_adaptive" ->
+      s"""$embCte,
+         |$adaptiveCte,
+         |${knnTopCtesFrom("SELECT id, cell AS label, v FROM aj")}
+         |$knnGraphSelectSql""".stripMargin,
 
     // E268: recursive reachability over the MUTUAL edge set — min
     // reachable id == component label, singletons keep their own id.
