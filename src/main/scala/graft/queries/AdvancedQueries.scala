@@ -289,6 +289,22 @@ object AdvancedQueries {
           col("l_linenumber"), col("l_partkey"), col("l_quantity"))
     }),
 
+    // MERGE INTO (E278): the lakehouse upsert primitive as one
+    // full-outer join — target = o_orderkey % 4 ≠ 3, source delta =
+    // odd keys with an updated price (+10.0) and a re-tagged priority,
+    // keys ≡ 5 (mod 8) flagged as deletes. The oracle derives the same
+    // result as a three-branch kept/updated/inserted UNION — two
+    // independent formulations of MERGE, one truth.
+    "rel_merge_upsert" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val target = o.filter(col("o_orderkey") % 4 =!= 3)
+      val source = o.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+        .withColumn("o_orderpriority", lit("X-MERGED"))
+        .withColumn("is_delete", col("o_orderkey") % 8 === 5)
+      graft.operators.MergeInto(target, source, "o_orderkey", "is_delete")
+    }),
+
     // Key-skew profiler (E122): the distribution of per-key group sizes
     // — the diagnostic that decides WHEN the salting/AQE tiers (E26,
     // E63, E99) are needed, shipped as an operator instead of folklore.
@@ -498,6 +514,29 @@ object AdvancedQueries {
         |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
         |         AS value_cents
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // E278: independent three-branch derivation of MERGE.
+    "rel_merge_upsert" ->
+      """WITH tgt AS (SELECT * FROM orders WHERE o_orderkey % 4 <> 3),
+        |src AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |               o_totalprice + 10.0 AS o_totalprice, o_orderdate,
+        |               'X-MERGED' AS o_orderpriority,
+        |               (o_orderkey % 8 = 5) AS del
+        |        FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus,
+        |       t.o_totalprice, t.o_orderdate, t.o_orderpriority
+        |FROM tgt t LEFT JOIN src ON src.o_orderkey = t.o_orderkey
+        |WHERE src.o_orderkey IS NULL
+        |UNION ALL
+        |SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus,
+        |       s.o_totalprice, s.o_orderdate, s.o_orderpriority
+        |FROM src s JOIN tgt ON tgt.o_orderkey = s.o_orderkey
+        |WHERE NOT s.del
+        |UNION ALL
+        |SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus,
+        |       s.o_totalprice, s.o_orderdate, s.o_orderpriority
+        |FROM src s LEFT JOIN tgt ON tgt.o_orderkey = s.o_orderkey
+        |WHERE tgt.o_orderkey IS NULL AND NOT s.del""".stripMargin,
 
     // E270: the full recompute — matching it is the delta-maintenance
     // claim.
