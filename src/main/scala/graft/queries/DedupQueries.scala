@@ -378,6 +378,67 @@ object DedupQueries {
             - col("jaccard")) <= lit(MinHashTolerance)).as("within_tol"))
     }),
 
+    // E279: dedup-tier ROBUSTNESS matrix — which tier still catches a
+    // duplicate under which edit? Four deterministic perturbations of
+    // a doc slice (case-fold, every-7th-word drop, full word reversal,
+    // 80% prefix truncation) scored against five tier predicates
+    // applied to the KNOWN (original, perturbed) pairs — a semantic
+    // audit of the tiers themselves, no candidate stage to confound
+    // it. This is the tier-selection table a dedup deployment reads:
+    // exact dies to any edit, the normalized fingerprint only forgives
+    // case/punct, SimHash forgives word order (bag of words), 3-gram
+    // Jaccard forgives sparse drops but not reordering, containment
+    // forgives truncation.
+    "docs_dedup_robustness" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text").as("t0"),
+          split(col("text"), " ").as("ws0"))
+      def pj(c: org.apache.spark.sql.Column) = array_join(c, " ")
+      val perts = array(
+        struct(lit("case").as("pert"), upper(col("t0")).as("t1")),
+        struct(lit("drop7").as("pert"),
+          pj(filter(col("ws0"), (_, i) => i % 7 =!= 3)).as("t1")),
+        struct(lit("reverse").as("pert"),
+          pj(reverse(col("ws0"))).as("t1")),
+        struct(lit("trunc80").as("pert"),
+          pj(slice(col("ws0"), lit(1),
+            greatest(lit(1), expr("(4 * size(ws0)) div 5")))).as("t1")))
+      def sh3(ws: org.apache.spark.sql.Column,
+          t: org.apache.spark.sql.Column) =
+        when(size(ws) >= 3, array_distinct(
+          transform(sequence(lit(1), size(ws) - 2), i =>
+            concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+              element_at(ws, i + 2)))))
+          .otherwise(array(t))
+      val p = base.select(col("doc_id"), col("t0"), col("ws0"),
+          explode(perts).as("p"))
+        .select(col("doc_id"), col("p.pert").as("pert"),
+          col("t0"), col("ws0"), col("p.t1").as("t1"),
+          split(col("p.t1"), " ").as("ws1"))
+        .withColumn("s0", sh3(col("ws0"), col("t0")))
+        .withColumn("s1", sh3(col("ws1"), col("t1")))
+      val inter = size(array_intersect(col("s0"), col("s1")))
+        .cast("double")
+      val caught = Map(
+        "caught_exact" -> (md5(col("t0")) === md5(col("t1"))),
+        "caught_fingerprint" -> (graft.ext.TextOps.fingerprint(col("t0")) ===
+          graft.ext.TextOps.fingerprint(col("t1"))),
+        "caught_jaccard3" -> (inter /
+          size(array_distinct(concat(col("s0"), col("s1"))))
+            .cast("double") >= JaccardThreshold),
+        "caught_simhash" -> (bit_count(Dedup.simhash(col("ws0"))
+          .bitwiseXOR(Dedup.simhash(col("ws1")))) <= MaxHamming),
+        "caught_containment" -> (inter /
+          least(size(col("s0")), size(col("s1"))).cast("double")
+          >= ContainmentThreshold))
+      p.groupBy("pert")
+        .agg(count(lit(1)).as("n_docs"),
+          caught.toSeq.sortBy(_._1).map { case (n, c) =>
+            sum(when(c, 1L).otherwise(0L)).as(n)
+          }: _*)
+    }),
+
     // E266: LSH banding-parameter PLANNER — the design-time companion
     // to E203's measured banding recall. For every factorization of
     // the production 32-signature budget, the S-curve
@@ -537,17 +598,19 @@ object DedupQueries {
     * bit j = bit (3−j%4) of hex nibble j/4 of md5(token), nibble value
     * via strpos into the hex alphabet — same integer as Spark's conv).
     */
-  private val simhashExpr: String = {
+  private def simhashExprOn(ws: String): String = {
     def contrib(j: Int): String = {
       val pos = j / 4 + 1; val sh = 3 - j % 4
       s"((((strpos('0123456789abcdef', substr(md5(w), $pos, 1)) - 1) >> $sh) & 1) * 2 - 1)"
     }
     val terms = (0 until Dedup.SimhashBits).map { j =>
-      s"""CASE WHEN list_sum(list_transform(ws, w -> ${contrib(j)})) >= 0
+      s"""CASE WHEN list_sum(list_transform($ws, w -> ${contrib(j)})) >= 0
          |  THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END""".stripMargin
     }
     terms.mkString("(", " + ", ")")
   }
+
+  private val simhashExpr: String = simhashExprOn("ws")
 
   private val simhashCte =
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -737,6 +800,59 @@ object DedupQueries {
 
     // Exact all-pairs Jaccard — independent of the LSH implementation.
     "docs_dedup_near" -> jaccardPairsSql(wordShCte),
+
+    // E279: the same five tier predicates over the same four
+    // deterministic perturbations (DuckDB lambda index is 1-based,
+    // hence the i - 1).
+    "docs_dedup_robustness" -> {
+      def sh3(ws: String, t: String) =
+        s"""CASE WHEN len($ws) >= 3
+           |     THEN list_distinct(list_transform(
+           |            generate_series(1, len($ws) - 2),
+           |            i -> $ws[i] || ' ' || $ws[i+1] || ' ' || $ws[i+2]))
+           |     ELSE [$t] END""".stripMargin
+      def fp(t: String) =
+        s"substr(md5(trim(regexp_replace(lower($t), '[^a-z0-9]+', ' ', 'g'))), 1, 16)"
+      s"""WITH b AS (SELECT doc_id, text AS t0,
+         |             string_split(text, ' ') AS ws0
+         |           FROM documents WHERE doc_id % 10 = 0),
+         |p AS (
+         |  SELECT doc_id, t0, ws0, 'case' AS pert, upper(t0) AS t1 FROM b
+         |  UNION ALL
+         |  SELECT doc_id, t0, ws0, 'drop7',
+         |         array_to_string(list_filter(ws0,
+         |           (w, i) -> (i - 1) % 7 <> 3), ' ') FROM b
+         |  UNION ALL
+         |  SELECT doc_id, t0, ws0, 'reverse',
+         |         array_to_string(list_reverse(ws0), ' ') FROM b
+         |  UNION ALL
+         |  SELECT doc_id, t0, ws0, 'trunc80',
+         |         array_to_string(ws0[1 : greatest(1, (4 * len(ws0)) // 5)],
+         |           ' ') FROM b),
+         |q AS (SELECT doc_id, pert, t0, t1, ws0,
+         |             string_split(t1, ' ') AS ws1,
+         |             ${sh3("ws0", "t0")} AS s0
+         |      FROM p),
+         |q2 AS (SELECT q.*, ${sh3("ws1", "t1")} AS s1,
+         |              CAST(${simhashExprOn("ws0")} AS BIGINT) AS sim0,
+         |              CAST(${simhashExprOn("ws1")} AS BIGINT) AS sim1
+         |       FROM q)
+         |SELECT pert, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN len(list_intersect(s0, s1))::DOUBLE /
+         |              least(len(s0), len(s1)) >= $ContainmentThreshold
+         |            THEN 1 ELSE 0 END) AS BIGINT) AS caught_containment,
+         |       CAST(sum(CASE WHEN md5(t0) = md5(t1) THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS caught_exact,
+         |       CAST(sum(CASE WHEN ${fp("t0")} = ${fp("t1")}
+         |            THEN 1 ELSE 0 END) AS BIGINT) AS caught_fingerprint,
+         |       CAST(sum(CASE WHEN len(list_intersect(s0, s1))::DOUBLE /
+         |              len(list_distinct(list_concat(s0, s1)))
+         |              >= $JaccardThreshold
+         |            THEN 1 ELSE 0 END) AS BIGINT) AS caught_jaccard3,
+         |       CAST(sum(CASE WHEN bit_count(xor(sim0, sim1)) <= $MaxHamming
+         |            THEN 1 ELSE 0 END) AS BIGINT) AS caught_simhash
+         |FROM q2 GROUP BY pert""".stripMargin
+    },
 
     // E266: S-curves with unrolled powers over the exact pair
     // similarities; DECIMAL(20,9) sums make the mean order-free.
