@@ -172,6 +172,38 @@ object CdcQueries {
         .filter(col("op") =!= "d")
     }),
 
+    // CDC MERGE apply (E280): the Debezium→lakehouse materialization —
+    // a base snapshot (latest state before the cutoff, tombstones
+    // dropped) brought current by MERGE-applying the compacted
+    // post-cutoff delta (latest op per entity; 'd' → delete flag)
+    // through the E278 operator. The algebra under every incremental
+    // table-materialization job: merge-of-compacts MUST equal the
+    // full-stream compact — so the oracle IS cdc_compact's oracle,
+    // and the hash match proves the incremental path loses nothing.
+    // At scale only the delta is re-scanned; the snapshot is
+    // yesterday's table.
+    "cdc_merge_apply" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir).select(
+        col("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("event_id"),
+        Envelopes.opExpr(col("event_type")).as("op"),
+        floor(col("value") * 100).cast("long").as("value_cents"))
+      val cutoff = lit("2024-01-25").cast("timestamp")
+      def latest(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("user_id")
+          .agg(max(struct(col("ts"), col("event_id"), col("op"),
+            col("value_cents"))).as("last"))
+          .select(col("user_id"), col("last.ts").as("ts"),
+            col("last.event_id").as("event_id"), col("last.op").as("op"),
+            col("last.value_cents").as("value_cents"))
+      val target = latest(ev.filter(col("ts") < cutoff))
+        .filter(col("op") =!= "d")
+      val delta = latest(ev.filter(col("ts") >= cutoff))
+        .withColumn("is_delete", col("op") === "d")
+      graft.operators.MergeInto(target, delta, "user_id", "is_delete")
+    }),
+
     // Snapshot diff / reconciliation (E113): the same change stream
     // compacted to latest-state views at two cutoffs, FULL OUTER joined
     // on the entity key → added / removed / changed rows; identical
@@ -298,6 +330,23 @@ object CdcQueries {
     .map { case (t, k, v) => s"('${sqq(t)}','${sqq(k)}','${sqq(v)}')" }
     .mkString(", ")
 
+  /** Full-stream latest-state compaction — shared by cdc_compact and
+    * the E280 merge-apply row (merge-of-compacts == full compact is
+    * the claim the shared oracle checks).
+    */
+  private val cdcCompactSql: String =
+    """WITH labeled AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |         CASE event_type WHEN 'signup' THEN 'c' WHEN 'purchase' THEN 'u'
+      |                         WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+      |         CAST(floor(value * 100) AS BIGINT) AS value_cents
+      |  FROM events),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |                                   ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM labeled)
+      |SELECT user_id, ts, event_id, op, value_cents
+      |FROM r WHERE rn = 1 AND op <> 'd'""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "cdc_parse" ->
       s"$parsedCte SELECT topic, key, op, db, tbl FROM parsed",
@@ -374,18 +423,11 @@ object CdcQueries {
          |GROUP BY 1""".stripMargin
     },
 
-    "cdc_compact" ->
-      """WITH labeled AS (
-        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
-        |         CASE event_type WHEN 'signup' THEN 'c' WHEN 'purchase' THEN 'u'
-        |                         WHEN 'error' THEN 'd' ELSE 'u' END AS op,
-        |         CAST(floor(value * 100) AS BIGINT) AS value_cents
-        |  FROM events),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
-        |                                   ORDER BY ts DESC, event_id DESC) AS rn
-        |      FROM labeled)
-        |SELECT user_id, ts, event_id, op, value_cents
-        |FROM r WHERE rn = 1 AND op <> 'd'""".stripMargin,
+    "cdc_compact" -> cdcCompactSql,
+
+    // E280: the SAME truth — merge-of-compacts must equal the
+    // full-stream compact.
+    "cdc_merge_apply" -> cdcCompactSql,
 
     "cdc_snapshot_diff" ->
       """WITH labeled AS (
