@@ -175,6 +175,31 @@ object Curation {
       regexp_replace(c, pat, repl)
     }
 
+  /** Luhn mod-10 sum over a digit string (E281): from the RIGHTMOST
+    * digit, every second digit doubles (minus 9 when that exceeds 9).
+    * `offset` shifts the doubling parity — 0 validates a complete
+    * number, 1 computes the sum of a prefix whose check digit is about
+    * to be appended (the append shifts every prefix digit one position
+    * left). The 16-element HOF fold is audit-tier arithmetic, not a
+    * hot-path kernel.
+    */
+  def luhnSum(digits: Column, offset: Int): Column =
+    aggregate(sequence(lit(1), length(digits)), lit(0), (acc, i) => {
+      val d = element_at(split(reverse(digits), ""), i).cast("int")
+      acc + when((i + offset) % 2 === 0,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+
+  /** True iff `digits` passes the Luhn checksum — the validation that
+    * separates a card number from any other 16-digit run, i.e. the
+    * false-positive killer the regex tier (<NUM>) cannot provide.
+    */
+  def luhnValid(digits: Column): Column = luhnSum(digits, 0) % 10 === 0
+
+  /** The check digit that makes `prefix ++ digit` Luhn-valid. */
+  def luhnCheckDigit(prefix: Column): Column =
+    (lit(10) - luhnSum(prefix, 1) % 10) % 10
+
   /** URL canonicalization — the first step of crawl dedup (two fetches
     * of one page must collapse BEFORE content dedup ever runs):
     * lowercase scheme+host, strip default ports (:80/:443), drop the

@@ -187,6 +187,30 @@ object CurationQueries {
     // Curation.PiiPatterns list, so the two can never drift) with
     // DuckDB's RE2 engine: the patterns deliberately use only the
     // Java∩RE2 dialect subset, and a hash match here proves it.
+    // E281: Luhn-validated card-number detection — the checksum tier
+    // above the regex tier: a 16-digit run is only PII-classified when
+    // the Luhn mod-10 check passes, killing the false positives a
+    // bare [0-9]{16} rule floods a web corpus with. Planted numbers:
+    // a deterministic 15-digit prefix per doc; even doc_ids get the
+    // true check digit (valid), odd get check+5 mod 10 (provably
+    // invalid). detected_correctly pins classifier == plant parity in
+    // BOTH engines; LuhnSpec adds the textbook vectors
+    // (4111111111111111, 79927398713) for independence from the
+    // shared formula.
+    "docs_pii_luhn" -> ((s, dir) => {
+      val prefix = lpad(((col("doc_id") * 2654435761L) %
+        1000000000000000L).cast("string"), 15, "0")
+      val check = Curation.luhnCheckDigit(prefix)
+      val digit = when(col("doc_id") % 2 === 0, check)
+        .otherwise((check + 5) % 10)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(prefix, digit.cast("string")).as("card"))
+        .withColumn("luhn_valid", Curation.luhnValid(col("card")))
+        .withColumn("detected_correctly",
+          col("luhn_valid") === (col("doc_id") % 2 === 0))
+    }),
+
     "docs_pii_redact" -> ((s, dir) => {
       val planted = concat_ws(" ",
         substring(col("text"), 1, 40),
@@ -1745,6 +1769,37 @@ object CurationQueries {
          |            WHEN bullet_frac >= CAST(0.5 AS DOUBLE) THEN 'list'
          |            ELSE 'prose' END AS tag
          |FROM g""".stripMargin,
+
+    // E281: same modular arithmetic, independently expressed.
+    "docs_pii_luhn" -> {
+      def luhn(d: String, off: Int) =
+        s"""list_reduce(list_transform(
+           |    generate_series(1, CAST(len($d) AS INTEGER)), i ->
+           |  CASE WHEN (i + $off) % 2 = 0
+           |       THEN CASE WHEN 2 * CAST(reverse($d)[i] AS INTEGER) > 9
+           |                 THEN 2 * CAST(reverse($d)[i] AS INTEGER) - 9
+           |                 ELSE 2 * CAST(reverse($d)[i] AS INTEGER) END
+           |       ELSE CAST(reverse($d)[i] AS INTEGER) END),
+           |  (p, q) -> p + q)""".stripMargin
+      s"""WITH lp AS (SELECT doc_id,
+         |              lpad(CAST((doc_id * 2654435761) % 1000000000000000
+         |                AS VARCHAR), 15, '0') AS pre
+         |            FROM documents),
+         |lc AS (SELECT doc_id, pre,
+         |              (10 - ${luhn("pre", 1)} % 10) % 10 AS chk
+         |       FROM lp),
+         |ld AS (SELECT doc_id,
+         |              pre || CAST(CASE WHEN doc_id % 2 = 0 THEN chk
+         |                               ELSE (chk + 5) % 10 END
+         |                AS VARCHAR) AS card
+         |       FROM lc),
+         |lv AS (SELECT doc_id, card,
+         |              (${luhn("card", 0)} % 10 = 0) AS luhn_valid
+         |       FROM ld)
+         |SELECT doc_id, card, luhn_valid,
+         |       (luhn_valid = (doc_id % 2 = 0)) AS detected_correctly
+         |FROM lv""".stripMargin
+    },
 
     "docs_pii_redact" ->
       s"""WITH p AS (
