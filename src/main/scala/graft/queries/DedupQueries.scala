@@ -427,8 +427,9 @@ object DedupQueries {
         "caught_jaccard3" -> (inter /
           size(array_distinct(concat(col("s0"), col("s1"))))
             .cast("double") >= JaccardThreshold),
-        "caught_simhash" -> (bit_count(Dedup.simhash(col("ws0"))
-          .bitwiseXOR(Dedup.simhash(col("ws1")))) <= MaxHamming),
+        "caught_simhash" -> (bit_count(graft.functions.SimHash60(col("t0"))
+          .bitwiseXOR(graft.functions.SimHash60(col("t1"))))
+          <= MaxHamming),
         "caught_containment" -> (inter /
           least(size(col("s0")), size(col("s1"))).cast("double")
           >= ContainmentThreshold))
