@@ -101,6 +101,24 @@ object SourceQueries {
           min(md5(col("text"))).as("min_text_md5"))
     }),
 
+    // Avro LOGICAL types (E264 upgrade): orders carries a TIMESTAMP
+    // column, round-tripped as Avro timestamp-micros — the standard
+    // logical annotation — and re-derived as TimestampType from the
+    // writer schema. min/max pin microsecond fidelity, not just counts.
+    "rel_avro_orders" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val out = Materialize.once(s"orders_avro:$dir", dir) { p =>
+        graft.sources.AvroIO.write(orders, p)
+      }
+      graft.sources.AvroIO.read(s, out)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_orderdate")).as("first_date"),
+          max(col("o_orderdate")).as("last_date"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+    }),
+
     // Schema evolution on read: two parquet batches written with
     // DIFFERENT schemas (the second adds `source`) merge into one
     // unified scan via mergeSchema — the on-read contract a long-lived
@@ -249,6 +267,14 @@ object SourceQueries {
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |       min(md5(text)) AS min_text_md5
         |FROM documents WHERE doc_id % 3 = 1 GROUP BY lang""".stripMargin,
+
+    "rel_avro_orders" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       min(o_orderdate) AS first_date,
+        |       max(o_orderdate) AS last_date,
+        |       min(o_totalprice) AS min_price,
+        |       max(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "docs_schema_evolution" ->
       """SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source

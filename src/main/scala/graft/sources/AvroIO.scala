@@ -59,6 +59,12 @@ object AvroIO {
       case FloatType => Schema.create(Schema.Type.FLOAT)
       case BooleanType => Schema.create(Schema.Type.BOOLEAN)
       case BinaryType => Schema.create(Schema.Type.BYTES)
+      case TimestampType => // the standard Avro logical annotation
+        org.apache.avro.LogicalTypes.timestampMicros()
+          .addToSchema(Schema.create(Schema.Type.LONG))
+      case TimestampNTZType => // Avro 1.10+ local-timestamp-micros
+        org.apache.avro.LogicalTypes.localTimestampMicros()
+          .addToSchema(Schema.create(Schema.Type.LONG))
       case ArrayType(et, _) => Schema.createArray(prim(et))
       case other =>
         throw new IllegalArgumentException(
@@ -86,6 +92,14 @@ object AvroIO {
         require(nn.size == 1,
           s"AvroIO reads only unions of null with one type, got $s")
         (field(nn.head)._1, branches.size > nn.size)
+      case Schema.Type.LONG
+          if s.getLogicalType != null &&
+            s.getLogicalType.getName == "timestamp-micros" =>
+        (TimestampType, false)
+      case Schema.Type.LONG
+          if s.getLogicalType != null &&
+            s.getLogicalType.getName == "local-timestamp-micros" =>
+        (TimestampNTZType, false)
       case Schema.Type.LONG => (LongType, false)
       case Schema.Type.INT => (IntegerType, false)
       case Schema.Type.STRING => (StringType, false)
@@ -106,23 +120,44 @@ object AvroIO {
     })
   }
 
-  /** Avro datum → Spark row value (Utf8 → String, ByteBuffer →
-    * Array[Byte], avro list → Seq).
+  /** Avro datum → Spark row value, SCHEMA-DRIVEN: a timestamp-micros
+    * long and a plain long are the same runtime class, so the target
+    * Spark type decides (Utf8 → String, ByteBuffer → Array[Byte],
+    * avro list → Seq, micros → java.sql.Timestamp).
     */
-  private def fromAvro(v: Any): Any = v match {
-    case u: Utf8 => u.toString
-    case b: java.nio.ByteBuffer =>
+  private def fromAvro(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (l: java.lang.Long, TimestampType) =>
+      val micros = l.longValue()
+      val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+      ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+      ts
+    case (l: java.lang.Long, TimestampNTZType) =>
+      val micros = l.longValue()
+      java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L),
+        (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+    case (u: Utf8, _) => u.toString
+    case (b: java.nio.ByteBuffer, _) =>
       val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
-    case l: java.util.List[_] => l.asScala.toSeq.map(fromAvro)
-    case other => other
+    case (l: java.util.List[_], ArrayType(et, _)) =>
+      l.asScala.toSeq.map(fromAvro(_, et))
+    case (other, _) => other
   }
 
   /** Spark row value → Avro datum (Seq → java list; primitives and
-    * strings pass through, byte arrays become ByteBuffers).
+    * strings pass through, byte arrays become ByteBuffers, timestamps
+    * become epoch micros).
     */
   private def toAvro(v: Any): Any = v match {
     case s: scala.collection.Seq[_] => s.map(toAvro).asJava
     case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+    case t: java.sql.Timestamp =>
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    case t: java.time.LocalDateTime =>
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        t.getNano / 1000
     case other => other
   }
 
@@ -188,7 +223,10 @@ object AvroIO {
         val rec = k.datum()
         val vals = new Array[Any](nFields)
         var i = 0
-        while (i < nFields) { vals(i) = fromAvro(rec.get(i)); i += 1 }
+        while (i < nFields) {
+          vals(i) = fromAvro(rec.get(i), sparkSchema(i).dataType)
+          i += 1
+        }
         Row.fromSeq(vals.toIndexedSeq)
       }
     spark.createDataFrame(rdd, sparkSchema)

@@ -76,6 +76,21 @@ class AvroIOSpec extends SparkSpec {
       "typed rows did not round-trip")
   }
 
+  test("timestamps round-trip as timestamp-micros logical type with " +
+      "the type re-derived from the writer schema") {
+    val orders = graft.Tables.orders(spark, sfDir)
+    val dir = Files.createTempDirectory("avro_ts").toString
+    AvroIO.write(orders, dir)
+    val back = AvroIO.read(spark, dir)
+    assert(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.TimestampType,
+        org.apache.spark.sql.types.TimestampNTZType)
+        .contains(back.schema("o_orderdate").dataType),
+      s"timestamp column decayed to ${back.schema("o_orderdate").dataType}")
+    assert(back.exceptAll(orders).isEmpty && orders.exceptAll(back).isEmpty,
+      "orders rows (incl. timestamps) did not round-trip exactly")
+  }
+
   test("an empty source directory fails loudly, not as an empty scan") {
     val dir = Files.createTempDirectory("avro_empty").toString
     intercept[IllegalArgumentException] {
