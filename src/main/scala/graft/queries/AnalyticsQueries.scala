@@ -815,6 +815,42 @@ object AnalyticsQueries {
     // types × hours rows BEFORE the window; the window partitions by
     // type (low-cardinality, but the partition is already tiny —
     // one row per hour).
+    // E282: traffic-periodicity audit — per event type, the
+    // hour-of-day profile plus a chi-square uniformity verdict: the
+    // ops question "is this stream diurnal or flat?" answered with a
+    // statistic, not a glance at a chart. Arithmetic is integer-exact
+    // until one final division: with e = T/24, χ² = Σ(o−e)²/e =
+    // Σ(24o−T)²/(24T), and the numerator is an exact BIGINT sum over
+    // the complete 24-slot spine (absent hours count as zero, which a
+    // naive GROUP BY would silently drop). Verdict vs the df=23,
+    // α=0.05 critical value 35.172.
+    "events_periodicity" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"),
+          hour(col("ts").cast("timestamp")).as("hh"))
+      val counts = ev.groupBy("event_type", "hh")
+        .agg(count(lit(1)).as("cn"))
+      val spine = ev.select(col("event_type")).distinct()
+        .crossJoin(s.range(0, 24).select(col("id").cast("int").as("hh")))
+      val filled = spine.join(counts, Seq("event_type", "hh"), "left")
+        .select(col("event_type"), col("hh"),
+          coalesce(col("cn"), lit(0L)).as("n"))
+      val tot = filled.groupBy("event_type")
+        .agg(sum(col("n")).as("total"))
+      val chi2 = col("devsq").cast("double") /
+        (col("total") * 24).cast("double")
+      filled.join(tot, "event_type")
+        .groupBy("event_type")
+        .agg(max(col("total")).as("total"),
+          max_by(col("hh"), struct(col("n"), -col("hh"))).as("peak_hour"),
+          max(col("n")).as("peak_n"),
+          sum((col("n") * 24 - col("total")) *
+            (col("n") * 24 - col("total"))).as("devsq"))
+        .select(col("event_type"), col("total"), col("peak_hour"),
+          col("peak_n"), round(chi2, 6).as("chi2"),
+          (chi2 > 35.172).as("nonuniform"))
+    }),
+
     "events_rate_spikes" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val hourly = ev
@@ -1309,6 +1345,43 @@ object AnalyticsQueries {
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 20""".stripMargin,
+
+    // E282: same integer-exact chi-square over the complete 24-slot
+    // spine; one final double division on both sides.
+    "events_periodicity" ->
+      """WITH e2 AS (SELECT event_type,
+        |              CAST(extract(hour FROM CAST(ts AS TIMESTAMP))
+        |                AS INTEGER) AS hh
+        |            FROM events),
+        |sp AS (SELECT DISTINCT event_type FROM e2),
+        |hrs AS (SELECT CAST(unnest(generate_series(0, 23)) AS INTEGER)
+        |          AS hh),
+        |cnt AS (SELECT event_type, hh, count(*) AS n FROM e2
+        |        GROUP BY 1, 2),
+        |f AS (SELECT sp.event_type, hrs.hh,
+        |             CAST(coalesce(cnt.n, 0) AS BIGINT) AS n
+        |      FROM sp CROSS JOIN hrs
+        |      LEFT JOIN cnt ON cnt.event_type = sp.event_type
+        |                   AND cnt.hh = hrs.hh),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+        |      FROM f GROUP BY 1),
+        |d AS (SELECT f.event_type, f.hh, f.n, t.total
+        |      FROM f JOIN t USING (event_type)),
+        |agg AS (SELECT event_type, max(total) AS total,
+        |               CAST(sum((24 * n - total) * (24 * n - total))
+        |                 AS BIGINT) AS devsq,
+        |               CAST(max(n) AS BIGINT) AS peak_n
+        |        FROM d GROUP BY 1),
+        |pk AS (SELECT event_type, hh FROM (
+        |         SELECT event_type, hh, row_number() OVER (
+        |           PARTITION BY event_type ORDER BY n DESC, hh) AS rn
+        |         FROM f) WHERE rn = 1)
+        |SELECT agg.event_type, agg.total, pk.hh AS peak_hour, agg.peak_n,
+        |       round(CAST(devsq AS DOUBLE) / CAST(total * 24 AS DOUBLE), 6)
+        |         AS chi2,
+        |       (CAST(devsq AS DOUBLE) / CAST(total * 24 AS DOUBLE)
+        |          > CAST(35.172 AS DOUBLE)) AS nonuniform
+        |FROM agg JOIN pk USING (event_type)""".stripMargin,
 
     "events_rate_spikes" ->
       s"""WITH b AS (SELECT min(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS lo,
