@@ -92,6 +92,51 @@ object Multimodal {
         .otherwise(gif).as("content"))
   }
 
+  /** Deterministic JPEG fixtures with REAL EXIF APP1 segments (E283):
+    * every doc becomes SOI + APP1(Exif/TIFF) + payload, where the TIFF
+    * block alternates byte order by doc parity (`II` little-endian for
+    * even ids, `MM` big-endian for odd — a parser with a mirrored
+    * endianness bug cannot pass both) and IFD0 carries a DECOY entry
+    * (tag 0x010F Make) before the 0x0112 orientation tag, so entry
+    * positions must be walked, not assumed. Orientation value =
+    * doc_id % 8 + 1; every fifth doc is a plain JFIF JPEG with no APP1
+    * at all (the absent path must read 0, not crash). Byte packing via
+    * hex-string slicing — the independent formulation from the
+    * shift-based reads in [[graft.functions.ExifOrientationImpl]].
+    */
+  def fixtureExifJpeg(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    def be2(c: Column) = unhex(lpad(hex(c), 4, "0"))
+    def le2(c: Column) = {
+      val hx = lpad(hex(c), 4, "0")
+      unhex(concat(substring(hx, 3, 2), substring(hx, 1, 2)))
+    }
+    val v = (col("doc_id") % 8 + 1).cast("int")
+    val payload = encode(col("text"), "UTF-8")
+    // TIFF blocks (38 bytes): header + count=2 + Make decoy +
+    // Orientation + next-IFD=0
+    val tiffLe = concat(
+      unhex(lit("49492A0008000000" + "0200" +
+        "0F010200" + "04000000" + "67726674" +
+        "12010300" + "01000000")),
+      le2(v), unhex(lit("0000" + "00000000")))
+    val tiffBe = concat(
+      unhex(lit("4D4D002A00000008" + "0002" +
+        "010F0002" + "00000004" + "67726674" +
+        "01120003" + "00000001")),
+      be2(v), unhex(lit("0000" + "00000000")))
+    // APP1 length 0x2E = 2(len) + 6(Exif\0\0) + 38(TIFF)
+    def withTiff(t: Column) = concat(
+      unhex(lit("FFD8FFE1002E457869660000")), t, payload)
+    val plain = concat( // JFIF APP0 only — no EXIF anywhere
+      unhex(lit("FFD8FFE000104A46494600010100000100010000")), payload)
+    docs.select(
+      col("doc_id").as("id"),
+      when(col("doc_id") % 5 === 0, plain)
+        .when(col("doc_id") % 2 === 0, withTiff(tiffLe))
+        .otherwise(withTiff(tiffBe)).as("content"))
+  }
+
   /** Deterministic WAV fixtures with REAL RIFF structure: each doc
     * becomes a PCM WAVE file whose `fmt ` chunk fields derive from doc
     * columns — channels `1 + doc_id % 2`, sample rate

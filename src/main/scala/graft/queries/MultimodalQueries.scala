@@ -35,6 +35,18 @@ object MultimodalQueries {
           col("d.height").cast("long").as("height"))
     }),
 
+    // EXIF orientation (E283): real APP1/TIFF IFD walk over JPEGs that
+    // alternate byte order (II/MM) and hide the 0x0112 tag behind a
+    // decoy entry; every fifth doc carries no APP1 and must read 0.
+    // The oracle reproduces the expected value from the generator
+    // columns, so a wrong endianness branch, a skipped decoy, or a
+    // mis-sized segment walk breaks the hash match.
+    "mm_exif_orientation" -> ((s, dir) =>
+      Multimodal.fixtureExifJpeg(Tables.documents(s, dir))
+        .select(col("id"),
+          graft.functions.ExifOrientation(col("content"))
+            .as("orientation"))),
+
     // Audio header parse: real RIFF/WAVE fixtures (PCM fmt chunk behind
     // a junk LIST chunk, so fixed-offset parsers fail) parsed back by
     // the native audio_meta expression (graft.functions.AudioMeta —
@@ -374,6 +386,13 @@ object MultimodalQueries {
         |            WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
         |       CAST(16 + n_chars % 317 AS BIGINT) AS width,
         |       CAST(16 + n_chars % 211 AS BIGINT) AS height
+        |FROM documents""".stripMargin,
+
+    "mm_exif_orientation" ->
+      """SELECT doc_id AS id,
+        |       CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+        |                 ELSE doc_id % 8 + 1 END AS INTEGER)
+        |         AS orientation
         |FROM documents""".stripMargin,
 
     "mm_video_meta" ->
