@@ -107,6 +107,13 @@ object GraftFunctions {
         require(args.length == 1, s"video_meta expects 1 argument, got ${args.length}")
         VideoMeta(args.head)
       }),
+    (FunctionIdentifier("exif_orientation"),
+      new ExpressionInfo(classOf[ExifOrientation].getName, "exif_orientation"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"exif_orientation expects 1 argument, got ${args.length}")
+        ExifOrientation(args.head)
+      }),
     (FunctionIdentifier("dhash32"),
       new ExpressionInfo(classOf[DHash32].getName, "dhash32"),
       (args: Seq[Expression]) => {

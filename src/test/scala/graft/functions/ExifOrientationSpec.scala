@@ -28,6 +28,17 @@ class ExifOrientationSpec extends SparkSpec {
     assert(o(jpeg(tiffBe3)) == 3)
   }
 
+  test("exif_orientation is SQL-callable after registration") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq(jpeg(tiffLe6), jpeg(tiffBe3)).toDF("content")
+      .createOrReplaceTempView("exif_fixture")
+    val got = spark.sql(
+      "SELECT exif_orientation(content) AS o FROM exif_fixture")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(got == Seq(3, 6))
+  }
+
   test("refusal paths all read 0: no APP1, truncated TIFF, missing " +
       "tag, out-of-range value, not a JPEG") {
     assert(o(hex("FFD8FFE000104A46494600010100000100010000AA")) == 0,
