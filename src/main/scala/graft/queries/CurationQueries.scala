@@ -959,6 +959,43 @@ object CurationQueries {
           sum(col("doc_id")).as("id_checksum"))
     }),
 
+    // E284: the corpus DATA CARD — the human-facing terminal artifact
+    // of a curation run (the Datasheets-for-Datasets summary): one
+    // tall (metric, value) table of the headline numbers a consumer
+    // reads before training. Every value is exact rational arithmetic
+    // (counts cast to double, divisions identical in both engines) —
+    // no entropy/log metrics here precisely because ln carries no
+    // cross-engine rounding guarantee; shares say the same thing.
+    "docs_data_card" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).localCheckpoint(false)
+      def row(name: String, v: org.apache.spark.sql.Column,
+          src: DataFrame) =
+        src.select(lit(name).as("metric"), v.as("value"))
+      val toks = d.select(explode(split(col("text"), " ")).as("w"))
+      val nd = d.agg(count(lit(1)).as("n"),
+        countDistinct(md5(col("text"))).as("dd"),
+        sum(size(split(col("text"), " ")).cast("long")).as("tt"))
+      def topShare(c: String) = d.groupBy(col(c))
+        .agg(count(lit(1)).as("cn"))
+        .agg(max(col("cn")).as("mx"), sum(col("cn")).as("n"))
+      row("n_docs", col("n").cast("double"), nd)
+        .unionByName(row("total_tokens", col("tt").cast("double"), nd))
+        .unionByName(row("distinct_tokens", col("c").cast("double"),
+          toks.select(col("w")).distinct().agg(count(lit(1)).as("c"))))
+        .unionByName(row("exact_dup_rate",
+          round(lit(1.0) - col("dd").cast("double") /
+            col("n").cast("double"), 6), nd))
+        .unionByName(row("mean_doc_tokens",
+          round(col("tt").cast("double") / col("n").cast("double"), 6),
+          nd))
+        .unionByName(row("top_lang_share",
+          round(col("mx").cast("double") / col("n").cast("double"), 6),
+          topShare("lang")))
+        .unionByName(row("top_source_share",
+          round(col("mx").cast("double") / col("n").cast("double"), 6),
+          topShare("source")))
+    }),
+
     // E275: token-BALANCED shard assignment — E188's hash sharding is
     // uniform in DOC COUNT but skewed in TOKENS when lengths are; the
     // training-shard contract is equal token work per shard. Snake
@@ -2250,6 +2287,42 @@ object CurationQueries {
          |       max(sort_key) AS max_key,
          |       CAST(sum(doc_id) AS BIGINT) AS id_checksum
          |FROM h GROUP BY 1""".stripMargin,
+
+    // E284: identical exact arithmetic, UNION ALL of the seven rows.
+    "docs_data_card" ->
+      """WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(count(DISTINCT md5(text)) AS BIGINT) AS dd,
+        |              CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |                AS tt
+        |            FROM documents),
+        |tk AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS c FROM (
+        |         SELECT unnest(string_split(text, ' ')) AS w
+        |         FROM documents)),
+        |tl AS (SELECT CAST(max(cn) AS BIGINT) AS mx,
+        |              CAST(sum(cn) AS BIGINT) AS n FROM (
+        |         SELECT count(*) AS cn FROM documents GROUP BY lang)),
+        |ts AS (SELECT CAST(max(cn) AS BIGINT) AS mx,
+        |              CAST(sum(cn) AS BIGINT) AS n FROM (
+        |         SELECT count(*) AS cn FROM documents GROUP BY source))
+        |SELECT 'n_docs' AS metric, CAST(n AS DOUBLE) AS value FROM nd
+        |UNION ALL
+        |SELECT 'total_tokens', CAST(tt AS DOUBLE) FROM nd
+        |UNION ALL
+        |SELECT 'distinct_tokens', CAST(c AS DOUBLE) FROM tk
+        |UNION ALL
+        |SELECT 'exact_dup_rate',
+        |       round(CAST(1 AS DOUBLE)
+        |         - CAST(dd AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM nd
+        |UNION ALL
+        |SELECT 'mean_doc_tokens',
+        |       round(CAST(tt AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM nd
+        |UNION ALL
+        |SELECT 'top_lang_share',
+        |       round(CAST(mx AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM tl
+        |UNION ALL
+        |SELECT 'top_source_share',
+        |       round(CAST(mx AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM ts"""
+        .stripMargin,
 
     // E275: snake deal by token rank, perfect-balance mean ratio.
     "docs_shard_balance" ->
