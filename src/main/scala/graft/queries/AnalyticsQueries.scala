@@ -815,6 +815,43 @@ object AnalyticsQueries {
     // types × hours rows BEFORE the window; the window partitions by
     // type (low-cardinality, but the partition is already tiny —
     // one row per hour).
+    // E285: watermark-delay PLANNER — the design-time companion to the
+    // streaming windows (what E266 is to LSH banding): how much
+    // watermark delay does THIS stream's disorder actually need?
+    // Lateness is measured against the per-event-type running-max
+    // event time in ARRIVAL order (the per-partition watermark
+    // semantics Kafka sources have), in exact epoch micros; for each
+    // candidate delay, the fraction of events that would be dropped
+    // as late. The fixture stream is perfectly ordered (measured:
+    // zero disorder), so the arrival order plants a deterministic
+    // delay pattern — ids ≡ k (mod 7) arrive 4k slots late — the
+    // planting convention: a broken lateness computation can no
+    // longer hide behind an all-zero stream. Partition-parallel
+    // running max (no global window); integer-exact to the division.
+    "events_watermark_plan" -> ((s, dir) => {
+      val arrival = col("event_id") + (col("event_id") % 7) * 4
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(arrival, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("tus"))
+        .withColumn("late_us",
+          greatest(max(col("tus")).over(w) - col("tus"), lit(0L)))
+      val delays = Seq(1L, 5L, 15L, 60L) // minutes
+      import s.implicits._
+      val dl = delays.toDF("delay_min")
+      ev.crossJoin(broadcast(dl))
+        .groupBy("event_type", "delay_min")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late_us") > col("delay_min") * 60000000L, 1L)
+            .otherwise(0L)).as("n_late"))
+        .select(col("event_type"), col("delay_min"), col("n_events"),
+          col("n_late"),
+          round(col("n_late").cast("double") /
+            col("n_events").cast("double"), 6).as("late_frac"))
+    }),
+
     // E282: traffic-periodicity audit — per event type, the
     // hour-of-day profile plus a chi-square uniformity verdict: the
     // ops question "is this stream diurnal or flat?" answered with a
@@ -1345,6 +1382,28 @@ object AnalyticsQueries {
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 20""".stripMargin,
+
+    // E285: per-type running-max lateness in exact epoch micros over
+    // the planted arrival order; one final division.
+    "events_watermark_plan" ->
+      """WITH l AS (SELECT event_type,
+        |             greatest(
+        |               max(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |                 PARTITION BY event_type
+        |                 ORDER BY event_id + (event_id % 7) * 4, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |               - epoch_us(CAST(ts AS TIMESTAMP)), 0) AS late_us
+        |           FROM events),
+        |d AS (SELECT CAST(unnest([1, 5, 15, 60]) AS BIGINT) AS delay_min)
+        |SELECT l.event_type, d.delay_min,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN l.late_us > d.delay_min * 60000000
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |       round(CAST(sum(CASE WHEN l.late_us > d.delay_min * 60000000
+        |                 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 6) AS late_frac
+        |FROM l CROSS JOIN d
+        |GROUP BY l.event_type, d.delay_min""".stripMargin,
 
     // E282: same integer-exact chi-square over the complete 24-slot
     // spine; one final double division on both sides.
