@@ -50,6 +50,15 @@ object SimilarityQueries {
 
   /** E267/E268 kNN-graph degree. */
   private val KnnK = 4
+
+  /** E286/E287 graph-expansion search: GraphSeeds binary-Hamming
+    * entry points per query, GraphHops rounds of kNN-edge expansion.
+    * Chosen by a DuckDB sweep at sf0.01: (3 seeds, 3 hops) lifts
+    * recall@5 0.16 → 0.34 visiting ~97 of 500 vectors; the visited
+    * set is ≤ seeds·(KnnK+1)^hops per query at ANY corpus size.
+    */
+  private val GraphSeeds = 3
+  private val GraphHops = 3
   // MMR re-ranking: λ and (1−λ) are SEPARATE literals so both engines
   // parse the same decimals to the same IEEE doubles (deriving 0.3 as
   // `1.0 - 0.7` is exact DECIMAL in DuckDB but binary double in Spark).
@@ -353,6 +362,50 @@ object SimilarityQueries {
         .join(comp, col("vec_id") === col("id"), "left")
         .select(col("vec_id"),
           coalesce(col("label"), col("vec_id")).as("cluster"))
+    }),
+
+    // E286: graph-expansion ANN search — binary-Hamming seeds walked
+    // GraphHops rounds along the kNN graph, exact-cosine rerank of the
+    // visited set; per-query candidate volume independent of N (the
+    // HNSW/DiskANN family's batch shape).
+    "emb_graph_search" -> ((s, dir) =>
+      Similarity.graphExpandTopK(corpus(s, dir), EmbDim, NumQueries,
+        GraphSeeds, GraphHops, KnnK, K)),
+
+    // E287: its recall audit vs the exact cosine top-k — seed-tier
+    // recall, expanded recall, and the candidate volume paid for the
+    // lift (at sf0.01: 0.16 → 0.34 at ~97 of 500 candidates).
+    "emb_graph_recall" -> ((s, dir) => {
+      val c = corpus(s, dir).localCheckpoint(false)
+      val q = c.filter(col("id") < NumQueries)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      val exact = Similarity.topK(c, q, K)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint(false)
+      val seed = Similarity
+        .binaryHammingTopK(c, EmbDim, NumQueries, GraphSeeds)
+        .select(col("query_id"), col("neighbor_id"))
+      val cand = Similarity.graphExpandCandidates(c, EmbDim, NumQueries,
+        GraphSeeds, GraphHops, KnnK).localCheckpoint(false)
+      val g = Similarity.graphExpandTopK(c, EmbDim, NumQueries,
+        GraphSeeds, GraphHops, KnnK, K)
+        .select(col("query_id"), col("neighbor_id"))
+      val nCand = cand.groupBy("query_id").agg(count(lit(1)).as("nc"))
+      val seedHits = seed.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("sh"))
+      val hits = g.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("h"))
+      q.select(col("qid").as("query_id"))
+        .join(nCand, Seq("query_id"), "left")
+        .join(seedHits, Seq("query_id"), "left")
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("nc"), lit(0L)).as("n_cand"),
+          coalesce(col("sh"), lit(0L)).as("n_seed_hits"),
+          coalesce(col("h"), lit(0L)).as("n_hits"),
+          round(coalesce(col("sh"), lit(0L)).cast("double") /
+            lit(K.toDouble), 6).as("recall_seed"),
+          round(coalesce(col("h"), lit(0L)).cast("double") /
+            lit(K.toDouble), 6).as("recall_at_k"))
     }),
 
     // SemDeDup: semantic dedup within LEARNED k-means clusters —
@@ -1670,6 +1723,34 @@ object SimilarityQueries {
        |FROM ktop t LEFT JOIN ktop b
        |  ON b.src = t.dst AND b.dst = t.src""".stripMargin
 
+  /** E286/E287 shared CTEs: Hamming seed tier (binarySigCtes' `d`),
+    * the kNN edge set (knnTopCte's `ktop`), GraphHops UNION-expansion
+    * rounds, the visited set `cf` (query excluded), exact-cosine
+    * rescore `gsc`, and the reranked `gtop` (qid, id, cs, rnk ≤ K) —
+    * mirrors Similarity.graphExpandCandidates/graphExpandTopK.
+    */
+  private lazy val graphExpandCtes: String = {
+    val hopChain = (1 to GraphHops).map(h =>
+      s"""c$h AS (SELECT qid, id FROM c${h - 1}
+         |  UNION SELECT c${h - 1}.qid, k.dst FROM c${h - 1}
+         |  JOIN ktop k ON k.src = c${h - 1}.id)""".stripMargin)
+      .mkString(",\n")
+    s"""$binarySigCtes,
+       |sd AS (SELECT qid, id FROM (
+       |    SELECT qid, id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY dist, id) AS rnk FROM d) WHERE rnk <= $GraphSeeds),
+       |$knnTopCte,
+       |c0 AS (SELECT qid, id FROM sd),
+       |$hopChain,
+       |cf AS MATERIALIZED (SELECT qid, id FROM c$GraphHops WHERE id <> qid),
+       |gsc AS (SELECT cf.qid, cf.id, ${cosSql("q2.v", "e.v")} AS cs
+       |        FROM cf JOIN e q2 ON q2.vec_id = cf.qid
+       |                JOIN e ON e.vec_id = cf.id),
+       |gtop AS MATERIALIZED (SELECT qid, id, cs, rnk FROM (
+       |    SELECT qid, id, cs, row_number() OVER (PARTITION BY qid
+       |      ORDER BY cs DESC, id) AS rnk FROM gsc) WHERE rnk <= $K)""".stripMargin
+  }
+
   /** E243/E244 fixed multi-probe: rank ≤ [[MProbe]]. */
   private lazy val fixedPrqCte: String =
     s"""prq AS MATERIALIZED (SELECT qid, cpart FROM (
@@ -2562,6 +2643,45 @@ object SimilarityQueries {
          |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
          |SELECT vv.id AS vec_id, coalesce(c.cluster, vv.id) AS cluster
          |FROM vv LEFT JOIN comp c ON c.id = vv.id""".stripMargin,
+
+    // E286: graph-expansion search — seeds, hops, rerank replayed as
+    // UNION-expansion CTE rounds; ranks by (cs DESC, id), the heap's
+    // tie order.
+    "emb_graph_search" ->
+      s"""$graphExpandCtes
+         |SELECT qid AS query_id, CAST(rnk AS INTEGER) AS rank,
+         |       id AS neighbor_id, round(cs, 6) AS cos
+         |FROM gtop""".stripMargin,
+
+    // E287: recall audit — seed hits, expanded hits, and the visited
+    // candidate volume, against the exact cosine top-K truth.
+    "emb_graph_recall" ->
+      s"""$graphExpandCtes,
+         |s2 AS (SELECT q2.vec_id AS qid, e.vec_id AS id,
+         |              ${cosSql("q2.v", "e.v")} AS score
+         |       FROM e q2 JOIN e ON e.vec_id <> q2.vec_id
+         |       WHERE q2.vec_id < $NumQueries),
+         |xr AS (SELECT qid, id FROM (
+         |         SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |           ORDER BY score DESC, id) AS rank FROM s2)
+         |       WHERE rank <= $K),
+         |nc AS (SELECT qid, count(*) AS n FROM cf GROUP BY qid),
+         |sh AS (SELECT sd.qid, count(*) AS n FROM sd
+         |       JOIN xr ON xr.qid = sd.qid AND xr.id = sd.id
+         |       GROUP BY sd.qid),
+         |h AS (SELECT g.qid, count(*) AS n FROM gtop g
+         |      JOIN xr ON xr.qid = g.qid AND xr.id = g.id
+         |      GROUP BY g.qid)
+         |SELECT q3.vec_id AS query_id,
+         |       CAST(coalesce(nc.n, 0) AS BIGINT) AS n_cand,
+         |       CAST(coalesce(sh.n, 0) AS BIGINT) AS n_seed_hits,
+         |       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+         |       round(CAST(coalesce(sh.n, 0) AS DOUBLE) / $K, 6) AS recall_seed,
+         |       round(CAST(coalesce(h.n, 0) AS DOUBLE) / $K, 6) AS recall_at_k
+         |FROM (SELECT DISTINCT vec_id FROM e WHERE vec_id < $NumQueries) q3
+         |LEFT JOIN nc ON nc.qid = q3.vec_id
+         |LEFT JOIN sh ON sh.qid = q3.vec_id
+         |LEFT JOIN h ON h.qid = q3.vec_id""".stripMargin,
 
     // E265: margin mining — neighborhood sums replay the heap's rank
     // order via list(cs ORDER BY rn), so the fold is bit-identical.
