@@ -24,6 +24,14 @@ object AnalyticsQueries {
     */
   val MinDf = 10
 
+  /** E288 CEP window: a match must complete within 3 days (exact
+    * micros). Chosen against the measured time-to-convert
+    * distribution (median ≈ 3.3 days at sf0.001) so the constraint
+    * discriminates: at sf0.001 the chain finds 164 raw matches, 80
+    * within the window, 38 after the no-error negation.
+    */
+  private val PatternWindowUs = 259200000000L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Window frames + analytic offsets: per-customer running spend
     // (ROWS UNBOUNDED PRECEDING), 3-order moving average (ROWS 2
@@ -100,6 +108,50 @@ object AnalyticsQueries {
           count(when(col("t_view") < col("t_click"), lit(1))).as("n_view_click"),
           count(when(col("t_view") < col("t_click") &&
             col("t_click") < col("t_purchase"), lit(1))).as("n_full_funnel"))
+    }),
+
+    // E288: CEP sequence-pattern matching — the MATCH_RECOGNIZE /
+    // FlinkCEP shape the funnel row (earliest-per-stage existence)
+    // cannot express: per user, every view followed by its EARLIEST
+    // later click, then THAT click's earliest later purchase
+    // (skip-till-next-match), completed within PatternWindowUs AND
+    // with no error event between view and purchase (the notFollowedBy
+    // negation). One per-user sort gives each event a row number in
+    // (ts, event_id) order; "earliest next stage" is an integer
+    // forward-window min over that numbering, and the chain resolves
+    // with two narrow (user_id, rn) hash joins — linear per-user
+    // window work plus equi-joins, no per-pattern quadratics, the
+    // scale-safe NFA encoding. All output columns exact integers.
+    "events_pattern_match" -> ((s, dir) => {
+      val byTime = Window.partitionBy("user_id")
+        .orderBy(col("tus"), col("event_id"))
+      val fwd = Window.partitionBy("user_id").orderBy(col("rn"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      def nextOf(t: String) =
+        min(when(col("event_type") === t, col("rn"))).over(fwd)
+      // Three consumers (view anchors, click hop, purchase hop) of one
+      // sorted+numbered pass — materialize it once.
+      val n = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("tus"))
+        .withColumn("rn", row_number().over(byTime))
+        .withColumn("nc", nextOf("click"))
+        .withColumn("np", nextOf("purchase"))
+        .withColumn("ne", nextOf("error"))
+        .localCheckpoint(false)
+      val v = n.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("tus").as("start_us"), col("nc"), col("ne"))
+      val c = n.select(col("user_id").as("cu"), col("rn").as("crn"),
+        col("event_id").as("click_id"), col("np"))
+      val p = n.select(col("user_id").as("pu"), col("rn").as("prn"),
+        col("event_id").as("purchase_id"), col("tus").as("end_us"))
+      v.join(c, col("user_id") === col("cu") && col("nc") === col("crn"))
+        .join(p, col("user_id") === col("pu") && col("np") === col("prn"))
+        .filter(col("end_us") - col("start_us") <= PatternWindowUs)
+        .filter(col("ne").isNull || col("ne") > col("prn"))
+        .select(col("user_id"), col("view_id"), col("click_id"),
+          col("purchase_id"), col("start_us"), col("end_us"))
     }),
 
     // Time-series gap filling: an hourly calendar spine (generated,
@@ -1066,6 +1118,30 @@ object AnalyticsQueries {
         |       count(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 END)
         |         AS n_full_funnel
         |FROM u""".stripMargin,
+
+    // E288: the NFA replay — per-user (tus, event_id) row numbers,
+    // forward-window integer minima for each next stage, the same two
+    // joins, window + negation filters.
+    "events_pattern_match" ->
+      s"""WITH r AS (SELECT event_id, user_id, event_type,
+         |             epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+         |             row_number() OVER (PARTITION BY user_id
+         |               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+         |           FROM events),
+         |n AS (SELECT *,
+         |        min(CASE WHEN event_type = 'click' THEN rn END) OVER w AS nc,
+         |        min(CASE WHEN event_type = 'purchase' THEN rn END) OVER w AS np,
+         |        min(CASE WHEN event_type = 'error' THEN rn END) OVER w AS ne
+         |      FROM r
+         |      WINDOW w AS (PARTITION BY user_id ORDER BY rn
+         |                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+         |SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+         |       p.event_id AS purchase_id, v.tus AS start_us, p.tus AS end_us
+         |FROM n v JOIN n c ON c.user_id = v.user_id AND c.rn = v.nc
+         |         JOIN n p ON p.user_id = c.user_id AND p.rn = c.np
+         |WHERE v.event_type = 'view'
+         |  AND p.tus - v.tus <= $PatternWindowUs
+         |  AND (v.ne IS NULL OR v.ne > p.rn)""".stripMargin,
 
     "rel_orders_monthly" ->
       """WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
