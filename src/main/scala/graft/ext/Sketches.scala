@@ -1,8 +1,8 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, max, row_number, sum, udaf, when}
 
 /** Mergeable sketches for approximate analytics at 100 TB (north-star
   * extension; the reference has no aggregation surface at all,
@@ -223,6 +223,64 @@ object Sketches {
     */
   def heavyHitters(item: Column, capacity: Int): Column =
     udaf(new MisraGriesAggregator(capacity), Encoders.STRING)(item)
+
+  case class MgEntry(item: String, cnt: Long)
+
+  /** [[MisraGriesAggregator]] with the counter VALUES exposed
+    * (E289) — the persistable-artifact form: finish emits the counter
+    * map as (item, cnt) entries sorted by item, so a per-shard sketch
+    * can be written to parquet and merged later by [[mgMergeEntries]]
+    * without re-scanning the shard (the E108/E269 sketch-algebra
+    * discipline applied to frequent items). Counter values are
+    * merge-order-dependent (unlike HLL/CMS cells), so downstream
+    * checks must assert the MG GUARANTEES (superset membership,
+    * never-overcount, undercount ≤ n/(capacity+1)) rather than the
+    * raw values — the docs_heavy_hitters convention.
+    */
+  class MgCountsAggregator(capacity: Int)
+      extends Aggregator[String, MgBuf, Array[MgEntry]] {
+    private val mg = new MisraGriesAggregator(capacity)
+    def zero: MgBuf = mg.zero
+    def reduce(b: MgBuf, item: String): MgBuf = mg.reduce(b, item)
+    def merge(b1: MgBuf, b2: MgBuf): MgBuf = mg.merge(b1, b2)
+    def finish(b: MgBuf): Array[MgEntry] =
+      b.counts.toArray.sortBy(_._1).map { case (k, v) => MgEntry(k, v) }
+    def bufferEncoder = Encoders.product[MgBuf]
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[MgEntry]]()
+  }
+
+  def mgCounts(item: Column, capacity: Int): Column =
+    udaf(new MgCountsAggregator(capacity), Encoders.STRING)(item)
+
+  /** m-way Misra-Gries merge over exploded shard-sketch entries
+    * (item, cnt): sum counters per item, and if more than `capacity`
+    * items survive, subtract the (capacity+1)-th largest summed count
+    * from every counter and keep positives — the Agarwal et al.
+    * (TODS '13) mergeable rule generalized one-shot m-way. The
+    * potential argument survives the generalization: every
+    * subtraction of C (here and inside the shard sketches) removes
+    * ≥ (capacity+1)·C total mass, total mass is ≤ n, so the per-item
+    * undercount stays ≤ n/(capacity+1) and every item with true
+    * frequency above that bound is still present after the merge.
+    *
+    * Scale shape: the input is |shards|·capacity rows regardless of
+    * corpus size — the global rank window below runs on that bounded
+    * table, never on data. Tomorrow's merge reads yesterday's
+    * persisted sketches plus one new shard; payload rows are never
+    * re-scanned.
+    */
+  def mgMergeEntries(entries: DataFrame, capacity: Int): DataFrame = {
+    val summed = entries.groupBy("item").agg(sum(col("cnt")).as("cnt"))
+      .localCheckpoint(false) // two consumers: rank probe + subtraction
+    val w = Window.orderBy(col("cnt").desc, col("item"))
+    val ranked = summed.withColumn("r", row_number().over(w))
+    val kth = ranked.agg(coalesce(
+      max(when(col("r") === capacity + 1, col("cnt"))), lit(0L)).as("kth"))
+    summed.crossJoin(broadcast(kth))
+      .select(col("item"), (col("cnt") - col("kth")).as("cnt"))
+      .filter(col("cnt") > 0)
+  }
 
   val CmsDepth = 5    // P(overshoot > e·n/width) ≤ e^-depth < 1%
   val CmsWidth = 2048 // 5×2048 longs = 80 KiB per sketch

@@ -24,6 +24,14 @@ object AnalyticsQueries {
     */
   val MinDf = 10
 
+  /** E289 Misra-Gries shard merge: shard count and sketch capacity.
+    * capacity 4 over the 5-language column forces decrement churn in
+    * every shard sketch (a ≤-cardinality capacity would hold exact
+    * counts and make the guarantee checks vacuous).
+    */
+  private val MgShards = 3
+  private val MgCap = 4
+
   /** E288 CEP window: a match must complete within 3 days (exact
     * micros). Chosen against the measured time-to-convert
     * distribution (median ≈ 3.3 days at sf0.001) so the constraint
@@ -759,6 +767,42 @@ object AnalyticsQueries {
           array_contains(col("sketch"), col("lang")).as("in_sketch"))
     }),
 
+    // E289: Misra-Gries SHARD-MERGE algebra (the E108/E269 sketch
+    // discipline applied to frequent items): per-shard MG sketches
+    // with counter VALUES persisted as parquet, merged m-way by the
+    // Agarwal et al. mergeable rule in DataFrame algebra over the
+    // |shards|·capacity-row entry table — tomorrow's merge reads
+    // yesterday's sketches plus one new shard, payload rows never
+    // re-scan. Counter values are merge-order-dependent, so the row
+    // emits the GUARANTEES as machine-checked verdicts (the E66
+    // pattern): per lang, the exact count, whether it is a true heavy
+    // hitter (cnt·(cap+1) > n), and guarantee_ok = (not heavy) OR
+    // (present in the merged sketch AND never overcounted AND
+    // undercount ≤ n/(cap+1)) — the oracle pins every verdict true.
+    "docs_hh_shard_merge" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sketchDir = Materialize.once(s"mg_shards:$dir", dir) { p =>
+        docs.groupBy(pmod(col("doc_id"), lit(MgShards)).as("shard"))
+          .agg(graft.ext.Sketches.mgCounts(col("lang"), MgCap).as("entries"),
+            count(lit(1)).as("n_rows"))
+          .write.mode("overwrite").parquet(p)
+      }
+      val shards = s.read.parquet(sketchDir).localCheckpoint(false)
+      val entries = shards.select(explode(col("entries")).as("e"))
+        .select(col("e.item").as("item"), col("e.cnt").as("cnt"))
+      val merged = graft.ext.Sketches.mgMergeEntries(entries, MgCap)
+        .select(col("item").as("lang"), col("cnt").as("est"))
+      val tot = shards.agg(sum(col("n_rows")).as("n"))
+      val heavy = col("cnt") * (MgCap + 1) > col("n")
+      docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot))
+        .join(merged, Seq("lang"), "left")
+        .select(col("lang"), col("cnt"), heavy.as("is_heavy"),
+          (!heavy || (col("est").isNotNull && col("est") <= col("cnt") &&
+            (col("cnt") - col("est")) * (MgCap + 1) <= col("n")))
+            .as("guarantee_ok"))
+    }),
+
     // Per-group z-score outliers: one window partition on
     // o_orderpriority computes mean and sample stddev, every order
     // scores against its group, |z| > 1.7 survives (o_totalprice is
@@ -1434,6 +1478,18 @@ object AnalyticsQueries {
         |FROM documents, t
         |GROUP BY lang, n
         |HAVING count(*) * 5 > n""".stripMargin,
+
+    // E289: exact counts and the heavy predicate replay; the merged-
+    // sketch guarantees are pinned literal true (the E66 pattern —
+    // counter values are merge-order-dependent, the guarantees are
+    // not).
+    "docs_hh_shard_merge" ->
+      s"""WITH ex AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+         |t AS (SELECT count(*) AS n FROM documents)
+         |SELECT ex.lang, ex.cnt,
+         |       (ex.cnt * ${MgCap + 1} > t.n) AS is_heavy,
+         |       true AS guarantee_ok
+         |FROM ex, t""".stripMargin,
 
     "rel_price_outliers" ->
       """WITH z AS (
