@@ -403,6 +403,105 @@ object StreamingPipeline {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Streaming face of the batch CEP row `events_pattern_match`
+    * (E288 → E290): the skip-till-next-match NFA
+    * view → click → purchase (within `windowUs`, no error in between)
+    * as a `transformWithState` processor keyed by user. Contract
+    * input: events arrive per user in (tus, event_id) order (the same
+    * finalized-order contract as [[SpikeDetectProcessor]]); a row not
+    * strictly after the last processed (tus, event_id) is dropped —
+    * finalized order cannot legitimately reopen.
+    *
+    * State per user is the OPEN PARTIAL MATCHES only:
+    *  - stage-1 anchors (view_id, view_tus) awaiting their first
+    *    later click,
+    *  - stage-2 partials (view_id, view_tus, click_id) awaiting the
+    *    first later purchase,
+    * and every arriving event first prunes anchors older than
+    * `windowUs` (they can no longer complete in time), so state is
+    * bounded by the anchors inside one window — constant under
+    * steady traffic, never history-sized. A click arms EVERY open
+    * stage-1 anchor (it is the earliest later click for each); a
+    * purchase completes every stage-2 partial (it is the earliest
+    * later purchase for each; the window re-check is belt and
+    * braces); an error kills all partials (it would sit between view
+    * and purchase of any future completion). StreamingSpec pins the
+    * processor row-identical to the batch gate row over the fixture
+    * and on planted kill/prune/out-of-order cases.
+    */
+  class PatternMatchProcessor(windowUs: Long)
+      extends StatefulProcessor[Long, (Long, Long, String, Long),
+        (Long, Long, Long, Long, Long, Long)] {
+    @transient private var s1: ListState[(Long, Long)] = _
+    @transient private var s2: ListState[(Long, Long, Long)] = _
+    @transient private var last: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+      s1 = getHandle.getListState[(Long, Long)]("stage1",
+        ExpressionEncoder[(Long, Long)](), TTLConfig.NONE)
+      s2 = getHandle.getListState[(Long, Long, Long)]("stage2",
+        ExpressionEncoder[(Long, Long, Long)](), TTLConfig.NONE)
+      last = getHandle.getValueState[(Long, Long)]("last",
+        ExpressionEncoder[(Long, Long)](), TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, String, Long)],
+        timers: TimerValues): Iterator[(Long, Long, Long, Long, Long, Long)] = {
+      val views = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val armed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      s1.get().foreach(views += _)
+      s2.get().foreach(armed += _)
+      var (lt, li) =
+        if (last.exists()) last.get() else (Long.MinValue, Long.MinValue)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long, Long, Long)]
+      rows.toArray.sortBy(r => (r._4, r._2)).foreach { case (u, eid, typ, tus) =>
+        if (tus > lt || (tus == lt && eid > li)) {
+          views.filterInPlace(v => tus - v._2 <= windowUs)
+          armed.filterInPlace(a => tus - a._2 <= windowUs)
+          typ match {
+            case "view" => views += ((eid, tus))
+            case "click" =>
+              armed ++= views.map(v => (v._1, v._2, eid))
+              views.clear()
+            case "purchase" =>
+              armed.foreach { case (vid, vtus, cid) =>
+                if (tus - vtus <= windowUs)
+                  out += ((u, vid, cid, eid, vtus, tus))
+              }
+              armed.clear()
+            case "error" =>
+              views.clear()
+              armed.clear()
+            case _ => () // bystander event types carry no NFA transition
+          }
+          lt = tus
+          li = eid
+        }
+      }
+      // ListState refuses empty puts (ILLEGAL_STATE_STORE_VALUE) —
+      // an emptied stage clears instead.
+      if (views.isEmpty) s1.clear() else s1.put(views.toArray)
+      if (armed.isEmpty) s2.clear() else s2.put(armed.toArray)
+      last.update((lt, li))
+      out.iterator
+    }
+  }
+
+  /** `transformWithState` wiring for [[PatternMatchProcessor]] over a
+    * streaming (user_id, event_id, event_type, tus) Dataset.
+    */
+  def patternMatches(spark: SparkSession,
+      events: Dataset[(Long, Long, String, Long)], windowUs: Long)
+      : Dataset[(Long, Long, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new PatternMatchProcessor(windowUs),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** A stopped (or live) streaming checkpoint's state store as a BATCH
     * DataFrame — Spark 4's `statestore` data source (SPARK-45511). The
     * operational escape hatch for stateful streaming at scale: query
