@@ -1,0 +1,119 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted serving artifact for the graph-expansion ANN tier
+  * (E291) — what [[AnnIndex]] (E260) is to residual IVF-PQ, this is
+  * to the E286 graph walk: a real deployment builds the kNN graph
+  * ONCE (the expensive bucketed pair stage) and serves every query
+  * from the persisted tables, where the in-memory row rebuilds graph
+  * and signatures per invocation.
+  *
+  * Artifact layout under one directory (all parquet — the index IS a
+  * set of tables, readable by any engine):
+  *
+  *   vectors.parquet  (id, part, vec: double[])  — for the exact rerank
+  *                                                 (HNSW-family indexes
+  *                                                 store vectors too)
+  *   sigs.parquet     (id, h0, h1)               — binary seed tier
+  *   edges.parquet    (src, dst)                 — kNN out-edges
+  *   manifest.parquet (1 row: format/geometry/counts)
+  *
+  * The manifest is written LAST with counts re-read from the written
+  * files (the [[AnnIndex]] discipline): a crashed build never
+  * presents a loadable index, and [[load]] re-asserts version,
+  * geometry, and per-table counts so a truncated artifact fails
+  * loudly. Parquet round-trips IEEE doubles bit-exactly and the
+  * search half ([[Similarity.graphExpandCandidatesFrom]] +
+  * [[Similarity.graphRerank]]) is shared verbatim with the in-memory
+  * chain, so the round trip is hash-identical — GraphIndexSpec pins
+  * it, and the `emb_graph_persisted` gate row hashes the read-back
+  * search against the same oracle as `emb_graph_search`.
+  *
+  * Scale shape: serving touches the integer signature table (seed
+  * scan), the (src, dst) edge table (`hops` hash joins), and fetches
+  * raw vectors only for the visited set's rerank — per-query work
+  * independent of corpus size (the graph family's defining property).
+  */
+object GraphIndex {
+
+  val FormatVersion = 1
+
+  final case class Index(dim: Int, graphK: Int,
+      vectors: DataFrame, sigs: DataFrame, edges: DataFrame)
+
+  private def writeManifest(spark: SparkSession, dir: String,
+      dim: Int, graphK: Int): Unit = {
+    val nVecs = spark.read.parquet(s"$dir/vectors.parquet").count()
+    val nSigs = spark.read.parquet(s"$dir/sigs.parquet").count()
+    val nEdges = spark.read.parquet(s"$dir/edges.parquet").count()
+    import spark.implicits._
+    Seq((FormatVersion, dim, graphK, nVecs, nSigs, nEdges))
+      .toDF("format_version", "dim", "graph_k",
+        "n_vectors", "n_sigs", "n_edges")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/manifest.parquet")
+  }
+
+  /** Build and persist the graph index for `vecs (id, part, vec)`
+    * under `outDir` (`part` buckets the kNN pair stage, the E267
+    * convention).
+    */
+  def build(vecs: DataFrame, dim: Int, graphK: Int,
+      outDir: String): Unit = {
+    val spark = vecs.sparkSession
+    val v = vecs.localCheckpoint(false) // three table writes, one scan
+    v.write.mode("overwrite").parquet(s"$outDir/vectors.parquet")
+    Similarity.binarySigs(v, dim)
+      .write.mode("overwrite").parquet(s"$outDir/sigs.parquet")
+    Similarity.knnGraph(v, graphK)
+      .select(col("src_id").as("src"), col("dst_id").as("dst"))
+      .write.mode("overwrite").parquet(s"$outDir/edges.parquet")
+    writeManifest(spark, outDir, dim, graphK)
+  }
+
+  /** Load + validate. Throws (IllegalArgumentException) on a missing,
+    * truncated, or wrong-version artifact.
+    */
+  def load(spark: SparkSession, dir: String): Index = {
+    val m = spark.read.parquet(s"$dir/manifest.parquet").head()
+    def mi(f: String): Int = m.getAs[Int](f)
+    def ml(f: String): Long = m.getAs[Long](f)
+    require(mi("format_version") == FormatVersion,
+      s"graph index at $dir has format ${mi("format_version")}, " +
+        s"this reader speaks $FormatVersion")
+    val vectors = spark.read.parquet(s"$dir/vectors.parquet")
+    val sigs = spark.read.parquet(s"$dir/sigs.parquet")
+    val edges = spark.read.parquet(s"$dir/edges.parquet")
+    def check(name: String, df: DataFrame, want: Long): Unit = {
+      val got = df.count()
+      require(got == want,
+        s"graph-index table $name has $got rows, manifest says $want " +
+          "— truncated or mixed-version artifact")
+    }
+    check("vectors", vectors, ml("n_vectors"))
+    check("sigs", sigs, ml("n_sigs"))
+    check("edges", edges, ml("n_edges"))
+    require(ml("n_sigs") == ml("n_vectors"),
+      "every vector needs a signature: artifact inconsistent")
+    Index(mi("dim"), mi("graph_k"), vectors, sigs, edges)
+  }
+
+  /** Serve top-k from the persisted artifact: seeds from the stored
+    * signatures, `hops` expansion rounds over the stored edges, exact
+    * rerank against the stored vectors — the same core the in-memory
+    * chain runs, over read-back tables.
+    */
+  def searchTopK(spark: SparkSession, dir: String, numQueries: Int,
+      seeds: Int, hops: Int, k: Int): DataFrame = {
+    val idx = load(spark, dir)
+    val cand = Similarity.graphExpandCandidatesFrom(
+      idx.sigs.localCheckpoint(false),
+      idx.edges.select(col("src").as("esrc"), col("dst").as("edst"))
+        .localCheckpoint(false),
+      numQueries, seeds, hops)
+    Similarity.graphRerank(idx.vectors.localCheckpoint(false), cand,
+      numQueries, k)
+  }
+}

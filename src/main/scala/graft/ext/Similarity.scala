@@ -1457,10 +1457,20 @@ object Similarity {
     val v = vecs.localCheckpoint(false)
     val cand = graphExpandCandidates(v, dim, numQueries, seeds, hops,
       graphK)
-    val q = v.filter(col("id") < numQueries)
+    graphRerank(v, cand, numQueries, k)
+  }
+
+  /** Exact-cosine rerank of a visited set `cand (query_id, id)`
+    * against queries drawn from `vecs (id, vec)` — the serve-time tail
+    * shared verbatim by the in-memory chain and the persisted graph
+    * index ([[GraphIndex.searchTopK]]), so the two cannot drift.
+    */
+  def graphRerank(vecs: DataFrame, cand: DataFrame, numQueries: Int,
+      k: Int): DataFrame = {
+    val q = vecs.filter(col("id") < numQueries)
       .select(col("id").as("qid"), col("vec").as("qvec"))
     val scored = cand
-      .join(v.select(col("id"), col("vec")), Seq("id"))
+      .join(vecs.select(col("id"), col("vec")), Seq("id"))
       .join(broadcast(q), col("query_id") === col("qid"))
       .select(col("query_id"), col("id"),
         cosine(col("qvec"), col("vec")).as("cs"))
@@ -1481,13 +1491,24 @@ object Similarity {
     */
   def graphExpandCandidates(vecs: DataFrame, dim: Int, numQueries: Int,
       seeds: Int, hops: Int, graphK: Int): DataFrame = {
-    require(hops >= 1, "need at least one expansion hop")
     val v = vecs.localCheckpoint(false)
     // Edge list probed once per hop: (src, dst) pairs only.
     val edges = knnGraph(v, graphK)
       .select(col("src_id").as("esrc"), col("dst_id").as("edst"))
       .localCheckpoint(false)
-    var cand = binaryHammingTopK(v, dim, numQueries, seeds)
+    graphExpandCandidatesFrom(binarySigs(v, dim).localCheckpoint(false),
+      edges, numQueries, seeds, hops)
+  }
+
+  /** [[graphExpandCandidates]] over PRE-BUILT artifact tables: seed
+    * signatures (id, h0, h1) and graph edges (esrc, edst) — the walk
+    * the persisted index serves without touching raw vectors until
+    * the rerank. Caller materializes both inputs.
+    */
+  def graphExpandCandidatesFrom(sigs: DataFrame, edges: DataFrame,
+      numQueries: Int, seeds: Int, hops: Int): DataFrame = {
+    require(hops >= 1, "need at least one expansion hop")
+    var cand = hammingTopKSigs(sigs, numQueries, seeds)
       .select(col("query_id"), col("neighbor_id").as("id"))
     for (_ <- 1 to hops) {
       val expanded = cand.join(edges, col("id") === col("esrc"))
@@ -1587,8 +1608,17 @@ object Similarity {
     * against the exact cosine top-k every round.
     */
   def binaryHammingTopK(vecs: DataFrame, dim: Int, numQueries: Int,
+      k: Int): DataFrame =
+    hammingTopKSigs(binarySigs(vecs, dim).localCheckpoint(false), // 2 consumers
+      numQueries, k)
+
+  /** [[binaryHammingTopK]] over PRE-COMPUTED signatures (id, h0, h1) —
+    * the entry point the persisted graph index serves through
+    * (signatures come from the artifact, not recomputed from vectors).
+    * Caller materializes `sigs` if it feeds multiple consumers.
+    */
+  def hammingTopKSigs(sigs: DataFrame, numQueries: Int,
       k: Int): DataFrame = {
-    val sigs = binarySigs(vecs, dim).localCheckpoint(false) // 2 consumers
     val c = sigs.withColumn("bk", pmod(col("id"), lit(BruteForceBuckets.toLong)))
     val q = sigs.filter(col("id") < numQueries)
       .select(col("id").as("qid"), col("h0").as("q0"), col("h1").as("q1"),

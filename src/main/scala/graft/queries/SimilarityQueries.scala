@@ -372,6 +372,18 @@ object SimilarityQueries {
       Similarity.graphExpandTopK(corpus(s, dir), EmbDim, NumQueries,
         GraphSeeds, GraphHops, KnnK, K)),
 
+    // E291: the same search served from the PERSISTED graph artifact
+    // (build once via GraphIndex, read back, search through the
+    // shared core) — hash-checked against the SAME oracle as
+    // emb_graph_search, so the round trip proves itself.
+    "emb_graph_persisted" -> ((s, dir) => {
+      val idxDir = Materialize.once(s"graph_index:$dir", dir) { p =>
+        graft.ext.GraphIndex.build(corpus(s, dir), EmbDim, KnnK, p)
+      }
+      graft.ext.GraphIndex.searchTopK(s, idxDir, NumQueries,
+        GraphSeeds, GraphHops, K)
+    }),
+
     // E287: its recall audit vs the exact cosine top-k — seed-tier
     // recall, expanded recall, and the candidate volume paid for the
     // lift (at sf0.01: 0.16 → 0.34 at ~97 of 500 candidates).
@@ -2648,6 +2660,14 @@ object SimilarityQueries {
     // UNION-expansion CTE rounds; ranks by (cs DESC, id), the heap's
     // tie order.
     "emb_graph_search" ->
+      s"""$graphExpandCtes
+         |SELECT qid AS query_id, CAST(rnk AS INTEGER) AS rank,
+         |       id AS neighbor_id, round(cs, 6) AS cos
+         |FROM gtop""".stripMargin,
+
+    // E291: the persisted round trip must read exactly like the
+    // in-memory chain — one oracle, two serving paths.
+    "emb_graph_persisted" ->
       s"""$graphExpandCtes
          |SELECT qid AS query_id, CAST(rnk AS INTEGER) AS rank,
          |       id AS neighbor_id, round(cs, 6) AS cos
