@@ -43,6 +43,32 @@ object Curation {
   def hashFraction(key: Column, salt: String): Column =
     hashBucket(key, salt).cast("double") / lit(HashBuckets.toDouble)
 
+  /** Poisson(1) inverse-CDF thresholds over the 16-bit [[hashBucket]]
+    * space: entry i is floor(P(X ≤ i)·65536), weight = the first index
+    * whose threshold exceeds the hash (else 9). INTEGER literals, so
+    * both engines derive the identical weight — no e⁻¹ rounding to
+    * reconcile. Truncation at 9 discards < 1.1e−6 of mass.
+    */
+  val PoissonThresholds: Seq[Long] =
+    Seq(24109L, 48222L, 60277L, 64295L, 65300L, 65497L, 65530L, 65535L)
+
+  /** Deterministic Poisson(1) bootstrap weight for (key, replicate)
+    * (E292, the one-pass "Poisson bootstrap" of Chamandy et al. /
+    * Kleiner et al.'s resampling-without-rescanning idea): the row's
+    * multiplicity in replicate `rep` is a pure function of
+    * md5(salt ‖ key:rep) — same weight on any engine, any partitioning,
+    * any retry, replayable by the oracle. E[w] ≈ 1, so each replicate
+    * is a resample of ≈N rows computed WITHOUT materializing any
+    * resample: one exploded pass, B partial-aggregated group cells.
+    */
+  def bootstrapWeight(key: Column, rep: Column, salt: String): Column = {
+    val h = hashBucket(concat_ws(":", key, rep), salt)
+    PoissonThresholds.zipWithIndex.foldRight(
+      lit(PoissonThresholds.size.toLong)) { case ((t, i), els) =>
+      when(h < t, lit(i.toLong)).otherwise(els)
+    }
+  }
+
   /** Deterministic Bernoulli(p) sample: keep rows whose bucket falls
     * below ⌊p·65536⌋. Same key + salt + p ⇒ same sample, on any engine,
     * any partitioning, any retry.

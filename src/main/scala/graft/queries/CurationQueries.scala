@@ -743,6 +743,41 @@ object CurationQueries {
         .withColumn("pos", row_number().over(w).cast("long"))
     }),
 
+    // E292: one-pass Poisson-bootstrap replicates — per replicate b,
+    // the deterministic-weight effective count and weighted sum (exact
+    // integers) plus the replicate mean. B resamples of ≈N rows each,
+    // NO resample ever materialized and the corpus scanned once: the
+    // (doc_id, n_chars) projection explodes ×B and partial aggregation
+    // reduces map-side to B cells. The uncertainty-quantification
+    // pattern for 100 TB metrics, where quantile-of-resamples by
+    // re-scanning is B full passes.
+    "docs_bootstrap_reps" -> ((s, dir) =>
+      bootstrapReps(s, dir).select(col("b"), col("n_eff"), col("wx_sum"),
+        round(col("wx_sum").cast("double") / col("n_eff").cast("double"),
+          6).as("mean_chars"))),
+
+    // E292's terminal row: the point estimate and the percentile CI
+    // from the ranked replicate means (ranks ⌈0.025B⌉ / ⌈0.975B⌉, tie
+    // by b) — the window ranks B rows, never data.
+    "docs_bootstrap_ci" -> ((s, dir) => {
+      val m = bootstrapReps(s, dir).select(col("b"),
+        (col("wx_sum").cast("double") / col("n_eff").cast("double")).as("m"))
+      val w = Window.orderBy(col("m"), col("b"))
+      val ranked = m.withColumn("r", row_number().over(w))
+        .localCheckpoint(false) // two rank probes
+      val lo = ranked.filter(col("r") === BootLoRank)
+        .select(round(col("m"), 6).as("ci_lo"))
+      val hi = ranked.filter(col("r") === BootHiRank)
+        .select(round(col("m"), 6).as("ci_hi"))
+      Tables.documents(s, dir)
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tc"))
+        .select(col("n_docs"), round(col("tc").cast("double") /
+          col("n_docs").cast("double"), 6).as("mean_chars"))
+        .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+        .select(col("n_docs"), col("mean_chars"), col("ci_lo"),
+          col("ci_hi"), lit(BootReps.toLong).as("n_reps"))
+    }),
+
     // E181: per-source quantile normalization of quality scores — map
     // each document's quality to its percentile WITHIN its source
     // before any global thresholding (raw scores are not comparable
@@ -1205,6 +1240,15 @@ object CurationQueries {
     */
   private val DomainCapK = 15
 
+  /** E292 one-pass bootstrap: B replicates, percentile-CI ranks
+    * ⌈0.025·B⌉ = 1 and ⌈0.975·B⌉ = 39 over the ranked replicate
+    * means.
+    */
+  private val BootReps = 40
+  private val BootSalt = "boot:"
+  private val BootLoRank = 1
+  private val BootHiRank = 39
+
   /** Blocklist fixtures for E177/E179: terms hit via distinct-token
     * membership, phrases via exact space-delimited containment. Drawn
     * from the fixture vocabulary so both hit paths exercise.
@@ -1281,6 +1325,43 @@ object CurationQueries {
   // -------------------------------------------------------------------
   // DuckDB oracles
   // -------------------------------------------------------------------
+
+  /** E292 shared core: per-replicate effective count and weighted sum
+    * over the deterministic Poisson weights — exact integers, the one
+    * corpus scan both bootstrap rows share.
+    */
+  private def bootstrapReps(s: SparkSession, dir: String): DataFrame = {
+    val reps = s.range(0, BootReps).select(col("id").as("b"))
+    Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+      .crossJoin(broadcast(reps))
+      .select(col("b"),
+        Curation.bootstrapWeight(col("doc_id"), col("b"), BootSalt).as("w"),
+        col("n_chars"))
+      .groupBy("b")
+      .agg(sum(col("w")).as("n_eff"),
+        sum(col("w") * col("n_chars")).as("wx_sum"))
+  }
+
+  /** [[Curation.bootstrapWeight]] in DuckDB: the same integer
+    * thresholds over the replayed hex bucket of `key:replicate`.
+    */
+  private def bootWeightSql(keyExpr: String): String = {
+    val hb = hexBucketSql(keyExpr, BootSalt)
+    "(CASE " + Curation.PoissonThresholds.zipWithIndex
+      .map { case (t, i) => s"WHEN $hb < $t THEN $i" }.mkString(" ") +
+      s" ELSE ${Curation.PoissonThresholds.size} END)"
+  }
+
+  /** E292 shared oracle CTEs: replicate spine, weights, per-replicate
+    * integer aggregates.
+    */
+  private lazy val bootAggCtes: String =
+    s"""WITH reps AS (SELECT unnest(generate_series(0, ${BootReps - 1})) AS b),
+       |wr AS (SELECT b, ${bootWeightSql("doc_id || ':' || b")} AS w, n_chars
+       |       FROM documents CROSS JOIN reps),
+       |agg AS (SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+       |               CAST(sum(w * n_chars) AS BIGINT) AS wx_sum
+       |        FROM wr GROUP BY b)""".stripMargin
 
   /** [[Curation.hashBucket]] in DuckDB: 4 hex digits of md5(salt ‖ key)
     * decoded positionally (DuckDB has no hex→int cast; strpos over the
@@ -2154,6 +2235,28 @@ object CurationQueries {
          |       CAST(sum(CASE WHEN g4 THEN 1 ELSE 0 END) AS BIGINT) AS n_blocklist,
          |       count(DISTINCT CASE WHEN g4 THEN fp END) AS n_dedup
          |FROM g""".stripMargin,
+
+    // E292: the replicate weights replay from the same integer
+    // thresholds over the replayed md5 bucket; aggregates exact.
+    "docs_bootstrap_reps" ->
+      s"""$bootAggCtes
+         |SELECT b, n_eff, wx_sum,
+         |       round(CAST(wx_sum AS DOUBLE) / n_eff, 6) AS mean_chars
+         |FROM agg""".stripMargin,
+
+    "docs_bootstrap_ci" ->
+      s"""$bootAggCtes,
+         |m AS (SELECT b, CAST(wx_sum AS DOUBLE) / n_eff AS m FROM agg),
+         |r AS (SELECT b, m, row_number() OVER (ORDER BY m, b) AS rk FROM m),
+         |pt AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |              round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6)
+         |                AS mean_chars
+         |       FROM documents)
+         |SELECT pt.n_docs, pt.mean_chars,
+         |       (SELECT round(m, 6) FROM r WHERE rk = $BootLoRank) AS ci_lo,
+         |       (SELECT round(m, 6) FROM r WHERE rk = $BootHiRank) AS ci_hi,
+         |       CAST($BootReps AS BIGINT) AS n_reps
+         |FROM pt""".stripMargin,
 
     "docs_epoch_shuffle" ->
       s"""WITH h AS (SELECT doc_id,
