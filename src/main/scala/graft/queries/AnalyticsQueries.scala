@@ -24,6 +24,14 @@ object AnalyticsQueries {
     */
   val MinDf = 10
 
+  /** E293 Markov attribution: the transient channels credited (all
+    * non-purchase event types, alphabetical — the fold order both
+    * engines share) and the fixed absorption-iteration count (the
+    * published value is "conversion within AttrIters steps").
+    */
+  private val AttrChannels = Seq("click", "error", "signup", "view")
+  private val AttrIters = 20
+
   /** E289 Misra-Gries shard merge: shard count and sketch capacity.
     * capacity 4 over the 5-language column forces decrement churn in
     * every shard sketch (a ≤-cardinality capacity would hold exact
@@ -780,6 +788,20 @@ object AnalyticsQueries {
           array_contains(col("sketch"), col("lang")).as("in_sketch"))
     }),
 
+    // E293: Markov-chain attribution by removal effect — the
+    // data-driven multi-touch model next to E230's rule-based linear
+    // split: per channel, how much START→purchase absorption drops
+    // when every path through it is cut, normalized to shares. One
+    // windowed episode pass + a |types|²-row collect; absorption is
+    // fixed-iteration driver arithmetic the oracle replays round for
+    // round (see ext/Attribution.scala for the full contract).
+    "events_attr_markov" -> ((s, dir) =>
+      graft.ext.Attribution.markovAttribution(
+        Tables.events(s, dir).select(col("user_id"), col("event_id"),
+          col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("tus")),
+        AttrChannels, AttrIters)),
+
     // E289: Misra-Gries SHARD-MERGE algebra (the E108/E269 sketch
     // discipline applied to frequent items): per-shard MG sketches
     // with counter VALUES persisted as parquet, merged m-way by the
@@ -1100,6 +1122,71 @@ object AnalyticsQueries {
        |    SELECT e.dst, sum(r.pr / e.outdeg) AS c
        |    FROM ew e JOIN $prev r ON e.src = r.id
        |    GROUP BY e.dst) s ON v.id = s.dst)"""
+
+  /** E293 oracle: episode transition extraction + one MATERIALIZED
+    * fixed-point chain per (base, removed channel), generated to
+    * [[AttrIters]] rounds.
+    */
+  private lazy val attrMarkovSql: String = {
+    def chain(tag: String, removed: Option[String]): String = {
+      val rm = removed.map(c => s"WHEN tr.t = '$c' THEN 0.0").getOrElse("")
+      (1 to AttrIters).map { k =>
+        val (join, pexpr) =
+          if (k == 1) ("", "0.0")
+          else (s"LEFT JOIN $tag${k - 1} pk ON pk.s = tr.t",
+            "coalesce(pk.p, 0.0)")
+        s"""$tag$k AS MATERIALIZED (SELECT tr.f AS s,
+           |  list_reduce(list(tr.p * (CASE WHEN tr.t = 'purchase' THEN 1.0
+           |    WHEN tr.t = 'NULL' THEN 0.0 $rm ELSE $pexpr END)
+           |    ORDER BY tr.t), (a, b) -> a + b) AS p
+           |  FROM tr $join GROUP BY tr.f)""".stripMargin
+      }.mkString(",\n")
+    }
+    def fin(tag: String): String =
+      s"(SELECT p FROM $tag$AttrIters WHERE s = 'START')"
+    val chains = (chain("pbs", None) +: AttrChannels.map(c =>
+      chain(s"p$c", Some(c)))).mkString(",\n")
+    def re(c: String) = s"((fin.pb - fin.p_$c) / fin.pb)"
+    val tot = AttrChannels.map(re).mkString(" + ")
+    val rows = AttrChannels.map { c =>
+      s"""SELECT '$c' AS channel, round(fin.pb, 6) AS p_base,
+         |       round(fin.p_$c, 6) AS p_removed,
+         |       round(${re(c)}, 6) AS removal_effect,
+         |       round(${re(c)} / ($tot), 6) AS attribution
+         |FROM fin""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ord2 AS (SELECT user_id, event_id, event_type,
+       |         epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+       |seq AS (SELECT *, row_number() OVER (PARTITION BY user_id
+       |          ORDER BY tus, event_id) AS rn,
+       |        coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1
+       |            ELSE 0 END) OVER (PARTITION BY user_id
+       |          ORDER BY tus, event_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ep
+       |        FROM ord2),
+       |step AS (SELECT *, lead(event_type) OVER (PARTITION BY user_id, ep
+       |           ORDER BY rn) AS nt,
+       |         row_number() OVER (PARTITION BY user_id, ep
+       |           ORDER BY rn) AS ern
+       |         FROM seq),
+       |raw AS (
+       |  SELECT event_type AS f, nt AS t FROM step WHERE nt IS NOT NULL
+       |  UNION ALL
+       |  SELECT 'START' AS f, event_type AS t FROM step WHERE ern = 1
+       |  UNION ALL
+       |  SELECT event_type AS f, 'NULL' AS t FROM step
+       |  WHERE nt IS NULL AND event_type <> 'purchase'),
+       |cnt AS (SELECT f, t, CAST(count(*) AS BIGINT) AS n
+       |        FROM raw GROUP BY f, t),
+       |tot AS (SELECT f, sum(n) AS tn FROM cnt GROUP BY f),
+       |tr AS MATERIALIZED (SELECT cnt.f, cnt.t,
+       |        CAST(cnt.n AS DOUBLE) / tot.tn AS p
+       |      FROM cnt JOIN tot ON tot.f = cnt.f),
+       |$chains,
+       |fin AS (SELECT ${fin("pbs")} AS pb,
+       |  ${AttrChannels.map(c => s"${fin(s"p$c")} AS p_$c").mkString(", ")})
+       |$rows""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "docs_pagerank" ->
@@ -1491,6 +1578,14 @@ object AnalyticsQueries {
         |FROM documents, t
         |GROUP BY lang, n
         |HAVING count(*) * 5 > n""".stripMargin,
+
+    // E293: the full replay — episode transitions, then per chain
+    // (base + one per removed channel) AttrIters MATERIALIZED
+    // fixed-point rounds whose per-source sums fold in target order
+    // (list_reduce over list ORDER BY t), exactly the driver's
+    // arithmetic; attribution denominator folds channels
+    // alphabetically, matching the driver's foldLeft.
+    "events_attr_markov" -> attrMarkovSql,
 
     // E289: exact counts and the heavy predicate replay; the merged-
     // sketch guarantees are pinned literal true (the E66 pattern —
