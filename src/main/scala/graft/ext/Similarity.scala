@@ -1639,6 +1639,54 @@ object Similarity {
         (-col("item.score")).cast("long").as("hamming"))
   }
 
+  /** int8 scalar-quantized codes (E294) — the SQ8 rung between raw
+    * float and PQ on the quantization ladder: vectors L2-normalize,
+    * then each component maps to floor(x·127 + 0.5) — an INTEGER
+    * carried as double (|q| ≤ 127, so any 64-dim dot stays < 2²⁰:
+    * integer-exact in double arithmetic, summation-order-FREE — no
+    * fold-order discipline needed anywhere downstream). floor(+0.5)
+    * instead of a round() call because round's half-case semantics
+    * differ across engines while floor is pure IEEE both sides. 4×
+    * storage shrink vs float32 at near-lossless recall
+    * (`emb_sq8_recall`: 0.98 point / 1.00 rerank at sf0.01).
+    */
+  def sq8Codes(vecs: DataFrame): DataFrame = {
+    val nrm = sqrt(dot(col("vec"), col("vec")))
+    vecs.select(col("id"), nrm.as("nrm"), col("vec"))
+      .select(col("id"),
+        transform(col("vec"), x =>
+          when(col("nrm") === 0.0, lit(0.0))
+            .otherwise(floor(x / col("nrm") * lit(127.0) + lit(0.5))))
+          .as("q8"))
+  }
+
+  /** Symmetric int8 top-k (E294): integer dot product over [[sq8Codes]]
+    * via the native codegen DotProduct, the same bucketed-broadcast
+    * equi-key + bounded-heap shape as [[topK]]. Scores are exact
+    * integers — ranking has no float tie hazard at all. Output:
+    * (query_id, rank, neighbor_id, dot_q).
+    */
+  def sq8TopK(vecs: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val codes = sq8Codes(vecs).localCheckpoint(false) // corpus + queries
+    val c = codes
+      .withColumn("bk", pmod(col("id"), lit(BruteForceBuckets.toLong)))
+    val q = codes.filter(col("id") < numQueries)
+      .select(col("id").as("qid"), col("q8").as("qq"),
+        bucketFanout.as("qbk"))
+    val scored = c.alias("c")
+      .join(broadcast(q.alias("q")),
+        col("c.bk") === col("q.qbk") && col("c.id") =!= col("q.qid"))
+      .select(col("q.qid").as("query_id"), col("c.id").as("id"),
+        graft.functions.DotProduct(col("q.qq"), col("c.q8")).as("score"))
+    scored.groupBy("query_id")
+      .agg(topkUdaf(k)(col("score"), col("id")).as("topk"))
+      .select(col("query_id"),
+        posexplode(col("topk").getField("items")).as(Seq("pos", "item")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("item.id").as("neighbor_id"),
+        col("item.score").cast("long").as("dot_q"))
+  }
+
   /** Simplified silhouette (Hruschka et al. 2004) over label-seeded
     * nearest-centroid clusters — the cluster-quality audit an IVF /
     * SemDeDup partitioner needs before its cells are trusted: per

@@ -436,6 +436,43 @@ object SimilarityQueries {
         asg.select(col("id").as("aid"), col("assigned")))
     }),
 
+    // E294: symmetric int8 scalar-quantized top-5 — the SQ8 rung
+    // between raw float and PQ: normalized components floor-mapped to
+    // [-127, 127], integer dot products (exact, order-free), native
+    // codegen DotProduct in the scan.
+    "emb_sq8_topk" -> ((s, dir) =>
+      Similarity.sq8TopK(corpus(s, dir), NumQueries, K)),
+
+    // E295: its recall audit vs the exact cosine top-k at the point
+    // and 4x-rerank horizons — at sf0.01 SQ8 reads 0.98/1.00, the
+    // near-lossless rung the ladder's PQ (0.32/0.82) and binary
+    // (0.24) prices are judged against.
+    "emb_sq8_recall" -> ((s, dir) => {
+      val c = corpus(s, dir).localCheckpoint(false)
+      val cand = Similarity.sq8TopK(c, NumQueries, K * AdcRerankMult)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .localCheckpoint(false)
+      val q = c.filter(col("id") < NumQueries)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      val exact = Similarity.topK(c, q, K)
+        .select(col("query_id"), col("neighbor_id"))
+      val pointHits = cand.filter(col("rank") <= K)
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("h"))
+      val candHits = cand.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("ch"))
+      q.select(col("qid").as("query_id"))
+        .join(pointHits, Seq("query_id"), "left")
+        .join(candHits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("h"), lit(0L)).as("n_hits"),
+          round(coalesce(col("h"), lit(0L)).cast("double") /
+            lit(K.toDouble), 6).as("recall_at_k"),
+          coalesce(col("ch"), lit(0L)).as("n_cand_hits"),
+          round(coalesce(col("ch"), lit(0L)).cast("double") /
+            lit(K.toDouble), 6).as("recall_rerank"))
+    }),
+
     // Binary quantization tier (E247): sign bits packed into two
     // 32-bit halves — 64× storage shrink, the cheapest ANN rung.
     "emb_binary_sig" -> ((s, dir) =>
@@ -1270,6 +1307,17 @@ object SimilarityQueries {
   /** Shared E247/E248 CTEs: packed signatures `sg`, query sigs `qs`,
     * and all-pairs Hamming distances `d (qid, id, dist)`.
     */
+  /** E294/E295 shared CTEs: per-row norm, normalized floor-quantized
+    * int8 codes `qz (vec_id, q8)` — mirrors Similarity.sq8Codes.
+    */
+  private lazy val sq8Ctes: String =
+    s"""$embCte,
+       |nrmv AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+       |qz AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(v, x -> CASE WHEN nrm = 0 THEN 0.0
+       |      ELSE floor(x / nrm * 127.0 + 0.5) END) AS q8
+       |  FROM nrmv)""".stripMargin
+
   private lazy val binarySigCtes: String =
     s"""$embCte,
        |sg AS MATERIALIZED (SELECT vec_id AS id, ${binPackSql(0)} AS h0,
@@ -2185,6 +2233,55 @@ object SimilarityQueries {
 
     // E247: the pack is a plain BIGINT sum of disjoint powers of two —
     // generated from the same half-width constant as the Spark fold.
+    // E294: normalized floor-quantization replayed per component;
+    // integer dot products in double are exact and order-free, so the
+    // fold needs no order discipline.
+    "emb_sq8_topk" ->
+      s"""$sq8Ctes,
+         |sc AS (SELECT a.vec_id AS qid, b.vec_id AS id,
+         |              ${dotSql("a.q8", "b.q8")} AS dq
+         |       FROM qz a JOIN qz b ON b.vec_id <> a.vec_id
+         |       WHERE a.vec_id < $NumQueries),
+         |r AS (SELECT qid, id, dq, row_number() OVER (PARTITION BY qid
+         |        ORDER BY dq DESC, id) AS rk FROM sc)
+         |SELECT qid AS query_id, CAST(rk AS INTEGER) AS rank,
+         |       id AS neighbor_id, CAST(dq AS BIGINT) AS dot_q
+         |FROM r WHERE rk <= $K""".stripMargin,
+
+    // E295: point + rerank recall vs the exact cosine truth.
+    "emb_sq8_recall" ->
+      s"""$sq8Ctes,
+         |sc AS (SELECT a.vec_id AS qid, b.vec_id AS id,
+         |              ${dotSql("a.q8", "b.q8")} AS dq
+         |       FROM qz a JOIN qz b ON b.vec_id <> a.vec_id
+         |       WHERE a.vec_id < $NumQueries),
+         |cand AS (SELECT qid, id, rk FROM (
+         |    SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY dq DESC, id) AS rk FROM sc)
+         |  WHERE rk <= ${K * AdcRerankMult}),
+         |s2 AS (SELECT q2.vec_id AS qid, e.vec_id AS id,
+         |              ${cosSql("q2.v", "e.v")} AS score
+         |       FROM e q2 JOIN e ON e.vec_id <> q2.vec_id
+         |       WHERE q2.vec_id < $NumQueries),
+         |xr AS (SELECT qid, id FROM (
+         |         SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |           ORDER BY score DESC, id) AS rk FROM s2)
+         |       WHERE rk <= $K),
+         |h AS (SELECT c2.qid, count(*) AS n FROM cand c2
+         |      JOIN xr ON xr.qid = c2.qid AND xr.id = c2.id
+         |      WHERE c2.rk <= $K GROUP BY c2.qid),
+         |ch AS (SELECT c2.qid, count(*) AS n FROM cand c2
+         |       JOIN xr ON xr.qid = c2.qid AND xr.id = c2.id
+         |       GROUP BY c2.qid)
+         |SELECT q3.vec_id AS query_id,
+         |       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+         |       round(CAST(coalesce(h.n, 0) AS DOUBLE) / $K, 6) AS recall_at_k,
+         |       CAST(coalesce(ch.n, 0) AS BIGINT) AS n_cand_hits,
+         |       round(CAST(coalesce(ch.n, 0) AS DOUBLE) / $K, 6) AS recall_rerank
+         |FROM (SELECT DISTINCT vec_id FROM e WHERE vec_id < $NumQueries) q3
+         |LEFT JOIN h ON h.qid = q3.vec_id
+         |LEFT JOIN ch ON ch.qid = q3.vec_id""".stripMargin,
+
     "emb_binary_sig" ->
       s"""$embCte
          |SELECT vec_id AS id, ${binPackSql(0)} AS h0,
