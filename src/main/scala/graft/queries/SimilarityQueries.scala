@@ -420,6 +420,49 @@ object SimilarityQueries {
             lit(K.toDouble), 6).as("recall_at_k"))
     }),
 
+    // E296: triangle census over the mutual kNN graph — per coarse
+    // bucket: nodes, undirected mutual edges, triangles (two-path
+    // join + closing-edge probe, the standard distributed triangle
+    // count), wedges Σd(d−1)/2, and the global clustering coefficient
+    // 3T/W — the semantic-coherence audit read next to E268's
+    // components (high clustering = tight local neighborhoods, low =
+    // hub-dominated or noisy space). Out-degree is capped at KnnK, so
+    // the two-path join is ≤ KnnK² rows per node — linear in N, never
+    // pair-quadratic; everything integer-exact until one division.
+    "emb_graph_triangles" -> ((s, dir) => {
+      val c = corpus(s, dir).localCheckpoint(false)
+      val g = Similarity.knnGraph(c, KnnK).filter(col("mutual"))
+        .select(col("src_id").as("a"), col("dst_id").as("b"))
+        .localCheckpoint(false) // degree + two-path + closing probe
+      val und = g.filter(col("a") < col("b"))
+      val deg = g.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
+      val tri = und.alias("e1")
+        .join(und.alias("e2"), col("e1.b") === col("e2.a"))
+        .select(col("e1.a").as("x"), col("e2.b").as("z"))
+        .join(und.alias("e3"),
+          col("x") === col("e3.a") && col("z") === col("e3.b"))
+        .select(col("x").as("tv"))
+      val parts = c.select(col("id"), col("part"))
+      val nodes = parts.groupBy("part").agg(count(lit(1)).as("n_nodes"))
+      val edges = und.join(parts, col("a") === col("id"))
+        .groupBy("part").agg(count(lit(1)).as("n_edges"))
+      val tris = tri.join(parts, col("tv") === col("id"))
+        .groupBy("part").agg(count(lit(1)).as("n_triangles"))
+      val wedges = deg.join(parts, col("v") === col("id"))
+        .groupBy("part")
+        .agg(sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges"))
+      nodes.join(edges, Seq("part"), "left")
+        .join(tris, Seq("part"), "left")
+        .join(wedges, Seq("part"), "left")
+        .select(col("part"), col("n_nodes"),
+          coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+          coalesce(col("n_wedges"), lit(0L)).as("n_wedges"),
+          when(coalesce(col("n_wedges"), lit(0L)) === 0L, lit(0.0))
+            .otherwise(round(lit(3.0) * coalesce(col("n_triangles"), lit(0L))
+              / coalesce(col("n_wedges"), lit(1L)), 6)).as("clustering"))
+    }),
+
     // SemDeDup: semantic dedup within LEARNED k-means clusters —
     // survivors after dropping every vector with a lower-id
     // cosine-near-dup in its trained cluster (see
@@ -2799,6 +2842,39 @@ object SimilarityQueries {
          |LEFT JOIN nc ON nc.qid = q3.vec_id
          |LEFT JOIN sh ON sh.qid = q3.vec_id
          |LEFT JOIN h ON h.qid = q3.vec_id""".stripMargin,
+
+    // E296: mutual edges from the replayed kNN top set, the same
+    // two-path + closing-edge join, integer census, one division.
+    "emb_graph_triangles" ->
+      s"""$embCte,
+         |$knnTopCte,
+         |mg AS MATERIALIZED (SELECT t.src AS a, t.dst AS b FROM ktop t
+         |      JOIN ktop r ON r.src = t.dst AND r.dst = t.src),
+         |und AS MATERIALIZED (SELECT a, b FROM mg WHERE a < b),
+         |deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS d
+         |        FROM mg GROUP BY a),
+         |tri AS (SELECT e1.a AS x FROM und e1
+         |        JOIN und e2 ON e2.a = e1.b
+         |        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |parts AS (SELECT vec_id AS id, label AS part FROM e),
+         |nodes AS (SELECT part, CAST(count(*) AS BIGINT) AS n_nodes
+         |          FROM parts GROUP BY part),
+         |edg AS (SELECT p.part, CAST(count(*) AS BIGINT) AS n
+         |        FROM und JOIN parts p ON p.id = und.a GROUP BY p.part),
+         |trs AS (SELECT p.part, CAST(count(*) AS BIGINT) AS n
+         |        FROM tri JOIN parts p ON p.id = tri.x GROUP BY p.part),
+         |wdg AS (SELECT p.part, CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n
+         |        FROM deg JOIN parts p ON p.id = deg.v GROUP BY p.part)
+         |SELECT nodes.part, nodes.n_nodes,
+         |       CAST(coalesce(edg.n, 0) AS BIGINT) AS n_edges,
+         |       CAST(coalesce(trs.n, 0) AS BIGINT) AS n_triangles,
+         |       CAST(coalesce(wdg.n, 0) AS BIGINT) AS n_wedges,
+         |       CASE WHEN coalesce(wdg.n, 0) = 0 THEN 0.0
+         |            ELSE round(3.0 * coalesce(trs.n, 0)
+         |                       / coalesce(wdg.n, 1), 6) END AS clustering
+         |FROM nodes LEFT JOIN edg ON edg.part = nodes.part
+         |LEFT JOIN trs ON trs.part = nodes.part
+         |LEFT JOIN wdg ON wdg.part = nodes.part""".stripMargin,
 
     // E265: margin mining — neighborhood sums replay the heap's rank
     // order via list(cs ORDER BY rn), so the fold is bit-identical.
