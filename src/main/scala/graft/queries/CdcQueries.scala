@@ -54,6 +54,35 @@ object CdcQueries {
       Parse.parse(Envelopes.fromEvents(s, dir))
         .select("topic", "key", "op", "db", "tbl")),
 
+    // E298: schema-drift watchdog — the Debezium-lane evolution audit:
+    // per (db, table), each DISTINCT sorted after-payload key set with
+    // its record count, first-seen key id, and the table's version
+    // count (n_versions > 1 = the schema changed mid-stream — the
+    // signal a downstream MERGE/materialization job must see before
+    // it silently drops a new column). The fixture stream is
+    // schema-stable by construction, so drift is PLANTED (the E285
+    // convention): records with key ≡ 0 (mod 13) gain a promo_cents
+    // field — a broken keyset extraction cannot hide behind a
+    // drift-free stream. Scale: keyset extraction is scan-side; the
+    // aggregate is (tables × versions)-sized.
+    "cdc_schema_drift" -> ((s, dir) => {
+      val env = Envelopes.fromEvents(s, dir)
+      val drifted = env.withColumn("value",
+        when(col("key").cast("long") % 13 === 0,
+          expr("replace(value, '{\"id\":', '{\"promo_cents\":0,\"id\":')"))
+          .otherwise(col("value")))
+      val parsed = drifted.select(col("key").cast("long").as("kid"),
+        get_json_object(col("value"), "$.source.db").as("db"),
+        get_json_object(col("value"), "$.source.table").as("tbl"),
+        concat_ws(",", array_sort(
+          expr("json_object_keys(get_json_object(value, '$.after'))")))
+          .as("keyset"))
+      parsed.groupBy("db", "tbl", "keyset")
+        .agg(count(lit(1)).as("n_records"), min(col("kid")).as("first_id"))
+        .withColumn("n_versions", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("db", "tbl")))
+    }),
+
     // R3: blocklist delete filter (op != 'd'; unknown ops pass).
     "cdc_filter_deletes" -> ((s, dir) =>
       Filter.dropDeletes(Parse.parse(Envelopes.fromEvents(s, dir)))
@@ -350,6 +379,28 @@ object CdcQueries {
   val oracles: Map[String, String] = Map(
     "cdc_parse" ->
       s"$parsedCte SELECT topic, key, op, db, tbl FROM parsed",
+
+    // E298: the same planted drift + sorted json_keys census.
+    "cdc_schema_drift" ->
+      s"""WITH ev AS (${Envelopes.duckdbCte}),
+         |drift AS (SELECT key,
+         |    CASE WHEN CAST(key AS BIGINT) % 13 = 0
+         |         THEN replace(value, '{"id":', '{"promo_cents":0,"id":')
+         |         ELSE value END AS value
+         |  FROM ev),
+         |p AS (SELECT CAST(key AS BIGINT) AS kid,
+         |             json_extract_string(value, '$$.source.db') AS db,
+         |             json_extract_string(value, '$$.source.table') AS tbl,
+         |             array_to_string(list_sort(
+         |               json_keys(value, '$$.after')), ',') AS keyset
+         |      FROM drift),
+         |g AS (SELECT db, tbl, keyset, CAST(count(*) AS BIGINT) AS n_records,
+         |             min(kid) AS first_id
+         |      FROM p GROUP BY db, tbl, keyset)
+         |SELECT db, tbl, keyset, n_records, first_id,
+         |       CAST(count(*) OVER (PARTITION BY db, tbl) AS BIGINT)
+         |         AS n_versions
+         |FROM g""".stripMargin,
 
     "cdc_filter_deletes" ->
       s"$parsedCte SELECT topic, key, op, db, tbl FROM parsed WHERE op <> 'd'",

@@ -420,6 +420,25 @@ object SimilarityQueries {
             lit(K.toDouble), 6).as("recall_at_k"))
     }),
 
+    // E297: hubness audit — the in-degree distribution of the DIRECTED
+    // kNN graph (per bucket, with the zero-in-degree anti-hub spine
+    // joined in — a naive groupBy silently drops the nodes nothing
+    // points at). Hubness is the defining high-dim ANN pathology (a
+    // few vectors appear in everyone's top-k and poison graph walks
+    // and bitext mining alike — E265 demotes hubs for exactly this
+    // reason); this row is the diagnostic that says whether it is
+    // happening. Integer-exact distribution rows (part, in_deg,
+    // n_nodes).
+    "emb_graph_hubness" -> ((s, dir) => {
+      val c = corpus(s, dir).localCheckpoint(false)
+      val indeg = Similarity.knnGraph(c, KnnK)
+        .groupBy(col("dst_id").as("id")).agg(count(lit(1)).as("d"))
+      c.select(col("id"), col("part"))
+        .join(indeg, Seq("id"), "left")
+        .select(col("part"), coalesce(col("d"), lit(0L)).as("in_deg"))
+        .groupBy("part", "in_deg").agg(count(lit(1)).as("n_nodes"))
+    }),
+
     // E296: triangle census over the mutual kNN graph — per coarse
     // bucket: nodes, undirected mutual edges, triangles (two-path
     // join + closing-edge probe, the standard distributed triangle
@@ -2842,6 +2861,19 @@ object SimilarityQueries {
          |LEFT JOIN nc ON nc.qid = q3.vec_id
          |LEFT JOIN sh ON sh.qid = q3.vec_id
          |LEFT JOIN h ON h.qid = q3.vec_id""".stripMargin,
+
+    // E297: in-degree over the replayed kNN top set, zero-spine via
+    // LEFT JOIN from the full vector population.
+    "emb_graph_hubness" ->
+      s"""$embCte,
+         |$knnTopCte,
+         |ind AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS d
+         |        FROM ktop GROUP BY dst)
+         |SELECT e.label AS part,
+         |       CAST(coalesce(ind.d, 0) AS BIGINT) AS in_deg,
+         |       CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM e LEFT JOIN ind ON ind.id = e.vec_id
+         |GROUP BY e.label, coalesce(ind.d, 0)""".stripMargin,
 
     // E296: mutual edges from the replayed kNN top set, the same
     // two-path + closing-edge join, integer census, one division.
