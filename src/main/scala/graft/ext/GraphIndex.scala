@@ -73,6 +73,62 @@ object GraphIndex {
     writeManifest(spark, outDir, dim, graphK)
   }
 
+  /** Incrementally APPEND `newVecs (id, part, vec)` to a persisted
+    * graph index (E299) — the batch shape of the HNSW insert: each
+    * new node gets its top-`graphK` within-bucket out-edges computed
+    * against the FULL post-append population (existing ∪ batch), the
+    * existing nodes' edge lists stay FROZEN (no rebuild), and the
+    * manifest is rewritten LAST with re-read counts (a crashed append
+    * fails the count check, never serves a short index). Guards:
+    * batch ids disjoint from the indexed set (add, not upsert), batch
+    * vector width must match the manifest dim.
+    *
+    * Reachability contract, stated not hidden: appended nodes are
+    * immediately findable through the SEED tier (their signatures
+    * join the scan) and through their own out-edges, but existing
+    * nodes point no edges AT them until a rebuild — the staleness is
+    * the explicit price, and GraphAppendSpec MEASURES appended-vs-
+    * rebuilt recall instead of assuming it away (the E262
+    * discipline).
+    */
+  def append(newVecs: DataFrame, dir: String): Unit = {
+    val spark = newVecs.sparkSession
+    val idx = load(spark, dir)
+    val nv = newVecs.localCheckpoint(false)
+    val batchDim = nv.select(size(col("vec"))).head().getInt(0)
+    require(batchDim == idx.dim,
+      s"append batch has dim $batchDim, index geometry says ${idx.dim}")
+    val dup = nv.select(col("id"))
+      .join(idx.vectors.select(col("id")), "id").count()
+    require(dup == 0,
+      s"append batch shares $dup ids with the indexed set — " +
+        "append is add, not upsert")
+    val full = idx.vectors.select(col("id"), col("part"), col("vec"))
+      .unionByName(nv.select(col("id"), col("part"), col("vec")))
+      .withColumn("nrm", sqrt(Similarity.dot(col("vec"), col("vec"))))
+      .localCheckpoint(false)
+    val q = nv
+      .withColumn("qnrm", sqrt(Similarity.dot(col("vec"), col("vec"))))
+      .select(col("id").as("nid"), col("part").as("npart"),
+        col("vec").as("nvec"), col("qnrm"))
+    val denom = col("qnrm") * col("nrm")
+    val cs = when(denom === 0.0, lit(0.0))
+      .otherwise(Similarity.dot(col("nvec"), col("vec")) / denom)
+    val newEdges = q.join(full,
+        col("npart") === col("part") && col("nid") =!= col("id"))
+      .select(col("nid").as("src0"), col("id").as("dst0"), cs.as("cs"))
+      .groupBy(col("src0"))
+      .agg(Similarity.topkUdaf(idx.graphK)(col("cs"), col("dst0")).as("t"))
+      .select(col("src0").as("src"),
+        explode(col("t.items")).as("it"))
+      .select(col("src"), col("it.id").as("dst"))
+    nv.write.mode("append").parquet(s"$dir/vectors.parquet")
+    Similarity.binarySigs(nv, idx.dim)
+      .write.mode("append").parquet(s"$dir/sigs.parquet")
+    newEdges.write.mode("append").parquet(s"$dir/edges.parquet")
+    writeManifest(spark, dir, idx.dim, idx.graphK)
+  }
+
   /** Load + validate. Throws (IllegalArgumentException) on a missing,
     * truncated, or wrong-version artifact.
     */

@@ -384,6 +384,24 @@ object SimilarityQueries {
         GraphSeeds, GraphHops, K)
     }),
 
+    // E299: graph-index APPEND (the HNSW-insert batch shape): base
+    // index on id % 7 ≠ 3, append the held-out slice under frozen
+    // existing edges (new nodes rank against the FULL population
+    // within their bucket), search everything — the oracle replays
+    // the frozen/new edge split exactly.
+    "emb_graph_append" -> ((s, dir) => {
+      val idxDir = Materialize.once(s"graph_index_app:$dir", dir) { p =>
+        val c = corpus(s, dir)
+        graft.ext.GraphIndex.build(
+          c.filter(col("id") % AppendMod =!= AppendBatchRem), EmbDim,
+          KnnK, p)
+        graft.ext.GraphIndex.append(
+          c.filter(col("id") % AppendMod === AppendBatchRem), p)
+      }
+      graft.ext.GraphIndex.searchTopK(s, idxDir, NumQueries,
+        GraphSeeds, GraphHops, K)
+    }),
+
     // E287: its recall audit vs the exact cosine top-k — seed-tier
     // recall, expanded recall, and the candidate volume paid for the
     // lift (at sf0.01: 0.16 → 0.34 at ~97 of 500 candidates).
@@ -1851,17 +1869,17 @@ object SimilarityQueries {
     * rescore `gsc`, and the reranked `gtop` (qid, id, cs, rnk ≤ K) —
     * mirrors Similarity.graphExpandCandidates/graphExpandTopK.
     */
-  private lazy val graphExpandCtes: String = {
+  private def graphExpandCtesOver(edgeCtes: String): String = {
     val hopChain = (1 to GraphHops).map(h =>
       s"""c$h AS (SELECT qid, id FROM c${h - 1}
          |  UNION SELECT c${h - 1}.qid, k.dst FROM c${h - 1}
-         |  JOIN ktop k ON k.src = c${h - 1}.id)""".stripMargin)
+         |  JOIN gedges k ON k.src = c${h - 1}.id)""".stripMargin)
       .mkString(",\n")
     s"""$binarySigCtes,
        |sd AS (SELECT qid, id FROM (
        |    SELECT qid, id, row_number() OVER (PARTITION BY qid
        |      ORDER BY dist, id) AS rnk FROM d) WHERE rnk <= $GraphSeeds),
-       |$knnTopCte,
+       |$edgeCtes,
        |c0 AS (SELECT qid, id FROM sd),
        |$hopChain,
        |cf AS MATERIALIZED (SELECT qid, id FROM c$GraphHops WHERE id <> qid),
@@ -1872,6 +1890,31 @@ object SimilarityQueries {
        |    SELECT qid, id, cs, row_number() OVER (PARTITION BY qid
        |      ORDER BY cs DESC, id) AS rnk FROM gsc) WHERE rnk <= $K)""".stripMargin
   }
+
+  private lazy val graphExpandCtes: String = graphExpandCtesOver(
+    s"$knnTopCte,\ngedges AS (SELECT src, dst FROM ktop)")
+
+  /** E299 edge set: base-population kNN edges FROZEN, appended nodes
+    * ranked against the FULL population within their bucket — mirrors
+    * GraphIndex.append exactly.
+    */
+  private lazy val graphAppendEdgeCtes: String =
+    s"""vvb AS MATERIALIZED (SELECT vec_id AS id, label, v FROM e
+       |      WHERE vec_id % $AppendMod <> $AppendBatchRem),
+       |kscb AS MATERIALIZED (SELECT a.id AS src, b.id AS dst,
+       |        ${cosSql("a.v", "b.v")} AS cs
+       |      FROM vvb a JOIN vvb b ON a.label = b.label AND a.id <> b.id),
+       |ktpb AS (SELECT src, dst, row_number() OVER (PARTITION BY src
+       |        ORDER BY cs DESC, dst) AS rn FROM kscb),
+       |vna AS MATERIALIZED (SELECT vec_id AS id, label, v FROM e),
+       |nsc AS (SELECT a.id AS src, b.id AS dst,
+       |        ${cosSql("a.v", "b.v")} AS cs
+       |      FROM vna a JOIN vna b ON a.label = b.label AND a.id <> b.id
+       |      WHERE a.id % $AppendMod = $AppendBatchRem),
+       |ntp AS (SELECT src, dst, row_number() OVER (PARTITION BY src
+       |        ORDER BY cs DESC, dst) AS rn FROM nsc),
+       |gedges AS MATERIALIZED (SELECT src, dst FROM ktpb WHERE rn <= $KnnK
+       |      UNION ALL SELECT src, dst FROM ntp WHERE rn <= $KnnK)""".stripMargin
 
   /** E243/E244 fixed multi-probe: rank ≤ [[MProbe]]. */
   private lazy val fixedPrqCte: String =
@@ -2828,6 +2871,14 @@ object SimilarityQueries {
     // in-memory chain — one oracle, two serving paths.
     "emb_graph_persisted" ->
       s"""$graphExpandCtes
+         |SELECT qid AS query_id, CAST(rnk AS INTEGER) AS rank,
+         |       id AS neighbor_id, round(cs, 6) AS cos
+         |FROM gtop""".stripMargin,
+
+    // E299: the frozen-base + full-population-new edge split, then
+    // the same walk and rerank.
+    "emb_graph_append" ->
+      s"""${graphExpandCtesOver(graphAppendEdgeCtes)}
          |SELECT qid AS query_id, CAST(rnk AS INTEGER) AS rank,
          |       id AS neighbor_id, round(cs, 6) AS cos
          |FROM gtop""".stripMargin,
