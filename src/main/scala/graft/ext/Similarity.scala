@@ -1687,6 +1687,50 @@ object Similarity {
         col("item.score").cast("long").as("dot_q"))
   }
 
+  /** Hop-recall sweep (E301) — the E254 discipline for the graph
+    * walk: ONE walk, and at every hop depth 0..hops the visited set's
+    * reranked top-k is priced against the exact truth — the full
+    * depth-vs-recall-vs-cost curve from a single pass (the walk
+    * accumulates, so hop h's snapshot is free). The knob E286 fixed
+    * at 3 hops, published as a curve. Per-hop counters are O(1)
+    * driver scalars (4 rows).
+    */
+  def graphHopSweep(vecs: DataFrame, dim: Int, numQueries: Int,
+      seeds: Int, hops: Int, graphK: Int, k: Int): DataFrame = {
+    val v = vecs.localCheckpoint(false)
+    val edges = knnGraph(v, graphK)
+      .select(col("src_id").as("esrc"), col("dst_id").as("edst"))
+      .localCheckpoint(false)
+    val sigs = binarySigs(v, dim).localCheckpoint(false)
+    var cand = hammingTopKSigs(sigs, numQueries, seeds)
+      .select(col("query_id"), col("neighbor_id").as("id"))
+    var snaps = List((0, cand))
+    for (h <- 1 to hops) {
+      val expanded = cand.join(edges, col("id") === col("esrc"))
+        .select(col("query_id"), col("edst").as("id"))
+      cand = cand.union(expanded).distinct().localCheckpoint(false)
+      snaps ::= ((h, cand))
+    }
+    val q = v.filter(col("id") < numQueries)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val exact = topK(v, q, k)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(false)
+    val rows = snaps.reverse.map { case (h, c0) =>
+      val cf = c0.filter(col("query_id") =!= col("id"))
+        .localCheckpoint(false) // count + rerank
+      val top = graphRerank(v, cf, numQueries, k)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = top.join(exact, Seq("query_id", "neighbor_id")).count()
+      (h, cf.count(), hits)
+    }
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    rows.toDF("hop", "n_cand", "n_hits")
+      .select(col("hop"), col("n_cand"), col("n_hits"),
+        round(col("n_hits").cast("double") /
+          lit((numQueries * k).toDouble), 6).as("recall_at_k"))
+  }
+
   /** Simplified silhouette (Hruschka et al. 2004) over label-seeded
     * nearest-centroid clusters — the cluster-quality audit an IVF /
     * SemDeDup partitioner needs before its cells are trusted: per

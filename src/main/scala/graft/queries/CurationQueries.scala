@@ -778,6 +778,47 @@ object CurationQueries {
           col("ci_hi"), lit(BootReps.toLong).as("n_reps"))
     }),
 
+    // E300: STRATIFIED bootstrap — the E292 machinery per source: each
+    // stratum gets its own point estimate and percentile CI from the
+    // same deterministic weights (weights depend only on doc_id and
+    // replicate, so stratum cells are exactly the global cells
+    // re-grouped — one exploded pass, |sources|·B cells). The
+    // per-source uncertainty readout a mixture designer (E183/E225)
+    // needs before trusting a small source's quality mean.
+    "docs_bootstrap_by_source" -> ((s, dir) => {
+      val reps = s.range(0, BootReps).select(col("id").as("b"))
+      val cells = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .crossJoin(broadcast(reps))
+        .select(col("source"), col("b"),
+          Curation.bootstrapWeight(col("doc_id"), col("b"), BootSalt)
+            .as("w"),
+          col("n_chars"))
+        .groupBy("source", "b")
+        .agg(sum(col("w")).as("n_eff"),
+          sum(col("w") * col("n_chars")).as("wx_sum"))
+        // zero-n_eff replicates contribute no mean (possible for a
+        // tiny stratum); rank over the survivors
+        .filter(col("n_eff") > 0L)
+        .select(col("source"), col("b"),
+          (col("wx_sum").cast("double") / col("n_eff").cast("double"))
+            .as("m"))
+      val w = Window.partitionBy("source").orderBy(col("m"), col("b"))
+      val ranked = cells.withColumn("r", row_number().over(w))
+        .localCheckpoint(false)
+      val lo = ranked.filter(col("r") === BootLoRank)
+        .select(col("source"), round(col("m"), 6).as("ci_lo"))
+      val hi = ranked.filter(col("r") === BootHiRank)
+        .select(col("source"), round(col("m"), 6).as("ci_hi"))
+      Tables.documents(s, dir).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tc"))
+        .select(col("source"), col("n_docs"),
+          round(col("tc").cast("double") / col("n_docs").cast("double"),
+            6).as("mean_chars"))
+        .join(lo, Seq("source"), "left")
+        .join(hi, Seq("source"), "left")
+    }),
+
     // E181: per-source quantile normalization of quality scores — map
     // each document's quality to its percentile WITHIN its source
     // before any global thresholding (raw scores are not comparable
@@ -2257,6 +2298,32 @@ object CurationQueries {
          |       (SELECT round(m, 6) FROM r WHERE rk = $BootHiRank) AS ci_hi,
          |       CAST($BootReps AS BIGINT) AS n_reps
          |FROM pt""".stripMargin,
+
+    // E300: the same weights re-grouped by source; per-stratum rank
+    // ladder over surviving replicates.
+    "docs_bootstrap_by_source" ->
+      s"""WITH reps AS (SELECT unnest(generate_series(0, ${BootReps - 1})) AS b),
+         |wr AS (SELECT source, b,
+         |         ${bootWeightSql("doc_id || ':' || b")} AS w, n_chars
+         |       FROM documents CROSS JOIN reps),
+         |agg AS (SELECT source, b, CAST(sum(w) AS BIGINT) AS n_eff,
+         |               CAST(sum(w * n_chars) AS BIGINT) AS wx_sum
+         |        FROM wr GROUP BY source, b),
+         |m AS (SELECT source, b, CAST(wx_sum AS DOUBLE) / n_eff AS m
+         |      FROM agg WHERE n_eff > 0),
+         |r AS (SELECT source, b, m, row_number() OVER (
+         |        PARTITION BY source ORDER BY m, b) AS rk FROM m),
+         |pt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |              round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6)
+         |                AS mean_chars
+         |       FROM documents GROUP BY source)
+         |SELECT pt.source, pt.n_docs, pt.mean_chars,
+         |       lo.ci_lo, hi.ci_hi
+         |FROM pt
+         |LEFT JOIN (SELECT source, round(m, 6) AS ci_lo FROM r
+         |           WHERE rk = $BootLoRank) lo ON lo.source = pt.source
+         |LEFT JOIN (SELECT source, round(m, 6) AS ci_hi FROM r
+         |           WHERE rk = $BootHiRank) hi ON hi.source = pt.source""".stripMargin,
 
     "docs_epoch_shuffle" ->
       s"""WITH h AS (SELECT doc_id,

@@ -402,6 +402,13 @@ object SimilarityQueries {
         GraphSeeds, GraphHops, K)
     }),
 
+    // E301: hop-recall sweep — the E254 discipline for the walk: one
+    // pass, recall@5 and candidate volume at every hop depth 0..3
+    // (the depth knob E286 fixed, published as a curve).
+    "emb_graph_hop_sweep" -> ((s, dir) =>
+      Similarity.graphHopSweep(corpus(s, dir), EmbDim, NumQueries,
+        GraphSeeds, GraphHops, KnnK, K)),
+
     // E287: its recall audit vs the exact cosine top-k — seed-tier
     // recall, expanded recall, and the candidate volume paid for the
     // lift (at sf0.01: 0.16 → 0.34 at ~97 of 500 candidates).
@@ -1916,6 +1923,43 @@ object SimilarityQueries {
        |gedges AS MATERIALIZED (SELECT src, dst FROM ktpb WHERE rn <= $KnnK
        |      UNION ALL SELECT src, dst FROM ntp WHERE rn <= $KnnK)""".stripMargin
 
+  /** E301 oracle: the walk chain's per-hop snapshots rescored and
+    * priced against the exact truth — one row per depth.
+    */
+  private lazy val graphHopSweepSql: String = {
+    val perHop = (0 to GraphHops).map { h =>
+      s"""cf$h AS (SELECT qid, id FROM c$h WHERE id <> qid),
+         |gsc$h AS (SELECT cf$h.qid, cf$h.id, ${cosSql("q2.v", "e.v")} AS cs
+         |     FROM cf$h JOIN e q2 ON q2.vec_id = cf$h.qid
+         |               JOIN e ON e.vec_id = cf$h.id),
+         |gt$h AS (SELECT qid, id FROM (
+         |     SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |       ORDER BY cs DESC, id) AS rnk FROM gsc$h) WHERE rnk <= $K),
+         |ht$h AS (SELECT count(*) AS n FROM gt$h
+         |     JOIN xr ON xr.qid = gt$h.qid AND xr.id = gt$h.id),
+         |nc$h AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cf$h)""".stripMargin
+    }.mkString(",\n")
+    val rows = (0 to GraphHops).map { h =>
+      s"""SELECT CAST($h AS INTEGER) AS hop,
+         |  (SELECT n FROM nc$h) AS n_cand,
+         |  CAST((SELECT n FROM ht$h) AS BIGINT) AS n_hits,
+         |  round(CAST((SELECT n FROM ht$h) AS DOUBLE)
+         |        / ${NumQueries * K}, 6) AS recall_at_k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""${graphExpandCtesOver(
+          s"$knnTopCte,\ngedges AS (SELECT src, dst FROM ktop)")},
+       |s2 AS (SELECT q2.vec_id AS qid, e.vec_id AS id,
+       |              ${cosSql("q2.v", "e.v")} AS score
+       |       FROM e q2 JOIN e ON e.vec_id <> q2.vec_id
+       |       WHERE q2.vec_id < $NumQueries),
+       |xr AS (SELECT qid, id FROM (
+       |         SELECT qid, id, row_number() OVER (PARTITION BY qid
+       |           ORDER BY score DESC, id) AS rank FROM s2)
+       |       WHERE rank <= $K),
+       |$perHop
+       |$rows""".stripMargin
+  }
+
   /** E243/E244 fixed multi-probe: rank ≤ [[MProbe]]. */
   private lazy val fixedPrqCte: String =
     s"""prq AS MATERIALIZED (SELECT qid, cpart FROM (
@@ -2882,6 +2926,9 @@ object SimilarityQueries {
          |SELECT qid AS query_id, CAST(rnk AS INTEGER) AS rank,
          |       id AS neighbor_id, round(cs, 6) AS cos
          |FROM gtop""".stripMargin,
+
+    // E301: per-hop rescoring of the walk chain's snapshots.
+    "emb_graph_hop_sweep" -> graphHopSweepSql,
 
     // E287: recall audit — seed hits, expanded hits, and the visited
     // candidate volume, against the exact cosine top-K truth.

@@ -81,6 +81,20 @@ class GraphSearchSpec extends SparkSpec {
     assert(over.isEmpty, s"visited set exceeded the $bound bound")
   }
 
+  test("hop sweep: candidates and hits are monotone in depth, from " +
+      "one accumulated walk") {
+    val sw = graft.queries.SimilarityQueries
+      .queries("emb_graph_hop_sweep")(spark, sfDir)
+      .collect().sortBy(_.getInt(0))
+    assert(sw.length === Hops + 1)
+    sw.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(1) >= a.getLong(1), "candidate volume shrank")
+      assert(b.getLong(2) >= a.getLong(2), "hits shrank with depth")
+    }
+    assert(sw.last.getLong(2) > sw.head.getLong(2),
+      "depth bought no hits — the sweep is vacuous on this fixture")
+  }
+
   test("expanded hits never fall below seed hits (measured lift)") {
     val q = c.filter(col("id") < NQ)
       .select(col("id").as("qid"), col("vec").as("qvec"))

@@ -50,6 +50,20 @@ class BootstrapSpec extends SparkSpec {
       "all replicates identical — no resampling variation")
   }
 
+  test("stratified CIs: every source gets a well-formed interval and " +
+      "most bracket their stratum mean") {
+    val r = CurationQueries.queries("docs_bootstrap_by_source")(spark, sfDir)
+      .localCheckpoint(false)
+    assert(r.count() === 20, "a source stratum went missing")
+    val malformed = r.filter(col("ci_lo").isNull || col("ci_hi").isNull ||
+      col("ci_lo") >= col("ci_hi"))
+    assert(malformed.isEmpty, "a stratum produced a degenerate CI")
+    val bracketing = r.filter(col("ci_lo") <= col("mean_chars") &&
+      col("mean_chars") <= col("ci_hi")).count()
+    assert(bracketing >= 15,
+      s"only $bracketing/20 stratified CIs bracket their means")
+  }
+
   test("the CI brackets the point estimate on the fixture") {
     val r = CurationQueries.queries("docs_bootstrap_ci")(spark, sfDir)
       .collect()(0)
