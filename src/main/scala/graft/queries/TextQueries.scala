@@ -674,6 +674,54 @@ object TextQueries {
         .withColumn("keep",
           col("ok_len") && col("ok_word_len") &&
             col("ok_stopword") && col("ok_alpha"))
+    }),
+
+    // E302: gate-agreement audit — Cohen's κ between the rule-based
+    // Gopher gate (E175) and the TRAINED logistic gate (E201/E208) on
+    // the held-out val split: the redundancy readout that says
+    // whether the two quality signals measure the same thing (κ ≈ 1:
+    // one is dispensable; κ ≈ 0: they gate different failure modes
+    // and both belong in the pipeline). The logistic verdict is
+    // z ≥ 0 — sigmoid is monotone, so the threshold compares the raw
+    // linear score and no exp() crosses engines. Contingency cells
+    // are exact integers; po/pe/κ are three divisions at the end
+    // (pe's numerator stays integer: (a+b)(a+c) + (c+d)(b+d) over n²).
+    "docs_gate_agreement" -> ((s, dir) => {
+      val sf = lrSplitFeatures(s, dir)
+      val train = sf.filter(col("split") === "train")
+      val st = LogReg.featStats(train)
+      val w = LogReg.fit(LogReg.standardized(train, st)
+        .localCheckpoint()).last
+      val z = lit(w.bias) + lit(w.w1) * col("x1") + lit(w.w2) * col("x2") +
+        lit(w.w3) * col("x3") + lit(w.w4) * col("x4")
+      val lr = LogReg.standardized(sf.filter(col("split") === "val"), st)
+        .select(col("doc_id"), (z >= 0.0).as("l_keep"))
+      val ws = TextOps.tokens(col("text"))
+      val n = size(ws)
+      val chars = aggregate(ws, lit(0), (a, t) => a + length(t))
+      val nStop = size(filter(ws, t => t.isInCollection(TextOps.Stopwords)))
+      val nAlpha = size(filter(ws, t => t.rlike("[A-Za-z]")))
+      val gKeep = (n >= GopherMinTokens && n <= GopherMaxTokens) &&
+        (chars >= n * 4 && chars <= n * 5) && (nStop >= 1) &&
+        (nAlpha * 5 >= n * 4)
+      val gk = Tables.documents(s, dir)
+        .select(col("doc_id"), gKeep.as("g_keep"))
+      val ct = lr.join(gk, Seq("doc_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("g_keep") && col("l_keep"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("g_keep") && !col("l_keep"), 1L).otherwise(0L)).as("b"),
+          sum(when(!col("g_keep") && col("l_keep"), 1L).otherwise(0L)).as("c"),
+          sum(when(!col("g_keep") && !col("l_keep"), 1L).otherwise(0L)).as("d"))
+      val peNum = (col("a") + col("b")) * (col("a") + col("c")) +
+        (col("c") + col("d")) * (col("b") + col("d"))
+      val po = (col("a") + col("d")).cast("double") / col("n").cast("double")
+      val pe = peNum.cast("double") / (col("n") * col("n")).cast("double")
+      ct.select(col("n"), col("a").as("n_both_keep"),
+        col("b").as("n_gopher_only"), col("c").as("n_lr_only"),
+        col("d").as("n_both_drop"),
+        round(po, 6).as("po"), round(pe, 6).as("pe"),
+        when(col("n") * col("n") === peNum, lit(0.0))
+          .otherwise(round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
     }))
 
   // Gopher-gate brackets, sized to the fixture length distribution
@@ -1262,7 +1310,47 @@ object TextQueries {
          |        AND (len(list_filter(ws, t -> t IN $stopIn)) >= 1)
          |        AND (5 * len(list_filter(ws, t -> regexp_matches(t, '[A-Za-z]')))
          |               >= 4 * len(ws))) AS keep
-         |FROM d""".stripMargin)
+         |FROM d""".stripMargin,
+
+    // E302: both gates replayed (rule brackets + the full fit chain's
+    // final weights), contingency in exact integers, κ at the end.
+    "docs_gate_agreement" ->
+      s"""$lrFitChain,
+         |gk AS (SELECT doc_id,
+         |    ((len(ws) BETWEEN $GopherMinTokens AND $GopherMaxTokens)
+         |     AND (list_sum(list_transform(ws, w -> len(w)))
+         |            BETWEEN 4 * len(ws) AND 5 * len(ws))
+         |     AND (len(list_filter(ws, t -> t IN $stopIn)) >= 1)
+         |     AND (5 * len(list_filter(ws, t -> regexp_matches(t, '[A-Za-z]')))
+         |            >= 4 * len(ws))) AS g_keep
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+         |        FROM documents)),
+         |lrk AS (SELECT xv.doc_id,
+         |    ((b + w_x1 * x1 + w_x2 * x2 + w_x3 * x3 + w_x4 * x4) >= 0.0)
+         |      AS l_keep
+         |  FROM xv, wt${LogReg.Steps}),
+         |j AS (SELECT gk.g_keep, lrk.l_keep FROM lrk
+         |      JOIN gk ON gk.doc_id = lrk.doc_id),
+         |ct AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(*) FILTER (g_keep AND l_keep) AS BIGINT) AS a,
+         |    CAST(count(*) FILTER (g_keep AND NOT l_keep) AS BIGINT) AS b2,
+         |    CAST(count(*) FILTER (NOT g_keep AND l_keep) AS BIGINT) AS c2,
+         |    CAST(count(*) FILTER (NOT g_keep AND NOT l_keep) AS BIGINT) AS d2
+         |  FROM j)
+         |SELECT n, a AS n_both_keep, b2 AS n_gopher_only, c2 AS n_lr_only,
+         |       d2 AS n_both_drop,
+         |       round(CAST(a + d2 AS DOUBLE) / n, 6) AS po,
+         |       round(CAST((a + b2) * (a + c2) + (c2 + d2) * (b2 + d2)
+         |                  AS DOUBLE) / (n * n), 6) AS pe,
+         |       CASE WHEN n * n = (a + b2) * (a + c2) + (c2 + d2) * (b2 + d2)
+         |            THEN 0.0
+         |            ELSE round((CAST(a + d2 AS DOUBLE) / n
+         |                - CAST((a + b2) * (a + c2) + (c2 + d2) * (b2 + d2)
+         |                       AS DOUBLE) / (n * n))
+         |              / (1.0 - CAST((a + b2) * (a + c2) + (c2 + d2) * (b2 + d2)
+         |                            AS DOUBLE) / (n * n)), 6)
+         |       END AS kappa
+         |FROM ct""".stripMargin)
 
   /** Stopword-ratio / mean-token-length fragments shared with the
     * docs_text_stats oracle shape (guarded CASE, same cast points).
