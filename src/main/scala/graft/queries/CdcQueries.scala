@@ -65,23 +65,12 @@ object CdcQueries {
     // field — a broken keyset extraction cannot hide behind a
     // drift-free stream. Scale: keyset extraction is scan-side; the
     // aggregate is (tables × versions)-sized.
-    "cdc_schema_drift" -> ((s, dir) => {
-      val env = Envelopes.fromEvents(s, dir)
-      val drifted = env.withColumn("value",
-        when(col("key").cast("long") % 13 === 0,
-          expr("replace(value, '{\"id\":', '{\"promo_cents\":0,\"id\":')"))
-          .otherwise(col("value")))
-      val parsed = drifted.select(col("key").cast("long").as("kid"),
-        get_json_object(col("value"), "$.source.db").as("db"),
-        get_json_object(col("value"), "$.source.table").as("tbl"),
-        concat_ws(",", array_sort(
-          expr("json_object_keys(get_json_object(value, '$.after'))")))
-          .as("keyset"))
-      parsed.groupBy("db", "tbl", "keyset")
+    "cdc_schema_drift" -> ((s, dir) =>
+      schemaDriftParsed(s, dir)
+        .groupBy("db", "tbl", "keyset")
         .agg(count(lit(1)).as("n_records"), min(col("kid")).as("first_id"))
         .withColumn("n_versions", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("db", "tbl")))
-    }),
+          org.apache.spark.sql.expressions.Window.partitionBy("db", "tbl")))),
 
     // R3: blocklist delete filter (op != 'd'; unknown ops pass).
     "cdc_filter_deletes" -> ((s, dir) =>
@@ -375,6 +364,25 @@ object CdcQueries {
       |      FROM labeled)
       |SELECT user_id, ts, event_id, op, value_cents
       |FROM r WHERE rn = 1 AND op <> 'd'""".stripMargin
+
+  /** E298/E303 shared extraction: planted drift + per-record
+    * (kid, db, tbl, keyset) rows — the batch audit aggregates these;
+    * the streaming watchdog (DriftStreamSpec) consumes them as its
+    * contract feed, so batch and stream read one truth.
+    */
+  def schemaDriftParsed(s: SparkSession, dir: String): DataFrame = {
+    val env = Envelopes.fromEvents(s, dir)
+    val drifted = env.withColumn("value",
+      when(col("key").cast("long") % 13 === 0,
+        expr("replace(value, '{\"id\":', '{\"promo_cents\":0,\"id\":')"))
+        .otherwise(col("value")))
+    drifted.select(col("key").cast("long").as("kid"),
+      get_json_object(col("value"), "$.source.db").as("db"),
+      get_json_object(col("value"), "$.source.table").as("tbl"),
+      concat_ws(",", array_sort(
+        expr("json_object_keys(get_json_object(value, '$.after'))")))
+        .as("keyset"))
+  }
 
   val oracles: Map[String, String] = Map(
     "cdc_parse" ->

@@ -502,6 +502,60 @@ object StreamingPipeline {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Streaming face of the batch schema-drift audit
+    * (`cdc_schema_drift`, E298 → E303): a `transformWithState`
+    * watchdog keyed by (db, table) that emits a row the FIRST time a
+    * key set appears on its table — the alert a CDC operator wants
+    * the moment a producer deploys a schema change, not at the next
+    * batch audit. State per table is the set of distinct key sets
+    * seen — bounded by schema versions (single digits in any real
+    * deployment), never by traffic. Input contract: (table key,
+    * record id, sorted key-set string) in record-id order per key
+    * (the finalized-order contract of the other processors); within
+    * a batch rows are sorted by id so the emitted first-sighting id
+    * is deterministic. PatternStreamSpec's sibling DriftStreamSpec
+    * pins the stream row-identical to the batch audit's
+    * first-sighting rows.
+    */
+  class SchemaDriftProcessor
+      extends StatefulProcessor[String, (String, Long, String),
+        (String, Long, String)] {
+    @transient private var seen: ListState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getListState[String]("seen", Encoders.STRING,
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, String)],
+        timers: TimerValues): Iterator[(String, Long, String)] = {
+      val known = scala.collection.mutable.LinkedHashSet.empty[String]
+      seen.get().foreach(known += _)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, String)]
+      rows.toArray.sortBy(_._2).foreach { case (_, kid, ks) =>
+        if (!known.contains(ks)) {
+          known += ks
+          out += ((key, kid, ks))
+        }
+      }
+      if (known.nonEmpty) seen.put(known.toArray)
+      out.iterator
+    }
+  }
+
+  /** `transformWithState` wiring for [[SchemaDriftProcessor]] over a
+    * streaming (table_key, record_id, keyset) Dataset.
+    */
+  def schemaDrift(spark: SparkSession,
+      records: Dataset[(String, Long, String)])
+      : Dataset[(String, Long, String)] = {
+    import spark.implicits._
+    records.groupByKey(_._1)
+      .transformWithState(new SchemaDriftProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** A stopped (or live) streaming checkpoint's state store as a BATCH
     * DataFrame — Spark 4's `statestore` data source (SPARK-45511). The
     * operational escape hatch for stateful streaming at scale: query
