@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AnnIndex, Similarity}
+import graft.ext.{AnnIndex, GraphIndex, Similarity}
 
 /** ANN index build service entrypoint (E260, VERDICT r12 #3) — the
   * retrieval twin of [[CurateMain]]: build the residual IVF-PQ index
@@ -12,6 +12,9 @@ import graft.ext.{AnnIndex, Similarity}
   * serving a probe search from it.
   *
   * Usage: `IndexMain <embeddingsDir> <indexDir> [numSub]`
+  *    or: `IndexMain --graph <embeddingsDir> <indexDir> [graphK]`
+  *        (E291/E304: build the persisted GRAPH index — vectors,
+  *        binary seed signatures, kNN edges — and probe-search it)
   *
   * `embeddingsDir` must contain `embeddings.parquet` (the fixture
   * layout); `numSub` defaults to [[DefaultSubspaces]] — the 16×4
@@ -22,8 +25,10 @@ import graft.ext.{AnnIndex, Similarity}
 object IndexMain {
 
   val DefaultSubspaces = 16
+  val DefaultGraphK = 4
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--graph")) return graphMain(args.drop(1))
     require(args.length >= 2, "usage: IndexMain <embeddingsDir> <indexDir> [numSub]")
     val numSub = if (args.length > 2) args(2).toInt else DefaultSubspaces
     val spark = SparkSession.builder()
@@ -49,5 +54,42 @@ object IndexMain {
     val served = AnnIndex.searchTopK(spark, args(1), q, 3, 2).count()
     println(s"""{"metric":"index","n_vectors":${idx.codes.count()},"n_cells":${idx.centroids.count()},"n_codebook_rows":${idx.codebooks.count()},"num_sub":${idx.numSub},"sub_dim":${idx.subDim},"probe_rows":$served}""")
     spark.stop()
+  }
+
+  /** `--graph` mode: build + read-back-probe the persisted graph
+    * index (E291). Same session/layout conventions as the PQ mode.
+    */
+  private def graphMain(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: IndexMain --graph <embeddingsDir> <indexDir> [graphK]")
+    val graphK = if (args.length > 2) args(2).toInt else DefaultGraphK
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-graph-index")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (nVecs, nEdges, served) = runGraph(spark, args(0), args(1), graphK)
+    println(s"""{"metric":"graph_index","n_vectors":$nVecs,"n_edges":$nEdges,"graph_k":$graphK,"probe_rows":$served}""")
+    spark.stop()
+  }
+
+  /** The `--graph` flow against a caller-owned session (spec-testable;
+    * the main wrapper owns session lifecycle). Returns
+    * (n_vectors, n_edges, probe_rows).
+    */
+  def runGraph(spark: SparkSession, embDir: String, indexDir: String,
+      graphK: Int): (Long, Long, Long) = {
+    val vecs = Tables.embeddings(spark, embDir).select(
+      col("vec_id").as("id"), col("label").as("part"),
+      Similarity.toDouble(col("embedding")).as("vec"))
+    val dim = vecs.select(size(col("vec"))).head().getInt(0)
+    GraphIndex.build(vecs, dim, graphK, indexDir)
+    val idx = GraphIndex.load(spark, indexDir)
+    val served = GraphIndex.searchTopK(spark, indexDir,
+      numQueries = 1, seeds = 3, hops = 2, k = 3).count()
+    (idx.vectors.count(), idx.edges.count(), served)
   }
 }
