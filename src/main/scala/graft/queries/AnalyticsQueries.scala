@@ -32,6 +32,16 @@ object AnalyticsQueries {
   private val AttrChannels = Seq("click", "error", "signup", "view")
   private val AttrIters = 20
 
+  /** E305 Holt forecast: smoothing constants as SEPARATE literals
+    * (both engines parse the same decimals — deriving 1−α differs at
+    * the ulp), train on the first ⌊0.8·T⌋ days of the zero-filled
+    * daily spine, forecast the rest.
+    */
+  private val HoltAlpha = 0.5
+  private val HoltOneMinusAlpha = 0.5
+  private val HoltBeta = 0.3
+  private val HoltOneMinusBeta = 0.7
+
   /** E289 Misra-Gries shard merge: shard count and sketch capacity.
     * capacity 4 over the 5-language column forces decrement churn in
     * every shard sketch (a ≤-cardinality capacity would hold exact
@@ -801,6 +811,49 @@ object AnalyticsQueries {
           col("event_type"),
           unix_micros(col("ts").cast("timestamp")).as("tus")),
         AttrChannels, AttrIters)),
+
+    // E305: Holt linear-trend forecast — the capacity-planning readout
+    // (will next week's traffic fit the provisioned pipeline?): per
+    // event type, the zero-filled DAILY count series splits 80/20,
+    // level+trend fold over the train prefix (ext/Forecast.scala —
+    // the fold the oracle replays as a recursive CTE, prototyped
+    // bit-identical), h-step forecasts priced per holdout day with
+    // the absolute error. Corpus work is one truncate+groupBy; the
+    // series is CALENDAR-bounded driver state (the E78 discipline).
+    "events_holt_forecast" -> ((s, dir) => {
+      val cnt = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts").cast("timestamp")).as("d"))
+        .agg(count(lit(1)).as("n"))
+        .collect()
+      val bounds = Tables.events(s, dir)
+        .agg(min(date_trunc("day", col("ts").cast("timestamp"))).as("lo"),
+          max(date_trunc("day", col("ts").cast("timestamp"))).as("hi"))
+        .head()
+      val lo = bounds.getTimestamp(0).getTime
+      val hi = bounds.getTimestamp(1).getTime
+      val days = (lo to hi by 86400000L).toIndexedSeq
+      val byKey = cnt.map(r => (r.getString(0),
+        r.getTimestamp(1).getTime) -> r.getLong(2)).toMap
+      val types = cnt.map(_.getString(0)).distinct.sorted
+      val tTrain = math.floor(0.8 * days.length).toInt
+      val rows = types.flatMap { t =>
+        val y = days.map(d => byKey.getOrElse((t, d), 0L).toDouble)
+        val (l, b) = graft.ext.Forecast.holtFit(y.take(tTrain),
+          HoltAlpha, HoltOneMinusAlpha, HoltBeta, HoltOneMinusBeta)
+        (tTrain until days.length).map { i =>
+          val h = i - tTrain + 1
+          val fc = l + h * b
+          (t, new java.sql.Timestamp(days(i)), y(i).toLong, fc,
+            math.abs(y(i) - fc))
+        }
+      }
+      import s.implicits._
+      rows.toSeq.toDF("event_type", "d", "n_actual", "fc", "ae")
+        .select(col("event_type"), col("d"), col("n_actual"),
+          round(col("fc"), 6).as("forecast"),
+          round(col("ae"), 6).as("abs_err"))
+    }),
 
     // E289: Misra-Gries SHARD-MERGE algebra (the E108/E269 sketch
     // discipline applied to frequent items): per-shard MG sketches
@@ -1578,6 +1631,53 @@ object AnalyticsQueries {
         |FROM documents, t
         |GROUP BY lang, n
         |HAVING count(*) * 5 > n""".stripMargin,
+
+    // E305: zero-filled daily spine, the Holt fold as a recursive CTE
+    // (identical expression tree to Forecast.holtFit — l' appears
+    // twice in the step because SQL cannot name it; same arithmetic),
+    // h-step forecasts over the holdout tail.
+    "events_holt_forecast" ->
+      s"""WITH RECURSIVE bounds AS (
+         |  SELECT date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS lo,
+         |         date_trunc('day', max(CAST(ts AS TIMESTAMP))) AS hi
+         |  FROM events),
+         |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+         |          FROM bounds),
+         |types AS (SELECT DISTINCT event_type AS etype FROM events),
+         |cnt AS (SELECT event_type AS etype,
+         |               date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+         |               CAST(count(*) AS BIGINT) AS n
+         |        FROM events GROUP BY 1, 2),
+         |ser AS (SELECT t.etype, s.d, CAST(coalesce(c.n, 0) AS DOUBLE) AS y,
+         |               row_number() OVER (PARTITION BY t.etype
+         |                 ORDER BY s.d) AS rn
+         |        FROM types t CROSS JOIN spine s
+         |        LEFT JOIN cnt c ON c.etype = t.etype AND c.d = s.d),
+         |tt AS (SELECT etype, CAST(floor(0.8 * count(*)) AS BIGINT) AS ttrain
+         |       FROM ser GROUP BY etype),
+         |rec AS (
+         |  SELECT s1.etype, CAST(1 AS BIGINT) AS rn, s1.y AS l,
+         |         s2.y - s1.y AS b
+         |  FROM ser s1 JOIN ser s2 ON s2.etype = s1.etype AND s2.rn = 2
+         |  WHERE s1.rn = 1
+         |  UNION ALL
+         |  SELECT r.etype, r.rn + 1,
+         |         $HoltAlpha * s.y + $HoltOneMinusAlpha * (r.l + r.b),
+         |         $HoltBeta * (($HoltAlpha * s.y
+         |             + $HoltOneMinusAlpha * (r.l + r.b)) - r.l)
+         |           + $HoltOneMinusBeta * r.b
+         |  FROM rec r JOIN ser s ON s.etype = r.etype AND s.rn = r.rn + 1
+         |  JOIN tt ON tt.etype = r.etype
+         |  WHERE r.rn + 1 <= tt.ttrain),
+         |fin AS (SELECT rec.etype, rec.l, rec.b FROM rec
+         |        JOIN tt ON tt.etype = rec.etype WHERE rec.rn = tt.ttrain)
+         |SELECT ser.etype AS event_type, ser.d, CAST(ser.y AS BIGINT) AS n_actual,
+         |       round(fin.l + (ser.rn - tt.ttrain) * fin.b, 6) AS forecast,
+         |       round(abs(ser.y - (fin.l + (ser.rn - tt.ttrain) * fin.b)), 6)
+         |         AS abs_err
+         |FROM ser JOIN tt ON tt.etype = ser.etype
+         |JOIN fin ON fin.etype = ser.etype
+         |WHERE ser.rn > tt.ttrain""".stripMargin,
 
     // E293: the full replay — episode transitions, then per chain
     // (base + one per removed channel) AttrIters MATERIALIZED

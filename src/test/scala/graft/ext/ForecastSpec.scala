@@ -1,0 +1,44 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Holt linear-trend smoothing (E305): exactness on constant and
+  * perfectly linear series (closed-form fixed points of the
+  * recurrence), the ≥ 2-point guard, and fixture-row coherence.
+  */
+class ForecastSpec extends SparkSpec {
+  import Forecast._
+
+  test("a constant series yields zero trend and exact forecasts") {
+    val (l, b) = holtFit(IndexedSeq.fill(10)(7.0), 0.5, 0.5, 0.3, 0.7)
+    assert(l === 7.0 && b === 0.0)
+  }
+
+  test("a perfectly linear series is tracked exactly: level rides the " +
+      "line, trend equals the slope") {
+    val y = (1 to 12).map(t => 3.0 + 2.0 * t)
+    val (l, b) = holtFit(y, 0.5, 0.5, 0.3, 0.7)
+    assert(math.abs(l - y.last) < 1e-12, s"level $l != ${y.last}")
+    assert(math.abs(b - 2.0) < 1e-12, s"trend $b != 2.0")
+  }
+
+  test("fewer than two points refuses") {
+    intercept[IllegalArgumentException] {
+      holtFit(IndexedSeq(1.0), 0.5, 0.5, 0.3, 0.7)
+    }
+  }
+
+  test("fixture rows cohere: 5 types x holdout days, abs_err matches " +
+      "|actual - forecast|") {
+    val r = graft.queries.AnalyticsQueries
+      .queries("events_holt_forecast")(spark, sfDir).localCheckpoint(false)
+    assert(r.select("event_type").distinct().count() === 5)
+    val perType = r.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .select("n").distinct().collect()
+    assert(perType.length === 1, "holdout length differs across types")
+    val bad = r.filter(
+      abs(col("abs_err") - abs(col("n_actual") - col("forecast"))) > 1e-5)
+    assert(bad.isEmpty, "abs_err disagrees with |actual - forecast|")
+  }
+}
