@@ -855,6 +855,51 @@ object AnalyticsQueries {
           round(col("ae"), 6).as("abs_err"))
     }),
 
+    // E306: forecast audit — a forecast is only credible against
+    // baselines (the E163 recall-audit discipline applied to
+    // prediction): per type, holdout MAE of the Holt fit vs the NAIVE
+    // baseline (flat last-train value) and the SEASONAL-naive (value
+    // 7 days earlier), plus the beats-naive verdict — honest either
+    // way. MAE folds the per-day errors in day order (the oracle's
+    // list_reduce ORDER BY rn), one division at the end.
+    "events_forecast_audit" -> ((s, dir) => {
+      val cnt = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts").cast("timestamp")).as("d"))
+        .agg(count(lit(1)).as("n"))
+        .collect()
+      val bounds = Tables.events(s, dir)
+        .agg(min(date_trunc("day", col("ts").cast("timestamp"))).as("lo"),
+          max(date_trunc("day", col("ts").cast("timestamp"))).as("hi"))
+        .head()
+      val days = (bounds.getTimestamp(0).getTime to
+        bounds.getTimestamp(1).getTime by 86400000L).toIndexedSeq
+      val byKey = cnt.map(r => (r.getString(0),
+        r.getTimestamp(1).getTime) -> r.getLong(2)).toMap
+      val types = cnt.map(_.getString(0)).distinct.sorted
+      val tTrain = math.floor(0.8 * days.length).toInt
+      val rows = types.map { t =>
+        val y = days.map(d => byKey.getOrElse((t, d), 0L).toDouble)
+        val (l, b) = graft.ext.Forecast.holtFit(y.take(tTrain),
+          HoltAlpha, HoltOneMinusAlpha, HoltBeta, HoltOneMinusBeta)
+        val hold = tTrain until days.length
+        val n = hold.length.toDouble
+        def mae(err: Int => Double): Double =
+          hold.foldLeft(0.0)((a, i) => a + err(i)) / n
+        val mH = mae(i => math.abs(y(i) - (l + (i - tTrain + 1) * b)))
+        val mN = mae(i => math.abs(y(i) - y(tTrain - 1)))
+        val mS = mae(i => math.abs(y(i) - y(i - 7)))
+        (t, hold.length.toLong, mH, mN, mS, mH < mN)
+      }
+      import s.implicits._
+      rows.toSeq.toDF("event_type", "n_holdout", "mh", "mn", "ms", "bt")
+        .select(col("event_type"), col("n_holdout"),
+          round(col("mh"), 6).as("mae_holt"),
+          round(col("mn"), 6).as("mae_naive"),
+          round(col("ms"), 6).as("mae_snaive"),
+          col("bt").as("holt_beats_naive"))
+    }),
+
     // E289: Misra-Gries SHARD-MERGE algebra (the E108/E269 sketch
     // discipline applied to frequent items): per-shard MG sketches
     // with counter VALUES persisted as parquet, merged m-way by the
@@ -1175,6 +1220,45 @@ object AnalyticsQueries {
        |    SELECT e.dst, sum(r.pr / e.outdeg) AS c
        |    FROM ew e JOIN $prev r ON e.src = r.id
        |    GROUP BY e.dst) s ON v.id = s.dst)"""
+
+  /** E305/E306 shared oracle prefix: daily spine, zero-filled series,
+    * train split, the Holt fold as a recursive CTE, final (l, b).
+    */
+  private lazy val holtCtes: String =
+    s"""WITH RECURSIVE bounds AS (
+       |  SELECT date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS lo,
+       |         date_trunc('day', max(CAST(ts AS TIMESTAMP))) AS hi
+       |  FROM events),
+       |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+       |          FROM bounds),
+       |types AS (SELECT DISTINCT event_type AS etype FROM events),
+       |cnt AS (SELECT event_type AS etype,
+       |               date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+       |               CAST(count(*) AS BIGINT) AS n
+       |        FROM events GROUP BY 1, 2),
+       |ser AS (SELECT t.etype, s.d, CAST(coalesce(c.n, 0) AS DOUBLE) AS y,
+       |               row_number() OVER (PARTITION BY t.etype
+       |                 ORDER BY s.d) AS rn
+       |        FROM types t CROSS JOIN spine s
+       |        LEFT JOIN cnt c ON c.etype = t.etype AND c.d = s.d),
+       |tt AS (SELECT etype, CAST(floor(0.8 * count(*)) AS BIGINT) AS ttrain
+       |       FROM ser GROUP BY etype),
+       |rec AS (
+       |  SELECT s1.etype, CAST(1 AS BIGINT) AS rn, s1.y AS l,
+       |         s2.y - s1.y AS b
+       |  FROM ser s1 JOIN ser s2 ON s2.etype = s1.etype AND s2.rn = 2
+       |  WHERE s1.rn = 1
+       |  UNION ALL
+       |  SELECT r.etype, r.rn + 1,
+       |         $HoltAlpha * s.y + $HoltOneMinusAlpha * (r.l + r.b),
+       |         $HoltBeta * (($HoltAlpha * s.y
+       |             + $HoltOneMinusAlpha * (r.l + r.b)) - r.l)
+       |           + $HoltOneMinusBeta * r.b
+       |  FROM rec r JOIN ser s ON s.etype = r.etype AND s.rn = r.rn + 1
+       |  JOIN tt ON tt.etype = r.etype
+       |  WHERE r.rn + 1 <= tt.ttrain),
+       |fin AS (SELECT rec.etype, rec.l, rec.b FROM rec
+       |        JOIN tt ON tt.etype = rec.etype WHERE rec.rn = tt.ttrain)""".stripMargin
 
   /** E293 oracle: episode transition extraction + one MATERIALIZED
     * fixed-point chain per (base, removed channel), generated to
@@ -1637,40 +1721,7 @@ object AnalyticsQueries {
     // twice in the step because SQL cannot name it; same arithmetic),
     // h-step forecasts over the holdout tail.
     "events_holt_forecast" ->
-      s"""WITH RECURSIVE bounds AS (
-         |  SELECT date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS lo,
-         |         date_trunc('day', max(CAST(ts AS TIMESTAMP))) AS hi
-         |  FROM events),
-         |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
-         |          FROM bounds),
-         |types AS (SELECT DISTINCT event_type AS etype FROM events),
-         |cnt AS (SELECT event_type AS etype,
-         |               date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
-         |               CAST(count(*) AS BIGINT) AS n
-         |        FROM events GROUP BY 1, 2),
-         |ser AS (SELECT t.etype, s.d, CAST(coalesce(c.n, 0) AS DOUBLE) AS y,
-         |               row_number() OVER (PARTITION BY t.etype
-         |                 ORDER BY s.d) AS rn
-         |        FROM types t CROSS JOIN spine s
-         |        LEFT JOIN cnt c ON c.etype = t.etype AND c.d = s.d),
-         |tt AS (SELECT etype, CAST(floor(0.8 * count(*)) AS BIGINT) AS ttrain
-         |       FROM ser GROUP BY etype),
-         |rec AS (
-         |  SELECT s1.etype, CAST(1 AS BIGINT) AS rn, s1.y AS l,
-         |         s2.y - s1.y AS b
-         |  FROM ser s1 JOIN ser s2 ON s2.etype = s1.etype AND s2.rn = 2
-         |  WHERE s1.rn = 1
-         |  UNION ALL
-         |  SELECT r.etype, r.rn + 1,
-         |         $HoltAlpha * s.y + $HoltOneMinusAlpha * (r.l + r.b),
-         |         $HoltBeta * (($HoltAlpha * s.y
-         |             + $HoltOneMinusAlpha * (r.l + r.b)) - r.l)
-         |           + $HoltOneMinusBeta * r.b
-         |  FROM rec r JOIN ser s ON s.etype = r.etype AND s.rn = r.rn + 1
-         |  JOIN tt ON tt.etype = r.etype
-         |  WHERE r.rn + 1 <= tt.ttrain),
-         |fin AS (SELECT rec.etype, rec.l, rec.b FROM rec
-         |        JOIN tt ON tt.etype = rec.etype WHERE rec.rn = tt.ttrain)
+      s"""$holtCtes
          |SELECT ser.etype AS event_type, ser.d, CAST(ser.y AS BIGINT) AS n_actual,
          |       round(fin.l + (ser.rn - tt.ttrain) * fin.b, 6) AS forecast,
          |       round(abs(ser.y - (fin.l + (ser.rn - tt.ttrain) * fin.b)), 6)
@@ -1678,6 +1729,34 @@ object AnalyticsQueries {
          |FROM ser JOIN tt ON tt.etype = ser.etype
          |JOIN fin ON fin.etype = ser.etype
          |WHERE ser.rn > tt.ttrain""".stripMargin,
+
+    // E306: the same chain, holdout errors for Holt / naive /
+    // seasonal-naive folded in day order, one division each.
+    "events_forecast_audit" ->
+      s"""$holtCtes,
+         |hold AS (SELECT ser.etype, ser.rn,
+         |    abs(ser.y - (fin.l + (ser.rn - tt.ttrain) * fin.b)) AS aeh,
+         |    abs(ser.y - slast.y) AS aen,
+         |    abs(ser.y - s7.y) AS aes
+         |  FROM ser JOIN tt ON tt.etype = ser.etype
+         |  JOIN fin ON fin.etype = ser.etype
+         |  JOIN ser slast ON slast.etype = ser.etype
+         |                AND slast.rn = tt.ttrain
+         |  JOIN ser s7 ON s7.etype = ser.etype AND s7.rn = ser.rn - 7
+         |  WHERE ser.rn > tt.ttrain),
+         |m AS (SELECT etype, CAST(count(*) AS BIGINT) AS n_holdout,
+         |    list_reduce(list(aeh ORDER BY rn), (a, b) -> a + b)
+         |      / count(*) AS mh,
+         |    list_reduce(list(aen ORDER BY rn), (a, b) -> a + b)
+         |      / count(*) AS mn,
+         |    list_reduce(list(aes ORDER BY rn), (a, b) -> a + b)
+         |      / count(*) AS ms
+         |  FROM hold GROUP BY etype)
+         |SELECT etype AS event_type, n_holdout,
+         |       round(mh, 6) AS mae_holt, round(mn, 6) AS mae_naive,
+         |       round(ms, 6) AS mae_snaive,
+         |       (mh < mn) AS holt_beats_naive
+         |FROM m""".stripMargin,
 
     // E293: the full replay — episode transitions, then per chain
     // (base + one per removed channel) AttrIters MATERIALIZED

@@ -29,6 +29,19 @@ class ForecastSpec extends SparkSpec {
     }
   }
 
+  test("forecast audit coheres: nonnegative MAEs and the verdict " +
+      "recomputes from its own columns") {
+    val a = graft.queries.AnalyticsQueries
+      .queries("events_forecast_audit")(spark, sfDir).localCheckpoint(false)
+    assert(a.count() === 5)
+    val neg = a.filter(col("mae_holt") < 0 || col("mae_naive") < 0 ||
+      col("mae_snaive") < 0)
+    assert(neg.isEmpty, "a negative MAE")
+    val bad = a.filter(col("holt_beats_naive") =!=
+      (col("mae_holt") < col("mae_naive")))
+    assert(bad.isEmpty, "verdict disagrees with the emitted MAEs")
+  }
+
   test("fixture rows cohere: 5 types x holdout days, abs_err matches " +
       "|actual - forecast|") {
     val r = graft.queries.AnalyticsQueries
