@@ -27,16 +27,33 @@ object Forecast {
     */
   def holtFit(y: IndexedSeq[Double], alpha: Double, oneMinusAlpha: Double,
       beta: Double, oneMinusBeta: Double): (Double, Double) = {
+    val (l, b, _) = holtFitResiduals(y, alpha, oneMinusAlpha, beta,
+      oneMinusBeta)
+    (l, b)
+  }
+
+  /** [[holtFit]] plus the one-step-ahead TRAIN residuals
+    * r_t = y_t − (l_{t−1} + b_{t−1}) observed at each consumed step —
+    * the calibration series a residual-based anomaly detector
+    * thresholds on (E307). Same fold, residual read before each
+    * update, so the oracle's recursive CTE replays both from one
+    * chain.
+    */
+  def holtFitResiduals(y: IndexedSeq[Double], alpha: Double,
+      oneMinusAlpha: Double, beta: Double, oneMinusBeta: Double)
+      : (Double, Double, IndexedSeq[Double]) = {
     require(y.length >= 2, s"Holt needs >= 2 points, got ${y.length}")
     var l = y(0)
     var b = y(1) - y(0)
+    val res = IndexedSeq.newBuilder[Double]
     var t = 1
     while (t < y.length) {
+      res += y(t) - (l + b)
       val lPrev = l
       l = alpha * y(t) + oneMinusAlpha * (l + b)
       b = beta * (l - lPrev) + oneMinusBeta * b
       t += 1
     }
-    (l, b)
+    (l, b, res.result())
   }
 }

@@ -900,6 +900,59 @@ object AnalyticsQueries {
           col("bt").as("holt_beats_naive"))
     }),
 
+    // E307: forecast-residual anomaly detection — the model-based
+    // sibling of E178's trailing-window z-test: per type, the Holt
+    // fit's one-step-ahead TRAIN residuals calibrate a threshold
+    // (3 × mean |residual| — mean, not median, so the statistic folds
+    // in day order and replays exactly), and each holdout day is
+    // flagged when |actual − forecast| exceeds it. The fixture's
+    // holdout is anomaly-free (measured: every verdict false), so a
+    // spike is PLANTED (the E285 convention): the last holdout day of
+    // `view` gains +25 synthetic events in BOTH engines — a detector
+    // that cannot trip cannot pass. Same chain as E305/E306; one more
+    // ordered fold.
+    "events_forecast_anomaly" -> ((s, dir) => {
+      val cnt = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts").cast("timestamp")).as("d"))
+        .agg(count(lit(1)).as("n"))
+        .collect()
+      val bounds = Tables.events(s, dir)
+        .agg(min(date_trunc("day", col("ts").cast("timestamp"))).as("lo"),
+          max(date_trunc("day", col("ts").cast("timestamp"))).as("hi"))
+        .head()
+      val days = (bounds.getTimestamp(0).getTime to
+        bounds.getTimestamp(1).getTime by 86400000L).toIndexedSeq
+      val byKey = cnt.map(r => (r.getString(0),
+        r.getTimestamp(1).getTime) -> r.getLong(2)).toMap
+      val types = cnt.map(_.getString(0)).distinct.sorted
+      val tTrain = math.floor(0.8 * days.length).toInt
+      val rows = types.flatMap { t =>
+        val y = days.map(d => byKey.getOrElse((t, d), 0L).toDouble)
+        val (l, b, res) = graft.ext.Forecast.holtFitResiduals(
+          y.take(tTrain), HoltAlpha, HoltOneMinusAlpha, HoltBeta,
+          HoltOneMinusBeta)
+        val mar = res.foldLeft(0.0)((a, r) => a + math.abs(r)) /
+          res.length.toDouble
+        (tTrain until days.length).map { i =>
+          val actual =
+            if (t == "view" && i == days.length - 1) y(i) + 25.0 else y(i)
+          val fc = l + (i - tTrain + 1) * b
+          val ae = math.abs(actual - fc)
+          (t, new java.sql.Timestamp(days(i)), actual.toLong, fc, ae, mar,
+            ae > 3.0 * mar)
+        }
+      }
+      import s.implicits._
+      rows.toSeq
+        .toDF("event_type", "d", "n_actual", "fc", "ae", "mar", "an")
+        .select(col("event_type"), col("d"), col("n_actual"),
+          round(col("fc"), 6).as("forecast"),
+          round(col("ae"), 6).as("abs_err"),
+          round(col("mar"), 6).as("train_mar"),
+          col("an").as("is_anomaly"))
+    }),
+
     // E289: Misra-Gries SHARD-MERGE algebra (the E108/E269 sketch
     // discipline applied to frequent items): per-shard MG sketches
     // with counter VALUES persisted as parquet, merged m-way by the
@@ -1757,6 +1810,37 @@ object AnalyticsQueries {
          |       round(ms, 6) AS mae_snaive,
          |       (mh < mn) AS holt_beats_naive
          |FROM m""".stripMargin,
+
+    // E307: one-step-ahead train residuals read off the SAME recursive
+    // chain (rec holds (l, b) per step), ordered-fold mean, holdout
+    // verdicts.
+    "events_forecast_anomaly" ->
+      s"""$holtCtes,
+         |resid AS (SELECT r.etype, r.rn + 1 AS rn,
+         |    s.y - (r.l + r.b) AS res
+         |  FROM rec r JOIN ser s ON s.etype = r.etype AND s.rn = r.rn + 1
+         |  JOIN tt ON tt.etype = r.etype WHERE r.rn + 1 <= tt.ttrain),
+         |marr AS (SELECT etype,
+         |    list_reduce(list(abs(res) ORDER BY rn), (a, b) -> a + b)
+         |      / count(*) AS mar
+         |  FROM resid GROUP BY etype),
+         |tot AS (SELECT etype, count(*) AS tn FROM ser GROUP BY etype),
+         |sp AS (SELECT ser.etype, ser.d, ser.rn,
+         |    ser.y + (CASE WHEN ser.etype = 'view' AND ser.rn = tot.tn
+         |             THEN 25.0 ELSE 0.0 END) AS y
+         |  FROM ser JOIN tot ON tot.etype = ser.etype)
+         |SELECT sp.etype AS event_type, sp.d,
+         |       CAST(sp.y AS BIGINT) AS n_actual,
+         |       round(fin.l + (sp.rn - tt.ttrain) * fin.b, 6) AS forecast,
+         |       round(abs(sp.y - (fin.l + (sp.rn - tt.ttrain) * fin.b)), 6)
+         |         AS abs_err,
+         |       round(marr.mar, 6) AS train_mar,
+         |       (abs(sp.y - (fin.l + (sp.rn - tt.ttrain) * fin.b))
+         |          > 3.0 * marr.mar) AS is_anomaly
+         |FROM sp JOIN tt ON tt.etype = sp.etype
+         |JOIN fin ON fin.etype = sp.etype
+         |JOIN marr ON marr.etype = sp.etype
+         |WHERE sp.rn > tt.ttrain""".stripMargin,
 
     // E293: the full replay — episode transitions, then per chain
     // (base + one per removed channel) AttrIters MATERIALIZED

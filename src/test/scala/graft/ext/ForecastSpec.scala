@@ -42,6 +42,19 @@ class ForecastSpec extends SparkSpec {
     assert(bad.isEmpty, "verdict disagrees with the emitted MAEs")
   }
 
+  test("residual anomaly detector: exactly the planted spike trips, " +
+      "and verdicts recompute from their own columns") {
+    val a = graft.queries.AnalyticsQueries
+      .queries("events_forecast_anomaly")(spark, sfDir).localCheckpoint(false)
+    val hits = a.filter(col("is_anomaly")).collect()
+    assert(hits.length === 1, s"expected only the plant, got ${hits.length}")
+    assert(hits(0).getAs[String]("event_type") === "view",
+      "the anomaly is not on the planted type")
+    val bad = a.filter(col("is_anomaly") =!=
+      (col("abs_err") > lit(3.0) * col("train_mar")))
+    assert(bad.isEmpty, "a verdict disagrees with its own threshold")
+  }
+
   test("fixture rows cohere: 5 types x holdout days, abs_err matches " +
       "|actual - forecast|") {
     val r = graft.queries.AnalyticsQueries
