@@ -556,6 +556,79 @@ object StreamingPipeline {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Streaming Holt forecaster (E308) — the streaming face of the
+    * E305 fold: a `transformWithState` processor keyed by series that
+    * consumes finalized daily counts in day order, gap-fills missing
+    * days as ZERO observations (the batch spine's zero fill — a
+    * skipped day would silently bias level and trend), and for every
+    * processed day from the second onward emits the ONE-STEP-AHEAD
+    * forecast (l + b read BEFORE the update) — the value a live
+    * capacity dashboard plots against the arriving actual. State per
+    * key: (level, trend, last day, points seen) — four scalars,
+    * traffic-independent. HoltStreamSpec pins the stream's forecasts
+    * row-identical to the batch fold's one-step predictions
+    * (y_t − residual_t from Forecast.holtFitResiduals) over the full
+    * zero-filled series.
+    */
+  class HoltProcessor(alpha: Double, oneMinusAlpha: Double,
+      beta: Double, oneMinusBeta: Double, dayMs: Long = 86400000L)
+      extends StatefulProcessor[String, (String, Long, Double),
+        (String, Long, Double)] {
+    @transient private var st: ValueState[(Double, Double, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+      st = getHandle.getValueState[(Double, Double, Long, Long)]("holt",
+        ExpressionEncoder[(Double, Double, Long, Long)](), TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, Double)],
+        timers: TimerValues): Iterator[(String, Long, Double)] = {
+      var (l, b, lastDay, seen) =
+        if (st.exists()) st.get() else (0.0, 0.0, Long.MinValue, 0L)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Double)]
+      def step(day: Long, y: Double): Unit = {
+        if (seen == 0L) { l = y }
+        else {
+          if (seen == 1L) b = y - l // init trend from the first pair
+          out += ((key, day, l + b)) // one-step-ahead, pre-update
+          val lPrev = l
+          l = alpha * y + oneMinusAlpha * (l + b)
+          b = beta * (l - lPrev) + oneMinusBeta * b
+        }
+        lastDay = day
+        seen += 1L
+      }
+      rows.toArray.sortBy(_._2).foreach { case (_, day, y) =>
+        if (day > lastDay) {
+          if (lastDay != Long.MinValue) {
+            var g = lastDay + dayMs
+            while (g < day) { step(g, 0.0); g += dayMs } // zero gap-fill
+          }
+          step(day, y)
+        } // a late day (≤ last processed) is dropped: finalized order
+      }
+      st.update((l, b, lastDay, seen))
+      out.iterator
+    }
+  }
+
+  /** `transformWithState` wiring for [[HoltProcessor]] over a
+    * streaming (series_key, dayEpochMs, count) Dataset.
+    */
+  def holtForecasts(spark: SparkSession,
+      daily: Dataset[(String, Long, Double)], alpha: Double,
+      oneMinusAlpha: Double, beta: Double, oneMinusBeta: Double)
+      : Dataset[(String, Long, Double)] = {
+    import spark.implicits._
+    daily.groupByKey(_._1)
+      .transformWithState(
+        new HoltProcessor(alpha, oneMinusAlpha, beta, oneMinusBeta),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** A stopped (or live) streaming checkpoint's state store as a BATCH
     * DataFrame — Spark 4's `statestore` data source (SPARK-45511). The
     * operational escape hatch for stateful streaming at scale: query
