@@ -18,6 +18,14 @@ object AdvancedQueries {
 
   val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** E309 mergeable-histogram quantiles: fixed GLOBAL equi-width bins
+    * (merge algebra demands data-independent breaks), $25k-cent width
+    * over the order-price range, 3 persisted shards.
+    */
+  private val QmBinWidth = 2500000L
+  private val QmBins = 20
+  private val QmShards = 3
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ROLLUP: subtotal rows per returnflag and a grand total — one
     // expand + one shuffle, null-marked grouping levels.
@@ -233,6 +241,56 @@ object AdvancedQueries {
         .select(least(floor(col("o_totalprice") / 5000), lit(11))
           .cast("int").as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("n"))),
+
+    // E309: mergeable-histogram quantiles — the 5th mergeable summary
+    // (HLL distinct, CMS frequency, MG top items, PCA moments, now
+    // QUANTILES): per-shard equi-width histograms over fixed GLOBAL
+    // bins persist as parquet and merge by bin-wise addition (exactly
+    // additive — tomorrow's quantiles read yesterday's cells plus one
+    // new shard, never re-scan prices); the quantile estimate walks
+    // the ≤ QmBins merged cells (rank r = ⌈q·n⌉, estimate = the
+    // containing bin's upper edge), and the ERROR BOUND is
+    // machine-checked, not assumed: the exact r-th value (global rank
+    // via the E101 operator, no one-partition window) must land in
+    // the estimate's bin — |est − exact| ≤ bin width by construction,
+    // and the verdict says so per quantile. All integers.
+    "rel_quantile_merge" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * 100).cast("long")
+      val bin = least(floor(cents / QmBinWidth), lit((QmBins - 1).toLong))
+        .cast("long")
+      val shardDir = Materialize.once(s"qm_shards:$dir", dir) { p =>
+        Tables.orders(s, dir)
+          .select((col("o_orderkey") % QmShards).as("shard"), bin.as("bin"))
+          .groupBy("shard", "bin").agg(count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(p)
+      }
+      val merged = s.read.parquet(shardDir)
+        .groupBy("bin").agg(sum(col("n")).as("n")).localCheckpoint(false)
+      val tot = merged.agg(sum(col("n")).as("nn"))
+      val cum = merged.withColumn("cum", sum(col("n")).over(
+        Window.orderBy("bin").rowsBetween(Window.unboundedPreceding,
+          Window.currentRow))) // ≤ QmBins rows — cells, never data
+      import s.implicits._
+      val ranked = Seq(25L, 50L, 75L, 95L).toDF("q_pct")
+        .crossJoin(broadcast(tot))
+        .select(col("q_pct"),
+          floor((col("q_pct") * col("nn") + 99) / 100).cast("long").as("r"))
+      val est = ranked.join(cum, col("cum") >= col("r"))
+        .groupBy("q_pct", "r").agg(min(col("bin")).as("bin"))
+      val ordered = graft.operators.GlobalIndex.globalRowNumbers(
+        Tables.orders(s, dir)
+          .select(cents.as("cents"), col("o_orderkey"))
+          .withColumn("ord", struct(col("cents"), col("o_orderkey"))),
+        "ord", s.sparkContext.defaultParallelism)
+      est.join(ordered.select(col("row_num"), col("cents")),
+          col("row_num") === col("r"))
+        .select(col("q_pct"), col("r"), col("bin"),
+          ((col("bin") + 1) * QmBinWidth).as("est_cents"),
+          col("cents").as("exact_cents"),
+          (least(floor(col("cents") / QmBinWidth),
+            lit((QmBins - 1).toLong)).cast("long") === col("bin"))
+            .as("within_bin"))
+    }),
 
     // Incremental aggregate maintenance (E121): a base aggregate (days
     // before the cutoff) and a delta aggregate (the new days) merge by
@@ -553,6 +611,38 @@ object AdvancedQueries {
         |       round(quantile_cont(sz, 0.99), 6) AS p99,
         |       round(max(sz) / avg(sz), 6) AS skew_ratio
         |FROM s""".stripMargin,
+
+    // E309: shard histograms, bin-wise merge, rank walk, exact r-th
+    // value by (cents, orderkey) order — all integers, verdict pinned.
+    "rel_quantile_merge" ->
+      s"""WITH h AS (SELECT o_orderkey % $QmShards AS shard,
+         |    least(CAST(floor(CAST(floor(o_totalprice * 100) AS BIGINT)
+         |      / $QmBinWidth) AS BIGINT), ${QmBins - 1}) AS bin
+         |  FROM orders),
+         |hs AS (SELECT shard, bin, CAST(count(*) AS BIGINT) AS n
+         |       FROM h GROUP BY shard, bin),
+         |m AS (SELECT bin, sum(n) AS n FROM hs GROUP BY bin),
+         |t AS (SELECT sum(n) AS nn FROM m),
+         |c AS (SELECT bin, sum(n) OVER (ORDER BY bin
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM m),
+         |qs AS (SELECT CAST(unnest([25, 50, 75, 95]) AS BIGINT) AS q_pct),
+         |r AS (SELECT q_pct,
+         |        CAST(floor((q_pct * nn + 99) / 100) AS BIGINT) AS r
+         |      FROM qs, t),
+         |eb AS (SELECT r.q_pct, r.r, min(c.bin) AS bin
+         |       FROM r JOIN c ON c.cum >= r.r GROUP BY r.q_pct, r.r),
+         |o AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+         |        row_number() OVER (ORDER BY
+         |          CAST(floor(o_totalprice * 100) AS BIGINT), o_orderkey)
+         |          AS rn
+         |      FROM orders)
+         |SELECT eb.q_pct, eb.r, eb.bin,
+         |       (eb.bin + 1) * $QmBinWidth AS est_cents,
+         |       o.cents AS exact_cents,
+         |       (least(CAST(floor(o.cents / $QmBinWidth) AS BIGINT),
+         |         ${QmBins - 1}) = eb.bin) AS within_bin
+         |FROM eb JOIN o ON o.rn = eb.r""".stripMargin,
 
     "rel_price_eqdepth" ->
       """WITH c AS (SELECT round(quantile_cont(o_totalprice, 0.25), 6) AS c1,
