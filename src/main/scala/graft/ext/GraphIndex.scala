@@ -38,20 +38,40 @@ import org.apache.spark.sql.functions._
   */
 object GraphIndex {
 
-  val FormatVersion = 1
+  /** v2 added the tombstone table (E310) — the version bump keeps a
+    * v2 reader from serving a v1 index with deletes silently
+    * un-applied (the AnnIndex FormatVersion discipline).
+    */
+  val FormatVersion = 2
 
   final case class Index(dim: Int, graphK: Int,
-      vectors: DataFrame, sigs: DataFrame, edges: DataFrame)
+      vectors: DataFrame, sigs: DataFrame, edges: DataFrame,
+      tombstones: DataFrame) {
+    /** Soft-delete read paths: tombstoned ids neither seed, relay,
+      * nor return — vectors and signatures anti-join the tombstones,
+      * and an edge dies if EITHER endpoint is tombstoned (a deleted
+      * node must not relay a walk).
+      */
+    def liveVectors: DataFrame =
+      vectors.join(tombstones.select(col("id")), Seq("id"), "left_anti")
+    def liveSigs: DataFrame =
+      sigs.join(tombstones.select(col("id")), Seq("id"), "left_anti")
+    def liveEdges: DataFrame =
+      edges
+        .join(tombstones.select(col("id").as("src")), Seq("src"), "left_anti")
+        .join(tombstones.select(col("id").as("dst")), Seq("dst"), "left_anti")
+  }
 
   private def writeManifest(spark: SparkSession, dir: String,
       dim: Int, graphK: Int): Unit = {
     val nVecs = spark.read.parquet(s"$dir/vectors.parquet").count()
     val nSigs = spark.read.parquet(s"$dir/sigs.parquet").count()
     val nEdges = spark.read.parquet(s"$dir/edges.parquet").count()
+    val nTomb = spark.read.parquet(s"$dir/tombstones.parquet").count()
     import spark.implicits._
-    Seq((FormatVersion, dim, graphK, nVecs, nSigs, nEdges))
+    Seq((FormatVersion, dim, graphK, nVecs, nSigs, nEdges, nTomb))
       .toDF("format_version", "dim", "graph_k",
-        "n_vectors", "n_sigs", "n_edges")
+        "n_vectors", "n_sigs", "n_edges", "n_tombstones")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/manifest.parquet")
   }
@@ -70,7 +90,67 @@ object GraphIndex {
     Similarity.knnGraph(v, graphK)
       .select(col("src_id").as("src"), col("dst_id").as("dst"))
       .write.mode("overwrite").parquet(s"$outDir/edges.parquet")
+    // empty tombstone set with the VECTORS id type — delete() appends
+    // to this file, and parquet append demands an identical schema
+    spark.read.parquet(s"$outDir/vectors.parquet").select(col("id"))
+      .limit(0)
+      .write.mode("overwrite").parquet(s"$outDir/tombstones.parquet")
     writeManifest(spark, outDir, dim, graphK)
+  }
+
+  /** Soft-DELETE `ids (id)` (E310, the E263 design for the graph
+    * tier): ids append to the tombstone table — O(batch) regardless
+    * of index size — and every read path anti-joins it
+    * ([[Index.liveVectors]]/[[Index.liveSigs]]/[[Index.liveEdges]]).
+    * Strict: every id must exist and not already be tombstoned.
+    * Manifest rewritten LAST. Note [[append]]'s interaction: a
+    * tombstoned id still owns vector rows, so re-adding it refuses
+    * until [[compact]] reclaims them.
+    */
+  def delete(ids: DataFrame, dir: String): Unit = {
+    val spark = ids.sparkSession
+    val idx = load(spark, dir)
+    val n = ids.count()
+    val present = ids.select(col("id"))
+      .join(idx.vectors.select(col("id")), "id").count()
+    require(present == n,
+      s"delete batch has ${n - present} ids not in the index — " +
+        "delete is strict, not a filter")
+    val already = ids.select(col("id"))
+      .join(idx.tombstones.select(col("id")), "id").count()
+    require(already == 0,
+      s"$already ids are already tombstoned — double delete")
+    ids.select(col("id"))
+      .write.mode("append").parquet(s"$dir/tombstones.parquet")
+    writeManifest(spark, dir, idx.dim, idx.graphK)
+  }
+
+  /** COMPACT (E310): physically drop tombstoned vectors, signatures,
+    * and every edge touching a tombstoned endpoint, then clear the
+    * tombstones — search output identical before and after by
+    * construction (GraphDeleteSpec pins it). Side-dir writes + swap
+    * before the manifest rewrite: a crash mid-swap leaves a missing
+    * or count-mismatched table [[load]] refuses.
+    */
+  def compact(dir: String): Unit = {
+    val spark = SparkSession.active
+    val idx = load(spark, dir)
+    if (idx.tombstones.isEmpty) return
+    def swapIn(name: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$dir/$name.compacting.parquet")
+      val live = java.nio.file.Paths.get(dir, s"$name.parquet")
+      java.nio.file.Files.walk(live)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(dir, s"$name.compacting.parquet"), live)
+    }
+    swapIn("vectors", idx.liveVectors)
+    swapIn("sigs", idx.liveSigs)
+    swapIn("edges", idx.liveEdges)
+    spark.read.parquet(s"$dir/vectors.parquet").select(col("id")).limit(0)
+      .write.mode("overwrite").parquet(s"$dir/tombstones.parquet")
+    writeManifest(spark, dir, idx.dim, idx.graphK)
   }
 
   /** Incrementally APPEND `newVecs (id, part, vec)` to a persisted
@@ -142,6 +222,7 @@ object GraphIndex {
     val vectors = spark.read.parquet(s"$dir/vectors.parquet")
     val sigs = spark.read.parquet(s"$dir/sigs.parquet")
     val edges = spark.read.parquet(s"$dir/edges.parquet")
+    val tomb = spark.read.parquet(s"$dir/tombstones.parquet")
     def check(name: String, df: DataFrame, want: Long): Unit = {
       val got = df.count()
       require(got == want,
@@ -151,9 +232,10 @@ object GraphIndex {
     check("vectors", vectors, ml("n_vectors"))
     check("sigs", sigs, ml("n_sigs"))
     check("edges", edges, ml("n_edges"))
+    check("tombstones", tomb, ml("n_tombstones"))
     require(ml("n_sigs") == ml("n_vectors"),
       "every vector needs a signature: artifact inconsistent")
-    Index(mi("dim"), mi("graph_k"), vectors, sigs, edges)
+    Index(mi("dim"), mi("graph_k"), vectors, sigs, edges, tomb)
   }
 
   /** Serve top-k from the persisted artifact: seeds from the stored
@@ -165,11 +247,11 @@ object GraphIndex {
       seeds: Int, hops: Int, k: Int): DataFrame = {
     val idx = load(spark, dir)
     val cand = Similarity.graphExpandCandidatesFrom(
-      idx.sigs.localCheckpoint(false),
-      idx.edges.select(col("src").as("esrc"), col("dst").as("edst"))
+      idx.liveSigs.localCheckpoint(false),
+      idx.liveEdges.select(col("src").as("esrc"), col("dst").as("edst"))
         .localCheckpoint(false),
       numQueries, seeds, hops)
-    Similarity.graphRerank(idx.vectors.localCheckpoint(false), cand,
+    Similarity.graphRerank(idx.liveVectors.localCheckpoint(false), cand,
       numQueries, k)
   }
 }

@@ -384,6 +384,23 @@ object SimilarityQueries {
         GraphSeeds, GraphHops, K)
     }),
 
+    // E310: graph-index soft DELETE: build on the full population,
+    // tombstone the id % 7 = 3 slice, search — tombstoned ids neither
+    // seed, relay, nor return (and a tombstoned low id drops out of
+    // the QUERY set too: 9 queries serve, not 10). The oracle keeps
+    // full-population edges and filters both endpoints live.
+    "emb_graph_delete" -> ((s, dir) => {
+      val idxDir = Materialize.once(s"graph_index_del:$dir", dir) { p =>
+        val c = corpus(s, dir)
+        graft.ext.GraphIndex.build(c, EmbDim, KnnK, p)
+        graft.ext.GraphIndex.delete(
+          c.filter(col("id") % AppendMod === AppendBatchRem)
+            .select(col("id")), p)
+      }
+      graft.ext.GraphIndex.searchTopK(s, idxDir, NumQueries,
+        GraphSeeds, GraphHops, K)
+    }),
+
     // E299: graph-index APPEND (the HNSW-insert batch shape): base
     // index on id % 7 ≠ 3, append the held-out slice under frozen
     // existing edges (new nodes rank against the FULL population
@@ -1876,13 +1893,24 @@ object SimilarityQueries {
     * rescore `gsc`, and the reranked `gtop` (qid, id, cs, rnk ≤ K) —
     * mirrors Similarity.graphExpandCandidates/graphExpandTopK.
     */
-  private def graphExpandCtesOver(edgeCtes: String): String = {
+  private def graphExpandCtesOver(edgeCtes: String,
+      liveWhere: String = "TRUE"): String = {
     val hopChain = (1 to GraphHops).map(h =>
       s"""c$h AS (SELECT qid, id FROM c${h - 1}
          |  UNION SELECT c${h - 1}.qid, k.dst FROM c${h - 1}
          |  JOIN gedges k ON k.src = c${h - 1}.id)""".stripMargin)
       .mkString(",\n")
-    s"""$binarySigCtes,
+    // binarySigCtes with a LIVE filter hook (E310 delete excludes
+    // tombstoned ids from seeding, relaying, and querying)
+    s"""$embCte,
+       |sg AS MATERIALIZED (SELECT vec_id AS id, ${binPackSql(0)} AS h0,
+       |       ${binPackSql(EmbDim / 2)} AS h1 FROM e WHERE $liveWhere),
+       |qs AS (SELECT id AS qid, h0 AS q0, h1 AS q1 FROM sg
+       |       WHERE id < $NumQueries),
+       |d AS (SELECT qs.qid, sg.id,
+       |             CAST(bit_count(xor(sg.h0, qs.q0)) +
+       |                  bit_count(xor(sg.h1, qs.q1)) AS BIGINT) AS dist
+       |      FROM qs JOIN sg ON sg.id <> qs.qid),
        |sd AS (SELECT qid, id FROM (
        |    SELECT qid, id, row_number() OVER (PARTITION BY qid
        |      ORDER BY dist, id) AS rnk FROM d) WHERE rnk <= $GraphSeeds),
@@ -2915,6 +2943,19 @@ object SimilarityQueries {
     // in-memory chain — one oracle, two serving paths.
     "emb_graph_persisted" ->
       s"""$graphExpandCtes
+         |SELECT qid AS query_id, CAST(rnk AS INTEGER) AS rank,
+         |       id AS neighbor_id, round(cs, 6) AS cos
+         |FROM gtop""".stripMargin,
+
+    // E310: full-population edges with both endpoints live, live
+    // seeds/queries, same walk and rerank.
+    "emb_graph_delete" ->
+      s"""${graphExpandCtesOver(
+            s"""$knnTopCte,
+               |gedges AS (SELECT src, dst FROM ktop
+               |  WHERE src % $AppendMod <> $AppendBatchRem
+               |    AND dst % $AppendMod <> $AppendBatchRem)""".stripMargin,
+            s"vec_id % $AppendMod <> $AppendBatchRem")}
          |SELECT qid AS query_id, CAST(rnk AS INTEGER) AS rank,
          |       id AS neighbor_id, round(cs, 6) AS cos
          |FROM gtop""".stripMargin,
