@@ -73,6 +73,17 @@ object Pipeline {
             rules: Seq[TransformRule] = Routing.DefaultRules): DataFrame =
     forward(Parse.parse(raw), rules, Seq("key", "value"))
 
+  /** [[route]] over an ALREADY-DECODED stream: non-JSON input tiers
+    * (the E315 Confluent-Avro lane) run their own envelope decode and
+    * reuse the identical delete-filter + first-match-route + silent-
+    * drop forward tail. `parsed` needs (topic, db, tbl, op) plus the
+    * `keep` columns; `keep` defaults to the R5 passthrough pair.
+    */
+  def routeParsed(parsed: DataFrame,
+                  rules: Seq[TransformRule] = Routing.DefaultRules,
+                  keep: Seq[String] = Seq("key", "value")): DataFrame =
+    forward(parsed, rules, keep)
+
   /** Typed facade over [[route]]: `Dataset[RawRecord] →
     * Dataset[RoutedRecord]` (SURVEY.md §1.5). The encoder boundary is
     * free — `.as[T]` only re-tags the schema; the plan underneath is

@@ -14,16 +14,33 @@ import org.apache.spark.sql.functions._
   *
   *   centroids.parquet  (cpart, cvec: double[])     — coarse quantizer
   *   codebooks.parquet  (cl, m, cvec: double[])     — trained PQ books
-  *   codes.parquet      (id, c0..c{M−1}, cell)      — integer codes
+  *   codes.parquet      (id, c0..c{M−1} / cell=K/)  — integer codes,
+  *                                                    HIVE-PARTITIONED
+  *                                                    by coarse cell
   *   tombstones.parquet (id)                        — deleted, not yet
   *                                                    compacted away
   *   manifest.parquet   (1 row: format/geometry/counts)
+  *
+  * The cell-partitioned code layout is the on-disk form of IVF's
+  * whole point (v3, VERDICT r13 #1): a probe touches probe/cells of
+  * the data, so the SERVE scan must read probe/cells of the FILES.
+  * [[searchTopK]] resolves each query's probed cells, then scans
+  * `codes.parquet` through a static `cell IN (…)` partition filter —
+  * directory pruning, pinned by AnnPruneSpec exactly like the E49
+  * lang-partition witness — instead of filtering all N rows post-scan.
+  * At a billion vectors and 2/32 cells probed, that is 1/16th of the
+  * row groups read, and the win grows linearly with the cell count.
   *
   * The manifest is written LAST, so a crashed build never presents a
   * loadable index; [[load]] re-asserts it — format version, geometry
   * arithmetic, and the row count of every table against the counts
   * recorded at build time (a truncated or mixed-version artifact fails
-  * loudly, not as silent recall loss). Parquet round-trips IEEE
+  * loudly, not as silent recall loss). Since v3 that integrity gate
+  * runs ONCE PER SESSION per artifact ([[loadCached]]), not once per
+  * search — counting four tables per query was serve-path overhead
+  * that re-verified what build/append/delete/compact already verified
+  * when they rewrote the manifest; writers invalidate the cache so
+  * the next search revalidates exactly once. Parquet round-trips IEEE
   * doubles bit-exactly, so a search over the re-loaded artifact is
   * hash-identical to the in-memory chain — AnnIndexSpec pins that, and
   * the `emb_persisted_topk` gate row hashes the read-back search
@@ -31,17 +48,17 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the build is the E243 build (one corpus scan per
   * stage, bounded driver state in training); serving reads two small
-  * broadcast tables plus the integer code table — the raw vectors
-  * never load at query time.
+  * broadcast tables plus the PRUNED slice of the integer code table —
+  * the raw vectors never load at query time.
   */
 object AnnIndex {
 
-  /** v2 added the tombstone table (E263) — a v1 artifact has no
-    * `tombstones.parquet` and its manifest no `n_tombstones`, so the
-    * version bump keeps a v2 reader from serving a v1 index with
-    * deletes silently un-applied.
+  /** v2 added the tombstone table (E263); v3 hive-partitions
+    * `codes.parquet` by `cell` and moves count verification off the
+    * per-search path. The bump keeps a v2 reader from mis-reading the
+    * partitioned layout (and vice versa).
     */
-  val FormatVersion = 2
+  val FormatVersion = 3
 
   /** Loaded, validated artifact handles. */
   final case class Index(numSub: Int, subDim: Int,
@@ -54,6 +71,25 @@ object AnnIndex {
     def liveCodes: DataFrame =
       codes.join(tombstones.select(col("id")), Seq("id"), "left_anti")
   }
+
+  /** Once-per-session validated loads, keyed by artifact directory:
+    * the serve path pays the four count scans on FIRST touch, then
+    * reuses the validated handles. Every writer [[invalidate]]s its
+    * directory, so a post-write search revalidates (and re-lists the
+    * changed files) exactly once.
+    */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Index]()
+
+  /** Drop the cached validated load for `dir` (writers call this
+    * after rewriting the manifest; tests may call it to force a
+    * revalidation).
+    */
+  def invalidate(dir: String): Unit = cache.remove(dir)
+
+  /** [[load]] through the session cache — the serve-path entry. */
+  def loadCached(spark: SparkSession, dir: String): Index =
+    cache.computeIfAbsent(dir, _ => load(spark, dir))
 
   /** Manifest row describing the tables ON DISK — every writer calls
     * this LAST, after its table writes, with counts re-read from the
@@ -76,6 +112,7 @@ object AnnIndex {
         "n_cells", "n_codebook_rows", "n_vectors", "n_tombstones")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/manifest.parquet")
+    invalidate(dir)
   }
 
   /** Build and persist the index for `vecs (id, part, vec)` under
@@ -89,7 +126,8 @@ object AnnIndex {
       vecs, numSub, subDim)
     cvecs.write.mode("overwrite").parquet(s"$outDir/centroids.parquet")
     cw.write.mode("overwrite").parquet(s"$outDir/codebooks.parquet")
-    codes.write.mode("overwrite").parquet(s"$outDir/codes.parquet")
+    codes.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$outDir/codes.parquet")
     // empty tombstone set with the CODES id type — delete() appends to
     // this file, and parquet append demands an identical schema
     spark.read.parquet(s"$outDir/codes.parquet").select(col("id"))
@@ -99,7 +137,9 @@ object AnnIndex {
   }
 
   /** Load + validate. Throws (IllegalArgumentException) on a missing,
-    * truncated, or wrong-version artifact.
+    * truncated, or wrong-version artifact. The count scans make this
+    * the INTEGRITY gate, not the serve path — searches go through
+    * [[loadCached]], which runs this once per session per artifact.
     */
   def load(spark: SparkSession, dir: String): Index = {
     val m = spark.read.parquet(s"$dir/manifest.parquet").head()
@@ -133,20 +173,24 @@ object AnnIndex {
     * batch under the artifact's FROZEN centroids and codebooks (no
     * retraining), append the codes, and rewrite the manifest LAST with
     * the new count (a crashed append leaves a manifest that fails the
-    * count check, never a silently short index). Guards: the batch's
-    * vector width must match the manifest geometry, and batch ids must
-    * be disjoint from the indexed set (this is add, not upsert).
-    * Quantizer staleness is the explicit price — AppendSpec measures
-    * appended-vs-rebuilt recall instead of assuming the frozen books
-    * still fit tomorrow's distribution.
+    * count check, never a silently short index). Guards: EVERY vector
+    * in the batch must match the manifest geometry (min = max = dim,
+    * not a first-row sniff — a mixed-width batch must not half-write),
+    * and batch ids must be disjoint from the indexed set (this is add,
+    * not upsert). Quantizer staleness is the explicit price —
+    * AppendSpec measures appended-vs-rebuilt recall instead of
+    * assuming the frozen books still fit tomorrow's distribution.
     */
   def append(newVecs: DataFrame, dir: String): Unit = {
     val spark = newVecs.sparkSession
     val idx = load(spark, dir)
     val dim = idx.numSub * idx.subDim
-    val batchDim = newVecs.select(size(col("vec"))).head().getInt(0)
-    require(batchDim == dim,
-      s"append batch has dim $batchDim, index geometry says $dim")
+    val widths = newVecs
+      .agg(min(size(col("vec"))).as("lo"), max(size(col("vec"))).as("hi"))
+      .head()
+    require(widths.getInt(0) == dim && widths.getInt(1) == dim,
+      s"append batch has dims in [${widths.getInt(0)}, " +
+        s"${widths.getInt(1)}], index geometry says $dim")
     val dup = newVecs.select(col("id"))
       .join(idx.codes.select(col("id")), "id").count()
     require(dup == 0,
@@ -154,7 +198,8 @@ object AnnIndex {
         "append is add, not upsert")
     Similarity.residualEncodeFrozen(newVecs, idx.centroids,
         idx.codebooks, idx.numSub, idx.subDim)
-      .write.mode("append").parquet(s"$dir/codes.parquet")
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$dir/codes.parquet")
     writeManifest(spark, dir, idx.numSub, idx.subDim)
   }
 
@@ -194,24 +239,20 @@ object AnnIndex {
     * and clear the tombstone table. Search output is identical before
     * and after by construction (the soft path already anti-joins) —
     * AnnDeleteSpec pins that equality; compaction buys back the scan
-    * width and re-opens the ids for [[append]]. Crash windows: the
-    * rewrite goes to a side directory first, and the swap happens
-    * before the manifest rewrite — a crash mid-swap leaves a missing
-    * or count-mismatched table that [[load]] refuses, never a stale
-    * view served as fresh.
+    * width and re-opens the ids for [[append]]. The rewrite goes to a
+    * side directory, then [[IndexFiles.swapIn]] rename-asides the old
+    * table (Hadoop FileSystem API, so this works wherever the other
+    * writers do): a crash mid-swap leaves `load` refusing AND the old
+    * table intact on disk, never a stale view served as fresh or a
+    * destroyed only-copy.
     */
   def compact(dir: String): Unit = {
     val spark = SparkSession.active
     val idx = load(spark, dir)
     if (idx.tombstones.isEmpty) return
-    idx.liveCodes.write.mode("overwrite")
+    idx.liveCodes.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/codes.compacting.parquet")
-    val codesPath = java.nio.file.Paths.get(dir, "codes.parquet")
-    java.nio.file.Files.walk(codesPath)
-      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .forEach(f => java.nio.file.Files.deleteIfExists(f))
-    java.nio.file.Files.move(
-      java.nio.file.Paths.get(dir, "codes.compacting.parquet"), codesPath)
+    IndexFiles.swapIn(spark, dir, "codes")
     spark.read.parquet(s"$dir/codes.parquet").select(col("id")).limit(0)
       .write.mode("overwrite").parquet(s"$dir/tombstones.parquet")
     writeManifest(spark, dir, idx.numSub, idx.subDim)
@@ -219,13 +260,59 @@ object AnnIndex {
 
   /** Serve top-k for `q (qid, qv)` from the persisted index with the
     * fixed multi-probe rule — the same search half the in-memory E243
-    * chain runs, pointed at the re-loaded tables.
+    * chain runs, pointed at the re-loaded tables, with the code scan
+    * PARTITION-PRUNED to the probed cells: the probe set (bounded by
+    * the cell count — IVF cell tables are small by construction) is
+    * resolved first, and `cell IN (probed)` reaches the scan as a
+    * static partition filter, so the files read scale with
+    * probe/cells, not with the corpus (AnnPruneSpec pins both the
+    * filter and the file count).
     */
   def searchTopK(spark: SparkSession, dir: String, q: DataFrame,
       k: Int, probe: Int): DataFrame = {
-    val idx = load(spark, dir)
+    val idx = loadCached(spark, dir)
+    // the probe picker only consults queries × centroids (tiny);
+    // checkpoint so resolving the pruned cell set does not re-plan it
+    val probes = Similarity.fixedProbePicker(probe)(
+        q, idx.centroids,
+        idx.codes.select(col("id").as("aid"), col("cell")))
+      .localCheckpoint(false)
+    servePruned(idx, q, k, probes)
+  }
+
+  /** Serve top-k with the ADAPTIVE probe rule (E258's picker over the
+    * persisted artifact, r14): the target is
+    * ceil(targetNum/targetDen · live corpus) in exact integer
+    * arithmetic — the same value the in-memory
+    * [[Similarity.pqResidualAdaptiveTopK]] derives — and the picker
+    * is the SAME shared definition, so the two cannot drift. Cell
+    * populations come from the code table's cell column (one
+    * integer-table aggregate; a deployment would memoize it next to
+    * the manifest), and the ADC scan is partition-pruned to the
+    * probed cells exactly like the fixed-probe serve.
+    */
+  def searchTopKAdaptive(spark: SparkSession, dir: String, q: DataFrame,
+      k: Int, targetNum: Long, targetDen: Long): DataFrame = {
+    val idx = loadCached(spark, dir)
+    val target =
+      (targetNum * idx.liveCodes.count() + targetDen - 1) / targetDen
+    val probes = Similarity.adaptiveProbePicker(target)(
+        q, idx.centroids,
+        idx.liveCodes.select(col("id").as("aid"), col("cell")))
+      .localCheckpoint(false)
+    servePruned(idx, q, k, probes)
+  }
+
+  /** Shared pruned-serve tail: resolve the probed cell set (bounded
+    * by n_cells), push `cell IN (…)` at the partitioned code scan,
+    * run the shared search half over the pruned slice.
+    */
+  private def servePruned(idx: Index, q: DataFrame, k: Int,
+      probes: DataFrame): DataFrame = {
+    val cells = probes.select(col("cpart")).distinct()
+      .collect().map(_.get(0)).toSeq // ≤ n_cells rows — bounded
+    val pruned = idx.liveCodes.filter(col("cell").isin(cells: _*))
     Similarity.residualIndexSearch(idx.centroids, idx.codebooks,
-      idx.liveCodes, q, idx.numSub, idx.subDim, k,
-      Similarity.fixedProbePicker(probe))
+      pruned, q, idx.numSub, idx.subDim, k, (_, _, _) => probes)
   }
 }

@@ -107,6 +107,14 @@ object Attribution {
       (ch, base, pr, (base - pr) / base)
     }
     val totRe = rows.foldLeft(0.0)(_ + _._4)
+    // Fail-loud, not NaN: if every removal effect is 0 (all
+    // conversions run START->purchase directly, touching no channel),
+    // attribution shares would be 0/0 — the oracle would hit the same
+    // indeterminate form, so this is a loud-failure guard on both
+    // engines' shared premise, not an engine split.
+    require(totRe > 0.0,
+      "every channel's removal effect is 0 (no conversion path " +
+        "touches a channel): attribution shares are undefined")
     import spark.implicits._
     rows.map { case (ch, b, pr, re) => (ch, b, pr, re, re / totRe) }
       .toDF("channel", "pb", "pr", "re", "attr")

@@ -44,13 +44,17 @@ object Curation {
     hashBucket(key, salt).cast("double") / lit(HashBuckets.toDouble)
 
   /** Poisson(1) inverse-CDF thresholds over the 16-bit [[hashBucket]]
-    * space: entry i is floor(P(X ≤ i)·65536), weight = the first index
-    * whose threshold exceeds the hash (else 9). INTEGER literals, so
-    * both engines derive the identical weight — no e⁻¹ rounding to
-    * reconcile. Truncation at 9 discards < 1.1e−6 of mass.
+    * space: entry i is exactly floor(P(X ≤ i)·65536) in IEEE-double
+    * arithmetic (cdf += e⁻¹/i!, verified digit-for-digit), weight =
+    * the first index whose threshold exceeds the hash (else
+    * [[PoissonThresholds]].size = 8, the capped overflow weight).
+    * INTEGER literals, so both engines derive the identical weight —
+    * no e⁻¹ rounding to reconcile; the oracle CASE chain is GENERATED
+    * from this very sequence, so the two engines cannot drift.
+    * Truncation at 8 discards < 1.2e−6 of Poisson mass.
     */
   val PoissonThresholds: Seq[Long] =
-    Seq(24109L, 48222L, 60277L, 64295L, 65300L, 65497L, 65530L, 65535L)
+    Seq(24109L, 48218L, 60273L, 64291L, 65296L, 65497L, 65530L, 65535L)
 
   /** Deterministic Poisson(1) bootstrap weight for (key, replicate)
     * (E292, the one-pass "Poisson bootstrap" of Chamandy et al. /

@@ -17,34 +17,59 @@ import org.apache.spark.sql.functions._
   *                                                 (HNSW-family indexes
   *                                                 store vectors too)
   *   sigs.parquet     (id, h0, h1)               — binary seed tier
-  *   edges.parquet    (src, dst)                 — kNN out-edges
+  *   edges.parquet    (src, dst / bucket=B/)     — kNN out-edges,
+  *                                                 HIVE-PARTITIONED by
+  *                                                 src bucket
   *   manifest.parquet (1 row: format/geometry/counts)
+  *
+  * The bucket-partitioned edge layout (v3, VERDICT r13 #1) prices the
+  * walk by the FRONTIER, not the corpus: each hop's frontier is
+  * per-query bounded (≤ seeds·(graphK+1)^hop ids regardless of corpus
+  * size — the graph family's defining property), so [[searchTopK]]
+  * resolves the frontier's source buckets (`pmod(id, edge_buckets)`,
+  * a bounded set) and scans `edges.parquet` through a static
+  * `bucket IN (…)` partition filter. A billion-vector index holds
+  * ~k·N edges; a 30-node frontier touches ≤ 30 of its
+  * `edge_buckets` directories instead of every row group.
+  * GraphPruneSpec pins the filter and the file count; the walk's
+  * OUTPUT is unchanged — the bucket filter is exactly the set of
+  * directories the equi-join on `src` could match.
   *
   * The manifest is written LAST with counts re-read from the written
   * files (the [[AnnIndex]] discipline): a crashed build never
   * presents a loadable index, and [[load]] re-asserts version,
   * geometry, and per-table counts so a truncated artifact fails
-  * loudly. Parquet round-trips IEEE doubles bit-exactly and the
-  * search half ([[Similarity.graphExpandCandidatesFrom]] +
-  * [[Similarity.graphRerank]]) is shared verbatim with the in-memory
-  * chain, so the round trip is hash-identical — GraphIndexSpec pins
-  * it, and the `emb_graph_persisted` gate row hashes the read-back
-  * search against the same oracle as `emb_graph_search`.
+  * loudly. Since v3 that integrity gate runs ONCE PER SESSION per
+  * artifact ([[loadCached]]) instead of once per search; writers
+  * invalidate the cache. Parquet round-trips IEEE doubles bit-exactly
+  * and the search half runs the same expansion arithmetic as the
+  * in-memory chain, so the round trip is hash-identical —
+  * GraphIndexSpec pins it, and the `emb_graph_persisted` gate row
+  * hashes the read-back search against the same oracle as
+  * `emb_graph_search`.
   *
   * Scale shape: serving touches the integer signature table (seed
-  * scan), the (src, dst) edge table (`hops` hash joins), and fetches
-  * raw vectors only for the visited set's rerank — per-query work
-  * independent of corpus size (the graph family's defining property).
+  * scan), the PRUNED slice of the (src, dst) edge table (`hops`
+  * hash joins), and fetches raw vectors only for the visited set's
+  * rerank — per-query work independent of corpus size.
   */
 object GraphIndex {
 
-  /** v2 added the tombstone table (E310) — the version bump keeps a
-    * v2 reader from serving a v1 index with deletes silently
-    * un-applied (the AnnIndex FormatVersion discipline).
+  /** v2 added the tombstone table (E310); v3 hive-partitions
+    * `edges.parquet` by `bucket = pmod(src, edge_buckets)` (recorded
+    * in the manifest) and moves count verification off the per-search
+    * path. The bump keeps a v2 reader from mis-reading the layout.
     */
-  val FormatVersion = 2
+  val FormatVersion = 3
 
-  final case class Index(dim: Int, graphK: Int,
+  /** Default edge-bucket count. At fixture scale this already yields
+    * measurable directory pruning; a billion-vector deployment raises
+    * it (buckets should comfortably exceed the expected frontier size
+    * so the IN-list prunes to frontier/buckets of the files).
+    */
+  val DefaultEdgeBuckets = 16
+
+  final case class Index(dim: Int, graphK: Int, edgeBuckets: Int,
       vectors: DataFrame, sigs: DataFrame, edges: DataFrame,
       tombstones: DataFrame) {
     /** Soft-delete read paths: tombstoned ids neither seed, relay,
@@ -62,40 +87,62 @@ object GraphIndex {
         .join(tombstones.select(col("id").as("dst")), Seq("dst"), "left_anti")
   }
 
+  /** Once-per-session validated loads (the [[AnnIndex.loadCached]]
+    * discipline); writers invalidate via [[invalidate]].
+    */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Index]()
+
+  def invalidate(dir: String): Unit = cache.remove(dir)
+
+  def loadCached(spark: SparkSession, dir: String): Index =
+    cache.computeIfAbsent(dir, _ => load(spark, dir))
+
+  /** Edge rows carry their hive-partition bucket derived from the
+    * SOURCE id — the join side every hop probes.
+    */
+  private def withBucket(edges: DataFrame, buckets: Int): DataFrame =
+    edges.withColumn("bucket",
+      pmod(col("src"), lit(buckets.toLong)).cast("int"))
+
   private def writeManifest(spark: SparkSession, dir: String,
-      dim: Int, graphK: Int): Unit = {
+      dim: Int, graphK: Int, edgeBuckets: Int): Unit = {
     val nVecs = spark.read.parquet(s"$dir/vectors.parquet").count()
     val nSigs = spark.read.parquet(s"$dir/sigs.parquet").count()
     val nEdges = spark.read.parquet(s"$dir/edges.parquet").count()
     val nTomb = spark.read.parquet(s"$dir/tombstones.parquet").count()
     import spark.implicits._
-    Seq((FormatVersion, dim, graphK, nVecs, nSigs, nEdges, nTomb))
-      .toDF("format_version", "dim", "graph_k",
+    Seq((FormatVersion, dim, graphK, edgeBuckets,
+        nVecs, nSigs, nEdges, nTomb))
+      .toDF("format_version", "dim", "graph_k", "edge_buckets",
         "n_vectors", "n_sigs", "n_edges", "n_tombstones")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/manifest.parquet")
+    invalidate(dir)
   }
 
   /** Build and persist the graph index for `vecs (id, part, vec)`
     * under `outDir` (`part` buckets the kNN pair stage, the E267
     * convention).
     */
-  def build(vecs: DataFrame, dim: Int, graphK: Int,
-      outDir: String): Unit = {
+  def build(vecs: DataFrame, dim: Int, graphK: Int, outDir: String,
+      edgeBuckets: Int = DefaultEdgeBuckets): Unit = {
     val spark = vecs.sparkSession
     val v = vecs.localCheckpoint(false) // three table writes, one scan
     v.write.mode("overwrite").parquet(s"$outDir/vectors.parquet")
     Similarity.binarySigs(v, dim)
       .write.mode("overwrite").parquet(s"$outDir/sigs.parquet")
-    Similarity.knnGraph(v, graphK)
-      .select(col("src_id").as("src"), col("dst_id").as("dst"))
-      .write.mode("overwrite").parquet(s"$outDir/edges.parquet")
+    withBucket(Similarity.knnGraph(v, graphK)
+        .select(col("src_id").as("src"), col("dst_id").as("dst")),
+        edgeBuckets)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$outDir/edges.parquet")
     // empty tombstone set with the VECTORS id type — delete() appends
     // to this file, and parquet append demands an identical schema
     spark.read.parquet(s"$outDir/vectors.parquet").select(col("id"))
       .limit(0)
       .write.mode("overwrite").parquet(s"$outDir/tombstones.parquet")
-    writeManifest(spark, outDir, dim, graphK)
+    writeManifest(spark, outDir, dim, graphK, edgeBuckets)
   }
 
   /** Soft-DELETE `ids (id)` (E310, the E263 design for the graph
@@ -122,35 +169,34 @@ object GraphIndex {
       s"$already ids are already tombstoned — double delete")
     ids.select(col("id"))
       .write.mode("append").parquet(s"$dir/tombstones.parquet")
-    writeManifest(spark, dir, idx.dim, idx.graphK)
+    writeManifest(spark, dir, idx.dim, idx.graphK, idx.edgeBuckets)
   }
 
   /** COMPACT (E310): physically drop tombstoned vectors, signatures,
     * and every edge touching a tombstoned endpoint, then clear the
     * tombstones — search output identical before and after by
-    * construction (GraphDeleteSpec pins it). Side-dir writes + swap
-    * before the manifest rewrite: a crash mid-swap leaves a missing
-    * or count-mismatched table [[load]] refuses.
+    * construction (GraphDeleteSpec pins it). Each table rewrites to a
+    * side directory and [[IndexFiles.swapIn]] rename-asides it into
+    * place through the Hadoop FileSystem API (works wherever
+    * build/append/delete do, not just local disk): a crash mid-swap
+    * leaves [[load]] refusing AND the old table intact on disk.
     */
   def compact(dir: String): Unit = {
     val spark = SparkSession.active
     val idx = load(spark, dir)
     if (idx.tombstones.isEmpty) return
-    def swapIn(name: String, df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$dir/$name.compacting.parquet")
-      val live = java.nio.file.Paths.get(dir, s"$name.parquet")
-      java.nio.file.Files.walk(live)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(dir, s"$name.compacting.parquet"), live)
-    }
-    swapIn("vectors", idx.liveVectors)
-    swapIn("sigs", idx.liveSigs)
-    swapIn("edges", idx.liveEdges)
+    idx.liveVectors.write.mode("overwrite")
+      .parquet(s"$dir/vectors.compacting.parquet")
+    IndexFiles.swapIn(spark, dir, "vectors")
+    idx.liveSigs.write.mode("overwrite")
+      .parquet(s"$dir/sigs.compacting.parquet")
+    IndexFiles.swapIn(spark, dir, "sigs")
+    idx.liveEdges.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/edges.compacting.parquet")
+    IndexFiles.swapIn(spark, dir, "edges")
     spark.read.parquet(s"$dir/vectors.parquet").select(col("id")).limit(0)
       .write.mode("overwrite").parquet(s"$dir/tombstones.parquet")
-    writeManifest(spark, dir, idx.dim, idx.graphK)
+    writeManifest(spark, dir, idx.dim, idx.graphK, idx.edgeBuckets)
   }
 
   /** Incrementally APPEND `newVecs (id, part, vec)` to a persisted
@@ -160,8 +206,18 @@ object GraphIndex {
     * existing nodes' edge lists stay FROZEN (no rebuild), and the
     * manifest is rewritten LAST with re-read counts (a crashed append
     * fails the count check, never serves a short index). Guards:
-    * batch ids disjoint from the indexed set (add, not upsert), batch
-    * vector width must match the manifest dim.
+    * batch ids disjoint from the indexed set (add, not upsert), and
+    * EVERY batch vector's width must match the manifest dim (min =
+    * max = dim — a mixed-width batch must not half-write malformed
+    * signatures or edges).
+    *
+    * Write order: the new EDGES go first. Their plan reads
+    * `idx.vectors` — the artifact's vector table — so they must
+    * materialize before `vectors.parquet` gains the batch rows;
+    * writing them IS the materialization (no reliance on a stale
+    * cached file listing). A crash after the edge write fails the
+    * manifest count check on the next load — fail-loud, like every
+    * other torn write here.
     *
     * Reachability contract, stated not hidden: appended nodes are
     * immediately findable through the SEED tier (their signatures
@@ -175,9 +231,12 @@ object GraphIndex {
     val spark = newVecs.sparkSession
     val idx = load(spark, dir)
     val nv = newVecs.localCheckpoint(false)
-    val batchDim = nv.select(size(col("vec"))).head().getInt(0)
-    require(batchDim == idx.dim,
-      s"append batch has dim $batchDim, index geometry says ${idx.dim}")
+    val widths = nv
+      .agg(min(size(col("vec"))).as("lo"), max(size(col("vec"))).as("hi"))
+      .head()
+    require(widths.getInt(0) == idx.dim && widths.getInt(1) == idx.dim,
+      s"append batch has dims in [${widths.getInt(0)}, " +
+        s"${widths.getInt(1)}], index geometry says ${idx.dim}")
     val dup = nv.select(col("id"))
       .join(idx.vectors.select(col("id")), "id").count()
     require(dup == 0,
@@ -202,15 +261,20 @@ object GraphIndex {
       .select(col("src0").as("src"),
         explode(col("t.items")).as("it"))
       .select(col("src"), col("it.id").as("dst"))
+    // edges FIRST (see scaladoc): the plan reads idx.vectors, so it
+    // must execute before vectors.parquet changes underneath it
+    withBucket(newEdges, idx.edgeBuckets)
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$dir/edges.parquet")
     nv.write.mode("append").parquet(s"$dir/vectors.parquet")
     Similarity.binarySigs(nv, idx.dim)
       .write.mode("append").parquet(s"$dir/sigs.parquet")
-    newEdges.write.mode("append").parquet(s"$dir/edges.parquet")
-    writeManifest(spark, dir, idx.dim, idx.graphK)
+    writeManifest(spark, dir, idx.dim, idx.graphK, idx.edgeBuckets)
   }
 
   /** Load + validate. Throws (IllegalArgumentException) on a missing,
-    * truncated, or wrong-version artifact.
+    * truncated, or wrong-version artifact. Searches go through
+    * [[loadCached]] — this runs once per session per artifact.
     */
   def load(spark: SparkSession, dir: String): Index = {
     val m = spark.read.parquet(s"$dir/manifest.parquet").head()
@@ -235,23 +299,53 @@ object GraphIndex {
     check("tombstones", tomb, ml("n_tombstones"))
     require(ml("n_sigs") == ml("n_vectors"),
       "every vector needs a signature: artifact inconsistent")
-    Index(mi("dim"), mi("graph_k"), vectors, sigs, edges, tomb)
+    Index(mi("dim"), mi("graph_k"), mi("edge_buckets"),
+      vectors, sigs, edges, tomb)
   }
 
   /** Serve top-k from the persisted artifact: seeds from the stored
     * signatures, `hops` expansion rounds over the stored edges, exact
-    * rerank against the stored vectors — the same core the in-memory
-    * chain runs, over read-back tables.
+    * rerank against the stored vectors — the same expansion the
+    * in-memory chain runs ([[Similarity.graphExpandCandidatesFrom]]'s
+    * arithmetic, inlined so each hop can PRUNE), with every hop's
+    * edge scan partition-pruned to the frontier's source buckets.
+    * The per-hop bucket resolution is a bounded collect: the frontier
+    * is ≤ numQueries·seeds·(graphK+1)^hop ids at ANY corpus size, and
+    * the bucket set it maps to is ≤ min(frontier, edge_buckets).
     */
   def searchTopK(spark: SparkSession, dir: String, numQueries: Int,
       seeds: Int, hops: Int, k: Int): DataFrame = {
-    val idx = load(spark, dir)
-    val cand = Similarity.graphExpandCandidatesFrom(
-      idx.liveSigs.localCheckpoint(false),
-      idx.liveEdges.select(col("src").as("esrc"), col("dst").as("edst"))
-        .localCheckpoint(false),
-      numQueries, seeds, hops)
-    Similarity.graphRerank(idx.liveVectors.localCheckpoint(false), cand,
-      numQueries, k)
+    require(hops >= 1, "need at least one expansion hop")
+    val idx = loadCached(spark, dir)
+    var cand = Similarity.hammingTopKSigs(
+        idx.liveSigs.localCheckpoint(false), numQueries, seeds)
+      .select(col("query_id"), col("neighbor_id").as("id"))
+      .localCheckpoint(false)
+    for (_ <- 1 to hops) {
+      val expanded = cand.join(hopEdges(idx, cand), col("id") === col("esrc"))
+        .select(col("query_id"), col("edst").as("id"))
+      // each hop's visited set feeds the next hop AND the final
+      // rerank; checkpoint so the union chain never re-walks
+      cand = cand.union(expanded).distinct().localCheckpoint(false)
+    }
+    Similarity.graphRerank(idx.liveVectors.localCheckpoint(false),
+      cand.filter(col("query_id") =!= col("id")), numQueries, k)
+  }
+
+  /** One hop's PRUNED edge slice `(esrc, edst)` for the current
+    * frontier `cand (query_id, id)`: resolve the frontier's source
+    * buckets (a bounded collect — the frontier is per-query bounded
+    * at any corpus size) and push `bucket IN (…)` at the partitioned
+    * edge scan. Package-private so GraphPruneSpec pins the SERVE
+    * path's own scan (the hop output is checkpointed inside
+    * [[searchTopK]], which truncates the visible plan).
+    */
+  private[ext] def hopEdges(idx: Index, cand: DataFrame): DataFrame = {
+    val bks = cand
+      .select(pmod(col("id"), lit(idx.edgeBuckets.toLong))
+        .cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    idx.liveEdges.filter(col("bucket").isin(bks: _*))
+      .select(col("src").as("esrc"), col("dst").as("edst"))
   }
 }

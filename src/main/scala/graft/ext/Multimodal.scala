@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions._
   *
   * Decode/feature-extract runs per partition over iterators (the JVM
   * analogue of an Arrow-batched `mapInPandas`): the Spark-side plumbing
-  * (schema, encoders, partition-wise batching) is real; the actual codec
-  * call is [[StubCodec]] — a clearly-marked deterministic fake, because
-  * this container ships no image/audio libraries. Swapping in a real
-  * codec changes one function, not the plan.
+  * (schema, encoders, partition-wise batching) is real. For IMAGES the
+  * codec is real too since E313 — [[decodeLuma]] drives `javax.imageio`
+  * (the JDK's own PNG/JPEG/GIF decoder) on executors, gate-checked
+  * pixel-exact through `mm_phash_real`. The feature-extract path and
+  * the video/audio payload tiers still call [[StubCodec]] /
+  * [[sampleBlocks]] — clearly-marked deterministic fakes, because this
+  * container ships no feature model, demuxer, or PCM codec. Swapping
+  * those in changes one function, not the plan.
   */
 object Multimodal {
 
@@ -301,4 +305,109 @@ object Multimodal {
     content.grouped(blockSize).zipWithIndex
       .collect { case (block, i) if i % everyK == 0 => block }
       .toSeq
+
+  // ------------------------------------------------------------------
+  // REAL image decode tier (E313, VERDICT r13 #3): the one codec the
+  // JDK itself ships — javax.imageio — decodes ACTUAL PNG/JPEG/GIF
+  // payloads on executors. This retires the byte-grid stand-in for
+  // images: mm_phash_real perceptual-hashes decoded PIXELS, not raw
+  // container bytes. Still genuinely ungated in this container:
+  // video/audio PAYLOAD decode (no demuxer/PCM codec in the JDK) —
+  // those remain header-parse (MediaDims/AudioMeta/VideoMeta) plus
+  // documented stand-ins (StubCodec / sampleBlocks).
+  // ------------------------------------------------------------------
+
+  /** Per-pixel value of the planted grayscale fixture: row-major pixel
+    * p of asset `id` is `(id·31 + p·7) mod 256`. Pure integer
+    * arithmetic, so the DuckDB oracle regenerates the expected luma
+    * stream WITHOUT a codec — the gate then proves the Spark side's
+    * REAL decode recovered exactly these values through an actual
+    * PNG encode→decode round trip (PNG is lossless by spec).
+    */
+  def plantedPixel(id: Long, p: Long): Int = ((id * 31L + p * 7L) % 256L).toInt
+
+  /** Planted-image geometry, derived from `n_chars` like
+    * [[fixtureMedia]]'s dims: small (9–21 × 8–14) so fixture encode
+    * cost stays trivial at any SF while every asset still exercises
+    * multi-row rasters.
+    */
+  def plantedDims(nChars: Long): (Int, Int) =
+    ((nChars % 13 + 9).toInt, (nChars % 7 + 8).toInt)
+
+  private def encodePng(id: Long, nChars: Long): Array[Byte] = {
+    val (w, h) = plantedDims(nChars)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var p = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        r.setSample(x, y, 0, plantedPixel(id, p.toLong))
+        p += 1; x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** One REAL grayscale PNG per document — encoded by the JDK's own
+    * ImageIO PNG writer on executors (a per-row UDF, but this IS the
+    * decode tier: codec work is the payload, not plan overhead; the
+    * scan stays narrow and shuffle-free). Deterministic pixels
+    * ([[plantedPixel]]), so the oracle needs no codec.
+    */
+  def realPngMedia(docs: DataFrame): DataFrame = {
+    val enc = udf((id: Long, nChars: Long) => encodePng(id, nChars))
+    docs.select(col("doc_id").as("id"),
+      enc(col("doc_id"), col("n_chars")).as("content"))
+  }
+
+  /** Decode image bytes (PNG/JPEG/GIF — whatever ImageIO sniffs) to
+    * the row-major LUMA byte stream — the "decoded-pixel luminance"
+    * input the DHash32 scaladoc always named as the production swap
+    * for its byte-grid stand-in. Single-band rasters read their
+    * stored sample directly (bit-exact for grayscale PNG round
+    * trips — converting through getRGB would apply the gray→sRGB
+    * tone curve and break pixel exactness); multi-band images take
+    * the ITU-R BT.601 integer luma (299·R + 587·G + 114·B) / 1000.
+    * Undecodable or null bytes → null (DHash32 then yields null —
+    * corrupt assets surface as missing hashes, not crashes).
+    */
+  val decodeLuma: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((bytes: Array[Byte]) => {
+      if (bytes == null) null
+      else {
+        val img = try {
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        } catch { case _: java.io.IOException => null }
+        if (img == null) null
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val out = new Array[Byte](w * h)
+          val singleBand = img.getRaster.getNumBands == 1
+          var p = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = if (singleBand) img.getRaster.getSample(x, y, 0)
+              else {
+                val rgb = img.getRGB(x, y)
+                (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                  (rgb & 0xff) * 114) / 1000
+              }
+              out(p) = v.toByte
+              p += 1; x += 1
+            }
+            y += 1
+          }
+          out
+        }
+      }
+    })
 }

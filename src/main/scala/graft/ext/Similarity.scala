@@ -900,9 +900,32 @@ object Similarity {
     */
   def pqAdcTopK(vecs: DataFrame, numSub: Int, subDim: Int,
       numQueries: Int, k: Int): DataFrame = {
+    val (cw, codes) = pqAdcBuild(vecs, numSub, subDim)
+    pqAdcTopKFrom(cw, codes,
+      vecs.filter(col("id") < numQueries).select(col("id"), col("vec")),
+      numSub, subDim, k)
+  }
+
+  /** The BUILD half of [[pqAdcTopK]] — trained codebooks + integer
+    * codes, everything a deployment trains once and persists. Split
+    * out (r14, VERDICT r13 #5) so the flat-PQ query family can
+    * Materialize.once the training instead of re-running identical
+    * k-means per registered query.
+    */
+  def pqAdcBuild(vecs: DataFrame, numSub: Int, subDim: Int)
+      : (DataFrame, DataFrame) = {
     val cw = trainedCodewordVecs(vecs, numSub, subDim)
-    val codes = pqEncodeWith(vecs, numSub, subDim, cw)
-    val qsub = vecs.filter(col("id") < numQueries)
+    (cw, pqEncodeWith(vecs, numSub, subDim, cw))
+  }
+
+  /** The SEARCH half of [[pqAdcTopK]] over a built (or persisted and
+    * re-loaded — parquet round-trips doubles bit-exactly) codebook +
+    * code pair; `qvecs (id, vec)` are the query vectors. One shared
+    * definition with the one-shot entry so the two cannot drift.
+    */
+  def pqAdcTopKFrom(cw: DataFrame, codes: DataFrame, qvecs: DataFrame,
+      numSub: Int, subDim: Int, k: Int): DataFrame = {
+    val qsub = qvecs
       .select(col("id").as("qid"),
         explode(sequence(lit(0), lit(numSub - 1))).as("m"), col("vec"))
       .select(col("qid"), col("m"),
@@ -1161,21 +1184,32 @@ object Similarity {
     val c = vecs.localCheckpoint(false) // count + the whole chain
     val target = (targetNum * c.count() + targetDen - 1) / targetDen
     pqResidualSearchCore(c, numSub, subDim, numQueries, k,
-      (q, cvecs, asg) => {
-        val pop = asg.groupBy("cell").agg(count(lit(1)).as("np"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("qid")).orderBy(col("cs").desc, col("cpart"))
-        q.join(broadcast(cvecs))
-          .select(col("qid"), col("cpart"), col("cvec"),
-            cosine(col("qv"), col("cvec")).as("cs"), col("qv"))
-          .join(broadcast(pop), col("cpart") === col("cell"))
-          .withColumn("cum", sum(col("np")).over(w.rowsBetween(
-            org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)))
-          .filter(col("cum") - col("np") < target)
-          .select(col("qid"), col("cpart"), col("cvec"), col("qv"))
-      })
+      adaptiveProbePicker(target))
   }
+
+  /** The population-adaptive probe rule as a picker (one definition
+    * shared by [[pqResidualAdaptiveTopK]] and the persisted-index
+    * adaptive serve [[AnnIndex.searchTopKAdaptive]], the
+    * [[fixedProbePicker]] discipline): cells in centroid-cosine rank
+    * order until the cumulative candidate population reaches
+    * `target`; first cell always survives, probe set minimal.
+    */
+  private[graft] def adaptiveProbePicker(target: Long)
+      : (DataFrame, DataFrame, DataFrame) => DataFrame =
+    (q, cvecs, asg) => {
+      val pop = asg.groupBy("cell").agg(count(lit(1)).as("np"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cs").desc, col("cpart"))
+      q.join(broadcast(cvecs))
+        .select(col("qid"), col("cpart"), col("cvec"),
+          cosine(col("qv"), col("cvec")).as("cs"), col("qv"))
+        .join(broadcast(pop), col("cpart") === col("cell"))
+        .withColumn("cum", sum(col("np")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+        .filter(col("cum") - col("np") < target)
+        .select(col("qid"), col("cpart"), col("cvec"), col("qv"))
+    }
 
   /** The shared residual-PQ chain behind the fixed-probe and adaptive
     * entries: coarse assignment, residuals, trained codebooks, codes,

@@ -17,16 +17,19 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   * only by re-encoding noise or payload-tail edits land within a small
   * Hamming distance.
   *
-  * The grid reduction stands in for the grayscale 9x8 downsample of a
-  * real image dHash exactly like [[graft.ext.Multimodal.StubCodec]]
-  * stands in for a decoder (no image libraries in this container): the
-  * production swap replaces the byte-slice mean with decoded-pixel
-  * luminance means and widens the hash to 64 bits; the banding join,
-  * bit packing, and plan shape do not change. Everything around the
-  * stub is real and oracle-checked — the DuckDB oracle recomputes the
-  * identical grid/gradient arithmetic from `ord()` over the fixture
-  * bytes, so a wrong cell boundary, floor-division step, or bit order
-  * breaks the hash match.
+  * Two tiers feed this kernel. Over RAW container bytes (`mm_phash`)
+  * the grid reduction stands in for the grayscale downsample of a
+  * real image dHash. Since E313 the IMAGE swap is real: `mm_phash_real`
+  * decodes actual PNGs with `javax.imageio`
+  * ([[graft.ext.Multimodal.decodeLuma]]) and feeds the decoded LUMA
+  * stream through this same kernel — exactly the production shape the
+  * stand-in always named. Both tiers are oracle-checked: the DuckDB
+  * side recomputes the identical grid/gradient arithmetic from
+  * `ord()` over fixture bytes (raw tier) or from the planted pixel
+  * formula (decoded tier), so a wrong cell boundary, floor-division
+  * step, or bit order breaks the hash match. Video/audio payloads
+  * remain header-parse + documented stand-ins (no demuxer/PCM codec
+  * in the JDK).
   *
   * Scale notes: one pass over the blob per row, inside whole-stage
   * codegen, scan-side — the payload never reaches a shuffle (pairs join

@@ -13,6 +13,25 @@ import graft.Tables
   */
 object AdvancedQueries {
 
+  /** The E278 MERGE scenario as a COMMITTED transactional table
+    * (E314): version 0 = the pre-merge target, version 1 = the MERGE
+    * result. Built once per fixture state.
+    */
+  private def mergeTxTable(s: SparkSession, dir: String): String =
+    Materialize.once("txmerge", dir) { p =>
+      val o = Tables.orders(s, dir)
+      val target = o.filter(col("o_orderkey") % 4 =!= 3)
+      val source = o.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+        .withColumn("o_orderpriority", lit("X-MERGED"))
+        .withColumn("is_delete", col("o_orderkey") % 8 === 5)
+      graft.operators.TxTable.commit(target, p)
+      graft.operators.TxTable.commit(
+        graft.operators.MergeInto(target, source, "o_orderkey",
+          "is_delete"), p)
+    }
+
+
   private def cents(c: org.apache.spark.sql.Column) =
     floor(c * 100).cast("long")
 
@@ -353,14 +372,21 @@ object AdvancedQueries {
     // keys ≡ 5 (mod 8) flagged as deletes. The oracle derives the same
     // result as a three-branch kept/updated/inserted UNION — two
     // independent formulations of MERGE, one truth.
+    // Since r14 (E314) the upsert runs through the TRANSACTIONAL
+    // table: the pre-merge target is committed as version 0, the
+    // MERGE result as version 1, and the row reads the snapshot —
+    // a reader can never observe the rewrite mid-flight (TxTableSpec
+    // plants the torn write), and version 0 stays readable
+    // (rel_merge_time_travel gates it).
     "rel_merge_upsert" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
-      val target = o.filter(col("o_orderkey") % 4 =!= 3)
-      val source = o.filter(col("o_orderkey") % 2 === 1)
-        .withColumn("o_totalprice", col("o_totalprice") + 10.0)
-        .withColumn("o_orderpriority", lit("X-MERGED"))
-        .withColumn("is_delete", col("o_orderkey") % 8 === 5)
-      graft.operators.MergeInto(target, source, "o_orderkey", "is_delete")
+      graft.operators.TxTable.snapshot(s, mergeTxTable(s, dir))
+    }),
+
+    // E314 time travel: the SAME transactional table, read at
+    // version 0 — the pre-merge target, byte-identical to the day it
+    // was committed even though version 1 has since landed.
+    "rel_merge_time_travel" -> ((s, dir) => {
+      graft.operators.TxTable.snapshotAt(s, mergeTxTable(s, dir), 0L)
     }),
 
     // Key-skew profiler (E122): the distribution of per-key group sizes
@@ -572,6 +598,11 @@ object AdvancedQueries {
         |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
         |         AS value_cents
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // E314: version 0 of the transactional MERGE table is the
+    // pre-merge target — the oracle derives it straight from orders.
+    "rel_merge_time_travel" ->
+      "SELECT * FROM orders WHERE o_orderkey % 4 <> 3",
 
     // E278: independent three-branch derivation of MERGE.
     "rel_merge_upsert" ->

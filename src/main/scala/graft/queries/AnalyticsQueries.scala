@@ -42,6 +42,37 @@ object AnalyticsQueries {
   private val HoltBeta = 0.3
   private val HoltOneMinusBeta = 0.7
 
+  /** Per-series zero-filled daily arrays for the Holt family
+    * (E305–E307, distributed since E312): `(event_type, dy:
+    * array<struct<d,y>> day-ordered, ys: array<double>, tt: 80% train
+    * cutoff)`. The spine is the E78 gap-fill shape — a calendar-
+    * bounded `sequence(lo, hi, 1 day)` broadcast-attached to the
+    * distinct series set (a broadcast nested loop over |days| rows,
+    * NOT a data-sized cartesian) — and the per-series array is
+    * calendar-bounded too, so `collect_list` buffers stay small at
+    * any corpus size; only the corpus-sized daily aggregation
+    * shuffles.
+    */
+  private[queries] def holtSeries(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val day = date_trunc("day", col("ts").cast("timestamp"))
+    val ev = Tables.events(s, dir)
+    val daily = ev.groupBy(col("event_type"), day.as("d"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false) // feeds the series set AND the fill join
+    val spine = ev.agg(min(day).as("lo"), max(day).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("d"))
+    daily.select(col("event_type")).distinct()
+      .join(broadcast(spine))
+      .join(daily, Seq("event_type", "d"), "left")
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("d"),
+        coalesce(col("n"), lit(0L)).cast("double").as("y")))).as("dy"))
+      .withColumn("ys", transform(col("dy"), x => x.getField("y")))
+      .withColumn("tt", floor(lit(0.8) * size(col("dy"))).cast("int"))
+  }
+
   /** E289 Misra-Gries shard merge: shard count and sketch capacity.
     * capacity 4 over the 5-language column forces decrement churn in
     * every shard sketch (a ≤-cardinality capacity would hold exact
@@ -812,47 +843,32 @@ object AnalyticsQueries {
           unix_micros(col("ts").cast("timestamp")).as("tus")),
         AttrChannels, AttrIters)),
 
-    // E305: Holt linear-trend forecast — the capacity-planning readout
-    // (will next week's traffic fit the provisioned pipeline?): per
-    // event type, the zero-filled DAILY count series splits 80/20,
-    // level+trend fold over the train prefix (ext/Forecast.scala —
-    // the fold the oracle replays as a recursive CTE, prototyped
-    // bit-identical), h-step forecasts priced per holdout day with
-    // the absolute error. Corpus work is one truncate+groupBy; the
-    // series is CALENDAR-bounded driver state (the E78 discipline).
+    // E305 (+E312): Holt linear-trend forecast — the capacity-planning
+    // readout (will next week's traffic fit the provisioned
+    // pipeline?): per event type, the zero-filled DAILY count series
+    // splits 80/20, level+trend fold over the train prefix
+    // (ext/Forecast.scala — the fold the oracle replays as a
+    // recursive CTE, prototyped bit-identical), h-step forecasts
+    // priced per holdout day with the absolute error. Since r14 the
+    // fold is DISTRIBUTED (VERDICT r13 #2): one groupBy assembles
+    // each series' calendar-bounded ordered array, the identical JVM
+    // fold runs as a per-series executor UDF, and the h-step
+    // arithmetic is a codegen projection over the exploded holdout —
+    // zero .collect() anywhere; thousands of series fan out across
+    // the cluster instead of serializing on the driver.
     "events_holt_forecast" -> ((s, dir) => {
-      val cnt = Tables.events(s, dir)
-        .groupBy(col("event_type"),
-          date_trunc("day", col("ts").cast("timestamp")).as("d"))
-        .agg(count(lit(1)).as("n"))
-        .collect()
-      val bounds = Tables.events(s, dir)
-        .agg(min(date_trunc("day", col("ts").cast("timestamp"))).as("lo"),
-          max(date_trunc("day", col("ts").cast("timestamp"))).as("hi"))
-        .head()
-      val lo = bounds.getTimestamp(0).getTime
-      val hi = bounds.getTimestamp(1).getTime
-      val days = (lo to hi by 86400000L).toIndexedSeq
-      val byKey = cnt.map(r => (r.getString(0),
-        r.getTimestamp(1).getTime) -> r.getLong(2)).toMap
-      val types = cnt.map(_.getString(0)).distinct.sorted
-      val tTrain = math.floor(0.8 * days.length).toInt
-      val rows = types.flatMap { t =>
-        val y = days.map(d => byKey.getOrElse((t, d), 0L).toDouble)
-        val (l, b) = graft.ext.Forecast.holtFit(y.take(tTrain),
-          HoltAlpha, HoltOneMinusAlpha, HoltBeta, HoltOneMinusBeta)
-        (tTrain until days.length).map { i =>
-          val h = i - tTrain + 1
-          val fc = l + h * b
-          (t, new java.sql.Timestamp(days(i)), y(i).toLong, fc,
-            math.abs(y(i) - fc))
-        }
-      }
-      import s.implicits._
-      rows.toSeq.toDF("event_type", "d", "n_actual", "fc", "ae")
-        .select(col("event_type"), col("d"), col("n_actual"),
-          round(col("fc"), 6).as("forecast"),
-          round(col("ae"), 6).as("abs_err"))
+      val fit = graft.ext.Forecast.holtFitStateUdf(HoltAlpha,
+        HoltOneMinusAlpha, HoltBeta, HoltOneMinusBeta)
+      val fc = col("f._1") + (col("i0") + 1).cast("double") * col("f._2")
+      holtSeries(s, dir)
+        .withColumn("f", fit(col("ys"), col("tt")))
+        .select(col("event_type"), col("f"), col("tt"),
+          posexplode(slice(col("dy"), col("tt") + 1,
+            size(col("dy")) - col("tt"))).as(Seq("i0", "p")))
+        .select(col("event_type"), col("p.d").as("d"),
+          col("p.y").cast("long").as("n_actual"),
+          round(fc, 6).as("forecast"),
+          round(abs(col("p.y") - fc), 6).as("abs_err"))
     }),
 
     // E306: forecast audit — a forecast is only credible against
@@ -863,41 +879,19 @@ object AnalyticsQueries {
     // way. MAE folds the per-day errors in day order (the oracle's
     // list_reduce ORDER BY rn), one division at the end.
     "events_forecast_audit" -> ((s, dir) => {
-      val cnt = Tables.events(s, dir)
-        .groupBy(col("event_type"),
-          date_trunc("day", col("ts").cast("timestamp")).as("d"))
-        .agg(count(lit(1)).as("n"))
-        .collect()
-      val bounds = Tables.events(s, dir)
-        .agg(min(date_trunc("day", col("ts").cast("timestamp"))).as("lo"),
-          max(date_trunc("day", col("ts").cast("timestamp"))).as("hi"))
-        .head()
-      val days = (bounds.getTimestamp(0).getTime to
-        bounds.getTimestamp(1).getTime by 86400000L).toIndexedSeq
-      val byKey = cnt.map(r => (r.getString(0),
-        r.getTimestamp(1).getTime) -> r.getLong(2)).toMap
-      val types = cnt.map(_.getString(0)).distinct.sorted
-      val tTrain = math.floor(0.8 * days.length).toInt
-      val rows = types.map { t =>
-        val y = days.map(d => byKey.getOrElse((t, d), 0L).toDouble)
-        val (l, b) = graft.ext.Forecast.holtFit(y.take(tTrain),
-          HoltAlpha, HoltOneMinusAlpha, HoltBeta, HoltOneMinusBeta)
-        val hold = tTrain until days.length
-        val n = hold.length.toDouble
-        def mae(err: Int => Double): Double =
-          hold.foldLeft(0.0)((a, i) => a + err(i)) / n
-        val mH = mae(i => math.abs(y(i) - (l + (i - tTrain + 1) * b)))
-        val mN = mae(i => math.abs(y(i) - y(tTrain - 1)))
-        val mS = mae(i => math.abs(y(i) - y(i - 7)))
-        (t, hold.length.toLong, mH, mN, mS, mH < mN)
-      }
-      import s.implicits._
-      rows.toSeq.toDF("event_type", "n_holdout", "mh", "mn", "ms", "bt")
-        .select(col("event_type"), col("n_holdout"),
-          round(col("mh"), 6).as("mae_holt"),
-          round(col("mn"), 6).as("mae_naive"),
-          round(col("ms"), 6).as("mae_snaive"),
-          col("bt").as("holt_beats_naive"))
+      // E306's MAE folds, distributed: one per-series UDF carries the
+      // whole audit (fit + three day-ordered error folds), so the
+      // arithmetic is byte-identical to the old driver loop but runs
+      // one task per series (E312).
+      val audit = graft.ext.Forecast.holtAuditUdf(HoltAlpha,
+        HoltOneMinusAlpha, HoltBeta, HoltOneMinusBeta)
+      holtSeries(s, dir)
+        .select(col("event_type"), audit(col("ys"), col("tt")).as("a"))
+        .select(col("event_type"), col("a._1").as("n_holdout"),
+          round(col("a._2"), 6).as("mae_holt"),
+          round(col("a._3"), 6).as("mae_naive"),
+          round(col("a._4"), 6).as("mae_snaive"),
+          col("a._5").as("holt_beats_naive"))
     }),
 
     // E307: forecast-residual anomaly detection — the model-based
@@ -912,45 +906,32 @@ object AnalyticsQueries {
     // that cannot trip cannot pass. Same chain as E305/E306; one more
     // ordered fold.
     "events_forecast_anomaly" -> ((s, dir) => {
-      val cnt = Tables.events(s, dir)
-        .groupBy(col("event_type"),
-          date_trunc("day", col("ts").cast("timestamp")).as("d"))
-        .agg(count(lit(1)).as("n"))
-        .collect()
-      val bounds = Tables.events(s, dir)
-        .agg(min(date_trunc("day", col("ts").cast("timestamp"))).as("lo"),
-          max(date_trunc("day", col("ts").cast("timestamp"))).as("hi"))
-        .head()
-      val days = (bounds.getTimestamp(0).getTime to
-        bounds.getTimestamp(1).getTime by 86400000L).toIndexedSeq
-      val byKey = cnt.map(r => (r.getString(0),
-        r.getTimestamp(1).getTime) -> r.getLong(2)).toMap
-      val types = cnt.map(_.getString(0)).distinct.sorted
-      val tTrain = math.floor(0.8 * days.length).toInt
-      val rows = types.flatMap { t =>
-        val y = days.map(d => byKey.getOrElse((t, d), 0L).toDouble)
-        val (l, b, res) = graft.ext.Forecast.holtFitResiduals(
-          y.take(tTrain), HoltAlpha, HoltOneMinusAlpha, HoltBeta,
-          HoltOneMinusBeta)
-        val mar = res.foldLeft(0.0)((a, r) => a + math.abs(r)) /
-          res.length.toDouble
-        (tTrain until days.length).map { i =>
-          val actual =
-            if (t == "view" && i == days.length - 1) y(i) + 25.0 else y(i)
-          val fc = l + (i - tTrain + 1) * b
-          val ae = math.abs(actual - fc)
-          (t, new java.sql.Timestamp(days(i)), actual.toLong, fc, ae, mar,
-            ae > 3.0 * mar)
-        }
-      }
-      import s.implicits._
-      rows.toSeq
-        .toDF("event_type", "d", "n_actual", "fc", "ae", "mar", "an")
-        .select(col("event_type"), col("d"), col("n_actual"),
-          round(col("fc"), 6).as("forecast"),
-          round(col("ae"), 6).as("abs_err"),
-          round(col("mar"), 6).as("train_mar"),
-          col("an").as("is_anomaly"))
+      // E307, distributed (E312): the per-series UDF returns
+      // (level, trend, mar) — mar being the train-residual
+      // calibration — and the holdout flagging (spike plant included)
+      // is a codegen projection over the exploded holdout days.
+      val fit = graft.ext.Forecast.holtFitStateUdf(HoltAlpha,
+        HoltOneMinusAlpha, HoltBeta, HoltOneMinusBeta)
+      val fc = col("f._1") + (col("i0") + 1).cast("double") * col("f._2")
+      // the planted spike (E285 convention): +25 synthetic events on
+      // `view`'s LAST holdout day, in BOTH engines — a detector that
+      // cannot trip cannot pass
+      val actual = when(col("event_type") === "view" &&
+          col("i0") === col("nd") - col("tt") - 1,
+        col("p.y") + 25.0).otherwise(col("p.y"))
+      val ae = abs(actual - fc)
+      holtSeries(s, dir)
+        .withColumn("f", fit(col("ys"), col("tt")))
+        .withColumn("nd", size(col("dy")))
+        .select(col("event_type"), col("f"), col("tt"), col("nd"),
+          posexplode(slice(col("dy"), col("tt") + 1,
+            size(col("dy")) - col("tt"))).as(Seq("i0", "p")))
+        .select(col("event_type"), col("p.d").as("d"),
+          actual.cast("long").as("n_actual"),
+          round(fc, 6).as("forecast"),
+          round(ae, 6).as("abs_err"),
+          round(col("f._3"), 6).as("train_mar"),
+          (ae > lit(3.0) * col("f._3")).as("is_anomaly"))
     }),
 
     // E289: Misra-Gries SHARD-MERGE algebra (the E108/E269 sketch

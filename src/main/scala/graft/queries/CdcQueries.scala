@@ -95,6 +95,25 @@ object CdcQueries {
     "cdc_route" -> ((s, dir) =>
       Pipeline.route(Envelopes.fromEvents(s, dir), rules)),
 
+    // E315: the Debezium-over-AVRO input lane — the same envelopes
+    // encoded in the Confluent wire format (magic ‖ schema id ‖ Avro
+    // binary), REALLY decoded with the Avro runtime on executors, and
+    // checked against cdc_parse's own oracle: DuckDB holds no Avro
+    // codec, so the hash match proves the encode→decode round trip
+    // recovered every field. The reference is JSON-only; this is the
+    // second wire format a production Debezium consumer meets.
+    "cdc_parse_avro" -> ((s, dir) =>
+      ConfluentAvro.decode(ConfluentAvro.fromEvents(s, dir))
+        .select("topic", "key", "op", "db", "tbl")),
+
+    // E315: the Avro lane through the UNCHANGED R3+R4 tail — decode
+    // swaps in for parse, then the identical delete-filter +
+    // first-match route + silent drop runs (Pipeline.routeParsed).
+    "cdc_route_avro" -> ((s, dir) =>
+      Pipeline.routeParsed(
+        ConfluentAvro.decode(ConfluentAvro.fromEvents(s, dir)),
+        rules, keep = Seq("key", "op", "db", "tbl"))),
+
     // The typed Dataset facade over the same pipeline (upgrades the E64
     // typed-API claim from test-only to oracle-checked): RawRecord →
     // RoutedRecord encoders bracket the identical logical plan, and the
@@ -219,7 +238,16 @@ object CdcQueries {
         .filter(col("op") =!= "d")
       val delta = latest(ev.filter(col("ts") >= cutoff))
         .withColumn("is_delete", col("op") === "d")
-      graft.operators.MergeInto(target, delta, "user_id", "is_delete")
+      // E314: the materialization lands through the transactional
+      // table (base snapshot = version 0, merged = version 1), so a
+      // crash mid-apply can never expose mixed state to a reader
+      val tbl = Materialize.once("txcdcapply", dir) { p =>
+        graft.operators.TxTable.commit(target, p)
+        graft.operators.TxTable.commit(
+          graft.operators.MergeInto(target, delta, "user_id",
+            "is_delete"), p)
+      }
+      graft.operators.TxTable.snapshot(s, tbl)
     }),
 
     // Snapshot diff / reconciliation (E113): the same change stream
@@ -419,6 +447,18 @@ object CdcQueries {
     "cdc_route" ->
       s"""$parsedCte
          |SELECT $routeCase AS target_topic, key, value
+         |FROM parsed WHERE op <> 'd' AND ($routeCase) IS NOT NULL""".stripMargin,
+
+    // E315: same truth as cdc_parse — one fixture, two wire formats.
+    "cdc_parse_avro" ->
+      s"$parsedCte SELECT topic, key, op, db, tbl FROM parsed",
+
+    // E315: the routed Avro lane, minus the binary passthrough column
+    // (DuckDB holds no Avro codec to rebuild the bytes; the JSON lane
+    // already hash-pins byte passthrough via cdc_route).
+    "cdc_route_avro" ->
+      s"""$parsedCte
+         |SELECT $routeCase AS target_topic, key, op, db, tbl
          |FROM parsed WHERE op <> 'd' AND ($routeCase) IS NOT NULL""".stripMargin,
 
     "cdc_route_par" ->

@@ -123,6 +123,24 @@ object MultimodalQueries {
       graft.ext.Dedup.simhashPairs(ph, "id", "dhash", PhashMaxHamming, chunkBits = 8)
     }),
 
+    // E313 (VERDICT r13 #3): perceptual dHash over REAL decoded
+    // pixels — each document becomes an actual grayscale PNG (encoded
+    // by the JDK's ImageIO writer, pixels planted by pure integer
+    // arithmetic), the query DECODES it with the real codec
+    // (javax.imageio, executor-side) into the luma stream, and the
+    // same native DHash32 fingerprints the pixels. The oracle holds
+    // no codec: it regenerates the planted pixel values from the
+    // formula and replays the identical grid/gradient arithmetic —
+    // so the hash match proves the encode→decode round trip recovered
+    // every pixel exactly (PNG is lossless by spec). This retires the
+    // byte-grid stand-in for images; video/audio payload decode stays
+    // genuinely ungated (no demuxer/PCM codec in the JDK).
+    "mm_phash_real" -> ((s, dir) =>
+      Multimodal.realPngMedia(Tables.documents(s, dir))
+        .select(col("id"),
+          graft.functions.DHash32(Multimodal.decodeLuma(col("content")))
+            .as("dhash"))),
+
     // E197: content-defined chunk table — every asset split at
     // rolling-hash boundaries (graft.functions.BinaryChunks, the
     // FastCDC/rsync family), one row per chunk with its exact length
@@ -212,13 +230,12 @@ object MultimodalQueries {
     * for blobs shorter than the grid), gradient bit i = cell(i) >
     * cell(i+1), packed little-endian. Ends in CTE `ph(doc_id, dhash)`.
     */
-  private val phashCte: String =
-    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
-      |pos AS (
-      |  SELECT doc_id, n, CAST(t.i - 1 AS BIGINT) AS p,
-      |         ord(substr(text, CAST(t.i AS INTEGER), 1)) AS b
-      |  FROM d, unnest(generate_series(1, n)) AS t(i)),
-      |agg AS (
+  /** The 32-cell grid/gradient arithmetic shared by every dHash
+    * oracle — parameterized by the `pos(doc_id, n, p, b)` byte source
+    * so the text-byte and decoded-pixel variants replay ONE spec.
+    */
+  private val dhashGridTail: String =
+    """agg AS (
       |  SELECT doc_id, (p * 32) // n AS cell,
       |         CAST(sum(b) // count(*) AS BIGINT) AS v
       |  FROM pos GROUP BY doc_id, (p * 32) // n),
@@ -239,6 +256,29 @@ object MultimodalQueries {
       |         CAST(coalesce(sum(bit * (1::BIGINT << CAST(i AS INTEGER))), 0)
       |              AS BIGINT) AS dhash
       |  FROM bits GROUP BY doc_id)""".stripMargin
+
+  private val phashCte: String =
+    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      |pos AS (
+      |  SELECT doc_id, n, CAST(t.i - 1 AS BIGINT) AS p,
+      |         ord(substr(text, CAST(t.i AS INTEGER), 1)) AS b
+      |  FROM d, unnest(generate_series(1, n)) AS t(i)),
+      |""".stripMargin + dhashGridTail
+
+  /** E313 oracle: the byte source is the PLANTED pixel formula
+    * (id·31 + p·7) mod 256 over the (n_chars-derived) raster size —
+    * no codec in DuckDB, so a hash match proves the Spark side's real
+    * ImageIO decode recovered exactly these pixels.
+    */
+  private val phashRealCte: String =
+    """WITH d AS (SELECT doc_id,
+      |             (n_chars % 13 + 9) * (n_chars % 7 + 8) AS n
+      |           FROM documents),
+      |pos AS (
+      |  SELECT doc_id, n, CAST(t.i - 1 AS BIGINT) AS p,
+      |         (doc_id * 31 + (t.i - 1) * 7) % 256 AS b
+      |  FROM d, unnest(generate_series(1, n)) AS t(i)),
+      |""".stripMargin + dhashGridTail
 
   /** BinaryChunks recomputed in SQL from first principles: per-position
     * Karp-Rabin window hashes by DIRECT 16-term sums (b·Base^j with
@@ -331,6 +371,8 @@ object MultimodalQueries {
         |FROM documents GROUP BY md5(text), octet_length(encode(text))""".stripMargin,
 
     "mm_phash" -> s"$phashCte SELECT doc_id AS id, dhash FROM ph",
+
+    "mm_phash_real" -> s"$phashRealCte SELECT doc_id AS id, dhash FROM ph",
 
     "mm_chunk_boundaries" ->
       s"$chunkCte SELECT id, chunk_idx, chunk_len, chunk_md5 FROM chunks",

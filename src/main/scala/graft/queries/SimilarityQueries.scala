@@ -81,14 +81,47 @@ object SimilarityQueries {
       array(perm.map(i => col("vec").getItem(i)): _*).as("vec"))
   }
 
-  /** E226/E274 shared recall audit: ADC candidates come from
-    * `searchC` (raw or balanced-permuted), exact-L2 truth from the
-    * RAW corpus `c` — ids compare directly because L2 is invariant
-    * under the permutation.
+  /** The shared residual IVF-PQ artifact for this fixture state —
+    * built ONCE (Materialize.once) and served by every fixed/adaptive
+    * residual consumer, where each used to retrain identical
+    * centroids + codebooks per registered query (VERDICT r13 #5;
+    * AnnIndexSpec pins persisted ≡ in-memory, so the swap is
+    * hash-free).
     */
-  private def adcRecallOver(c: DataFrame, searchC: DataFrame): DataFrame = {
-    val adcAll = Similarity.pqAdcTopK(searchC, PqSubspaces, PqSubDim,
-      NumQueries, K * AdcRerankMult)
+  private def annIdxDir(s: SparkSession, dir: String): String =
+    Materialize.once("annindex", dir) { p =>
+      graft.ext.AnnIndex.build(corpus(s, dir), PqSubspaces, PqSubDim, p)
+    }
+
+  /** Trained FLAT-PQ artifact (codebooks + codes) per corpus variant,
+    * built once per fixture state (VERDICT r13 #5): `variant` keys
+    * the Materialize entry ("raw" / "balanced" / a learned rotation),
+    * `mk` produces the corpus to train on. Parquet round-trips the
+    * 6-rounded codebook doubles and integer codes bit-exactly, so
+    * [[Similarity.pqAdcTopKFrom]] over the read-back tables equals
+    * the one-shot [[Similarity.pqAdcTopK]] (one shared search half).
+    */
+  private def pqFlat(s: SparkSession, dir: String, variant: String,
+      mk: => DataFrame): (DataFrame, DataFrame) = {
+    val p = Materialize.once(s"pqflat_$variant", dir) { out =>
+      val (cw, codes) = Similarity.pqAdcBuild(mk, PqSubspaces, PqSubDim)
+      cw.write.parquet(s"$out/codebooks.parquet")
+      codes.write.parquet(s"$out/codes.parquet")
+    }
+    (s.read.parquet(s"$p/codebooks.parquet"),
+      s.read.parquet(s"$p/codes.parquet"))
+  }
+
+  /** E226/E274 shared recall audit: ADC candidates come from the
+    * (cw, codes) artifact with `qvecs` queries (raw or
+    * balanced-permuted), exact-L2 truth from the RAW corpus `c` —
+    * ids compare directly because L2 is invariant under the
+    * permutation.
+    */
+  private def adcRecallOver(c: DataFrame, cw: DataFrame,
+      codes: DataFrame, qvecs: DataFrame): DataFrame = {
+    val adcAll = Similarity.pqAdcTopKFrom(cw, codes, qvecs,
+      PqSubspaces, PqSubDim, K * AdcRerankMult)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
       .localCheckpoint(false)
     val adcTop = adcAll.filter(col("rank") <= K)
@@ -236,8 +269,10 @@ object SimilarityQueries {
     // registers; the composition is pure plumbing.
     "emb_serving_pipeline" -> ((s, dir) => {
       val c = corpus(s, dir).localCheckpoint(false)
-      val cand = Similarity.pqResidualIvfTopK(c, PqSubspaces, PqSubDim,
-          NumQueries, KIvf * AdcRerankMult, MProbe)
+      val qv0 = c.filter(col("id") < NumQueries)
+        .select(col("id").as("qid"), col("vec").as("qv"))
+      val cand = graft.ext.AnnIndex.searchTopK(s, annIdxDir(s, dir), qv0,
+          KIvf * AdcRerankMult, MProbe)
         .select(col("query_id"), col("neighbor_id").as("cid"))
       val qv = c.filter(col("id") < NumQueries)
         .select(col("id").as("qid2"), col("vec").as("qvec"))
@@ -259,8 +294,10 @@ object SimilarityQueries {
     // (ADC) scoring inside the full composition.
     "emb_serving_adaptive" -> ((s, dir) => {
       val c = corpus(s, dir).localCheckpoint(false)
-      val cand = Similarity.pqResidualAdaptiveTopK(c, PqSubspaces, PqSubDim,
-          NumQueries, KIvf * AdcRerankMult, ProbeTargetNum, ProbeTargetDen)
+      val qv0 = c.filter(col("id") < NumQueries)
+        .select(col("id").as("qid"), col("vec").as("qv"))
+      val cand = graft.ext.AnnIndex.searchTopKAdaptive(s, annIdxDir(s, dir),
+          qv0, KIvf * AdcRerankMult, ProbeTargetNum, ProbeTargetDen)
         .select(col("query_id"), col("neighbor_id").as("cid"))
       val qv = c.filter(col("id") < NumQueries)
         .select(col("id").as("qid2"), col("vec").as("qvec"))
@@ -279,9 +316,11 @@ object SimilarityQueries {
     // survives composition with residual PQ.
     "emb_serving_adaptive_recall" -> ((s, dir) => {
       val c = corpus(s, dir).localCheckpoint(false)
-      val adcAll = Similarity.pqResidualAdaptiveTopK(c, PqSubspaces,
-          PqSubDim, NumQueries, KIvf * AdcRerankMult,
-          ProbeTargetNum, ProbeTargetDen)
+      val adcAll = graft.ext.AnnIndex.searchTopKAdaptive(s,
+          annIdxDir(s, dir),
+          c.filter(col("id") < NumQueries)
+            .select(col("id").as("qid"), col("vec").as("qv")),
+          KIvf * AdcRerankMult, ProbeTargetNum, ProbeTargetDen)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
         .localCheckpoint(false)
       val adcTop = adcAll.filter(col("rank") <= KIvf)
@@ -709,23 +748,34 @@ object SimilarityQueries {
     // search). 6-rounded table entries make the 4-term sum
     // order-stable; ties (adc, id). The oracle rebuilds codebooks,
     // codes, tables, and ranking from the raw table.
-    "emb_pq_adc_topk" -> ((s, dir) =>
-      Similarity.pqAdcTopK(corpus(s, dir), PqSubspaces, PqSubDim,
-        NumQueries, K)),
+    "emb_pq_adc_topk" -> ((s, dir) => {
+      val (cw, codes) = pqFlat(s, dir, "raw", corpus(s, dir))
+      Similarity.pqAdcTopKFrom(cw, codes,
+        corpus(s, dir).filter(col("id") < NumQueries)
+          .select(col("id"), col("vec")),
+        PqSubspaces, PqSubDim, K)
+    }),
 
     // E273: variance-balanced PQ (OPQ's parametric shortcut) — same
     // ADC search over dimensions snake-dealt across subspaces by
     // variance rank, so each subspace carries comparable energy.
-    "emb_pq_balanced" -> ((s, dir) =>
-      Similarity.pqAdcTopK(balancedCorpus(s, dir), PqSubspaces, PqSubDim,
-        NumQueries, K)),
+    "emb_pq_balanced" -> ((s, dir) => {
+      val (cw, codes) = pqFlat(s, dir, "balanced", balancedCorpus(s, dir))
+      Similarity.pqAdcTopKFrom(cw, codes,
+        balancedCorpus(s, dir).filter(col("id") < NumQueries)
+          .select(col("id"), col("vec")),
+        PqSubspaces, PqSubDim, K)
+    }),
 
     // E274: the E226 audit over the balanced chain — exact truth over
     // RAW vectors (L2 invariant under permutation), so the recall
     // delta vs emb_adc_recall is pure quantizer quality.
     "emb_pq_balanced_recall" -> ((s, dir) => {
       val c = corpus(s, dir).localCheckpoint(false)
-      adcRecallOver(c, balancedCorpus(s, dir).localCheckpoint(false))
+      val (cw, codes) = pqFlat(s, dir, "balanced", balancedCorpus(s, dir))
+      adcRecallOver(c, cw, codes,
+        balancedCorpus(s, dir).filter(col("id") < NumQueries)
+          .select(col("id"), col("vec")))
     }),
 
     // SRP-bucketed near-dup pairs, exact-cosine verified: the bucketed
@@ -1034,9 +1084,7 @@ object SimilarityQueries {
     // build→persist→load→search round trip is machine-checked by the
     // gate itself, and AnnIndexSpec pins in-memory equality directly.
     "emb_persisted_topk" -> ((s, dir) => {
-      val idx = Materialize.once("annindex", dir) { p =>
-        graft.ext.AnnIndex.build(corpus(s, dir), PqSubspaces, PqSubDim, p)
-      }
+      val idx = annIdxDir(s, dir)
       val q = corpus(s, dir).filter(col("id") < NumQueries)
         .select(col("id").as("qid"), col("vec").as("qv"))
       graft.ext.AnnIndex.searchTopK(s, idx, q, KIvf, MProbe)
@@ -1107,8 +1155,10 @@ object SimilarityQueries {
     // the number that prices residual vs raw-vector quantization.
     "emb_residual_recall" -> ((s, dir) => {
       val c = corpus(s, dir).localCheckpoint(false)
-      val adcAll = Similarity.pqResidualIvfTopK(c, PqSubspaces, PqSubDim,
-        NumQueries, KIvf * AdcRerankMult, MProbe)
+      val adcAll = graft.ext.AnnIndex.searchTopK(s, annIdxDir(s, dir),
+        c.filter(col("id") < NumQueries)
+          .select(col("id").as("qid"), col("vec").as("qv")),
+        KIvf * AdcRerankMult, MProbe)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
         .localCheckpoint(false)
       val adcTop = adcAll.filter(col("rank") <= KIvf)
@@ -1159,7 +1209,9 @@ object SimilarityQueries {
     // and more codewords; the audit re-prices them every round.
     "emb_adc_recall" -> ((s, dir) => {
       val c = corpus(s, dir).localCheckpoint(false)
-      adcRecallOver(c, c)
+      val (cw, codes) = pqFlat(s, dir, "raw", corpus(s, dir))
+      adcRecallOver(c, cw, codes,
+        c.filter(col("id") < NumQueries).select(col("id"), col("vec")))
     }),
 
     // E218: per-dimension embedding statistics + dead-dimension triage

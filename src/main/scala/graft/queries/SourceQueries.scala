@@ -141,15 +141,20 @@ object SourceQueries {
     // 64-file layout rewritten to 4 files (CompactionSpec asserts the
     // physical counts); this row hash-checks that compaction moved
     // every row unchanged — the correctness half of the operation.
+    // Since r14 (E314) the rewrite runs through the transactional
+    // table: the fragmented layout is version 0, the compacted one
+    // version 1 — both readable (CompactionSpec pins the physical
+    // 64→4 collapse via the manifests), and a crash mid-compaction
+    // leaves version 0 fully served, never a mixed directory.
     "docs_compaction" -> ((s, dir) => {
       val out = Materialize.once(s"compact:$dir", dir) { p =>
-        Tables.documents(s, dir).select("doc_id", "lang", "source")
-          .repartition(64)
-          .write.mode("overwrite").parquet(s"$p/small")
-        s.read.parquet(s"$p/small").repartition(4)
-          .write.mode("overwrite").parquet(s"$p/compact")
+        graft.operators.TxTable.commit(
+          Tables.documents(s, dir).select("doc_id", "lang", "source")
+            .repartition(64), p)
+        graft.operators.TxTable.commit(
+          graft.operators.TxTable.snapshotAt(s, p, 0L).repartition(4), p)
       }
-      s.read.parquet(s"$out/compact")
+      graft.operators.TxTable.snapshot(s, out)
     }),
 
     // Bucketed co-located join through the real write path (upgrades the

@@ -123,10 +123,11 @@ class AppendSpec extends SparkSpec {
     val dir = Files.createTempDirectory("annidx_crash").toString
     AnnIndex.build(base, numSub, subDim, dir)
     val idx = AnnIndex.load(spark, dir)
-    // simulate the crash window: codes appended, manifest untouched
+    // simulate the crash window: codes appended (the v3 writer's
+    // cell-partitioned layout), manifest untouched
     Similarity.residualEncodeFrozen(batch, idx.centroids, idx.codebooks,
         numSub, subDim)
-      .write.mode("append").parquet(s"$dir/codes.parquet")
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes.parquet")
     val e = intercept[IllegalArgumentException] {
       AnnIndex.load(spark, dir)
     }

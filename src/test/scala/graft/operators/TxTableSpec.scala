@@ -1,0 +1,111 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** E314: the commit-log contract. Readers see committed versions
+  * only — a torn write (data files present, manifest never renamed)
+  * is invisible; racing committers get one winner and one loud
+  * failure; every version stays readable (time travel); appends
+  * share data files across versions without rewriting bytes.
+  */
+class TxTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"txtable_$tag").toString
+
+  test("commit → snapshot round trip; versions increment from 0") {
+    val dir = tmp("rt")
+    val df = (1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+    assert(TxTable.currentVersion(spark, dir) === -1L)
+    assert(TxTable.commit(df, dir) === 0L)
+    val back = TxTable.snapshot(spark, dir)
+    assert(back.count() === 100L)
+    assert(back.except(df).isEmpty && df.except(back).isEmpty)
+    assert(TxTable.commit(df.filter(col("id") <= 10), dir) === 1L)
+    assert(TxTable.snapshot(spark, dir).count() === 10L)
+    TxTable.validate(spark, dir, 0L)
+    TxTable.validate(spark, dir, 1L)
+  }
+
+  test("a torn write (orphan data files, no committed manifest) is " +
+      "invisible to readers") {
+    val dir = tmp("torn")
+    val df = (1 to 50).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+    TxTable.commit(df, dir)
+    // the crash window: a second writer got its data files down (and
+    // even a temp manifest) but died before the atomic rename
+    (51 to 99).map(i => (i.toLong, s"torn$i")).toDF("id", "v")
+      .write.parquet(s"$dir/data/v1-deadbeef")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_commits", ".tmp-deadbeef"),
+      "version=1\tn_files=1\tn_rows=49\ndata/v1-deadbeef/whatever\n"
+        .getBytes("UTF-8"))
+    assert(TxTable.currentVersion(spark, dir) === 0L,
+      "a torn write changed the committed version")
+    val back = TxTable.snapshot(spark, dir)
+    assert(back.count() === 50L, "reader saw uncommitted files")
+    assert(back.filter(col("v").startsWith("torn")).isEmpty,
+      "torn rows leaked into the snapshot")
+    // and a fresh table with ONLY torn writes refuses to read
+    val dir2 = tmp("torn2")
+    df.write.parquet(s"$dir2/data/v0-deadbeef")
+    val e = intercept[IllegalArgumentException] {
+      TxTable.snapshot(spark, dir2)
+    }
+    assert(e.getMessage.contains("no committed version"))
+  }
+
+  test("racing committers: one winner, the loser fails loudly and " +
+      "leaves no visible state") {
+    val dir = tmp("race")
+    val df = (1 to 20).map(i => (i.toLong, "a")).toDF("id", "v")
+    TxTable.commit(df, dir)
+    // simulate the race: the rival takes version 1 first; the loser
+    // has real (already-written) data files — only the rename loses
+    val v0Files = TxTable.snapshotAt(spark, dir, 0L).inputFiles.toSeq
+      .map(_.split(dir + "/").last).sorted
+    TxTable.commitFiles(spark, dir, 1L, v0Files)
+    val e = intercept[IllegalStateException] {
+      TxTable.commitFiles(spark, dir, 1L, v0Files)
+    }
+    assert(e.getMessage.contains("commit conflict"))
+    assert(TxTable.versions(spark, dir) === Seq(0L, 1L))
+  }
+
+  test("time travel: every committed version stays byte-identical " +
+      "after later commits") {
+    val dir = tmp("tt")
+    val v0 = (1 to 30).map(i => (i.toLong, "old")).toDF("id", "v")
+    val v1 = (1 to 5).map(i => (i.toLong, "new")).toDF("id", "v")
+    TxTable.commit(v0, dir)
+    TxTable.commit(v1, dir)
+    val t0 = TxTable.snapshotAt(spark, dir, 0L)
+    assert(t0.count() === 30L && t0.except(v0).isEmpty)
+    val t1 = TxTable.snapshotAt(spark, dir, 1L)
+    assert(t1.count() === 5L && t1.except(v1).isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      TxTable.snapshotAt(spark, dir, 7L)
+    }
+    assert(e.getMessage.contains("no committed version 7"))
+  }
+
+  test("append commits a superset file list without rewriting the " +
+      "base version's bytes") {
+    val dir = tmp("app")
+    val base = (1 to 40).map(i => (i.toLong, "base")).toDF("id", "v")
+    TxTable.commit(base, dir)
+    val baseFiles = TxTable.snapshotAt(spark, dir, 0L).inputFiles.toSet
+    TxTable.append((41 to 50).map(i => (i.toLong, "inc")).toDF("id", "v"),
+      dir)
+    val snap = TxTable.snapshot(spark, dir)
+    assert(snap.count() === 50L)
+    assert(baseFiles.subsetOf(snap.inputFiles.toSet),
+      "append rewrote the base version's files")
+    TxTable.validate(spark, dir, 1L)
+  }
+}

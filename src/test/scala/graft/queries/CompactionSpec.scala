@@ -15,13 +15,13 @@ class CompactionSpec extends SparkSpec {
   test("compaction collapses 64 small files to at most 4, content intact") {
     SourceQueries.queries("docs_compaction")(spark, sfDir).collect() // materialize
     val out = Materialize.once(s"compact:$sfDir", sfDir)(_ => fail("must exist"))
-    def nFiles(sub: String): Long =
-      spark.read.parquet(s"$out/$sub")
+    def nFiles(v: Long): Long =
+      graft.operators.TxTable.snapshotAt(spark, out, v)
         .select(input_file_name().as("f")).distinct().count()
-    assert(nFiles("small") == 64, "fragmented layout lost its fragmentation")
-    assert(nFiles("compact") <= 4, "compaction did not reduce file count")
-    val a = spark.read.parquet(s"$out/small")
-    val b = spark.read.parquet(s"$out/compact")
+    assert(nFiles(0) == 64, "fragmented layout lost its fragmentation")
+    assert(nFiles(1) <= 4, "compaction did not reduce file count")
+    val a = graft.operators.TxTable.snapshotAt(spark, out, 0)
+    val b = graft.operators.TxTable.snapshotAt(spark, out, 1)
     assert(a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
