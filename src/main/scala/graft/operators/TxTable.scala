@@ -123,19 +123,23 @@ object TxTable {
 
   /** The atomic commit point: recount the snapshot, write the
     * manifest to a temp name, rename into place (no-overwrite rename
-    * = one winner). Package-private so the spec can drive torn-write
-    * scenarios directly.
+    * = one winner). `txn`, when present, records an (appId, version)
+    * idempotence token in the manifest header — the Delta `txn`
+    * action's design, used by [[appendIdempotent]]. Package-private
+    * so the spec can drive torn-write scenarios directly.
     */
   private[graft] def commitFiles(spark: SparkSession, dir: String,
-      v: Long, files: Seq[String]): Unit = {
+      v: Long, files: Seq[String],
+      txn: Option[(String, Long)] = None): Unit = {
     val nRows = spark.read
       .parquet(files.map(p => s"$dir/$p"): _*).count()
     val f = fs(spark, dir)
     val tmp = new Path(dir,
       s"$CommitDirName/.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, false)
+    val txnField = txn.map { case (app, tv) => s"\ttxn=$app:$tv" }.getOrElse("")
     try {
-      out.write((s"version=$v\tn_files=${files.size}\tn_rows=$nRows\n" +
+      out.write((s"version=$v\tn_files=${files.size}\tn_rows=$nRows$txnField\n" +
         files.mkString("\n") + "\n").getBytes("UTF-8"))
     } finally out.close()
     val target = commitPath(dir, v)
@@ -145,6 +149,58 @@ object TxTable {
         s"commit conflict on $dir version $v: another writer committed " +
           "first (this writer's files are orphaned, not visible)")
     }
+  }
+
+  /** Idempotence tokens already committed for `appId`: the set of
+    * txn versions present in any manifest header. One small header
+    * read per version — bounded by the commit count.
+    */
+  def committedTxns(spark: SparkSession, dir: String,
+      appId: String): Set[Long] = {
+    val f = fs(spark, dir)
+    versions(spark, dir).flatMap { v =>
+      val in = f.open(commitPath(dir, v))
+      val header = try {
+        new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, "UTF-8")).readLine()
+      } finally in.close()
+      header.split("\t").collectFirst {
+        case s if s.startsWith(s"txn=$appId:") =>
+          s.stripPrefix(s"txn=$appId:").toLong
+      }
+    }.toSet
+  }
+
+  /** EXACTLY-ONCE APPEND under at-least-once delivery (E317, the
+    * Delta `txn`/`foreachBatch(batchId)` pattern): append `df` tagged
+    * with `(appId, txnVersion)`; a REPLAY of an already-committed
+    * (appId, txnVersion) is a silent no-op, so a streaming
+    * `foreachBatch((batch, id) => appendIdempotent(batch, dir, "q",
+    * id))` sink lands each micro-batch exactly once no matter how
+    * often the engine retries it. The check and the commit share the
+    * rename's atomicity: a racing duplicate that passes the check
+    * still loses the no-overwrite rename and fails loudly — at worst
+    * a retry observes the token and no-ops. Returns the committed
+    * version, or -1 for a skipped replay.
+    */
+  def appendIdempotent(df: DataFrame, dir: String, appId: String,
+      txnVersion: Long): Long = {
+    val spark = df.sparkSession
+    if (committedTxns(spark, dir, appId).contains(txnVersion)) return -1L
+    val prev = currentVersion(spark, dir)
+    val v = prev + 1
+    val snapDir = s"data/v$v-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode("error").parquet(s"$dir/$snapDir")
+    val f = fs(spark, dir)
+    val newFiles = f.listStatus(new Path(dir, snapDir)).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      .sorted
+      .map(n => s"$snapDir/$n")
+    val base = if (prev >= 0) manifestFiles(spark, dir, prev) else Seq.empty
+    commitFiles(spark, dir, v, base ++ newFiles,
+      txn = Some((appId, txnVersion)))
+    v
   }
 
   /** Parse a version's manifest → relative file list. */
@@ -206,5 +262,44 @@ object TxTable {
     require(got == want,
       s"version $v of $dir has $got rows, manifest says $want — " +
         "data files were mutated behind the log")
+  }
+
+  /** RETENTION + VACUUM: drop every commit older than the newest
+    * `keepLast` versions, then physically delete the snapshot
+    * directories no retained manifest references. Deletion order is
+    * the crash-safety argument: manifests go FIRST (time travel to a
+    * dropped version refuses immediately and atomically, per-version),
+    * data files second — a crash between the two leaves only
+    * PRESENT-but-unreferenced files, which are invisible to every
+    * reader (the torn-write property) and reclaimed by the next
+    * retain. A snapshot directory is removed only when NONE of its
+    * files is referenced by a retained manifest; append-made versions
+    * reference earlier dirs wholesale, so shared dirs survive as long
+    * as any retained version needs them. Idempotence tokens riding on
+    * dropped commits are forgotten with them — retention bounds the
+    * replay-dedup horizon exactly like it bounds time travel, which is
+    * the Delta/Iceberg trade stated openly.
+    */
+  def retain(spark: SparkSession, dir: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, "retention must keep at least one version")
+    val vs = versions(spark, dir)
+    val drop = vs.dropRight(keepLast)
+    if (drop.isEmpty) return
+    val keep = vs.takeRight(keepLast)
+    val referenced = keep.flatMap(v => manifestFiles(spark, dir, v)).toSet
+    val f = fs(spark, dir)
+    drop.foreach(v => f.delete(commitPath(dir, v), false))
+    val dataDir = new Path(dir, "data")
+    if (f.exists(dataDir)) {
+      f.listStatus(dataDir).foreach { st =>
+        val sub = st.getPath.getName
+        val files = f.listStatus(st.getPath).toSeq
+          .map(_.getPath.getName)
+          .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+        if (files.nonEmpty &&
+            files.forall(n => !referenced.contains(s"data/$sub/$n")))
+          f.delete(st.getPath, true)
+      }
+    }
   }
 }

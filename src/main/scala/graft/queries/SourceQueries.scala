@@ -157,6 +157,29 @@ object SourceQueries {
       graft.operators.TxTable.snapshot(s, out)
     }),
 
+    // E317: EXACTLY-ONCE sink under at-least-once delivery — the
+    // foreachBatch(batchId) / Delta-txn idempotence pattern on the
+    // E314 commit log: micro-batches 0,1,2 land via appendIdempotent
+    // with batches 0 and 1 REPLAYED (the at-least-once engine retry);
+    // the (appId, txnVersion) token in the manifest makes each replay
+    // a committed no-op, so the snapshot holds every event exactly
+    // once and the oracle is the plain full-table derivation. The
+    // E114 row pins idempotent-merge arithmetic; this row pins the
+    // TRANSACTIONAL sink — replay skipping, token persistence, and
+    // append-superset commits all sit on the compared hash.
+    "events_txsink_replay" -> ((s, dir) => {
+      val tbl = Materialize.once("txsink", dir) { p =>
+        val ev = Tables.events(s, dir).select(
+          col("event_id"), col("user_id"),
+          floor(col("value") * 100).cast("long").as("cents"),
+          (col("event_id") % 3).as("batch_id"))
+        for (b <- Seq(0L, 1L, 1L, 2L, 0L)) // 1 and 0 replayed
+          graft.operators.TxTable.appendIdempotent(
+            ev.filter(col("batch_id") === b), p, "sink", b)
+      }
+      graft.operators.TxTable.snapshot(s, tbl)
+    }),
+
     // Bucketed co-located join through the real write path (upgrades the
     // E54 bucketing claim from plan-audit-only to oracle-checked): both
     // sides land as 8-bucket tables via saveAsTable, the join reads them
@@ -290,6 +313,12 @@ object SourceQueries {
 
     "docs_compaction" ->
       """SELECT doc_id, lang, source FROM documents""",
+
+    "events_txsink_replay" ->
+      """SELECT event_id, user_id,
+        |       CAST(floor(value * 100) AS BIGINT) AS cents,
+        |       CAST(event_id % 3 AS BIGINT) AS batch_id
+        |FROM events""".stripMargin,
 
     "events_idempotent_replay" ->
       """SELECT event_id, user_id,

@@ -94,6 +94,82 @@ class TxTableSpec extends SparkSpec {
     assert(e.getMessage.contains("no committed version 7"))
   }
 
+  test("appendIdempotent: a replayed (appId, txnVersion) is a " +
+      "committed no-op; distinct apps do not collide") {
+    val dir = tmp("idem")
+    val b0 = (1 to 10).map(i => (i.toLong, "b0")).toDF("id", "v")
+    val b1 = (11 to 15).map(i => (i.toLong, "b1")).toDF("id", "v")
+    assert(TxTable.appendIdempotent(b0, dir, "sink", 0L) === 0L)
+    assert(TxTable.appendIdempotent(b1, dir, "sink", 1L) === 1L)
+    // the at-least-once replays: both skipped, no version minted
+    assert(TxTable.appendIdempotent(b1, dir, "sink", 1L) === -1L)
+    assert(TxTable.appendIdempotent(b0, dir, "sink", 0L) === -1L)
+    assert(TxTable.currentVersion(spark, dir) === 1L)
+    assert(TxTable.snapshot(spark, dir).count() === 15L)
+    assert(TxTable.committedTxns(spark, dir, "sink") === Set(0L, 1L))
+    // a different app's version 0 is NOT the same token
+    assert(TxTable.appendIdempotent(
+      Seq((99L, "other")).toDF("id", "v"), dir, "other", 0L) === 2L)
+    assert(TxTable.snapshot(spark, dir).count() === 16L)
+  }
+
+  test("a streaming foreachBatch sink through appendIdempotent lands " +
+      "each micro-batch exactly once") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmp("stream")
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = stream.toDS().toDF("id", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // the retry path a real engine takes: deliver every batch twice
+        TxTable.appendIdempotent(batch, dir, "q1", id)
+        TxTable.appendIdempotent(batch, dir, "q1", id)
+        ()
+      }
+      .start()
+    try {
+      stream.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      stream.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(TxTable.snapshot(spark, dir).count() === 3L,
+      "a replayed micro-batch double-landed")
+  }
+
+  test("retain drops old versions' manifests and vacuums unreferenced " +
+      "snapshot dirs, while append-shared dirs survive") {
+    val dir = tmp("retain")
+    TxTable.commit((1 to 10).map(i => (i.toLong, "v0")).toDF("id", "v"), dir)
+    TxTable.commit((1 to 20).map(i => (i.toLong, "v1")).toDF("id", "v"), dir)
+    // v2 appends onto v1 → v2 references v1's snapshot dir
+    TxTable.append((21 to 25).map(i => (i.toLong, "inc")).toDF("id", "v"), dir)
+    TxTable.commit((1 to 3).map(i => (i.toLong, "v3")).toDF("id", "v"), dir)
+    def dataDirs: Set[String] = {
+      val p = java.nio.file.Paths.get(dir, "data")
+      scala.util.Using.resource(java.nio.file.Files.list(p))(
+        _.toArray.toSeq.map(_.toString.split('/').last).toSet)
+    }
+    assert(dataDirs.size === 4)
+    TxTable.retain(spark, dir, keepLast = 2)
+    // versions 0 and 1 are gone, 2 and 3 intact
+    assert(TxTable.versions(spark, dir) === Seq(2L, 3L))
+    intercept[IllegalArgumentException] {
+      TxTable.snapshotAt(spark, dir, 0L)
+    }
+    assert(TxTable.snapshotAt(spark, dir, 2L).count() === 25L)
+    assert(TxTable.snapshot(spark, dir).count() === 3L)
+    // v0's dir vacuumed; v1's dir SURVIVES (v2's append references it)
+    assert(dataDirs.size === 3, s"expected 3 data dirs, have $dataDirs")
+    assert(dataDirs.exists(_.startsWith("v1-")),
+      "vacuum deleted a dir the retained append-version still references")
+    assert(!dataDirs.exists(_.startsWith("v0-")),
+      "vacuum left the unreferenced v0 dir")
+    // retain is idempotent
+    TxTable.retain(spark, dir, keepLast = 2)
+    assert(TxTable.versions(spark, dir) === Seq(2L, 3L))
+  }
+
   test("append commits a superset file list without rewriting the " +
       "base version's bytes") {
     val dir = tmp("app")
