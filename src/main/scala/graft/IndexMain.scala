@@ -15,6 +15,11 @@ import graft.ext.{AnnIndex, GraphIndex, Similarity}
   *    or: `IndexMain --graph <embeddingsDir> <indexDir> [graphK]`
   *        (E291/E304: build the persisted GRAPH index — vectors,
   *        binary seed signatures, kNN edges — and probe-search it)
+  *    or: `IndexMain --tx <fixtureDir> <tableDir>`
+  *        (E314/E317 service surface: commit the documents table,
+  *        commit a filtered rewrite, read back snapshot + version-0
+  *        time travel, retain(1), and prove the vacuumed table still
+  *        serves — the commit-log lifecycle end to end from the CLI)
   *
   * `embeddingsDir` must contain `embeddings.parquet` (the fixture
   * layout); `numSub` defaults to [[DefaultSubspaces]] — the 16×4
@@ -29,6 +34,7 @@ object IndexMain {
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--graph")) return graphMain(args.drop(1))
+    if (args.headOption.contains("--tx")) return txMain(args.drop(1))
     require(args.length >= 2, "usage: IndexMain <embeddingsDir> <indexDir> [numSub]")
     val numSub = if (args.length > 2) args(2).toInt else DefaultSubspaces
     val spark = SparkSession.builder()
@@ -74,6 +80,43 @@ object IndexMain {
     val (nVecs, nEdges, served) = runGraph(spark, args(0), args(1), graphK)
     println(s"""{"metric":"graph_index","n_vectors":$nVecs,"n_edges":$nEdges,"graph_k":$graphK,"probe_rows":$served}""")
     spark.stop()
+  }
+
+  /** `--tx` mode: drive the E314 commit-log lifecycle end to end. */
+  private def txMain(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: IndexMain --tx <fixtureDir> <tableDir>")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-tx")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (v0Rows, headRows, headVersion) = runTx(spark, args(0), args(1))
+    println(s"""{"metric":"tx_table","v0_rows":$v0Rows,"head_rows":$headRows,"head_version":$headVersion}""")
+    spark.stop()
+  }
+
+  /** The `--tx` flow against a caller-owned session (spec-testable):
+    * commit documents (v0), commit the English slice as a rewrite
+    * (v1), time-travel-read v0, retain(1) + vacuum, and read the
+    * surviving head. Returns (v0 rows as read BEFORE retention,
+    * head rows AFTER retention, head version).
+    */
+  def runTx(spark: SparkSession, fixtureDir: String,
+      tableDir: String): (Long, Long, Long) = {
+    import graft.operators.TxTable
+    val docs = Tables.documents(spark, fixtureDir)
+      .select(col("doc_id"), col("lang"), col("source"))
+    TxTable.commit(docs, tableDir)
+    TxTable.commit(TxTable.snapshot(spark, tableDir)
+      .filter(col("lang") === "en"), tableDir)
+    val v0Rows = TxTable.snapshotAt(spark, tableDir, 0L).count()
+    TxTable.retain(spark, tableDir, keepLast = 1)
+    val head = TxTable.currentVersion(spark, tableDir)
+    (v0Rows, TxTable.snapshot(spark, tableDir).count(), head)
   }
 
   /** The `--graph` flow against a caller-owned session (spec-testable;

@@ -55,15 +55,17 @@ object AnnIndex {
 
   /** v2 added the tombstone table (E263); v3 hive-partitions
     * `codes.parquet` by `cell` and moves count verification off the
-    * per-search path. The bump keeps a v2 reader from mis-reading the
-    * partitioned layout (and vice versa).
+    * per-search path; v4 adds `cellstats.parquet` (cell, n) so the
+    * ADAPTIVE probe rule reads build-time population STATISTICS
+    * instead of aggregating the whole code table per search. Each
+    * bump keeps an older reader from mis-reading the layout.
     */
-  val FormatVersion = 3
+  val FormatVersion = 4
 
   /** Loaded, validated artifact handles. */
   final case class Index(numSub: Int, subDim: Int,
       centroids: DataFrame, codebooks: DataFrame, codes: DataFrame,
-      tombstones: DataFrame) {
+      tombstones: DataFrame, cellStats: DataFrame) {
     /** Codes visible to a search: physical rows minus tombstoned ids
       * (the Lucene/FAISS soft-delete read path; [[compact]] makes it
       * physical).
@@ -103,17 +105,34 @@ object AnnIndex {
     val nBook = spark.read.parquet(s"$dir/codebooks.parquet").count()
     val nVecs = spark.read.parquet(s"$dir/codes.parquet").count()
     val nTomb = spark.read.parquet(s"$dir/tombstones.parquet").count()
+    val nStat = spark.read.parquet(s"$dir/cellstats.parquet").count()
     import spark.implicits._
     Seq((FormatVersion, numSub, subDim, numSub * subDim,
         Similarity.PqCodewords, Similarity.PqTrainIters,
-        nCells, nBook, nVecs, nTomb))
+        nCells, nBook, nVecs, nTomb, nStat))
       .toDF("format_version", "num_sub", "sub_dim", "dim",
         "num_codewords", "train_iters",
-        "n_cells", "n_codebook_rows", "n_vectors", "n_tombstones")
+        "n_cells", "n_codebook_rows", "n_vectors", "n_tombstones",
+        "n_stat_rows")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/manifest.parquet")
     invalidate(dir)
   }
+
+  /** Per-cell PHYSICAL population statistics, recomputed from the
+    * WRITTEN code files (the manifest recount discipline) after every
+    * build/append/compact. Deliberately NOT maintained by [[delete]]:
+    * adaptive probe targeting is a statistics decision (a deployment
+    * refreshes stats at compaction), while LIVENESS is enforced by the
+    * tombstone anti-join on the candidate set — a slightly-stale
+    * population can only widen a probe set, never return a deleted
+    * row.
+    */
+  private def writeCellStats(spark: SparkSession, dir: String): Unit =
+    spark.read.parquet(s"$dir/codes.parquet")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/cellstats.parquet")
 
   /** Build and persist the index for `vecs (id, part, vec)` under
     * `outDir` (`part` seeds the coarse quantizer, the repo-wide IVF
@@ -133,6 +152,7 @@ object AnnIndex {
     spark.read.parquet(s"$outDir/codes.parquet").select(col("id"))
       .limit(0)
       .write.mode("overwrite").parquet(s"$outDir/tombstones.parquet")
+    writeCellStats(spark, outDir)
     writeManifest(spark, outDir, numSub, subDim)
   }
 
@@ -155,6 +175,7 @@ object AnnIndex {
     val cw = spark.read.parquet(s"$dir/codebooks.parquet")
     val codes = spark.read.parquet(s"$dir/codes.parquet")
     val tomb = spark.read.parquet(s"$dir/tombstones.parquet")
+    val stats = spark.read.parquet(s"$dir/cellstats.parquet")
     def check(name: String, df: DataFrame, want: Long): Unit = {
       val got = df.count()
       require(got == want,
@@ -165,7 +186,8 @@ object AnnIndex {
     check("codebooks", cw, ml("n_codebook_rows"))
     check("codes", codes, ml("n_vectors"))
     check("tombstones", tomb, ml("n_tombstones"))
-    Index(mi("num_sub"), mi("sub_dim"), cvecs, cw, codes, tomb)
+    check("cellstats", stats, ml("n_stat_rows"))
+    Index(mi("num_sub"), mi("sub_dim"), cvecs, cw, codes, tomb, stats)
   }
 
   /** Incrementally APPEND `newVecs (id, vec)` to a persisted index
@@ -200,6 +222,7 @@ object AnnIndex {
         idx.codebooks, idx.numSub, idx.subDim)
       .write.mode("append").partitionBy("cell")
       .parquet(s"$dir/codes.parquet")
+    writeCellStats(spark, dir)
     writeManifest(spark, dir, idx.numSub, idx.subDim)
   }
 
@@ -255,6 +278,7 @@ object AnnIndex {
     IndexFiles.swapIn(spark, dir, "codes")
     spark.read.parquet(s"$dir/codes.parquet").select(col("id")).limit(0)
       .write.mode("overwrite").parquet(s"$dir/tombstones.parquet")
+    writeCellStats(spark, dir)
     writeManifest(spark, dir, idx.numSub, idx.subDim)
   }
 
@@ -294,11 +318,14 @@ object AnnIndex {
   def searchTopKAdaptive(spark: SparkSession, dir: String, q: DataFrame,
       k: Int, targetNum: Long, targetDen: Long): DataFrame = {
     val idx = loadCached(spark, dir)
-    val target =
-      (targetNum * idx.liveCodes.count() + targetDen - 1) / targetDen
-    val probes = Similarity.adaptiveProbePicker(target)(
-        q, idx.centroids,
-        idx.liveCodes.select(col("id").as("aid"), col("cell")))
+    // populations and the target come from the v4 STATISTICS table —
+    // cells × 1 rows, no code-table aggregate on the serve path (the
+    // physical-stats contract, see writeCellStats)
+    val n = idx.cellStats.agg(sum(col("n"))).head().getLong(0)
+    val target = (targetNum * n + targetDen - 1) / targetDen
+    val probes = Similarity.adaptiveProbePickerWithPop(target,
+        idx.cellStats.select(col("cell"), col("n").as("np")))(
+        q, idx.centroids)
       .localCheckpoint(false)
     servePruned(idx, q, k, probes)
   }

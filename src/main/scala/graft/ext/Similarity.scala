@@ -1196,8 +1196,18 @@ object Similarity {
     */
   private[graft] def adaptiveProbePicker(target: Long)
       : (DataFrame, DataFrame, DataFrame) => DataFrame =
-    (q, cvecs, asg) => {
-      val pop = asg.groupBy("cell").agg(count(lit(1)).as("np"))
+    (q, cvecs, asg) => adaptiveProbePickerWithPop(target,
+      asg.groupBy("cell").agg(count(lit(1)).as("np")))(q, cvecs)
+
+  /** The same rule over a CALLER-SUPPLIED population table
+    * `pop (cell, np)` — the v4 persisted-index serve passes its
+    * build-time statistics so targeting never aggregates the code
+    * table per search. One body for both faces, so they cannot
+    * drift.
+    */
+  private[graft] def adaptiveProbePickerWithPop(target: Long,
+      pop: DataFrame): (DataFrame, DataFrame) => DataFrame =
+    (q, cvecs) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("qid")).orderBy(col("cs").desc, col("cpart"))
       q.join(broadcast(cvecs))

@@ -14,4 +14,20 @@ class IndexMainSpec extends SparkSpec {
     assert(nEdges > 0 && nEdges <= nVecs * 4, s"edge count $nEdges")
     assert(served === 3, s"probe served $served rows, wanted k = 3")
   }
+
+  test("--tx flow commits, time travels, retains, and still serves") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_tx").toString
+    val (v0Rows, headRows, headVersion) = IndexMain.runTx(spark, sfDir, out)
+    val docs = Tables.documents(spark, sfDir)
+    assert(v0Rows === docs.count(), "v0 time travel lost rows")
+    assert(headRows ===
+      docs.filter(org.apache.spark.sql.functions.col("lang") === "en")
+        .count(), "head snapshot wrong after retention")
+    assert(headVersion === 1L)
+    // retention really dropped v0
+    intercept[IllegalArgumentException] {
+      graft.operators.TxTable.snapshotAt(spark, out, 0L)
+    }
+  }
 }
