@@ -315,6 +315,21 @@ object GraphIndex {
     */
   def searchTopK(spark: SparkSession, dir: String, numQueries: Int,
       seeds: Int, hops: Int, k: Int): DataFrame = {
+    val idx = loadCached(spark, dir)
+    Similarity.graphRerank(idx.liveVectors.localCheckpoint(false),
+      expandCandidates(spark, dir, numQueries, seeds, hops),
+      numQueries, k)
+  }
+
+  /** The CANDIDATE half of [[searchTopK]] — the pruned walk's visited
+    * set `(query_id, id)`, query self-hits excluded — public so
+    * composed pipelines (candidate generation → their own rerank →
+    * MMR) can serve from the persisted artifact instead of rebuilding
+    * the graph per query (the VERDICT r13 #5 shared-artifact
+    * discipline applied to the graph tier).
+    */
+  def expandCandidates(spark: SparkSession, dir: String,
+      numQueries: Int, seeds: Int, hops: Int): DataFrame = {
     require(hops >= 1, "need at least one expansion hop")
     val idx = loadCached(spark, dir)
     var cand = Similarity.hammingTopKSigs(
@@ -328,8 +343,7 @@ object GraphIndex {
       // rerank; checkpoint so the union chain never re-walks
       cand = cand.union(expanded).distinct().localCheckpoint(false)
     }
-    Similarity.graphRerank(idx.liveVectors.localCheckpoint(false),
-      cand.filter(col("query_id") =!= col("id")), numQueries, k)
+    cand.filter(col("query_id") =!= col("id"))
   }
 
   /** One hop's PRUNED edge slice `(esrc, edst)` for the current

@@ -430,8 +430,14 @@ object SimilarityQueries {
     // the same shared definition its standalone row registers.
     "emb_serving_graph" -> ((s, dir) => {
       val c = corpus(s, dir).localCheckpoint(false)
-      val cand = Similarity.graphExpandCandidates(c, EmbDim, NumQueries,
-          GraphSeeds, GraphHops, KnnK)
+      // candidates come from the SHARED persisted graph artifact (the
+      // r13 #5 discipline — emb_graph_search stays the in-memory
+      // definitional row; GraphIndexSpec pins persisted ≡ in-memory)
+      val idxDir = Materialize.once(s"graph_index:$dir", dir) { p =>
+        graft.ext.GraphIndex.build(corpus(s, dir), EmbDim, KnnK, p)
+      }
+      val cand = graft.ext.GraphIndex.expandCandidates(s, idxDir,
+          NumQueries, GraphSeeds, GraphHops)
         .select(col("query_id"), col("id").as("cid"))
       val qv = c.filter(col("id") < NumQueries)
         .select(col("id").as("qid2"), col("vec").as("qvec"))
