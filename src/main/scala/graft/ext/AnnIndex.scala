@@ -83,15 +83,25 @@ object AnnIndex {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Index]()
 
-  /** Drop the cached validated load for `dir` (writers call this
-    * after rewriting the manifest; tests may call it to force a
-    * revalidation).
+  /** Drop the cached validated load for `dir` — for EVERY session
+    * (writers call this after rewriting the manifest; tests may call
+    * it to force a revalidation).
     */
-  def invalidate(dir: String): Unit = cache.remove(dir)
+  def invalidate(dir: String): Unit =
+    cache.keySet.removeIf(_.endsWith(s"|$dir"))
 
-  /** [[load]] through the session cache — the serve-path entry. */
+  /** [[load]] through the session cache — the serve-path entry. The
+    * key includes the session's identity: cached DataFrames are bound
+    * to the session that loaded them, so a second session in the same
+    * JVM (or a test session sequence reusing an artifact dir) gets
+    * its OWN validated load rather than handles bound to a stopped
+    * session. Out-of-process writers are outside the cache's
+    * visibility by design — cross-process serving revalidates per
+    * session, and same-process writers invalidate explicitly.
+    */
   def loadCached(spark: SparkSession, dir: String): Index =
-    cache.computeIfAbsent(dir, _ => load(spark, dir))
+    cache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}|$dir", _ => load(spark, dir))
 
   /** Manifest row describing the tables ON DISK — every writer calls
     * this LAST, after its table writes, with counts re-read from the
@@ -306,13 +316,18 @@ object AnnIndex {
 
   /** Serve top-k with the ADAPTIVE probe rule (E258's picker over the
     * persisted artifact, r14): the target is
-    * ceil(targetNum/targetDen · live corpus) in exact integer
-    * arithmetic — the same value the in-memory
-    * [[Similarity.pqResidualAdaptiveTopK]] derives — and the picker
-    * is the SAME shared definition, so the two cannot drift. Cell
-    * populations come from the code table's cell column (one
-    * integer-table aggregate; a deployment would memoize it next to
-    * the manifest), and the ADC scan is partition-pruned to the
+    * ceil(targetNum/targetDen · n) in exact integer arithmetic, where
+    * n is the PHYSICAL corpus at the last stats refresh —
+    * cellstats.parquet counts code rows including tombstoned ids
+    * (writeCellStats is deliberately not delete-maintained). On a
+    * delete-free artifact this equals the in-memory
+    * [[Similarity.pqResidualAdaptiveTopK]] target exactly (same
+    * picker definition, so they cannot drift); AFTER deletes the two
+    * derive different targets/probe sets, and the divergence is in
+    * the SAFE direction only — the stale (larger) n can only WIDEN
+    * the probe list, and liveness is enforced downstream by the
+    * tombstone anti-join regardless. Cell populations come from the
+    * same stats table, and the ADC scan is partition-pruned to the
     * probed cells exactly like the fixed-probe serve.
     */
   def searchTopKAdaptive(spark: SparkSession, dir: String, q: DataFrame,

@@ -93,10 +93,16 @@ object GraphIndex {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Index]()
 
-  def invalidate(dir: String): Unit = cache.remove(dir)
+  /** Every-session invalidation for `dir` (writers call it). */
+  def invalidate(dir: String): Unit =
+    cache.keySet.removeIf(_.endsWith(s"|$dir"))
 
+  /** Session-scoped (see [[AnnIndex.loadCached]]): the key carries
+    * the session's identity so handles never outlive their session.
+    */
   def loadCached(spark: SparkSession, dir: String): Index =
-    cache.computeIfAbsent(dir, _ => load(spark, dir))
+    cache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}|$dir", _ => load(spark, dir))
 
   /** Edge rows carry their hive-partition bucket derived from the
     * SOURCE id — the join side every hop probes.

@@ -381,9 +381,14 @@ object Multimodal {
     udf((bytes: Array[Byte]) => {
       if (bytes == null) null
       else {
+        // NonFatal, not just IOException: ImageIO plugins throw
+        // RuntimeExceptions (IllegalArgumentException, CMMException,
+        // IndexOutOfBoundsException) on malformed payloads, and the
+        // contract is "corrupt assets surface as missing hashes, not
+        // crashes" — same pattern as ConfluentAvro's malformed branch.
         val img = try {
           javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        } catch { case _: java.io.IOException => null }
+        } catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) null
         else {
           val w = img.getWidth

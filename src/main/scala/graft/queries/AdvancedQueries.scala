@@ -389,6 +389,25 @@ object AdvancedQueries {
       graft.operators.TxTable.snapshotAt(s, mergeTxTable(s, dir), 0L)
     }),
 
+    // E318 (r15, VERDICT r14 #7): PARTITION-PRUNED snapshot read
+    // through the commit log — orders committed hive-partitioned by
+    // o_orderstatus (partition values recorded in the manifest's file
+    // paths, the Delta add-file partitionValues discipline), read back
+    // under a partition predicate. The pruning happens at the MANIFEST:
+    // snapshotWhere plans only the matching partitions' files, so the
+    // scan's files-read ∝ matching partitions (TxTableSpec pins
+    // inputFiles ⊆ the o_orderstatus=F dirs; the oracle pins values).
+    "rel_tx_pruned" -> ((s, dir) => {
+      val tbl = Materialize.once("txpart", dir) { p =>
+        graft.operators.TxTable.commitPartitioned(
+          Tables.orders(s, dir), p, Seq("o_orderstatus"))
+      }
+      graft.operators.TxTable
+        .snapshotWhere(s, tbl, Map("o_orderstatus" -> "F"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+    }),
+
     // Key-skew profiler (E122): the distribution of per-key group sizes
     // — the diagnostic that decides WHEN the salting/AQE tiers (E26,
     // E63, E99) are needed, shipped as an operator instead of folklore.
@@ -603,6 +622,13 @@ object AdvancedQueries {
     // pre-merge target — the oracle derives it straight from orders.
     "rel_merge_time_travel" ->
       "SELECT * FROM orders WHERE o_orderkey % 4 <> 3",
+
+    // E318: the partition-pruned TxTable read must equal a plain
+    // predicate over the source — pruning is a planning optimization,
+    // never a semantics change.
+    "rel_tx_pruned" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
 
     // E278: independent three-branch derivation of MERGE.
     "rel_merge_upsert" ->

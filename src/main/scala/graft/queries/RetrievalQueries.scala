@@ -28,15 +28,30 @@ object RetrievalQueries {
   private val BmTopN = 20
   private val RrfC = 60 // the standard RRF damping constant
 
+  /** Top-slice width S for rank fusion (r15, VERDICT r14 "What's
+    * wrong" #1): each retrieval leg contributes its top-S ranking
+    * only — the standard top-slice RRF (docs outside a leg's slice
+    * score 0 for that leg via [[Retrieval.rrf2]]'s full-outer
+    * coalesce). S ≥ the fused top-N by construction; 5× gives the
+    * fusion room to promote docs ranked deep in one leg.
+    */
+  private val RrfSliceS = 100
+
   private def bm25Ranked(s: SparkSession, dir: String): DataFrame = {
     val bm = Retrieval.bm25(Tables.documents(s, dir), "doc_id", "text",
       BmTerms, BmK1, BmB)
-    // Global ranking window: the input is the matched slice (bounded by
-    // query selectivity), not the corpus — for corpus-sized global
-    // ordering see the E101 two-phase rank. Ties impossible on doc_id.
-    bm.select(col("doc_id").as("id"), col("score"),
-      row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
-        .as("rank"))
+    // Top-slice FIRST, rank second (r15): orderBy+limit plans as
+    // TakeOrderedAndProject — a distributed bounded heap (per-partition
+    // top-S, driver merge of S-row slices) — so the ranking window only
+    // ever sees ≤ S rows no matter how unselective the term bag is (a
+    // stop-word term used to make the matched slice corpus-sized, the
+    // single-partition WindowExec cliff E101 documents). For ranks
+    // ≤ S the slice-then-rank order is EQUAL to rank-then-filter:
+    // the (score DESC, doc_id) order is total and deterministic.
+    bm.orderBy(col("score").desc, col("doc_id")).limit(RrfSliceS)
+      .select(col("doc_id").as("id"), col("score"),
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .as("rank"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -49,17 +64,23 @@ object RetrievalQueries {
 
     // E162: hybrid retrieval — BM25 ranking fused with an embedding
     // cosine ranking (query = vector 0, i.e. "docs like doc 0") by
-    // Reciprocal Rank Fusion. doc_id ≡ vec_id in the fixtures, the
-    // standard "text and embedding keyed by the same document id" shape.
+    // Reciprocal Rank Fusion over TOP-SLICES (r15): each leg feeds its
+    // top-S only; a doc absent from a leg's slice contributes 0 for
+    // that leg (rrf2's full-outer coalesce — standard top-slice RRF).
+    // The dense leg rides the E6 bounded-heap topK (per-partition heap
+    // aggregate, identical (score DESC, id) tiebreak as a ranking
+    // window), so NO corpus-sized unpartitioned window remains — the
+    // previous shape ranked every corpus vector through one
+    // single-partition WindowExec, the exact cliff E101 documents.
+    // doc_id ≡ vec_id in the fixtures, the standard "text and
+    // embedding keyed by the same document id" shape.
     "docs_hybrid_rrf" -> ((s, dir) => {
       val br = bm25Ranked(s, dir).select(col("id"), col("rank"))
       val e = SimilarityQueries.corpus(s, dir)
-      val q0 = e.filter(col("id") === 0).select(col("vec").as("qvec"))
-      val cs = e.filter(col("id") =!= 0)
-        .crossJoin(broadcast(q0)) // 1-row query-vector attach
-        .select(col("id"), Similarity.cosine(col("qvec"), col("vec")).as("score"))
-      val cr = cs.select(col("id"),
-        row_number().over(Window.orderBy(col("score").desc, col("id"))).as("rank"))
+      val q0 = e.filter(col("id") === 0)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      val cr = Similarity.topK(e, q0, RrfSliceS)
+        .select(col("neighbor_id").as("id"), col("rank"))
       Retrieval.rrf2(br, cr, RrfC)
         .withColumn("out_rank",
           row_number().over(Window.orderBy(col("rrf").desc, col("id"))))
@@ -170,17 +191,23 @@ object RetrievalQueries {
          |SELECT doc_id, CAST(rank AS INTEGER) AS rank, round(score, 6) AS score
          |FROM r WHERE rank <= $BmTopN""".stripMargin,
 
+    // Top-slice RRF (r15): each leg truncated to its top-S before the
+    // fusion — the oracle replays the slice with rank <= S filters on
+    // both legs, matching bm25Ranked's TakeOrderedAndProject slice and
+    // the dense leg's bounded-heap topK (identical tiebreaks).
     "docs_hybrid_rrf" ->
       s"""${SimilarityQueries.embCte},
          |$bm25Cte,
-         |br AS (SELECT doc_id AS id,
-         |         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
-         |       FROM s),
+         |br0 AS (SELECT doc_id AS id,
+         |          row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |        FROM s),
+         |br AS (SELECT id, rank FROM br0 WHERE rank <= $RrfSliceS),
          |qv AS (SELECT v FROM e WHERE vec_id = 0),
          |cs AS (SELECT e.vec_id AS id, ${SimilarityQueries.cosSql("q.v", "e.v")} AS score
          |       FROM e CROSS JOIN qv q WHERE e.vec_id <> 0),
-         |cr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank
-         |       FROM cs),
+         |cr0 AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank
+         |        FROM cs),
+         |cr AS (SELECT id, rank FROM cr0 WHERE rank <= $RrfSliceS),
          |f AS (SELECT coalesce(br.id, cr.id) AS id,
          |             br.rank AS rank_a, cr.rank AS rank_b
          |      FROM br FULL OUTER JOIN cr ON br.id = cr.id),

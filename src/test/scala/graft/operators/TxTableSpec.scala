@@ -170,6 +170,104 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.versions(spark, dir) === Seq(2L, 3L))
   }
 
+  test("checkpointed token lookup: a long-history table reads ONE " +
+      "checkpoint + a bounded manifest tail, and equals the full scan") {
+    val dir = tmp("ckpt")
+    val nCommits = 25 // crosses two checkpoint boundaries (10, 20)
+    (0 until nCommits).foreach { i =>
+      TxTable.appendIdempotent(
+        Seq((i.toLong, s"b$i")).toDF("id", "v"), dir, "sink", i.toLong)
+    }
+    // checkpoints landed on the Delta cadence
+    assert(TxTable.latestCheckpoint(spark, dir) === Some(20L))
+    // read cost: one checkpoint + the ≤N tail headers — NOT one header
+    // per version ever committed
+    TxTable.headerReads.set(0L)
+    val tokens = TxTable.committedTxns(spark, dir, "sink")
+    val reads = TxTable.headerReads.get()
+    assert(tokens === (0L until nCommits.toLong).toSet)
+    assert(reads <= TxTable.CheckpointInterval + 2,
+      s"token lookup opened $reads header files for a $nCommits-version " +
+        s"table — checkpoint not consulted")
+    // equivalence with the full-history scan (which reads every header)
+    TxTable.headerReads.set(0L)
+    val brute = TxTable.committedTxnsBrute(spark, dir, "sink")
+    assert(TxTable.headerReads.get() >= nCommits.toLong)
+    assert(brute === tokens, "checkpoint+tail diverged from full scan")
+    // replay of a pre-checkpoint token still no-ops via the checkpoint
+    assert(TxTable.appendIdempotent(
+      Seq((0L, "replay")).toDF("id", "v"), dir, "sink", 0L) === -1L)
+  }
+
+  test("commitWithRetry/appendWithRetry: the loser of a version race " +
+      "retries onto the next version and wins; bounded attempts") {
+    val dir = tmp("retry")
+    TxTable.commit((1 to 10).map(i => (i.toLong, "base")).toDF("id", "v"),
+      dir)
+    // plant a rival at version 1: the retrying append must land at 2
+    // ON TOP of the rival's files (optimistic concurrency, no loss)
+    val v0Files = TxTable.snapshotAt(spark, dir, 0L).inputFiles.toSeq
+      .map(_.split(dir + "/").last).sorted
+    TxTable.commitFiles(spark, dir, 1L, v0Files)
+    // appendWithRetry recomputes its base per attempt, so even racing
+    // the planted rival it extends the CURRENT head
+    val v = TxTable.appendWithRetry(
+      (11 to 15).map(i => (i.toLong, "inc")).toDF("id", "v"), dir)
+    assert(v === 2L)
+    assert(TxTable.snapshot(spark, dir).count() === 15L)
+    // a first-try append targeting an already-taken version fails
+    // loudly; the retry lane turns that loss into the next version
+    val v2Files = TxTable.snapshotAt(spark, dir, 2L).inputFiles.toSeq
+      .map(_.split(dir + "/").last).sorted
+    TxTable.commitFiles(spark, dir, 3L, v2Files)
+    val v4 = TxTable.commitWithRetry(
+      (1 to 7).map(i => (i.toLong, "w")).toDF("id", "v"), dir)
+    assert(v4 === 4L)
+    assert(TxTable.snapshot(spark, dir).count() === 7L)
+  }
+
+  test("partitioned commit: snapshotWhere plans ONLY the matching " +
+      "partitions' files; full snapshot round-trips with the columns") {
+    val dir = tmp("part")
+    val df = Seq(
+      (1L, "A", "x1"), (2L, "A", "x2"), (3L, "B", "x3"),
+      (4L, "B", "x4"), (5L, "C", "x5")
+    ).toDF("id", "grp", "payload")
+    TxTable.commitPartitioned(df, dir, Seq("grp"))
+    // full read re-attaches the partition column
+    val snap = TxTable.snapshot(spark, dir)
+    assert(snap.columns.sorted.toSeq === Seq("grp", "id", "payload"))
+    assert(snap.count() === 5L)
+    assert(snap.select(col("id"), col("grp"), col("payload"))
+      .except(df.select(col("id"), col("grp"), col("payload"))).isEmpty)
+    // pruned read: files-read ∝ matching partitions
+    val pruned = TxTable.snapshotWhere(spark, dir, Map("grp" -> "B"))
+    assert(pruned.count() === 2L)
+    val inFiles = pruned.inputFiles.toSeq
+    assert(inFiles.nonEmpty && inFiles.forall(_.contains("grp=B")),
+      s"pruned scan read outside grp=B: $inFiles")
+    val allFiles = snap.inputFiles.length
+    assert(inFiles.length < allFiles,
+      "pruning read as many files as the full scan")
+    // empty match → empty result, full schema, zero data files
+    val none = TxTable.snapshotWhere(spark, dir, Map("grp" -> "Z"))
+    assert(none.count() === 0L)
+    assert(none.columns.sorted.toSeq === Seq("grp", "id", "payload"))
+    // appends inherit the partitioning; pruning spans versions
+    TxTable.append(Seq((6L, "B", "x6")).toDF("id", "grp", "payload"), dir)
+    val p2 = TxTable.snapshotWhere(spark, dir, Map("grp" -> "B"))
+    assert(p2.count() === 3L)
+    assert(p2.inputFiles.forall(_.contains("grp=B")))
+    // non-string partition column refused at commit time
+    val e = intercept[IllegalArgumentException] {
+      TxTable.commitPartitioned(df.withColumn("grp", lit(1)),
+        tmp("partbad"), Seq("grp"))
+    }
+    assert(e.getMessage.contains("must be STRING"))
+    // time travel on the partitioned table keeps working
+    assert(TxTable.snapshotAt(spark, dir, 0L).count() === 5L)
+  }
+
   test("append commits a superset file list without rewriting the " +
       "base version's bytes") {
     val dir = tmp("app")

@@ -636,4 +636,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"optimizer multiplied expensive expressions:\n${offenders.mkString("\n")}")
   }
+
+  test("no unpartitioned window ranks an UNREDUCED corpus input " +
+      "(corpus-wide audit)") {
+    // The pathology this pins (VERDICT r14 #1): a ranking window with an
+    // EMPTY partitionSpec over a corpus-proportional input plans as ONE
+    // SinglePartition WindowExec — every corpus row sorts on one core, the
+    // E101/E149 cliff. docs_hybrid_rrf's dense leg did exactly that until
+    // r15 routed it through the E6 bounded-heap top-S. The audit walks
+    // every registered query's OPTIMIZED logical plan: any Window with no
+    // partition keys whose child subtree reaches a fixture-table scan
+    // without passing a REDUCING node (Aggregate, Local/GlobalLimit —
+    // orderBy+limit plans as the distributed TakeOrderedAndProject heap)
+    // fails. Approximation, stated openly: a grouped Aggregate counts as
+    // reducing even when its key is high-cardinality — vocabulary ranks,
+    // per-group sketch summaries and bootstrap replicates all pass through
+    // aggregates and are the documented bounded-window convention; the
+    // audit's target is the window-directly-over-scan/join/project shape,
+    // which no aggregate can hide. Plans only — nothing executes.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val bigTables = Seq("documents", "embeddings", "lineitem", "orders",
+      "events", "customer", "partsupp", "supplier", "part")
+    def corpusScaled(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate | _: GlobalLimit | _: LocalLimit => false
+      case l: LeafNode =>
+        val s = l.toString
+        bigTables.exists(t => s.contains(s"$t.parquet"))
+      case other => other.children.exists(corpusScaled)
+    }
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val op = fn(spark, sfDir).queryExecution.optimizedPlan
+        op.collect {
+          case w: Window if w.partitionSpec.isEmpty &&
+              corpusScaled(w.child) => name
+        }
+    }.distinct
+    assert(offenders.isEmpty,
+      "unpartitioned window over an unreduced corpus-scaled input:\n" +
+        offenders.mkString("\n"))
+  }
 }
