@@ -11,7 +11,9 @@ import graft.ext.{AnnIndex, GraphIndex, Similarity}
   * manifest, and prove the round trip by re-loading the artifact and
   * serving a probe search from it.
   *
-  * Usage: `IndexMain <embeddingsDir> <indexDir> [numSub]`
+  * Usage: `IndexMain [--opq] <embeddingsDir> <indexDir> [numSub]`
+  *        (`--opq`, r15/E319: learn the OPQ rotation at build, persist
+  *        it in the artifact, serve queries through it)
   *    or: `IndexMain --graph <embeddingsDir> <indexDir> [graphK]`
   *        (E291/E304: build the persisted GRAPH index — vectors,
   *        binary seed signatures, kNN edges — and probe-search it)
@@ -35,8 +37,13 @@ object IndexMain {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--graph")) return graphMain(args.drop(1))
     if (args.headOption.contains("--tx")) return txMain(args.drop(1))
-    require(args.length >= 2, "usage: IndexMain <embeddingsDir> <indexDir> [numSub]")
-    val numSub = if (args.length > 2) args(2).toInt else DefaultSubspaces
+    // --opq (r15, E319): train + persist the learned OPQ rotation in
+    // the artifact; queries rotate through it automatically at serve
+    val opq = args.headOption.contains("--opq")
+    val rest = if (opq) args.drop(1) else args
+    require(rest.length >= 2,
+      "usage: IndexMain [--opq] <embeddingsDir> <indexDir> [numSub]")
+    val numSub = if (rest.length > 2) rest(2).toInt else DefaultSubspaces
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-index")
@@ -46,20 +53,31 @@ object IndexMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val vecs = Tables.embeddings(spark, args(0)).select(
+    val (nVectors, rotated, served) =
+      runPq(spark, rest(0), rest(1), numSub, opq)
+    val idx = AnnIndex.load(spark, rest(1))
+    println(s"""{"metric":"index","n_vectors":$nVectors,"n_cells":${idx.centroids.count()},"n_codebook_rows":${idx.codebooks.count()},"num_sub":${idx.numSub},"sub_dim":${idx.subDim},"rotated":$rotated,"probe_rows":$served}""")
+    spark.stop()
+  }
+
+  /** The PQ build + read-back-probe flow behind the default mode —
+    * extracted so the spec drives it on the shared session. Returns
+    * (n_vectors indexed, rotation persisted?, probe rows served).
+    */
+  private[graft] def runPq(spark: SparkSession, embDir: String,
+      indexDir: String, numSub: Int, opq: Boolean): (Long, Boolean, Long) = {
+    val vecs = Tables.embeddings(spark, embDir).select(
       col("vec_id").as("id"), col("label").as("part"),
       Similarity.toDouble(col("embedding")).as("vec"))
     val dim = vecs.select(size(col("vec"))).head().getInt(0)
     require(dim % numSub == 0, s"dim $dim not divisible by numSub $numSub")
-    AnnIndex.build(vecs, numSub, dim / numSub, args(1))
-
+    AnnIndex.build(vecs, numSub, dim / numSub, indexDir, opq = opq)
     // read-back proof: load (manifest re-asserted) and serve one probe
     // query from the persisted artifact
-    val idx = AnnIndex.load(spark, args(1))
+    val idx = AnnIndex.load(spark, indexDir)
     val q = vecs.limit(1).select(col("id").as("qid"), col("vec").as("qv"))
-    val served = AnnIndex.searchTopK(spark, args(1), q, 3, 2).count()
-    println(s"""{"metric":"index","n_vectors":${idx.codes.count()},"n_cells":${idx.centroids.count()},"n_codebook_rows":${idx.codebooks.count()},"num_sub":${idx.numSub},"sub_dim":${idx.subDim},"probe_rows":$served}""")
-    spark.stop()
+    val served = AnnIndex.searchTopK(spark, indexDir, q, 3, 2).count()
+    (idx.codes.count(), idx.rotation.isDefined, served)
   }
 
   /** `--graph` mode: build + read-back-probe the persisted graph

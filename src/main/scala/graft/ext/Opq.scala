@@ -138,9 +138,21 @@ object Opq {
     * would bake R into the embedding export).
     */
   def rotate(vecs: DataFrame, means: IndexedSeq[Double],
-      r: Array[Array[Double]]): DataFrame = {
-    val m = means.toArray
-    val rot = udf((v: Seq[Double]) => {
+      r: Array[Array[Double]]): DataFrame =
+    vecs.select(col("id"), col("part"),
+      rotateUdf(means.toArray, r)(col("vec")).as("vec"))
+
+  /** Rotate ONE vector column in place, keeping every other column —
+    * the serve-path form (r15): [[graft.ext.AnnIndex]] rotates query
+    * vectors against the rotation persisted in the artifact, whatever
+    * the surrounding schema.
+    */
+  def rotateCol(df: DataFrame, vecCol: String, means: Array[Double],
+      r: Array[Array[Double]]): DataFrame =
+    df.withColumn(vecCol, rotateUdf(means, r)(col(vecCol)))
+
+  private def rotateUdf(m: Array[Double], r: Array[Array[Double]]) =
+    udf((v: Seq[Double]) => {
       val n = r.length
       val out = new Array[Double](n)
       var j = 0
@@ -154,6 +166,4 @@ object Opq {
       }
       out
     })
-    vecs.select(col("id"), col("part"), rot(col("vec")).as("vec"))
-  }
 }

@@ -15,6 +15,22 @@ class IndexMainSpec extends SparkSpec {
     assert(served === 3, s"probe served $served rows, wanted k = 3")
   }
 
+  test("--opq flow persists the rotation and serves through it") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_opqidx").toString
+    val (nVecs, rotated, served) =
+      IndexMain.runPq(spark, sfDir, out, numSub = 16, opq = true)
+    assert(nVecs === Tables.embeddings(spark, sfDir).count())
+    assert(rotated, "artifact carries no rotation despite --opq")
+    assert(served === 3, s"probe served $served rows, wanted k = 3")
+    // the default (no --opq) build stays rotation-free
+    val out2 = java.nio.file.Files
+      .createTempDirectory("graft_rawidx").toString
+    val (_, rotated2, _) =
+      IndexMain.runPq(spark, sfDir, out2, numSub = 16, opq = false)
+    assert(!rotated2)
+  }
+
   test("--tx flow commits, time travels, retains, and still serves") {
     val out = java.nio.file.Files
       .createTempDirectory("graft_tx").toString
