@@ -58,9 +58,23 @@ object GraphIndex {
   /** v2 added the tombstone table (E310); v3 hive-partitions
     * `edges.parquet` by `bucket = pmod(src, edge_buckets)` (recorded
     * in the manifest) and moves count verification off the per-search
-    * path. The bump keeps a v2 reader from mis-reading the layout.
+    * path; v4 (r15, E321) adds the HIERARCHICAL ENTRY LAYER — the
+    * HNSW-style upper layer: a deterministic node sample
+    * (`id % layer_mod = 0`, recorded in the manifest) with its own
+    * kNN edge table (`layeredges.parquet`, bucket-partitioned like
+    * level 0). [[searchTopKLayered]] seeds on the LAYER's signatures,
+    * walks the small upper graph, descends through the best visited
+    * layer nodes into the level-0 walk — entry points near the query
+    * at a fraction of the full seed scan. Each bump keeps an older
+    * reader from mis-reading the layout.
     */
-  val FormatVersion = 3
+  val FormatVersion = 4
+
+  /** Default upper-layer sampling modulus: 1/4 of the nodes form the
+    * entry layer (HNSW's level-1 occupancy for M = 4). Deterministic
+    * (id-derived), so the layer is replayable by any engine.
+    */
+  val DefaultLayerMod = 4
 
   /** Default edge-bucket count. At fixture scale this already yields
     * measurable directory pruning; a billion-vector deployment raises
@@ -70,8 +84,8 @@ object GraphIndex {
   val DefaultEdgeBuckets = 16
 
   final case class Index(dim: Int, graphK: Int, edgeBuckets: Int,
-      vectors: DataFrame, sigs: DataFrame, edges: DataFrame,
-      tombstones: DataFrame) {
+      layerMod: Int, vectors: DataFrame, sigs: DataFrame,
+      edges: DataFrame, layerEdges: DataFrame, tombstones: DataFrame) {
     /** Soft-delete read paths: tombstoned ids neither seed, relay,
       * nor return — vectors and signatures anti-join the tombstones,
       * and an edge dies if EITHER endpoint is tombstoned (a deleted
@@ -83,6 +97,10 @@ object GraphIndex {
       sigs.join(tombstones.select(col("id")), Seq("id"), "left_anti")
     def liveEdges: DataFrame =
       edges
+        .join(tombstones.select(col("id").as("src")), Seq("src"), "left_anti")
+        .join(tombstones.select(col("id").as("dst")), Seq("dst"), "left_anti")
+    def liveLayerEdges: DataFrame =
+      layerEdges
         .join(tombstones.select(col("id").as("src")), Seq("src"), "left_anti")
         .join(tombstones.select(col("id").as("dst")), Seq("dst"), "left_anti")
   }
@@ -112,16 +130,18 @@ object GraphIndex {
       pmod(col("src"), lit(buckets.toLong)).cast("int"))
 
   private def writeManifest(spark: SparkSession, dir: String,
-      dim: Int, graphK: Int, edgeBuckets: Int): Unit = {
+      dim: Int, graphK: Int, edgeBuckets: Int, layerMod: Int): Unit = {
     val nVecs = spark.read.parquet(s"$dir/vectors.parquet").count()
     val nSigs = spark.read.parquet(s"$dir/sigs.parquet").count()
     val nEdges = spark.read.parquet(s"$dir/edges.parquet").count()
+    val nLay = spark.read.parquet(s"$dir/layeredges.parquet").count()
     val nTomb = spark.read.parquet(s"$dir/tombstones.parquet").count()
     import spark.implicits._
-    Seq((FormatVersion, dim, graphK, edgeBuckets,
-        nVecs, nSigs, nEdges, nTomb))
+    Seq((FormatVersion, dim, graphK, edgeBuckets, layerMod,
+        nVecs, nSigs, nEdges, nLay, nTomb))
       .toDF("format_version", "dim", "graph_k", "edge_buckets",
-        "n_vectors", "n_sigs", "n_edges", "n_tombstones")
+        "layer_mod", "n_vectors", "n_sigs", "n_edges", "n_layer_edges",
+        "n_tombstones")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/manifest.parquet")
     invalidate(dir)
@@ -132,9 +152,10 @@ object GraphIndex {
     * convention).
     */
   def build(vecs: DataFrame, dim: Int, graphK: Int, outDir: String,
-      edgeBuckets: Int = DefaultEdgeBuckets): Unit = {
+      edgeBuckets: Int = DefaultEdgeBuckets,
+      layerMod: Int = DefaultLayerMod): Unit = {
     val spark = vecs.sparkSession
-    val v = vecs.localCheckpoint(false) // three table writes, one scan
+    val v = vecs.localCheckpoint(false) // four table writes, one scan
     v.write.mode("overwrite").parquet(s"$outDir/vectors.parquet")
     Similarity.binarySigs(v, dim)
       .write.mode("overwrite").parquet(s"$outDir/sigs.parquet")
@@ -143,12 +164,29 @@ object GraphIndex {
         edgeBuckets)
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$outDir/edges.parquet")
+    // v4 entry layer: kNN edges over the deterministic node sample.
+    // The upper layer's job is GLOBAL navigability — a walk must be
+    // able to route ACROSS coarse buckets to reach the query's region
+    // — so its kNN is UNRESTRICTED (constant part ⇒ all-pairs among
+    // layer nodes; measured: the label-restricted variant strands the
+    // descent in the seed's bucket and recall collapses). Cost is
+    // (N/layerMod)² pair work — 1/layerMod² of naive level-0 all-
+    // pairs; a billion-vector deployment recurses the same sampling
+    // into a layer hierarchy (each level all-pairs over a geometric
+    // fraction) exactly as HNSW's log-layers do.
+    withBucket(Similarity.knnGraph(
+          v.filter(col("id") % layerMod === 0)
+            .withColumn("part", lit(0L)), graphK)
+        .select(col("src_id").as("src"), col("dst_id").as("dst")),
+        edgeBuckets)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$outDir/layeredges.parquet")
     // empty tombstone set with the VECTORS id type — delete() appends
     // to this file, and parquet append demands an identical schema
     spark.read.parquet(s"$outDir/vectors.parquet").select(col("id"))
       .limit(0)
       .write.mode("overwrite").parquet(s"$outDir/tombstones.parquet")
-    writeManifest(spark, outDir, dim, graphK, edgeBuckets)
+    writeManifest(spark, outDir, dim, graphK, edgeBuckets, layerMod)
   }
 
   /** Soft-DELETE `ids (id)` (E310, the E263 design for the graph
@@ -175,7 +213,8 @@ object GraphIndex {
       s"$already ids are already tombstoned — double delete")
     ids.select(col("id"))
       .write.mode("append").parquet(s"$dir/tombstones.parquet")
-    writeManifest(spark, dir, idx.dim, idx.graphK, idx.edgeBuckets)
+    writeManifest(spark, dir, idx.dim, idx.graphK, idx.edgeBuckets,
+      idx.layerMod)
   }
 
   /** COMPACT (E310): physically drop tombstoned vectors, signatures,
@@ -200,9 +239,13 @@ object GraphIndex {
     idx.liveEdges.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dir/edges.compacting.parquet")
     IndexFiles.swapIn(spark, dir, "edges")
+    idx.liveLayerEdges.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/layeredges.compacting.parquet")
+    IndexFiles.swapIn(spark, dir, "layeredges")
     spark.read.parquet(s"$dir/vectors.parquet").select(col("id")).limit(0)
       .write.mode("overwrite").parquet(s"$dir/tombstones.parquet")
-    writeManifest(spark, dir, idx.dim, idx.graphK, idx.edgeBuckets)
+    writeManifest(spark, dir, idx.dim, idx.graphK, idx.edgeBuckets,
+      idx.layerMod)
   }
 
   /** Incrementally APPEND `newVecs (id, part, vec)` to a persisted
@@ -267,15 +310,33 @@ object GraphIndex {
       .select(col("src0").as("src"),
         explode(col("t.items")).as("it"))
       .select(col("src"), col("it.id").as("dst"))
+    // v4: batch nodes that SAMPLE into the entry layer get their own
+    // upper-layer out-edges against the full post-append LAYER
+    // population — the same frozen-existing discipline as level 0
+    val layNew = q.filter(col("nid") % idx.layerMod === 0)
+    val layFull = full.filter(col("id") % idx.layerMod === 0)
+    // upper-layer edges are UNRESTRICTED (global navigability — see
+    // build): new layer nodes rank against the whole layer population
+    val newLayerEdges = layNew.join(layFull,
+        col("nid") =!= col("id"))
+      .select(col("nid").as("src0"), col("id").as("dst0"), cs.as("cs"))
+      .groupBy(col("src0"))
+      .agg(Similarity.topkUdaf(idx.graphK)(col("cs"), col("dst0")).as("t"))
+      .select(col("src0").as("src"), explode(col("t.items")).as("it"))
+      .select(col("src"), col("it.id").as("dst"))
     // edges FIRST (see scaladoc): the plan reads idx.vectors, so it
     // must execute before vectors.parquet changes underneath it
     withBucket(newEdges, idx.edgeBuckets)
       .write.mode("append").partitionBy("bucket")
       .parquet(s"$dir/edges.parquet")
+    withBucket(newLayerEdges, idx.edgeBuckets)
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$dir/layeredges.parquet")
     nv.write.mode("append").parquet(s"$dir/vectors.parquet")
     Similarity.binarySigs(nv, idx.dim)
       .write.mode("append").parquet(s"$dir/sigs.parquet")
-    writeManifest(spark, dir, idx.dim, idx.graphK, idx.edgeBuckets)
+    writeManifest(spark, dir, idx.dim, idx.graphK, idx.edgeBuckets,
+      idx.layerMod)
   }
 
   /** Load + validate. Throws (IllegalArgumentException) on a missing,
@@ -292,6 +353,7 @@ object GraphIndex {
     val vectors = spark.read.parquet(s"$dir/vectors.parquet")
     val sigs = spark.read.parquet(s"$dir/sigs.parquet")
     val edges = spark.read.parquet(s"$dir/edges.parquet")
+    val layerEdges = spark.read.parquet(s"$dir/layeredges.parquet")
     val tomb = spark.read.parquet(s"$dir/tombstones.parquet")
     def check(name: String, df: DataFrame, want: Long): Unit = {
       val got = df.count()
@@ -302,11 +364,12 @@ object GraphIndex {
     check("vectors", vectors, ml("n_vectors"))
     check("sigs", sigs, ml("n_sigs"))
     check("edges", edges, ml("n_edges"))
+    check("layeredges", layerEdges, ml("n_layer_edges"))
     check("tombstones", tomb, ml("n_tombstones"))
     require(ml("n_sigs") == ml("n_vectors"),
       "every vector needs a signature: artifact inconsistent")
-    Index(mi("dim"), mi("graph_k"), mi("edge_buckets"),
-      vectors, sigs, edges, tomb)
+    Index(mi("dim"), mi("graph_k"), mi("edge_buckets"), mi("layer_mod"),
+      vectors, sigs, edges, layerEdges, tomb)
   }
 
   /** Serve top-k from the persisted artifact: seeds from the stored
@@ -367,5 +430,155 @@ object GraphIndex {
       .distinct().collect().map(_.getInt(0)).toSeq
     idx.liveEdges.filter(col("bucket").isin(bks: _*))
       .select(col("src").as("esrc"), col("dst").as("edst"))
+  }
+
+  /** The upper layer's pruned hop slice — same bucket pruning as
+    * [[hopEdges]], over `layeredges.parquet`.
+    */
+  private[ext] def layerHopEdges(idx: Index, cand: DataFrame): DataFrame = {
+    val bks = cand
+      .select(pmod(col("id"), lit(idx.edgeBuckets.toLong))
+        .cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    idx.liveLayerEdges.filter(col("bucket").isin(bks: _*))
+      .select(col("src").as("esrc"), col("dst").as("edst"))
+  }
+
+  /** HIERARCHICAL serve (r15, E321 — the HNSW entry-layer shape in
+    * batch form): seed on the UPPER LAYER's signatures (a
+    * 1/layer_mod-sized scan), walk `layerHops` rounds over the small
+    * upper graph, pick each query's `seeds` best VISITED layer nodes
+    * by exact cosine (the batched greedy descent), and start the
+    * level-0 walk from those entries — same `hops` expansion and
+    * exact rerank as [[searchTopK]], so the two tiers differ ONLY in
+    * where the walk enters. Upper-layer visits do not join the
+    * candidate set (the HNSW convention: upper layers route, layer 0
+    * answers); candidate volume is therefore directly comparable to
+    * the flat walk at equal seed count, which is what the layered
+    * sweep row measures.
+    */
+  def searchTopKLayered(spark: SparkSession, dir: String,
+      numQueries: Int, seeds: Int, layerHops: Int, hops: Int,
+      k: Int): DataFrame = {
+    val idx = loadCached(spark, dir)
+    Similarity.graphRerank(idx.liveVectors.localCheckpoint(false),
+      expandCandidatesLayered(spark, dir, numQueries, seeds, layerHops,
+        hops),
+      numQueries, k)
+  }
+
+  /** The candidate half of [[searchTopKLayered]] — visited level-0
+    * set `(query_id, id)`, self-hits excluded; public for composed
+    * pipelines, like [[expandCandidates]].
+    */
+  def expandCandidatesLayered(spark: SparkSession, dir: String,
+      numQueries: Int, seeds: Int, layerHops: Int,
+      hops: Int): DataFrame = {
+    require(layerHops >= 1 && hops >= 1, "need at least one hop per tier")
+    val idx = loadCached(spark, dir)
+    val sigs = idx.liveSigs.localCheckpoint(false)
+    // entry seeds: Hamming over the LAYER's signatures only — queries
+    // still come from the full table (a query need not be a layer node)
+    var lc = Similarity.hammingTopKSigsFrom(
+        sigs.filter(col("id") % idx.layerMod === 0), sigs,
+        numQueries, seeds)
+      .select(col("query_id"), col("neighbor_id").as("id"))
+      .localCheckpoint(false)
+    for (_ <- 1 to layerHops) {
+      val ex = lc.join(layerHopEdges(idx, lc), col("id") === col("esrc"))
+        .select(col("query_id"), col("edst").as("id"))
+      lc = lc.union(ex).distinct().localCheckpoint(false)
+    }
+    // batched greedy descent: the `seeds` closest visited layer nodes
+    // per query (exact cosine, the heap's (cs DESC, id) tie order)
+    // become the level-0 entry points
+    val qv = idx.liveVectors.filter(col("id") < numQueries)
+      .select(col("id").as("qid"), col("vec").as("qv"))
+    val entries = lc.filter(col("query_id") =!= col("id"))
+      .join(idx.liveVectors.select(col("id").as("vid"), col("vec")),
+        col("id") === col("vid"))
+      .join(broadcast(qv), col("query_id") === col("qid"))
+      .select(col("query_id"), col("id"),
+        Similarity.cosine(col("qv"), col("vec")).as("cs"))
+      .groupBy(col("query_id"))
+      .agg(Similarity.topkUdaf(seeds)(col("cs"), col("id")).as("t"))
+      .select(col("query_id"), explode(col("t.items")).as("it"))
+      .select(col("query_id"), col("it.id").as("id"))
+    var cand = entries.localCheckpoint(false)
+    for (_ <- 1 to hops) {
+      val expanded = cand.join(hopEdges(idx, cand), col("id") === col("esrc"))
+        .select(col("query_id"), col("edst").as("id"))
+      cand = cand.union(expanded).distinct().localCheckpoint(false)
+    }
+    cand.filter(col("query_id") =!= col("id"))
+  }
+
+  /** E301's hop-recall sweep re-run over the LAYERED walk (r15): one
+    * pass, the level-0 visited set snapshotted at every depth 0..hops
+    * (depth 0 = the entry points the upper layer routed to), each
+    * snapshot reranked and priced against the exact cosine top-k —
+    * recall and candidate volume per depth, directly comparable to
+    * the flat `emb_graph_hop_sweep` curve at equal seed count (that
+    * comparison is the "does the entry layer buy recall at fixed
+    * candidate volume" question, answered by measurement in
+    * SCALING.md).
+    */
+  def layeredHopSweep(spark: SparkSession, dir: String, numQueries: Int,
+      seeds: Int, layerHops: Int, hops: Int, k: Int): DataFrame = {
+    val idx = loadCached(spark, dir)
+    val v = idx.liveVectors.localCheckpoint(false)
+    // depth 0 = the ENTRY set (the upper tier's routing output),
+    // computed once here; deeper snapshots expand it over level 0
+    val entries = {
+      val sigs = idx.liveSigs.localCheckpoint(false)
+      var lc = Similarity.hammingTopKSigsFrom(
+          sigs.filter(col("id") % idx.layerMod === 0), sigs,
+          numQueries, seeds)
+        .select(col("query_id"), col("neighbor_id").as("id"))
+        .localCheckpoint(false)
+      for (_ <- 1 to layerHops) {
+        val ex = lc.join(layerHopEdges(idx, lc), col("id") === col("esrc"))
+          .select(col("query_id"), col("edst").as("id"))
+        lc = lc.union(ex).distinct().localCheckpoint(false)
+      }
+      val qv = v.filter(col("id") < numQueries)
+        .select(col("id").as("qid"), col("vec").as("qv"))
+      lc.filter(col("query_id") =!= col("id"))
+        .join(v.select(col("id").as("vid"), col("vec")),
+          col("id") === col("vid"))
+        .join(broadcast(qv), col("query_id") === col("qid"))
+        .select(col("query_id"), col("id"),
+          Similarity.cosine(col("qv"), col("vec")).as("cs"))
+        .groupBy(col("query_id"))
+        .agg(Similarity.topkUdaf(seeds)(col("cs"), col("id")).as("t"))
+        .select(col("query_id"), explode(col("t.items")).as("it"))
+        .select(col("query_id"), col("it.id").as("id"))
+        .localCheckpoint(false)
+    }
+    var cand = entries
+    var snaps = List((0, cand))
+    for (h <- 1 to hops) {
+      val expanded = cand.join(hopEdges(idx, cand), col("id") === col("esrc"))
+        .select(col("query_id"), col("edst").as("id"))
+      cand = cand.union(expanded).distinct().localCheckpoint(false)
+      snaps ::= ((h, cand))
+    }
+    val q = v.filter(col("id") < numQueries)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val exact = Similarity.topK(v, q, k)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(false)
+    val rows = snaps.reverse.map { case (h, c1) =>
+      val cf = c1.filter(col("query_id") =!= col("id"))
+        .localCheckpoint(false) // count + rerank
+      val top = Similarity.graphRerank(v, cf, numQueries, k)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = top.join(exact, Seq("query_id", "neighbor_id")).count()
+      (h, cf.count(), hits)
+    }
+    import spark.implicits._
+    rows.toDF("hop", "n_cand", "n_hits")
+      .select(col("hop"), col("n_cand"), col("n_hits"),
+        round(col("n_hits").cast("double") /
+          lit((numQueries * k).toDouble), 6).as("recall_at_k"))
   }
 }

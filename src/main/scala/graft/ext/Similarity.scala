@@ -1662,9 +1662,18 @@ object Similarity {
     * Caller materializes `sigs` if it feeds multiple consumers.
     */
   def hammingTopKSigs(sigs: DataFrame, numQueries: Int,
-      k: Int): DataFrame = {
-    val c = sigs.withColumn("bk", pmod(col("id"), lit(BruteForceBuckets.toLong)))
-    val q = sigs.filter(col("id") < numQueries)
+      k: Int): DataFrame = hammingTopKSigsFrom(sigs, sigs, numQueries, k)
+
+  /** [[hammingTopKSigs]] with the CANDIDATE set decoupled from the
+    * query source (r15, E321): the layered graph entry seeds from the
+    * UPPER-LAYER signatures only, while queries keep coming from the
+    * full signature table — same scoring, same (distance, id) heap
+    * tie order.
+    */
+  def hammingTopKSigsFrom(cands: DataFrame, qsigs: DataFrame,
+      numQueries: Int, k: Int): DataFrame = {
+    val c = cands.withColumn("bk", pmod(col("id"), lit(BruteForceBuckets.toLong)))
+    val q = qsigs.filter(col("id") < numQueries)
       .select(col("id").as("qid"), col("h0").as("q0"), col("h1").as("q1"),
         bucketFanout.as("qbk"))
     val dist = bit_count(col("c.h0").bitwiseXOR(col("q.q0"))) +

@@ -464,6 +464,35 @@ object SimilarityQueries {
       Similarity.mmrOverCandidates(rel, c, K, MmrLambda, MmrOneMinusLambda)
     }),
 
+    // E321 (r15, VERDICT r14 #5): HIERARCHICAL entry layer — the
+    // HNSW upper-layer shape over the persisted artifact (v4): seed
+    // on the LAYER's signatures (a 1/layer_mod-sized scan), walk the
+    // small upper graph, descend through each query's best visited
+    // layer nodes into the level-0 walk, rerank. Differs from
+    // emb_graph_persisted ONLY in where the walk enters; the oracle
+    // replays the full two-tier chain value-for-value.
+    "emb_graph_layered" -> ((s, dir) => {
+      val idxDir = Materialize.once(s"graph_index:$dir", dir) { p =>
+        graft.ext.GraphIndex.build(corpus(s, dir), EmbDim, KnnK, p)
+      }
+      graft.ext.GraphIndex.searchTopKLayered(s, idxDir, NumQueries,
+        GraphSeeds, LayerHops, GraphHops, K)
+    }),
+
+    // E322 (r15): the E301 hop-recall sweep re-run over the LAYERED
+    // walk — recall@K and candidate volume at every level-0 depth,
+    // depth 0 = the entry points the upper layer routed to. Read next
+    // to emb_graph_hop_sweep (flat, same seed count) this answers
+    // "does the entry layer buy recall at fixed candidate volume"
+    // by measurement; SCALING.md carries the side-by-side curve.
+    "emb_graph_layered_sweep" -> ((s, dir) => {
+      val idxDir = Materialize.once(s"graph_index:$dir", dir) { p =>
+        graft.ext.GraphIndex.build(corpus(s, dir), EmbDim, KnnK, p)
+      }
+      graft.ext.GraphIndex.layeredHopSweep(s, idxDir, NumQueries,
+        GraphSeeds, LayerHops, GraphHops, K)
+    }),
+
     // E310: graph-index soft DELETE: build on the full population,
     // tombstone the id % 7 = 3 slice, search — tombstoned ids neither
     // seed, relay, nor return (and a tombstoned low id drops out of
@@ -2107,6 +2136,116 @@ object SimilarityQueries {
   private lazy val graphExpandCtes: String = graphExpandCtesOver(
     s"$knnTopCte,\ngedges AS (SELECT src, dst FROM ktop)")
 
+  /** Level-0 walk depth of the LAYERED serve's upper tier (E321). */
+  private val LayerHops = 2
+  private def layerModSql: Int = graft.ext.GraphIndex.DefaultLayerMod
+
+  /** E321 upper-tier CTEs: layer-restricted Hamming seeds, the layer's
+    * own kNN edge set, `LayerHops` union-expansion rounds, exact-
+    * cosine descent to the per-query entry set `ent` — mirrors
+    * GraphIndex.expandCandidatesLayered's upper half exactly (the
+    * heap's (dist, id) / (cs DESC, id) tie orders).
+    */
+  private lazy val layeredEntryCtes: String = {
+    val layerHopChain = (1 to LayerHops).map(h =>
+      s"""l$h AS (SELECT qid, id FROM l${h - 1}
+         |  UNION SELECT l${h - 1}.qid, k.dst FROM l${h - 1}
+         |  JOIN ledges k ON k.src = l${h - 1}.id)""".stripMargin)
+      .mkString(",\n")
+    s"""sg AS MATERIALIZED (SELECT vec_id AS id, ${binPackSql(0)} AS h0,
+       |       ${binPackSql(EmbDim / 2)} AS h1 FROM e),
+       |qs AS (SELECT id AS qid, h0 AS q0, h1 AS q1 FROM sg
+       |       WHERE id < $NumQueries),
+       |dl AS (SELECT qs.qid, sg.id,
+       |             CAST(bit_count(xor(sg.h0, qs.q0)) +
+       |                  bit_count(xor(sg.h1, qs.q1)) AS BIGINT) AS dist
+       |      FROM qs JOIN sg ON sg.id <> qs.qid
+       |                     AND sg.id % $layerModSql = 0),
+       |sdl AS (SELECT qid, id FROM (
+       |    SELECT qid, id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY dist, id) AS rnk FROM dl) WHERE rnk <= $GraphSeeds),
+       |lvv AS MATERIALIZED (SELECT vec_id AS id, label, v FROM e
+       |      WHERE vec_id % $layerModSql = 0),
+       |lksc AS MATERIALIZED (SELECT a.id AS src, b.id AS dst,
+       |        ${cosSql("a.v", "b.v")} AS cs
+       |      FROM lvv a JOIN lvv b ON a.id <> b.id),
+       |lktp AS (SELECT src, dst, row_number() OVER (PARTITION BY src
+       |        ORDER BY cs DESC, dst) AS rn FROM lksc),
+       |ledges AS MATERIALIZED (SELECT src, dst FROM lktp
+       |      WHERE rn <= $KnnK),
+       |l0 AS (SELECT qid, id FROM sdl),
+       |$layerHopChain,
+       |lf AS (SELECT qid, id FROM l$LayerHops WHERE id <> qid),
+       |lsc AS (SELECT lf.qid, lf.id, ${cosSql("q2.v", "e.v")} AS cs
+       |        FROM lf JOIN e q2 ON q2.vec_id = lf.qid
+       |                JOIN e ON e.vec_id = lf.id),
+       |ent AS MATERIALIZED (SELECT qid, id FROM (
+       |    SELECT qid, id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY cs DESC, id) AS rnk FROM lsc)
+       |    WHERE rnk <= $GraphSeeds)""".stripMargin
+  }
+
+  /** E321/E322 full chain: upper tier → entries as c0 → the SAME
+    * level-0 hop chain / visited set / rescore / rerank CTE names the
+    * flat oracle uses, so the two tails stay textually identical.
+    */
+  private lazy val layeredExpandCtes: String = {
+    val hopChain = (1 to GraphHops).map(h =>
+      s"""c$h AS (SELECT qid, id FROM c${h - 1}
+         |  UNION SELECT c${h - 1}.qid, k.dst FROM c${h - 1}
+         |  JOIN gedges k ON k.src = c${h - 1}.id)""".stripMargin)
+      .mkString(",\n")
+    s"""$embCte,
+       |$layeredEntryCtes,
+       |$knnTopCte,
+       |gedges AS (SELECT src, dst FROM ktop),
+       |c0 AS (SELECT qid, id FROM ent),
+       |$hopChain,
+       |cf AS MATERIALIZED (SELECT qid, id FROM c$GraphHops WHERE id <> qid),
+       |gsc AS (SELECT cf.qid, cf.id, ${cosSql("q2.v", "e.v")} AS cs
+       |        FROM cf JOIN e q2 ON q2.vec_id = cf.qid
+       |                JOIN e ON e.vec_id = cf.id),
+       |gtop AS MATERIALIZED (SELECT qid, id, cs, rnk FROM (
+       |    SELECT qid, id, cs, row_number() OVER (PARTITION BY qid
+       |      ORDER BY cs DESC, id) AS rnk FROM gsc) WHERE rnk <= $K)""".stripMargin
+  }
+
+  /** E322 oracle: graphHopSweepSql's per-depth rescoring over the
+    * LAYERED chain's snapshots (depth 0 = `ent`).
+    */
+  private lazy val layeredHopSweepSql: String = {
+    val perHop = (0 to GraphHops).map { h =>
+      s"""cf$h AS (SELECT qid, id FROM c$h WHERE id <> qid),
+         |gsc$h AS (SELECT cf$h.qid, cf$h.id, ${cosSql("q2.v", "e.v")} AS cs
+         |     FROM cf$h JOIN e q2 ON q2.vec_id = cf$h.qid
+         |               JOIN e ON e.vec_id = cf$h.id),
+         |gt$h AS (SELECT qid, id FROM (
+         |     SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |       ORDER BY cs DESC, id) AS rnk FROM gsc$h) WHERE rnk <= $K),
+         |ht$h AS (SELECT count(*) AS n FROM gt$h
+         |     JOIN xr ON xr.qid = gt$h.qid AND xr.id = gt$h.id),
+         |nc$h AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cf$h)""".stripMargin
+    }.mkString(",\n")
+    val rows = (0 to GraphHops).map { h =>
+      s"""SELECT CAST($h AS INTEGER) AS hop,
+         |  (SELECT n FROM nc$h) AS n_cand,
+         |  CAST((SELECT n FROM ht$h) AS BIGINT) AS n_hits,
+         |  round(CAST((SELECT n FROM ht$h) AS DOUBLE)
+         |        / ${NumQueries * K}, 6) AS recall_at_k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$layeredExpandCtes,
+       |s2 AS (SELECT q2.vec_id AS qid, e.vec_id AS id,
+       |              ${cosSql("q2.v", "e.v")} AS score
+       |       FROM e q2 JOIN e ON e.vec_id <> q2.vec_id
+       |       WHERE q2.vec_id < $NumQueries),
+       |xr AS (SELECT qid, id FROM (
+       |         SELECT qid, id, row_number() OVER (PARTITION BY qid
+       |           ORDER BY score DESC, id) AS rank FROM s2)
+       |       WHERE rank <= $K),
+       |$perHop
+       |$rows""".stripMargin
+  }
+
   /** E299 edge set: base-population kNN edges FROZEN, appended nodes
     * ranked against the FULL population within their bucket — mirrors
     * GraphIndex.append exactly.
@@ -3136,6 +3275,17 @@ object SimilarityQueries {
            |  FROM cf JOIN e q2 ON q2.vec_id = cf.qid
            |          JOIN e ON e.vec_id = cf.id)""".stripMargin +
         mmrRoundsSql(K)),
+
+    // E321: the two-tier chain replayed value-for-value — layer
+    // seeds, layer walk, cosine descent, level-0 walk, rerank.
+    "emb_graph_layered" ->
+      s"""$layeredExpandCtes
+         |SELECT qid AS query_id, CAST(rnk AS INTEGER) AS rank,
+         |       id AS neighbor_id, round(cs, 6) AS cos
+         |FROM gtop""".stripMargin,
+
+    // E322: per-depth rescoring of the layered chain's snapshots.
+    "emb_graph_layered_sweep" -> layeredHopSweepSql,
 
     // E310: full-population edges with both endpoints live, live
     // seeds/queries, same walk and rerank.
