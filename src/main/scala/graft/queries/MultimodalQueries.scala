@@ -135,6 +135,40 @@ object MultimodalQueries {
     // every pixel exactly (PNG is lossless by spec). This retires the
     // byte-grid stand-in for images; video/audio payload decode stays
     // genuinely ungated (no demuxer/PCM codec in the JDK).
+    // E323 (r15, VERDICT r14 #4): REAL JPEG decode, gated the E66
+    // machine-checked-bound way. Each doc's planted pixel pattern is
+    // pushed through the JDK's LOSSY JPEG writer; the row then (a)
+    // recovers width/height EXACTLY via the real SOF segment walk
+    // (MediaDims) — value-hash-matched against the oracle's formula,
+    // (b) decodes the payload with javax.imageio and checks the
+    // decoded luma's per-image MAE against the planted pixels stays
+    // inside the spec'd band (≤ 10.0; measured max 8.80 at both SFs
+    // over the sawtooth pattern, avg 5.87 — bit-exact luma is
+    // impossible for a lossy codec, so the bound IS the contract),
+    // and (c) proves the pixel COUNT matches the geometry. Remaining
+    // ungated codecs after this row: video/audio PAYLOAD decode (no
+    // demuxer/PCM codec ships in the JDK) — still header-parse +
+    // documented stand-ins.
+    "mm_decode_jpeg" -> ((s, dir) => {
+      val jp = Multimodal.realJpegMedia(Tables.documents(s, dir))
+      val withDims = jp.select(col("id"),
+        graft.functions.MediaDims(col("content")).as("d"),
+        Multimodal.lumaInts(Multimodal.decodeLuma(col("content")))
+          .as("luma"))
+      val px = withDims.select(col("id"),
+        col("d.width").cast("long").as("width"),
+        col("d.height").cast("long").as("height"),
+        size(col("luma")).cast("long").as("n_pix"),
+        posexplode(col("luma")).as(Seq("p", "lb")))
+      px.groupBy(col("id"), col("width"), col("height"), col("n_pix"))
+        .agg(avg(abs(col("lb") -
+          pmod(col("id") * 31 + col("p").cast("long") * 7, lit(256))))
+          .as("mae"))
+        .select(col("id"), col("width"), col("height"),
+          (col("n_pix") === col("width") * col("height")).as("n_pix_ok"),
+          (col("mae") <= JpegMaeBand).as("mae_ok"))
+    }),
+
     "mm_phash_real" -> ((s, dir) =>
       Multimodal.realPngMedia(Tables.documents(s, dir))
         .select(col("id"),
@@ -182,6 +216,14 @@ object MultimodalQueries {
         .agg(min("id").as("id"), count(lit(1)).as("n_copies"))
         .select("id", "n_bytes", "n_copies")
     }))
+
+  /** E323 per-image decoded-luma MAE band: measured max 8.80 (avg
+    * 5.87) at both SFs over the planted sawtooth pattern through the
+    * JDK JPEG writer at its default quality — 10.0 adds margin
+    * without ever passing a broken decoder (junk decodes land ~85,
+    * the uniform-expected-difference floor).
+    */
+  private val JpegMaeBand = 10.0
 
   /** Hamming radius for the perceptual near-dup tier (mm_phash_pairs);
     * < 4 so the 4-chunk pigeonhole banding is exhaustive.
@@ -373,6 +415,16 @@ object MultimodalQueries {
     "mm_phash" -> s"$phashCte SELECT doc_id AS id, dhash FROM ph",
 
     "mm_phash_real" -> s"$phashRealCte SELECT doc_id AS id, dhash FROM ph",
+
+    // E323: geometry from the formula the planted dims derive from;
+    // the two fidelity booleans are machine-checked Spark-side (the
+    // E66 bound pattern — DuckDB has no JPEG codec to replay).
+    "mm_decode_jpeg" ->
+      """SELECT doc_id AS id,
+        |       CAST(n_chars % 13 + 9 AS BIGINT) AS width,
+        |       CAST(n_chars % 7 + 8 AS BIGINT) AS height,
+        |       true AS n_pix_ok, true AS mae_ok
+        |FROM documents""".stripMargin,
 
     "mm_chunk_boundaries" ->
       s"$chunkCte SELECT id, chunk_idx, chunk_len, chunk_md5 FROM chunks",

@@ -69,6 +69,24 @@ class ImageDecodeSpec extends SparkSpec {
       "not merely lossy")
   }
 
+  test("mm_decode_jpeg: geometry exact per formula, every per-image " +
+      "MAE inside the spec'd band (E323)") {
+    val rows = graft.queries.MultimodalQueries
+      .queries("mm_decode_jpeg")(spark, sfDir).collect()
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length === docs.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("id")
+      val (w, h) = Multimodal.plantedDims(docs(id))
+      assert(r.getAs[Long]("width") === w.toLong, s"asset $id width")
+      assert(r.getAs[Long]("height") === h.toLong, s"asset $id height")
+      assert(r.getAs[Boolean]("n_pix_ok"), s"asset $id pixel count")
+      assert(r.getAs[Boolean]("mae_ok"), s"asset $id MAE out of band")
+    }
+  }
+
   test("junk bytes decode to null (and DHash32 to null), not a crash") {
     val junk = Seq(
       Tuple1(Array[Byte](1, 2, 3, 4)),

@@ -38,6 +38,43 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("MemoryStream Avro route equals batch route, incl. a " +
+      "malformed-preamble batch (E315 streaming twin, r15)") {
+    // the R2 streaming contract the JSON lane has, for the Confluent
+    // wire: the per-partition Avro decoder must run identically under
+    // the micro-batch engine, and junk frames must survive as
+    // unroutable rows (dropped by R4), never crash the stream
+    val batchIn = graft.cdc.ConfluentAvro.fromEvents(spark, sfDir)
+    val rows = batchIn.as[(String, String, Array[Byte])].collect().toSeq
+    val junk: Seq[(String, String, Array[Byte])] = Seq(
+      ("flink-1", "j1", null),                      // null value
+      ("flink-1", "j2", Array[Byte](0, 0, 0, 0)),   // too short
+      ("flink-1", "j3", Array[Byte](1, 0, 0, 0, 7, 2)), // wrong magic
+      ("flink-1", "j4", Array[Byte](0, 0, 0, 0, 99, 2)), // unknown id
+      ("flink-2", "j5", Array[Byte](0, 0, 0, 0, 7, -1, -1, -1))) // bad body
+    def routed(df: org.apache.spark.sql.DataFrame) =
+      graft.cdc.Pipeline.routeParsed(
+        graft.cdc.ConfluentAvro.decode(df),
+        keep = Seq("key", "op", "db", "tbl"))
+
+    val stream = MemoryStream[(String, String, Array[Byte])]
+    stream.addData(rows)
+    stream.addData(junk) // its own micro-batch
+    val streamed = runStream(
+      routed(stream.toDF().toDF("topic", "key", "value")),
+      OutputMode.Append, "avro_route_parity")
+
+    val expected = routed(batchIn)
+      .as[(String, String, String, String, String)].collect()
+    val got = streamed
+      .as[(String, String, String, String, String)].collect()
+    assert(got.sorted.toSeq == expected.sorted.toSeq,
+      "Avro stream diverged from the batch lane")
+    assert(got.nonEmpty)
+    assert(!got.exists(_._2.startsWith("j")),
+      "a malformed frame leaked through the route")
+  }
+
   test("streaming tumbling window counts equal the batch window query") {
     // 200 rows keep the state store small: the point is plan parity,
     // not state-store throughput.
