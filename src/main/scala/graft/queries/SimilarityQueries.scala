@@ -1162,11 +1162,18 @@ object SimilarityQueries {
         .select(col("id").as("qid"), col("vec").as("qv"))
       val served = graft.ext.AnnIndex.searchTopK(s, annOpqIdxDir(s, dir),
         q, KIvf, MProbe)
-      val (means, r) = graft.ext.Opq.rotationFor(c, EmbDim, PqSubspaces,
-        PqSubDim)
-      val mem = Similarity.pqResidualIvfTopK(
-        graft.ext.Opq.rotate(c, means, r), PqSubspaces, PqSubDim,
-        NumQueries, KIvf, MProbe)
+      // the in-memory twin trains ONCE per fixture state (the VERDICT
+      // r13 #5 discipline — the chain is a pure function of the
+      // corpus; parquet round-trips its 6-rounded doubles bit-exactly)
+      val memDir = Materialize.once("opq_mem_topk", dir) { p =>
+        val (means, r) = graft.ext.Opq.rotationFor(c, EmbDim,
+          PqSubspaces, PqSubDim)
+        Similarity.pqResidualIvfTopK(
+          graft.ext.Opq.rotate(c, means, r), PqSubspaces, PqSubDim,
+          NumQueries, KIvf, MProbe)
+          .write.parquet(s"$p/mem.parquet")
+      }
+      val mem = s.read.parquet(s"$memDir/mem.parquet")
       served
         .select(col("query_id"), col("rank"), col("neighbor_id").as("n1"),
           col("adc").as("a1"))
@@ -3445,12 +3452,14 @@ object SimilarityQueries {
     // constants the contract demands. The learned rotation itself has
     // no DuckDB replay (64×64 Jacobi eigendecomposition).
     "emb_opq_served_parity" ->
-      s"SELECT CAST($NumQueries AS BIGINT) AS n_queries, true AS parity_ok",
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS parity_ok
+         |FROM (SELECT DISTINCT vec_id FROM embeddings
+         |      WHERE vec_id < $NumQueries)""".stripMargin,
 
     "emb_opq_rotation_integrity" ->
-      """SELECT CAST(65 AS BIGINT) AS n_rot_rows,
-        |       true AS orthonormal_ok, true AS l2_preserved_ok"""
-        .stripMargin,
+      """SELECT CAST(max(len(embedding)) + 1 AS BIGINT) AS n_rot_rows,
+        |       true AS orthonormal_ok, true AS l2_preserved_ok
+        |FROM embeddings""".stripMargin,
 
     // E260: the persisted round trip must reproduce the in-memory
     // chain bit-for-bit — same oracle as emb_topk_ivfpq_residual.
