@@ -513,6 +513,66 @@ object GraphIndex {
     cand.filter(col("query_id") =!= col("id"))
   }
 
+  /** BEAM-bounded serve (r15, E325 — the HNSW/DiskANN ef-search shape
+    * in batch form): instead of expanding EVERY visited node each hop
+    * (the blind walk, whose frontier grows (graphK+1)^hop), each hop
+    * expands only the query's `ef` best visited candidates by exact
+    * cosine — the batched greedy-with-beam discipline. Per-hop work is
+    * ef·graphK edge lookups per query, so candidate volume is
+    * ef-CONTROLLED at any depth (the knob HNSW exposes as efSearch):
+    * visited ≤ seeds + hops·ef·graphK rows regardless of corpus size
+    * or hop count, where the blind walk's budget is depth-exponential
+    * until it saturates. The walk state per hop: visited_{h+1} =
+    * visited_h ∪ expand(beam(visited_h)), beam = top-ef by (cs DESC,
+    * id), query self-hits excluded from beam slots. Fully
+    * value-replayable (per-hop rescoring windows in SQL), so the gate
+    * row carries a complete DuckDB oracle; BeamSearchSpec records the
+    * recall-vs-volume verdict against the blind walk either way.
+    */
+  def searchTopKBeam(spark: SparkSession, dir: String, numQueries: Int,
+      seeds: Int, hops: Int, ef: Int, k: Int): DataFrame = {
+    val idx = loadCached(spark, dir)
+    Similarity.graphRerank(idx.liveVectors.localCheckpoint(false),
+      expandCandidatesBeam(spark, dir, numQueries, seeds, hops, ef),
+      numQueries, k)
+  }
+
+  /** The candidate half of [[searchTopKBeam]]: the ef-bounded walk's
+    * visited set `(query_id, id)`, self-hits excluded.
+    */
+  def expandCandidatesBeam(spark: SparkSession, dir: String,
+      numQueries: Int, seeds: Int, hops: Int, ef: Int): DataFrame = {
+    require(hops >= 1 && ef >= 1, "need at least one hop and one beam slot")
+    val idx = loadCached(spark, dir)
+    val v = idx.liveVectors.localCheckpoint(false)
+    val qv = v.filter(col("id") < numQueries)
+      .select(col("id").as("qid"), col("vec").as("qv"))
+    // per-query top-ef of the visited set by exact cosine — the beam
+    def beamOf(cand: DataFrame): DataFrame =
+      cand.filter(col("query_id") =!= col("id"))
+        .join(v.select(col("id").as("vid"), col("vec")),
+          col("id") === col("vid"))
+        .join(broadcast(qv), col("query_id") === col("qid"))
+        .select(col("query_id"), col("id"),
+          Similarity.cosine(col("qv"), col("vec")).as("cs"))
+        .groupBy(col("query_id"))
+        .agg(Similarity.topkUdaf(ef)(col("cs"), col("id")).as("t"))
+        .select(col("query_id"), explode(col("t.items")).as("it"))
+        .select(col("query_id"), col("it.id").as("id"))
+    var visited = Similarity.hammingTopKSigs(
+        idx.liveSigs.localCheckpoint(false), numQueries, seeds)
+      .select(col("query_id"), col("neighbor_id").as("id"))
+      .localCheckpoint(false)
+    for (_ <- 1 to hops) {
+      val beam = beamOf(visited).localCheckpoint(false)
+      val expanded = beam
+        .join(hopEdges(idx, beam), col("id") === col("esrc"))
+        .select(col("query_id"), col("edst").as("id"))
+      visited = visited.union(expanded).distinct().localCheckpoint(false)
+    }
+    visited.filter(col("query_id") =!= col("id"))
+  }
+
   /** E301's hop-recall sweep re-run over the LAYERED walk (r15): one
     * pass, the level-0 visited set snapshotted at every depth 0..hops
     * (depth 0 = the entry points the upper layer routed to), each

@@ -493,6 +493,21 @@ object SimilarityQueries {
         GraphSeeds, LayerHops, GraphHops, K)
     }),
 
+    // E325 (r15): BEAM-bounded graph serve — the HNSW/DiskANN
+    // ef-search shape: each hop expands only the query's BeamEf best
+    // visited candidates by exact cosine instead of the whole visited
+    // set, so candidate volume is ef-controlled at any depth (visited
+    // ≤ seeds + hops·ef·graphK at any corpus size — the blind walk's
+    // budget is depth-exponential until saturation). Full value
+    // oracle: per-hop beam rescoring windows replayed in SQL.
+    "emb_graph_beam" -> ((s, dir) => {
+      val idxDir = Materialize.once(s"graph_index:$dir", dir) { p =>
+        graft.ext.GraphIndex.build(corpus(s, dir), EmbDim, KnnK, p)
+      }
+      graft.ext.GraphIndex.searchTopKBeam(s, idxDir, NumQueries,
+        GraphSeeds, GraphHops, BeamEf, K)
+    }),
+
     // E310: graph-index soft DELETE: build on the full population,
     // tombstone the id % 7 = 3 slice, search — tombstoned ids neither
     // seed, relay, nor return (and a tombstoned low id drops out of
@@ -2145,6 +2160,52 @@ object SimilarityQueries {
 
   /** Level-0 walk depth of the LAYERED serve's upper tier (E321). */
   private val LayerHops = 2
+
+  /** Beam width for the ef-bounded serve (E325) — the efSearch knob. */
+  private val BeamEf = 8
+
+  /** E325 oracle: the beam walk replayed hop by hop — visited_{h+1} =
+    * visited_h ∪ expand(top-ef(visited_h) by (cos DESC, id), self
+    * excluded) — then the shared rescore/rerank tail.
+    */
+  private lazy val beamExpandCtes: String = {
+    val hopChain = (1 to GraphHops).map { h =>
+      s"""bs${h - 1} AS (SELECT v.qid, v.id, ${cosSql("q2.v", "e.v")} AS cs
+         |     FROM v${h - 1} v JOIN e q2 ON q2.vec_id = v.qid
+         |                      JOIN e ON e.vec_id = v.id
+         |     WHERE v.id <> v.qid),
+         |bm${h - 1} AS (SELECT qid, id FROM (
+         |     SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |       ORDER BY cs DESC, id) AS rnk FROM bs${h - 1})
+         |     WHERE rnk <= $BeamEf),
+         |v$h AS (SELECT qid, id FROM v${h - 1}
+         |  UNION SELECT b.qid, k.dst FROM bm${h - 1} b
+         |  JOIN gedges k ON k.src = b.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$embCte,
+       |sg AS MATERIALIZED (SELECT vec_id AS id, ${binPackSql(0)} AS h0,
+       |       ${binPackSql(EmbDim / 2)} AS h1 FROM e),
+       |qs AS (SELECT id AS qid, h0 AS q0, h1 AS q1 FROM sg
+       |       WHERE id < $NumQueries),
+       |d AS (SELECT qs.qid, sg.id,
+       |             CAST(bit_count(xor(sg.h0, qs.q0)) +
+       |                  bit_count(xor(sg.h1, qs.q1)) AS BIGINT) AS dist
+       |      FROM qs JOIN sg ON sg.id <> qs.qid),
+       |sd AS (SELECT qid, id FROM (
+       |    SELECT qid, id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY dist, id) AS rnk FROM d) WHERE rnk <= $GraphSeeds),
+       |$knnTopCte,
+       |gedges AS (SELECT src, dst FROM ktop),
+       |v0 AS (SELECT qid, id FROM sd),
+       |$hopChain,
+       |cf AS MATERIALIZED (SELECT qid, id FROM v$GraphHops WHERE id <> qid),
+       |gsc AS (SELECT cf.qid, cf.id, ${cosSql("q2.v", "e.v")} AS cs
+       |        FROM cf JOIN e q2 ON q2.vec_id = cf.qid
+       |                JOIN e ON e.vec_id = cf.id),
+       |gtop AS MATERIALIZED (SELECT qid, id, cs, rnk FROM (
+       |    SELECT qid, id, cs, row_number() OVER (PARTITION BY qid
+       |      ORDER BY cs DESC, id) AS rnk FROM gsc) WHERE rnk <= $K)""".stripMargin
+  }
   private def layerModSql: Int = graft.ext.GraphIndex.DefaultLayerMod
 
   /** E321 upper-tier CTEs: layer-restricted Hamming seeds, the layer's
@@ -3293,6 +3354,13 @@ object SimilarityQueries {
 
     // E322: per-depth rescoring of the layered chain's snapshots.
     "emb_graph_layered_sweep" -> layeredHopSweepSql,
+
+    // E325: the ef-bounded walk replayed hop by hop.
+    "emb_graph_beam" ->
+      s"""$beamExpandCtes
+         |SELECT qid AS query_id, CAST(rnk AS INTEGER) AS rank,
+         |       id AS neighbor_id, round(cs, 6) AS cos
+         |FROM gtop""".stripMargin,
 
     // E310: full-population edges with both endpoints live, live
     // seeds/queries, same walk and rerank.

@@ -180,6 +180,31 @@ object SourceQueries {
       graft.operators.TxTable.snapshot(s, tbl)
     }),
 
+    // E326 (r15): the exactly-once sink ACROSS a commit-log
+    // CHECKPOINT — 13 micro-batches cross the every-10th-commit
+    // checkpoint boundary, then four PRE-checkpoint tokens are
+    // replayed AFTER the checkpoint landed: their no-op decision now
+    // rides the checkpoint's accumulated token set + the short
+    // manifest tail (TxTableSpec pins the ≤ interval+2 header-read
+    // bound), not a full history scan — and the snapshot still holds
+    // every event exactly once against the plain full-table oracle.
+    // The builder asserts the checkpoint really landed, so this row
+    // can never silently degrade into a checkpoint-free replay test.
+    "events_txsink_ckpt" -> ((s, dir) => {
+      val tbl = Materialize.once("txsinkckpt", dir) { p =>
+        val ev = Tables.events(s, dir).select(
+          col("event_id"), col("user_id"),
+          floor(col("value") * 100).cast("long").as("cents"),
+          (col("event_id") % 13).as("batch_id"))
+        for (b <- (0L to 12L) ++ Seq(0L, 3L, 7L, 12L))
+          graft.operators.TxTable.appendIdempotent(
+            ev.filter(col("batch_id") === b), p, "sink", b)
+        require(graft.operators.TxTable.latestCheckpoint(s, p)
+          .contains(10L), "checkpoint did not land at version 10")
+      }
+      graft.operators.TxTable.snapshot(s, tbl)
+    }),
+
     // Bucketed co-located join through the real write path (upgrades the
     // E54 bucketing claim from plan-audit-only to oracle-checked): both
     // sides land as 8-bucket tables via saveAsTable, the join reads them
@@ -324,5 +349,14 @@ object SourceQueries {
       """SELECT event_id, user_id,
         |       CAST(floor(value * 100) AS BIGINT) AS cents,
         |       CAST(event_id % 3 AS BIGINT) AS batch_id
+        |FROM events""".stripMargin,
+
+    // E326: exactly-once across the checkpoint — still the plain
+    // full-table derivation (replays are no-ops, whatever read path
+    // decided them).
+    "events_txsink_ckpt" ->
+      """SELECT event_id, user_id,
+        |       CAST(floor(value * 100) AS BIGINT) AS cents,
+        |       CAST(event_id % 13 AS BIGINT) AS batch_id
         |FROM events""".stripMargin)
 }
