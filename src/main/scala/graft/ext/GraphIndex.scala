@@ -476,6 +476,23 @@ object GraphIndex {
       hops: Int): DataFrame = {
     require(layerHops >= 1 && hops >= 1, "need at least one hop per tier")
     val idx = loadCached(spark, dir)
+    var cand = entriesLayered(idx, numQueries, seeds, layerHops)
+      .localCheckpoint(false)
+    for (_ <- 1 to hops) {
+      val expanded = cand.join(hopEdges(idx, cand), col("id") === col("esrc"))
+        .select(col("query_id"), col("edst").as("id"))
+      cand = cand.union(expanded).distinct().localCheckpoint(false)
+    }
+    cand.filter(col("query_id") =!= col("id"))
+  }
+
+  /** The UPPER tier's routing output — each query's `seeds` best
+    * visited layer nodes by exact cosine, the level-0 entry points
+    * shared by the blind ([[searchTopKLayered]]) and beam
+    * ([[searchTopKHnsw]]) descents.
+    */
+  private def entriesLayered(idx: Index, numQueries: Int, seeds: Int,
+      layerHops: Int): DataFrame = {
     val sigs = idx.liveSigs.localCheckpoint(false)
     // entry seeds: Hamming over the LAYER's signatures only — queries
     // still come from the full table (a query need not be a layer node)
@@ -494,7 +511,7 @@ object GraphIndex {
     // become the level-0 entry points
     val qv = idx.liveVectors.filter(col("id") < numQueries)
       .select(col("id").as("qid"), col("vec").as("qv"))
-    val entries = lc.filter(col("query_id") =!= col("id"))
+    lc.filter(col("query_id") =!= col("id"))
       .join(idx.liveVectors.select(col("id").as("vid"), col("vec")),
         col("id") === col("vid"))
       .join(broadcast(qv), col("query_id") === col("qid"))
@@ -504,13 +521,6 @@ object GraphIndex {
       .agg(Similarity.topkUdaf(seeds)(col("cs"), col("id")).as("t"))
       .select(col("query_id"), explode(col("t.items")).as("it"))
       .select(col("query_id"), col("it.id").as("id"))
-    var cand = entries.localCheckpoint(false)
-    for (_ <- 1 to hops) {
-      val expanded = cand.join(hopEdges(idx, cand), col("id") === col("esrc"))
-        .select(col("query_id"), col("edst").as("id"))
-      cand = cand.union(expanded).distinct().localCheckpoint(false)
-    }
-    cand.filter(col("query_id") =!= col("id"))
   }
 
   /** BEAM-bounded serve (r15, E325 — the HNSW/DiskANN ef-search shape
@@ -544,6 +554,18 @@ object GraphIndex {
       numQueries: Int, seeds: Int, hops: Int, ef: Int): DataFrame = {
     require(hops >= 1 && ef >= 1, "need at least one hop and one beam slot")
     val idx = loadCached(spark, dir)
+    beamWalk(idx,
+      Similarity.hammingTopKSigs(
+          idx.liveSigs.localCheckpoint(false), numQueries, seeds)
+        .select(col("query_id"), col("neighbor_id").as("id")),
+      numQueries, hops, ef)
+  }
+
+  /** The ef-bounded level-0 walk from a given entry set — shared by
+    * the flat-seeded beam serve and the full-HNSW composition.
+    */
+  private def beamWalk(idx: Index, entries: DataFrame, numQueries: Int,
+      hops: Int, ef: Int): DataFrame = {
     val v = idx.liveVectors.localCheckpoint(false)
     val qv = v.filter(col("id") < numQueries)
       .select(col("id").as("qid"), col("vec").as("qv"))
@@ -559,10 +581,7 @@ object GraphIndex {
         .agg(Similarity.topkUdaf(ef)(col("cs"), col("id")).as("t"))
         .select(col("query_id"), explode(col("t.items")).as("it"))
         .select(col("query_id"), col("it.id").as("id"))
-    var visited = Similarity.hammingTopKSigs(
-        idx.liveSigs.localCheckpoint(false), numQueries, seeds)
-      .select(col("query_id"), col("neighbor_id").as("id"))
-      .localCheckpoint(false)
+    var visited = entries.localCheckpoint(false)
     for (_ <- 1 to hops) {
       val beam = beamOf(visited).localCheckpoint(false)
       val expanded = beam
@@ -571,6 +590,37 @@ object GraphIndex {
       visited = visited.union(expanded).distinct().localCheckpoint(false)
     }
     visited.filter(col("query_id") =!= col("id"))
+  }
+
+  /** The FULL HNSW shape (r15, E327): hierarchical entry
+    * ([[entriesLayered]] — layer-restricted seeds, upper-graph walk,
+    * cosine descent) composed with the ef-bounded level-0 walk
+    * ([[beamWalk]]) — what HNSW actually runs: upper layers route,
+    * efSearch explores layer 0 under a volume budget. Candidate
+    * volume ≤ seeds + hops·ef·graphK per query at any corpus size,
+    * entries cost a 1/layer_mod-sized seed scan. The two tiers are
+    * the SAME shared definitions their standalone rows gate, so the
+    * composition adds no new arithmetic — only the wiring.
+    */
+  def searchTopKHnsw(spark: SparkSession, dir: String, numQueries: Int,
+      seeds: Int, layerHops: Int, hops: Int, ef: Int,
+      k: Int): DataFrame = {
+    val idx = loadCached(spark, dir)
+    Similarity.graphRerank(idx.liveVectors.localCheckpoint(false),
+      expandCandidatesHnsw(spark, dir, numQueries, seeds, layerHops,
+        hops, ef),
+      numQueries, k)
+  }
+
+  /** Candidate half of [[searchTopKHnsw]]. */
+  def expandCandidatesHnsw(spark: SparkSession, dir: String,
+      numQueries: Int, seeds: Int, layerHops: Int, hops: Int,
+      ef: Int): DataFrame = {
+    require(layerHops >= 1 && hops >= 1 && ef >= 1,
+      "need at least one hop per tier and one beam slot")
+    val idx = loadCached(spark, dir)
+    beamWalk(idx, entriesLayered(idx, numQueries, seeds, layerHops),
+      numQueries, hops, ef)
   }
 
   /** E301's hop-recall sweep re-run over the LAYERED walk (r15): one

@@ -508,6 +508,23 @@ object SimilarityQueries {
         GraphSeeds, GraphHops, BeamEf, K)
     }),
 
+    // E327 (r15): the FULL HNSW shape — hierarchical entry (E321's
+    // upper tier: layer-restricted seeds, upper-graph walk, cosine
+    // descent) composed with the ef-bounded level-0 walk (E325's
+    // beam). Upper layers route, efSearch explores layer 0 under a
+    // volume budget: candidates ≤ seeds + hops·ef·graphK per query
+    // at any corpus size, entry seeding scans 1/layer_mod of the
+    // signatures. Both tiers are the same shared definitions their
+    // standalone rows gate — the composition adds wiring, not
+    // arithmetic — and the oracle composes the same two CTE builders.
+    "emb_graph_hnsw" -> ((s, dir) => {
+      val idxDir = Materialize.once(s"graph_index:$dir", dir) { p =>
+        graft.ext.GraphIndex.build(corpus(s, dir), EmbDim, KnnK, p)
+      }
+      graft.ext.GraphIndex.searchTopKHnsw(s, idxDir, NumQueries,
+        GraphSeeds, LayerHops, GraphHops, BeamEf, K)
+    }),
+
     // E310: graph-index soft DELETE: build on the full population,
     // tombstone the id % 7 = 3 slice, search — tombstoned ids neither
     // seed, relay, nor return (and a tombstoned low id drops out of
@@ -2164,11 +2181,11 @@ object SimilarityQueries {
   /** Beam width for the ef-bounded serve (E325) — the efSearch knob. */
   private val BeamEf = 8
 
-  /** E325 oracle: the beam walk replayed hop by hop — visited_{h+1} =
-    * visited_h ∪ expand(top-ef(visited_h) by (cos DESC, id), self
-    * excluded) — then the shared rescore/rerank tail.
+  /** The beam hop chain + rescore/rerank tail over a given `v0` —
+    * shared by the flat-seeded beam oracle (E325) and the full-HNSW
+    * composition oracle (E327).
     */
-  private lazy val beamExpandCtes: String = {
+  private def beamHopTailCtes: String = {
     val hopChain = (1 to GraphHops).map { h =>
       s"""bs${h - 1} AS (SELECT v.qid, v.id, ${cosSql("q2.v", "e.v")} AS cs
          |     FROM v${h - 1} v JOIN e q2 ON q2.vec_id = v.qid
@@ -2182,6 +2199,33 @@ object SimilarityQueries {
          |  UNION SELECT b.qid, k.dst FROM bm${h - 1} b
          |  JOIN gedges k ON k.src = b.id)""".stripMargin
     }.mkString(",\n")
+    s"""$hopChain,
+       |cf AS MATERIALIZED (SELECT qid, id FROM v$GraphHops WHERE id <> qid),
+       |gsc AS (SELECT cf.qid, cf.id, ${cosSql("q2.v", "e.v")} AS cs
+       |        FROM cf JOIN e q2 ON q2.vec_id = cf.qid
+       |                JOIN e ON e.vec_id = cf.id),
+       |gtop AS MATERIALIZED (SELECT qid, id, cs, rnk FROM (
+       |    SELECT qid, id, cs, row_number() OVER (PARTITION BY qid
+       |      ORDER BY cs DESC, id) AS rnk FROM gsc) WHERE rnk <= $K)""".stripMargin
+  }
+
+  /** E327 oracle: layered entry (the E321 upper-tier CTEs' `ent`)
+    * feeding the E325 beam chain — the full HNSW composition, each
+    * half textually identical to its standalone oracle.
+    */
+  private lazy val hnswExpandCtes: String =
+    s"""$embCte,
+       |$layeredEntryCtes,
+       |$knnTopCte,
+       |gedges AS (SELECT src, dst FROM ktop),
+       |v0 AS (SELECT qid, id FROM ent),
+       |$beamHopTailCtes""".stripMargin
+
+  /** E325 oracle: the beam walk replayed hop by hop — visited_{h+1} =
+    * visited_h ∪ expand(top-ef(visited_h) by (cos DESC, id), self
+    * excluded) — then the shared rescore/rerank tail.
+    */
+  private lazy val beamExpandCtes: String =
     s"""$embCte,
        |sg AS MATERIALIZED (SELECT vec_id AS id, ${binPackSql(0)} AS h0,
        |       ${binPackSql(EmbDim / 2)} AS h1 FROM e),
@@ -2197,15 +2241,7 @@ object SimilarityQueries {
        |$knnTopCte,
        |gedges AS (SELECT src, dst FROM ktop),
        |v0 AS (SELECT qid, id FROM sd),
-       |$hopChain,
-       |cf AS MATERIALIZED (SELECT qid, id FROM v$GraphHops WHERE id <> qid),
-       |gsc AS (SELECT cf.qid, cf.id, ${cosSql("q2.v", "e.v")} AS cs
-       |        FROM cf JOIN e q2 ON q2.vec_id = cf.qid
-       |                JOIN e ON e.vec_id = cf.id),
-       |gtop AS MATERIALIZED (SELECT qid, id, cs, rnk FROM (
-       |    SELECT qid, id, cs, row_number() OVER (PARTITION BY qid
-       |      ORDER BY cs DESC, id) AS rnk FROM gsc) WHERE rnk <= $K)""".stripMargin
-  }
+       |$beamHopTailCtes""".stripMargin
   private def layerModSql: Int = graft.ext.GraphIndex.DefaultLayerMod
 
   /** E321 upper-tier CTEs: layer-restricted Hamming seeds, the layer's
@@ -3354,6 +3390,15 @@ object SimilarityQueries {
 
     // E322: per-depth rescoring of the layered chain's snapshots.
     "emb_graph_layered_sweep" -> layeredHopSweepSql,
+
+    // E327: the full HNSW composition replayed — E321's upper-tier
+    // CTEs feed E325's beam chain, both textually identical to their
+    // standalone oracles.
+    "emb_graph_hnsw" ->
+      s"""$hnswExpandCtes
+         |SELECT qid AS query_id, CAST(rnk AS INTEGER) AS rank,
+         |       id AS neighbor_id, round(cs, 6) AS cos
+         |FROM gtop""".stripMargin,
 
     // E325: the ef-bounded walk replayed hop by hop.
     "emb_graph_beam" ->

@@ -66,11 +66,16 @@ class BeamSearchSpec extends SparkSpec {
       spark, out, nq, seeds, hops, ef).localCheckpoint(false))
     val (fVol, fRec) = stats(GraphIndex.expandCandidates(
       spark, out, nq, seeds, hops).localCheckpoint(false))
+    val (hVol, hRec) = stats(GraphIndex.expandCandidatesHnsw(
+      spark, out, nq, seeds, layerHops = 2, hops, ef)
+      .localCheckpoint(false))
     info(f"blind: vol=$fVol recall@$k=$fRec%.2f | " +
-      f"beam(ef=$ef): vol=$bVol recall@$k=$bRec%.2f")
+      f"beam(ef=$ef): vol=$bVol recall@$k=$bRec%.2f | " +
+      f"hnsw(layer+beam): vol=$hVol recall@$k=$hRec%.2f")
     // measure, don't presume — bounds + non-degeneracy only
     assert(bRec >= 0.0 && bRec <= 1.0 && fRec >= 0.0 && fRec <= 1.0)
     assert(bRec > 0.0, "beam walk found nothing — degenerate")
-    assert(bVol > 0L && fVol > 0L)
+    assert(hRec > 0.0, "hnsw walk found nothing — degenerate")
+    assert(bVol > 0L && fVol > 0L && hVol > 0L)
   }
 }
