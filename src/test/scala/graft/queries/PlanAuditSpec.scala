@@ -597,7 +597,7 @@ class PlanAuditSpec extends SparkSpec {
     // expensive-expression markers in every query's analyzed vs optimized
     // plan and fails on any ≥2× multiplication, so the next
     // filter-over-expensive-projection can't land silently anywhere in
-    // the 169-query surface. Plans only — nothing executes.
+    // the full registered-query surface (338 at r15). Plans only — nothing executes.
     val markers = Seq("regexp_extract", "regexp_replace", "xxhash64",
       "cdc_envelope", "from_json", "transform(", "aggregate(", "md5(",
       "RLIKE", "split(", "sha2(")
