@@ -638,33 +638,9 @@ object GraphIndex {
     val idx = loadCached(spark, dir)
     val v = idx.liveVectors.localCheckpoint(false)
     // depth 0 = the ENTRY set (the upper tier's routing output),
-    // computed once here; deeper snapshots expand it over level 0
-    val entries = {
-      val sigs = idx.liveSigs.localCheckpoint(false)
-      var lc = Similarity.hammingTopKSigsFrom(
-          sigs.filter(col("id") % idx.layerMod === 0), sigs,
-          numQueries, seeds)
-        .select(col("query_id"), col("neighbor_id").as("id"))
-        .localCheckpoint(false)
-      for (_ <- 1 to layerHops) {
-        val ex = lc.join(layerHopEdges(idx, lc), col("id") === col("esrc"))
-          .select(col("query_id"), col("edst").as("id"))
-        lc = lc.union(ex).distinct().localCheckpoint(false)
-      }
-      val qv = v.filter(col("id") < numQueries)
-        .select(col("id").as("qid"), col("vec").as("qv"))
-      lc.filter(col("query_id") =!= col("id"))
-        .join(v.select(col("id").as("vid"), col("vec")),
-          col("id") === col("vid"))
-        .join(broadcast(qv), col("query_id") === col("qid"))
-        .select(col("query_id"), col("id"),
-          Similarity.cosine(col("qv"), col("vec")).as("cs"))
-        .groupBy(col("query_id"))
-        .agg(Similarity.topkUdaf(seeds)(col("cs"), col("id")).as("t"))
-        .select(col("query_id"), explode(col("t.items")).as("it"))
-        .select(col("query_id"), col("it.id").as("id"))
-        .localCheckpoint(false)
-    }
+    // computed once; deeper snapshots expand it over level 0
+    val entries = entriesLayered(idx, numQueries, seeds, layerHops)
+      .localCheckpoint(false)
     var cand = entries
     var snaps = List((0, cand))
     for (h <- 1 to hops) {
