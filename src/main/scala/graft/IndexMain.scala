@@ -113,7 +113,8 @@ object IndexMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val (v0Rows, headRows, headVersion) = runTx(spark, args(0), args(1))
-    println(s"""{"metric":"tx_table","v0_rows":$v0Rows,"head_rows":$headRows,"head_version":$headVersion}""")
+    val (pruned, ckpt, tokens) = runTxV2(spark, args(0), args(1) + "_v2")
+    println(s"""{"metric":"tx_table","v0_rows":$v0Rows,"head_rows":$headRows,"head_version":$headVersion,"pruned_rows":$pruned,"checkpoint_version":$ckpt,"cli_tokens":$tokens}""")
     spark.stop()
   }
 
@@ -135,6 +136,33 @@ object IndexMain {
     TxTable.retain(spark, tableDir, keepLast = 1)
     val head = TxTable.currentVersion(spark, tableDir)
     (v0Rows, TxTable.snapshot(spark, tableDir).count(), head)
+  }
+
+  /** r15 lifecycle extension (VERDICT r14 #3 "--tx CLI extended"):
+    * exercise the ROUND-15 commit-log surface end to end against a
+    * second table — partitioned commit + manifest-level pruned read,
+    * an append that crosses the every-10th-commit CHECKPOINT through
+    * the bounded-retry lane, and the checkpointed token lookup.
+    * Returns (prunedRows, checkpointVersion, tokensSeen).
+    */
+  def runTxV2(spark: SparkSession, fixtureDir: String,
+      tableDir: String): (Long, Long, Long) = {
+    import graft.operators.TxTable
+    val docs = Tables.documents(spark, fixtureDir)
+      .select(col("doc_id"), col("lang"), col("source"))
+    TxTable.commitPartitioned(docs, tableDir, Seq("lang"))
+    // drive the version counter across the checkpoint boundary with
+    // idempotent appends (one tiny batch per token), then a retrying
+    // append on top
+    for (b <- 1L to 10L)
+      TxTable.appendIdempotent(docs.filter(col("doc_id") === b),
+        tableDir, "cli", b)
+    TxTable.appendWithRetry(docs.filter(col("doc_id") === 0L), tableDir)
+    val pruned = TxTable.snapshotWhere(spark, tableDir,
+      Map("lang" -> "en")).count()
+    val ckpt = TxTable.latestCheckpoint(spark, tableDir).getOrElse(-1L)
+    val tokens = TxTable.committedTxns(spark, tableDir, "cli").size.toLong
+    (pruned, ckpt, tokens)
   }
 
   /** The `--graph` flow against a caller-owned session (spec-testable;

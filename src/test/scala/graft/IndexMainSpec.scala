@@ -46,4 +46,25 @@ class IndexMainSpec extends SparkSpec {
       graft.operators.TxTable.snapshotAt(spark, out, 0L)
     }
   }
+
+  test("--tx v2 lane: partitioned commit + pruned read, checkpoint " +
+      "crossed, retry lane lands, tokens readable through the " +
+      "checkpoint") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_txv2").toString
+    val (pruned, ckpt, tokens) = IndexMain.runTxV2(spark, sfDir, out)
+    val docs = Tables.documents(spark, sfDir)
+    import org.apache.spark.sql.functions.col
+    // pruned read equals the plain predicate over the CURRENT head
+    // (base docs + the 11 appended rows, all of which are en/by-id)
+    val snap = graft.operators.TxTable.snapshot(spark, out)
+    assert(pruned === snap.filter(col("lang") === "en").count())
+    assert(pruned >= docs.filter(col("lang") === "en").count())
+    assert(ckpt === 10L, s"checkpoint landed at $ckpt, wanted 10")
+    assert(tokens === 10L, s"token set size $tokens, wanted 10")
+    // the pruned scan really only touched lang=en files
+    val files = graft.operators.TxTable
+      .snapshotWhere(spark, out, Map("lang" -> "en")).inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("lang=en")))
+  }
 }
