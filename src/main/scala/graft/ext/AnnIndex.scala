@@ -103,27 +103,30 @@ object AnnIndex {
     * changed files) exactly once.
     */
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Index]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Index]()
 
   /** Drop the cached validated load for `dir` — for EVERY session
     * (writers call this after rewriting the manifest; tests may call
     * it to force a revalidation).
     */
   def invalidate(dir: String): Unit =
-    cache.keySet.removeIf(_.endsWith(s"|$dir"))
+    cache.keySet.removeIf(_._2 == dir)
 
   /** [[load]] through the session cache — the serve-path entry. The
     * key includes the session's identity: cached DataFrames are bound
     * to the session that loaded them, so a second session in the same
     * JVM (or a test session sequence reusing an artifact dir) gets
     * its OWN validated load rather than handles bound to a stopped
-    * session. Out-of-process writers are outside the cache's
-    * visibility by design — cross-process serving revalidates per
-    * session, and same-process writers invalidate explicitly.
+    * session. r16 (ADVICE): the identity half is a per-session UUID
+    * from [[SessionToken]] (identityHashCode is not unique) and the
+    * key is a TUPLE (no separator to alias a '|'-bearing path).
+    * Out-of-process writers are outside the cache's visibility by
+    * design — cross-process serving revalidates per session, and
+    * same-process writers invalidate explicitly.
     */
   def loadCached(spark: SparkSession, dir: String): Index =
     cache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}|$dir", _ => load(spark, dir))
+      (SessionToken.of(spark), dir), _ => load(spark, dir))
 
   /** Manifest row describing the tables ON DISK — every writer calls
     * this LAST, after its table writes, with counts re-read from the
@@ -192,8 +195,17 @@ object AnnIndex {
       outDir: String, opq: Boolean = false): Unit = {
     val spark = vecs.sparkSession
     val base =
-      if (!opq) vecs
-      else {
+      if (!opq) {
+        // r16 (ADVICE): a re-build WITHOUT opq over a dir previously
+        // built WITH it must drop the stale rotation — writeManifest
+        // re-counts whatever rotation.parquet it finds on disk and
+        // load() would re-attach it, silently rotating queries against
+        // codes built from unrotated vectors.
+        val rot = new org.apache.hadoop.fs.Path(s"$outDir/rotation.parquet")
+        val f = rot.getFileSystem(spark.sessionState.newHadoopConf())
+        if (f.exists(rot)) f.delete(rot, true)
+        vecs
+      } else {
         val dim = numSub * subDim
         val (means, r) = Opq.rotationFor(vecs, dim, numSub, subDim)
         import spark.implicits._

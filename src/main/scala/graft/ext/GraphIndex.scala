@@ -109,18 +109,20 @@ object GraphIndex {
     * discipline); writers invalidate via [[invalidate]].
     */
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Index]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Index]()
 
   /** Every-session invalidation for `dir` (writers call it). */
   def invalidate(dir: String): Unit =
-    cache.keySet.removeIf(_.endsWith(s"|$dir"))
+    cache.keySet.removeIf(_._2 == dir)
 
   /** Session-scoped (see [[AnnIndex.loadCached]]): the key carries
-    * the session's identity so handles never outlive their session.
+    * the session's identity so handles never outlive their session —
+    * r16 (ADVICE) a [[SessionToken]] UUID in a tuple key, for the
+    * same uniqueness/aliasing reasons as AnnIndex.
     */
   def loadCached(spark: SparkSession, dir: String): Index =
     cache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}|$dir", _ => load(spark, dir))
+      (SessionToken.of(spark), dir), _ => load(spark, dir))
 
   /** Edge rows carry their hive-partition bucket derived from the
     * SOURCE id — the join side every hop probes.
@@ -601,6 +603,15 @@ object GraphIndex {
     * entries cost a 1/layer_mod-sized seed scan. The two tiers are
     * the SAME shared definitions their standalone rows gate, so the
     * composition adds no new arithmetic — only the wiring.
+    *
+    * NOT the recommended serve (r16, VERDICT r15 #3): SCALING.md's
+    * sweep measured the FLAT-seeded beam ([[searchTopKBeam]])
+    * dominating this composition on recall at comparable candidate
+    * volume (0.38@341 vs 0.26@324 at depth 3) — layered entry saves
+    * seed-scan cost but loses deep-hop recall on this corpus
+    * geometry. `IndexMain --graph` serves through the beam frontier;
+    * this stays available as the named composition with its recorded
+    * verdict.
     */
   def searchTopKHnsw(spark: SparkSession, dir: String, numQueries: Int,
       seeds: Int, layerHops: Int, hops: Int, ef: Int,

@@ -2,9 +2,9 @@ package graft.operators
 
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.col
 
 /** Minimal transactional commit log for the lakehouse lane (E314,
   * VERDICT r13 "What's missing" #3) — the Delta/Iceberg atomicity
@@ -309,7 +309,7 @@ object TxTable {
     */
   private def writeCheckpoint(spark: SparkSession, dir: String, v: Long,
       files: Seq[String], nRows: Long, partCols: Seq[String]): Unit = {
-    val txns = accumulatedTxns(spark, dir, v)
+    val txns = accumulatedTxns(spark, dir, v, ckptAtOrBelow = v - 1)
     val f = fs(spark, dir)
     val tmp = new Path(dir,
       s"$CommitDirName/.ctmp-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -344,14 +344,20 @@ object TxTable {
   }
 
   /** All (appId, txnVersion) tokens in commits ≤ `v`: the newest
-    * checkpoint ≤ v (ONE read, all history behind it) plus the tail
-    * manifest headers after it — ≤ [[CheckpointInterval]] header
-    * reads on a checkpointed table, every version only on a young or
-    * never-checkpointed one.
+    * checkpoint ≤ `ckptAtOrBelow` (ONE read, all history behind it)
+    * plus the tail manifest headers after it — ≤
+    * [[CheckpointInterval]] header reads on a checkpointed table,
+    * every version only on a young or never-checkpointed one.
+    * Readers pass `ckptAtOrBelow = v` (use the HEAD checkpoint — r16
+    * ADVICE: excluding it forgot tokens recorded only there once
+    * `retain` dropped the older manifests, a non-monotone dedup
+    * horizon with a duplicate-append window); [[writeCheckpoint]]
+    * alone passes `v - 1`, because the checkpoint AT v is the one it
+    * is about to write.
     */
   private def accumulatedTxns(spark: SparkSession, dir: String,
-      v: Long): Set[(String, Long)] = {
-    val ckpt = latestCheckpoint(spark, dir, atOrBelow = v - 1)
+      v: Long, ckptAtOrBelow: Long): Set[(String, Long)] = {
+    val ckpt = latestCheckpoint(spark, dir, atOrBelow = ckptAtOrBelow)
     val base = ckpt.map(readCheckpointTxns(spark, dir, _))
       .getOrElse(Set.empty[(String, Long)])
     val tailStart = ckpt.getOrElse(-1L) + 1
@@ -457,9 +463,11 @@ object TxTable {
     * full-history scan.)
     */
   def committedTxns(spark: SparkSession, dir: String,
-      appId: String): Set[Long] =
-    accumulatedTxns(spark, dir, currentVersion(spark, dir))
+      appId: String): Set[Long] = {
+    val v = currentVersion(spark, dir)
+    accumulatedTxns(spark, dir, v, ckptAtOrBelow = v)
       .collect { case (a, t) if a == appId => t }
+  }
 
   /** The pre-checkpoint full-history token scan — retained for the
     * spec's checkpoint-equivalence pin only.
@@ -585,22 +593,63 @@ object TxTable {
   }
 
   /** Read a partitioned snapshot's files with partition columns
-    * re-attached: files group by their recorded partition tuple, each
-    * group reads its own files with the values attached as literals,
-    * groups union. Deterministic typing (STRING, the commit-side
-    * contract) — no path re-inference that could silently retype a
-    * partition column between engines.
+    * re-attached from their recorded `col=val` path segments, as ONE
+    * relation over a [[ManifestFileIndex]] (r16, VERDICT r15 #2 —
+    * replaces a per-partition-value `unionByName` fold whose plan
+    * grew one union leg per distinct partition tuple). Deterministic
+    * typing (STRING, the commit-side contract) — the FileIndex hands
+    * Spark the partition values directly; no path re-inference exists
+    * to silently retype a partition column between engines.
+    *
+    * `files` may be EMPTY (the no-matching-partition read): the scan
+    * plans zero data files, with the schema pinned from one footer of
+    * `schemaProbe` — the previous implementation planned the FULL
+    * file list filtered `lit(false)` just to recover the schema
+    * (ADVICE r15), breaking files-read ∝ matching-partitions exactly
+    * in the empty case.
     */
   private def readPartitionedFiles(spark: SparkSession, dir: String,
-      files: Seq[String], partCols: Seq[String]): DataFrame = {
-    val groups = files.groupBy(f => partValues(f, partCols)).toSeq
-      .sortBy(_._1.mkString("/"))
-    groups.map { case (vals, fl) =>
-      val base = spark.read.parquet(fl.map(p => s"$dir/$p"): _*)
-      partCols.zip(vals).foldLeft(base) { case (d, (c, vl)) =>
-        d.withColumn(c, lit(vl))
-      }
-    }.reduce(_.unionByName(_))
+      files: Seq[String], partCols: Seq[String],
+      schemaProbe: Option[String] = None): DataFrame = {
+    val probe = schemaProbe.orElse(files.headOption).getOrElse(
+      throw new IllegalArgumentException(
+        "empty file list needs an explicit schema probe file"))
+    // ONE footer read pins the data schema — every file of a committed
+    // snapshot shares it (single-writer snapshot semantics), matching
+    // spark.read.parquet's own first-footer behavior sans mergeSchema
+    val dataSchema = spark.read.parquet(s"$dir/$probe").schema
+    val partSchema = org.apache.spark.sql.types.StructType(
+      partCols.map(c => org.apache.spark.sql.types.StructField(
+        c, org.apache.spark.sql.types.StringType, nullable = true)))
+    val statuses = fileStatuses(spark, dir, files)
+    val groups = files.zip(statuses)
+      .groupBy { case (f, _) => partValues(f, partCols) }
+      .toSeq.sortBy(_._1.mkString("/"))
+      .map { case (vals, fl) => (vals, fl.map(_._2)) }
+    org.apache.spark.sql.graftbridge.GraftBridge.parquetTable(spark,
+      new ManifestFileIndex(new Path(dir), groups, partSchema), dataSchema)
+  }
+
+  /** `FileStatus` for each manifest-relative path, batched ONE
+    * `listStatus` per distinct parent directory (not one RPC per
+    * file). A missing file fails loudly — the manifest is the source
+    * of truth and data files are immutable under it.
+    */
+  private def fileStatuses(spark: SparkSession, dir: String,
+      files: Seq[String]): Seq[FileStatus] = {
+    if (files.isEmpty) return Seq.empty
+    val f = fs(spark, dir)
+    val byParent = files.map(rel => f.makeQualified(new Path(dir, rel)))
+      .groupBy(_.getParent)
+    val known: Map[Path, FileStatus] = byParent.keysIterator.flatMap { p =>
+      f.listStatus(p).iterator.map(st => st.getPath -> st)
+    }.toMap
+    files.map { rel =>
+      known.getOrElse(f.makeQualified(new Path(dir, rel)),
+        throw new IllegalStateException(
+          s"manifest references missing file $rel — data files were " +
+            "deleted behind the log"))
+    }
   }
 
   /** PARTITION-PRUNED snapshot read (r15, VERDICT r14 #7): plan ONLY
@@ -626,8 +675,10 @@ object TxTable {
       partFilter.forall { case (k, w) => vals(k) == w }
     }
     if (matching.isEmpty)
-      readPartitionedFiles(spark, dir, m.files, m.partCols)
-        .filter(lit(false))
+      // zero data files planned; schema pinned from one footer (r16
+      // ADVICE — was: plan ALL files filtered lit(false))
+      readPartitionedFiles(spark, dir, Nil, m.partCols,
+        schemaProbe = Some(m.files.head))
     else readPartitionedFiles(spark, dir, matching, m.partCols)
   }
 

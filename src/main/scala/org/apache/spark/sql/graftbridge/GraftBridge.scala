@@ -35,6 +35,32 @@ object GraftBridge {
       : org.apache.spark.memory.TaskMemoryManager =
     ctx.taskMemoryManager()
 
+  /** Wrap a pre-resolved [[org.apache.spark.sql.execution.datasources.FileIndex]]
+    * as a parquet DataFrame — the hop a log-backed table (e.g.
+    * [[graft.operators.TxTable]]'s manifest) needs to plan exactly the
+    * files its manifest names, with partition values attached from the
+    * manifest instead of re-discovered from directory structure.
+    * `HadoopFsRelation`/`LogicalRelation` live under `execution.` and
+    * are internal by convention; this is the same one-hop discipline
+    * as [[ofRows]].
+    */
+  def parquetTable(spark: SparkSession,
+      index: org.apache.spark.sql.execution.datasources.FileIndex,
+      dataSchema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame = {
+    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      location = index,
+      partitionSchema = index.partitionSchema,
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat =
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      options = Map.empty)(spark)
+    ofRows(spark,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(
+        rel, isStreaming = false))
+  }
+
   /** Wrap a (possibly custom) logical plan as a DataFrame —
     * `Dataset.ofRows` is `private[sql]`; this is the one hop a custom
     * `LogicalPlan` node (e.g. [[graft.plans.TopKPerKeyNode]]) needs to

@@ -268,6 +268,123 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.snapshotAt(spark, dir, 0L).count() === 5L)
   }
 
+  test("TRUE concurrent committers (two racing threads, r16): exactly " +
+      "one wins the version, the loser throws, table state is the winner's") {
+    val dir = tmp("race2")
+    TxTable.commit(Seq((0L, "base")).toDF("id", "v"), dir)
+    val v0Files = TxTable.snapshotAt(spark, dir, 0L).inputFiles.toSeq
+      .map(_.split(dir + "/").last).sorted
+    // both threads aim at version 1 with ALREADY-WRITTEN files — the
+    // race is on the manifest publish alone, aligned by a barrier so
+    // both are in-flight together (not a pre-existing-target simulation)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results =
+      new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Unit]]()
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        barrier.await()
+        try {
+          TxTable.commitFiles(spark, dir, 1L, v0Files)
+          results.add(Right(()))
+        } catch { case t: Throwable => results.add(Left(t)) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(60000))
+    val (losses, wins) = results.toArray(Array.empty[Either[Throwable, Unit]])
+      .partition(_.isLeft)
+    assert(wins.length === 1, s"expected exactly one winner, got $results")
+    assert(losses.length === 1)
+    val loss = losses.head.swap.toOption.get
+    assert(loss.isInstanceOf[IllegalStateException] &&
+      loss.getMessage.contains("commit conflict"),
+      s"loser failed with the wrong error: $loss")
+    // the log is intact: exactly versions 0 and 1, readable
+    assert(TxTable.versions(spark, dir) === Seq(0L, 1L))
+    assert(TxTable.snapshot(spark, dir).count() === 1L)
+  }
+
+  test("retention keeps the dedup horizon monotone: tokens recorded " +
+      "only in the surviving HEAD checkpoint still dedup replays (r16 ADVICE)") {
+    val dir = tmp("ckpthead")
+    // versions 0..10; v10 writes a checkpoint carrying tokens 0..10
+    (0 to 10).foreach { i =>
+      TxTable.appendIdempotent(
+        Seq((i.toLong, s"b$i")).toDF("id", "v"), dir, "sink", i.toLong)
+    }
+    assert(TxTable.latestCheckpoint(spark, dir) === Some(10L))
+    // retention drops manifests 0..9 — the ONLY surviving record of
+    // tokens 0..9 is the head checkpoint AT version 10
+    TxTable.retain(spark, dir, keepLast = 1)
+    assert(TxTable.versions(spark, dir) === Seq(10L))
+    assert(TxTable.committedTxns(spark, dir, "sink") ===
+      (0L to 10L).toSet,
+      "tokens recorded only in the head checkpoint were forgotten")
+    // the duplicate-append window is closed: a replay of a dropped-
+    // manifest era token still no-ops
+    val rows = TxTable.snapshot(spark, dir).count()
+    assert(TxTable.appendIdempotent(
+      Seq((3L, "replay")).toDF("id", "v"), dir, "sink", 3L) === -1L)
+    assert(TxTable.snapshot(spark, dir).count() === rows,
+      "a replayed token double-landed after retention")
+  }
+
+  test("partitioned snapshot plans are O(1) in partition count (r16: " +
+      "ManifestFileIndex, no per-partition union legs)") {
+    def planNodes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case p => p }.length
+    val small = tmp("psmall")
+    TxTable.commitPartitioned(
+      (1 to 4).map(i => (i.toLong, s"g${i % 2}")).toDF("id", "grp"),
+      small, Seq("grp"))
+    val big = tmp("pbig")
+    TxTable.commitPartitioned(
+      (1 to 48).map(i => (i.toLong, s"g${i % 16}")).toDF("id", "grp"),
+      big, Seq("grp"))
+    val (nSmall, nBig) =
+      (planNodes(TxTable.snapshot(spark, small)),
+        planNodes(TxTable.snapshot(spark, big)))
+    assert(nBig === nSmall,
+      s"plan grew with partition count: $nSmall nodes @2 parts, " +
+        s"$nBig @16 — union legs are back")
+    assert(nBig <= 3, s"full-snapshot plan has $nBig nodes")
+    // catalyst partition pruning works through the index: a filter on
+    // the partition column reaches listFiles and prunes actual files
+    val pruned = TxTable.snapshot(spark, big)
+      .filter(col("grp") === "g3")
+    assert(pruned.count() === 3L)
+    val scanned = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.totalNumberOfFiles
+    }.sum
+    val total = TxTable.snapshot(spark, big).inputFiles.length.toLong
+    assert(scanned < total,
+      s"partition filter pruned nothing: $scanned of $total files")
+    // and values survive the round trip (no inference: strings stay
+    // strings even when they look numeric)
+    val numDir = tmp("pnum")
+    TxTable.commitPartitioned(
+      Seq((1L, "01"), (2L, "1")).toDF("id", "grp"), numDir, Seq("grp"))
+    val back = TxTable.snapshot(spark, numDir)
+    assert(back.schema("grp").dataType ===
+      org.apache.spark.sql.types.StringType)
+    assert(back.select("grp").as[String].collect().sorted.toSeq ===
+      Seq("01", "1"), "partition value retyped through the path")
+  }
+
+  test("snapshotWhere with NO matching partition plans ZERO data files " +
+      "(r16 ADVICE: schema from one footer, not a lit(false) full scan)") {
+    val dir = tmp("pempty")
+    TxTable.commitPartitioned(
+      (1 to 6).map(i => (i.toLong, s"g$i", s"x$i")).toDF("id", "grp", "pay"),
+      dir, Seq("grp"))
+    val none = TxTable.snapshotWhere(spark, dir, Map("grp" -> "nope"))
+    assert(none.count() === 0L)
+    assert(none.columns.sorted.toSeq === Seq("grp", "id", "pay"))
+    assert(none.inputFiles.isEmpty,
+      s"empty match still planned files: ${none.inputFiles.toSeq}")
+  }
+
   test("append commits a superset file list without rewriting the " +
       "base version's bytes") {
     val dir = tmp("app")
