@@ -14,9 +14,15 @@ import graft.ext.{AnnIndex, GraphIndex, Similarity}
   * Usage: `IndexMain [--opq] <embeddingsDir> <indexDir> [numSub]`
   *        (`--opq`, r15/E319: learn the OPQ rotation at build, persist
   *        it in the artifact, serve queries through it)
-  *    or: `IndexMain --graph <embeddingsDir> <indexDir> [graphK]`
+  *    or: `IndexMain --graph <embeddingsDir> <indexDir> [graphK] [ef]`
   *        (E291/E304: build the persisted GRAPH index — vectors,
-  *        binary seed signatures, kNN edges — and probe-search it)
+  *        binary seed signatures, kNN edges — and probe-search it.
+  *        r16, VERDICT r15 #4: the probe serve is the FLAT-SEEDED
+  *        ef-bounded beam — SCALING.md's sweep measured it as the
+  *        recall/volume frontier (0.38@341 vs layered+beam 0.26@324);
+  *        `ef` is exposed as the fourth arg, default
+  *        [[DefaultBeamEf]]. Layered/hnsw serves remain available as
+  *        named GraphIndex variants with their recorded verdicts)
   *    or: `IndexMain --tx <fixtureDir> <tableDir>`
   *        (E314/E317 service surface: commit the documents table,
   *        commit a filtered rewrite, read back snapshot + version-0
@@ -33,6 +39,12 @@ object IndexMain {
 
   val DefaultSubspaces = 16
   val DefaultGraphK = 4
+
+  /** Default beam width for the `--graph` probe serve — the efSearch
+    * knob of the flat-seeded beam (E325), the measured serving
+    * frontier (SCALING.md r15 graph sweep).
+    */
+  val DefaultBeamEf = 4
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--graph")) return graphMain(args.drop(1))
@@ -85,8 +97,9 @@ object IndexMain {
     */
   private def graphMain(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: IndexMain --graph <embeddingsDir> <indexDir> [graphK]")
+      "usage: IndexMain --graph <embeddingsDir> <indexDir> [graphK] [ef]")
     val graphK = if (args.length > 2) args(2).toInt else DefaultGraphK
+    val ef = if (args.length > 3) args(3).toInt else DefaultBeamEf
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-graph-index")
@@ -95,8 +108,8 @@ object IndexMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val (nVecs, nEdges, served) = runGraph(spark, args(0), args(1), graphK)
-    println(s"""{"metric":"graph_index","n_vectors":$nVecs,"n_edges":$nEdges,"graph_k":$graphK,"probe_rows":$served}""")
+    val (nVecs, nEdges, served) = runGraph(spark, args(0), args(1), graphK, ef)
+    println(s"""{"metric":"graph_index","n_vectors":$nVecs,"n_edges":$nEdges,"graph_k":$graphK,"ef":$ef,"serve":"beam_flat","probe_rows":$served}""")
     spark.stop()
   }
 
@@ -167,18 +180,21 @@ object IndexMain {
 
   /** The `--graph` flow against a caller-owned session (spec-testable;
     * the main wrapper owns session lifecycle). Returns
-    * (n_vectors, n_edges, probe_rows).
+    * (n_vectors, n_edges, probe_rows). The read-back probe serves
+    * through the FLAT-SEEDED BEAM (r16: callers are routed to the
+    * measured recall/volume frontier by default; layered/hnsw stay
+    * available as named variants).
     */
   def runGraph(spark: SparkSession, embDir: String, indexDir: String,
-      graphK: Int): (Long, Long, Long) = {
+      graphK: Int, ef: Int = DefaultBeamEf): (Long, Long, Long) = {
     val vecs = Tables.embeddings(spark, embDir).select(
       col("vec_id").as("id"), col("label").as("part"),
       Similarity.toDouble(col("embedding")).as("vec"))
     val dim = vecs.select(size(col("vec"))).head().getInt(0)
     GraphIndex.build(vecs, dim, graphK, indexDir)
     val idx = GraphIndex.load(spark, indexDir)
-    val served = GraphIndex.searchTopK(spark, indexDir,
-      numQueries = 1, seeds = 3, hops = 2, k = 3).count()
+    val served = GraphIndex.searchTopKBeam(spark, indexDir,
+      numQueries = 1, seeds = 3, hops = 2, ef = ef, k = 3).count()
     (idx.vectors.count(), idx.edges.count(), served)
   }
 }

@@ -16,6 +16,23 @@ import graft.ext.Multimodal
   */
 object MultimodalQueries {
 
+  /** r16 (VERDICT r15 #1): synthesized media fixtures are written ONCE
+    * per (fixture dir, JVM) and re-read as parquet, so the gate rows
+    * measure the operator under test (header parse / real DECODE) and
+    * not per-pass fixture ENCODE — the same [[Materialize]] discipline
+    * the source round-trip queries use. Fixture CONTENT is unchanged
+    * (deterministic generators), so every mm hash is unchanged; the
+    * isolated `mm_decode_jpeg` floor stops paying the ImageIO encode
+    * half on every bench pass.
+    */
+  private def mediaOnce(s: SparkSession, dir: String, key: String)(
+      gen: => DataFrame): DataFrame = {
+    val out = Materialize.once(s"$key:$dir", dir) { p =>
+      gen.write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(out)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Metadata / magic-byte sniffing over the opaque content column.
     "mm_metadata" -> ((s, dir) =>
@@ -28,7 +45,8 @@ object MultimodalQueries {
     // reproduces the expected dimensions from the source columns, so a
     // wrong offset, endianness, or segment skip breaks the hash match.
     "mm_dims" -> ((s, dir) => {
-      val mm = Multimodal.fixtureMedia(Tables.documents(s, dir))
+      val mm = mediaOnce(s, dir, "mm_fixture_media")(
+        Multimodal.fixtureMedia(Tables.documents(s, dir)))
       mm.select(col("id"), graft.functions.MediaDims(col("content")).as("d"))
         .select(col("id"), col("d.format").as("format"),
           col("d.width").cast("long").as("width"),
@@ -150,7 +168,8 @@ object MultimodalQueries {
     // demuxer/PCM codec ships in the JDK) — still header-parse +
     // documented stand-ins.
     "mm_decode_jpeg" -> ((s, dir) => {
-      val jp = Multimodal.realJpegMedia(Tables.documents(s, dir))
+      val jp = mediaOnce(s, dir, "mm_real_jpeg")(
+        Multimodal.realJpegMedia(Tables.documents(s, dir)))
       val withDims = jp.select(col("id"),
         graft.functions.MediaDims(col("content")).as("d"),
         Multimodal.lumaInts(Multimodal.decodeLuma(col("content")))
@@ -170,7 +189,8 @@ object MultimodalQueries {
     }),
 
     "mm_phash_real" -> ((s, dir) =>
-      Multimodal.realPngMedia(Tables.documents(s, dir))
+      mediaOnce(s, dir, "mm_real_png")(
+        Multimodal.realPngMedia(Tables.documents(s, dir)))
         .select(col("id"),
           graft.functions.DHash32(Multimodal.decodeLuma(col("content")))
             .as("dhash"))),

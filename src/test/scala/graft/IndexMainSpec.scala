@@ -5,11 +5,12 @@ package graft
   */
 class IndexMainSpec extends SparkSpec {
 
-  test("--graph flow builds, reloads, and serves a probe search") {
+  test("--graph flow builds, reloads, and serves a probe search " +
+      "through the flat-seeded beam frontier (r16: ef exposed)") {
     val out = java.nio.file.Files
       .createTempDirectory("graft_gidx").toString
     val (nVecs, nEdges, served) =
-      IndexMain.runGraph(spark, sfDir, out, graphK = 4)
+      IndexMain.runGraph(spark, sfDir, out, graphK = 4, ef = 3)
     assert(nVecs === Tables.embeddings(spark, sfDir).count())
     assert(nEdges > 0 && nEdges <= nVecs * 4, s"edge count $nEdges")
     assert(served === 3, s"probe served $served rows, wanted k = 3")
