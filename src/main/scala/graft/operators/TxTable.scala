@@ -4,7 +4,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Minimal transactional commit log for the lakehouse lane (E314,
   * VERDICT r13 "What's missing" #3) — the Delta/Iceberg atomicity
@@ -270,6 +270,19 @@ object TxTable {
       partCols: Seq[String] = Nil): Unit = {
     val nRows = spark.read
       .parquet(files.map(p => s"$dir/$p"): _*).count()
+    // r16 (VERDICT r15 #6): per-file size + column min/max ride every
+    // manifest line. Inherited files (append lanes) reuse the previous
+    // manifest's entries; only NEW files pay one parquet FOOTER read —
+    // the footer already carries per-row-group min/max, so stats cost
+    // no data scan (the write-side half of the Delta add-file stats
+    // discipline, recovered from what parquet persisted anyway).
+    val prevMetas: Map[String, FileMeta] =
+      if (v <= 0) Map.empty
+      else try readManifest(spark, dir, v - 1).metas
+        .filter(_.size >= 0).map(m => m.rel -> m).toMap
+      catch { case _: IllegalArgumentException => Map.empty }
+    val metas = files.map(rel =>
+      prevMetas.getOrElse(rel, footerMeta(spark, dir, rel)))
     val f = fs(spark, dir)
     val tmp = new Path(dir,
       s"$CommitDirName/.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -277,10 +290,13 @@ object TxTable {
     val txnField = txn.map { case (app, tv) => s"\ttxn=$app:$tv" }.getOrElse("")
     val partField =
       if (partCols.isEmpty) "" else s"\tpart_cols=${partCols.mkString(",")}"
+    def metaLine(m: FileMeta): String =
+      s"${m.rel}\tsize=${m.size}" +
+        (if (m.stats.isEmpty) "" else s"\tstats=${encodeStats(m.stats)}")
     try {
       out.write((s"version=$v\tn_files=${files.size}\tn_rows=$nRows" +
         s"$txnField$partField\n" +
-        files.mkString("\n") + "\n").getBytes("UTF-8"))
+        metas.map(metaLine).mkString("\n") + "\n").getBytes("UTF-8"))
     } finally out.close()
     val target = commitPath(dir, v)
     try publishNoOverwrite(spark, tmp, target)
@@ -506,9 +522,35 @@ object TxTable {
     v
   }
 
-  /** Parsed manifest: file list + partition columns + row count. */
+  /** Per-column min/max recorded for one data file (r16, VERDICT r15
+    * #6 — the Delta add-file stats discipline): `kind` selects the
+    * comparison domain ('i' signed long, 'd' double, 's' UTF-8 byte
+    * order, matching Spark's UTF8String binary compare), `min`/`max`
+    * are the encoded bounds. Only columns whose bounds are KNOWN for
+    * every row group of the file are recorded — a file with no entry
+    * for a column is never skipped (conservative).
+    */
+  private[graft] final case class ColStat(kind: Char, min: String,
+      max: String)
+
+  /** One manifest file entry: relative path, byte size (lets readers
+    * plan without any filesystem listing — the log is the source of
+    * truth), and the per-column stats.
+    */
+  private[graft] final case class FileMeta(rel: String, size: Long,
+      stats: Map[String, ColStat])
+
+  /** Parsed manifest: file list + partition columns + row count.
+    * `metas` carries the r16 per-file size/stats; manifests written
+    * before r16 parse with size -1 and empty stats (readers fall back
+    * to a filesystem listing and never skip those files).
+    */
   private[graft] final case class Manifest(v: Long, nRows: Long,
-      files: Seq[String], partCols: Seq[String])
+      files: Seq[String], partCols: Seq[String],
+      metas: Seq[FileMeta]) {
+    def sizes: Map[String, Long] =
+      metas.collect { case m if m.size >= 0 => m.rel -> m.size }.toMap
+  }
 
   /** Parse a version's manifest. */
   private[graft] def readManifest(spark: SparkSession, dir: String,
@@ -536,11 +578,189 @@ object TxTable {
       case s if s.startsWith("part_cols=") =>
         s.stripPrefix("part_cols=").split(",").toSeq
     }.getOrElse(Nil)
-    val files = lines.tail.toSeq
-    require(files.size == nFiles,
-      s"manifest $p is torn: lists ${files.size} files, header says $nFiles")
-    Manifest(v, nRows, files, partCols)
+    val metas = lines.tail.toSeq.map(parseFileLine)
+    require(metas.size == nFiles,
+      s"manifest $p is torn: lists ${metas.size} files, header says $nFiles")
+    Manifest(v, nRows, metas.map(_.rel), partCols, metas)
   }
+
+  /** Parse one manifest file line: `rel[\tsize=N][\tstats=…]`.
+    * Pre-r16 lines are the bare path (size −1, no stats).
+    */
+  private def parseFileLine(line: String): FileMeta = {
+    val parts = line.split("\t")
+    val size = parts.collectFirst {
+      case s if s.startsWith("size=") => s.stripPrefix("size=").toLong
+    }.getOrElse(-1L)
+    val stats = parts.collectFirst {
+      case s if s.startsWith("stats=") => decodeStats(s.stripPrefix("stats="))
+    }.getOrElse(Map.empty[String, ColStat])
+    FileMeta(parts(0), size, stats)
+  }
+
+  /** `col:k:min:max;…` with every variable part percent-encoded. */
+  private def encodeStats(stats: Map[String, ColStat]): String =
+    stats.toSeq.sortBy(_._1).map { case (c, st) =>
+      s"${pctEncode(c)}:${st.kind}:${pctEncode(st.min)}:${pctEncode(st.max)}"
+    }.mkString(";")
+
+  private def decodeStats(s: String): Map[String, ColStat] =
+    if (s.isEmpty) Map.empty
+    else s.split(";").map { ent =>
+      val p = ent.split(":")
+      pctDecode(p(0)) -> ColStat(p(1).charAt(0), pctDecode(p(2)),
+        pctDecode(p(3)))
+    }.toMap
+
+  /** Percent-encode a value for the tab/colon/semicolon-structured
+    * manifest line: every UTF-8 byte outside printable ASCII, plus the
+    * delimiters themselves, becomes %XX — so stats round-trip ANY
+    * string value, including ones carrying tabs, newlines, or the
+    * delimiters. Decoding back yields the exact original bytes, which
+    * is also what the 's'-kind comparisons order by.
+    */
+  private def pctEncode(s: String): String = {
+    val bytes = s.getBytes("UTF-8")
+    val sb = new java.lang.StringBuilder(bytes.length)
+    bytes.foreach { b =>
+      val c = b & 0xff
+      if (c <= 0x20 || c > 0x7e || c == '%' || c == ':' || c == ';')
+        sb.append(f"%%$c%02X")
+      else sb.append(c.toChar)
+    }
+    sb.toString
+  }
+
+  private def pctDecode(s: String): String =
+    new String(pctDecodeBytes(s), "UTF-8")
+
+  private def pctDecodeBytes(s: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        i += 3
+      } else { out.write(c.toInt); i += 1 }
+    }
+    out.toByteArray
+  }
+
+  /** Size + per-column min/max for a freshly written data file, read
+    * from its parquet FOOTER (one metadata read; the footer's
+    * row-group statistics are aggregated to file bounds — no data
+    * scan). A column is recorded only when its bound is sound for
+    * range skipping:
+    *
+    *  - every row group has usable statistics (or is provably
+    *    all-null, which cannot satisfy a range predicate),
+    *  - the type's comparison domain is one this manifest can encode
+    *    faithfully — signed int32/int64 ('i'), float/double ('d',
+    *    dropped if a bound is NaN: the parquet spec leaves NaN bounds
+    *    unreliable), or UTF-8 strings ('s', byte order = Spark's
+    *    UTF8String order; dropped above 256 bytes rather than
+    *    truncated, because a truncated max can wrongly exclude).
+    *
+    * Everything else (dates, timestamps, decimals, nested paths) is
+    * simply not recorded — absent stats mean "never skip", so the
+    * restriction costs pruning opportunity, never correctness.
+    */
+  private def footerMeta(spark: SparkSession, dir: String,
+      rel: String): FileMeta = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new Path(dir, rel), spark.sessionState.newHadoopConf())
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val footer = try rd.getFooter finally rd.close()
+    val acc = scala.collection.mutable.Map.empty[String, ColStat]
+    val dropped = scala.collection.mutable.Set.empty[String]
+    for (block <- footer.getBlocks.asScala;
+         cc <- block.getColumns.asScala) {
+      val pathParts = cc.getPath.toArray
+      if (pathParts.length == 1) {
+        val name = pathParts(0)
+        if (!dropped.contains(name)) {
+          val pt = cc.getPrimitiveType
+          val ann = pt.getLogicalTypeAnnotation
+          val kind: Option[Char] = pt.getPrimitiveTypeName match {
+            case PrimitiveType.PrimitiveTypeName.INT32 |
+                 PrimitiveType.PrimitiveTypeName.INT64 => ann match {
+              case null => Some('i')
+              case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+                  if i.isSigned => Some('i')
+              case _ => None
+            }
+            case PrimitiveType.PrimitiveTypeName.FLOAT |
+                 PrimitiveType.PrimitiveTypeName.DOUBLE =>
+              if (ann == null) Some('d') else None
+            case PrimitiveType.PrimitiveTypeName.BINARY => ann match {
+              case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
+                Some('s')
+              case _ => None
+            }
+            case _ => None
+          }
+          val st = cc.getStatistics
+          val allNull = st != null && st.isNumNullsSet &&
+            st.getNumNulls == cc.getValueCount
+          kind match {
+            case None =>
+              dropped += name
+            case Some(_) if allNull =>
+              () // contributes no comparable values; bound unchanged
+            case Some(k) if st != null && st.hasNonNullValue =>
+              val (mn, mx) = k match {
+                case 'i' =>
+                  (st.genericGetMin.toString, st.genericGetMax.toString)
+                case 'd' =>
+                  val lo = st.genericGetMin.asInstanceOf[Number].doubleValue()
+                  val hi = st.genericGetMax.asInstanceOf[Number].doubleValue()
+                  if (lo.isNaN || hi.isNaN) { dropped += name; ("", "") }
+                  else (lo.toString, hi.toString)
+                case 's' =>
+                  val lo = st.genericGetMin
+                    .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+                  val hi = st.genericGetMax
+                    .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+                  if (lo.length > 256 || hi.length > 256) {
+                    dropped += name; ("", "")
+                  } else (new String(lo, "UTF-8"), new String(hi, "UTF-8"))
+              }
+              if (!dropped.contains(name)) acc.get(name) match {
+                case None => acc(name) = ColStat(k, mn, mx)
+                case Some(prev) =>
+                  acc(name) = ColStat(k,
+                    if (statLt(k, mn, prev.min)) mn else prev.min,
+                    if (statLt(k, prev.max, mx)) mx else prev.max)
+              }
+            case Some(_) =>
+              dropped += name // a row group without usable stats
+          }
+        }
+      }
+    }
+    dropped.foreach(acc.remove)
+    FileMeta(rel, in.getLength, acc.toMap)
+  }
+
+  /** `a < b` in a stat kind's comparison domain. */
+  private def statLt(kind: Char, a: String, b: String): Boolean =
+    kind match {
+      case 'i' => a.toLong < b.toLong
+      case 'd' => a.toDouble < b.toDouble
+      case _ => // UTF-8 byte order — Spark's UTF8String.compareTo
+        val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+        val n = math.min(x.length, y.length)
+        var i = 0
+        while (i < n) {
+          val d = (x(i) & 0xff) - (y(i) & 0xff)
+          if (d != 0) return d < 0
+          i += 1
+        }
+        x.length < y.length
+    }
 
   /** Parse a version's manifest → relative file list. */
   private def manifestFiles(spark: SparkSession, dir: String,
@@ -560,7 +780,8 @@ object TxTable {
     val m = readManifest(spark, dir, v)
     if (m.partCols.isEmpty)
       spark.read.parquet(m.files.map(p => s"$dir/$p"): _*)
-    else readPartitionedFiles(spark, dir, m.files, m.partCols)
+    else readPartitionedFiles(spark, dir, m.files, m.partCols,
+      sizes = m.sizes)
   }
 
   /** Decode Spark's %XX path escaping for a partition value. */
@@ -610,7 +831,8 @@ object TxTable {
     */
   private def readPartitionedFiles(spark: SparkSession, dir: String,
       files: Seq[String], partCols: Seq[String],
-      schemaProbe: Option[String] = None): DataFrame = {
+      schemaProbe: Option[String] = None,
+      sizes: Map[String, Long] = Map.empty): DataFrame = {
     val probe = schemaProbe.orElse(files.headOption).getOrElse(
       throw new IllegalArgumentException(
         "empty file list needs an explicit schema probe file"))
@@ -621,7 +843,7 @@ object TxTable {
     val partSchema = org.apache.spark.sql.types.StructType(
       partCols.map(c => org.apache.spark.sql.types.StructField(
         c, org.apache.spark.sql.types.StringType, nullable = true)))
-    val statuses = fileStatuses(spark, dir, files)
+    val statuses = fileStatuses(spark, dir, files, sizes)
     val groups = files.zip(statuses)
       .groupBy { case (f, _) => partValues(f, partCols) }
       .toSeq.sortBy(_._1.mkString("/"))
@@ -630,15 +852,24 @@ object TxTable {
       new ManifestFileIndex(new Path(dir), groups, partSchema), dataSchema)
   }
 
-  /** `FileStatus` for each manifest-relative path, batched ONE
+  /** `FileStatus` for each manifest-relative path. When the manifest
+    * recorded every file's SIZE (r16 format), statuses are built
+    * straight from the log — ZERO filesystem metadata calls on the
+    * read path, the property that keeps a million-file table's
+    * planning driver-cheap. Pre-r16 manifests fall back to ONE
     * `listStatus` per distinct parent directory (not one RPC per
-    * file). A missing file fails loudly — the manifest is the source
-    * of truth and data files are immutable under it.
+    * file); a missing file fails loudly there — the manifest is the
+    * source of truth and data files are immutable under it.
     */
   private def fileStatuses(spark: SparkSession, dir: String,
-      files: Seq[String]): Seq[FileStatus] = {
+      files: Seq[String], sizes: Map[String, Long]): Seq[FileStatus] = {
     if (files.isEmpty) return Seq.empty
     val f = fs(spark, dir)
+    if (files.forall(sizes.contains))
+      return files.map { rel =>
+        new FileStatus(sizes(rel), false, 1, 128L * 1024 * 1024, 0L,
+          f.makeQualified(new Path(dir, rel)))
+      }
     val byParent = files.map(rel => f.makeQualified(new Path(dir, rel)))
       .groupBy(_.getParent)
     val known: Map[Path, FileStatus] = byParent.keysIterator.flatMap { p =>
@@ -679,7 +910,51 @@ object TxTable {
       // ADVICE — was: plan ALL files filtered lit(false))
       readPartitionedFiles(spark, dir, Nil, m.partCols,
         schemaProbe = Some(m.files.head))
-    else readPartitionedFiles(spark, dir, matching, m.partCols)
+    else readPartitionedFiles(spark, dir, matching, m.partCols,
+      sizes = m.sizes)
+  }
+
+  /** RANGE-SKIPPING snapshot read (r16, VERDICT r15 #6 — the Delta
+    * per-file-stats data-skipping discipline): plan only the current
+    * version's files whose recorded `[min, max]` for `column` overlaps
+    * `[lower, upper]`, then apply the exact predicate on the scan —
+    * files-read ∝ files intersecting the range (exactly proportional
+    * when commits cluster the column, e.g. a `repartitionByRange`
+    * write; TxTableSpec pins `inputFiles`), results exactly the
+    * predicate's (the skip is planning-only). Files without recorded
+    * stats for `column` are always planned — stats absence degrades to
+    * a full scan, never to a wrong answer. Works on partitioned and
+    * unpartitioned tables; partition columns route to [[snapshotWhere]]
+    * (their values live in paths, not footers).
+    *
+    * `lower`/`upper` are inclusive bounds in the column's domain:
+    * integral or floating numbers for 'i'/'d' columns, strings for
+    * 's' columns (compared in UTF-8 byte order, matching Spark).
+    */
+  def snapshotWhereRange(spark: SparkSession, dir: String,
+      column: String, lower: Any, upper: Any): DataFrame = {
+    val v = currentVersion(spark, dir)
+    require(v >= 0, s"$dir has no committed version — nothing to read")
+    val m = readManifest(spark, dir, v)
+    require(!m.partCols.contains(column),
+      s"$column is a partition column — use snapshotWhere")
+    val matching = m.metas.filter(fm =>
+      fm.stats.get(column).forall(rangeOverlaps(_, lower, upper)))
+    val base =
+      if (matching.isEmpty)
+        readPartitionedFiles(spark, dir, Nil, m.partCols,
+          schemaProbe = Some(m.files.head))
+      else readPartitionedFiles(spark, dir, matching.map(_.rel),
+        m.partCols, sizes = m.sizes)
+    base.filter(col(column) >= lit(lower) && col(column) <= lit(upper))
+  }
+
+  /** Does `[lower, upper]` intersect the file's recorded bound? */
+  private def rangeOverlaps(st: ColStat, lower: Any,
+      upper: Any): Boolean = {
+    val (lo, hi) = (lower.toString, upper.toString)
+    // empty iff upper < min or lower > max
+    !(statLt(st.kind, hi, st.min) || statLt(st.kind, st.max, lo))
   }
 
   /** The current table = highest committed version; a table with no

@@ -408,6 +408,27 @@ object AdvancedQueries {
           col("o_totalprice"))
     }),
 
+    // E328 (r16, VERDICT r15 #6): per-file min/max DATA SKIPPING
+    // through the commit log — orders committed range-clustered on
+    // o_orderkey (repartitionByRange write → near-disjoint per-file
+    // key bounds, recorded in the manifest from the parquet FOOTERS at
+    // commit; no data scan), read back under a key range. File
+    // selection happens at the MANIFEST (files-read ∝ files whose
+    // [min,max] overlaps the range — TxTableSpec pins inputFiles); the
+    // exact predicate still applies on the scan, so the oracle is the
+    // plain BETWEEN over the source — skipping is a planning
+    // optimization, never a semantics change.
+    "rel_tx_skipped" -> ((s, dir) => {
+      val tbl = Materialize.once("txskip", dir) { p =>
+        graft.operators.TxTable.commit(
+          Tables.orders(s, dir)
+            .repartitionByRange(8, col("o_orderkey")), p)
+      }
+      graft.operators.TxTable
+        .snapshotWhereRange(s, tbl, "o_orderkey", 1000L, 3000L)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
     // Key-skew profiler (E122): the distribution of per-key group sizes
     // — the diagnostic that decides WHEN the salting/AQE tiers (E26,
     // E63, E99) are needed, shipped as an operator instead of folklore.
@@ -629,6 +650,12 @@ object AdvancedQueries {
     "rel_tx_pruned" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    // E328: the stats-skipped range read must equal the plain BETWEEN
+    // over the source — file skipping is planning-only.
+    "rel_tx_skipped" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000""".stripMargin,
 
     // E278: independent three-branch derivation of MERGE.
     "rel_merge_upsert" ->

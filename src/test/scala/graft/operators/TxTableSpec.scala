@@ -385,6 +385,63 @@ class TxTableSpec extends SparkSpec {
       s"empty match still planned files: ${none.inputFiles.toSeq}")
   }
 
+  test("range data skipping (r16): snapshotWhereRange plans only files " +
+      "whose recorded min/max overlap the range, across all three stat " +
+      "kinds, and absence of stats degrades to scan — never to a wrong " +
+      "answer") {
+    val dir = tmp("skip")
+    val df = (1 to 800).map(i => (i.toLong, s"s${i % 7}", i * 1.5))
+      .toDF("id", "v", "x")
+    // range-clustered write → near-disjoint per-file id/x bounds; the
+    // string column is spread across every file (no skip possible)
+    TxTable.commit(df.repartitionByRange(8, col("id")), dir)
+    val total = TxTable.snapshot(spark, dir).inputFiles.length
+    assert(total === 8)
+    // long kind: a 51-id slice should touch a strict file subset
+    val r = TxTable.snapshotWhereRange(spark, dir, "id", 100L, 150L)
+    assert(r.count() === 51L)
+    assert(r.inputFiles.length < total,
+      s"range read planned all $total files")
+    val expect = df.filter(col("id").between(100, 150))
+    assert(r.select("id", "v", "x").except(expect).isEmpty &&
+      expect.except(r.select("id", "v", "x")).isEmpty,
+      "skipping changed the result")
+    // double kind
+    val rd = TxTable.snapshotWhereRange(spark, dir, "x", 30.0, 60.0)
+    assert(rd.count() === df.filter(col("x").between(30.0, 60.0)).count())
+    assert(rd.inputFiles.length < total)
+    // string kind: present in every file → zero skip, exact result
+    val rs = TxTable.snapshotWhereRange(spark, dir, "v", "s2", "s3")
+    assert(rs.count() ===
+      df.filter(col("v") >= "s2" && col("v") <= "s3").count())
+    // empty overlap → ZERO files planned, schema intact
+    val none = TxTable.snapshotWhereRange(spark, dir, "id", 5000L, 6000L)
+    assert(none.count() === 0L && none.inputFiles.isEmpty)
+    assert(none.columns.sorted.toSeq === Seq("id", "v", "x"))
+    // append: inherited files keep their recorded stats (no re-read),
+    // the new file gets footer stats — a head-range read plans 1 file
+    TxTable.append(
+      Seq((2000L, "zz", 1.0)).toDF("id", "v", "x").repartition(1), dir)
+    val r2 = TxTable.snapshotWhereRange(spark, dir, "id", 1900L, 2100L)
+    assert(r2.count() === 1L)
+    assert(r2.inputFiles.length === 1,
+      s"head-range read planned ${r2.inputFiles.length} files")
+    // a partitioned table skips on DATA columns too, with the
+    // partition column re-attached
+    val pdir = tmp("skippart")
+    TxTable.commitPartitioned(
+      (1 to 100).map(i => (i.toLong, s"g${i % 2}")).toDF("id", "grp"),
+      pdir, Seq("grp"))
+    val rp = TxTable.snapshotWhereRange(spark, pdir, "id", 10L, 20L)
+    assert(rp.count() === 11L)
+    assert(rp.columns.sorted.toSeq === Seq("grp", "id"))
+    // partition columns route to snapshotWhere
+    val e = intercept[IllegalArgumentException] {
+      TxTable.snapshotWhereRange(spark, pdir, "grp", "g0", "g1")
+    }
+    assert(e.getMessage.contains("partition column"))
+  }
+
   test("append commits a superset file list without rewriting the " +
       "base version's bytes") {
     val dir = tmp("app")
