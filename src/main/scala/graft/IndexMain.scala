@@ -127,7 +127,9 @@ object IndexMain {
     spark.sparkContext.setLogLevel("WARN")
     val (v0Rows, headRows, headVersion) = runTx(spark, args(0), args(1))
     val (pruned, ckpt, tokens) = runTxV2(spark, args(0), args(1) + "_v2")
-    println(s"""{"metric":"tx_table","v0_rows":$v0Rows,"head_rows":$headRows,"head_version":$headVersion,"pruned_rows":$pruned,"checkpoint_version":$ckpt,"cli_tokens":$tokens}""")
+    val (skipRows, skipFiles, compRows) =
+      runTxV3(spark, args(0), args(1) + "_v3")
+    println(s"""{"metric":"tx_table","v0_rows":$v0Rows,"head_rows":$headRows,"head_version":$headVersion,"pruned_rows":$pruned,"checkpoint_version":$ckpt,"cli_tokens":$tokens,"range_rows":$skipRows,"range_files_planned":$skipFiles,"compacted_rows":$compRows}""")
     spark.stop()
   }
 
@@ -176,6 +178,25 @@ object IndexMain {
     val ckpt = TxTable.latestCheckpoint(spark, tableDir).getOrElse(-1L)
     val tokens = TxTable.committedTxns(spark, tableDir, "cli").size.toLong
     (pruned, ckpt, tokens)
+  }
+
+  /** r16 lifecycle extension (VERDICT r15 #6 surface): hash-layout
+    * commit → range-clustered COMPACT → stats-skipped range read —
+    * the repair-then-skip story end to end from the CLI. Returns
+    * (rangeRows, rangeFilesPlanned, compactedRows).
+    */
+  def runTxV3(spark: SparkSession, fixtureDir: String,
+      tableDir: String): (Long, Long, Long) = {
+    import graft.operators.TxTable
+    val docs = Tables.documents(spark, fixtureDir)
+      .select(col("doc_id"), col("n_chars"))
+    TxTable.commit(docs.repartition(12), tableDir)
+    TxTable.compact(spark, tableDir, numFiles = 4,
+      clusterBy = Seq("doc_id"))
+    val r = TxTable.snapshotWhereRange(spark, tableDir, "doc_id",
+      100L, 199L)
+    (r.count(), r.inputFiles.length.toLong,
+      TxTable.snapshot(spark, tableDir).count())
   }
 
   /** The `--graph` flow against a caller-owned session (spec-testable;

@@ -4,7 +4,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, max, min}
 
 /** Minimal transactional commit log for the lakehouse lane (E314,
   * VERDICT r13 "What's missing" #3) — the Delta/Iceberg atomicity
@@ -994,6 +994,77 @@ object TxTable {
     * replay-dedup horizon exactly like it bounds time travel, which is
     * the Delta/Iceberg trade stated openly.
     */
+  /** COMPACTION (r16 — the Delta `OPTIMIZE [ZORDER BY]` shape on this
+    * log): commit the current snapshot rewritten into `numFiles`
+    * files as the next version. Old versions stay time-travelable
+    * (compaction is just a commit; `retain` reclaims the small files
+    * later), readers switch atomically, and the new files' footer
+    * stats land in the manifest like any commit's — so compaction is
+    * also how a table's SKIPPING gets repaired after many small
+    * appends widened per-file bounds.
+    *
+    * `clusterBy` re-clusters while rewriting (unpartitioned tables):
+    *  - one column → range partition + sort within files: tightest
+    *    possible single-column bounds for [[snapshotWhereRange]];
+    *  - two NUMERIC columns → Z-order (Morton) via [[ZOrder.zValue]]
+    *    over each column linearly scaled into its 16-bit lane by the
+    *    column's own min/max — both dimensions get small per-file
+    *    tiles, so a range read on EITHER prunes (the [[ZOrder]]
+    *    scaladoc's ~√F-of-F property). Linear scaling is a layout
+    *    heuristic (skewed columns cluster less evenly than rank-based
+    *    ids would); it can only cost skipping, never correctness —
+    *    the manifest records whatever bounds the files actually have.
+    *
+    * Partitioned tables compact with `clusterBy = Nil`: the rewrite
+    * repartitions by the partition columns so each partition's rows
+    * coalesce into few files (per-partition clustering composes with
+    * hive pruning; cross-partition Z-order would fight the layout).
+    */
+  def compact(spark: SparkSession, dir: String, numFiles: Int,
+      clusterBy: Seq[String] = Nil): Long = {
+    require(numFiles >= 1, "compaction needs a positive file target")
+    val v = currentVersion(spark, dir)
+    require(v >= 0, s"$dir has no committed version — nothing to compact")
+    val m = readManifest(spark, dir, v)
+    val snap = snapshotAt(spark, dir, v)
+    if (m.partCols.nonEmpty) {
+      require(clusterBy.isEmpty,
+        "clusterBy applies to unpartitioned tables — partitioned " +
+          "compaction clusters by the partition columns")
+      val laid = snap.repartition(numFiles, m.partCols.map(col): _*)
+      commitPartitioned(laid, dir, m.partCols)
+    } else clusterBy match {
+      case Nil =>
+        commit(snap.repartition(numFiles), dir)
+      case Seq(c) =>
+        commit(snap.repartitionByRange(numFiles, col(c))
+          .sortWithinPartitions(col(c)), dir)
+      case Seq(a, b) =>
+        require(!snap.columns.contains("__z"),
+          "compact: input already has a __z column; rename it first")
+        val bounds = snap.agg(
+          min(col(a)).cast("double"), max(col(a)).cast("double"),
+          min(col(b)).cast("double"), max(col(b)).cast("double")).head()
+        def lane(c: String, lo: Double, hi: Double): org.apache.spark.sql.Column = {
+          val span = if (hi > lo) hi - lo else 1.0
+          ((col(c).cast("double") - lit(lo)) / lit(span) * lit(65535.0))
+            .cast("long")
+        }
+        val laid = snap
+          .withColumn("__z", ZOrder.zValue(
+            lane(a, bounds.getDouble(0), bounds.getDouble(1)),
+            lane(b, bounds.getDouble(2), bounds.getDouble(3))))
+          .repartitionByRange(numFiles, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
+        commit(laid, dir)
+      case other =>
+        throw new IllegalArgumentException(
+          s"clusterBy supports 1 (range) or 2 (Z-order) columns, " +
+            s"got ${other.size}")
+    }
+  }
+
   def retain(spark: SparkSession, dir: String, keepLast: Int): Unit = {
     require(keepLast >= 1, "retention must keep at least one version")
     val vs = versions(spark, dir)

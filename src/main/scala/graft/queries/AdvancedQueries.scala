@@ -429,6 +429,29 @@ object AdvancedQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     }),
 
+    // E331 (r16): commit-log COMPACTION — the Delta OPTIMIZE shape. A
+    // deliberately messy history (12-file hash-layout commit + a
+    // 3-file append) rewrites into 4 range-clustered files as a NEW
+    // version; the row reads the full compacted snapshot, so the
+    // oracle (plain orders) proves no row was lost or duplicated
+    // through commit → append → compact. File-count, skipping repair
+    // (hash layout skips nothing; the clustered rewrite prunes), and
+    // pre-compaction time travel are pinned in TxTableSpec.
+    "rel_tx_compacted" -> ((s, dir) => {
+      val tbl = Materialize.once("txcompact", dir) { p =>
+        val o = Tables.orders(s, dir)
+        graft.operators.TxTable.commit(
+          o.filter(col("o_orderkey") % 4 =!= 3).repartition(12), p)
+        graft.operators.TxTable.append(
+          o.filter(col("o_orderkey") % 4 === 3).repartition(3), p)
+        graft.operators.TxTable.compact(s, p, numFiles = 4,
+          clusterBy = Seq("o_orderkey"))
+      }
+      graft.operators.TxTable.snapshot(s, tbl)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+    }),
+
     // Key-skew profiler (E122): the distribution of per-key group sizes
     // — the diagnostic that decides WHEN the salting/AQE tiers (E26,
     // E63, E99) are needed, shipped as an operator instead of folklore.
@@ -656,6 +679,11 @@ object AdvancedQueries {
     "rel_tx_skipped" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000""".stripMargin,
+
+    // E331: the compacted table is exactly the source — compaction is
+    // a layout rewrite, never a semantics change.
+    "rel_tx_compacted" ->
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
 
     // E278: independent three-branch derivation of MERGE.
     "rel_merge_upsert" ->

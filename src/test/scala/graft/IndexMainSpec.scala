@@ -68,4 +68,20 @@ class IndexMainSpec extends SparkSpec {
       .snapshotWhere(spark, out, Map("lang" -> "en")).inputFiles
     assert(files.nonEmpty && files.forall(_.contains("lang=en")))
   }
+
+  test("--tx v3 lane (r16): compact repairs layout, the range read " +
+      "skips files and counts exactly") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_txv3").toString
+    val (rangeRows, rangeFiles, compRows) =
+      IndexMain.runTxV3(spark, sfDir, out)
+    val docs = Tables.documents(spark, sfDir)
+    import org.apache.spark.sql.functions.col
+    assert(compRows === docs.count(), "compaction lost rows")
+    assert(rangeRows ===
+      docs.filter(col("doc_id").between(100, 199)).count())
+    assert(rangeFiles >= 1 && rangeFiles < 4,
+      s"range read planned $rangeFiles of the 4 compacted files — " +
+        "no skipping happened")
+  }
 }

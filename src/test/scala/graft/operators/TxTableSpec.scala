@@ -442,6 +442,74 @@ class TxTableSpec extends SparkSpec {
     assert(e.getMessage.contains("partition column"))
   }
 
+  test("compact (r16): a small-file table rewrites into the target " +
+      "file count as a NEW version, rows identical, history intact, " +
+      "and range-clustered compaction repairs skipping") {
+    val dir = tmp("compact")
+    val df = (1 to 600).map(i => (i.toLong, i * 2.0)).toDF("id", "x")
+    // a messy history: a 12-file initial commit + 3 tiny appends,
+    // every file's id range wide (hash layout → no skipping possible)
+    TxTable.commit(df.filter(col("id") % 4 =!= 3).repartition(12), dir)
+    (0 to 2).foreach { r =>
+      TxTable.append(df.filter(col("id") % 4 === 3)
+        .filter(col("id") % 3 === r).repartition(1), dir)
+    }
+    val before = TxTable.snapshot(spark, dir)
+    assert(before.count() === 600L)
+    assert(before.inputFiles.length === 15)
+    // pre-compact: the hash layout cannot skip — a narrow range still
+    // plans (nearly) every file
+    val preSkip = TxTable
+      .snapshotWhereRange(spark, dir, "id", 100L, 120L).inputFiles.length
+    assert(preSkip >= 12, s"hash layout unexpectedly skipped: $preSkip")
+    // compact, range-clustered on id
+    val v = TxTable.compact(spark, dir, numFiles = 4,
+      clusterBy = Seq("id"))
+    assert(v === 4L)
+    val after = TxTable.snapshot(spark, dir)
+    assert(after.count() === 600L)
+    assert(after.inputFiles.length === 4,
+      s"compaction produced ${after.inputFiles.length} files")
+    assert(after.select("id", "x").except(df).isEmpty &&
+      df.except(after.select("id", "x")).isEmpty,
+      "compaction changed the rows")
+    // skipping is REPAIRED: the same narrow range now plans ≤ 2 files
+    val r2 = TxTable.snapshotWhereRange(spark, dir, "id", 100L, 120L)
+    assert(r2.count() === 21L)
+    assert(r2.inputFiles.length <= 2,
+      s"clustered compaction still planned ${r2.inputFiles.length} files")
+    // history: the pre-compaction version still time-travels
+    assert(TxTable.snapshotAt(spark, dir, 3L).count() === 600L)
+    assert(TxTable.snapshotAt(spark, dir, 3L).inputFiles.length === 15)
+    // Z-order compaction: BOTH dimensions prune after one rewrite
+    val zdir = tmp("compactz")
+    TxTable.commit(df.withColumn("y", lit(601L) - col("id"))
+      .repartition(9), zdir)
+    TxTable.compact(spark, zdir, numFiles = 9,
+      clusterBy = Seq("id", "y"))
+    val total = TxTable.snapshot(spark, zdir).inputFiles.length
+    val onId = TxTable
+      .snapshotWhereRange(spark, zdir, "id", 1L, 60L).inputFiles.length
+    val onY = TxTable
+      .snapshotWhereRange(spark, zdir, "y", 1L, 60L).inputFiles.length
+    assert(onId < total && onY < total,
+      s"z-order pruned neither dimension: id→$onId, y→$onY of $total")
+    // partitioned compaction coalesces per partition, refuses clusterBy
+    val pdir = tmp("compactp")
+    TxTable.commitPartitioned(
+      (1 to 200).map(i => (i.toLong, s"g${i % 2}")).toDF("id", "grp")
+        .repartition(10), pdir, Seq("grp"))
+    val preFiles = TxTable.snapshot(spark, pdir).inputFiles.length
+    TxTable.compact(spark, pdir, numFiles = 2)
+    val post = TxTable.snapshot(spark, pdir)
+    assert(post.count() === 200L)
+    assert(post.inputFiles.length < preFiles)
+    assert(post.inputFiles.length <= 4) // ≤ numFiles per partition value
+    intercept[IllegalArgumentException] {
+      TxTable.compact(spark, pdir, 2, clusterBy = Seq("id"))
+    }
+  }
+
   test("append commits a superset file list without rewriting the " +
       "base version's bytes") {
     val dir = tmp("app")
