@@ -1393,6 +1393,17 @@ object Similarity {
     pqEncodeWith(vecs, numSub, subDim,
       trainedCodewordVecs(vecs, numSub, subDim, numCodewords))
 
+  /** [[pqEncode]] against a PERSISTED (cl, m, cvec) codebook (r16):
+    * the encode stage alone, fed by an already-trained artifact
+    * codebook — the shape a production encoder runs (codebooks are
+    * trained once per corpus snapshot; every ingest batch only
+    * encodes). Bit-identical to [[pqEncode]] over the same corpus
+    * because the artifact codebook IS `trainedCodewordVecs` output
+    * round-tripped through parquet (6-rounded doubles, exact).
+    */
+  def pqEncodeFromCodebook(vecs: DataFrame, numSub: Int, subDim: Int,
+      cw: DataFrame): DataFrame = pqEncodeWith(vecs, numSub, subDim, cw)
+
   /** [[pqEncode]] against a caller-supplied (cl, m, cvec) codebook —
     * so operators that also build distance tables train ONCE.
     */

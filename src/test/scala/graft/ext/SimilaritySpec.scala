@@ -136,6 +136,30 @@ class SimilaritySpec extends SparkSpec {
     assert(codes(4L) == ((0L, 3L)), s"mixed vector got ${codes(4L)}")
   }
 
+  test("pqEncodeFromCodebook over a parquet round-tripped codebook " +
+      "reproduces pqEncode code-for-code (the r16 shared-artifact swap)") {
+    // The bench rows now encode against the persisted pqflat codebook
+    // instead of retraining; this pins the substitution exactly: train
+    // once via pqAdcBuild, round-trip the codebook through parquet
+    // (the artifact path), and the encode-only entry must emit the
+    // identical code table.
+    val vecs = Seq(
+      (0L, 0, Seq(0.0, 0.0, 0.0, 0.0)),
+      (1L, 0, Seq(0.2, 0.0, 0.1, 0.0)),
+      (2L, 1, Seq(10.0, 10.0, 10.0, 10.0)),
+      (3L, 1, Seq(9.8, 10.0, 10.2, 10.0)),
+      (4L, 0, Seq(0.1, 0.1, 9.9, 10.1)))
+      .toDF("id", "part", "vec")
+    val (cw, codes) = Similarity.pqAdcBuild(vecs, 2, 2)
+    val dir = java.nio.file.Files.createTempDirectory("pqcb").toString
+    cw.write.parquet(s"$dir/cb.parquet")
+    val cwBack = spark.read.parquet(s"$dir/cb.parquet")
+    val direct = codes.orderBy("id").collect().toSeq
+    val viaArtifact = Similarity.pqEncodeFromCodebook(vecs, 2, 2, cwBack)
+      .orderBy("id").collect().toSeq
+    assert(viaArtifact == direct)
+  }
+
   test("pqCodebooksTrained shrinks quantization error vs the seed book " +
       "and never widens it per round (the Lloyd descent law)") {
     val vecs = graft.Tables.embeddings(spark, sfDir).select(
