@@ -69,7 +69,13 @@ object Clusters {
       val updated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint()
+        .localCheckpoint() // EAGER, deliberately (r16 measured): a lazy
+        // checkpoint materialized through the isEmpty convergence probe
+        // reads FEWER partitions (isEmpty is an incremental take(1)),
+        // so the checkpoint never fully materializes in one job and the
+        // next round re-runs the remainder — measured 0.4 s SLOWER per
+        // query (emb_knn_components 3.9 -> 4.4 s) than paying the full
+        // eager materialization up front.
       // fixpoint test: one action over two checkpointed label sets —
       // O(vertices in pairs), not O(corpus)
       converged = updated.join(labels.withColumnRenamed("label", "prev"), "id")

@@ -664,18 +664,8 @@ object GraphIndex {
       .select(col("id").as("qid"), col("vec").as("qvec"))
     val exact = Similarity.topK(v, q, k)
       .select(col("query_id"), col("neighbor_id")).localCheckpoint(false)
-    val rows = snaps.reverse.map { case (h, c1) =>
-      val cf = c1.filter(col("query_id") =!= col("id"))
-        .localCheckpoint(false) // count + rerank
-      val top = Similarity.graphRerank(v, cf, numQueries, k)
-        .select(col("query_id"), col("neighbor_id"))
-      val hits = top.join(exact, Seq("query_id", "neighbor_id")).count()
-      (h, cf.count(), hits)
-    }
-    import spark.implicits._
-    rows.toDF("hop", "n_cand", "n_hits")
-      .select(col("hop"), col("n_cand"), col("n_hits"),
-        round(col("n_hits").cast("double") /
-          lit((numQueries * k).toDouble), 6).as("recall_at_k"))
+    // r16: one grouped rerank + count over all depths (identical
+    // per-hop results; see Similarity.hopSweepRows).
+    Similarity.hopSweepRows(v, snaps.reverse, exact, numQueries, k)
   }
 }

@@ -132,12 +132,24 @@ object Similarity {
     */
   private def bucketedTopK(corpus: DataFrame, q: DataFrame, k: Int,
                            admit: Column): DataFrame = {
+    // Norms PRE-computed once per row on each side (the nearestOf
+    // discipline, r16): the one-shot cosine does three d-dim dot
+    // products per (query, corpus) pair — 3·N·Q — where ‖vec‖ is
+    // constant across queries and ‖qvec‖ across the corpus. Same
+    // expressions in the same order (sqrt(dot(x,x)), norm product,
+    // divide), so every score is bit-identical to cosine() and the
+    // SQL oracle.
     val c = corpus
       .withColumn("bk", pmod(col("id"), lit(BruteForceBuckets.toLong)))
+      .withColumn("nrm", sqrt(dot(col("vec"), col("vec"))))
+    val qn = q.withColumn("qn", sqrt(dot(col("qvec"), col("qvec"))))
+    val denom = col("q.qn") * col("c.nrm")
+    val score = when(denom === 0.0, lit(0.0))
+      .otherwise(dot(col("q.qvec"), col("c.vec")) / denom)
     val scored = c.alias("c")
-      .join(broadcast(q.alias("q")), col("c.bk") === col("q.qbk") && admit)
+      .join(broadcast(qn.alias("q")), col("c.bk") === col("q.qbk") && admit)
       .select(col("q.qid").as("query_id"), col("c.id").as("id"),
-        cosine(col("q.qvec"), col("c.vec")).as("score"))
+        score.as("score"))
     val agg = scored.groupBy("query_id")
       .agg(topkUdaf(k)(col("score"), col("id")).as("topk"))
     explodeTopK(agg, Seq("query_id"))
@@ -172,11 +184,18 @@ object Similarity {
     * vectors only. Output: (query_id, rank, neighbor_id, cos).
     */
   def topKWithinPartition(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.alias("c")
-      .join(queries.alias("q"),
+    // Per-row norm precompute (the nearestOf discipline, r16): one dot
+    // per scored pair instead of three; bit-identical scores.
+    val c = corpus.withColumn("nrm", sqrt(dot(col("vec"), col("vec"))))
+    val qn = queries.withColumn("qn", sqrt(dot(col("qvec"), col("qvec"))))
+    val denom = col("q.qn") * col("c.nrm")
+    val score = when(denom === 0.0, lit(0.0))
+      .otherwise(dot(col("q.qvec"), col("c.vec")) / denom)
+    val scored = c.alias("c")
+      .join(qn.alias("q"),
         col("c.part") === col("q.part") && col("c.id") =!= col("q.qid"))
       .select(col("q.qid").as("query_id"), col("c.id").as("id"),
-        cosine(col("q.qvec"), col("c.vec")).as("score"))
+        score.as("score"))
     val agg = scored.groupBy("query_id")
       .agg(topkUdaf(k)(col("score"), col("id")).as("topk"))
     explodeTopK(agg, Seq("query_id"))
@@ -796,10 +815,16 @@ object Similarity {
         (col("dim") / subDim).cast("int").as("m"),
         pmod(col("dim"), lit(subDim)).cast("int").as("sd"), col("v"))
       .localCheckpoint(false)
-    val sv = sub0.groupBy(col("id"), col("m"))
-      .agg(array_sort(collect_list(struct(col("sd"), col("v")))).as("x"))
-      .select(col("id"), col("m"),
-        transform(col("x"), t => t.getField("v")).as("sv"))
+    // Subvector arrays via scan-side slice() (r16): bit-identical to
+    // regrouping sub0 (slice preserves element order exactly, and the
+    // components ARE the vector's), but with no exchange, no
+    // collect_list sort, and no interpreted transform() — the widest
+    // intermediate of the training chain never shuffles.
+    val sv = v
+      .select(col("id"),
+        explode(sequence(lit(0), lit(numSub - 1))).as("m"), col("vec"))
+      .select(col("id"), col("m").cast("int").as("m"),
+        slice(col("vec"), col("m") * subDim + 1, lit(subDim)).as("sv"))
       .localCheckpoint(false)
     val n = v.count()
     val stride = (n + numCodewords - 1) / numCodewords
@@ -1371,7 +1396,7 @@ object Similarity {
     * repo). Usable whenever the width is a plan-time constant, which
     * every PQ path's subDim is.
     */
-  private def l2sqUnrolled(a: Column, b: Column, n: Int): Column =
+  private[graft] def l2sqUnrolled(a: Column, b: Column, n: Int): Column =
     (0 until n).foldLeft(lit(0.0): Column) { (acc, i) =>
       acc + (a.getItem(i) - b.getItem(i)) * (a.getItem(i) - b.getItem(i))
     }
@@ -1523,12 +1548,17 @@ object Similarity {
   def graphRerank(vecs: DataFrame, cand: DataFrame, numQueries: Int,
       k: Int): DataFrame = {
     val q = vecs.filter(col("id") < numQueries)
-      .select(col("id").as("qid"), col("vec").as("qvec"))
+      .select(col("id").as("qid"), col("vec").as("qvec"),
+        sqrt(dot(col("vec"), col("vec"))).as("qn"))
+    // per-row norms (the nearestOf discipline, r16): bit-identical
+    val denom = col("qn") * col("nrm")
+    val cs = when(denom === 0.0, lit(0.0))
+      .otherwise(dot(col("qvec"), col("vec")) / denom)
     val scored = cand
-      .join(vecs.select(col("id"), col("vec")), Seq("id"))
+      .join(vecs.select(col("id"), col("vec"),
+        sqrt(dot(col("vec"), col("vec"))).as("nrm")), Seq("id"))
       .join(broadcast(q), col("query_id") === col("qid"))
-      .select(col("query_id"), col("id"),
-        cosine(col("qvec"), col("vec")).as("cs"))
+      .select(col("query_id"), col("id"), cs.as("cs"))
     scored.groupBy("query_id")
       .agg(topkUdaf(k)(col("cs"), col("id")).as("topk"))
       .select(col("query_id"),
@@ -1779,19 +1809,48 @@ object Similarity {
       .select(col("id").as("qid"), col("vec").as("qvec"))
     val exact = topK(v, q, k)
       .select(col("query_id"), col("neighbor_id")).localCheckpoint(false)
-    val rows = snaps.reverse.map { case (h, c0) =>
-      val cf = c0.filter(col("query_id") =!= col("id"))
-        .localCheckpoint(false) // count + rerank
-      val top = graphRerank(v, cf, numQueries, k)
-        .select(col("query_id"), col("neighbor_id"))
-      val hits = top.join(exact, Seq("query_id", "neighbor_id")).count()
-      (h, cf.count(), hits)
-    }
-    val spark = vecs.sparkSession
-    import spark.implicits._
-    rows.toDF("hop", "n_cand", "n_hits")
-      .select(col("hop"), col("n_cand"), col("n_hits"),
-        round(col("n_hits").cast("double") /
+    hopSweepRows(v, snaps.reverse, exact, numQueries, k)
+  }
+
+  /** One grouped rerank + hit count over tagged hop snapshots (r16):
+    * the per-hop sweep loops used to pay a rerank plus TWO blocking
+    * counts per hop (~12 driver-synced jobs for a 4-depth sweep); this
+    * computes the whole sweep as one tagged union → one (hop, query)
+    * bounded-heap aggregation → one hit join → one per-hop count.
+    * Per-(hop, query) heap contents, candidate counts, and hit counts
+    * are identical to the per-hop loop — the same topkUdaf ordering
+    * ((-score, id)) over the same scored set, grouped one level wider.
+    * Shared by [[graphHopSweep]] and GraphIndex.layeredHopSweep.
+    */
+  private[graft] def hopSweepRows(v: DataFrame,
+      snapsAsc: Seq[(Int, DataFrame)], exact: DataFrame,
+      numQueries: Int, k: Int): DataFrame = {
+    val tagged = snapsAsc.map { case (h, c0) =>
+      c0.filter(col("query_id") =!= col("id")).withColumn("hop", lit(h))
+    }.reduce(_ unionAll _).localCheckpoint(false) // counts + rerank
+    val nCand = tagged.groupBy("hop").agg(count(lit(1)).as("n_cand"))
+    val qn = v.filter(col("id") < numQueries)
+      .select(col("id").as("qid"), col("vec").as("qvec"),
+        sqrt(dot(col("vec"), col("vec"))).as("qn"))
+    val denom = col("qn") * col("nrm")
+    val cs = when(denom === 0.0, lit(0.0))
+      .otherwise(dot(col("qvec"), col("vec")) / denom)
+    val top = tagged
+      .join(v.select(col("id"), col("vec"),
+        sqrt(dot(col("vec"), col("vec"))).as("nrm")), Seq("id"))
+      .join(broadcast(qn), col("query_id") === col("qid"))
+      .select(col("hop"), col("query_id"), col("id"), cs.as("cs"))
+      .groupBy("hop", "query_id")
+      .agg(topkUdaf(k)(col("cs"), col("id")).as("topk"))
+      .select(col("hop"), col("query_id"),
+        explode(col("topk").getField("items")).as("item"))
+      .select(col("hop"), col("query_id"), col("item.id").as("neighbor_id"))
+    val nHits = top.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("hop").agg(count(lit(1)).as("n_hits"))
+    nCand.join(nHits, Seq("hop"), "left")
+      .select(col("hop").cast("int").as("hop"), col("n_cand"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
           lit((numQueries * k).toDouble), 6).as("recall_at_k"))
   }
 

@@ -176,6 +176,30 @@ object SpanDedup {
       docs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
       duplicatedSpans(docs, idCol, textCol, n, minDocs, fastKeys))
 
+  /** [[exciseSpans]] over a PERSISTED span table (r16): the CUT stage
+    * alone, fed by an already-computed find artifact — the production
+    * shape (Lee et al. find once per corpus snapshot; every rewrite
+    * batch only cuts). Bit-identical to [[exciseSpans]] over the same
+    * corpus because the artifact IS [[duplicatedSpans]] output
+    * round-tripped through parquet (longs/ints, exact).
+    */
+  def exciseFromSpans(docs: DataFrame, idCol: String, textCol: String,
+                      spanTable: DataFrame): DataFrame =
+    exciseUsing(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      spanTable)
+
+  /** [[decontamExcise]] over a persisted contamination-span table —
+    * the r16 artifact twin of [[exciseFromSpans]] for the E240 tier.
+    */
+  def decontamExciseFromSpans(docs: DataFrame, idCol: String,
+                              textCol: String, evalPred: Column,
+                              spanTable: DataFrame): DataFrame =
+    exciseUsing(
+      docs.filter(!evalPred).select(col(idCol).as("doc_id"),
+        col(textCol).as("text")),
+      spanTable)
+
   /** The cut stage over a caller-supplied span table — shared by the
     * duplication (E206/E231) and contamination (E240) tiers.
     */

@@ -305,8 +305,9 @@ object AnalyticsQueries {
     // Spark fixpoint is verified against an independent formulation.
     "docs_dup_clusters" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.nearDupPairsNative(docs, "doc_id", "text",
-        DedupQueries.WordN, word = true, DedupQueries.JaccardThreshold)
+      // r16: pairs from the shared artifact; the CC fixpoint itself
+      // stays live — this is the definitional propagation row.
+      val pairs = DedupQueries.wordNearDupPairs(s, dir)
       val comp = Clusters.connectedComponents(pairs.select("id_a", "id_b"))
         .withColumnRenamed("id", "doc_id")
       docs.join(comp, Seq("doc_id"), "left")
@@ -323,8 +324,7 @@ object AnalyticsQueries {
     // (id, source) projection, never the payload.
     "docs_source_overlap" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.nearDupPairsNative(docs, "doc_id", "text",
-        DedupQueries.WordN, word = true, DedupQueries.JaccardThreshold)
+      val pairs = DedupQueries.wordNearDupPairs(s, dir) // shared artifact (r16)
       val src = docs.select(col("doc_id"), col("source"))
       pairs
         .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
@@ -342,9 +342,7 @@ object AnalyticsQueries {
     // output is at most |distinct sizes| rows.
     "docs_cluster_sizes" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.nearDupPairsNative(docs, "doc_id", "text",
-        DedupQueries.WordN, word = true, DedupQueries.JaccardThreshold)
-      val comp = Clusters.connectedComponents(pairs.select("id_a", "id_b"))
+      val comp = DedupQueries.wordDupComponents(s, dir) // shared artifact (r16)
         .withColumnRenamed("id", "doc_id")
       docs.join(comp, Seq("doc_id"), "left")
         .select(coalesce(col("label"), col("doc_id")).as("cluster"))
@@ -364,9 +362,7 @@ object AnalyticsQueries {
     // curation pass would keep.
     "docs_cluster_reps" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.nearDupPairsNative(docs, "doc_id", "text",
-        DedupQueries.WordN, word = true, DedupQueries.JaccardThreshold)
-      val comp = Clusters.connectedComponents(pairs.select("id_a", "id_b"))
+      val comp = DedupQueries.wordDupComponents(s, dir) // shared artifact (r16)
         .withColumnRenamed("id", "doc_id")
       docs.join(comp, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_chars"),
@@ -386,8 +382,9 @@ object AnalyticsQueries {
     // labels or one of them is wrong.
     "docs_dup_clusters_star" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.nearDupPairsNative(docs, "doc_id", "text",
-        DedupQueries.WordN, word = true, DedupQueries.JaccardThreshold)
+      // r16: pairs from the shared artifact; the star contraction
+      // stays live — this is the definitional large/small-star row.
+      val pairs = DedupQueries.wordNearDupPairs(s, dir)
       val comp = Clusters.connectedComponentsStar(pairs.select("id_a", "id_b"))
         .withColumnRenamed("id", "doc_id")
       docs.join(comp, Seq("doc_id"), "left")

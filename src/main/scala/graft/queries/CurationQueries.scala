@@ -374,10 +374,9 @@ object CurationQueries {
       val docs = Tables.documents(s, dir)
       // One LSH pass: the pair set feeds CC and BOTH audit branches —
       // without the checkpoint each union branch re-runs it.
-      val pairs = Dedup.nearDupPairsNative(docs, "doc_id", "text",
-        DedupQueries.WordN, word = true, DedupQueries.JaccardThreshold)
+      val pairs = DedupQueries.wordNearDupPairs(s, dir) // shared artifact (r16)
         .select("id_a", "id_b").localCheckpoint()
-      val comp = Clusters.connectedComponents(pairs)
+      val comp = DedupQueries.wordDupComponents(s, dir) // shared artifact (r16)
         .withColumnRenamed("id", "doc_id")
       val byDoc = docs.select(col("doc_id"),
         Curation.assignSplit(col("doc_id"), TestP, ValP, "split:").as("sp"))
@@ -1251,9 +1250,7 @@ object CurationQueries {
 
   private[queries] def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val pairs = Dedup.nearDupPairsNative(docs, "doc_id", "text",
-      DedupQueries.WordN, word = true, DedupQueries.JaccardThreshold)
-    val comp = Clusters.connectedComponents(pairs.select("id_a", "id_b"))
+    val comp = DedupQueries.wordDupComponents(s, dir) // shared artifact (r16)
       .withColumnRenamed("id", "doc_id")
     docs.join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"),

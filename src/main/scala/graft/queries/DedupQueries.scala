@@ -31,6 +31,77 @@ object DedupQueries {
   val ContainmentThreshold = 0.9
   private val MaxHamming = 3
 
+
+  /** Shared duplicated-span FIND artifacts per digest tier (r16): the
+    * excision rows re-ran the whole find stage (gram shuffle + islands
+    * merge) that their sibling find rows already compute — the
+    * artifact is the find output (doc_id, span_start, span_end,
+    * span_tokens — longs/ints, parquet-exact), built once per fixture
+    * state; the find rows (docs_dup_spans / _fast / docs_decontam_spans)
+    * stay LIVE as the definitional tier. Production runs exactly this
+    * split: find once per corpus snapshot, cut per rewrite batch.
+    */
+  private def dupSpansShared(s: SparkSession, dir: String,
+      fast: Boolean): DataFrame = {
+    val key = if (fast) "dup_spans_fast" else "dup_spans_md5"
+    val p = Materialize.once(key, dir) { out =>
+      graft.ext.SpanDedup.duplicatedSpans(
+        Tables.documents(s, dir), "doc_id", "text", SpanN, 2,
+        fastKeys = fast).write.parquet(s"$out/spans.parquet")
+    }
+    s.read.parquet(s"$p/spans.parquet")
+  }
+
+  private def decontamSpansShared(s: SparkSession, dir: String): DataFrame = {
+    val p = Materialize.once("decontam_spans", dir) { out =>
+      graft.ext.SpanDedup.contaminationSpans(
+        Tables.documents(s, dir), "doc_id", "text", SpanN,
+        col("doc_id") % CurationQueries.DecontamMod === 0)
+        .write.parquet(s"$out/spans.parquet")
+    }
+    s.read.parquet(s"$p/spans.parquet")
+  }
+
+  /** The shared word-shingle near-dup PAIR set for this fixture state
+    * (r16, the VERDICT r13 #5 artifact discipline): TEN registered rows
+    * across five files consumed `Dedup.nearDupPairsNative(docs, WordN,
+    * word = true, JaccardThreshold)` with byte-identical parameters —
+    * each re-running the full MinHash-banding + exact-Jaccard-verify
+    * pipeline per invocation. Materialized once per fixture state
+    * (longs + an exact-division double round-trip parquet bit-exactly);
+    * `docs_dedup_near` stays the LIVE definitional row for the
+    * operator itself. The production analogue is exact: the verified
+    * pair set is computed once per corpus snapshot and every
+    * downstream job (clustering, overlap reports, split assignment)
+    * joins against it.
+    */
+  private[queries] def wordNearDupPairs(s: SparkSession, dir: String)
+      : DataFrame = {
+    val p = Materialize.once("neardup_pairs_word", dir) { out =>
+      Dedup.nearDupPairsNative(Tables.documents(s, dir), "doc_id", "text",
+        WordN, word = true, JaccardThreshold)
+        .write.parquet(s"$out/pairs.parquet")
+    }
+    s.read.parquet(s"$p/pairs.parquet")
+  }
+
+  /** Connected components over [[wordNearDupPairs]] — (id, label) with
+    * label = component-min doc id, shared by every row that needs the
+    * duplicate-cluster resolution (sizes, reps, split assignment).
+    * `docs_dup_clusters` / `docs_dup_clusters_star` keep their CC
+    * fixpoint computations LIVE (they are the definitional rows for
+    * the two algorithms) but feed from the shared pair artifact.
+    */
+  private[queries] def wordDupComponents(s: SparkSession, dir: String)
+      : DataFrame = {
+    val p = Materialize.once("neardup_components_word", dir) { out =>
+      graft.ext.Clusters.connectedComponents(
+        wordNearDupPairs(s, dir).select("id_a", "id_b"))
+        .write.parquet(s"$out/comp.parquet")
+    }
+    s.read.parquet(s"$p/comp.parquet")
+  }
+
   /** E266 planner grid: every banding of the production 32-signature
     * budget ([[Dedup.NumPerms]] = NumBands × RowsPerBand). The planner
     * asks, against the corpus's MEASURED pair similarities, which
@@ -312,8 +383,11 @@ object DedupQueries {
     // friendly), with funnel accounting (n_spans, n_tokens,
     // tokens_cut). Span-free docs pass through byte-identical.
     "docs_span_excise" -> ((s, dir) =>
-      graft.ext.SpanDedup.exciseSpans(
-        Tables.documents(s, dir), "doc_id", "text", SpanN, 2)),
+      // r16: cut over the shared find artifact (bit-identical; the
+      // find stage stays live in docs_dup_spans)
+      graft.ext.SpanDedup.exciseFromSpans(
+        Tables.documents(s, dir), "doc_id", "text",
+        dupSpansShared(s, dir, fast = false))),
 
     // E240: SPAN-LEVEL eval decontamination — the surgical variant of
     // E69's doc-level overlap flag: for every training doc, the
@@ -332,9 +406,11 @@ object DedupQueries {
     // eval-overlapping spans excised (eval docs are the reference
     // set, not corpus — they are absent from the output).
     "docs_decontam_excise" -> ((s, dir) =>
-      graft.ext.SpanDedup.decontamExcise(
-        Tables.documents(s, dir), "doc_id", "text", SpanN,
-        col("doc_id") % CurationQueries.DecontamMod === 0)),
+      // r16: cut over the shared contamination-span artifact
+      graft.ext.SpanDedup.decontamExciseFromSpans(
+        Tables.documents(s, dir), "doc_id", "text",
+        col("doc_id") % CurationQueries.DecontamMod === 0,
+        decontamSpansShared(s, dir))),
 
     // E231: the excision stage on the E214 xxhash64 production keys —
     // completing the fast tier end to end (find AND cut). Same
@@ -342,9 +418,10 @@ object DedupQueries {
     // the only possible divergence, so the hash check asserts the
     // rewritten corpus is byte-identical under either digest.
     "docs_span_excise_fast" -> ((s, dir) =>
-      graft.ext.SpanDedup.exciseSpans(
-        Tables.documents(s, dir), "doc_id", "text", SpanN, 2,
-        fastKeys = true)),
+      // r16: cut over the shared fast-tier find artifact
+      graft.ext.SpanDedup.exciseFromSpans(
+        Tables.documents(s, dir), "doc_id", "text",
+        dupSpansShared(s, dir, fast = true))),
 
     // E174: MinHash estimator accuracy audit — the sketch-tolerance
     // row for the dedup tier (the E66/E74/E92 pattern): for every
@@ -362,8 +439,7 @@ object DedupQueries {
     // broken hash chain (est ≈ 0 against J ≥ 0.5 pairs) still fails.
     "docs_minhash_accuracy" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.nearDupPairsNative(docs, "doc_id", "text",
-        WordN, word = true, JaccardThreshold)
+      val pairs = wordNearDupPairs(s, dir) // shared artifact (r16)
       val sigs = docs.select(col("doc_id"),
         graft.functions.MinHashSig(col("text"), WordN, word = true).as("sig"))
       pairs
@@ -451,8 +527,7 @@ object DedupQueries {
     // summed as 9-decimal DECIMALs so the mean is order-free (exact,
     // associative) — double summation order differs across engines.
     "docs_lsh_plan" -> ((s, dir) => {
-      val pairs = Dedup.nearDupPairsNative(Tables.documents(s, dir),
-          "doc_id", "text", WordN, word = true, JaccardThreshold)
+      val pairs = wordNearDupPairs(s, dir) // shared artifact (r16)
         .select(col("jaccard"))
       val sums = PlanGrid.zipWithIndex.map { case ((b, r), i) =>
         sum(round(sCurveCol(b, r), 9).cast("decimal(20,9)")).as(s"s_$i")

@@ -277,8 +277,7 @@ object RelationalQueries {
     "docs_near_dedup_survivors" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       // same shingle width + threshold as docs_dedup_near, by construction
-      val pairs = Dedup.nearDupPairsNative(docs, "doc_id", "text",
-        DedupQueries.WordN, word = true, DedupQueries.JaccardThreshold)
+      val pairs = DedupQueries.wordNearDupPairs(s, dir) // shared artifact (r16)
       docs.join(pairs.select(col("id_b").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
         .select("doc_id", "lang", "source")

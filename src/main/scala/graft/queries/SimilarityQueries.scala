@@ -119,6 +119,24 @@ object SimilarityQueries {
     * round-trips (longs + a 6-rounded double), so every downstream
     * result is bit-identical — the oracle replays the same chain.
     */
+  /** The shared label-bucketed kNN graph (src_id, rank, dst_id, cos,
+    * mutual) for this fixture state (r16): three audit rows
+    * (emb_knn_components, emb_graph_hubness, emb_graph_triangles)
+    * each re-ran the full bucketed kNN build to analyze an IDENTICAL
+    * edge set. `emb_knn_graph` stays the live definitional row; the
+    * consumers read the edge table the way production graph analytics
+    * do — the graph is built once per corpus snapshot (the E260
+    * persisted-artifact discipline), analyses join against it. Longs,
+    * a 6-rounded double, and a boolean — parquet-exact.
+    */
+  private def knnGraphShared(s: SparkSession, dir: String): DataFrame = {
+    val p = Materialize.once("knn_graph_label", dir) { out =>
+      Similarity.knnGraph(corpus(s, dir), KnnK)
+        .write.parquet(s"$out/edges.parquet")
+    }
+    s.read.parquet(s"$p/edges.parquet")
+  }
+
   private def adaptiveAsg(s: SparkSession, dir: String): DataFrame = {
     val p = Materialize.once("adaptive_asg", dir) { out =>
       Similarity.adaptiveClusters(corpus(s, dir), AdaptiveTargetPop,
@@ -162,9 +180,10 @@ object SimilarityQueries {
       .select(col("query_id"), col("neighbor_id"))
     val q = c.filter(col("id") < NumQueries)
       .select(col("id").as("qid"), col("vec").as("qv"))
-    val l2 = aggregate(
-      zip_with(col("qv"), col("vec"), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
+    // r16: unrolled codegen L2 (identical left-to-right fold and
+    // initial 0.0 — bit-identical doubles) instead of the interpreted
+    // zip_with+aggregate HOF; see Similarity.l2sqUnrolled.
+    val l2 = Similarity.l2sqUnrolled(col("qv"), col("vec"), EmbDim)
     val exact = q.join(c.select(col("id"), col("vec")),
         col("id") =!= col("qid"))
       .select(col("qid"), col("id"), l2.as("d"))
@@ -361,9 +380,10 @@ object SimilarityQueries {
         .select(col("query_id"), col("neighbor_id"))
       val q = c.filter(col("id") < NumQueries)
         .select(col("id").as("qid"), col("vec").as("qv"))
-      val l2 = aggregate(
-        zip_with(col("qv"), col("vec"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
+      // r16: unrolled codegen L2 (identical left-to-right fold and
+      // initial 0.0 — bit-identical doubles) instead of the interpreted
+      // zip_with+aggregate HOF; see Similarity.l2sqUnrolled.
+      val l2 = Similarity.l2sqUnrolled(col("qv"), col("vec"), EmbDim)
       val exact = q.join(c.select(col("id"), col("vec")),
           col("id") =!= col("qid"))
         .select(col("qid"), col("id"), l2.as("d"))
@@ -426,7 +446,7 @@ object SimilarityQueries {
     // operator as the dedup clusters (E48).
     "emb_knn_components" -> ((s, dir) => {
       val c = corpus(s, dir)
-      val g = Similarity.knnGraph(c, KnnK)
+      val g = knnGraphShared(s, dir) // shared artifact (r16)
       val edges = g.filter(col("mutual") && col("src_id") < col("dst_id"))
         .select(col("src_id").as("id_a"), col("dst_id").as("id_b"))
       val comp = graft.ext.Clusters.connectedComponents(edges)
@@ -600,8 +620,12 @@ object SimilarityQueries {
         .select(col("query_id"), col("neighbor_id"))
       val cand = Similarity.graphExpandCandidates(c, EmbDim, NumQueries,
         GraphSeeds, GraphHops, KnnK).localCheckpoint(false)
-      val g = Similarity.graphExpandTopK(c, EmbDim, NumQueries,
-        GraphSeeds, GraphHops, KnnK, K)
+      // r16: rerank the ALREADY-checkpointed candidate set instead of
+      // graphExpandTopK (which re-runs the identical seed+walk chain a
+      // second time inside this row — graphExpandTopK IS
+      // graphRerank(graphExpandCandidates(...)) by definition, so the
+      // output is unchanged while the walk executes once).
+      val g = Similarity.graphRerank(c, cand, NumQueries, K)
         .select(col("query_id"), col("neighbor_id"))
       val nCand = cand.groupBy("query_id").agg(count(lit(1)).as("nc"))
       val seedHits = seed.join(exact, Seq("query_id", "neighbor_id"))
@@ -633,7 +657,7 @@ object SimilarityQueries {
     // n_nodes).
     "emb_graph_hubness" -> ((s, dir) => {
       val c = corpus(s, dir).localCheckpoint(false)
-      val indeg = Similarity.knnGraph(c, KnnK)
+      val indeg = knnGraphShared(s, dir) // shared artifact (r16)
         .groupBy(col("dst_id").as("id")).agg(count(lit(1)).as("d"))
       c.select(col("id"), col("part"))
         .join(indeg, Seq("id"), "left")
@@ -652,7 +676,8 @@ object SimilarityQueries {
     // pair-quadratic; everything integer-exact until one division.
     "emb_graph_triangles" -> ((s, dir) => {
       val c = corpus(s, dir).localCheckpoint(false)
-      val g = Similarity.knnGraph(c, KnnK).filter(col("mutual"))
+      val g = knnGraphShared(s, dir) // shared artifact (r16)
+        .filter(col("mutual"))
         .select(col("src_id").as("a"), col("dst_id").as("b"))
         .localCheckpoint(false) // degree + two-path + closing probe
       val und = g.filter(col("a") < col("b"))
@@ -911,15 +936,24 @@ object SimilarityQueries {
     // 1−(1−q^b)^bands averaged — so a drifting adaptive width shows
     // up as expected-vs-realized divergence, not silence.
     "emb_srp_recall" -> ((s, dir) => {
-      val v = corpus(s, dir).select(col("id"), col("vec"))
+      // r16: per-row norm rides the checkpointed table (the nearestOf
+      // discipline) — the quadratic exact-truth join then does ONE dot
+      // per pair instead of three; same expressions in the same order,
+      // so every cosine (and the oracle hash) is bit-identical.
+      val v = corpus(s, dir).select(col("id"), col("vec"),
+          sqrt(Similarity.dot(col("vec"), col("vec"))).as("nrm"))
         .localCheckpoint(false)
       val bits = Srp.adaptiveBits(v.count())
       val sigs = v.select(col("id"), Srp.sig(col("vec"), EmbDim).as("sig"))
-      val tp = v.select(col("id").as("id_a"), col("vec").as("va"))
-        .join(v.select(col("id").as("id_b"), col("vec").as("vb")),
+      val tpDenom = col("na") * col("nb")
+      val tpCos = when(tpDenom === 0.0, lit(0.0))
+        .otherwise(Similarity.dot(col("va"), col("vb")) / tpDenom)
+      val tp = v.select(col("id").as("id_a"), col("vec").as("va"),
+          col("nrm").as("na"))
+        .join(v.select(col("id").as("id_b"), col("vec").as("vb"),
+          col("nrm").as("nb")),
           col("id_a") < col("id_b"))
-        .filter(round(Similarity.cosine(col("va"), col("vb")), 6)
-          >= NearDupThreshold)
+        .filter(round(tpCos, 6) >= NearDupThreshold)
         .select(col("id_a"), col("id_b"))
       val q = (lit(Srp.NumPlanes.toDouble) -
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("double")) /
@@ -991,12 +1025,18 @@ object SimilarityQueries {
         .select(col("query_id"), col("neighbor_id"))
         .localCheckpoint(false)
       val q = c.filter(col("id") < NumQueries)
-        .select(col("id").as("qid"), col("vec").as("qv"))
+        .select(col("id").as("qid"), col("vec").as("qv"),
+          sqrt(Similarity.dot(col("vec"), col("vec"))).as("qn"))
+      // r16: per-row norms — one dot per truth pair instead of three,
+      // bit-identical (the nearestOf discipline).
+      val tDenom = col("qn") * col("cn")
+      val tCos = when(tDenom === 0.0, lit(0.0))
+        .otherwise(Similarity.dot(col("qv"), col("vec")) / tDenom)
       val truth = q.join(
-          c.filter(filteredPred).select(col("id"), col("vec")),
+          c.filter(filteredPred).select(col("id"), col("vec"),
+            sqrt(Similarity.dot(col("vec"), col("vec"))).as("cn")),
           col("id") =!= col("qid"))
-        .select(col("qid"), col("id"),
-          Similarity.cosine(col("qv"), col("vec")).as("score"))
+        .select(col("qid"), col("id"), tCos.as("score"))
         .withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("qid")).orderBy(col("score").desc, col("id"))))
@@ -1024,10 +1064,17 @@ object SimilarityQueries {
     // only shuffle.
     "emb_semantic_decontam" -> ((s, dir) => {
       val c = corpus(s, dir)
-      val ev = c.filter(col("id") < EvalN).select(col("vec").as("evec"))
+      val ev = c.filter(col("id") < EvalN).select(col("vec").as("evec"),
+        sqrt(Similarity.dot(col("vec"), col("vec"))).as("en"))
+      // r16: per-row norms — one dot per (corpus, eval) pair instead of
+      // three, bit-identical (the nearestOf discipline).
+      val dDenom = col("en") * col("cn")
+      val dCos = when(dDenom === 0.0, lit(0.0))
+        .otherwise(Similarity.dot(col("evec"), col("vec")) / dDenom)
       c.filter(col("id") >= EvalN)
+        .withColumn("cn", sqrt(Similarity.dot(col("vec"), col("vec"))))
         .crossJoin(broadcast(ev))
-        .select(col("id"), Similarity.cosine(col("evec"), col("vec")).as("cs"))
+        .select(col("id"), dCos.as("cs"))
         .groupBy("id").agg(max(col("cs")).as("mc"))
         .select(col("id").as("vec_id"), round(col("mc"), 6).as("max_cos"),
           (col("mc") >= lit(DecontamThr)).as("contaminated"))
@@ -1274,9 +1321,8 @@ object SimilarityQueries {
       }
       val c = corpus(s, dir).filter(col("id") < 40)
       val rc = graft.ext.Opq.rotateCol(c, "vec", m, rr)
-      val l2 = (x: String, y: String) => aggregate(
-        zip_with(col(x), col(y), (p, q2) => (p - q2) * (p - q2)),
-        lit(0.0), (acc, x2) => acc + x2)
+      val l2 = (x: String, y: String) =>
+        Similarity.l2sqUnrolled(col(x), col(y), EmbDim) // r16: codegen fold
       def pairD(df: org.apache.spark.sql.DataFrame) =
         df.alias("x").join(df.alias("y"), col("x.id") < col("y.id"))
           .select(col("x.id").as("i"), col("y.id").as("j2"),
@@ -1365,9 +1411,10 @@ object SimilarityQueries {
         .select(col("query_id"), col("neighbor_id"))
       val q = c.filter(col("id") < NumQueries)
         .select(col("id").as("qid"), col("vec").as("qv"))
-      val l2 = aggregate(
-        zip_with(col("qv"), col("vec"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
+      // r16: unrolled codegen L2 (identical left-to-right fold and
+      // initial 0.0 — bit-identical doubles) instead of the interpreted
+      // zip_with+aggregate HOF; see Similarity.l2sqUnrolled.
+      val l2 = Similarity.l2sqUnrolled(col("qv"), col("vec"), EmbDim)
       val exact = q.join(c.select(col("id"), col("vec")),
           col("id") =!= col("qid"))
         .select(col("qid"), col("id"), l2.as("d"))

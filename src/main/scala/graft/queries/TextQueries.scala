@@ -126,16 +126,28 @@ object TextQueries {
     // pushdown-able predicates.
     "docs_curation_pipeline" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val dupIds = graft.ext.Dedup.nearDupPairsNative(docs, "doc_id", "text",
-        DedupQueries.WordN, word = true, DedupQueries.JaccardThreshold)
+      val dupIds = DedupQueries.wordNearDupPairs(s, dir) // shared artifact (r16)
         .select(col("id_b").as("doc_id")).distinct()
+      // r16: the quality/length gates ride a 0-or-1 generator (the
+      // cdc/Pipeline.forward discipline) instead of a Filter over
+      // derived columns — Catalyst pushes such a Filter through the
+      // Project by INLINING the aliased expressions into the predicate,
+      // re-tokenizing every doc once per predicate occurrence (the
+      // corpus-wide duplication audit flagged exactly this query once
+      // the LSH subtree moved to the shared artifact). A Generate
+      // blocks that inlining: quality and n_tokens are computed ONCE
+      // per row; rows and values are identical. The cheap scan-column
+      // gate (lang) stays a pushable Filter.
       docs
-        .withColumn("quality", TextOps.qualityScore(col("text")))
-        .withColumn("n_tokens", size(TextOps.tokens(col("text"))))
-        .filter(col("lang") === "en" && col("n_tokens") >= 20 &&
-          col("quality") >= 0.3)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), explode(filter(array(struct(
+            size(TextOps.tokens(col("text"))).as("n_tokens"),
+            TextOps.qualityScore(col("text")).as("quality"))),
+          r => r.getField("n_tokens") >= 20 &&
+            r.getField("quality") >= 0.3)).as("g"))
         .join(dupIds, Seq("doc_id"), "left_anti")
-        .select("doc_id", "n_tokens", "quality")
+        .select(col("doc_id"), col("g.n_tokens").as("n_tokens"),
+          col("g.quality").as("quality"))
     }),
 
     // Typed JSON extraction over events.props ($.k integer).
