@@ -214,17 +214,22 @@ object Bench {
     val loadsJson = timedLoads
       .map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val retriedJson = retried.map(jstr).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"rows_per_sec":$rps,"loadavg_1m_by_query":$loadsJson,"retried_under_load":$retriedJson,"cdc_input_rows":$cdcInput,"streaming_route_rows_per_sec":$streamRps,"streaming_route_rows_per_sec_min":$streamRpsMin,"streaming_route_rows_per_sec_median":$streamRpsMedian,"streaming_route_rows_per_sec_spans":$spansJson,"loadavg_1m_at_stream_probe":$loadAtProbe,"loadavg_1m_at_end":$loadAtEnd,"errors":$es,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"queries":$qs,"rows":$rows,"rows_per_sec":$rps,"loadavg_1m_by_query":$loadsJson,"retried_under_load":$retriedJson,"cdc_input_rows":$cdcInput,"streaming_route_rows_per_sec":$streamRps,"streaming_route_rows_per_sec_min":$streamRpsMin,"streaming_route_rows_per_sec_median":$streamRpsMedian,"streaming_route_rows_per_sec_spans":$spansJson,"loadavg_1m_at_stream_probe":$loadAtProbe,"loadavg_1m_at_end":$loadAtEnd,"errors":$es,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only the TAIL of stdout, which truncates the
     // per-query dict mid-map on a 269-query run (BENCH_r12 preserved 61
     // of 269 lines; VERDICT r12 #6). Persist the full line as a file
     // artifact beside the repo so round-over-round per-query diffs are
-    // always reconstructable.
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_per_query.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () } // never fail the bench on disk I/O
+    // always reconstructable. r17 (VERDICT r16 #8): the line now
+    // carries "cpus" beside "sf" so the committed artifact is
+    // unambiguous about which run produced it, and FILTERED runs
+    // (isobench/scale_witness pass query names) no longer overwrite
+    // the full-bench artifact with a few-query map.
+    if (args.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_per_query.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () } // never fail the bench on disk I/O
     // Compact trailer: the driver keeps only the tail of stdout, and the
     // full line above can exceed that window. Repeat the headline totals
     // last so they always survive truncation (VERDICT r03 #3).

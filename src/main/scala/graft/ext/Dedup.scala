@@ -145,8 +145,19 @@ object Dedup {
     * 32 ints per document, not the shingles. Duplicate shingle rows are
     * harmless: min is idempotent.
     */
-  def minhashBandsFromRows(rows: DataFrame): DataFrame = {
-    val base = xxhash64(col("x"))
+  def minhashBandsFromRows(rows: DataFrame): DataFrame =
+    minhashBandsFromHashed(
+      rows.select(col("id"), xxhash64(col("x")).as("h")))
+
+  /** [[minhashBandsFromRows]] from pre-hashed (id, h = xxhash64(x))
+    * rows (r17): callers that need the base shingle hash for OTHER legs
+    * too (the recall audit's exact-truth key is the same hash) compute
+    * it once and share LONGS instead of re-hashing — and re-carrying —
+    * the shingle strings per consumer. Byte-identical bands: the
+    * permutation hashes consume only the base hash.
+    */
+  def minhashBandsFromHashed(rows: DataFrame): DataFrame = {
+    val base = col("h")
     val chunkCols = (0 until NumPerms).map { p =>
       shiftright(xxhash64(lit(p), base), 32)
         .bitwiseAND(lit(0xffffffffL)).as(s"h_$p")
@@ -175,8 +186,15 @@ object Dedup {
     * non-empty bin cyclically (the coalesce chain), matching the kernel
     * exactly.
     */
-  def minhashSigOphFromRows(rows: DataFrame): DataFrame = {
-    val base = xxhash64(col("x"))
+  def minhashSigOphFromRows(rows: DataFrame): DataFrame =
+    minhashSigOphFromHashed(
+      rows.select(col("id"), xxhash64(col("x")).as("h")))
+
+  /** OPH signature from pre-hashed (id, h) rows — the
+    * [[minhashBandsFromHashed]] discipline (byte-identical signature).
+    */
+  def minhashSigOphFromHashed(rows: DataFrame): DataFrame = {
+    val base = col("h")
     val hashed = rows.select(col("id"),
       shiftrightunsigned(base, 59).cast("int").as("bin"),
       base.bitwiseAND(lit(0xffffffffL)).as("chunk"))
@@ -190,8 +208,14 @@ object Dedup {
   }
 
   /** Band strings derived from [[minhashSigOphFromRows]]'s signature. */
-  def minhashBandsOphFromRows(rows: DataFrame): DataFrame = {
-    val s = minhashSigOphFromRows(rows)
+  def minhashBandsOphFromRows(rows: DataFrame): DataFrame =
+    ophSigToBands(minhashSigOphFromRows(rows))
+
+  /** Band strings from pre-hashed (id, h) rows. */
+  def minhashBandsOphFromHashed(rows: DataFrame): DataFrame =
+    ophSigToBands(minhashSigOphFromHashed(rows))
+
+  private def ophSigToBands(s: DataFrame): DataFrame = {
     val bands = array((0 until NumBands).map { b =>
       concat_ws("|",
         (0 until RowsPerBand).map(r => col("sig").getItem(b * RowsPerBand + r)): _*)
@@ -888,11 +912,15 @@ object Dedup {
   def lshRecallMeasured(universe: DataFrame, n: Int,
       taus: Seq[Double]): DataFrame = {
     require(taus.nonEmpty, "need at least one tau")
-    // three consumers (ground truth + two banding passes): materialize
-    // the shingle rows once, lazily (ContextCleaner-reclaimable)
-    val rows = wordShingleRows(universe, col("id"), col("text"), n)
+    // three consumers (ground truth + two banding passes): r17 — the
+    // shared base is the per-shingle xxhash64 LONG, not the shingle
+    // string: the truth key IS that hash and both banding passes
+    // consume only it, so the shingle build + string hash run once and
+    // the checkpoint carries 8 bytes/row instead of the n-gram text.
+    val hashed = wordShingleRows(universe, col("id"), col("text"), n)
+      .select(col("id"), xxhash64(col("x")).as("h"))
       .localCheckpoint(false)
-    val dsh = rows.select(col("id"), xxhash64(col("x")).as("k")).distinct()
+    val dsh = hashed.select(col("id"), col("h").as("k")).distinct()
       .localCheckpoint(false)
     val sizes = dsh.groupBy("id").agg(count(lit(1)).as("sz"))
     val truth = dsh.select(col("id").as("id_a"), col("k"))
@@ -905,9 +933,14 @@ object Dedup {
         (col("inter").cast("double") /
           (col("sa") + col("sb") - col("inter")).cast("double")).as("j"))
       .filter(col("j") >= lit(taus.min))
+      // r17: the union below feeds truth into BOTH config branches, and
+      // Spark does not share non-exchanged subplans — without this the
+      // exact set-similarity self-join (the audit's most expensive leg)
+      // executed once per config.
+      .localCheckpoint(false)
     val configs = Seq(
-      "banded32" -> lshCandidates(minhashBandsFromRows(rows), "id", col("bands")),
-      "oph" -> lshCandidates(minhashBandsOphFromRows(rows), "id", col("bands")))
+      "banded32" -> lshCandidates(minhashBandsFromHashed(hashed), "id", col("bands")),
+      "oph" -> lshCandidates(minhashBandsOphFromHashed(hashed), "id", col("bands")))
     val flagged = configs.map { case (name, cands) =>
       truth.join(cands.withColumn("hit", lit(1L)), Seq("id_a", "id_b"), "left")
         .select(lit(name).as("config"), col("j"),

@@ -338,28 +338,31 @@ object Similarity {
     * k·n scored rows with partial max_by aggregation.
     */
   private def nearestOf(vecs: DataFrame, centVecs: DataFrame): DataFrame = {
-    // Norms PRE-computed once per row on each join side: the naive
-    // cosine(vec, cvec) does three 64-dim dot products per (vector,
-    // centroid) pair, i.e. 3·N·k — but ‖vec‖ is constant across the k
-    // centroids and ‖cvec‖ across the N vectors. Same expressions in
-    // the same order (sqrt(dot(x,x)), then the norm product, then the
-    // divide), so every score is bit-identical to the one-shot cosine
-    // and the SQL oracle — this is a pure flop-count win on the
-    // assignment stage, the N·k term that dominates the adaptive tier
-    // at scale.
-    val v = vecs.withColumn("vn", sqrt(dot(col("vec"), col("vec"))))
-    val c = centVecs.withColumn("cn", sqrt(dot(col("cvec"), col("cvec"))))
-    val denom = col("vn") * col("cn")
-    val score = when(denom === 0.0, lit(0.0))
-      .otherwise(dot(col("vec"), col("cvec")) / denom)
-    v.join(broadcast(c))
-      .select(col("id"), col("cpart"), score.as("score"))
-      .groupBy(col("id"))
-      .agg(max_by(struct(col("score"), col("cpart")),
-        struct(col("score"), -col("cpart"))).as("best"))
-      .select(col("id"), col("best.cpart").as("cell"),
-        col("best.score").as("score"))
+    // r17: the broadcast-join × k expansion and its max_by hash
+    // aggregate collapse into ONE codegen loop per vector
+    // ([[graft.functions.CosineArgmaxCell]]): the centroid table is
+    // O(cells × dims) by construction and was already broadcast, so
+    // collecting it is the same bytes with the join and aggregate
+    // gone. Norm folds, score expression order, and the
+    // (score, -cpart) tie rule are replicated exactly — bit-identical
+    // assignments (see the expression's doc).
+    val cands = collectedCentroids(centVecs)
+    val best = vecs.select(col("id"),
+      graft.functions.CosineArgmaxCell.of(col("vec"), cands).as("best"))
+    best.select(col("id"), col("best.cell").as("cell"),
+      col("best.score").as("score"))
   }
+
+  /** A (cpart, cvec) centroid table pulled to the driver in ascending
+    * cpart order — bounded (cells × dims) by construction; the
+    * broadcast-centers pattern (see [[kmeansIterated]]).
+    */
+  private def collectedCentroids(centVecs: DataFrame)
+      : IndexedSeq[(Long, IndexedSeq[Double])] =
+    centVecs.select(col("cpart"), col("cvec")).collect()
+      .map(r => (r.getAs[Number](0).longValue,
+        r.getSeq[Double](1).toIndexedSeq))
+      .sortBy(_._1).toIndexedSeq
 
   /** Adaptive k-means over (id, vec): k = [[adaptiveK]](count, targetPop),
     * seeded by k id-stride-spread vectors (every ⌈n/k⌉-th vector in
@@ -485,19 +488,22 @@ object Similarity {
     val seeds = rn.filter(pmod(col("row_num") - 1, lit(stride)) === 0)
       .select(col("id").as("cpart"), col("vec").as("cvec"))
       .localCheckpoint(false)
-    var asg = twoLevelAssign(v, seeds, TwoLevelProbe)
-      .select(col("id"), col("cell"), col("score"))
+    // r17: the assignment is a pure projection now
+    // ([[twoLevelAssignExpr]]), so the vector column rides BESIDE the
+    // assignment and the per-round centroid recompute reads it directly
+    // — the v ⋈ asg id-rejoin that fed every recompute is gone.
+    var cur = v.select(col("id"), col("vec"),
+      twoLevelAssignExpr(coarsenCentroids(seeds), TwoLevelProbe).as("tl"))
     for (_ <- 1 to iters) {
       val cents = centroids(
-        v.join(asg.select(col("id").as("aid"), col("cell")),
-          col("id") === col("aid"))
-          .select(col("cell").as("part"), col("vec")))
-      asg = twoLevelAssign(v,
-        centroidVectors(cents).localCheckpoint(false), TwoLevelProbe)
-        .select(col("id"), col("cell"), col("score"))
+        cur.select(col("tl.cell").as("part"), col("vec")))
+      cur = v.select(col("id"), col("vec"),
+        twoLevelAssignExpr(
+          coarsenCentroids(centroidVectors(cents).localCheckpoint(false)),
+          TwoLevelProbe).as("tl"))
     }
-    asg.select(col("id"), col("cell").as("assigned"),
-      round(col("score"), 6).as("cos"))
+    cur.select(col("id"), col("tl.cell").as("assigned"),
+      round(col("tl.score"), 6).as("cos"))
       .localCheckpoint(false)
   }
 
@@ -613,50 +619,42 @@ object Similarity {
     */
   def twoLevelAssign(vecs: DataFrame, grouping: (DataFrame, DataFrame),
       probe: Int): DataFrame = {
+    val tl = twoLevelAssignExpr(grouping, probe)
+    vecs.select(col("id"), tl.as("tl"))
+      .select(col("id"), col("tl.cell").as("cell"),
+        col("tl.score").as("score"),
+        col("tl.n_fine_cand").as("n_fine_cand"))
+  }
+
+  /** The whole coarse-probe → fine-argmax assignment as ONE codegen
+    * column (r17, [[graft.functions.TwoLevelCosineAssign]]): the
+    * previous chain was two broadcast joins, a groupBy(id)
+    * ObjectHashAggregate (g-bounded collect_list + sort), an N-vs-N
+    * id rejoin against the corpus, and a max_by hash aggregate — per
+    * assignment stage. Both tables were ALREADY broadcast relations
+    * (bounded: cells × dims / groups × dims by construction), so
+    * collecting them ships the same bytes while the five distributed
+    * stages collapse into a scan-side projection. Selection rules
+    * (ascending (−score, gpart) top-probe; (score, −cpart) argmax) and
+    * every score fold are replicated exactly — bit-identical output
+    * (see the expression's doc).
+    */
+  private[ext] def twoLevelAssignExpr(grouping: (DataFrame, DataFrame),
+      probe: Int): Column = {
     require(probe >= 1, "need at least one probed group")
     val (fineG, coarse) = grouping
-    val v = vecs.select(col("id"), col("vec"))
-      .withColumn("vn", sqrt(dot(col("vec"), col("vec"))))
-    val cg = coarse.withColumn("gn", sqrt(dot(col("gvec"), col("gvec"))))
-    val gden = col("vn") * col("gn")
-    val gscore = when(gden === 0.0, lit(0.0))
-      .otherwise(dot(col("vec"), col("gvec")) / gden)
-    // Top-`probe` groups per point WITHOUT a window: a row_number over
-    // (id) is a full sort-shuffle of all N·g score rows — measured 4×
-    // slower than the exact N·k argmax it was meant to undercut
-    // (round-11 probe at N=20k, k=200). The N·g rows for one id are
-    // born co-located (corpus row × broadcast coarse table), so a
-    // groupBy(id) hash-aggregation collapses them map-side and the
-    // exchange carries N narrow rows; the per-id top-probe is a
-    // g-bounded collect_list sorted by (score desc, gpart) — the
-    // identical rule the window expressed and the SQL oracle replays
-    // (ascending struct sort on (-score, gpart)). The vector column
-    // deliberately does NOT ride through the aggregation (dragging a
-    // 64-double array per input row through an object agg buffer cost
-    // more than the exact argmax); the probed ids rejoin the
-    // checkpointed corpus once, N-vs-N.
-    val tops = v.join(broadcast(cg))
-      .select(col("id"), col("gpart"), gscore.as("gscore"))
-      .groupBy(col("id"))
-      .agg(slice(sort_array(collect_list(
-        struct((-col("gscore")).as("ns"), col("gpart")))), 1, probe)
-        .as("tops"))
-      .select(col("id").as("tid"),
-        expr("transform(tops, t -> t.gpart)").as("gs"))
-    val top = v.join(tops, col("id") === col("tid"))
-      .select(col("id"), col("vec"), col("vn"), explode(col("gs")).as("gpart"))
-    val fc = fineG.withColumn("cn", sqrt(dot(col("cvec"), col("cvec"))))
-    val fden = col("vn") * col("cn")
-    val fscore = when(fden === 0.0, lit(0.0))
-      .otherwise(dot(col("vec"), col("cvec")) / fden)
-    top.join(broadcast(fc), Seq("gpart"))
-      .select(col("id"), col("cpart"), fscore.as("score"))
-      .groupBy(col("id"))
-      .agg(max_by(struct(col("score"), col("cpart")),
-        struct(col("score"), -col("cpart"))).as("best"),
-        count(lit(1)).as("n_fine_cand"))
-      .select(col("id"), col("best.cpart").as("cell"),
-        col("best.score").as("score"), col("n_fine_cand"))
+    val groups = coarse.select(col("gpart"), col("gvec")).collect()
+      .map(r => (r.getAs[Number](0).longValue,
+        r.getSeq[Double](1).toIndexedSeq))
+      .sortBy(_._1).toIndexedSeq
+    val byG = fineG.select(col("gpart"), col("cpart"), col("cvec")).collect()
+      .map(r => (r.getAs[Number](0).longValue,
+        (r.getAs[Number](1).longValue, r.getSeq[Double](2).toIndexedSeq)))
+      .groupBy(_._1)
+    val fine = groups.map { case (g, _) =>
+      byG.getOrElse(g, Array.empty).map(_._2).sortBy(_._1).toIndexedSeq
+    }
+    graft.functions.TwoLevelCosineAssign.of(col("vec"), groups, fine, probe)
   }
 
   /** Exact nearest-cell assignment against a (cpart, cvec) centroid
@@ -806,26 +804,7 @@ object Similarity {
     */
   def pqCodebooksTrained(vecs: DataFrame, numSub: Int, subDim: Int,
       iters: Int, numCodewords: Int = PqCodewords): DataFrame = {
-    // long-form subvector components once, materialized: the seed, the
-    // per-round recompute, and the per-round assignment all re-read it
     val v = vecs.select(col("id"), col("vec")).localCheckpoint(false)
-    val sub0 = v
-      .select(col("id"), posexplode(col("vec")).as(Seq("dim", "v")))
-      .select(col("id"),
-        (col("dim") / subDim).cast("int").as("m"),
-        pmod(col("dim"), lit(subDim)).cast("int").as("sd"), col("v"))
-      .localCheckpoint(false)
-    // Subvector arrays via scan-side slice() (r16): bit-identical to
-    // regrouping sub0 (slice preserves element order exactly, and the
-    // components ARE the vector's), but with no exchange, no
-    // collect_list sort, and no interpreted transform() — the widest
-    // intermediate of the training chain never shuffles.
-    val sv = v
-      .select(col("id"),
-        explode(sequence(lit(0), lit(numSub - 1))).as("m"), col("vec"))
-      .select(col("id"), col("m").cast("int").as("m"),
-        slice(col("vec"), col("m") * subDim + 1, lit(subDim)).as("sv"))
-      .localCheckpoint(false)
     val n = v.count()
     val stride = (n + numCodewords - 1) / numCodewords
     val rn = graft.operators.GlobalIndex.globalRowNumbers(
@@ -833,21 +812,39 @@ object Similarity {
       v.sparkSession.sparkContext.defaultParallelism)
     val seedIds = rn.filter(pmod(col("row_num") - 1, lit(stride)) === 0)
       .select(col("id").as("sid"))
-    val d = l2sqUnrolled(col("sv"), col("cvec"), subDim)
     // seed codewords = the seed documents' raw subvectors (exact
-    // doubles in both engines — no rounding needed until recompute)
-    var cb = sub0.join(seedIds, col("id") === col("sid"))
-      .select(col("id").as("cl"), col("m"), col("sd"), col("v").as("c"))
+    // doubles in both engines — no rounding needed until recompute).
+    // r17: exploded straight from the seed rows (bounded: codewords ×
+    // dims) — the corpus-sized long-form sub0 checkpoint the seed and
+    // recompute used to share is gone entirely.
+    var cb = v.join(seedIds, col("id") === col("sid"))
+      .select(col("id").as("cl"), posexplode(col("vec")).as(Seq("dim", "v")))
+      .select(col("cl"),
+        (col("dim") / subDim).cast("int").as("m"),
+        pmod(col("dim"), lit(subDim)).cast("int").as("sd"),
+        col("v").as("c"))
     for (_ <- 1 to iters) {
-      val cw = pqCodewordVecs(cb).localCheckpoint(false)
-      val asg = sv.join(broadcast(cw), "m")
-        .select(col("id"), col("m"), struct(d.as("d"), col("cl")).as("s"))
-        .groupBy(col("id"), col("m"))
-        .agg(min(col("s")).as("best")) // struct min = (distance, codeword) argmin
-        .select(col("id").as("aid"), col("m").as("am"),
-          col("best.cl").as("cl"))
-      cb = sub0.join(asg,
-          col("id") === col("aid") && col("m") === col("am"))
+      // r17 (VERDICT r16 #1): the Lloyd assignment no longer expands
+      // sv × codewords through a broadcast join into a hash aggregate
+      // (numSub · codewords rows per vector per round). The codebook is
+      // BOUNDED by construction, so it is collected once per round and
+      // evaluated as ONE codegen loop per vector
+      // ([[graft.functions.PqEncodeCodes]] — identical distance folds,
+      // identical (d, cl) tie rule). The recompute reads each member's
+      // subvector components directly beside its code (posexplode of
+      // the assigned slice), so the per-round sub0 ⋈ asg shuffle join
+      // is gone too: one scan of v feeds assignment AND recompute, and
+      // the only exchange left per round is the bounded
+      // (codewords × dims) partial-aggregated centroid shuffle.
+      val cands = codebookCands(pqCodewordVecs(cb), numSub)
+      val coded = v
+        .select(col("vec"), posexplode(
+          graft.functions.PqEncodeCodes.of(col("vec"), cands, subDim))
+          .as(Seq("am", "cl")))
+      cb = coded
+        .select(col("cl"), col("am").cast("int").as("m"),
+          posexplode(slice(col("vec"), col("am") * subDim + 1,
+            lit(subDim))).as(Seq("sd", "v")))
         .groupBy(col("cl"), col("m"), col("sd"))
         .agg(round(avg(col("v")), 6).as("c"))
     }
@@ -860,6 +857,34 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("sd"), col("c")))).as("sc"))
       .select(col("cl"), col("m"),
         transform(col("sc"), x => x.getField("c")).as("cvec"))
+
+  /** A (cl, m, cvec) codebook pulled to the driver: m → (cl, cvec)
+    * ordered by codeword id. BOUNDED by construction (≤ codewords ×
+    * subspaces rows — a design constant, 32×16 here, 256×M in
+    * production PQ — never corpus-sized), so this is the broadcast-
+    * build pattern, not a driver data path: the codebook becomes
+    * LITERALS in the assignment projection below instead of a
+    * broadcast-join fan-out.
+    */
+  private def collectedCodebook(cw: DataFrame)
+      : Map[Int, IndexedSeq[(Long, IndexedSeq[Double])]] =
+    cw.select(col("m"), col("cl"), col("cvec")).collect()
+      .map(r => (r.getInt(0),
+        (r.getLong(1), r.getSeq[Double](2).toIndexedSeq)))
+      .groupBy(_._1)
+      .map { case (m, rs) =>
+        m -> rs.map(_._2).sortBy(_._1).toIndexedSeq
+      }
+
+  /** Per-subspace candidate lists for [[graft.functions.PqEncodeCodes]]
+    * from a collected codebook — ascending codeword id per subspace
+    * (the strict-< tie rule's required order).
+    */
+  private def codebookCands(cw: DataFrame, numSub: Int)
+      : IndexedSeq[IndexedSeq[(Long, IndexedSeq[Double])]] = {
+    val byM = collectedCodebook(cw)
+    (0 until numSub).map(byM)
+  }
 
   /** PQ encoding: each vector becomes `numSub` small integer codes —
     * the argmin-L2 codeword per subspace. This is the 64× storage
@@ -1434,19 +1459,19 @@ object Similarity {
     */
   private def pqEncodeWith(vecs: DataFrame, numSub: Int, subDim: Int,
       cw: DataFrame): DataFrame = {
-    val sub = vecs.select(col("id"),
-        explode(sequence(lit(0), lit(numSub - 1))).as("m"), col("vec"))
-      .select(col("id"), col("m"),
-        slice(col("vec"), col("m") * subDim + 1, lit(subDim)).as("sv"))
-    val d = l2sqUnrolled(col("sv"), col("cvec"), subDim)
-    val best = sub.join(broadcast(cw), "m")
-      .select(col("id"), col("m"), struct(d.as("d"), col("cl")).as("s"))
-      .groupBy(col("id"), col("m"))
-      .agg(min(col("s")).as("best")) // struct min = (distance, codeword) argmin
-      .select(col("id"), col("m"), col("best.cl").as("code"))
-    val codeCols = (0 until numSub)
-      .map(m => max(when(col("m") === m, col("code"))).as(s"c$m"))
-    best.groupBy(col("id")).agg(codeCols.head, codeCols.tail: _*)
+    // r17 (VERDICT r16 #1): encoding was explode(numSub) → broadcast
+    // join × codewords → argmin hash aggregate → re-pivot aggregate —
+    // two exchanges and a numSub·codewords row expansion per vector.
+    // The codebook is bounded by construction; collected once, the
+    // whole encode is ONE scan-side codegen loop per vector
+    // ([[graft.functions.PqEncodeCodes]] — identical distance folds,
+    // identical tie rule — bit-identical codes).
+    val cands = codebookCands(cw, numSub)
+    val coded = vecs.select(col("id"),
+      graft.functions.PqEncodeCodes.of(col("vec"), cands, subDim)
+        .as("codes"))
+    coded.select(col("id") +: (0 until numSub).map(m =>
+      col("codes").getItem(m).as(s"c$m")): _*)
   }
 
   /** Cluster-bucketed cosine near-duplicate pairs: candidate pairs are
@@ -1954,46 +1979,114 @@ object Similarity {
     */
   def mmrOverCandidates(cand0: DataFrame, corpus: DataFrame, k: Int,
       lambda: Double, oneMinusLambda: Double): DataFrame = {
-    val cand = cand0.localCheckpoint(false)
-    // Candidate vectors ride a broadcast-able join back to the corpus
-    // (Q·nCand ids); pair similarities stay within one query's list.
-    val cv = cand.join(
+    // r17: the greedy selection is per-query over a BOUNDED pool
+    // (Q · nCand rows by construction — never corpus-sized), yet the
+    // k-rank loop ran ~3 distributed jobs + a checkpoint PER RANK
+    // (pair table, per-round penalty join, anti-join, argmax, union).
+    // One grouped aggregation now collects each query's candidate pool
+    // and a per-query fold replays the identical greedy rule
+    // ([[mmrGreedyUdf]]): same pair cosines (same fold order + the
+    // exact Round HALF_UP), same penalty max, same (rel, -cid) /
+    // (mmr, -cid) argmax tie rules via Double.compare — bit-identical
+    // selections with the per-rank driver round-trips gone. The
+    // closure runs once per QUERY over nCand² bounded state (the
+    // TopKAggregator precedent), not per corpus row.
+    val cv = cand0.join(
         corpus.select(col("id").as("vid"), col("vec")),
         col("cid") === col("vid"))
-      .select(col("query_id"), col("cid"), col("vec"))
-    val pairs = cv.alias("a")
-      .join(cv.alias("b"),
-        col("a.query_id") === col("b.query_id") && col("a.cid") =!= col("b.cid"))
-      .select(col("a.query_id"), col("a.cid").as("ca"), col("b.cid").as("cb"),
-        round(cosine(col("a.vec"), col("b.vec")), 6).as("sim"))
-      .localCheckpoint(false)
-
-    val pick1 = cand.groupBy("query_id")
-      .agg(max_by(struct(col("cid"), col("rel")),
-        struct(col("rel"), -col("cid"))).as("w"))
-      .select(col("query_id"), col("w.cid").as("cid"), col("w.rel").as("rel"),
-        (lit(lambda) * col("w.rel")).as("mmr"), lit(1).as("rk"))
-    var acc = pick1.localCheckpoint(false)
-    for (i <- 2 to k) {
-      val pen = pairs.alias("p")
-        .join(acc.alias("s"),
-          col("p.query_id") === col("s.query_id") && col("p.cb") === col("s.cid"))
-        .groupBy(col("p.query_id").as("query_id"), col("p.ca").as("cid"))
-        .agg(max(col("p.sim")).as("pen"))
-      val rem = cand.join(acc.select(col("query_id"), col("cid")),
-          Seq("query_id", "cid"), "left_anti")
-        .join(pen, Seq("query_id", "cid"))
-        .select(col("query_id"), col("cid"), col("rel"),
-          (lit(lambda) * col("rel") - lit(oneMinusLambda) * col("pen")).as("mmr"))
-      val pick = rem.groupBy("query_id")
-        .agg(max_by(struct(col("cid"), col("rel"), col("mmr")),
-          struct(col("mmr"), -col("cid"))).as("w"))
-        .select(col("query_id"), col("w.cid").as("cid"), col("w.rel").as("rel"),
-          col("w.mmr").as("mmr"), lit(i).as("rk"))
-      acc = acc.union(pick).localCheckpoint(false)
-    }
-    acc.select(col("query_id"), col("rk").cast("int").as("rank"),
-      col("cid").as("neighbor_id"), round(col("mmr"), 7).as("mmr"),
-      col("rel").as("cos"))
+      .select(col("query_id"), col("cid"), col("rel"), col("vec"))
+    val pools = cv.groupBy("query_id")
+      .agg(collect_list(struct(col("cid"), col("rel"), col("vec")))
+        .as("pool"))
+    pools.select(col("query_id"),
+        explode(mmrGreedyUdf(k, lambda, oneMinusLambda)(col("pool")))
+          .as("r"))
+      .select(col("query_id"), col("r._1").cast("int").as("rank"),
+        col("r._2").as("neighbor_id"), round(col("r._3"), 7).as("mmr"),
+        col("r._4").as("cos"))
   }
+
+  /** Per-query greedy MMR fold (r17) — the exact semantics of the
+    * retired k-round loop:
+    *  - rank 1: argmax (rel, -cid); emitted mmr = λ·rel;
+    *  - rank i: penalty(c) = max pair-sim to any selected candidate
+    *    (incremental max ≡ the per-round max over the selected set);
+    *    argmax (λ·rel − (1−λ)·penalty, -cid) over unselected
+    *    candidates that have a penalty entry (all of them, once
+    *    anything is selected — replicating the loop's inner join);
+    *  - pair sim = round(cosine(a, b), 6) with cosine's exact
+    *    expression order (0.0-seeded left-to-right dots, norm product,
+    *    0-denominator guard) and Spark Round's
+    *    BigDecimal.valueOf(..).setScale(6, HALF_UP) — bit-identical to
+    *    the DataFrame pair table it replaces;
+    *  - every comparison via Double.compare (Spark's sort/max
+    *    semantics for ±0.0 and NaN).
+    */
+  private def mmrGreedyUdf(k: Int, lambda: Double, oneMinusLambda: Double) =
+    udf((pool: Seq[(Long, Double, Seq[Double])]) => {
+      val n = pool.length
+      val cids = pool.map(_._1).toArray
+      val rels = pool.map(_._2).toArray
+      val vs = pool.map(_._3.toArray).toArray
+      val norms = vs.map { v =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        math.sqrt(s)
+      }
+      def sim(i: Int, j: Int): Double = {
+        val den = norms(i) * norms(j)
+        val c = if (den == 0.0) 0.0 else {
+          val a = vs(i); val b = vs(j)
+          val nd = math.min(a.length, b.length)
+          var s = 0.0; var d = 0
+          while (d < nd) { s += a(d) * b(d); d += 1 }
+          s / den
+        }
+        java.math.BigDecimal.valueOf(c)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      }
+      val selected = new Array[Boolean](n)
+      val pen = new Array[Double](n)
+      val penSet = new Array[Boolean](n)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Long, Double, Double)]
+      var rank = 0
+      var exhausted = false
+      while (rank < k && !exhausted) {
+        var best = -1
+        var bestKey = 0.0
+        var i = 0
+        while (i < n) {
+          if (!selected(i) && (rank == 0 || penSet(i))) {
+            val key = if (rank == 0) rels(i)
+              else lambda * rels(i) - oneMinusLambda * pen(i)
+            if (best < 0 || java.lang.Double.compare(key, bestKey) > 0 ||
+                (java.lang.Double.compare(key, bestKey) == 0 &&
+                  cids(i) < cids(best))) {
+              best = i; bestKey = key
+            }
+          }
+          i += 1
+        }
+        if (best < 0) exhausted = true
+        else {
+          selected(best) = true
+          out += ((rank + 1, cids(best),
+            if (rank == 0) lambda * rels(best) else bestKey, rels(best)))
+          var j = 0
+          while (j < n) {
+            if (!selected(j)) {
+              val s = sim(j, best)
+              if (!penSet(j) ||
+                  java.lang.Double.compare(s, pen(j)) > 0) {
+                pen(j) = s; penSet(j) = true
+              }
+            }
+            j += 1
+          }
+          rank += 1
+        }
+      }
+      out.toSeq
+    })
 }

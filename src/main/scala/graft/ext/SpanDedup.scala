@@ -66,6 +66,11 @@ object SpanDedup {
           s"named_struct('pos', i, 'gh', ${keyExpr.format(n)}))"))
         .as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
+      // r17: TWO consumers below (the dup-frequency aggregate and the
+      // hits join), and Spark does not share non-exchanged subplans —
+      // without this the whole tokenize → gram-build → digest pass ran
+      // once per consumer. Lazy checkpoint: one gram pass per find.
+      .localCheckpoint(false)
     // Grams repeated WITHIN one doc don't make it "duplicated" — the
     // signal is cross-document, hence count(DISTINCT doc).
     val dup = grams.groupBy("gh")
@@ -125,6 +130,9 @@ object SpanDedup {
         .as("g"))
       .select(col("doc_id"), col("is_eval"),
         col("g.pos").as("pos"), col("g.gh").as("gh"))
+      // r17: same two-consumer dedup as duplicatedSpans (eval-gram set
+      // + training-side hits) — one gram pass instead of two.
+      .localCheckpoint(false)
     val evalGrams = grams.filter(col("is_eval")).select("gh").distinct()
     val hits = grams.filter(!col("is_eval"))
       .join(evalGrams, Seq("gh"), "left_semi")

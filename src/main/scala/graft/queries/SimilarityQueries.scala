@@ -170,6 +170,35 @@ object SimilarityQueries {
     * ids compare directly because L2 is invariant under the
     * permutation.
     */
+  /** Exact L2 ground-truth top-k per query — (query_id, neighbor_id).
+    * r17 (VERDICT r16 #5): every recall audit's exact leg was a theta
+    * join (BroadcastNestedLoopJoin, not codegen-fusable) feeding a
+    * per-query row_number window that sort-shuffled ALL N·Q scored
+    * rows. This shape is the pqAdcTopKFrom idiom instead: the
+    * equi-bucket fan-out makes the all-pairs product a codegen-fused
+    * BroadcastHashJoin, negated distance turns the largest-score heap
+    * into a smallest-L2 heap with the identical (d asc, id asc) tie
+    * rule, and the shuffle carries O(k) rows per query. Same distances
+    * (same l2sqUnrolled fold), same tie rule — identical top-k set by
+    * construction.
+    */
+  private def exactL2TopK(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
+    val l2 = Similarity.l2sqUnrolled(col("qv"), col("vec"), EmbDim)
+    val nB = Similarity.BruteForceBuckets.toLong
+    val cb = c.select(col("id"), col("vec"),
+      pmod(col("id"), lit(nB)).as("bk"))
+    val qf = q.select(col("qid"), col("qv"),
+      explode(sequence(lit(0L), lit(nB - 1))).as("fb"))
+    cb.join(broadcast(qf),
+        col("bk") === col("fb") && col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), (-l2).as("score"))
+      .groupBy(col("qid"))
+      .agg(Similarity.topkUdaf(k)(col("score"), col("id")).as("topk"))
+      .select(col("qid").as("query_id"),
+        posexplode(col("topk").getField("items")).as(Seq("pos", "item")))
+      .select(col("query_id"), col("item.id").as("neighbor_id"))
+  }
+
   private def adcRecallOver(c: DataFrame, cw: DataFrame,
       codes: DataFrame, qvecs: DataFrame): DataFrame = {
     val adcAll = Similarity.pqAdcTopKFrom(cw, codes, qvecs,
@@ -180,18 +209,7 @@ object SimilarityQueries {
       .select(col("query_id"), col("neighbor_id"))
     val q = c.filter(col("id") < NumQueries)
       .select(col("id").as("qid"), col("vec").as("qv"))
-    // r16: unrolled codegen L2 (identical left-to-right fold and
-    // initial 0.0 — bit-identical doubles) instead of the interpreted
-    // zip_with+aggregate HOF; see Similarity.l2sqUnrolled.
-    val l2 = Similarity.l2sqUnrolled(col("qv"), col("vec"), EmbDim)
-    val exact = q.join(c.select(col("id"), col("vec")),
-        col("id") =!= col("qid"))
-      .select(col("qid"), col("id"), l2.as("d"))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("qid")).orderBy(col("d"), col("id"))))
-      .filter(col("rank") <= K)
-      .select(col("qid").as("query_id"), col("id").as("neighbor_id"))
+    val exact = exactL2TopK(c, q, K)
     val hits = adcTop.join(exact, Seq("query_id", "neighbor_id"))
       .groupBy("query_id").agg(count(lit(1)).as("h"))
     val candHits = adcAll.select(col("query_id"), col("neighbor_id"))
@@ -380,18 +398,9 @@ object SimilarityQueries {
         .select(col("query_id"), col("neighbor_id"))
       val q = c.filter(col("id") < NumQueries)
         .select(col("id").as("qid"), col("vec").as("qv"))
-      // r16: unrolled codegen L2 (identical left-to-right fold and
-      // initial 0.0 — bit-identical doubles) instead of the interpreted
-      // zip_with+aggregate HOF; see Similarity.l2sqUnrolled.
-      val l2 = Similarity.l2sqUnrolled(col("qv"), col("vec"), EmbDim)
-      val exact = q.join(c.select(col("id"), col("vec")),
-          col("id") =!= col("qid"))
-        .select(col("qid"), col("id"), l2.as("d"))
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("qid")).orderBy(col("d"), col("id"))))
-        .filter(col("rank") <= KIvf)
-        .select(col("qid").as("query_id"), col("id").as("neighbor_id"))
+      // r17: shared bounded-heap exact leg (see exactL2TopK) — same
+      // distances, same tie rule, O(k) shuffle rows per query.
+      val exact = exactL2TopK(c, q, KIvf)
       val hits = adcTop.join(exact, Seq("query_id", "neighbor_id"))
         .groupBy("query_id").agg(count(lit(1)).as("h"))
       val candHits = adcAll.select(col("query_id"), col("neighbor_id"))
@@ -449,7 +458,15 @@ object SimilarityQueries {
       val g = knnGraphShared(s, dir) // shared artifact (r16)
       val edges = g.filter(col("mutual") && col("src_id") < col("dst_id"))
         .select(col("src_id").as("id_a"), col("dst_id").as("id_b"))
-      val comp = graft.ext.Clusters.connectedComponents(edges)
+      // r17 (VERDICT r16 #3): mutual-kNN components chain through
+      // embedding space (diameter ≫ the shallow near-dup case), so the
+      // label-propagation fixpoint paid one eager checkpoint +
+      // convergence action PER HOP. Star contraction converges in
+      // O(log n) rounds independent of diameter; identical labels
+      // (min component id) by construction, pinned label-equal by
+      // ClustersSpec. docs_dup_clusters keeps propagation live as the
+      // definitional row.
+      val comp = graft.ext.Clusters.connectedComponentsStar(edges)
       c.select(col("id").as("vec_id"))
         .join(comp, col("vec_id") === col("id"), "left")
         .select(col("vec_id"),
@@ -940,21 +957,34 @@ object SimilarityQueries {
       // discipline) — the quadratic exact-truth join then does ONE dot
       // per pair instead of three; same expressions in the same order,
       // so every cosine (and the oracle hash) is bit-identical.
+      // r17 (VERDICT r16 #5): the SRP signature rides the checkpoint
+      // too (identical Srp.sig expression → identical longs), so the
+      // two per-pair sig joins are gone; and the all-pairs truth join
+      // trades its theta-only BroadcastNestedLoopJoin for the
+      // bucketedTopK equi-key trick — one side fans out over
+      // BruteForceBuckets, the other keys pmod(id, B), every unordered
+      // pair still meets exactly once, and the scan → join → cosine →
+      // filter → agg chain whole-stage-codegen-fuses. Same pair set,
+      // same expression order, bit-identical aggregates.
       val v = corpus(s, dir).select(col("id"), col("vec"),
-          sqrt(Similarity.dot(col("vec"), col("vec"))).as("nrm"))
+          sqrt(Similarity.dot(col("vec"), col("vec"))).as("nrm"),
+          Srp.sig(col("vec"), EmbDim).as("sg"))
         .localCheckpoint(false)
       val bits = Srp.adaptiveBits(v.count())
-      val sigs = v.select(col("id"), Srp.sig(col("vec"), EmbDim).as("sig"))
+      val nB = Similarity.BruteForceBuckets.toLong
       val tpDenom = col("na") * col("nb")
       val tpCos = when(tpDenom === 0.0, lit(0.0))
         .otherwise(Similarity.dot(col("va"), col("vb")) / tpDenom)
-      val tp = v.select(col("id").as("id_a"), col("vec").as("va"),
-          col("nrm").as("na"))
-        .join(v.select(col("id").as("id_b"), col("vec").as("vb"),
-          col("nrm").as("nb")),
-          col("id_a") < col("id_b"))
+      val vb = v.select(col("id").as("id_b"), col("vec").as("vb"),
+        col("nrm").as("nb"), col("sg").as("sig_b"),
+        pmod(col("id"), lit(nB)).as("bk"))
+      val va = v.select(col("id").as("id_a"), col("vec").as("va"),
+        col("nrm").as("na"), col("sg").as("sig_a"),
+        explode(sequence(lit(0L), lit(nB - 1))).as("fb"))
+      val tp = va.join(broadcast(vb),
+          col("fb") === col("bk") && col("id_a") < col("id_b"))
         .filter(round(tpCos, 6) >= NearDupThreshold)
-        .select(col("id_a"), col("id_b"))
+        .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
       val q = (lit(Srp.NumPlanes.toDouble) -
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("double")) /
         lit(Srp.NumPlanes.toDouble)
@@ -962,8 +992,6 @@ object SimilarityQueries {
         pow(lit(1.0) - pow(q, lit(bits.toDouble)),
           lit(Srp.NumBands.toDouble))
       val stats = tp
-        .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-        .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
         .agg(count(lit(1)).as("n_true"),
           round(avg(hitProb), 6).as("expected_recall"))
       val srp = Srp.nearDupPairs(v, EmbDim, NearDupThreshold)
@@ -1025,23 +1053,17 @@ object SimilarityQueries {
         .select(col("query_id"), col("neighbor_id"))
         .localCheckpoint(false)
       val q = c.filter(col("id") < NumQueries)
-        .select(col("id").as("qid"), col("vec").as("qv"),
-          sqrt(Similarity.dot(col("vec"), col("vec"))).as("qn"))
-      // r16: per-row norms — one dot per truth pair instead of three,
-      // bit-identical (the nearestOf discipline).
-      val tDenom = col("qn") * col("cn")
-      val tCos = when(tDenom === 0.0, lit(0.0))
-        .otherwise(Similarity.dot(col("qv"), col("vec")) / tDenom)
-      val truth = q.join(
-          c.filter(filteredPred).select(col("id"), col("vec"),
-            sqrt(Similarity.dot(col("vec"), col("vec"))).as("cn")),
-          col("id") =!= col("qid"))
-        .select(col("qid"), col("id"), tCos.as("score"))
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("qid")).orderBy(col("score").desc, col("id"))))
-        .filter(col("rank") <= K)
-        .select(col("qid").as("query_id"), col("id").as("neighbor_id"))
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      // r17 (VERDICT r16 #5): the exact-truth leg rides the bounded-
+      // heap top-k (Similarity.topK) instead of a theta-join + global
+      // per-query window — the N·Q scored rows partial-aggregate
+      // map-side and the shuffle carries O(k) rows per query, with the
+      // whole scan → join → cosine → heap chain codegen-fused (the
+      // bucketed equi-key shape). Same scores (identical expression
+      // order), same (score desc, id asc) tie rule — identical top-k
+      // set by construction.
+      val truth = Similarity.topK(c.filter(filteredPred), q, K)
+        .select(col("query_id"), col("neighbor_id"))
       val hits = ivf.join(truth, Seq("query_id", "neighbor_id"))
         .groupBy("query_id").agg(count(lit(1)).as("h"))
       val nIvf = ivf.groupBy("query_id").agg(count(lit(1)).as("n_ivf"))
@@ -1411,18 +1433,9 @@ object SimilarityQueries {
         .select(col("query_id"), col("neighbor_id"))
       val q = c.filter(col("id") < NumQueries)
         .select(col("id").as("qid"), col("vec").as("qv"))
-      // r16: unrolled codegen L2 (identical left-to-right fold and
-      // initial 0.0 — bit-identical doubles) instead of the interpreted
-      // zip_with+aggregate HOF; see Similarity.l2sqUnrolled.
-      val l2 = Similarity.l2sqUnrolled(col("qv"), col("vec"), EmbDim)
-      val exact = q.join(c.select(col("id"), col("vec")),
-          col("id") =!= col("qid"))
-        .select(col("qid"), col("id"), l2.as("d"))
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("qid")).orderBy(col("d"), col("id"))))
-        .filter(col("rank") <= KIvf)
-        .select(col("qid").as("query_id"), col("id").as("neighbor_id"))
+      // r17: shared bounded-heap exact leg (see exactL2TopK) — same
+      // distances, same tie rule, O(k) shuffle rows per query.
+      val exact = exactL2TopK(c, q, KIvf)
       val hits = adcTop.join(exact, Seq("query_id", "neighbor_id"))
         .groupBy("query_id").agg(count(lit(1)).as("h"))
       val candHits = adcAll.select(col("query_id"), col("neighbor_id"))
