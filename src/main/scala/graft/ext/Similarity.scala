@@ -388,10 +388,14 @@ object Similarity {
     val n = v.count()
     val k = adaptiveK(n, targetPop)
     val stride = (n + k - 1) / k
+    // r17: rank ids only; re-attach vectors via a broadcast of the
+    // k-bounded seed set (see pqCodebooksTrained).
     val rn = graft.operators.GlobalIndex.globalRowNumbers(
-      v.withColumn("ord", struct(col("id"))), "ord",
+      v.select(col("id")).withColumn("ord", struct(col("id"))), "ord",
       v.sparkSession.sparkContext.defaultParallelism)
-    val seeds = rn.filter(pmod(col("row_num") - 1, lit(stride)) === 0)
+    val seedIds = rn.filter(pmod(col("row_num") - 1, lit(stride)) === 0)
+      .select(col("id").as("sid"))
+    val seeds = v.join(broadcast(seedIds), col("id") === col("sid"))
       .select(col("id").as("cpart"), col("vec").as("cvec"))
     var asg = assignStage(v, seeds, crossoverK)
     for (_ <- 1 to iters) {
@@ -475,8 +479,10 @@ object Similarity {
     val n = v.count()
     val k = adaptiveK(n, targetPop)
     val stride = (n + k - 1) / k
+    // r17: rank ids only; re-attach vectors via a broadcast of the
+    // k-bounded seed set (see pqCodebooksTrained).
     val rn = graft.operators.GlobalIndex.globalRowNumbers(
-      v.withColumn("ord", struct(col("id"))), "ord",
+      v.select(col("id")).withColumn("ord", struct(col("id"))), "ord",
       v.sparkSession.sparkContext.defaultParallelism)
     // Each centroid table is MATERIALIZED (k×d — tiny) before the
     // probe: [[coarsenCentroids]] + the probe's joins consume it 4-5
@@ -485,7 +491,9 @@ object Similarity {
     // feeding it — measured 12.1 s → 3-4 s on the E213 witness
     // (VERDICT r11 #5; the production [[assignStage]] already
     // checkpoints for exactly this reason).
-    val seeds = rn.filter(pmod(col("row_num") - 1, lit(stride)) === 0)
+    val seedIds = rn.filter(pmod(col("row_num") - 1, lit(stride)) === 0)
+      .select(col("id").as("sid"))
+    val seeds = v.join(broadcast(seedIds), col("id") === col("sid"))
       .select(col("id").as("cpart"), col("vec").as("cvec"))
       .localCheckpoint(false)
     // r17: the assignment is a pure projection now
@@ -807,8 +815,11 @@ object Similarity {
     val v = vecs.select(col("id"), col("vec")).localCheckpoint(false)
     val n = v.count()
     val stride = (n + numCodewords - 1) / numCodewords
+    // r17: rank IDS ONLY — globalRowNumbers range-shuffles its input
+    // and round-trips it through an RDD zipWithIndex; the vectors were
+    // riding that for nothing (the seed join below re-attaches them).
     val rn = graft.operators.GlobalIndex.globalRowNumbers(
-      v.withColumn("ord", struct(col("id"))), "ord",
+      v.select(col("id")).withColumn("ord", struct(col("id"))), "ord",
       v.sparkSession.sparkContext.defaultParallelism)
     val seedIds = rn.filter(pmod(col("row_num") - 1, lit(stride)) === 0)
       .select(col("id").as("sid"))
@@ -816,8 +827,10 @@ object Similarity {
     // doubles in both engines — no rounding needed until recompute).
     // r17: exploded straight from the seed rows (bounded: codewords ×
     // dims) — the corpus-sized long-form sub0 checkpoint the seed and
-    // recompute used to share is gone entirely.
-    var cb = v.join(seedIds, col("id") === col("sid"))
+    // recompute used to share is gone entirely. The seed set is
+    // ≤ numCodewords rows, so it broadcasts (the RDD-derived side has
+    // no stats for the planner to see that by itself).
+    var cb = v.join(broadcast(seedIds), col("id") === col("sid"))
       .select(col("id").as("cl"), posexplode(col("vec")).as(Seq("dim", "v")))
       .select(col("cl"),
         (col("dim") / subDim).cast("int").as("m"),
